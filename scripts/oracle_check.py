@@ -1,0 +1,74 @@
+#!/usr/bin/env python3
+"""Dev-only mirror of the driver's DuckDB correctness gate.
+
+Runs AFTER `sbt "runMain graft.Verify <sfDir> <outDir>"`: reads each
+<outDir>/<name>/ parquet result plus <outDir>/oracle_sql.json, executes the
+oracle SQL in DuckDB against the same testdata parquet tables, and compares
+values with columns sorted by name and rows sorted by all columns (the
+driver's documented compare). Exit code 1 if any query mismatches.
+
+This script is NOT part of the shipped engine — it exists so oracle SQL is
+validated locally before the driver runs it.
+"""
+import json, math, sys, glob, os
+import duckdb
+
+def canon(rows, cols):
+    idx = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = []
+    for r in rows:
+        vals = []
+        for i in idx:
+            v = r[i]
+            if isinstance(v, float):
+                if math.isnan(v):
+                    v = "NaN"
+                else:
+                    v = float(v)
+            vals.append(repr(v))
+        out.append(tuple(vals))
+    out.sort()
+    return [cols[i] for i in idx], out
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for t in "region nation customer supplier part orders lineitem events documents embeddings".split():
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_pass = n_fail = n_noora = 0
+    for d in sorted(glob.glob(f"{out_dir}/*/")):
+        name = os.path.basename(d.rstrip("/"))
+        files = glob.glob(f"{d}/*.parquet")
+        if not files:
+            print(f"FAIL {name}: no spark output"); n_fail += 1; continue
+        got = con.execute(f"SELECT * FROM read_parquet('{d}/*.parquet')")
+        g_rows, g_cols = got.fetchall(), [c[0] for c in got.description]
+        if name not in oracles:
+            n_noora += 1
+            print(f"ROWS {name}: {len(g_rows)} rows (no oracle)")
+            continue
+        try:
+            exp = con.execute(oracles[name])
+            e_rows, e_cols = exp.fetchall(), [c[0] for c in exp.description]
+        except Exception as e:
+            print(f"FAIL {name}: oracle SQL error: {e}"); n_fail += 1; continue
+        gc, gr = canon(g_rows, g_cols)
+        ec, er = canon(e_rows, e_cols)
+        if gc != ec:
+            print(f"FAIL {name}: columns {gc} vs oracle {ec}"); n_fail += 1
+        elif len(gr) != len(er):
+            print(f"FAIL {name}: {len(gr)} rows vs oracle {len(er)}"); n_fail += 1
+        elif gr != er:
+            bad = next(i for i in range(len(gr)) if gr[i] != er[i])
+            print(f"FAIL {name}: first diff row {bad}:\n  spark  {gr[bad]}\n  oracle {er[bad]}")
+            n_fail += 1
+        else:
+            print(f"PASS {name}: {len(gr)} rows"); n_pass += 1
+    print(f"\n{n_pass} pass, {n_fail} fail, {n_noora} rows-only")
+    sys.exit(1 if n_fail else 0)
+
+if __name__ == "__main__":
+    main(sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01",
+         sys.argv[2] if len(sys.argv) > 2 else "/tmp/graft_verify")

@@ -1,0 +1,42 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Session factory for the graft engine.
+  *
+  * Defaults follow the scale guidance in SURVEY.md: AQE on (runtime re-plan,
+  * skew-join handling), shuffle partitions sized for the local harness (the
+  * driver runs local[32]; on a real cluster callers pass their own value),
+  * UTC session time zone so results are reproducible against any oracle.
+  */
+object GraftSession {
+
+  def builder(
+      master: String = "local[*]",
+      shufflePartitions: Int = 32,
+      appName: String = "graft"): SparkSession.Builder =
+    SparkSession
+      .builder()
+      .master(master)
+      .appName(appName)
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
+      .config("spark.ui.enabled", "false")
+
+  /** Create (or reuse) a session and register the ClickHouse-compatible SQL
+    * function surface (`toYYYYMM`, `uniq`, `argMax`, ...) so `spark.sql`
+    * text written against the reference dialect keeps working.
+    */
+  def create(
+      master: String = "local[*]",
+      shufflePartitions: Int = 32): SparkSession = {
+    val spark = builder(master, shufflePartitions).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    graft.functions.ChRegistry.registerAll(spark)
+    spark
+  }
+}

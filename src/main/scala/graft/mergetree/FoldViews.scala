@@ -1,0 +1,83 @@
+package graft.mergetree
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Read-time `FINAL` semantics of the MergeTree engine family
+  * (SURVEY.md §2.10; lectures/lecture_07.md:417-790, homeworks/hw05.md).
+  *
+  * In the reference, folding happens lazily at background merges, so a
+  * plain read sees unfolded duplicates and `SELECT ... FINAL` folds at read
+  * time. Our base tables are append-only parquet; these functions are the
+  * FINAL views. [[Compaction]] materializes the same fold back to storage
+  * (the analogue of OPTIMIZE TABLE ... FINAL).
+  *
+  * All folds are single-shuffle on the sort key: a window or hash
+  * aggregation, both of which Spark executes with partial aggregation /
+  * spill, so they hold at 100 TB provided the key has reasonable
+  * cardinality (same constraint the reference has).
+  */
+object FoldViews {
+
+  /** ReplacingMergeTree([version]) FINAL (lectures/lecture_07.md:551-677):
+    * keep only the highest-version row per key. Matches the reference's own
+    * manual-dedup idiom `row_number() over (partition by id order by ...
+    * desc) = 1` (lectures/lecture_07.md:581-609).
+    *
+    * `version` must be a total order within a key for determinism (the
+    * reference has the same caveat: ties resolved by part order).
+    */
+  def replacingFinal(df: DataFrame, keys: Seq[String], version: Column): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(version.desc)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /** SummingMergeTree(cols) FINAL (lectures/lecture_07.md:430-493): group
+    * rows by the sort key, sum the listed columns; other columns get an
+    * arbitrary surviving value — we pick `min` for determinism (the
+    * reference warns reads must not depend on which survives).
+    */
+  def summingFinal(df: DataFrame, keys: Seq[String], sumCols: Seq[String]): DataFrame = {
+    val others = df.columns.filterNot(c => keys.contains(c) || sumCols.contains(c))
+    val aggs = sumCols.map(c => sum(col(c)).as(c)) ++ others.map(c => min(col(c)).as(c))
+    df.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
+      .select(df.columns.map(col).toSeq: _*) // restore original column order
+  }
+
+  /** CollapsingMergeTree(sign) FINAL (lectures/lecture_07.md:680-736):
+    * +1/-1 rows with the same key cancel pairwise; a key survives iff its
+    * net sign is positive, represented by its latest state (+1) row.
+    */
+  def collapsingFinal(df: DataFrame, keys: Seq[String], sign: String,
+                      version: Column): DataFrame = {
+    val kw = Window.partitionBy(keys.map(col): _*)
+    val withNet = df.withColumn("__net", sum(col(sign)).over(kw))
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(version.desc)
+    withNet
+      .filter(col(sign) === 1 && col("__net") > 0)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn", "__net")
+  }
+
+  /** VersionedCollapsingMergeTree(sign, version)
+    * (lectures/lecture_07.md:738-790): cancellation only pairs rows with
+    * the same key AND version (safe under out-of-order insert). FINAL =
+    * per key, the highest surviving version with positive net sign.
+    */
+  def versionedCollapsingFinal(df: DataFrame, keys: Seq[String], sign: String,
+                               version: String): DataFrame = {
+    val pv = Window.partitionBy((keys :+ version).map(col): _*)
+    val surviving = df
+      .withColumn("__net", sum(col(sign)).over(pv))
+      .filter(col(sign) === 1 && col("__net") > 0)
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(version).desc)
+    surviving
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn", "__net")
+  }
+}

@@ -1,0 +1,108 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** ClickHouse join forms Spark lacks as native keywords (SURVEY.md §2.3),
+  * built by composing shuffle-efficient primitives.
+  */
+object Joins {
+
+  /** LEFT ANY JOIN (lectures/lecture_10.md:12-13, homeworks/hw06.md:167-185):
+    * at most one right-side match per left row — no fanout.
+    *
+    * The right side is reduced to one deterministic row per key (smallest by
+    * `order`) before an ordinary left join, so Catalyst still gets to pick
+    * broadcast vs shuffle for the join itself. The reduction is a single
+    * partial-aggregatable window; for an already-unique right side it's a
+    * no-op shuffle that AQE can elide.
+    */
+  def leftAny(left: DataFrame, right: DataFrame, keys: Seq[String],
+              order: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(order: _*)
+    val firstMatch = right
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+    left.join(firstMatch, keys, "left")
+  }
+
+  def innerAny(left: DataFrame, right: DataFrame, keys: Seq[String],
+               order: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(order: _*)
+    val firstMatch = right
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+    left.join(firstMatch, keys, "inner")
+  }
+
+  /** ASOF LEFT JOIN (lectures/lecture_10.md:14): for each left row attach
+    * the most recent right row with rightTime <= leftTime in the same key
+    * group.
+    *
+    * Implementation is the union-and-carry-forward pattern: tag both sides,
+    * union, one shuffle on the key, one sort on (time, side), then
+    * `last(value, ignoreNulls)` carries the latest right payload forward to
+    * each left row. No row explosion (the naive range-join then pick-max
+    * approach is O(matches)); wall-clock is one shuffle + sort regardless of
+    * match density, which is what survives a 100x scale-up.
+    *
+    * Right rows sort before left rows at equal timestamps, so the match is
+    * inclusive (rightTime == leftTime matches). If the right side can hold
+    * several rows with the same (key, time), dedupe it first — ClickHouse's
+    * ASOF has the same ambiguity.
+    */
+  def asofLeft(left: DataFrame, right: DataFrame, key: String,
+               leftTime: String, rightTime: String,
+               rightCols: Seq[String], prefix: String = "asof_"): DataFrame = {
+    val lv = struct(left.columns.map(col).toSeq: _*)
+    val rv = struct(rightCols.map(col): _*)
+    val lvType = org.apache.spark.sql.types.StructType(left.schema.fields)
+    val rvType = org.apache.spark.sql.types.StructType(rightCols.map(right.schema.apply))
+    val lTagged = left.select(
+      col(key).as("__k"), col(leftTime).cast("double").as("__t"),
+      lit(1).as("__side"), lv.as("__lv"), lit(null).cast(rvType).as("__rv"))
+    val rTagged = right.select(
+      col(key).as("__k"), col(rightTime).cast("double").as("__t"),
+      lit(0).as("__side"), lit(null).cast(lvType).as("__lv"), rv.as("__rv"))
+    val w = Window.partitionBy(col("__k")).orderBy(col("__t"), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = rTagged.unionByName(lTagged)
+      .withColumn("__asof", last(col("__rv"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+    val leftOut = left.columns.map(c => col("__lv").getField(c).as(c))
+    val rightOut = rightCols.map(c => col("__asof").getField(c).as(prefix + c))
+    carried.select(leftOut.toSeq ++ rightOut: _*)
+  }
+
+  /** PASTE JOIN (lectures/lecture_10.md:15): positional zip of two result
+    * sets. Suited to ranked/aggregated inputs (the reference uses it that
+    * way); ordering must be total for determinism.
+    *
+    * The global row_number forces each side to one partition, which is fine
+    * for result-shaped inputs. For zipping two LARGE datasets use
+    * [[pasteLarge]], which zips partition-wise with no global sort.
+    */
+  def paste(a: DataFrame, aOrder: Seq[Column], b: DataFrame,
+            bOrder: Seq[Column]): DataFrame = {
+    val ra = a.withColumn("paste_rn", row_number().over(Window.orderBy(aOrder: _*)))
+    val rb = b.withColumn("paste_rn", row_number().over(Window.orderBy(bOrder: _*)))
+    ra.join(rb, "paste_rn")
+  }
+
+  /** Distributed positional zip: RDD zipWithIndex (one lightweight count
+    * job, no global sort) then co-grouped by index.
+    */
+  def pasteLarge(a: DataFrame, b: DataFrame): DataFrame = {
+    val spark = a.sparkSession
+    val aIdx = spark.createDataFrame(
+      a.rdd.zipWithIndex.map { case (r, i) => org.apache.spark.sql.Row.fromSeq(r.toSeq :+ i) },
+      a.schema.add("__rn", "long"))
+    val bIdx = spark.createDataFrame(
+      b.rdd.zipWithIndex.map { case (r, i) => org.apache.spark.sql.Row.fromSeq(r.toSeq :+ i) },
+      b.schema.add("__rn", "long"))
+    aIdx.join(bIdx, "__rn").drop("__rn")
+  }
+}
