@@ -83,12 +83,13 @@ object ChFunctions {
   def formatReadableSize(c: Column): Column = {
     val units = Seq("B", "KiB", "MiB", "GiB", "TiB", "PiB")
     val b = c.cast(DoubleType)
-    // pick the largest unit with value >= 1 (bytes themselves print unrounded)
-    units.zipWithIndex.tail.reverse.foldLeft(
-      concat(format_number(b, 2), lit(" B")): Column) { case (acc, (u, i)) =>
+    // build nested whens smallest-unit-first so the OUTERMOST test is the
+    // largest unit; format_string (no thousands grouping), 2 decimals
+    units.zipWithIndex.tail.foldLeft(
+      format_string("%.2f B", b): Column) { case (acc, (u, i)) =>
       val scaled = b / math.pow(1024.0, i.toDouble)
       when(b >= math.pow(1024.0, i.toDouble),
-        concat(format_number(scaled, 2), lit(" " + u))).otherwise(acc)
+        format_string(s"%.2f $u", scaled)).otherwise(acc)
     }
   }
 

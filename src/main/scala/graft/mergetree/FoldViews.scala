@@ -69,12 +69,14 @@ object FoldViews {
     * per key, the highest surviving version with positive net sign.
     */
   def versionedCollapsingFinal(df: DataFrame, keys: Seq[String], sign: String,
-                               version: String): DataFrame = {
+                               version: String,
+                               tiebreak: Seq[Column] = Nil): DataFrame = {
     val pv = Window.partitionBy((keys :+ version).map(col): _*)
     val surviving = df
       .withColumn("__net", sum(col(sign)).over(pv))
       .filter(col(sign) === 1 && col("__net") > 0)
-    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(version).desc)
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(version).desc +: tiebreak: _*)
     surviving
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)

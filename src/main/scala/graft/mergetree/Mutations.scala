@@ -1,0 +1,153 @@
+package graft.mergetree
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Mutations, deletes, TTL and partition manipulation (SURVEY.md §2.11) as
+  * copy-on-write parquet rewrites — the same contract as the reference's
+  * ALTER TABLE ... UPDATE/DELETE, which rewrite whole parts asynchronously
+  * (lectures/lecture_16.md:173-199).
+  *
+  * Tables here are directories of parquet, optionally Hive-partitioned by
+  * a partition column (`PARTITION BY` analogue). Partition-scoped
+  * mutations rewrite only the affected partition directories — at 100 TB
+  * the `IN PARTITION` form is the only sane one, exactly as in the
+  * reference.
+  */
+object Mutations {
+
+  /** Tombstone column used by lightweight DELETE
+    * (lectures/lecture_16.md:196-202 `_row_exists`).
+    */
+  val RowExists = "_row_exists"
+
+  private def fs(spark: SparkSession, path: String): FileSystem =
+    new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Atomically replace the table dir with `df` (write aside + rename). */
+  private def rewrite(spark: SparkSession, tablePath: String, df: DataFrame,
+                      partitionBy: Seq[String]): Unit = {
+    val tmp = tablePath.stripSuffix("/") + ".__mutating__"
+    val f = fs(spark, tablePath)
+    f.delete(new Path(tmp), true)
+    val w = df.write.mode(SaveMode.Overwrite)
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(tmp)
+    f.delete(new Path(tablePath), true)
+    f.rename(new Path(tmp), new Path(tablePath))
+  }
+
+  /** ALTER TABLE ... UPDATE col=expr WHERE cond
+    * (homeworks/hw11.md:95-130). Full-table copy-on-write.
+    */
+  def update(spark: SparkSession, tablePath: String, cond: Column,
+             set: Map[String, Column], partitionBy: Seq[String] = Nil): Unit = {
+    val df = spark.read.parquet(tablePath)
+    val updated = set.foldLeft(df) { case (acc, (c, v)) =>
+      acc.withColumn(c, when(cond, v).otherwise(col(c)))
+    }
+    rewrite(spark, tablePath, updated, partitionBy)
+  }
+
+  /** ALTER TABLE ... DELETE WHERE cond (lectures/lecture_12.md:218-231). */
+  def delete(spark: SparkSession, tablePath: String, cond: Column,
+             partitionBy: Seq[String] = Nil): Unit = {
+    val df = spark.read.parquet(tablePath)
+    rewrite(spark, tablePath, df.filter(!cond), partitionBy)
+  }
+
+  /** Lightweight DELETE FROM t WHERE cond (lectures/lecture_16.md:196-202):
+    * mark `_row_exists=0`; physical removal deferred to [[Compaction]].
+    */
+  def lightweightDelete(spark: SparkSession, tablePath: String, cond: Column,
+                        partitionBy: Seq[String] = Nil): Unit = {
+    val df = spark.read.parquet(tablePath)
+    val withFlag =
+      if (df.columns.contains(RowExists)) df
+      else df.withColumn(RowExists, lit(1))
+    rewrite(spark, tablePath, withFlag.withColumn(RowExists,
+      when(cond, lit(0)).otherwise(col(RowExists))), partitionBy)
+  }
+
+  /** Read view that hides tombstoned rows. */
+  def readVisible(spark: SparkSession, tablePath: String): DataFrame = {
+    val df = spark.read.parquet(tablePath)
+    if (df.columns.contains(RowExists)) df.filter(col(RowExists) =!= 0).drop(RowExists)
+    else df
+  }
+
+  /** Partition-scoped UPDATE (ALTER ... UPDATE ... IN PARTITION p): only
+    * the matching partition directory is rewritten; the rest of the table
+    * is untouched (dynamic partition overwrite).
+    */
+  def updateInPartition(spark: SparkSession, tablePath: String, partCol: String,
+                        partValue: Any, cond: Column, set: Map[String, Column]): Unit = {
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    val part = spark.read.parquet(tablePath).filter(col(partCol) === lit(partValue))
+    val updated = set.foldLeft(part) { case (acc, (c, v)) =>
+      acc.withColumn(c, when(cond, v).otherwise(col(c)))
+    }
+    updated.write.mode(SaveMode.Overwrite).partitionBy(partCol).parquet(tablePath)
+  }
+
+  /** ALTER TABLE DROP PARTITION (homeworks/hw03.md:228-283): delete the
+    * partition directory — an O(1) metadata operation, the bulk-delete
+    * unit (lectures/lecture_04.md:90-102).
+    */
+  def dropPartition(spark: SparkSession, tablePath: String, partCol: String,
+                    partValue: Any): Unit = {
+    val dir = new Path(s"${tablePath.stripSuffix("/")}/$partCol=$partValue")
+    fs(spark, tablePath).delete(dir, true)
+  }
+
+  /** MOVE/ATTACH PARTITION FROM another same-structure table
+    * (lectures/lecture_16.md:143-152): directory-level move.
+    */
+  def movePartition(spark: SparkSession, fromTable: String, toTable: String,
+                    partCol: String, partValue: Any): Unit = {
+    val f = fs(spark, fromTable)
+    val src = new Path(s"${fromTable.stripSuffix("/")}/$partCol=$partValue")
+    val dst = new Path(s"${toTable.stripSuffix("/")}/$partCol=$partValue")
+    f.mkdirs(dst.getParent)
+    f.delete(dst, true)
+    f.rename(src, dst)
+  }
+
+  /** Table TTL (homeworks/hw09.md:289-323): scheduled retention — delete
+    * rows older than `retainDays` relative to `now`. When the table is
+    * partitioned by day and the TTL aligns, prefer [[dropPartition]]
+    * (`ttl_only_drop_parts` analogue).
+    */
+  def applyTtl(spark: SparkSession, tablePath: String, tsCol: String,
+               retainDays: Int, now: java.sql.Timestamp,
+               partitionBy: Seq[String] = Nil): Unit = {
+    val cutoff = new java.sql.Timestamp(now.getTime - retainDays * 86400000L)
+    delete(spark, tablePath, col(tsCol) < lit(cutoff), partitionBy)
+  }
+}
+
+/** OPTIMIZE TABLE ... FINAL / DEDUPLICATE (lectures/lecture_07.md:372-378):
+  * materialize a FINAL fold back to storage, or drop exact duplicates.
+  */
+object Compaction {
+
+  def optimizeFinal(spark: SparkSession, tablePath: String,
+                    fold: DataFrame => DataFrame,
+                    partitionBy: Seq[String] = Nil): Unit = {
+    val folded = fold(spark.read.parquet(tablePath))
+    val tmp = tablePath.stripSuffix("/") + ".__optimizing__"
+    val f = new Path(tablePath).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    f.delete(new Path(tmp), true)
+    val w = folded.write.mode(SaveMode.Overwrite)
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(tmp)
+    f.delete(new Path(tablePath), true)
+    f.rename(new Path(tmp), new Path(tablePath))
+  }
+
+  /** OPTIMIZE TABLE ... DEDUPLICATE [BY cols]. */
+  def deduplicate(spark: SparkSession, tablePath: String,
+                  byCols: Seq[String] = Nil, partitionBy: Seq[String] = Nil): Unit =
+    optimizeFinal(spark, tablePath,
+      df => if (byCols.isEmpty) df.dropDuplicates() else df.dropDuplicates(byCols),
+      partitionBy)
+}

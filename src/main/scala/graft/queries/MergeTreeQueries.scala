@@ -1,0 +1,121 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.tables.Tables
+import graft.functions.ChFunctions._
+import graft.functions.StateSketches
+import graft.mergetree.FoldViews
+
+/** MergeTree-family fold semantics (SURVEY.md §2.10): the read-time FINAL
+  * views over append-only data, plus the -State/-Merge partial-aggregate
+  * machinery. The sign/version columns are derived deterministically from
+  * the events table (the testdata has no native sign column).
+  */
+object MergeTreeQueries {
+
+  val all: Seq[Q] = Seq(
+
+    // ---- SummingMergeTree FINAL (lectures/lecture_07.md:430-493): fold by
+    // sort key, summing the value columns; non-summed survivors arbitrary
+    // (we pin min for determinism).
+    Q("q23_summing_final",
+      """SELECT user_id, event_type,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value,
+        |  MIN(event_id) AS event_id
+        |FROM events
+        |GROUP BY user_id, event_type
+        |ORDER BY user_id, event_type""") { (s, dir) =>
+      val ev = Tables(s, dir).events
+        .select(col("user_id"), col("event_type"), dec2(col("value")).as("value"),
+          col("event_id"))
+      FoldViews.summingFinal(ev, Seq("user_id", "event_type"), Seq("value"))
+        .select(col("user_id"), col("event_type"),
+          col("value").cast(DoubleType).as("value"), col("event_id"))
+        .orderBy(col("user_id"), col("event_type"))
+    },
+
+    // ---- CollapsingMergeTree(sign) FINAL (lectures/lecture_07.md:680-736):
+    // signup=+1 opens state, error=-1 cancels; keys with positive net keep
+    // their latest +1 row.
+    Q("q24_collapsing_final",
+      """WITH s AS (
+        |  SELECT user_id, event_id, value,
+        |         CASE WHEN event_type = 'signup' THEN 1 ELSE -1 END AS sign
+        |  FROM events WHERE event_type IN ('signup', 'error')),
+        |n AS (SELECT *, SUM(sign) OVER (PARTITION BY user_id) AS net FROM s)
+        |SELECT user_id, event_id, value
+        |FROM n WHERE sign = 1 AND net > 0
+        |QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) = 1
+        |ORDER BY user_id""") { (s, dir) =>
+      val signed = Tables(s, dir).events
+        .filter(col("event_type").isin("signup", "error"))
+        .select(col("user_id"), col("event_id"), col("value"),
+          when(col("event_type") === "signup", 1).otherwise(-1).as("sign"))
+      FoldViews.collapsingFinal(signed, Seq("user_id"), "sign", col("event_id"))
+        .select(col("user_id"), col("event_id"), col("value"))
+        .orderBy(col("user_id"))
+    },
+
+    // ---- VersionedCollapsingMergeTree(sign, version)
+    // (lectures/lecture_07.md:738-790): cancellation pairs only within the
+    // same (key, version) — the out-of-order-safe variant.
+    Q("q25_versioned_collapsing_final",
+      """WITH s AS (
+        |  SELECT user_id, event_id % 50 AS ver, event_id, value,
+        |         CASE WHEN event_type = 'signup' THEN 1 ELSE -1 END AS sign
+        |  FROM events WHERE event_type IN ('signup', 'error')),
+        |n AS (SELECT *, SUM(sign) OVER (PARTITION BY user_id, ver) AS net FROM s)
+        |SELECT user_id, ver, event_id, value
+        |FROM n WHERE sign = 1 AND net > 0
+        |QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ver DESC, event_id DESC) = 1
+        |ORDER BY user_id""") { (s, dir) =>
+      val signed = Tables(s, dir).events
+        .filter(col("event_type").isin("signup", "error"))
+        .select(col("user_id"), pmod(col("event_id"), lit(50)).as("ver"),
+          col("event_id"), col("value"),
+          when(col("event_type") === "signup", 1).otherwise(-1).as("sign"))
+      FoldViews.versionedCollapsingFinal(signed, Seq("user_id"), "sign", "ver",
+          tiebreak = Seq(col("event_id").desc))
+        .select(col("user_id"), col("ver"), col("event_id"), col("value"))
+        .orderBy(col("user_id"))
+    },
+
+    // ---- AggregatingMergeTree -State/-Merge (lectures/lecture_07.md:495-546):
+    // partial avg states built per (flag, month) — the MV-ingest shape —
+    // then merged per flag. The oracle computes the same fixed-point avg
+    // directly; equality proves state+merge is exact, not approximately
+    // right.
+    Q("q26_state_merge",
+      """SELECT l_returnflag,
+        |  CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS DOUBLE) / 100.0 / COUNT(*) AS avg_qty,
+        |  COUNT(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""") { (s, dir) =>
+      val li = Tables(s, dir).lineitem
+      val states = li
+        .groupBy(col("l_returnflag"), toYYYYMM(col("l_shipdate")).as("ym"))
+        .agg(StateSketches.avgState(col("l_quantity")).as("st"),
+          count(lit(1)).as("n"))
+      states
+        .groupBy(col("l_returnflag"))
+        .agg(StateSketches.avgMerge(col("st")).as("avg_qty"), sum(col("n")).as("n"))
+        .orderBy(col("l_returnflag"))
+    },
+
+    // ---- uniqState → uniqMerge over our own HLL sketch
+    // (lectures/lecture_13.md:60-93). The sketch is internal to the engine,
+    // so no SQL oracle — the spec asserts merge-of-states == direct state
+    // and the estimate's error bound.
+    Q.noOracle("q26b_uniq_state_merge") { (s, dir) =>
+      val li = Tables(s, dir).lineitem
+      val states = li
+        .groupBy(col("l_returnflag"), toYYYYMM(col("l_shipdate")).as("ym"))
+        .agg(StateSketches.uniqState(col("l_orderkey").cast(StringType)).as("st"))
+      states
+        .groupBy(col("l_returnflag"))
+        .agg(StateSketches.uniqMerge(col("st")).as("uniq_orders"))
+        .orderBy(col("l_returnflag"))
+    }
+  )
+}

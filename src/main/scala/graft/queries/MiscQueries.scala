@@ -1,0 +1,242 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types._
+
+import graft.tables.Tables
+import graft.functions.ChFunctions._
+import graft.functions.ChAggregates._
+import graft.dictionaries.DictionaryRegistry
+
+/** Remaining scalar/window/sampling surface from SURVEY.md §2.2-2.8. */
+object MiscQueries {
+
+  val all: Seq[Q] = Seq(
+
+    // ---- SAMPLE BY key (lectures/lecture_08.md:41-50): key-consistent
+    // sampling — all rows of a sampled key are kept, matching the
+    // reference's hash(key)-prefix semantics.
+    Q("q27_sample_by",
+      """SELECT event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM events WHERE user_id % 10 = 0
+        |GROUP BY event_type ORDER BY event_type""") { (s, dir) =>
+      Tables(s, dir).events
+        .filter(pmod(col("user_id"), lit(10)) === 0)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(dec2(col("value"))).cast(DoubleType).as("total_value"))
+        .orderBy(col("event_type"))
+    },
+
+    // ---- JSONExtract* (clusters/ch_and_kafka/db/init.sql:59-62)
+    Q("q28_json_extract",
+      """SELECT event_type,
+        |  SUM(CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT)) AS sum_k,
+        |  COUNT(*) AS n
+        |FROM events GROUP BY event_type ORDER BY event_type""") { (s, dir) =>
+      Tables(s, dir).events
+        .groupBy(col("event_type"))
+        .agg(sum(jsonExtractInt(col("props"), "k")).as("sum_k"),
+          count(lit(1)).as("n"))
+        .orderBy(col("event_type"))
+    },
+
+    // ---- toStartOfMonth / toYYYYMM (lectures/lecture_12.md:16,
+    // lectures/lecture_07.md:178)
+    Q("q29_date_trunc",
+      """SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+        |  CAST(strftime(o_orderdate, '%Y%m') AS INT) AS ym,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders GROUP BY month, ym ORDER BY month""") { (s, dir) =>
+      Tables(s, dir).orders
+        .groupBy(toStartOfMonth(col("o_orderdate")).as("month"),
+          toYYYYMM(col("o_orderdate")).as("ym"))
+        .agg(count(lit(1)).as("n"),
+          sum(dec2(col("o_totalprice"))).cast(DoubleType).as("total"))
+        .orderBy(col("month"))
+    },
+
+    // ---- INTERVAL arithmetic (homeworks/hw04.md:21)
+    Q("q30_interval_arith",
+      """SELECT o_orderstatus, COUNT(*) AS n
+        |FROM orders
+        |WHERE CAST(o_orderdate + INTERVAL 30 DAY AS DATE) >= DATE '1995-06-01'
+        |  AND CAST(o_orderdate + INTERVAL 30 DAY AS DATE) <  DATE '1995-09-01'
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""") { (s, dir) =>
+      val due = date_add(col("o_orderdate"), 30)
+      Tables(s, dir).orders
+        .filter(due >= lit("1995-06-01").cast(DateType) &&
+          due < lit("1995-09-01").cast(DateType))
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("o_orderstatus"))
+    },
+
+    // ---- string functions (lectures/lecture_12.md:84, lecture_08.md:387)
+    Q("q31_string_funcs",
+      """SELECT p_brand,
+        |  COUNT(*) AS n,
+        |  MIN(UPPER(p_name)) AS min_name,
+        |  MAX(LENGTH(p_name)) AS max_len,
+        |  COUNT(CASE WHEN p_type LIKE '%a%' THEN 1 END) AS n_like,
+        |  COUNT(CASE WHEN regexp_matches(p_name, '[0-9]$') THEN 1 END) AS n_digit_end
+        |FROM part GROUP BY p_brand ORDER BY p_brand""") { (s, dir) =>
+      Tables(s, dir).part
+        .groupBy(col("p_brand"))
+        .agg(
+          count(lit(1)).as("n"),
+          min(upper(col("p_name"))).as("min_name"),
+          max(length(col("p_name"))).as("max_len"),
+          countIf(col("p_type").like("%a%")).as("n_like"),
+          countIf(matchCh(col("p_name"), "[0-9]$")).as("n_digit_end"))
+        .orderBy(col("p_brand"))
+    },
+
+    // ---- dictGet enrichment (lectures/lecture_11.md:20-40): nation and
+    // region names attached to customers through registered dictionaries
+    // (broadcast-join layout), then aggregated.
+    Q("q32_dict_get",
+      """SELECT n.n_name, r.r_name, COUNT(*) AS n_customers,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+        |FROM customer c
+        |JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |JOIN region r ON n.n_regionkey = r.r_regionkey
+        |GROUP BY n.n_name, r.r_name ORDER BY n.n_name""") { (s, dir) =>
+      val t = Tables(s, dir)
+      val reg = DictionaryRegistry.global
+      reg.register("nations", t.nation, "n_nationkey")
+      reg.register("regions", t.region, "r_regionkey")
+      val withNation = reg.enrich(t.customer, "nations", col("c_nationkey"),
+        Seq("n_name", "n_regionkey"))
+      val withRegion = reg.enrich(withNation, "regions", col("n_regionkey"),
+        Seq("r_name"))
+      withRegion
+        .groupBy(col("n_name"), col("r_name"))
+        .agg(count(lit(1)).as("n_customers"),
+          sum(dec2(col("c_acctbal"))).cast(DoubleType).as("total_bal"))
+        .orderBy(col("n_name"))
+    },
+
+    // ---- CROSS JOIN (homeworks/hw06.md:154-165)
+    Q("q33_cross_join",
+      """SELECT r1.r_name AS a, r2.r_name AS b
+        |FROM region r1 CROSS JOIN region r2
+        |WHERE r1.r_name < r2.r_name
+        |ORDER BY a, b""") { (s, dir) =>
+      val t = Tables(s, dir)
+      val r1 = t.region.select(col("r_name").as("a"))
+      val r2 = t.region.select(col("r_name").as("b"))
+      r1.crossJoin(r2).filter(col("a") < col("b")).orderBy(col("a"), col("b"))
+    },
+
+    // ---- HAVING (dashboard_export/charts/currency_pie_chart_1.yaml:20-23)
+    Q("q34_having",
+      """SELECT o_custkey, COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spend
+        |FROM orders GROUP BY o_custkey HAVING COUNT(*) > 15
+        |ORDER BY o_custkey""") { (s, dir) =>
+      Tables(s, dir).orders
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n"),
+          sum(dec2(col("o_totalprice"))).cast(DoubleType).as("spend"))
+        .filter(col("n") > 15)
+        .orderBy(col("o_custkey"))
+    },
+
+    // ---- IN (subquery) (homeworks/hw06.md:195-201)
+    Q("q35_in_subquery",
+      """SELECT l_returnflag, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_size > 40)
+        |GROUP BY l_returnflag ORDER BY l_returnflag""") { (s, dir) =>
+      val t = Tables(s, dir)
+      t.lineitem
+        .join(t.part.filter(col("p_size") > 40)
+          .select(col("p_partkey").as("l_partkey")), Seq("l_partkey"), "left_semi")
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          sum(dec2(col("l_quantity"))).cast(DoubleType).as("sum_qty"))
+        .orderBy(col("l_returnflag"))
+    },
+
+    // ---- explicit window frames (lectures/lecture_11.md:420-433)
+    Q("q36_window_frame",
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+        |       OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS mov3
+        |FROM orders ORDER BY o_custkey, o_orderkey""") { (s, dir) =>
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(-2, Window.currentRow)
+      Tables(s, dir).orders
+        .select(col("o_custkey"), col("o_orderkey"),
+          sum(dec2(col("o_totalprice"))).over(w).cast(DoubleType).as("mov3"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    },
+
+    // ---- lead/lag (any aggregate as window fn, lectures/lecture_11.md:422)
+    Q("q37_lead_lag",
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(date_diff('day',
+        |       lag(o_orderdate) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+        |       o_orderdate) AS BIGINT) AS days_since_prev
+        |FROM orders ORDER BY o_custkey, o_orderkey""") { (s, dir) =>
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      Tables(s, dir).orders
+        .select(col("o_custkey"), col("o_orderkey"),
+          datediff(col("o_orderdate"), lag(col("o_orderdate"), 1).over(w))
+            .cast(LongType).as("days_since_prev"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    },
+
+    // ---- global aggregation without key (GROUP BY without_key,
+    // lectures/lecture_13.md:295-297)
+    Q("q38_global_agg",
+      """SELECT COUNT(*) AS n_rows,
+        |  COUNT(DISTINCT l_orderkey) AS n_orders,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(MIN(l_shipdate) AS DATE) AS min_ship,
+        |  CAST(MAX(l_shipdate) AS DATE) AS max_ship
+        |FROM lineitem""") { (s, dir) =>
+      Tables(s, dir).lineitem
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct(col("l_orderkey")).as("n_orders"),
+          sum(dec2(col("l_quantity"))).cast(DoubleType).as("sum_qty"),
+          min(col("l_shipdate")).cast(DateType).as("min_ship"),
+          max(col("l_shipdate")).cast(DateType).as("max_ship"))
+    },
+
+    // ---- LIMIT n OFFSET m (homeworks/hw02.md:110)
+    Q("q39_limit_offset",
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_orderkey LIMIT 20 OFFSET 40""") { (s, dir) =>
+      Tables(s, dir).orders
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .orderBy(col("o_orderkey"))
+        .offset(40).limit(20)
+    },
+
+    // ---- formatReadableSize (lectures/lecture_09.md:326)
+    Q("q40_format_readable",
+      """SELECT o_orderkey,
+        |  CASE WHEN b >= 1099511627776 THEN printf('%.2f TiB', b / 1099511627776.0)
+        |       WHEN b >= 1073741824 THEN printf('%.2f GiB', b / 1073741824.0)
+        |       WHEN b >= 1048576 THEN printf('%.2f MiB', b / 1048576.0)
+        |       WHEN b >= 1024 THEN printf('%.2f KiB', b / 1024.0)
+        |       ELSE printf('%.2f B', CAST(b AS DOUBLE)) END AS readable
+        |FROM (SELECT o_orderkey, CAST(FLOOR(o_totalprice * 1024) AS BIGINT) AS b FROM orders)
+        |ORDER BY o_orderkey LIMIT 50""") { (s, dir) =>
+      Tables(s, dir).orders
+        .select(col("o_orderkey"),
+          floor(col("o_totalprice") * 1024).cast(LongType).as("b"))
+        .select(col("o_orderkey"), formatReadableSize(col("b")).as("readable"))
+        .orderBy(col("o_orderkey")).limit(50)
+    }
+  )
+}
