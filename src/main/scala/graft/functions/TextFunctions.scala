@@ -1,0 +1,114 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * normalization, content fingerprinting, token counting, quality scoring,
+  * language ID. All pure `functions._` composition — codegen'd, no UDFs —
+  * so they run at scan speed over 100 TB of documents.
+  */
+object TextFunctions {
+
+  /** Canonical normalization used by fingerprinting/dedup: lowercase, strip
+    * non-alphanumerics to spaces, collapse runs, trim.
+    */
+  def normalizeText(c: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(c), "[^a-z0-9 ]", " "), " +", " "))
+
+  /** Content-defined document fingerprint (md5 of normalized text): the
+    * exact-dedup key. Stable across engines — md5 is md5 everywhere.
+    */
+  def fingerprintMd5(c: Column): Column = md5(normalizeText(c))
+
+  /** Whitespace tokens of the normalized text (empty text → empty array,
+    * not [""]).
+    */
+  def tokens(c: Column): Column = {
+    val norm = normalizeText(c)
+    when(norm === "", array().cast(ArrayType(StringType)))
+      .otherwise(split(norm, " "))
+  }
+
+  def tokenCount(c: Column): Column = size(tokens(c))
+
+  /** BPE-ish token estimate: letter runs, digit runs, and single
+    * punctuation marks each count as one token (a cheap proxy for subword
+    * tokenizer counts).
+    */
+  def bpeishTokenCount(c: Column): Column =
+    size(regexp_extract_all(c, lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"), lit(0)))
+
+  /** Word n-grams (as joined strings) of the normalized text. n >= 1;
+    * n == 1 is the distinct word set.
+    */
+  def wordNgrams(c: Column, n: Int): Column = {
+    val ts = tokens(c)
+    if (n == 1) ts
+    else {
+      // slide a window of n over the token array with transform+slice;
+      // guard short docs — sequence(1, 0) would run DESCENDING in Spark
+      val count = size(ts) - (n - 1)
+      when(count < 1, array().cast(ArrayType(StringType)))
+        .otherwise(transform(sequence(lit(1), count),
+          i => array_join(slice(ts, i, lit(n)), " ")))
+    }
+  }
+
+  def distinctWordNgrams(c: Column, n: Int): Column = array_distinct(wordNgrams(c, n))
+
+  // ---- quality scoring: cheap, deterministic per-document features
+
+  val DefaultStopwords: Seq[String] = Seq(
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+    "for", "on", "with", "as", "by", "at", "this", "that")
+
+  def stopwordCount(c: Column, stopwords: Seq[String] = DefaultStopwords): Column = {
+    val sw = array(stopwords.map(lit): _*)
+    size(filter(tokens(c), t => array_contains(sw, t)))
+  }
+
+  def alphaRatio(c: Column): Column = {
+    val alpha = length(regexp_replace(c, "[^a-zA-Z]", ""))
+    (alpha.cast(DoubleType) / greatest(length(c), lit(1)).cast(DoubleType))
+  }
+
+  /** Mean token length, stopword ratio, alpha ratio — the length/punct/
+    * stopword family of quality heuristics.
+    */
+  def qualityScore(c: Column): Column = {
+    val nTok = tokenCount(c).cast(DoubleType)
+    val stopRatio = stopwordCount(c).cast(DoubleType) / greatest(nTok, lit(1.0))
+    val lenOk = when(nTok >= 5 && nTok <= 100000, lit(1.0)).otherwise(lit(0.0))
+    // weights: presence of stopwords and alphabetic content signal prose
+    lenOk * (lit(0.5) * stopRatio + lit(0.5) * alphaRatio(c))
+  }
+
+  // ---- language ID: marker-token voting (n-gram heuristic family)
+
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "it"),
+    "es" -> Seq("el", "la", "de", "que", "y", "los", "en", "un"),
+    "de" -> Seq("der", "die", "und", "ist", "das", "nicht", "ein", "zu"),
+    "fr" -> Seq("le", "la", "et", "les", "des", "est", "une", "dans"),
+    "ru" -> Seq("i", "v", "ne", "na", "chto", "eto", "kak", "po"))
+
+  def langMarkerCount(c: Column, markers: Seq[String]): Column = {
+    val mk = array(markers.map(lit): _*)
+    size(filter(tokens(c), t => array_contains(mk, t)))
+  }
+
+  /** Predicted language: the marker set with the most token hits;
+    * ties break in LangMarkers order; zero hits everywhere → "und".
+    */
+  def langId(c: Column): Column = {
+    val counts = LangMarkers.map { case (lang, mk) => lang -> langMarkerCount(c, mk) }
+    val maxCnt = greatest(counts.map(_._2): _*)
+    // nested whens evaluate top-down; foldRight puts the FIRST language
+    // outermost, so ties resolve in LangMarkers order
+    counts.foldRight(lit("und"): Column) { case ((lang, cnt), acc) =>
+      when(cnt === maxCnt && maxCnt > 0, lit(lang)).otherwise(acc)
+    }
+  }
+}

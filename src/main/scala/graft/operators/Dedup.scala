@@ -1,0 +1,167 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.functions.TextFunctions
+import graft.plans.NativeFunctions
+
+/** Document deduplication for training-data pipelines: exact, MinHash+LSH,
+  * SimHash, n-gram Jaccard, and embedding-cosine near-dup.
+  *
+  * Scale shape of every variant: per-row feature extraction (map-side,
+  * codegen'd) → a shuffle keyed on a BLOCKING key whose fan-in is bounded
+  * (fingerprint / LSH band signature / bit chunk / block column) → pairwise
+  * verification only WITHIN buckets. Nothing here is O(N²) in the corpus;
+  * bucket-size capping (`maxBucket`) keeps adversarial buckets from
+  * degenerating the self-join at 100 TB.
+  */
+object Dedup {
+
+  // ---------- exact dedup (hash-groupBy on content fingerprint)
+
+  /** One row per document with its content fingerprint and the id kept for
+    * its duplicate group (smallest id wins).
+    */
+  def exactDupGroups(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val fp = TextFunctions.fingerprintMd5(col(textCol))
+    df.select(col(idCol), fp.as("fingerprint"))
+      .withColumn("keep_id",
+        min(col(idCol)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("fingerprint"))))
+  }
+
+  /** Exact-dedup: keep the smallest id per fingerprint group. */
+  def exactDedup(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val groups = exactDupGroups(df, idCol, textCol)
+      .filter(col(idCol) === col("keep_id"))
+      .select(col(idCol))
+    df.join(groups, Seq(idCol), "left_semi")
+  }
+
+  // ---------- MinHash + LSH (shingle → minhash → band → bucket-join)
+
+  /** Per-document MinHash signature as k long columns `m0..m{k-1}`.
+    * Shingles are word n-grams; hash i is xxhash64 seeded with the
+    * permutation index (an extra hashed column) — codegen'd, no overflow
+    * under ANSI mode, folded by one hash aggregation with map-side
+    * partial min.
+    */
+  def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
+                        nGram: Int = 3, numHashes: Int = 64): DataFrame = {
+    val shingled = df
+      .select(col(idCol),
+        explode(TextFunctions.distinctWordNgrams(col(textCol), nGram)).as("sh"))
+    val minExprs = (0 until numHashes).map(i =>
+      min(xxhash64(col("sh"), lit(i))).as(s"m$i"))
+    shingled.groupBy(col(idCol)).agg(minExprs.head, minExprs.tail: _*)
+  }
+
+  /** LSH candidate pairs: split the signature into `bands`, hash each band,
+    * and emit id pairs sharing any (band, hash) bucket. Buckets larger than
+    * `maxBucket` are dropped (they're degenerate content — boilerplate —
+    * and would make the within-bucket join quadratic).
+    */
+  def minhashCandidatePairs(sigs: DataFrame, idCol: String,
+                            numHashes: Int = 64, bands: Int = 16,
+                            maxBucket: Int = 1000): DataFrame = {
+    val rows = numHashes / bands
+    val bandCols = (0 until bands).map { j =>
+      struct(lit(j).as("band"),
+        hash((j * rows until (j + 1) * rows).map(i => col(s"m$i")): _*).as("bh"))
+    }
+    val buckets = sigs
+      .select(col(idCol), explode(array(bandCols: _*)).as("b"))
+      .select(col(idCol), col("b.band").as("band"), col("b.bh").as("bh"))
+    val bounded = buckets
+      .withColumn("sz", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("band"), col("bh"))))
+      .filter(col("sz") <= maxBucket && col("sz") > 1)
+      .drop("sz")
+    val a = bounded.select(col("band"), col("bh"), col(idCol).as("a"))
+    val b = bounded.select(col("band"), col("bh"), col(idCol).as("b"))
+    a.join(b, Seq("band", "bh"))
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b"))
+      .distinct()
+  }
+
+  /** Exact word-n-gram Jaccard between given id pairs (the verification
+    * stage after LSH candidate generation).
+    */
+  def jaccardVerify(pairs: DataFrame, docs: DataFrame, idCol: String,
+                    textCol: String, nGram: Int): DataFrame = {
+    val grams = docs.select(col(idCol),
+      TextFunctions.distinctWordNgrams(col(textCol), nGram).as("g"))
+    pairs
+      .join(grams.select(col(idCol).as("a"), col("g").as("ga")), "a")
+      .join(grams.select(col(idCol).as("b"), col("g").as("gb")), "b")
+      .withColumn("jaccard",
+        size(array_intersect(col("ga"), col("gb"))).cast(DoubleType) /
+          size(array_union(col("ga"), col("gb"))).cast(DoubleType))
+      .select(col("a"), col("b"), col("jaccard"))
+  }
+
+  /** Full MinHash-LSH near-dup pipeline → verified pairs above threshold. */
+  def minhashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
+                          nGram: Int = 3, numHashes: Int = 64, bands: Int = 16,
+                          threshold: Double = 0.7): DataFrame = {
+    val sigs = minhashSignatures(df, idCol, textCol, nGram, numHashes)
+    val cands = minhashCandidatePairs(sigs, idCol, numHashes, bands)
+    jaccardVerify(cands, df, idCol, textCol, nGram).filter(col("jaccard") >= threshold)
+  }
+
+  // ---------- SimHash near-dup (64-bit signature, hamming blocking)
+
+  /** SimHash near-dup pairs: 64-bit signature per doc (native codegen'd
+    * expression), blocked on 16-bit chunks (pigeonhole: hamming<=3 pairs
+    * share at least one of 4 chunks), verified with bit_count(xor).
+    */
+  def simhashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
+                          maxHamming: Int = 3, maxBucket: Int = 1000): DataFrame = {
+    NativeFunctions.register(df.sparkSession)
+    val sigs = df.select(col(idCol),
+      NativeFunctions.simhash64(TextFunctions.tokens(col(textCol))).as("sig"))
+    val chunks = sigs.select(col(idCol), col("sig"),
+      explode(array((0 until 4).map(i =>
+        struct(lit(i).as("ci"),
+          shiftright(col("sig"), i * 16).bitwiseAND(lit(0xffffL)).as("cv"))): _*)).as("c"))
+      .select(col(idCol), col("sig"), col("c.ci").as("ci"), col("c.cv").as("cv"))
+    val bounded = chunks
+      .withColumn("sz", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("ci"), col("cv"))))
+      .filter(col("sz") <= maxBucket && col("sz") > 1)
+      .drop("sz")
+    val a = bounded.select(col("ci"), col("cv"), col(idCol).as("a"), col("sig").as("siga"))
+    val b = bounded.select(col("ci"), col("cv"), col(idCol).as("b"), col("sig").as("sigb"))
+    a.join(b, Seq("ci", "cv"))
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b"),
+        bit_count(col("siga").bitwiseXOR(col("sigb"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  // ---------- embedding-cosine near-dup
+
+  /** Near-dup pairs by embedding cosine within a blocking column (e.g. a
+    * cluster label or LSH bucket) — exact cosine, native expression.
+    */
+  def embeddingNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
+                            blockCol: Column, minCosine: Double): DataFrame = {
+    NativeFunctions.register(df.sparkSession)
+    val withBlock = df.select(col(idCol), col(vecCol), blockCol.as("__blk"))
+    val a = withBlock.select(col("__blk"), col(idCol).as("a"), col(vecCol).as("va"))
+    val b = withBlock.select(col("__blk"), col(idCol).as("b"), col(vecCol).as("vb"))
+    a.join(b, Seq("__blk"))
+      .filter(col("a") < col("b"))
+      .withColumn("cosine", NativeFunctions.cosine(col("va"), col("vb")))
+      .filter(col("cosine") >= minCosine)
+      .select(col("a"), col("b"), col("cosine"))
+  }
+
+  /** Greedy near-dup removal: drop the higher id of every pair. */
+  def dropNearDups(df: DataFrame, idCol: String, pairs: DataFrame): DataFrame =
+    df.join(pairs.select(col("b").as(idCol)).distinct(), Seq(idCol), "left_anti")
+}

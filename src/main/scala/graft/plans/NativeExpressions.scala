@@ -1,0 +1,148 @@
+package graft.plans
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{DataType, DoubleType, IntegerType, LongType}
+
+import graft.functions.StateSketches.Hll
+
+/** Per-row kernels the built-in function set can't express efficiently
+  * (SimHash over a token array, cosine over float vectors, hyperplane-LSH
+  * bucketing), implemented as native Catalyst expressions with codegen:
+  * `doGenCode` emits a static call into [[VecKernels]], so the expression
+  * participates in whole-stage codegen instead of falling back to
+  * interpreted eval (and is ~UDF-free: no serialization, no boxing of the
+  * array payload).
+  */
+object VecKernels {
+
+  /** 64-bit SimHash of a token array: per-token MurmurHash64A votes on each
+    * bit; the sign of the vote sum becomes the bit.
+    */
+  def simhash(tokens: ArrayData): Long = {
+    val counts = new Array[Int](64)
+    val n = tokens.numElements()
+    var i = 0
+    while (i < n) {
+      if (!tokens.isNullAt(i)) {
+        val h = Hll.murmur64(tokens.getUTF8String(i).getBytes)
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+          b += 1
+        }
+      }
+      i += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 64) { if (counts(b) > 0) sig |= 1L << b; b += 1 }
+    sig
+  }
+
+  /** Cosine similarity of two float vectors, accumulated in double. */
+  def cosineF(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a.getFloat(i).toDouble
+      val y = b.getFloat(i).toDouble
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    val denom = math.sqrt(na) * math.sqrt(nb)
+    if (denom == 0.0) 0.0 else dot / denom
+  }
+
+  /** Signed-random-projection LSH bucket: `bits` hyperplanes with
+    * deterministic ±1 components derived from murmur64(plane, dim).
+    * Vectors within a small angle land in the same bucket with high
+    * probability — the blocking key for ANN search.
+    */
+  def lshBucket(v: ArrayData, bits: Int): Int = {
+    val n = v.numElements()
+    var sig = 0
+    var j = 0
+    while (j < bits) {
+      var acc = 0.0
+      var i = 0
+      while (i < n) {
+        val h = Hll.murmur64(longBytes(j.toLong * 1000003L + i))
+        val sign = if ((h & 1L) == 1L) 1.0 else -1.0
+        acc += sign * v.getFloat(i)
+        i += 1
+      }
+      if (acc >= 0) sig |= 1 << j
+      j += 1
+    }
+    sig
+  }
+
+  private def longBytes(x: Long): Array[Byte] = {
+    val out = new Array[Byte](8)
+    var i = 0
+    while (i < 8) { out(i) = ((x >>> (8 * i)) & 0xff).toByte; i += 1 }
+    out
+  }
+}
+
+case class SimHash64(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override protected def nullSafeEval(v: Any): Any =
+    VecKernels.simhash(v.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.VecKernels.simhash($c)")
+  override protected def withNewChildInternal(c: Expression): SimHash64 = copy(child = c)
+  override def prettyName: String = "graft_simhash64"
+}
+
+case class CosineSimilarity(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    VecKernels.cosineF(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.plans.VecKernels.cosineF($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): CosineSimilarity =
+    copy(left = l, right = r)
+  override def prettyName: String = "graft_cosine"
+}
+
+case class LshBucket(child: Expression, bits: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = IntegerType
+  override protected def nullSafeEval(v: Any): Any =
+    VecKernels.lshBucket(v.asInstanceOf[ArrayData], bits)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.VecKernels.lshBucket($c, $bits)")
+  override protected def withNewChildInternal(c: Expression): LshBucket = copy(child = c)
+  override def prettyName: String = "graft_lsh_bucket"
+}
+
+/** Session registration + Column-level API (via the SQL registry, so no
+  * private Column/Expression bridging is needed).
+  */
+object NativeFunctions {
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("graft_simhash64",
+      e => SimHash64(e.head), "built-in")
+    reg.createOrReplaceTempFunction("graft_cosine",
+      e => CosineSimilarity(e(0), e(1)), "built-in")
+    reg.createOrReplaceTempFunction("graft_lsh_bucket", {
+      case Seq(v, Literal(bits: Int, IntegerType)) => LshBucket(v, bits)
+      case e => LshBucket(e.head, 16)
+    }, "built-in")
+  }
+
+  def simhash64(c: Column): Column =
+    org.apache.spark.sql.functions.call_function("graft_simhash64", c)
+  def cosine(a: Column, b: Column): Column =
+    org.apache.spark.sql.functions.call_function("graft_cosine", a, b)
+  def lshBucket(c: Column, bits: Int): Column =
+    org.apache.spark.sql.functions.call_function("graft_lsh_bucket", c,
+      org.apache.spark.sql.functions.lit(bits))
+}

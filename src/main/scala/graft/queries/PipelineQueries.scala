@@ -1,0 +1,236 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.tables.Tables
+import graft.functions.TextFunctions
+import graft.operators.{Dedup, SimilaritySearch}
+import graft.multimodal.Multimodal
+
+/** Training-data-pipeline operators (builder-prompt mandate): dedup
+  * (exact / MinHash-LSH / SimHash / n-gram Jaccard / embedding-cosine),
+  * ANN search, text analysis, multimodal binary plumbing — all over the
+  * documents/embeddings tables.
+  *
+  * Oracle note: the DuckDB SQL mirrors the *definition* (normalize → md5,
+  * set-jaccard, cosine) so exact variants hash-match; sketch-based
+  * variants (MinHash, SimHash, LSH) depend on engine-internal hashes and
+  * get rows-only checks + ScalaTest invariants instead.
+  */
+object PipelineQueries {
+
+  private val normSql =
+    "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))"
+  private def toksSql(norm: String) = s"string_split($norm, ' ')"
+
+  val all: Seq[Q] = Seq(
+
+    // ---- exact dedup: hash-groupBy on content fingerprint
+    Q("d01_dedup_exact",
+      s"""WITH f AS (SELECT doc_id, md5($normSql) AS fingerprint FROM documents)
+         |SELECT fingerprint, MIN(doc_id) AS keep_id, COUNT(*) AS n_dups
+         |FROM f GROUP BY fingerprint ORDER BY keep_id""") { (s, dir) =>
+      Tables(s, dir).documents
+        .groupBy(TextFunctions.fingerprintMd5(col("text")).as("fingerprint"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_dups"))
+        .orderBy(col("keep_id"))
+    },
+
+    // ---- per-document fingerprint + token counts
+    Q("d02_fingerprint",
+      s"""SELECT doc_id, md5($normSql) AS fingerprint,
+         |  CASE WHEN $normSql = '' THEN 0
+         |       ELSE len(${toksSql(normSql)}) END AS n_tokens,
+         |  LENGTH(text) AS n_chars_actual
+         |FROM documents ORDER BY doc_id""") { (s, dir) =>
+      Tables(s, dir).documents
+        .select(col("doc_id"),
+          TextFunctions.fingerprintMd5(col("text")).as("fingerprint"),
+          TextFunctions.tokenCount(col("text")).as("n_tokens"),
+          length(col("text")).as("n_chars_actual"))
+        .orderBy(col("doc_id"))
+    },
+
+    // ---- n-gram Jaccard near-dup over blocked pairs (exact set jaccard;
+    // word sets = 1-grams so the oracle is SQL-expressible; the library
+    // supports any n — specs cover n=3)
+    Q("d03_ngram_jaccard",
+      s"""WITH g AS (SELECT doc_id, source, n_chars,
+         |    list_distinct(${toksSql(normSql)}) AS gr FROM documents)
+         |SELECT a.doc_id AS a, b.doc_id AS b,
+         |  CAST(len(list_intersect(a.gr, b.gr)) AS DOUBLE) /
+         |  CAST(len(list_distinct(a.gr || b.gr)) AS DOUBLE) AS jaccard
+         |FROM g a JOIN g b
+         |  ON a.source = b.source AND a.doc_id < b.doc_id
+         | AND abs(a.n_chars - b.n_chars) <= 20
+         |WHERE CAST(len(list_intersect(a.gr, b.gr)) AS DOUBLE) /
+         |      CAST(len(list_distinct(a.gr || b.gr)) AS DOUBLE) >= 0.4
+         |ORDER BY a, b""") { (s, dir) =>
+      val docs = Tables(s, dir).documents
+      val g = docs.select(col("doc_id"), col("source"), col("n_chars"),
+        TextFunctions.distinctWordNgrams(col("text"), 1).as("gr"))
+      val a = g.select(col("source"), col("doc_id").as("a"), col("n_chars").as("nca"),
+        col("gr").as("ga"))
+      val b = g.select(col("source"), col("doc_id").as("b"), col("n_chars").as("ncb"),
+        col("gr").as("gb"))
+      a.join(b, Seq("source"))
+        .filter(col("a") < col("b") && abs(col("nca") - col("ncb")) <= 20)
+        .withColumn("jaccard",
+          size(array_intersect(col("ga"), col("gb"))).cast(DoubleType) /
+            size(array_union(col("ga"), col("gb"))).cast(DoubleType))
+        .filter(col("jaccard") >= 0.4)
+        .select(col("a"), col("b"), col("jaccard"))
+        .orderBy(col("a"), col("b"))
+    },
+
+    // ---- MinHash + LSH near-dup (shingle→minhash→band→bucket-join);
+    // internal hash permutations → rows-only + spec invariants
+    Q.noOracle("d04_dedup_minhash") { (s, dir) =>
+      Dedup.minhashNearDupPairs(Tables(s, dir).documents, "doc_id", "text",
+          nGram = 3, numHashes = 64, bands = 16, threshold = 0.5)
+        .orderBy(col("a"), col("b"))
+    },
+
+    // ---- SimHash near-dup (native codegen'd signature expression)
+    Q.noOracle("d05_dedup_simhash") { (s, dir) =>
+      Dedup.simhashNearDupPairs(Tables(s, dir).documents, "doc_id", "text",
+          maxHamming = 16)
+        .orderBy(col("a"), col("b"))
+    },
+
+    // ---- embedding-cosine near-dup pairs within label blocks
+    Q("d06_embedding_near_dup",
+      """SELECT a.vec_id AS a, b.vec_id AS b,
+        |  round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |                               CAST(b.embedding AS DOUBLE[])), 4) AS cos4
+        |FROM embeddings a JOIN embeddings b
+        |  ON a.label = b.label AND a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |                             CAST(b.embedding AS DOUBLE[])) >= 0.3
+        |ORDER BY a, b""") { (s, dir) =>
+      Dedup.embeddingNearDupPairs(Tables(s, dir).embeddings, "vec_id", "embedding",
+          col("label"), minCosine = 0.3)
+        .select(col("a"), col("b"), round(col("cosine"), 4).as("cos4"))
+        .orderBy(col("a"), col("b"))
+    },
+
+    // ---- brute-force cosine top-k ANN (exact baseline). Ids-only output:
+    // ranks are stable (random embeddings have no cosine near-ties), raw
+    // scores would differ in ULPs between engines.
+    Q("d07_ann_brute_force",
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+        |scored AS (
+        |  SELECT q.query_id, e.vec_id AS neighbor_id,
+        |    list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.qv AS DOUBLE[])) AS cos
+        |  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.query_id)
+        |SELECT query_id, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank,
+        |       neighbor_id
+        |FROM scored
+        |QUALIFY rank <= 10
+        |ORDER BY query_id, rank""") { (s, dir) =>
+      val emb = Tables(s, dir).embeddings
+      val queries = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      SimilaritySearch.bruteForceTopK(emb, "vec_id", "embedding",
+          queries, "query_id", "qv", k = 10)
+        .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"))
+        .orderBy(col("query_id"), col("rank"))
+    },
+
+    // ---- LSH-bucketed ANN (the scale path; recall vs brute force is
+    // asserted in the spec, ranking uses engine-internal hashing)
+    Q.noOracle("d08_ann_lsh") { (s, dir) =>
+      val emb = Tables(s, dir).embeddings
+      val queries = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      SimilaritySearch.lshTopK(emb, "vec_id", "embedding",
+          queries, "query_id", "qv", k = 10, bits = 10)
+        .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
+          round(col("cosine"), 4).as("cos4"))
+        .orderBy(col("query_id"), col("rank"))
+    },
+
+    // ---- language ID (marker-token voting) — confusion matrix vs the
+    // dataset's lang label
+    Q("t01_lang_id",
+      s"""WITH t AS (SELECT lang, ${toksSql(normSql)} AS toks FROM documents),
+         |c AS (SELECT lang,
+         |  len(list_filter(toks, x -> list_contains(['the','and','of','to','in','is','that','it'], x))) AS c_en,
+         |  len(list_filter(toks, x -> list_contains(['el','la','de','que','y','los','en','un'], x))) AS c_es,
+         |  len(list_filter(toks, x -> list_contains(['der','die','und','ist','das','nicht','ein','zu'], x))) AS c_de,
+         |  len(list_filter(toks, x -> list_contains(['le','la','et','les','des','est','une','dans'], x))) AS c_fr,
+         |  len(list_filter(toks, x -> list_contains(['i','v','ne','na','chto','eto','kak','po'], x))) AS c_ru
+         |  FROM t),
+         |p AS (SELECT lang,
+         |  CASE WHEN greatest(c_en,c_es,c_de,c_fr,c_ru) = 0 THEN 'und'
+         |       WHEN c_en = greatest(c_en,c_es,c_de,c_fr,c_ru) THEN 'en'
+         |       WHEN c_es = greatest(c_en,c_es,c_de,c_fr,c_ru) THEN 'es'
+         |       WHEN c_de = greatest(c_en,c_es,c_de,c_fr,c_ru) THEN 'de'
+         |       WHEN c_fr = greatest(c_en,c_es,c_de,c_fr,c_ru) THEN 'fr'
+         |       ELSE 'ru' END AS predicted
+         |  FROM c)
+         |SELECT lang, predicted, COUNT(*) AS n
+         |FROM p GROUP BY lang, predicted ORDER BY lang, predicted""") { (s, dir) =>
+      Tables(s, dir).documents
+        .select(col("lang"), TextFunctions.langId(col("text")).as("predicted"))
+        .groupBy(col("lang"), col("predicted"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("lang"), col("predicted"))
+    },
+
+    // ---- quality scoring (length / stopword / alpha heuristics),
+    // bit-identical per-row double arithmetic in both engines
+    Q("t02_quality_score",
+      s"""WITH b AS (SELECT doc_id, text,
+         |  CASE WHEN $normSql = '' THEN 0 ELSE len(${toksSql(normSql)}) END AS n_tokens,
+         |  len(list_filter(${toksSql(normSql)}, x -> list_contains(
+         |    ['the','a','an','and','or','of','to','in','is','it','for','on','with','as','by','at','this','that'], x))) AS stop_cnt,
+         |  LENGTH(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS alpha_len
+         |  FROM documents)
+         |SELECT doc_id, n_tokens, stop_cnt,
+         |  CAST(alpha_len AS DOUBLE) / CAST(greatest(LENGTH(text), 1) AS DOUBLE) AS alpha_ratio,
+         |  (CASE WHEN n_tokens >= 5 AND n_tokens <= 100000 THEN 1.0 ELSE 0.0 END) *
+         |  (0.5 * (CAST(stop_cnt AS DOUBLE) / greatest(CAST(n_tokens AS DOUBLE), 1.0)) +
+         |   0.5 * (CAST(alpha_len AS DOUBLE) / CAST(greatest(LENGTH(text), 1) AS DOUBLE))) AS score
+         |FROM b ORDER BY doc_id""") { (s, dir) =>
+      Tables(s, dir).documents
+        .select(col("doc_id"),
+          TextFunctions.tokenCount(col("text")).as("n_tokens"),
+          TextFunctions.stopwordCount(col("text")).as("stop_cnt"),
+          TextFunctions.alphaRatio(col("text")).as("alpha_ratio"),
+          TextFunctions.qualityScore(col("text")).as("score"))
+        .orderBy(col("doc_id"))
+    },
+
+    // ---- token counting: whitespace + BPE-ish regex
+    Q("t03_token_count",
+      s"""SELECT doc_id,
+         |  CASE WHEN $normSql = '' THEN 0 ELSE len(${toksSql(normSql)}) END AS ws_tokens,
+         |  len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) AS bpeish_tokens
+         |FROM documents ORDER BY doc_id""") { (s, dir) =>
+      Tables(s, dir).documents
+        .select(col("doc_id"),
+          TextFunctions.tokenCount(col("text")).as("ws_tokens"),
+          TextFunctions.bpeishTokenCount(col("text")).as("bpeish_tokens"))
+        .orderBy(col("doc_id"))
+    },
+
+    // ---- multimodal binary plumbing: opaque payload bytes → per-partition
+    // batch "decode" (stub codec). The oracle re-derives the stub's
+    // arithmetic from the byte length / first byte — proving the
+    // mapPartitions path is row-correct and deterministic.
+    Q("mm01_binary_meta",
+      """SELECT doc_id,
+        |  octet_length(CAST(text AS BLOB)) AS dec_bytes,
+        |  CAST(64 + (octet_length(CAST(text AS BLOB)) + ascii(text)) % 1856 AS INT) AS dec_width,
+        |  CAST(64 + (octet_length(CAST(text AS BLOB)) * 7 + ascii(text)) % 1016 AS INT) AS dec_height
+        |FROM documents ORDER BY doc_id""") { (s, dir) =>
+      val media = Tables(s, dir).documents
+        .select(col("doc_id"), col("text").cast(BinaryType).as("payload"))
+      Multimodal.withDecodedMeta(media)
+        .select(col("doc_id"), col("dec_bytes"), col("dec_width"), col("dec_height"))
+        .orderBy(col("doc_id"))
+    }
+  )
+}

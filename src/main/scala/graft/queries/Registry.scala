@@ -4,7 +4,8 @@ package graft.queries
   * they land; `SparkEntry` derives its `queries`/`oracleSql` maps from here.
   */
 object Registry {
-  def all: Seq[Q] = CoreQueries.all ++ MergeTreeQueries.all ++ MiscQueries.all
+  def all: Seq[Q] =
+    CoreQueries.all ++ MergeTreeQueries.all ++ MiscQueries.all ++ PipelineQueries.all
 
   def byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }
