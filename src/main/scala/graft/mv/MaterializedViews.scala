@@ -1,0 +1,55 @@
+package graft.mv
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/** Materialized views as INSERT triggers (SURVEY.md §2.12;
+  * lectures/lecture_13.md:7-43): an MV transforms each *inserted block*
+  * and appends the result to its target — it never touches existing rows.
+  * Cascades (MV reading an MV's target, clusters/ch_and_kafka) are
+  * expressed by chaining pipelines.
+  */
+final case class MaterializedView(
+    name: String,
+    transform: DataFrame => DataFrame,
+    targetPath: String)
+
+/** The ingest path of one source table: every [[insert]] writes the raw
+  * block to `rawPath` (pass None for an ENGINE=Null source,
+  * lectures/lecture_13.md:376 — rows discarded, MVs still fire) and fans
+  * the block out through all attached MVs.
+  */
+final class IngestPipeline(
+    rawPath: Option[String],
+    mvs: Seq[MaterializedView]) {
+
+  def insert(block: DataFrame): Unit = {
+    rawPath.foreach(p => block.write.mode(SaveMode.Append).parquet(p))
+    mvs.foreach { mv =>
+      mv.transform(block).write.mode(SaveMode.Append).parquet(mv.targetPath)
+    }
+  }
+
+  /** CREATE MATERIALIZED VIEW ... POPULATE (lectures/lecture_09.md:668-768):
+    * one backfill batch over the existing raw table.
+    */
+  def populate(spark: SparkSession, mv: MaterializedView): Unit =
+    rawPath.foreach { p =>
+      mv.transform(spark.read.parquet(p)).write.mode(SaveMode.Append).parquet(mv.targetPath)
+    }
+
+  /** Streaming attachment: the same MV fan-out driven by a stream
+    * (the reference's Kafka-consuming MV, lectures/lecture_09.md:920-925).
+    * One foreachBatch writes raw + all targets per micro-batch.
+    */
+  def attachToStream(stream: DataFrame, checkpoint: String): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (block: DataFrame, _: Long) =>
+        val cached = block.persist()
+        try insert(cached)
+        finally cached.unpersist()
+        ()
+      }
+      .start()
+}

@@ -41,23 +41,32 @@ object SimilaritySearch {
       .select(col(qIdCol), col("rank"), col(idCol), col("cosine"))
   }
 
-  /** LSH-bucketed ANN: score only candidates sharing the query's bucket (or
-    * a 1-bit-flipped neighbor bucket when `multiProbe`).
+  /** LSH-bucketed ANN: `tables` independent hyperplane sets (standard
+    * multi-table LSH); candidates share the query's bucket in ANY table —
+    * or a 1-bit-flipped neighbor bucket when `multiProbe`. Miss probability
+    * decays geometrically in `tables` at linear candidate cost.
     */
   def lshTopK(corpus: DataFrame, idCol: String, vecCol: String,
               queries: DataFrame, qIdCol: String, qVecCol: String,
-              k: Int, bits: Int = 12, multiProbe: Boolean = true): DataFrame = {
+              k: Int, bits: Int = 12, tables: Int = 4,
+              multiProbe: Boolean = true): DataFrame = {
     NativeFunctions.register(corpus.sparkSession)
-    val bucketed = corpus.select(col(idCol), col(vecCol),
-      NativeFunctions.lshBucket(col(vecCol), bits).as("bucket"))
-    val qBase = queries.select(col(qIdCol), col(qVecCol),
-      NativeFunctions.lshBucket(col(qVecCol), bits).as("qb"))
-    val probes =
-      if (!multiProbe) qBase.select(col(qIdCol), col(qVecCol), col("qb").as("bucket"))
-      else qBase.select(col(qIdCol), col(qVecCol),
-        explode(array(col("qb") +: (0 until bits).map(i =>
-          col("qb").bitwiseXOR(lit(1 << i))): _*)).as("bucket"))
-    val scored = bucketed.join(broadcast(probes), Seq("bucket"))
+    val tableBuckets = (0 until tables).map(t =>
+      struct(lit(t).as("tbl"), NativeFunctions.lshBucket(col(vecCol), bits, t).as("bucket")))
+    val bucketed = corpus
+      .select(col(idCol), col(vecCol), explode(array(tableBuckets: _*)).as("tb"))
+      .select(col(idCol), col(vecCol), col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+    val qProbes = (0 until tables).flatMap { t =>
+      val qb = NativeFunctions.lshBucket(col(qVecCol), bits, t)
+      val base = struct(lit(t).as("tbl"), qb.as("bucket"))
+      if (!multiProbe) Seq(base)
+      else base +: (0 until bits).map(i =>
+        struct(lit(t).as("tbl"), qb.bitwiseXOR(lit(1 << i)).as("bucket")))
+    }
+    val probes = queries
+      .select(col(qIdCol), col(qVecCol), explode(array(qProbes: _*)).as("tb"))
+      .select(col(qIdCol), col(qVecCol), col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+    val scored = bucketed.join(broadcast(probes), Seq("tbl", "bucket"))
       .filter(col(idCol) =!= col(qIdCol))
       .select(col(qIdCol), col(idCol),
         NativeFunctions.cosine(col(vecCol), col(qVecCol)).as("cosine"))

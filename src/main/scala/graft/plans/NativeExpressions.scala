@@ -62,7 +62,7 @@ object VecKernels {
     * Vectors within a small angle land in the same bucket with high
     * probability — the blocking key for ANN search.
     */
-  def lshBucket(v: ArrayData, bits: Int): Int = {
+  def lshBucket(v: ArrayData, bits: Int, seed: Int): Int = {
     val n = v.numElements()
     var sig = 0
     var j = 0
@@ -70,7 +70,8 @@ object VecKernels {
       var acc = 0.0
       var i = 0
       while (i < n) {
-        val h = Hll.murmur64(longBytes(j.toLong * 1000003L + i))
+        val h = Hll.murmur64(longBytes(
+          (seed.toLong << 32) ^ (j.toLong * 1000003L + i)))
         val sign = if ((h & 1L) == 1L) 1.0 else -1.0
         acc += sign * v.getFloat(i)
         i += 1
@@ -111,13 +112,13 @@ case class CosineSimilarity(left: Expression, right: Expression)
   override def prettyName: String = "graft_cosine"
 }
 
-case class LshBucket(child: Expression, bits: Int)
+case class LshBucket(child: Expression, bits: Int, seed: Int = 0)
     extends UnaryExpression {
   override def dataType: DataType = IntegerType
   override protected def nullSafeEval(v: Any): Any =
-    VecKernels.lshBucket(v.asInstanceOf[ArrayData], bits)
+    VecKernels.lshBucket(v.asInstanceOf[ArrayData], bits, seed)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.plans.VecKernels.lshBucket($c, $bits)")
+    defineCodeGen(ctx, ev, c => s"graft.plans.VecKernels.lshBucket($c, $bits, $seed)")
   override protected def withNewChildInternal(c: Expression): LshBucket = copy(child = c)
   override def prettyName: String = "graft_lsh_bucket"
 }
@@ -133,6 +134,8 @@ object NativeFunctions {
     reg.createOrReplaceTempFunction("graft_cosine",
       e => CosineSimilarity(e(0), e(1)), "built-in")
     reg.createOrReplaceTempFunction("graft_lsh_bucket", {
+      case Seq(v, Literal(bits: Int, IntegerType), Literal(seed: Int, IntegerType)) =>
+        LshBucket(v, bits, seed)
       case Seq(v, Literal(bits: Int, IntegerType)) => LshBucket(v, bits)
       case e => LshBucket(e.head, 16)
     }, "built-in")
@@ -142,7 +145,8 @@ object NativeFunctions {
     org.apache.spark.sql.functions.call_function("graft_simhash64", c)
   def cosine(a: Column, b: Column): Column =
     org.apache.spark.sql.functions.call_function("graft_cosine", a, b)
-  def lshBucket(c: Column, bits: Int): Column =
+  def lshBucket(c: Column, bits: Int, seed: Int = 0): Column =
     org.apache.spark.sql.functions.call_function("graft_lsh_bucket", c,
-      org.apache.spark.sql.functions.lit(bits))
+      org.apache.spark.sql.functions.lit(bits),
+      org.apache.spark.sql.functions.lit(seed))
 }

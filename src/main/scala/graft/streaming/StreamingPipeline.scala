@@ -1,0 +1,96 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery, Trigger}
+import org.apache.spark.sql.types.StructType
+
+/** The reference's streaming surface (SURVEY.md §2.13): Kafka engine table
+  * → MV cascade → MergeTree/Kafka sinks
+  * (clusters/ch_and_kafka/db/init.sql:11-79), re-expressed as Structured
+  * Streaming. Checkpointed file sinks give exactly-once — an upgrade over
+  * the reference's at-least-once Kafka engine
+  * (lectures/lecture_25.md:24-63).
+  *
+  * The container has no Kafka broker/connector, so tests drive the same
+  * pipeline shape through the file source; swapping [[rawFromKafka]] for
+  * [[rawFromFiles]] changes only the source stage.
+  */
+object StreamingPipeline {
+
+  /** Kafka engine table analogue: subscribe and expose the reference's
+    * virtual columns `_topic/_partition/_offset/_timestamp_ms`
+    * (homeworks/hw17.md:24-40) — all native Kafka-source metadata here.
+    * Requires the spark-sql-kafka connector on the classpath.
+    */
+  def rawFromKafka(spark: SparkSession, brokers: String, topics: String): DataFrame =
+    spark.readStream
+      .format("kafka")
+      .option("kafka.bootstrap.servers", brokers)
+      .option("subscribe", topics)
+      .load()
+      .select(
+        col("value").cast("string").as("message"),
+        col("topic").as("_topic"),
+        col("partition").as("_partition"),
+        col("offset").as("_offset"),
+        (col("timestamp").cast("double") * 1000).cast("long").as("_timestamp_ms"),
+        current_timestamp().as("ingest_time"))
+
+  /** File-source variant with the same output shape (used by tests; also
+    * the pattern for object-store drop-folder ingestion).
+    */
+  def rawFromFiles(spark: SparkSession, path: String, schema: StructType,
+                   format: String = "json"): DataFrame =
+    spark.readStream
+      .format(format)
+      .schema(schema)
+      .load(path)
+      .select(
+        to_json(struct(col("*"))).as("message"),
+        input_file_name().as("_topic"),
+        lit(0).as("_partition"),
+        lit(-1L).as("_offset"),
+        (unix_timestamp(current_timestamp()) * 1000).as("_timestamp_ms"),
+        current_timestamp().as("ingest_time"))
+
+  /** Stage 2 of the reference cascade: JSONEachRow parse
+    * (JSONExtract* in clusters/ch_and_kafka/db/init.sql:59-62).
+    */
+  def parseJson(raw: DataFrame, payloadSchema: StructType): DataFrame =
+    raw.withColumn("parsed", from_json(col("message"), payloadSchema))
+      .select(col("parsed.*"), col("_topic"), col("_partition"), col("_offset"),
+        col("_timestamp_ms"), col("ingest_time"))
+
+  /** Watermarked tumbling-window aggregation (superset feature; the
+    * reference's Buffer-engine batching maps to the trigger interval).
+    */
+  def windowedCounts(events: DataFrame, tsCol: String, windowLen: String,
+                     watermark: String, keyCols: String*): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowLen) +: keyCols.map(col): _*)
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+
+  /** Kafka producer sink (ENGINE=Kafka + MV INTO it,
+    * clusters/ch_and_kafka/db/init.sql:65-79).
+    */
+  def toKafka(df: DataFrame, brokers: String, topic: String,
+              checkpoint: String): DataStreamWriter[org.apache.spark.sql.Row] =
+    df.selectExpr("to_json(struct(*)) AS value")
+      .writeStream
+      .format("kafka")
+      .option("kafka.bootstrap.servers", brokers)
+      .option("topic", topic)
+      .option("checkpointLocation", checkpoint)
+
+  /** Parquet sink with checkpoint (the MergeTree target analogue). */
+  def toParquet(df: DataFrame, path: String, checkpoint: String,
+                trigger: Trigger = Trigger.ProcessingTime("5 seconds")): StreamingQuery =
+    df.writeStream
+      .format("parquet")
+      .option("path", path)
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .start()
+}

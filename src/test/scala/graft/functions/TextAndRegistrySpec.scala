@@ -1,0 +1,61 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class TextAndRegistrySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("normalize/tokens/ngrams behave on edge cases") {
+    val df = Seq("Hello, World! 123", "", "  a  b ", "ab").toDF("t")
+      .select(TextFunctions.normalizeText($"t").as("n"),
+        TextFunctions.tokenCount($"t").as("c"),
+        TextFunctions.wordNgrams($"t", 3).as("g3"))
+    val rows = df.collect()
+    assert(rows(0).getString(0) == "hello world 123")
+    assert(rows(0).getInt(1) == 3)
+    assert(rows(1).getInt(1) == 0)                       // empty → 0 tokens
+    assert(rows(2).getInt(1) == 2)                       // collapsed spaces
+    assert(rows(3).getSeq[String](2).isEmpty)            // short doc → no 3-grams
+    assert(rows(0).getSeq[String](2) == Seq("hello world 123"))
+  }
+
+  test("langId votes by marker tokens with deterministic ties") {
+    val df = Seq(
+      "the cat and the dog is here",      // en
+      "el perro de la casa y los gatos",  // es
+      "xyzzy qwerty plugh").toDF("t")     // no markers → und
+      .select(TextFunctions.langId($"t").as("l"))
+    assert(df.as[String].collect().toSeq == Seq("en", "es", "und"))
+  }
+
+  test("fingerprint is normalization-invariant") {
+    val df = Seq("Hello  World!", "hello world").toDF("t")
+      .select(TextFunctions.fingerprintMd5($"t").as("f"))
+    val fps = df.as[String].collect()
+    assert(fps(0) == fps(1))
+  }
+
+  test("ClickHouse-dialect SQL names run through the registry") {
+    val out = spark.sql(
+      """SELECT toYYYYMM(TIMESTAMP '2024-03-15 10:00:00') AS ym,
+        |       multiIf(1 < 2, 'yes', 'no') AS mi,
+        |       toUInt64('42') AS u,
+        |       JSONExtractInt('{"k": 7}', 'k') AS k
+        |""".stripMargin).collect().head
+    assert(out.getInt(0) == 202403)
+    assert(out.getString(1) == "yes")
+    assert(out.getLong(2) == 42L)
+    assert(out.getLong(3) == 7L)
+  }
+
+  test("CH aggregate names: uniq / uniqExact / argMax / groupArray") {
+    Seq((1, "a", 10), (1, "b", 20), (2, "c", 5)).toDF("g", "s", "v")
+      .createOrReplaceTempView("t_reg")
+    val r = spark.sql(
+      """SELECT g, uniqExact(s) AS ue, argMax(s, v) AS am
+        |FROM t_reg GROUP BY g ORDER BY g""".stripMargin).collect()
+    assert(r(0).getLong(1) == 2L && r(0).getString(2) == "b")
+    assert(r(1).getLong(1) == 1L && r(1).getString(2) == "c")
+  }
+}

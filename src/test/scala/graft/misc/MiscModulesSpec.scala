@@ -1,0 +1,75 @@
+package graft.misc
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.mergetree.{ProjectionDef, Projections}
+import graft.multimodal.Multimodal
+import graft.operators.{SetJoinEngines, WithFill}
+import graft.tables.Tables
+
+class MiscModulesSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("WithFill densifies a sparse integer axis") {
+    val df = Seq((1L, 10L), (4L, 40L)).toDF("x", "n")
+    val filled = WithFill.fillLongs(df, "x", Seq("n" -> lit(0L)))
+    val m = filled.as[(Long, Long)].collect().toMap
+    assert(m == Map(1L -> 10L, 2L -> 0L, 3L -> 0L, 4L -> 40L))
+  }
+
+  test("SetEngine: broadcast IN / NOT IN") {
+    val keys = Seq(1L, 3L).toDF("k")
+    val data = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "s")
+    val eng = SetJoinEngines.SetEngine.build(keys, "k")
+    assert(eng.filterIn(data, col("id")).count() == 2)
+    assert(eng.filterNotIn(data, col("id")).count() == 1)
+    val flags = data.select(eng.contains(col("id"))).as[Boolean].collect()
+    assert(flags.count(identity) == 2)
+  }
+
+  test("JoinEngine joinGet point lookup") {
+    val dim = Seq((1L, "one"), (2L, "two")).toDF("k", "name")
+    val eng = new SetJoinEngines.JoinEngine(dim, "k")
+    val out = Seq(1L, 2L, 9L).toDF("k")
+      .select(eng.joinGet("name")(col("k")).as("n")).as[Option[String]].collect()
+    assert(out.toSeq == Seq(Some("one"), Some("two"), None))
+  }
+
+  test("projection materialize + route equals direct aggregation") {
+    val root = Files.createTempDirectory("graft_proj").toString
+    val li = Tables(spark, sfDir).lineitem
+      .select($"l_returnflag", $"l_linestatus",
+        (col("l_quantity") * 100).cast("long").as("qty_c"))
+    val p = ProjectionDef("by_flag_status", Seq("l_returnflag", "l_linestatus"),
+      Seq("qty_c"), s"$root/proj")
+    Projections.materialize(li, p)
+    // narrower grouping answered FROM the projection
+    val routed = Projections.route(spark, p, Seq("l_returnflag"), Seq("qty_c"))
+      .select($"l_returnflag", $"cnt", $"sum_qty_c")
+      .as[(String, Long, Long)].collect().toMap2
+    val direct = li.groupBy($"l_returnflag")
+      .agg(count(lit(1)).as("cnt"), sum($"qty_c").as("s"))
+      .as[(String, Long, Long)].collect().toMap2
+    assert(routed == direct)
+  }
+
+  test("multimodal decode plumbing: row-preserving, deterministic; frame sampling explodes") {
+    val media = Seq((1L, "image", "abcdef".getBytes), (2L, "video", ("x" * 4096).getBytes))
+      .toDF("media_id", "kind", "payload")
+    val dec = Multimodal.withDecodedMeta(media)
+    assert(dec.count() == 2)
+    val r = dec.filter($"media_id" === 1).select("dec_bytes", "dec_width").head()
+    assert(r.getLong(0) == 6L)
+    val (w, _, _, _) = Multimodal.decodeStub("abcdef".getBytes)
+    assert(r.getInt(1) == w)
+    val frames = Multimodal.sampleFrames(media.filter($"media_id" === 2), "payload",
+      everyNth = 2, frameBytes = 1024)
+    assert(frames.count() == 2) // 4 frames, every 2nd
+  }
+
+  private implicit class Tup3Ops[A, B, C](xs: Array[(A, B, C)]) {
+    def toMap2: Map[A, (B, C)] = xs.map(t => t._1 -> ((t._2, t._3))).toMap
+  }
+}

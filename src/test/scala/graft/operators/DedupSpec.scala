@@ -1,0 +1,54 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val base = "the quick brown fox jumps over the lazy dog and runs far away " * 5
+  private lazy val docs = Seq(
+    (1L, base),
+    (2L, base),                                     // exact dup of 1
+    (3L, base.replace("lazy", "sleepy")),           // near dup of 1
+    (4L, "completely different content about spark engines and columnar io " * 5),
+    (5L, "unrelated short text")
+  ).toDF("doc_id", "text")
+
+  test("exactDedup keeps one row per identical content") {
+    val kept = Dedup.exactDedup(docs, "doc_id", "text").select("doc_id")
+      .as[Long].collect().toSet
+    assert(kept == Set(1L, 3L, 4L, 5L))
+  }
+
+  test("minhash LSH finds the planted near-dup pair") {
+    val pairs = Dedup.minhashNearDupPairs(docs, "doc_id", "text", threshold = 0.5)
+      .select($"a", $"b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(pairs.contains((1L, 3L)) || pairs.contains((2L, 3L)))
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("simhash hamming distance 0 for identical docs, large for unrelated") {
+    val pairs = Dedup.simhashNearDupPairs(docs, "doc_id", "text", maxHamming = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getAs[Number](2).longValue()))
+    val exact = pairs.find(p => p._1 == 1L && p._2 == 2L)
+    assert(exact.exists(_._3 == 0L))
+    assert(!pairs.exists(p => (p._1, p._2) == ((4L, 5L))))
+  }
+
+  test("dropNearDups removes the higher id of each pair") {
+    val pairs = Seq((1L, 2L)).toDF("a", "b")
+    val kept = Dedup.dropNearDups(docs, "doc_id", pairs).select("doc_id")
+      .as[Long].collect().toSet
+    assert(kept == Set(1L, 3L, 4L, 5L))
+  }
+
+  test("jaccardVerify computes exact n-gram jaccard") {
+    val pairs = Seq((1L, 2L), (1L, 4L)).toDF("a", "b")
+    val j = Dedup.jaccardVerify(pairs, docs, "doc_id", "text", nGram = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(j((1L, 2L)) == 1.0)
+    assert(j((1L, 4L)) == 0.0)
+  }
+}

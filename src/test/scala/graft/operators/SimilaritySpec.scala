@@ -1,0 +1,67 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.tables.Tables
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val emb = Tables(spark, sfDir).embeddings
+
+  test("bruteForceTopK returns k ordered neighbors per query") {
+    val queries = emb.filter($"vec_id" < 3)
+      .select($"vec_id".as("query_id"), $"embedding".as("qv"))
+    val res = SimilaritySearch.bruteForceTopK(emb, "vec_id", "embedding",
+      queries, "query_id", "qv", k = 5).cache()
+    assert(res.groupBy("query_id").count().select("count").as[Long].collect().forall(_ == 5))
+    // scores are non-increasing with rank
+    val perQ = res.orderBy($"query_id", $"rank")
+      .select($"query_id", $"cosine").as[(Long, Double)].collect().groupBy(_._1)
+    perQ.values.foreach { xs =>
+      val cs = xs.map(_._2)
+      assert(cs.zip(cs.tail).forall { case (x, y) => x >= y })
+    }
+  }
+
+  test("LSH ANN recovers planted near-duplicates") {
+    // LSH blocking is for NEAR vectors (near-dup retrieval); on uniformly
+    // random vectors every method degrades to scanning. Plant twins:
+    // corpus = twin(center)+noise ∪ decoys; query = centers. The twin must
+    // come back as the top-1 neighbor for most queries.
+    val rnd = new scala.util.Random(7)
+    def unit(dim: Int): Array[Float] = {
+      val v = Array.fill(dim)(rnd.nextGaussian().toFloat)
+      val n = math.sqrt(v.map(x => x * x.toDouble).sum).toFloat
+      v.map(_ / n)
+    }
+    val dim = 64
+    val centers = (0 until 20).map(i => (i.toLong, unit(dim)))
+    val twins = centers.map { case (i, c) =>
+      (1000L + i, c.map(x => x + 0.05f * rnd.nextGaussian().toFloat))
+    }
+    val decoys = (0 until 200).map(i => (2000L + i, unit(dim)))
+    val corpus = (twins ++ decoys).toDF("vec_id", "embedding")
+    val queries = centers.toDF("query_id", "qv")
+    val top1 = SimilaritySearch.lshTopK(corpus, "vec_id", "embedding",
+        queries, "query_id", "qv", k = 1, bits = 12)
+      .select($"query_id", $"vec_id").as[(Long, Long)].collect().toMap
+    val hits = centers.count { case (i, _) => top1.get(i).contains(1000L + i) }
+    assert(hits >= 16, s"recovered $hits/20 planted twins")
+  }
+
+  test("cosine expression matches a scala-side computation") {
+    val rows = emb.limit(2).select($"embedding").as[Array[Float]].collect()
+    val expected = {
+      val (a, b) = (rows(0), rows(1))
+      val dot = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+      val na = math.sqrt(a.map(x => x.toDouble * x.toDouble).sum)
+      val nb = math.sqrt(b.map(x => x.toDouble * x.toDouble).sum)
+      dot / (na * nb)
+    }
+    val got = emb.limit(2).agg(collect_list($"embedding").as("vs"))
+      .select(SimilaritySearch.cosine(element_at($"vs", 1), element_at($"vs", 2)))
+      .as[Double].head()
+    assert(math.abs(got - expected) < 1e-9)
+  }
+}
