@@ -50,9 +50,11 @@ object Dedup {
     */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
                         nGram: Int = 3, numHashes: Int = 64): DataFrame = {
+    NativeFunctions.register(df.sparkSession)
     val shingled = df
       .select(col(idCol),
-        explode(TextFunctions.distinctWordNgrams(col(textCol), nGram)).as("sh"))
+        explode(NativeFunctions.shingles(
+          TextFunctions.tokens(col(textCol)), nGram)).as("sh"))
     val minExprs = (0 until numHashes).map(i =>
       min(xxhash64(col("sh"), lit(i))).as(s"m$i"))
     shingled.groupBy(col(idCol)).agg(minExprs.head, minExprs.tail: _*)
@@ -92,8 +94,10 @@ object Dedup {
     */
   def jaccardVerify(pairs: DataFrame, docs: DataFrame, idCol: String,
                     textCol: String, nGram: Int): DataFrame = {
+    NativeFunctions.register(docs.sparkSession)
     val grams = docs.select(col(idCol),
-      TextFunctions.distinctWordNgrams(col(textCol), nGram).as("g"))
+      NativeFunctions.shingles(
+        TextFunctions.tokens(col(textCol)), nGram).as("g"))
     pairs
       .join(grams.select(col(idCol).as("a"), col("g").as("ga")), "a")
       .join(grams.select(col(idCol).as("b"), col("g").as("gb")), "b")

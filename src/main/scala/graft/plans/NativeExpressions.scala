@@ -82,6 +82,33 @@ object VecKernels {
     sig
   }
 
+  /** Distinct word n-grams of a token array in ONE pass (the
+    * `transform(sequence, i => slice(...))` spelling re-evaluates its
+    * input expression per element — O(tokens²) on long docs).
+    */
+  def shingles(tokens: ArrayData, n: Int): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val cnt = tokens.numElements()
+    val out = new java.util.LinkedHashSet[org.apache.spark.unsafe.types.UTF8String]()
+    var i = 0
+    while (i + n <= cnt) {
+      var j = 0
+      var sb: org.apache.spark.unsafe.types.UTF8String = null
+      val parts = new Array[org.apache.spark.unsafe.types.UTF8String](2 * n - 1)
+      while (j < n) {
+        if (j > 0) parts(2 * j - 1) = SPACE
+        parts(2 * j) = tokens.getUTF8String(i + j)
+        j += 1
+      }
+      sb = org.apache.spark.unsafe.types.UTF8String.concat(parts: _*)
+      out.add(sb)
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      out.toArray(Array.empty[AnyRef]))
+  }
+
+  private val SPACE = org.apache.spark.unsafe.types.UTF8String.fromString(" ")
+
   private def longBytes(x: Long): Array[Byte] = {
     val out = new Array[Byte](8)
     var i = 0
@@ -123,6 +150,17 @@ case class LshBucket(child: Expression, bits: Int, seed: Int = 0)
   override def prettyName: String = "graft_lsh_bucket"
 }
 
+case class Shingles(child: Expression, n: Int) extends UnaryExpression {
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.StringType)
+  override protected def nullSafeEval(v: Any): Any =
+    VecKernels.shingles(v.asInstanceOf[ArrayData], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.VecKernels.shingles($c, $n)")
+  override protected def withNewChildInternal(c: Expression): Shingles = copy(child = c)
+  override def prettyName: String = "graft_shingles"
+}
+
 /** Session registration + Column-level API (via the SQL registry, so no
   * private Column/Expression bridging is needed).
   */
@@ -139,12 +177,19 @@ object NativeFunctions {
       case Seq(v, Literal(bits: Int, IntegerType)) => LshBucket(v, bits)
       case e => LshBucket(e.head, 16)
     }, "built-in")
+    reg.createOrReplaceTempFunction("graft_shingles", {
+      case Seq(v, Literal(n: Int, IntegerType)) => Shingles(v, n)
+      case e => Shingles(e.head, 3)
+    }, "built-in")
   }
 
   def simhash64(c: Column): Column =
     org.apache.spark.sql.functions.call_function("graft_simhash64", c)
   def cosine(a: Column, b: Column): Column =
     org.apache.spark.sql.functions.call_function("graft_cosine", a, b)
+  def shingles(c: Column, n: Int): Column =
+    org.apache.spark.sql.functions.call_function("graft_shingles", c,
+      org.apache.spark.sql.functions.lit(n))
   def lshBucket(c: Column, bits: Int, seed: Int = 0): Column =
     org.apache.spark.sql.functions.call_function("graft_lsh_bucket", c,
       org.apache.spark.sql.functions.lit(bits),

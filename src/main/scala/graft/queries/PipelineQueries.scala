@@ -95,7 +95,7 @@ object PipelineQueries {
     // ---- SimHash near-dup (native codegen'd signature expression)
     Q.noOracle("d05_dedup_simhash") { (s, dir) =>
       Dedup.simhashNearDupPairs(Tables(s, dir).documents, "doc_id", "text",
-          maxHamming = 16)
+          maxHamming = 8)
         .orderBy(col("a"), col("b"))
     },
 
