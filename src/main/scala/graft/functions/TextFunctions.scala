@@ -101,6 +101,11 @@ object TextFunctions {
 
   /** Predicted language: the marker set with the most token hits;
     * ties break in LangMarkers order; zero hits everywhere → "und".
+    *
+    * This composed-functions spelling re-tokenizes once per language; the
+    * hot path is the one-pass native kernel
+    * `graft.plans.NativeFunctions.langId(tokens(c))` (same definition —
+    * equivalence is spec-asserted).
     */
   def langId(c: Column): Column = {
     val counts = LangMarkers.map { case (lang, mk) => lang -> langMarkerCount(c, mk) }

@@ -109,6 +109,41 @@ object VecKernels {
 
   private val SPACE = org.apache.spark.unsafe.types.UTF8String.fromString(" ")
 
+  /** One-pass language ID over a token array: marker-set voting with
+    * first-max tie-break (same definition as the composed-functions
+    * spelling, which re-tokenizes once per language — ~10x the work).
+    * `sets` and `langs` are parallel; zero hits everywhere → "und".
+    */
+  def langIdVote(tokens: ArrayData,
+                 sets: Array[java.util.HashSet[org.apache.spark.unsafe.types.UTF8String]],
+                 langs: Array[org.apache.spark.unsafe.types.UTF8String])
+      : org.apache.spark.unsafe.types.UTF8String = {
+    val counts = new Array[Int](sets.length)
+    val n = tokens.numElements()
+    var i = 0
+    while (i < n) {
+      if (!tokens.isNullAt(i)) {
+        val t = tokens.getUTF8String(i)
+        var s = 0
+        while (s < sets.length) {
+          if (sets(s).contains(t)) counts(s) += 1
+          s += 1
+        }
+      }
+      i += 1
+    }
+    var best = -1
+    var bestCnt = 0
+    var s = 0
+    while (s < counts.length) {
+      if (counts(s) > bestCnt) { best = s; bestCnt = counts(s) } // strict > = first-max wins
+      s += 1
+    }
+    if (best < 0) UND else langs(best)
+  }
+
+  private val UND = org.apache.spark.unsafe.types.UTF8String.fromString("und")
+
   private def longBytes(x: Long): Array[Byte] = {
     val out = new Array[Byte](8)
     var i = 0
@@ -150,6 +185,31 @@ case class LshBucket(child: Expression, bits: Int, seed: Int = 0)
   override def prettyName: String = "graft_lsh_bucket"
 }
 
+case class LangIdVote(child: Expression, markers: Seq[(String, Seq[String])])
+    extends UnaryExpression {
+  @transient private lazy val sets
+      : Array[java.util.HashSet[org.apache.spark.unsafe.types.UTF8String]] =
+    markers.map { case (_, ws) =>
+      val h = new java.util.HashSet[org.apache.spark.unsafe.types.UTF8String]()
+      ws.foreach(w => h.add(org.apache.spark.unsafe.types.UTF8String.fromString(w)))
+      h
+    }.toArray
+  @transient private lazy val langs: Array[org.apache.spark.unsafe.types.UTF8String] =
+    markers.map(m => org.apache.spark.unsafe.types.UTF8String.fromString(m._1)).toArray
+
+  override def dataType: DataType = org.apache.spark.sql.types.StringType
+  override protected def nullSafeEval(v: Any): Any =
+    VecKernels.langIdVote(v.asInstanceOf[ArrayData], sets, langs)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val setsRef = ctx.addReferenceObj("langSets", sets, "java.util.HashSet[]")
+    val langsRef = ctx.addReferenceObj("langNames", langs,
+      "org.apache.spark.unsafe.types.UTF8String[]")
+    defineCodeGen(ctx, ev, c => s"graft.plans.VecKernels.langIdVote($c, $setsRef, $langsRef)")
+  }
+  override protected def withNewChildInternal(c: Expression): LangIdVote = copy(child = c)
+  override def prettyName: String = "graft_lang_id"
+}
+
 case class Shingles(child: Expression, n: Int) extends UnaryExpression {
   override def dataType: DataType =
     org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.StringType)
@@ -181,12 +241,16 @@ object NativeFunctions {
       case Seq(v, Literal(n: Int, IntegerType)) => Shingles(v, n)
       case e => Shingles(e.head, 3)
     }, "built-in")
+    reg.createOrReplaceTempFunction("graft_lang_id",
+      e => LangIdVote(e.head, graft.functions.TextFunctions.LangMarkers), "built-in")
   }
 
   def simhash64(c: Column): Column =
     org.apache.spark.sql.functions.call_function("graft_simhash64", c)
   def cosine(a: Column, b: Column): Column =
     org.apache.spark.sql.functions.call_function("graft_cosine", a, b)
+  def langId(tokens: Column): Column =
+    org.apache.spark.sql.functions.call_function("graft_lang_id", tokens)
   def shingles(c: Column, n: Int): Column =
     org.apache.spark.sql.functions.call_function("graft_shingles", c,
       org.apache.spark.sql.functions.lit(n))

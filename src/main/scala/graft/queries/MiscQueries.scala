@@ -222,6 +222,68 @@ object MiscQueries {
         .offset(40).limit(20)
     },
 
+    // ---- toStartOfInterval time-series rollup (lectures/lecture_20.md:216,
+    // GraphiteMergeTree thinning analogue): 60-second grid, epoch-second
+    // buckets (raw nanos timestamps never cross the oracle boundary)
+    Q("q41_time_rollup",
+      """SELECT (epoch_ns(ts) // 1000000000 // 60) * 60 AS bucket_s, event_type,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM events GROUP BY bucket_s, event_type
+        |ORDER BY bucket_s, event_type""") { (s, dir) =>
+      Tables(s, dir).events
+        .groupBy(((unix_timestamp(col("ts")) / 60).cast(LongType) * 60).as("bucket_s"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(dec2(col("value"))).cast(DoubleType).as("total"))
+        .orderBy(col("bucket_s"), col("event_type"))
+    },
+
+    // ---- GROUP BY ALL (lectures/lecture_16.md:69, homeworks/hw11.md:52):
+    // native in Spark 4 SQL — exercised through spark.sql to prove the
+    // dialect surface, not just the DataFrame API
+    Q("q42_group_by_all",
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem GROUP BY ALL ORDER BY l_returnflag, l_linestatus""") { (s, dir) =>
+      Tables(s, dir).lineitem.createOrReplaceTempView("lineitem_gba")
+      s.sql(
+        """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+          |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+          |FROM lineitem_gba GROUP BY ALL ORDER BY l_returnflag, l_linestatus""".stripMargin)
+    },
+
+    // ---- event-time tumbling window (Structured Streaming's window() in
+    // batch mode; aligns with epoch so the oracle is a floor)
+    Q("q43_event_window",
+      """SELECT (epoch_ns(ts) // 1000000000 // 3600) * 3600 AS hour_s, event_type,
+        |  COUNT(*) AS n
+        |FROM events GROUP BY hour_s, event_type ORDER BY hour_s, event_type""") { (s, dir) =>
+      Tables(s, dir).events
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(unix_timestamp(col("w.start")).as("hour_s"), col("event_type"), col("n"))
+        .orderBy(col("hour_s"), col("event_type"))
+    },
+
+    // ---- SQL lambda UDF (lectures/lecture_06.md:102-119): CREATE FUNCTION
+    // as an inlined expression macro, used inside an aggregate
+    Q("q44_sql_udf",
+      """SELECT o_orderstatus,
+        |  CAST(SUM(CAST(o_totalprice * 2 + 5 AS DECIMAL(18,2))) AS DOUBLE) AS adj_total
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""") { (s, dir) =>
+      // k=2 keeps the doubled price exactly representable (2 decimals), so
+      // the decimal cast never lands on a rounding-mode boundary
+      val udfs = new graft.functions.ChUdfs(s)
+      udfs.createFunction("linearEquation", Seq("x", "k", "b"), "k * x + b",
+        orReplace = true)
+      Tables(s, dir).orders.createOrReplaceTempView("orders_udf")
+      s.sql(
+        """SELECT o_orderstatus,
+          |  CAST(SUM(CAST(linearEquation(o_totalprice, 2, 5) AS DECIMAL(18,2))) AS DOUBLE) AS adj_total
+          |FROM orders_udf GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
+    },
+
     // ---- formatReadableSize (lectures/lecture_09.md:326)
     Q("q40_format_readable",
       """SELECT o_orderkey,

@@ -172,8 +172,10 @@ object PipelineQueries {
          |  FROM c)
          |SELECT lang, predicted, COUNT(*) AS n
          |FROM p GROUP BY lang, predicted ORDER BY lang, predicted""") { (s, dir) =>
+      graft.plans.NativeFunctions.register(s)
       Tables(s, dir).documents
-        .select(col("lang"), TextFunctions.langId(col("text")).as("predicted"))
+        .select(col("lang"), graft.plans.NativeFunctions.langId(
+          TextFunctions.tokens(col("text"))).as("predicted"))
         .groupBy(col("lang"), col("predicted"))
         .agg(count(lit(1)).as("n"))
         .orderBy(col("lang"), col("predicted"))

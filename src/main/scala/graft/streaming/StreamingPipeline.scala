@@ -72,6 +72,15 @@ object StreamingPipeline {
       .groupBy(window(col(tsCol), windowLen) +: keyCols.map(col): _*)
       .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
 
+  /** Ingest-block dedup (`replicated_deduplication_window`,
+    * lectures/lecture_12.md:89-105): re-sent blocks are dropped by id
+    * within the watermark horizon — checkpoint-backed state gives the
+    * exactly-once upgrade over the reference's window-of-hashes.
+    */
+  def dedupedByKey(stream: DataFrame, tsCol: String, watermark: String,
+                   idCols: String*): DataFrame =
+    stream.withWatermark(tsCol, watermark).dropDuplicates(idCols)
+
   /** Kafka producer sink (ENGINE=Kafka + MV INTO it,
     * clusters/ch_and_kafka/db/init.sql:65-79).
     */

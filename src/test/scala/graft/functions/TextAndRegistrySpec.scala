@@ -29,6 +29,15 @@ class TextAndRegistrySpec extends SparkSpec {
     assert(df.as[String].collect().toSeq == Seq("en", "es", "und"))
   }
 
+  test("native langId kernel matches the composed-functions definition") {
+    graft.plans.NativeFunctions.register(spark)
+    val docs = graft.tables.Tables(spark, sfDir).documents
+    val both = docs.select(
+      TextFunctions.langId($"text").as("composed"),
+      graft.plans.NativeFunctions.langId(TextFunctions.tokens($"text")).as("kernel"))
+    assert(both.filter($"composed" =!= $"kernel").count() == 0)
+  }
+
   test("fingerprint is normalization-invariant") {
     val df = Seq("Hello  World!", "hello world").toDF("t")
       .select(TextFunctions.fingerprintMd5($"t").as("f"))

@@ -67,6 +67,30 @@ class StreamingMvSpec extends SparkSpec {
     assert(byKind == Map("a" -> 8L, "b" -> 8L))
   }
 
+  test("ingest dedup drops re-sent blocks by id (deduplication window)") {
+    val root = Files.createTempDirectory("graft_dedup_stream").toString
+    val evSchema = StructType(Seq(StructField("ts", TimestampType),
+      StructField("id", LongType), StructField("value", DoubleType)))
+    // batch 1 and batch 2 overlap on ids 5..9 (a re-sent block)
+    def batch(ids: Range, file: String): Unit =
+      ids.map(i => (java.sql.Timestamp.valueOf(f"2024-01-01 10:00:${i % 60}%02d"),
+        i.toLong, 1.0)).toDF("ts", "id", "value")
+        .coalesce(1).write.mode("append").json(s"$root/src/$file")
+    batch(0 until 10, "b1")
+    val stream = spark.readStream.schema(evSchema)
+      .option("maxFilesPerTrigger", "1").json(s"$root/src/*")
+    val deduped = StreamingPipeline.dedupedByKey(stream, "ts", "1 hour", "id")
+    val q = deduped.writeStream.outputMode("append")
+      .option("checkpointLocation", s"$root/ckpt")
+      .format("parquet").option("path", s"$root/out").start()
+    try {
+      q.processAllAvailable()
+      batch(5 until 15, "b2")
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(spark.read.parquet(s"$root/out").count() == 15) // 20 sent, 5 dups dropped
+  }
+
   test("watermarked windowed aggregation over a file stream") {
     val root = Files.createTempDirectory("graft_window").toString
     val evSchema = StructType(Seq(StructField("ts", TimestampType),
