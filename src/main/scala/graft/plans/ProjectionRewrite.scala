@@ -1,0 +1,126 @@
+package graft.plans
+
+import scala.collection.concurrent.TrieMap
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, Expression, Literal, NamedExpression}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Sum}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+
+import graft.mergetree.ProjectionDef
+
+/** Transparent projection routing (lectures/lecture_13.md:187-314,
+  * homeworks/hw08.md: `optimize_use_projections` — scans rerouted to a
+  * pre-aggregated projection, observable as `ReadFromMergeTree (projection)`
+  * in the reference's EXPLAIN).
+  *
+  * A `Rule[LogicalPlan]` that matches `Aggregate(count/sum over a base
+  * parquet scan)` where a registered projection of that base table covers
+  * the grouping keys and summed columns, and rewrites the plan to
+  * re-aggregate the projection's partial states instead — exact, because
+  * counts and sums are re-aggregable. Output attribute ids are preserved
+  * via an aliasing Project so parent operators are untouched.
+  *
+  * Registered through [[GraftExtensions]]
+  * (`spark.sql.extensions=graft.plans.GraftExtensions`) or
+  * `ProjectionRouting.register(...)` + GraftSession.
+  */
+object ProjectionRouting {
+  /** base-table path → projection */
+  private[plans] val registered = TrieMap.empty[String, ProjectionDef]
+
+  private[plans] val planCache = TrieMap.empty[String, LogicalPlan]
+
+  def register(basePath: String, p: ProjectionDef): Unit =
+    registered.put(normalize(basePath), p)
+  def clear(): Unit = { registered.clear(); planCache.clear() }
+
+  private[plans] def normalize(p: String): String =
+    p.stripSuffix("/").replaceFirst("^file:", "")
+
+  private[plans] def forPlan(plan: LogicalPlan): Option[ProjectionDef] = plan match {
+    case LogicalRelation(fs: HadoopFsRelation, _, _, _, _) =>
+      fs.location.rootPaths.headOption
+        .flatMap(rp => registered.get(normalize(rp.toString)))
+    // see through the column-pruning Project the optimizer inserts
+    case Project(projList, child) if projList.forall(_.isInstanceOf[AttributeReference]) =>
+      forPlan(child)
+    case _ => None
+  }
+}
+
+class ProjectionRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+    case agg @ Aggregate(groupExprs, aggExprs, child, _)
+        if ProjectionRouting.forPlan(child).isDefined =>
+      val p = ProjectionRouting.forPlan(child).get
+      rewrite(agg, groupExprs, aggExprs, p).getOrElse(agg)
+  }
+
+  private def rewrite(agg: Aggregate, groupExprs: Seq[Expression],
+                      aggExprs: Seq[NamedExpression],
+                      p: ProjectionDef): Option[LogicalPlan] = {
+    // grouping keys must be plain columns covered by the projection
+    val groupAttrs = groupExprs.map {
+      case a: AttributeReference if p.groupCols.contains(a.name) => a
+      case _ => return None
+    }
+    // each output must be a grouping attr, count(*) / count(lit), or sum(col)
+    sealed trait Out
+    case class GroupOut(name: String) extends Out
+    case object CountOut extends Out
+    case class SumOut(col: String) extends Out
+    val outs: Seq[(NamedExpression, Out)] = aggExprs.map {
+      case a: AttributeReference if p.groupCols.contains(a.name) => a -> GroupOut(a.name)
+      case al @ Alias(AggregateExpression(Count(Seq(Literal(_, _))), _, false, None, _), _) =>
+        al -> CountOut
+      case al @ Alias(AggregateExpression(Count(Nil), _, false, None, _), _) =>
+        al -> CountOut
+      case al @ Alias(AggregateExpression(Sum(ar: AttributeReference, _), _, false, None, _), _)
+          if p.sumCols.contains(ar.name) =>
+        al -> SumOut(ar.name)
+      case _ => return None
+    }
+
+    // build the projection scan (analyzed once per path) and map names →
+    // its attributes
+    val projPlan = ProjectionRouting.planCache.getOrElseUpdate(p.path,
+      spark.read.parquet(p.path).queryExecution.analyzed)
+    val projAttr: Map[String, Attribute] =
+      projPlan.output.map(a => a.name -> a).toMap
+    if (!p.groupCols.forall(projAttr.contains) ||
+        !projAttr.contains("__cnt")) return None
+
+    val newGroup = groupAttrs.map(a => projAttr(a.name))
+    val newAggExprs: Seq[NamedExpression] = outs.map {
+      case (orig, GroupOut(n)) => projAttr(n)
+      case (orig, CountOut) =>
+        Alias(Sum(projAttr("__cnt")).toAggregateExpression(), orig.name)()
+      case (orig, SumOut(c)) =>
+        Alias(Sum(projAttr(s"__sum_$c")).toAggregateExpression(), orig.name)()
+    }
+    val newAgg = Aggregate(newGroup, newAggExprs, projPlan, None)
+
+    // re-alias outputs to the ORIGINAL exprIds/types so parents resolve
+    val restore: Seq[NamedExpression] = agg.output.zip(newAgg.output).map {
+      case (old, fresh) =>
+        val castFresh =
+          if (fresh.dataType == old.dataType) fresh
+          else org.apache.spark.sql.catalyst.expressions.Cast(fresh, old.dataType)
+        Alias(castFresh, old.name)(exprId = old.exprId)
+    }
+    Some(Project(restore, newAgg))
+  }
+}
+
+/** `spark.sql.extensions` entry point: projection routing + the graft
+  * native function surface, available without any GraftSession helper.
+  */
+class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
+  override def apply(e: org.apache.spark.sql.SparkSessionExtensions): Unit = {
+    e.injectOptimizerRule(session => new ProjectionRewrite(session))
+  }
+}

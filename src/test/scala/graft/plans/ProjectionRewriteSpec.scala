@@ -1,0 +1,82 @@
+package graft.plans
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.mergetree.{ProjectionDef, Projections}
+
+class ProjectionRewriteSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("aggregate over base table is transparently routed to the projection") {
+    val root = Files.createTempDirectory("graft_projrw").toString
+    val base = s"$root/base"
+    (1 to 10000).map(i => (s"g${i % 7}", s"s${i % 3}", i.toLong))
+      .toDF("g", "s", "v").write.parquet(base)
+
+    val p = ProjectionDef("by_g_s", Seq("g", "s"), Seq("v"), s"$root/proj")
+    Projections.materialize(spark.read.parquet(base), p)
+    ProjectionRouting.register(base, p)
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations :+ new ProjectionRewrite(spark)
+    try {
+      val q = spark.read.parquet(base).groupBy($"g")
+        .agg(count(lit(1)).as("n"), sum($"v").as("sv"))
+      // plan must read the projection, not the base table
+      val scans = q.queryExecution.optimizedPlan.collect {
+        case r: org.apache.spark.sql.execution.datasources.LogicalRelation => r
+      }
+      val paths = scans.flatMap {
+        case org.apache.spark.sql.execution.datasources.LogicalRelation(
+          fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation, _, _, _, _) =>
+          fs.location.rootPaths.map(_.toString)
+        case _ => Nil
+      }
+      assert(paths.exists(_.contains("proj")), s"expected projection scan, got $paths")
+      assert(!paths.exists(_.endsWith("base")), s"base still scanned: $paths")
+
+      // and results must equal the direct aggregation
+      ProjectionRouting.clear()
+      val direct = spark.read.parquet(base).groupBy($"g")
+        .agg(count(lit(1)).as("n"), sum($"v").as("sv"))
+        .as[(String, Long, Long)].collect().toSet
+      ProjectionRouting.register(base, p)
+      val routed = q.as[(String, Long, Long)].collect().toSet
+      assert(routed == direct)
+    } finally {
+      ProjectionRouting.clear()
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations
+          .filterNot(_.isInstanceOf[ProjectionRewrite])
+    }
+  }
+
+  test("non-covered aggregates are left untouched") {
+    val root = Files.createTempDirectory("graft_projrw2").toString
+    val base = s"$root/base"
+    (1 to 100).map(i => (s"g${i % 3}", i.toLong, i * 2.0)).toDF("g", "v", "w")
+      .write.parquet(base)
+    val p = ProjectionDef("by_g", Seq("g"), Seq("v"), s"$root/proj")
+    Projections.materialize(spark.read.parquet(base), p)
+    ProjectionRouting.register(base, p)
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations :+ new ProjectionRewrite(spark)
+    try {
+      // sum(w) is NOT covered → must read the base table and stay correct
+      val q = spark.read.parquet(base).groupBy($"g").agg(sum($"w").as("sw"))
+      val paths = q.queryExecution.optimizedPlan.collect {
+        case org.apache.spark.sql.execution.datasources.LogicalRelation(
+          fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation, _, _, _, _) =>
+          fs.location.rootPaths.map(_.toString)
+      }.flatten
+      assert(paths.exists(_.endsWith("base")))
+      assert(q.as[(String, Double)].collect().toMap.size == 3)
+    } finally {
+      ProjectionRouting.clear()
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations
+          .filterNot(_.isInstanceOf[ProjectionRewrite])
+    }
+  }
+}
