@@ -65,6 +65,31 @@ object ChRegistry {
     f("JSONExtractString")(e => jsonPath(e(0), e(1)))
     f("JSONExtractInt")(e => Cast(jsonPath(e(0), e(1)), LongType))
     f("JSONExtractFloat")(e => Cast(jsonPath(e(0), e(1)), DoubleType))
+
+    // arrayJoin is the row-expanding form (lectures/lecture_06.md:17-28)
+    f("arrayJoin")(e => Explode(e.head))
+
+    // parser-backed dialect macros — inlined expressions, so Catalyst
+    // optimizes through them like any built-in
+    val macros = new ChUdfs(spark)
+    macros.createFunction("toStartOfInterval", Seq("t", "s"),
+      "timestamp_seconds(CAST(unix_timestamp(t) / s AS LONG) * s)", orReplace = true)
+    macros.createFunction("has", Seq("arr", "x"), "array_contains(arr, x)",
+      orReplace = true)
+    macros.createFunction("arrayStringConcat", Seq("arr", "sep"),
+      "array_join(arr, sep)", orReplace = true)
+    macros.createFunction("extractAll", Seq("s", "re"),
+      "regexp_extract_all(s, re, 0)", orReplace = true)
+    macros.createFunction("splitByChar", Seq("sep", "s"),
+      "split(s, concat('\\\\Q', sep, '\\\\E'))", orReplace = true)
+    macros.createFunction("formatReadableSize", Seq("b"),
+      """CASE WHEN b >= 1125899906842624D THEN format_string('%.2f PiB', CAST(b AS DOUBLE) / 1125899906842624D)
+        |     WHEN b >= 1099511627776D THEN format_string('%.2f TiB', CAST(b AS DOUBLE) / 1099511627776D)
+        |     WHEN b >= 1073741824D THEN format_string('%.2f GiB', CAST(b AS DOUBLE) / 1073741824D)
+        |     WHEN b >= 1048576D THEN format_string('%.2f MiB', CAST(b AS DOUBLE) / 1048576D)
+        |     WHEN b >= 1024D THEN format_string('%.2f KiB', CAST(b AS DOUBLE) / 1024D)
+        |     ELSE format_string('%.2f B', CAST(b AS DOUBLE)) END""".stripMargin,
+      orReplace = true)
   }
 
   private def jsonPath(json: Expression, key: Expression): Expression = {

@@ -1,0 +1,65 @@
+package graft.mergetree
+
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The MergeTree storage layout contract (SURVEY.md §1.1): table = sorted
+  * columnar parts under a partition key.
+  *
+  *  - `PARTITION BY expr` → Hive-style partition directories (the
+  *    bulk-delete / pruning unit, lectures/lecture_04.md:90-102)
+  *  - table-level `ORDER BY` → range-repartition + sortWithinPartitions at
+  *    write, so parquet row-group min/max statistics are tight on the sort
+  *    key — the sparse-primary-index effect (lectures/lecture_04.md:40-42):
+  *    a point/range predicate on the sort key prunes most row groups via
+  *    footer stats, without any index structure.
+  *  - each INSERT appends new "parts" (files); [[Compaction]] is the
+  *    background merge.
+  */
+object TableLayout {
+
+  /** CREATE TABLE ... PARTITION BY p ORDER BY keys + INSERT. */
+  def writeSorted(df: DataFrame, path: String, sortKeys: Seq[String],
+                  partitionCol: Option[String] = None,
+                  mode: SaveMode = SaveMode.Overwrite,
+                  targetPartitions: Int = 0): Unit = {
+    val keyCols = sortKeys.map(col)
+    val n = if (targetPartitions > 0) targetPartitions
+            else df.sparkSession.sessionState.conf.numShufflePartitions
+    val arranged = partitionCol match {
+      case Some(p) =>
+        // co-locate rows of one partition value, sorted by the key inside
+        df.repartition(n, col(p)).sortWithinPartitions((col(p) +: keyCols): _*)
+      case None =>
+        df.repartitionByRange(n, keyCols: _*).sortWithinPartitions(keyCols: _*)
+    }
+    val w = arranged.write.mode(mode)
+    partitionCol.fold(w)(p => w.partitionBy(p)).parquet(path)
+  }
+
+  /** Per-file sort-key min/max — the analogue of system.parts'
+    * primary-key ranges; shows what footer-stat pruning has to work with.
+    */
+  def partStats(spark: SparkSession, path: String, sortKey: String): DataFrame =
+    spark.read.parquet(path)
+      .groupBy(input_file_name().as("part"))
+      .agg(count(lit(1)).as("rows"),
+        min(col(sortKey)).as(s"min_$sortKey"),
+        max(col(sortKey)).as(s"max_$sortKey"))
+
+  /** How selective can footer pruning be for an equality probe on the sort
+    * key? Returns (matching parts, total parts) — on a well-sorted table
+    * this approaches 1/total (the reference's "Parts: 1/10, Granules: 1/10"
+    * EXPLAIN output, lectures/lecture_07.md:198-230).
+    */
+  def pruningSelectivity(spark: SparkSession, path: String, sortKey: String,
+                         probe: Column): (Long, Long) = {
+    val stats = partStats(spark, path, sortKey).cache()
+    try {
+      val total = stats.count()
+      val matching = stats.filter(
+        probe >= col(s"min_$sortKey") && probe <= col(s"max_$sortKey")).count()
+      (matching, total)
+    } finally { stats.unpersist(); () }
+  }
+}

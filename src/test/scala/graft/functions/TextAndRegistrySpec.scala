@@ -58,6 +58,24 @@ class TextAndRegistrySpec extends SparkSpec {
     assert(out.getLong(3) == 7L)
   }
 
+  test("dialect macros: arrayJoin / toStartOfInterval / formatReadableSize") {
+    val r = spark.sql(
+      """SELECT arrayJoin(array(1, 2, 3)) AS x""").as[Int].collect().toSeq
+    assert(r == Seq(1, 2, 3))
+    val t = spark.sql(
+      """SELECT toStartOfInterval(TIMESTAMP '2024-01-01 10:07:43', 60) AS b"""
+    ).collect().head.getTimestamp(0).toString
+    assert(t == "2024-01-01 10:07:00.0")
+    val fs = spark.sql("SELECT formatReadableSize(1536) AS s, formatReadableSize(123) AS t")
+      .collect().head
+    assert(fs.getString(0) == "1.50 KiB" && fs.getString(1) == "123.00 B")
+    // macro output matches the Column-API implementation
+    val both = Seq(999L, 1536L, 1048576L * 3 + 12345).toDF("b")
+      .select(TextRegParityHelper.viaColumns($"b").as("c"),
+        org.apache.spark.sql.functions.call_function("formatReadableSize", $"b").as("m"))
+    assert(both.filter($"c" =!= $"m").count() == 0)
+  }
+
   test("CH aggregate names: uniq / uniqExact / argMax / groupArray") {
     Seq((1, "a", 10), (1, "b", 20), (2, "c", 5)).toDF("g", "s", "v")
       .createOrReplaceTempView("t_reg")
@@ -67,4 +85,9 @@ class TextAndRegistrySpec extends SparkSpec {
     assert(r(0).getLong(1) == 2L && r(0).getString(2) == "b")
     assert(r(1).getLong(1) == 1L && r(1).getString(2) == "c")
   }
+}
+
+object TextRegParityHelper {
+  def viaColumns(b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    ChFunctions.formatReadableSize(b)
 }
