@@ -54,7 +54,7 @@ object Dedup {
     val shingled = df
       .select(col(idCol),
         explode(NativeFunctions.shingles(
-          TextFunctions.tokens(col(textCol)), nGram)).as("sh"))
+          NativeFunctions.normTokens(col(textCol)), nGram)).as("sh"))
     val minExprs = (0 until numHashes).map(i =>
       min(xxhash64(col("sh"), lit(i))).as(s"m$i"))
     shingled.groupBy(col(idCol)).agg(minExprs.head, minExprs.tail: _*)
@@ -97,7 +97,7 @@ object Dedup {
     NativeFunctions.register(docs.sparkSession)
     val grams = docs.select(col(idCol),
       NativeFunctions.shingles(
-        TextFunctions.tokens(col(textCol)), nGram).as("g"))
+        NativeFunctions.normTokens(col(textCol)), nGram).as("g"))
     pairs
       .join(grams.select(col(idCol).as("a"), col("g").as("ga")), "a")
       .join(grams.select(col(idCol).as("b"), col("g").as("gb")), "b")
@@ -126,7 +126,7 @@ object Dedup {
                           maxHamming: Int = 3, maxBucket: Int = 1000): DataFrame = {
     NativeFunctions.register(df.sparkSession)
     val sigs = df.select(col(idCol),
-      NativeFunctions.simhash64(TextFunctions.tokens(col(textCol))).as("sig"))
+      NativeFunctions.simhash64(NativeFunctions.normTokens(col(textCol))).as("sig"))
     val chunks = sigs.select(col(idCol), col("sig"),
       explode(array((0 until 4).map(i =>
         struct(lit(i).as("ci"),

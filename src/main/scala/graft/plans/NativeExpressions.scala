@@ -144,6 +144,49 @@ object VecKernels {
 
   private val UND = org.apache.spark.unsafe.types.UTF8String.fromString("und")
 
+  /** One-pass normalize (lower, non-[a-z0-9] → space, collapse, trim) —
+    * byte-level, equivalent to the two-regex spelling on ASCII text (a
+    * multi-byte char and a regex-replaced char both collapse into the same
+    * single space; spec-asserted parity). ~10x cheaper than two Java regex
+    * passes over the document.
+    */
+  def normText(s: org.apache.spark.unsafe.types.UTF8String)
+      : org.apache.spark.unsafe.types.UTF8String = {
+    val in = s.getBytes
+    val out = new Array[Byte](in.length)
+    var o = 0
+    var pendingSpace = false
+    var i = 0
+    while (i < in.length) {
+      val b = in(i)
+      val c: Byte =
+        if (b >= 'a' && b <= 'z') b
+        else if (b >= '0' && b <= '9') b
+        else if (b >= 'A' && b <= 'Z') (b + 32).toByte
+        else ' '
+      if (c == ' ') { if (o > 0) pendingSpace = true }
+      else {
+        if (pendingSpace) { out(o) = ' '; o += 1; pendingSpace = false }
+        out(o) = c; o += 1
+      }
+      i += 1
+    }
+    org.apache.spark.unsafe.types.UTF8String.fromBytes(java.util.Arrays.copyOf(out, o))
+  }
+
+  /** One-pass normalize + whitespace tokenize (= tokens(normText)). */
+  def normTokens(s: org.apache.spark.unsafe.types.UTF8String)
+      : org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val norm = normText(s)
+    if (norm.numBytes == 0)
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[AnyRef])
+    else {
+      val parts = norm.split(SPACE, -1)
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        parts.asInstanceOf[Array[AnyRef]])
+    }
+  }
+
   private def longBytes(x: Long): Array[Byte] = {
     val out = new Array[Byte](8)
     var i = 0
@@ -210,6 +253,27 @@ case class LangIdVote(child: Expression, markers: Seq[(String, Seq[String])])
   override def prettyName: String = "graft_lang_id"
 }
 
+case class NormText(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.StringType
+  override protected def nullSafeEval(v: Any): Any =
+    VecKernels.normText(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.VecKernels.normText($c)")
+  override protected def withNewChildInternal(c: Expression): NormText = copy(child = c)
+  override def prettyName: String = "graft_norm_text"
+}
+
+case class NormTokens(child: Expression) extends UnaryExpression {
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.StringType)
+  override protected def nullSafeEval(v: Any): Any =
+    VecKernels.normTokens(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.VecKernels.normTokens($c)")
+  override protected def withNewChildInternal(c: Expression): NormTokens = copy(child = c)
+  override def prettyName: String = "graft_norm_tokens"
+}
+
 case class Shingles(child: Expression, n: Int) extends UnaryExpression {
   override def dataType: DataType =
     org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.StringType)
@@ -243,6 +307,10 @@ object NativeFunctions {
     }, "built-in")
     reg.createOrReplaceTempFunction("graft_lang_id",
       e => LangIdVote(e.head, graft.functions.TextFunctions.LangMarkers), "built-in")
+    reg.createOrReplaceTempFunction("graft_norm_text",
+      e => NormText(e.head), "built-in")
+    reg.createOrReplaceTempFunction("graft_norm_tokens",
+      e => NormTokens(e.head), "built-in")
   }
 
   def simhash64(c: Column): Column =
@@ -251,6 +319,10 @@ object NativeFunctions {
     org.apache.spark.sql.functions.call_function("graft_cosine", a, b)
   def langId(tokens: Column): Column =
     org.apache.spark.sql.functions.call_function("graft_lang_id", tokens)
+  def normText(c: Column): Column =
+    org.apache.spark.sql.functions.call_function("graft_norm_text", c)
+  def normTokens(c: Column): Column =
+    org.apache.spark.sql.functions.call_function("graft_norm_tokens", c)
   def shingles(c: Column, n: Int): Column =
     org.apache.spark.sql.functions.call_function("graft_shingles", c,
       org.apache.spark.sql.functions.lit(n))

@@ -31,8 +31,9 @@ object PipelineQueries {
       s"""WITH f AS (SELECT doc_id, md5($normSql) AS fingerprint FROM documents)
          |SELECT fingerprint, MIN(doc_id) AS keep_id, COUNT(*) AS n_dups
          |FROM f GROUP BY fingerprint ORDER BY keep_id""") { (s, dir) =>
+      graft.plans.NativeFunctions.register(s)
       Tables(s, dir).documents
-        .groupBy(TextFunctions.fingerprintMd5(col("text")).as("fingerprint"))
+        .groupBy(md5(graft.plans.NativeFunctions.normText(col("text"))).as("fingerprint"))
         .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_dups"))
         .orderBy(col("keep_id"))
     },
@@ -44,10 +45,11 @@ object PipelineQueries {
          |       ELSE len(${toksSql(normSql)}) END AS n_tokens,
          |  LENGTH(text) AS n_chars_actual
          |FROM documents ORDER BY doc_id""") { (s, dir) =>
+      graft.plans.NativeFunctions.register(s)
       Tables(s, dir).documents
         .select(col("doc_id"),
-          TextFunctions.fingerprintMd5(col("text")).as("fingerprint"),
-          TextFunctions.tokenCount(col("text")).as("n_tokens"),
+          md5(graft.plans.NativeFunctions.normText(col("text"))).as("fingerprint"),
+          size(graft.plans.NativeFunctions.normTokens(col("text"))).as("n_tokens"),
           length(col("text")).as("n_chars_actual"))
         .orderBy(col("doc_id"))
     },
@@ -67,9 +69,10 @@ object PipelineQueries {
          |WHERE CAST(len(list_intersect(a.gr, b.gr)) AS DOUBLE) /
          |      CAST(len(list_distinct(a.gr || b.gr)) AS DOUBLE) >= 0.4
          |ORDER BY a, b""") { (s, dir) =>
+      graft.plans.NativeFunctions.register(s)
       val docs = Tables(s, dir).documents
       val g = docs.select(col("doc_id"), col("source"), col("n_chars"),
-        TextFunctions.distinctWordNgrams(col("text"), 1).as("gr"))
+        array_distinct(graft.plans.NativeFunctions.normTokens(col("text"))).as("gr"))
       val a = g.select(col("source"), col("doc_id").as("a"), col("n_chars").as("nca"),
         col("gr").as("ga"))
       val b = g.select(col("source"), col("doc_id").as("b"), col("n_chars").as("ncb"),
@@ -175,7 +178,7 @@ object PipelineQueries {
       graft.plans.NativeFunctions.register(s)
       Tables(s, dir).documents
         .select(col("lang"), graft.plans.NativeFunctions.langId(
-          TextFunctions.tokens(col("text"))).as("predicted"))
+          graft.plans.NativeFunctions.normTokens(col("text"))).as("predicted"))
         .groupBy(col("lang"), col("predicted"))
         .agg(count(lit(1)).as("n"))
         .orderBy(col("lang"), col("predicted"))
@@ -196,12 +199,22 @@ object PipelineQueries {
          |  (0.5 * (CAST(stop_cnt AS DOUBLE) / greatest(CAST(n_tokens AS DOUBLE), 1.0)) +
          |   0.5 * (CAST(alpha_len AS DOUBLE) / CAST(greatest(LENGTH(text), 1) AS DOUBLE))) AS score
          |FROM b ORDER BY doc_id""") { (s, dir) =>
+      graft.plans.NativeFunctions.register(s)
+      val toks = graft.plans.NativeFunctions.normTokens(col("text"))
+      val sw = array(TextFunctions.DefaultStopwords.map(lit): _*)
+      val nTok = size(toks).cast(DoubleType)
+      val stopCnt = size(filter(toks, t => array_contains(sw, t)))
+      val alpha = length(regexp_replace(col("text"), "[^a-zA-Z]", ""))
+      val alphaRatio = alpha.cast(DoubleType) /
+        greatest(length(col("text")), lit(1)).cast(DoubleType)
+      val lenOk = when(size(toks) >= 5 && size(toks) <= 100000, lit(1.0)).otherwise(lit(0.0))
       Tables(s, dir).documents
         .select(col("doc_id"),
-          TextFunctions.tokenCount(col("text")).as("n_tokens"),
-          TextFunctions.stopwordCount(col("text")).as("stop_cnt"),
-          TextFunctions.alphaRatio(col("text")).as("alpha_ratio"),
-          TextFunctions.qualityScore(col("text")).as("score"))
+          size(toks).as("n_tokens"),
+          stopCnt.as("stop_cnt"),
+          alphaRatio.as("alpha_ratio"),
+          (lenOk * (lit(0.5) * (stopCnt.cast(DoubleType) / greatest(nTok, lit(1.0))) +
+            lit(0.5) * alphaRatio)).as("score"))
         .orderBy(col("doc_id"))
     },
 
@@ -211,9 +224,10 @@ object PipelineQueries {
          |  CASE WHEN $normSql = '' THEN 0 ELSE len(${toksSql(normSql)}) END AS ws_tokens,
          |  len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) AS bpeish_tokens
          |FROM documents ORDER BY doc_id""") { (s, dir) =>
+      graft.plans.NativeFunctions.register(s)
       Tables(s, dir).documents
         .select(col("doc_id"),
-          TextFunctions.tokenCount(col("text")).as("ws_tokens"),
+          size(graft.plans.NativeFunctions.normTokens(col("text"))).as("ws_tokens"),
           TextFunctions.bpeishTokenCount(col("text")).as("bpeish_tokens"))
         .orderBy(col("doc_id"))
     },

@@ -29,6 +29,22 @@ class TextAndRegistrySpec extends SparkSpec {
     assert(df.as[String].collect().toSeq == Seq("en", "es", "und"))
   }
 
+  test("normText/normTokens kernels match the regex definition on corpus + edges") {
+    graft.plans.NativeFunctions.register(spark)
+    val edges = Seq("Hello, World! 123", "", "  a  b ", "ab", "A-B_C.9",
+      "...", "x" * 5000).toDF("text")
+    val docs = graft.tables.Tables(spark, sfDir).documents.select("text")
+    Seq(edges, docs).foreach { df =>
+      val cmp = df.select(
+        TextFunctions.normalizeText($"text").as("re_norm"),
+        graft.plans.NativeFunctions.normText($"text").as("k_norm"),
+        TextFunctions.tokenCount($"text").as("re_cnt"),
+        org.apache.spark.sql.functions.size(
+          graft.plans.NativeFunctions.normTokens($"text")).as("k_cnt"))
+      assert(cmp.filter($"re_norm" =!= $"k_norm" || $"re_cnt" =!= $"k_cnt").count() == 0)
+    }
+  }
+
   test("native langId kernel matches the composed-functions definition") {
     graft.plans.NativeFunctions.register(spark)
     val docs = graft.tables.Tables(spark, sfDir).documents
