@@ -48,38 +48,55 @@ object FoldViews {
   }
 
   /** CollapsingMergeTree(sign) FINAL (lectures/lecture_07.md:680-736):
-    * +1/-1 rows with the same key cancel pairwise; a key survives iff its
-    * net sign is positive, represented by its latest state (+1) row.
+    * +1/-1 rows with the same key cancel pairwise; the demo's FINAL
+    * contract: positive net → the LAST state (+1) row survives; negative
+    * net → the FIRST cancel (-1) row survives ("строки без пары
+    * сохраняются"); zero net → the key vanishes.
     */
   def collapsingFinal(df: DataFrame, keys: Seq[String], sign: String,
                       version: Column): DataFrame = {
     val kw = Window.partitionBy(keys.map(col): _*)
     val withNet = df.withColumn("__net", sum(col(sign)).over(kw))
-    val w = Window.partitionBy(keys.map(col): _*).orderBy(version.desc)
-    withNet
+    val plusW = Window.partitionBy(keys.map(col): _*).orderBy(version.desc)
+    val minusW = Window.partitionBy(keys.map(col): _*).orderBy(version.asc)
+    val lastPlus = withNet
       .filter(col(sign) === 1 && col("__net") > 0)
-      .withColumn("__rn", row_number().over(w))
+      .withColumn("__rn", row_number().over(plusW))
+    val firstMinus = withNet
+      .filter(col(sign) === -1 && col("__net") < 0)
+      .withColumn("__rn", row_number().over(minusW))
+    lastPlus.unionByName(firstMinus)
       .filter(col("__rn") === 1)
       .drop("__rn", "__net")
   }
 
   /** VersionedCollapsingMergeTree(sign, version)
-    * (lectures/lecture_07.md:738-790): cancellation only pairs rows with
-    * the same key AND version (safe under out-of-order insert). FINAL =
-    * per key, the highest surviving version with positive net sign.
+    * (lectures/lecture_07.md:738-790): cancellation pairs rows with the
+    * same key AND version and opposite sign — each cancel consumes the
+    * LATEST not-yet-cancelled state (the reference demo cancels state_3 of
+    * {state_1,state_2,state_3} at the same version). FINAL = ALL surviving
+    * rows, across versions. `seq` is the insertion order within a
+    * (key, version) group.
     */
   def versionedCollapsingFinal(df: DataFrame, keys: Seq[String], sign: String,
-                               version: String,
-                               tiebreak: Seq[Column] = Nil): DataFrame = {
-    val pv = Window.partitionBy((keys :+ version).map(col): _*)
-    val surviving = df
-      .withColumn("__net", sum(col(sign)).over(pv))
-      .filter(col(sign) === 1 && col("__net") > 0)
-    val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col(version).desc +: tiebreak: _*)
-    surviving
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .drop("__rn", "__net")
+                               version: String, seq: Column): DataFrame = {
+    val kv = (keys :+ version).map(col)
+    val plusW = Window.partitionBy(kv: _*).orderBy(seq.desc)
+    val minusW = Window.partitionBy(kv: _*).orderBy(seq.desc)
+    val minusCnt = df.filter(col(sign) === -1)
+      .groupBy(kv: _*).agg(count(lit(1)).as("__m"))
+    val plusCnt = df.filter(col(sign) === 1)
+      .groupBy(kv: _*).agg(count(lit(1)).as("__p"))
+    val survivingPlus = df.filter(col(sign) === 1)
+      .withColumn("__rn", row_number().over(plusW))
+      .join(minusCnt, keys :+ version, "left")
+      .filter(col("__rn") > coalesce(col("__m"), lit(0L)))
+      .drop("__rn", "__m")
+    val survivingMinus = df.filter(col(sign) === -1)
+      .withColumn("__rn", row_number().over(minusW))
+      .join(plusCnt, keys :+ version, "left")
+      .filter(col("__rn") > coalesce(col("__p"), lit(0L)))
+      .drop("__rn", "__p")
+    survivingPlus.unionByName(survivingMinus)
   }
 }

@@ -45,16 +45,22 @@ object MergeTreeQueries {
         |         CASE WHEN event_type = 'signup' THEN 1 ELSE -1 END AS sign
         |  FROM events WHERE event_type IN ('signup', 'error')),
         |n AS (SELECT *, SUM(sign) OVER (PARTITION BY user_id) AS net FROM s)
-        |SELECT user_id, event_id, value
-        |FROM n WHERE sign = 1 AND net > 0
-        |QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) = 1
+        |SELECT user_id, event_id, value, sign FROM (
+        |  SELECT user_id, event_id, value, sign,
+        |         row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+        |  FROM n WHERE sign = 1 AND net > 0) WHERE rn = 1
+        |UNION ALL
+        |SELECT user_id, event_id, value, sign FROM (
+        |  SELECT user_id, event_id, value, sign,
+        |         row_number() OVER (PARTITION BY user_id ORDER BY event_id ASC) AS rn
+        |  FROM n WHERE sign = -1 AND net < 0) WHERE rn = 1
         |ORDER BY user_id""") { (s, dir) =>
       val signed = Tables(s, dir).events
         .filter(col("event_type").isin("signup", "error"))
         .select(col("user_id"), col("event_id"), col("value"),
           when(col("event_type") === "signup", 1).otherwise(-1).as("sign"))
       FoldViews.collapsingFinal(signed, Seq("user_id"), "sign", col("event_id"))
-        .select(col("user_id"), col("event_id"), col("value"))
+        .select(col("user_id"), col("event_id"), col("value"), col("sign"))
         .orderBy(col("user_id"))
     },
 
@@ -66,20 +72,29 @@ object MergeTreeQueries {
         |  SELECT user_id, event_id % 50 AS ver, event_id, value,
         |         CASE WHEN event_type = 'signup' THEN 1 ELSE -1 END AS sign
         |  FROM events WHERE event_type IN ('signup', 'error')),
-        |n AS (SELECT *, SUM(sign) OVER (PARTITION BY user_id, ver) AS net FROM s)
-        |SELECT user_id, ver, event_id, value
-        |FROM n WHERE sign = 1 AND net > 0
-        |QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ver DESC, event_id DESC) = 1
-        |ORDER BY user_id""") { (s, dir) =>
+        |mc AS (SELECT user_id, ver, COUNT(*) AS m FROM s WHERE sign = -1 GROUP BY user_id, ver),
+        |pc AS (SELECT user_id, ver, COUNT(*) AS p FROM s WHERE sign = 1 GROUP BY user_id, ver),
+        |sp AS (SELECT user_id, ver, event_id, value, sign,
+        |         row_number() OVER (PARTITION BY user_id, ver ORDER BY event_id DESC) AS rn
+        |       FROM s WHERE sign = 1),
+        |sm AS (SELECT user_id, ver, event_id, value, sign,
+        |         row_number() OVER (PARTITION BY user_id, ver ORDER BY event_id DESC) AS rn
+        |       FROM s WHERE sign = -1)
+        |SELECT user_id, ver, event_id, value, sign
+        |FROM sp LEFT JOIN mc USING (user_id, ver) WHERE rn > COALESCE(m, 0)
+        |UNION ALL
+        |SELECT user_id, ver, event_id, value, sign
+        |FROM sm LEFT JOIN pc USING (user_id, ver) WHERE rn > COALESCE(p, 0)
+        |ORDER BY user_id, ver, event_id""") { (s, dir) =>
       val signed = Tables(s, dir).events
         .filter(col("event_type").isin("signup", "error"))
         .select(col("user_id"), pmod(col("event_id"), lit(50)).as("ver"),
           col("event_id"), col("value"),
           when(col("event_type") === "signup", 1).otherwise(-1).as("sign"))
       FoldViews.versionedCollapsingFinal(signed, Seq("user_id"), "sign", "ver",
-          tiebreak = Seq(col("event_id").desc))
-        .select(col("user_id"), col("ver"), col("event_id"), col("value"))
-        .orderBy(col("user_id"))
+          seq = col("event_id"))
+        .select(col("user_id"), col("ver"), col("event_id"), col("value"), col("sign"))
+        .orderBy(col("user_id"), col("ver"), col("event_id"))
     },
 
     // ---- AggregatingMergeTree -State/-Merge (lectures/lecture_07.md:495-546):

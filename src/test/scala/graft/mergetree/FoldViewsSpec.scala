@@ -22,27 +22,44 @@ class FoldViewsSpec extends SparkSpec {
     assert(m == Map(1 -> 350L, 2 -> 5L))
   }
 
-  test("collapsingFinal cancels +1/-1 pairs and keeps latest positive state") {
+  test("collapsingFinal replicates the reference demo (lecture_07.md:680-736)") {
+    // INSERT (1,7,100,1); INSERT (1,7,100,-1),(1,8,150,1) → FINAL = (1,8,150,1)
+    val df = Seq(
+      (1, 7, 100, 1, 1L), (1, 7, 100, -1, 2L), (1, 8, 150, 1, 3L)
+    ).toDF("id", "pageViews", "duration", "sign", "seq")
+    val out = FoldViews.collapsingFinal(df, Seq("id"), "sign", col("seq"))
+      .select($"id", $"pageViews", $"duration", $"sign")
+      .as[(Int, Int, Int, Int)].collect().toSeq
+    assert(out == Seq((1, 8, 150, 1)))
+  }
+
+  test("collapsingFinal keeps first surplus cancel row on negative net") {
     val df = Seq(
       (1, 1, 1, 10.0), (1, 2, -1, 10.0), (1, 3, 1, 20.0),  // net +1 → keep ver3
       (2, 1, 1, 5.0), (2, 2, -1, 5.0),                     // net 0 → gone
-      (3, 1, 1, 7.0)                                       // lone +1 → keep
+      (3, 1, 1, 7.0),                                      // lone +1 → keep
+      (4, 1, -1, 9.0), (4, 2, -1, 9.5)                     // net -2 → first -1
     ).toDF("k", "ver", "sign", "v")
     val out = FoldViews.collapsingFinal(df, Seq("k"), "sign", col("ver"))
       .select($"k", $"ver").as[(Int, Int)].collect().toMap
-    assert(out == Map(1 -> 3, 3 -> 1))
+    assert(out == Map(1 -> 3, 3 -> 1, 4 -> 1))
   }
 
-  test("versionedCollapsingFinal cancels only matching (key, version) pairs") {
+  test("versionedCollapsingFinal replicates the reference demo (lecture_07.md:738-790)") {
+    // inserts: (1,'state_1',1,1),(1,'state_2',1,1),(1,'state_3',1,1),
+    //          (1,'cancel state',-1,1),
+    //          (1,'state_1',1,5),(1,'state_2',1,4),(1,'state_3',1,3),
+    //          (1,'cancel state',-1,5)
+    // captured FINAL: state_1 v1, state_2 v1, state_3 v3, state_2 v4
     val df = Seq(
-      (1, 1, 1, 1L), (1, 1, -1, 2L),   // version 1 cancelled
-      (1, 2, 1, 3L),                   // version 2 survives
-      (2, 5, -1, 4L), (2, 5, 1, 5L),   // cancelled (order-independent)
-      (2, 4, 1, 6L)                    // survives with LOWER version
-    ).toDF("k", "ver", "sign", "seq")
-    val out = FoldViews.versionedCollapsingFinal(df, Seq("k"), "sign", "ver",
-        tiebreak = Seq(col("seq").desc))
-      .select($"k", $"ver").as[(Int, Int)].collect().toMap
-    assert(out == Map(1 -> 2, 2 -> 4))
+      (1, "state_1", 1, 1, 1L), (1, "state_2", 1, 1, 2L), (1, "state_3", 1, 1, 3L),
+      (1, "cancel state", -1, 1, 4L),
+      (1, "state_1", 1, 5, 5L), (1, "state_2", 1, 4, 6L), (1, "state_3", 1, 3, 7L),
+      (1, "cancel state", -1, 5, 8L)
+    ).toDF("id", "val", "sign", "version", "seq")
+    val out = FoldViews.versionedCollapsingFinal(df, Seq("id"), "sign", "version",
+        seq = col("seq"))
+      .select($"val", $"version").as[(String, Int)].collect().toSet
+    assert(out == Set(("state_1", 1), ("state_2", 1), ("state_3", 3), ("state_2", 4)))
   }
 }
