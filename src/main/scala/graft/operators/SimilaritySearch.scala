@@ -41,6 +41,51 @@ object SimilaritySearch {
       .select(col(qIdCol), col("rank"), col(idCol), col("cosine"))
   }
 
+  /** IVF ANN: corpus clustered into `nLists` cells (k-means on a sample,
+    * deterministic seed); queries probe the `nProbe` nearest cells only.
+    * The inverted-file structure is a bucketed table — at scale, write it
+    * out partitioned by cell so probes prune partitions.
+    */
+  def ivfTopK(corpus: DataFrame, idCol: String, vecCol: String,
+              queries: DataFrame, qIdCol: String, qVecCol: String,
+              k: Int, nLists: Int = 16, nProbe: Int = 4): DataFrame = {
+    NativeFunctions.register(corpus.sparkSession)
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val featured = corpus.select(col(idCol), col(vecCol),
+      array_to_vector(col(vecCol)).as("features"))
+    val model = new KMeans().setK(nLists).setSeed(42L).setMaxIter(10)
+      .fit(featured.select(col("features")))
+    val centers: Array[Array[Float]] =
+      model.clusterCenters.map(_.toArray.map(_.toFloat))
+    def cosToCenters(v: Column): Column =
+      array(centers.map(c => NativeFunctions.cosine(v, typedlit(c.toSeq))): _*)
+    // (cos, idx) pairs sorted by cos desc; cell of a vector = best idx
+    val ranked =
+      "array_sort(transform(sequence(1, size(__cs)), " +
+        "i -> struct(element_at(__cs, i) AS c, i AS i)), " +
+        "(a, b) -> CASE WHEN a.c > b.c THEN -1 WHEN a.c < b.c THEN 1 ELSE 0 END)"
+    val bucketed = corpus
+      .withColumn("__cs", cosToCenters(col(vecCol)))
+      .withColumn("cell", expr(s"element_at($ranked, 1).i"))
+      .drop("__cs")
+    val probes = queries
+      .withColumn("__cs", cosToCenters(col(qVecCol)))
+      .withColumn("cell",
+        explode(expr(s"transform(slice($ranked, 1, $nProbe), x -> x.i)")))
+      .drop("__cs")
+    val scored = bucketed.join(broadcast(probes), Seq("cell"))
+      .filter(col(idCol) =!= col(qIdCol))
+      .select(col(qIdCol), col(idCol),
+        NativeFunctions.cosine(col(vecCol), col(qVecCol)).as("cosine"))
+      .distinct()
+    val w = Window.partitionBy(col(qIdCol))
+      .orderBy(col("cosine").desc, col(idCol))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(qIdCol), col("rank"), col(idCol), col("cosine"))
+  }
+
   /** LSH-bucketed ANN: `tables` independent hyperplane sets (standard
     * multi-table LSH); candidates share the query's bucket in ANY table —
     * or a 1-bit-flipped neighbor bucket when `multiProbe`. Miss probability
