@@ -126,6 +126,33 @@ object Mutations {
   }
 }
 
+/** BACKUP TABLE ... TO Disk / RESTORE (homeworks/hw13.md:44-158,
+  * lectures/lecture_19.md:133-159): table snapshots as directory copies —
+  * the FREEZE-hardlink analogue on a filesystem/object store.
+  */
+object Backup {
+  private def fileUtilCopy(spark: SparkSession, from: String, to: String): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val srcFs = new Path(from).getFileSystem(conf)
+    val dstFs = new Path(to).getFileSystem(conf)
+    org.apache.hadoop.fs.FileUtil.copy(srcFs, new Path(from), dstFs, new Path(to),
+      false, true, conf)
+    ()
+  }
+
+  /** BACKUP TABLE path TO dest. */
+  def backupTable(spark: SparkSession, tablePath: String, destPath: String): Unit =
+    fileUtilCopy(spark, tablePath, destPath)
+
+  /** RESTORE TABLE dest FROM backup (replaces current contents). */
+  def restoreTable(spark: SparkSession, backupPath: String, tablePath: String): Unit = {
+    val fs = new Path(tablePath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new Path(tablePath), true)
+    fileUtilCopy(spark, backupPath, tablePath)
+  }
+}
+
 /** OPTIMIZE TABLE ... FINAL / DEDUPLICATE (lectures/lecture_07.md:372-378):
   * materialize a FINAL fold back to storage, or drop exact duplicates.
   */

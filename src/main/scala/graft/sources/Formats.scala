@@ -53,6 +53,22 @@ object Formats {
     }
   }
 
+  /** postgresql('host:port','db','table','user','pw') table function /
+    * ENGINE=PostgreSQL (homeworks/hw19.md:37-118): external RDBMS table
+    * through Spark's JDBC source. `partitionColumn` options parallelize
+    * the read at scale. Untestable in this harness (no DB endpoint); the
+    * wrapper is the documented surface.
+    */
+  def postgresql(spark: SparkSession, hostPort: String, db: String,
+                 table: String, user: String, password: String,
+                 schema: String = "public"): DataFrame =
+    spark.read.format("jdbc")
+      .option("url", s"jdbc:postgresql://$hostPort/$db")
+      .option("dbtable", s"$schema.$table")
+      .option("user", user)
+      .option("password", password)
+      .load()
+
   // ---- INSERT ... VALUES (lectures/lecture_03.md:196-203)
 
   def values(spark: SparkSession, schema: StructType, rows: Seq[Row]): DataFrame =

@@ -64,6 +64,16 @@ class MutationsSpec extends SparkSpec {
     assert(kept.count() > 0 && kept.count() < 60)
   }
 
+  test("BACKUP / RESTORE round-trips a table through a snapshot") {
+    val t = tmpTable()
+    val bak = Files.createTempDirectory("graft_bak").toString + "/snap"
+    Backup.backupTable(spark, t, bak)
+    Mutations.delete(spark, t, col("id") > 0)          // wreck the table
+    assert(spark.read.parquet(t).count() == 0)
+    Backup.restoreTable(spark, bak, t)
+    assert(spark.read.parquet(t).count() == 100)
+  }
+
   test("OPTIMIZE DEDUPLICATE drops exact duplicates") {
     val dir = Files.createTempDirectory("graft_dedup").toString + "/t"
     val df = Seq((1, "a"), (1, "a"), (2, "b")).toDF("k", "s")
