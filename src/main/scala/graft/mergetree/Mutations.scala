@@ -124,6 +124,18 @@ object Mutations {
     val cutoff = new java.sql.Timestamp(now.getTime - retainDays * 86400000L)
     delete(spark, tablePath, col(tsCol) < lit(cutoff), partitionBy)
   }
+
+  /** Column TTL (lectures/lecture_07.md:174): expired rows keep the row
+    * but reset the column to its default value — a scheduled UPDATE.
+    */
+  def applyColumnTtl(spark: SparkSession, tablePath: String, tsCol: String,
+                     column: String, default: Column, retainDays: Int,
+                     now: java.sql.Timestamp,
+                     partitionBy: Seq[String] = Nil): Unit = {
+    val cutoff = new java.sql.Timestamp(now.getTime - retainDays * 86400000L)
+    update(spark, tablePath, col(tsCol) < lit(cutoff), Map(column -> default),
+      partitionBy)
+  }
 }
 
 /** BACKUP TABLE ... TO Disk / RESTORE (homeworks/hw13.md:44-158,

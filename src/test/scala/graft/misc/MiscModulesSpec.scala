@@ -55,6 +55,31 @@ class MiscModulesSpec extends SparkSpec {
     assert(routed == direct)
   }
 
+  test("row policies filter per principal, OR-combined, pass-through otherwise") {
+    val rp = new graft.operators.RowPolicies
+    val df = Seq((1, "eu"), (2, "us"), (3, "eu"), (4, "apac")).toDF("id", "region")
+    rp.create("t", "analyst_eu", col("region") === "eu")
+    rp.create("t", "analyst_eu", col("id") === 4) // second policy ORs in
+    assert(rp.readAs(df, "t", "analyst_eu").count() == 3)
+    assert(rp.readAs(df, "t", "admin").count() == 4) // no policy → all rows
+    rp.drop("t", "analyst_eu")
+    assert(rp.readAs(df, "t", "analyst_eu").count() == 4)
+  }
+
+  test("column TTL resets expired values, keeps rows") {
+    val dir = Files.createTempDirectory("graft_colttl").toString + "/t"
+    val now = java.sql.Timestamp.valueOf("2024-06-30 00:00:00")
+    (1 to 20).map { i =>
+      (i.toLong, java.sql.Timestamp.valueOf(f"2024-06-${i % 28 + 1}%02d 12:00:00"), s"secret$i")
+    }.toDF("id", "ts", "payload").write.mode("overwrite").parquet(dir)
+    graft.mergetree.Mutations.applyColumnTtl(spark, dir, "ts", "payload",
+      lit(""), retainDays = 7, now = now)
+    val out = spark.read.parquet(dir)
+    assert(out.count() == 20) // rows survive
+    assert(out.filter($"payload" === "").count() > 0)
+    assert(out.filter($"ts" >= lit("2024-06-23 00:00:00") && $"payload" === "").count() == 0)
+  }
+
   test("multimodal decode plumbing: row-preserving, deterministic; frame sampling explodes") {
     val media = Seq((1L, "image", "abcdef".getBytes), (2L, "video", ("x" * 4096).getBytes))
       .toDF("media_id", "kind", "payload")
