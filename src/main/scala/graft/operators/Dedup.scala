@@ -42,22 +42,18 @@ object Dedup {
 
   // ---------- MinHash + LSH (shingle → minhash → band → bucket-join)
 
-  /** Per-document MinHash signature as k long columns `m0..m{k-1}`.
-    * Shingles are word n-grams; hash i is xxhash64 seeded with the
-    * permutation index (an extra hashed column) — codegen'd, no overflow
-    * under ANSI mode, folded by one hash aggregation with map-side
-    * partial min.
+  /** Per-document MinHash signature as one `sig: array<long>` column,
+    * computed by the single-pass native kernel — no shingle explode, no
+    * k-column aggregation, NO SHUFFLE: the signature stage is a pure map
+    * over the corpus, which is the shape that survives 100 TB (the
+    * explode+groupBy formulation shuffles every shingle).
     */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
                         nGram: Int = 3, numHashes: Int = 64): DataFrame = {
     NativeFunctions.register(df.sparkSession)
-    val shingled = df
-      .select(col(idCol),
-        explode(NativeFunctions.shingles(
-          NativeFunctions.normTokens(col(textCol)), nGram)).as("sh"))
-    val minExprs = (0 until numHashes).map(i =>
-      min(xxhash64(col("sh"), lit(i))).as(s"m$i"))
-    shingled.groupBy(col(idCol)).agg(minExprs.head, minExprs.tail: _*)
+    df.select(col(idCol),
+      NativeFunctions.minhashSig(
+        NativeFunctions.normTokens(col(textCol)), nGram, numHashes).as("sig"))
   }
 
   /** LSH candidate pairs: split the signature into `bands`, hash each band,
@@ -71,7 +67,7 @@ object Dedup {
     val rows = numHashes / bands
     val bandCols = (0 until bands).map { j =>
       struct(lit(j).as("band"),
-        hash((j * rows until (j + 1) * rows).map(i => col(s"m$i")): _*).as("bh"))
+        hash(slice(col("sig"), j * rows + 1, rows)).as("bh"))
     }
     val buckets = sigs
       .select(col(idCol), explode(array(bandCols: _*)).as("b"))

@@ -187,6 +187,44 @@ object VecKernels {
     }
   }
 
+  /** All k MinHash minima of a token array's n-gram shingle set in ONE
+    * pass — no shingle explode, no k-column aggregation, no shuffle. Hash
+    * i of a shingle = murmur64 finalizer over (base hash ^ seed_i), with
+    * per-shingle dedup done inline (duplicate shingles can't change a min).
+    */
+  def minhashSig(tokens: ArrayData, n: Int, k: Int)
+      : org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val mins = Array.fill(k)(Long.MaxValue)
+    val cnt = tokens.numElements()
+    val seen = new java.util.HashSet[Long]()
+    var i = 0
+    while (i + n <= cnt) {
+      // base hash of the shingle: chain token hashes (order-sensitive)
+      var base = 0x9747b28cL
+      var j = 0
+      while (j < n) {
+        base = base * 0xc6a4a7935bd1e995L + Hll.murmur64(
+          tokens.getUTF8String(i + j).getBytes, base)
+        j += 1
+      }
+      if (seen.add(base)) {
+        var h = 0
+        while (h < k) {
+          // murmur-style finalizer over (base ^ seed_h)
+          var x = base ^ (h.toLong * 0x9e3779b97f4a7c15L)
+          x ^= x >>> 33; x *= 0xff51afd7ed558ccdL
+          x ^= x >>> 33; x *= 0xc4ceb9fe1a85ec53L
+          x ^= x >>> 33
+          if (x < mins(h)) mins(h) = x
+          h += 1
+        }
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      mins.map(m => Long.box(m).asInstanceOf[AnyRef]))
+  }
+
   private def longBytes(x: Long): Array[Byte] = {
     val out = new Array[Byte](8)
     var i = 0
@@ -253,6 +291,17 @@ case class LangIdVote(child: Expression, markers: Seq[(String, Seq[String])])
   override def prettyName: String = "graft_lang_id"
 }
 
+case class MinHashSig(child: Expression, n: Int, k: Int) extends UnaryExpression {
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(LongType)
+  override protected def nullSafeEval(v: Any): Any =
+    VecKernels.minhashSig(v.asInstanceOf[ArrayData], n, k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.VecKernels.minhashSig($c, $n, $k)")
+  override protected def withNewChildInternal(c: Expression): MinHashSig = copy(child = c)
+  override def prettyName: String = "graft_minhash_sig"
+}
+
 case class NormText(child: Expression) extends UnaryExpression {
   override def dataType: DataType = org.apache.spark.sql.types.StringType
   override protected def nullSafeEval(v: Any): Any =
@@ -311,6 +360,11 @@ object NativeFunctions {
       e => NormText(e.head), "built-in")
     reg.createOrReplaceTempFunction("graft_norm_tokens",
       e => NormTokens(e.head), "built-in")
+    reg.createOrReplaceTempFunction("graft_minhash_sig", {
+      case Seq(v, Literal(n: Int, IntegerType), Literal(k: Int, IntegerType)) =>
+        MinHashSig(v, n, k)
+      case e => MinHashSig(e.head, 3, 64)
+    }, "built-in")
   }
 
   def simhash64(c: Column): Column =
@@ -323,6 +377,9 @@ object NativeFunctions {
     org.apache.spark.sql.functions.call_function("graft_norm_text", c)
   def normTokens(c: Column): Column =
     org.apache.spark.sql.functions.call_function("graft_norm_tokens", c)
+  def minhashSig(tokens: Column, n: Int, k: Int): Column =
+    org.apache.spark.sql.functions.call_function("graft_minhash_sig", tokens,
+      org.apache.spark.sql.functions.lit(n), org.apache.spark.sql.functions.lit(k))
   def shingles(c: Column, n: Int): Column =
     org.apache.spark.sql.functions.call_function("graft_shingles", c,
       org.apache.spark.sql.functions.lit(n))
