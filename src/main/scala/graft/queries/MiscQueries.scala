@@ -284,6 +284,34 @@ object MiscQueries {
           |FROM orders_udf GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
     },
 
+    // ---- multi-array ARRAY JOIN zip (lectures/lecture_06.md:29-41):
+    // a value array zipped with its positions, exploded in lockstep
+    Q("q45_array_join_zip",
+      """SELECT pos, COUNT(*) AS n, MIN(word) AS min_word
+        |FROM (SELECT unnest(string_split(p_type, ' ')) AS word,
+        |             unnest(range(1, len(string_split(p_type, ' ')) + 1)) AS pos
+        |      FROM part)
+        |GROUP BY pos ORDER BY pos""") { (s, dir) =>
+      Tables(s, dir).part
+        .select(posexplode(split(col("p_type"), " ")).as(Seq("pos0", "word")))
+        .select((col("pos0") + 1).as("pos"), col("word"))
+        .groupBy(col("pos"))
+        .agg(count(lit(1)).as("n"), min(col("word")).as("min_word"))
+        .orderBy(col("pos"))
+    },
+
+    // ---- Map literal + subscript (lectures/lecture_20.md:546,635-636:
+    // map('k', v) and ProfileEvents['UserTimeMicroseconds'])
+    Q("q46_map_subscript",
+      """SELECT MAP{'et': event_type}['et'][1] AS et, COUNT(*) AS n
+        |FROM events GROUP BY et ORDER BY et""") { (s, dir) =>
+      Tables(s, dir).events
+        .select(map(lit("et"), col("event_type")).as("m"))
+        .select(element_at(col("m"), "et").as("et"))
+        .groupBy(col("et")).agg(count(lit(1)).as("n"))
+        .orderBy(col("et"))
+    },
+
     // ---- formatReadableSize (lectures/lecture_09.md:326)
     Q("q40_format_readable",
       """SELECT o_orderkey,

@@ -45,6 +45,23 @@ class FoldViewsSpec extends SparkSpec {
     assert(out == Map(1 -> 3, 3 -> 1, 4 -> 1))
   }
 
+  test("GraphiteRollup thins by age band: fine recent, coarse old") {
+    // now = 10000s; retention: age>=3600 → 600s step, age>=7200 → 3600s step
+    val rows = (0 until 10000 by 60).map(t => ("cpu", t.toLong, 1.0))
+    val df = rows.toDF("path", "t", "v")
+    val out = GraphiteRollup.rollup(df, "path", "t", "v", lit(10000L),
+      Seq((3600L, 600L), (7200L, 3600L)))
+    val buckets = out.select($"t", $"points_folded").as[(Long, Long)].collect().toMap
+    // old region (age>=7200 → t <= 2800): 3600s buckets folding 60 points
+    assert(buckets(0L) == 47L)      // t in [0, 2820] at 60s spacing
+    // mid region: 600s buckets
+    assert(buckets(3600L) == 10L)
+    // recent region (age < 3600 → t > 6400): full precision
+    assert(buckets(6420L) == 1L)
+    // total points preserved across folds
+    assert(out.agg(sum($"points_folded")).as[Long].head() == rows.length)
+  }
+
   test("versionedCollapsingFinal replicates the reference demo (lecture_07.md:738-790)") {
     // inserts: (1,'state_1',1,1),(1,'state_2',1,1),(1,'state_3',1,1),
     //          (1,'cancel state',-1,1),
