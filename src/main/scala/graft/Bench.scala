@@ -1,13 +1,27 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, struct, xxhash64}
 
 /** Per-round benchmark: runs every registry query against
   * SPARK_GRAFT_SF_DIR and prints one JSON line with per-query seconds.
   * Queries run in name order after a small warm-up action (JIT/codegen
   * warm-up would otherwise be billed to whichever query runs first).
+  *
+  * The timed action is a checksum over EVERY column (xxhash64 of the row
+  * struct, xor-folded), not `count()`: count lets Catalyst prune whole
+  * projections on scan-shaped queries, which would understate real
+  * materialization cost.
   */
 object Bench {
+
+  private def checksum(df: DataFrame): Unit = {
+    df.select(xxhash64(struct(df.columns.map(col): _*)).as("__h"))
+      .selectExpr("bit_xor(__h)")
+      .collect()
+    ()
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -24,11 +38,11 @@ object Bench {
 
     // warm-up: a scan+agg+join exercising codegen, shuffle and parquet IO
     graft.queries.Registry.byName.get("q03_join_revenue_by_nation")
-      .foreach(q => q.fn(spark, sfDir).count())
+      .foreach(q => checksum(q.fn(spark, sfDir)))
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try { checksum(fn(spark, sfDir)) } catch { case _: Throwable => () }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }

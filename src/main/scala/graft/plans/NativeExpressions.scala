@@ -57,6 +57,34 @@ object VecKernels {
     if (denom == 0.0) 0.0 else dot / denom
   }
 
+  /** Hyperplane sign matrices by (bits, seed, dim). The ±1 components
+    * depend only on those three values, so the murmur64-per-component
+    * derivation runs once per executor instead of once per ROW — the
+    * per-row kernel is then a pure multiply-accumulate over a cached
+    * float matrix (bits×dim fewer hashes and zero allocations per row on
+    * the hottest ANN path).
+    */
+  private val planeCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int, Int), Array[Float]]()
+
+  private def planes(bits: Int, seed: Int, dim: Int): Array[Float] =
+    planeCache.computeIfAbsent((bits, seed, dim), { key =>
+      val (b, s, d) = key
+      val m = new Array[Float](b * d)
+      var j = 0
+      while (j < b) {
+        var i = 0
+        while (i < d) {
+          val h = Hll.murmur64(longBytes(
+            (s.toLong << 32) ^ (j.toLong * 1000003L + i)))
+          m(j * d + i) = if ((h & 1L) == 1L) 1.0f else -1.0f
+          i += 1
+        }
+        j += 1
+      }
+      m
+    })
+
   /** Signed-random-projection LSH bucket: `bits` hyperplanes with
     * deterministic ±1 components derived from murmur64(plane, dim).
     * Vectors within a small angle land in the same bucket with high
@@ -64,16 +92,15 @@ object VecKernels {
     */
   def lshBucket(v: ArrayData, bits: Int, seed: Int): Int = {
     val n = v.numElements()
+    val m = planes(bits, seed, n)
     var sig = 0
     var j = 0
     while (j < bits) {
       var acc = 0.0
+      val off = j * n
       var i = 0
       while (i < n) {
-        val h = Hll.murmur64(longBytes(
-          (seed.toLong << 32) ^ (j.toLong * 1000003L + i)))
-        val sign = if ((h & 1L) == 1L) 1.0 else -1.0
-        acc += sign * v.getFloat(i)
+        acc += m(off + i) * v.getFloat(i)
         i += 1
       }
       if (acc >= 0) sig |= 1 << j

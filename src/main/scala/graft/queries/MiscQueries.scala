@@ -33,7 +33,7 @@ object MiscQueries {
     // ---- JSONExtract* (clusters/ch_and_kafka/db/init.sql:59-62)
     Q("q28_json_extract",
       """SELECT event_type,
-        |  SUM(CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT)) AS sum_k,
+        |  CAST(SUM(CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT)) AS BIGINT) AS sum_k,
         |  COUNT(*) AS n
         |FROM events GROUP BY event_type ORDER BY event_type""") { (s, dir) =>
       Tables(s, dir).events

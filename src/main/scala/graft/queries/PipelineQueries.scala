@@ -73,11 +73,19 @@ object PipelineQueries {
       val docs = Tables(s, dir).documents
       val g = docs.select(col("doc_id"), col("source"), col("n_chars"),
         array_distinct(graft.plans.NativeFunctions.normTokens(col("text"))).as("gr"))
-      val a = g.select(col("source"), col("doc_id").as("a"), col("n_chars").as("nca"),
-        col("gr").as("ga"))
+      // Blocking key is (source, 20-char length band), not source alone:
+      // |Δn_chars| <= 20 implies the bands differ by at most 1, so the a
+      // side joins on its own band while the b side fans out to band±1 —
+      // bounded buckets instead of an all-pairs join within a
+      // low-cardinality source key. The three b-side keys are distinct, so
+      // each qualifying pair matches exactly once (no post-join dedup).
+      val band = floor(col("n_chars") / 20).cast(LongType)
+      val a = g.select(col("source"), band.as("band"), col("doc_id").as("a"),
+        col("n_chars").as("nca"), col("gr").as("ga"))
       val b = g.select(col("source"), col("doc_id").as("b"), col("n_chars").as("ncb"),
-        col("gr").as("gb"))
-      a.join(b, Seq("source"))
+        col("gr").as("gb"),
+        explode(array(band - 1, band, band + 1)).as("band"))
+      a.join(b, Seq("source", "band"))
         .filter(col("a") < col("b") && abs(col("nca") - col("ncb")) <= 20)
         .withColumn("jaccard",
           size(array_intersect(col("ga"), col("gb"))).cast(DoubleType) /
