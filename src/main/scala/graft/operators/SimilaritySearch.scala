@@ -1,7 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.plans.NativeFunctions
@@ -17,10 +16,24 @@ import graft.plans.NativeFunctions
   *    only same-bucket candidates are scored. Multi-probe (flipping one
   *    signature bit) recovers most boundary misses at ~bits× candidate
   *    cost.
+  *  - [[ivfTopK]] / [[ivfWrite]]+[[ivfProbe]]: IVF — k-means cells fit on
+  *    a bounded sample, cell assignment in one codegen'd pass; the
+  *    persisted form partitions the corpus by cell so probes prune
+  *    partitions at the scan.
+  *
+  * All variants finish with [[TopK.perGroup]] — a partial-aggregatable
+  * bounded-heap aggregator (O(k) state per query on every map side), not a
+  * `row_number` window that would funnel every candidate for a query into
+  * a single reducer.
   */
 object SimilaritySearch {
 
   def cosine(a: Column, b: Column): Column = NativeFunctions.cosine(a, b)
+
+  private def topK(scored: DataFrame, qIdCol: String, idCol: String,
+                   k: Int): DataFrame =
+    TopK.perGroup(scored, Seq(qIdCol), idCol, "cosine", k)
+      .select(col(qIdCol), col("rank"), col(idCol), col("cosine"))
 
   /** Exact top-k neighbors for each query vector (self-matches excluded
     * when ids collide). Output: (query id, rank, neighbor id, cosine).
@@ -34,57 +47,133 @@ object SimilaritySearch {
       .filter(col(idCol) =!= col(qIdCol))
       .select(col(qIdCol), col(idCol),
         NativeFunctions.cosine(col(vecCol), col(qVecCol)).as("cosine"))
-    val w = Window.partitionBy(col(qIdCol))
-      .orderBy(col("cosine").desc, col(idCol))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col(qIdCol), col("rank"), col(idCol), col("cosine"))
+    topK(scored, qIdCol, idCol, k)
   }
 
-  /** IVF ANN: corpus clustered into `nLists` cells (k-means on a sample,
-    * deterministic seed); queries probe the `nProbe` nearest cells only.
-    * The inverted-file structure is a bucketed table — at scale, write it
-    * out partitioned by cell so probes prune partitions.
+  // ---------------------------------------------------------------- IVF
+
+  /** K-means cell centers fit on a bounded, seeded sample — NOT the full
+    * corpus (Spark ML KMeans makes maxIter+1 passes over its input; at
+    * 100 TB that must be over ~`maxTrain` rows, one sampling scan total).
+    * Small corpora (below `8 × nLists` sampled rows) fall back to a
+    * `limit(maxTrain)` slice so tests and small tables still get stable
+    * centers.
     */
-  def ivfTopK(corpus: DataFrame, idCol: String, vecCol: String,
-              queries: DataFrame, qIdCol: String, qVecCol: String,
-              k: Int, nLists: Int = 16, nProbe: Int = 4): DataFrame = {
-    NativeFunctions.register(corpus.sparkSession)
+  private def fitCenters(corpus: DataFrame, vecCol: String, nLists: Int,
+                         trainFraction: Double,
+                         maxTrain: Int): Array[Array[Float]] = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
-    val featured = corpus.select(col(idCol), col(vecCol),
-      array_to_vector(col(vecCol)).as("features"))
+    val featured = corpus.select(array_to_vector(col(vecCol)).as("features"))
+    val sampled = featured
+      .sample(withReplacement = false, trainFraction, seed = 42L)
+      .limit(maxTrain)
+    val train =
+      if (sampled.limit(8 * nLists).count() < 8L * nLists)
+        featured.limit(maxTrain)
+      else sampled
     val model = new KMeans().setK(nLists).setSeed(42L).setMaxIter(10)
-      .fit(featured.select(col("features")))
-    val centers: Array[Array[Float]] =
-      model.clusterCenters.map(_.toArray.map(_.toFloat))
-    def cosToCenters(v: Column): Column =
-      array(centers.map(c => NativeFunctions.cosine(v, typedlit(c.toSeq))): _*)
-    // (cos, idx) pairs sorted by cos desc; cell of a vector = best idx
-    val ranked =
-      "array_sort(transform(sequence(1, size(__cs)), " +
-        "i -> struct(element_at(__cs, i) AS c, i AS i)), " +
-        "(a, b) -> CASE WHEN a.c > b.c THEN -1 WHEN a.c < b.c THEN 1 ELSE 0 END)"
-    val bucketed = corpus
-      .withColumn("__cs", cosToCenters(col(vecCol)))
-      .withColumn("cell", expr(s"element_at($ranked, 1).i"))
+      .fit(train)
+    model.clusterCenters.map(_.toArray.map(_.toFloat))
+  }
+
+  private def cosToCenters(centers: Array[Array[Float]])(v: Column): Column =
+    array(centers.map(c => NativeFunctions.cosine(v, typedlit(c.toSeq))): _*)
+
+  /** (cos, idx) pairs sorted by cos desc over a `__cs` scores array. */
+  private val rankedCells =
+    "array_sort(transform(sequence(1, size(__cs)), " +
+      "i -> struct(element_at(__cs, i) AS c, i AS i)), " +
+      "(a, b) -> CASE WHEN a.c > b.c THEN -1 WHEN a.c < b.c THEN 1 ELSE 0 END)"
+
+  /** Adds the best-cell column for each corpus vector. */
+  private def assignCells(df: DataFrame, vecCol: String,
+                          centers: Array[Array[Float]]): DataFrame =
+    df.withColumn("__cs", cosToCenters(centers)(col(vecCol)))
+      .withColumn("cell", expr(s"element_at($rankedCells, 1).i"))
       .drop("__cs")
-    val probes = queries
-      .withColumn("__cs", cosToCenters(col(qVecCol)))
+
+  /** Explodes each query into its `nProbe` nearest cells. */
+  private def probeCells(queries: DataFrame, qVecCol: String,
+                         centers: Array[Array[Float]],
+                         nProbe: Int): DataFrame =
+    queries
+      .withColumn("__cs", cosToCenters(centers)(col(qVecCol)))
       .withColumn("cell",
-        explode(expr(s"transform(slice($ranked, 1, $nProbe), x -> x.i)")))
+        explode(expr(s"transform(slice($rankedCells, 1, $nProbe), x -> x.i)")))
       .drop("__cs")
+
+  private def ivfScoreAndRank(bucketed: DataFrame, idCol: String,
+                              vecCol: String, probes: DataFrame,
+                              qIdCol: String, qVecCol: String,
+                              k: Int): DataFrame = {
     val scored = bucketed.join(broadcast(probes), Seq("cell"))
       .filter(col(idCol) =!= col(qIdCol))
       .select(col(qIdCol), col(idCol),
         NativeFunctions.cosine(col(vecCol), col(qVecCol)).as("cosine"))
       .distinct()
-    val w = Window.partitionBy(col(qIdCol))
-      .orderBy(col("cosine").desc, col(idCol))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col(qIdCol), col("rank"), col(idCol), col("cosine"))
+    topK(scored, qIdCol, idCol, k)
   }
+
+  /** IVF ANN, in-memory form: corpus clustered into `nLists` cells
+    * (k-means on a bounded sample, deterministic seed); queries probe the
+    * `nProbe` nearest cells only. For the persisted form whose probes
+    * prune partitions at the scan, see [[ivfWrite]] / [[ivfProbe]].
+    */
+  def ivfTopK(corpus: DataFrame, idCol: String, vecCol: String,
+              queries: DataFrame, qIdCol: String, qVecCol: String,
+              k: Int, nLists: Int = 16, nProbe: Int = 4,
+              trainFraction: Double = 0.05,
+              maxTrain: Int = 100000): DataFrame = {
+    NativeFunctions.register(corpus.sparkSession)
+    val centers = fitCenters(corpus, vecCol, nLists, trainFraction, maxTrain)
+    val bucketed = assignCells(corpus, vecCol, centers)
+    val probes = probeCells(queries, qVecCol, centers, nProbe)
+    ivfScoreAndRank(bucketed, idCol, vecCol, probes, qIdCol, qVecCol, k)
+  }
+
+  /** Builds the persisted inverted file: `path/data` holds the corpus
+    * partitioned by `cell` (so a probe's `cell IN (...)` filter prunes
+    * whole partitions at the parquet scan) and `path/centers` holds the
+    * (idx, center) table the probe side needs.
+    */
+  def ivfWrite(corpus: DataFrame, idCol: String, vecCol: String,
+               path: String, nLists: Int = 16,
+               trainFraction: Double = 0.05, maxTrain: Int = 100000): Unit = {
+    NativeFunctions.register(corpus.sparkSession)
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val centers = fitCenters(corpus, vecCol, nLists, trainFraction, maxTrain)
+    assignCells(corpus, vecCol, centers)
+      .write.mode("overwrite").partitionBy("cell").parquet(path + "/data")
+    centers.zipWithIndex
+      .map { case (c, i) => (i + 1, c.toSeq) } // cells are 1-based (element_at)
+      .toSeq.toDF("idx", "center")
+      .write.mode("overwrite").parquet(path + "/centers")
+  }
+
+  /** Probes a persisted IVF index. The probe-cell set is collected
+    * driver-side (bounded by `|queries| × nProbe`; queries are the
+    * broadcast-small side by contract) and pushed into the scan as a
+    * partition filter — only `nProbe/nLists` of the corpus is read.
+    */
+  def ivfProbe(spark: SparkSession, path: String,
+               queries: DataFrame, qIdCol: String, qVecCol: String,
+               k: Int, nProbe: Int = 4,
+               idCol: String = "vec_id",
+               vecCol: String = "embedding"): DataFrame = {
+    NativeFunctions.register(spark)
+    val centers = spark.read.parquet(path + "/centers")
+      .orderBy("idx").collect()
+      .map(_.getAs[scala.collection.Seq[Float]]("center").toArray)
+    val probes = probeCells(queries, qVecCol, centers, nProbe)
+    val cells = probes.select("cell").distinct().collect().map(_.getInt(0))
+    val bucketed = spark.read.parquet(path + "/data")
+      .filter(col("cell").isin(cells.map(Integer.valueOf): _*))
+    ivfScoreAndRank(bucketed, idCol, vecCol, probes, qIdCol, qVecCol, k)
+  }
+
+  // ---------------------------------------------------------------- LSH
 
   /** LSH-bucketed ANN: `tables` independent hyperplane sets (standard
     * multi-table LSH); candidates share the query's bucket in ANY table —
@@ -116,10 +205,6 @@ object SimilaritySearch {
       .select(col(qIdCol), col(idCol),
         NativeFunctions.cosine(col(vecCol), col(qVecCol)).as("cosine"))
       .distinct()
-    val w = Window.partitionBy(col(qIdCol))
-      .orderBy(col("cosine").desc, col(idCol))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col(qIdCol), col("rank"), col(idCol), col("cosine"))
+    topK(scored, qIdCol, idCol, k)
   }
 }

@@ -1,0 +1,101 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+
+/** One (neighbor id, score) candidate flowing into the top-k aggregate. */
+case class ScoredNeighbor(id: Long, score: Double)
+
+/** Bounded top-k buffer: parallel arrays sorted by (score desc, id asc),
+  * never longer than k. Kept as parallel primitive arrays (not an array of
+  * structs) so the serialized partial state is two flat buffers.
+  */
+case class TopKState(ids: Array[Long], scores: Array[Double])
+
+/** Partial-aggregatable per-group top-k, the scalable replacement for a
+  * `row_number` window partitioned by query id: the window shape funnels
+  * O(candidates) rows for a query into ONE reducer, while this Aggregator
+  * keeps O(k) state per query on every map side and merges k-vs-k at the
+  * final stage — the per-group analogue of the TakeOrderedAndProject plan
+  * Spark picks for a global ORDER BY + LIMIT.
+  *
+  * Ordering is (score desc, id asc), matching
+  * `Window.orderBy(col(score).desc, col(id))` so results are identical to
+  * the window formulation it replaces.
+  */
+class TopKAggregator(k: Int)
+    extends Aggregator[ScoredNeighbor, TopKState, TopKState] {
+
+  override def zero: TopKState =
+    TopKState(Array.emptyLongArray, Array.emptyDoubleArray)
+
+  @inline private def beats(s1: Double, i1: Long, s2: Double, i2: Long): Boolean =
+    s1 > s2 || (s1 == s2 && i1 < i2)
+
+  override def reduce(b: TopKState, a: ScoredNeighbor): TopKState = {
+    val n = b.ids.length
+    // fast path: buffer full and the candidate loses to the current tail
+    if (n == k && !beats(a.score, a.id, b.scores(n - 1), b.ids(n - 1))) return b
+    var pos = n
+    while (pos > 0 && beats(a.score, a.id, b.scores(pos - 1), b.ids(pos - 1)))
+      pos -= 1
+    val m = math.min(n + 1, k)
+    val ids = new Array[Long](m)
+    val scores = new Array[Double](m)
+    System.arraycopy(b.ids, 0, ids, 0, pos)
+    System.arraycopy(b.scores, 0, scores, 0, pos)
+    ids(pos) = a.id
+    scores(pos) = a.score
+    if (pos < m - 1) {
+      System.arraycopy(b.ids, pos, ids, pos + 1, m - pos - 1)
+      System.arraycopy(b.scores, pos, scores, pos + 1, m - pos - 1)
+    }
+    TopKState(ids, scores)
+  }
+
+  override def merge(b1: TopKState, b2: TopKState): TopKState = {
+    if (b2.ids.isEmpty) return b1
+    if (b1.ids.isEmpty) return b2
+    val m = math.min(b1.ids.length + b2.ids.length, k)
+    val ids = new Array[Long](m)
+    val scores = new Array[Double](m)
+    var i = 0; var j = 0; var o = 0
+    while (o < m) {
+      val takeLeft = j >= b2.ids.length ||
+        (i < b1.ids.length &&
+          beats(b1.scores(i), b1.ids(i), b2.scores(j), b2.ids(j)))
+      if (takeLeft) { ids(o) = b1.ids(i); scores(o) = b1.scores(i); i += 1 }
+      else { ids(o) = b2.ids(j); scores(o) = b2.scores(j); j += 1 }
+      o += 1
+    }
+    TopKState(ids, scores)
+  }
+
+  override def finish(b: TopKState): TopKState = b
+  override def bufferEncoder = Encoders.product[TopKState]
+  override def outputEncoder = Encoders.product[TopKState]
+}
+
+object TopK {
+
+  /** Per-group top-k of `(idCol, scoreCol)` rows grouped by `groupCols`,
+    * emitted as (groupCols*, rank, idCol, scoreCol) — identical rows to
+    * `row_number() OVER (PARTITION BY group ORDER BY score DESC, id)
+    * WHERE rank <= k`, but with O(k) partial-aggregated state instead of
+    * a per-group window reducer. `idCol` must be integral (widened to
+    * Long internally and cast back by the caller if needed).
+    */
+  def perGroup(df: DataFrame, groupCols: Seq[String], idCol: String,
+               scoreCol: String, k: Int): DataFrame = {
+    val agg = udaf(new TopKAggregator(k), Encoders.product[ScoredNeighbor])
+    df.groupBy(groupCols.map(col): _*)
+      .agg(agg(col(idCol).cast("long"), col(scoreCol).cast("double")).as("__tk"))
+      .select(groupCols.map(col) :+ col("__tk.scores").as("__sc") :+
+        posexplode(col("__tk.ids")).as(Seq("__pos", "__nid")): _*)
+      .select(groupCols.map(col) :+
+        (col("__pos") + 1).as("rank") :+
+        col("__nid").as(idCol) :+
+        element_at(col("__sc"), (col("__pos") + 1).cast("int")).as(scoreCol): _*)
+  }
+}

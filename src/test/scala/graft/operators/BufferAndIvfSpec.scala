@@ -50,4 +50,58 @@ class BufferAndIvfSpec extends SparkSpec {
     val hits = centersV.count { case (i, _) => top1.get(i).contains(1000L + i) }
     assert(hits >= 12, s"recovered $hits/15 planted twins")
   }
+
+  test("persisted IVF: probe prunes cell partitions at the scan") {
+    val rnd = new scala.util.Random(23)
+    def unit(dim: Int): Array[Float] = {
+      val v = Array.fill(dim)(rnd.nextGaussian().toFloat)
+      val n = math.sqrt(v.map(x => x * x.toDouble).sum).toFloat
+      v.map(_ / n)
+    }
+    val centersV = (0 until 12).map(i => (i.toLong, unit(32)))
+    val twins = centersV.map { case (i, c) =>
+      (1000L + i, c.map(x => x + 0.03f * rnd.nextGaussian().toFloat))
+    }
+    val decoys = (0 until 150).map(i => (2000L + i, unit(32)))
+    val corpus = (twins ++ decoys).toDF("vec_id", "embedding")
+    val queries = centersV.take(2).toDF("query_id", "qv")
+
+    val path = Files.createTempDirectory("graft_ivf").toString
+    SimilaritySearch.ivfWrite(corpus, "vec_id", "embedding", path, nLists = 8)
+    // index layout: one directory per cell
+    val cellDirs = new java.io.File(path + "/data").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("cell="))
+    assert(cellDirs.length > 1, "expected multiple cell partitions")
+
+    val res = SimilaritySearch.ivfProbe(spark, path,
+      queries, "query_id", "qv", k = 1, nProbe = 2)
+    // the probe's cell filter must reach the scan as a partition filter
+    val plan = res.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("cell"),
+      plan.take(2000))
+
+    val top1 = res.select($"query_id", $"vec_id").as[(Long, Long)].collect().toMap
+
+    // with 2 queries × 2 probes ≤ 4 of 8 cells are scanned: the scan's
+    // numFiles metric (post-pruning) must be below the full file count
+    // (DataFrame.inputFiles does NOT apply partition pruning, so compare
+    // the executed scan's metric instead)
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case q: QueryStageExec        => scans(q.plan)
+      case f: FileSourceScanExec    => Seq(f)
+      case other                    => other.children.flatMap(scans)
+    }
+    val ivfScan = scans(res.queryExecution.executedPlan)
+      .filter(_.metadata.get("Location").exists(_.contains("data")))
+    assert(ivfScan.nonEmpty, "expected a FileSourceScan over the ivf data")
+    val filesRead = ivfScan.map(_.metrics("numFiles").value).sum
+    val filesTotal = spark.read.parquet(path + "/data").inputFiles.length
+    assert(filesRead < filesTotal,
+      s"probe read $filesRead of $filesTotal files — no pruning")
+    val hits = centersV.take(2).count { case (i, _) => top1.get(i).contains(1000L + i) }
+    assert(hits >= 1, s"recovered $hits/2 planted twins via persisted probe")
+  }
 }
