@@ -15,20 +15,38 @@ import org.apache.spark.sql.functions._
   * Round-1 routing is via [[route]] (explicit); transparent Catalyst-rule
   * rewriting is the planned upgrade once plan-matching is table-driven.
   */
+/** @param sumExprs alias → SQL expression over base columns; materialized
+  *                  as `__sum_<alias>` and routed for `sum(<that expr>)`
+  *                  (the reference's own projection is
+  *                  `sum(quantity * price)`, homeworks/hw08.md:40-48)
+  * @param minCols / maxCols  re-aggregable extrema partial states
+  * @param avgCols  stored as (sum, non-null count) pairs so avg
+  *                 re-aggregates exactly
+  */
 final case class ProjectionDef(
     name: String,
     groupCols: Seq[String],
     sumCols: Seq[String],
-    path: String)
+    path: String,
+    sumExprs: Map[String, String] = Map.empty,
+    minCols: Seq[String] = Nil,
+    maxCols: Seq[String] = Nil,
+    avgCols: Seq[String] = Nil)
 
 object Projections {
 
   /** ALTER TABLE ADD PROJECTION + MATERIALIZE PROJECTION: write the
-    * pre-aggregate (count + per-column sums as partial states).
+    * pre-aggregate (count + per-column/per-expression partial states).
     */
   def materialize(base: DataFrame, p: ProjectionDef): Unit = {
-    val aggs = count(lit(1)).as("__cnt") +:
-      p.sumCols.map(c => sum(col(c)).as(s"__sum_$c"))
+    val aggs = (count(lit(1)).as("__cnt") +:
+      p.sumCols.map(c => sum(col(c)).as(s"__sum_$c"))) ++
+      p.sumExprs.toSeq.sortBy(_._1).map { case (alias, sql) =>
+        sum(expr(sql)).as(s"__sum_$alias") } ++
+      p.minCols.map(c => min(col(c)).as(s"__min_$c")) ++
+      p.maxCols.map(c => max(col(c)).as(s"__max_$c")) ++
+      p.avgCols.flatMap(c => Seq(
+        sum(col(c)).as(s"__avgsum_$c"), count(col(c)).as(s"__avgcnt_$c")))
     base.groupBy(p.groupCols.map(col): _*)
       .agg(aggs.head, aggs.tail: _*)
       .write.mode(SaveMode.Overwrite).parquet(p.path)

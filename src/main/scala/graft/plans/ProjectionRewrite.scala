@@ -3,8 +3,9 @@ package graft.plans
 import scala.collection.concurrent.TrieMap
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, Expression, Literal, NamedExpression}
-import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Sum}
+import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, Cast, Divide, Expression, Literal, NamedExpression}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Count, Max, Min, Sum}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
@@ -53,6 +54,25 @@ object ProjectionRouting {
 
 class ProjectionRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
 
+  /** Parses a registered projection expression and resolves its attribute
+    * references by name against `child`'s output, so the result can be
+    * `semanticEquals`-compared with the query's own (resolved) aggregate
+    * input. Returns None if any name doesn't resolve.
+    */
+  private def resolveAgainst(sql: String, child: LogicalPlan): Option[Expression] = {
+    try {
+      val parsed = spark.sessionState.sqlParser.parseExpression(sql)
+      // full analysis (not just name resolution) so implicit type-coercion
+      // casts are inserted exactly as they were in the user's query
+      val analyzed = spark.sessionState.analyzer.execute(
+        Project(Seq(Alias(parsed, "__projexpr")()), child))
+      analyzed match {
+        case Project(Seq(Alias(e, _)), _) if e.resolved => Some(e)
+        case _ => None
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
     case agg @ Aggregate(groupExprs, aggExprs, child, _)
         if ProjectionRouting.forPlan(child).isDefined =>
@@ -68,11 +88,26 @@ class ProjectionRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       case a: AttributeReference if p.groupCols.contains(a.name) => a
       case _ => return None
     }
-    // each output must be a grouping attr, count(*) / count(lit), or sum(col)
+    // registered sum-expressions, resolved against the aggregate's child so
+    // semanticEquals can compare them with the query's own aggregate input
+    lazy val resolvedSumExprs: Seq[(String, Expression)] =
+      p.sumExprs.toSeq.sortBy(_._1).flatMap { case (alias, sql) =>
+        resolveAgainst(sql, agg.child).map(alias -> _)
+      }
+    def matchSumExpr(e: Expression): Option[String] =
+      resolvedSumExprs.collectFirst {
+        case (alias, re) if re.semanticEquals(e) => alias
+      }
+
+    // each output must be a grouping attr or a re-aggregable covered agg
     sealed trait Out
     case class GroupOut(name: String) extends Out
     case object CountOut extends Out
     case class SumOut(col: String) extends Out
+    case class SumExprOut(alias: String) extends Out
+    case class MinOut(col: String) extends Out
+    case class MaxOut(col: String) extends Out
+    case class AvgOut(col: String) extends Out
     val outs: Seq[(NamedExpression, Out)] = aggExprs.map {
       case a: AttributeReference if p.groupCols.contains(a.name) => a -> GroupOut(a.name)
       case al @ Alias(AggregateExpression(Count(Seq(Literal(_, _))), _, false, None, _), _) =>
@@ -82,6 +117,19 @@ class ProjectionRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       case al @ Alias(AggregateExpression(Sum(ar: AttributeReference, _), _, false, None, _), _)
           if p.sumCols.contains(ar.name) =>
         al -> SumOut(ar.name)
+      case al @ Alias(AggregateExpression(Sum(e, _), _, false, None, _), _)
+          if matchSumExpr(e).isDefined =>
+        al -> SumExprOut(matchSumExpr(e).get)
+      case al @ Alias(AggregateExpression(Min(ar: AttributeReference), _, false, None, _), _)
+          if p.minCols.contains(ar.name) =>
+        al -> MinOut(ar.name)
+      case al @ Alias(AggregateExpression(Max(ar: AttributeReference), _, false, None, _), _)
+          if p.maxCols.contains(ar.name) =>
+        al -> MaxOut(ar.name)
+      case al @ Alias(AggregateExpression(Average(ar: AttributeReference, _), _, false, None, _), _)
+          if p.avgCols.contains(ar.name) &&
+            al.dataType == org.apache.spark.sql.types.DoubleType =>
+        al -> AvgOut(ar.name)
       case _ => return None
     }
 
@@ -91,8 +139,17 @@ class ProjectionRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       spark.read.parquet(p.path).queryExecution.analyzed)
     val projAttr: Map[String, Attribute] =
       projPlan.output.map(a => a.name -> a).toMap
+    val needed = outs.flatMap {
+      case (_, GroupOut(_))   => Nil
+      case (_, CountOut)      => Seq("__cnt")
+      case (_, SumOut(c))     => Seq(s"__sum_$c")
+      case (_, SumExprOut(a)) => Seq(s"__sum_$a")
+      case (_, MinOut(c))     => Seq(s"__min_$c")
+      case (_, MaxOut(c))     => Seq(s"__max_$c")
+      case (_, AvgOut(c))     => Seq(s"__avgsum_$c", s"__avgcnt_$c")
+    }
     if (!p.groupCols.forall(projAttr.contains) ||
-        !projAttr.contains("__cnt")) return None
+        !needed.forall(projAttr.contains)) return None
 
     val newGroup = groupAttrs.map(a => projAttr(a.name))
     val newAggExprs: Seq[NamedExpression] = outs.map {
@@ -101,6 +158,19 @@ class ProjectionRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
         Alias(Sum(projAttr("__cnt")).toAggregateExpression(), orig.name)()
       case (orig, SumOut(c)) =>
         Alias(Sum(projAttr(s"__sum_$c")).toAggregateExpression(), orig.name)()
+      case (orig, SumExprOut(a)) =>
+        Alias(Sum(projAttr(s"__sum_$a")).toAggregateExpression(), orig.name)()
+      case (orig, MinOut(c)) =>
+        Alias(Min(projAttr(s"__min_$c")).toAggregateExpression(), orig.name)()
+      case (orig, MaxOut(c)) =>
+        Alias(Max(projAttr(s"__max_$c")).toAggregateExpression(), orig.name)()
+      case (orig, AvgOut(c)) =>
+        // exact re-aggregation: total sum / total non-null count
+        Alias(Divide(
+          Cast(Sum(projAttr(s"__avgsum_$c")).toAggregateExpression(),
+            org.apache.spark.sql.types.DoubleType),
+          Cast(Sum(projAttr(s"__avgcnt_$c")).toAggregateExpression(),
+            org.apache.spark.sql.types.DoubleType)), orig.name)()
     }
     val newAgg = Aggregate(newGroup, newAggExprs, projPlan, None)
 

@@ -53,21 +53,71 @@ object Formats {
     }
   }
 
+  /** url('http://host/file{1..3}.csv', CSVWithNames) / ENGINE=URL
+    * (homeworks/hw02.md:75-78, lectures/lecture_09.md:285-320): brace glob
+    * expands driver-side; each expanded URL is then fetched by its own
+    * EXECUTOR task (one partition per URL), so an N-file glob downloads in
+    * parallel — the distributed analogue of the reference's url() table
+    * function. The header row comes from one small driver-side read of the
+    * first URL; every task drops its own file's header line.
+    *
+    * Columns parse with the given schema, or all-string when none —
+    * matching `url(...)` without an explicit structure; cast downstream.
+    */
+  def urlCsvWithNames(spark: SparkSession, urlPattern: String,
+                      sep: String = ",",
+                      schema: Option[StructType] = None): DataFrame = {
+    import spark.implicits._
+    val urls = braceGlob(urlPattern)
+    def open(u: String) = scala.io.Source.fromURL(u, "UTF-8")
+    val header = {
+      val src = open(urls.head)
+      try src.getLines().next() finally src.close()
+    }
+    val lines = spark.createDataset(urls).repartition(urls.size).flatMap { u =>
+      val src = open(u)
+      try src.getLines().drop(1).toVector finally src.close()
+    }
+    val cols = header.split(java.util.regex.Pattern.quote(sep), -1)
+    val s = schema.getOrElse(StructType(cols.map(c =>
+      org.apache.spark.sql.types.StructField(c, org.apache.spark.sql.types.StringType))))
+    spark.read.option("sep", sep).schema(s).csv(lines)
+  }
+
+  def urlTsvWithNames(spark: SparkSession, urlPattern: String,
+                      schema: Option[StructType] = None): DataFrame =
+    urlCsvWithNames(spark, urlPattern, "\t", schema)
+
+  /** Generic JDBC table read — the engine shared by [[postgresql]] and any
+    * other ENGINE=<RDBMS> integration. `partitionColumn` bounds
+    * parallelize the read at scale.
+    */
+  def jdbc(spark: SparkSession, url: String, table: String,
+           props: Map[String, String] = Map.empty): DataFrame =
+    props.foldLeft(spark.read.format("jdbc")
+        .option("url", url).option("dbtable", table)) {
+      case (r, (k, v)) => r.option(k, v)
+    }.load()
+
+  /** JDBC write (INSERT INTO ENGINE=PostgreSQL flow, homeworks/hw19.md). */
+  def jdbcWrite(df: DataFrame, url: String, table: String,
+                mode: SaveMode = SaveMode.Append,
+                props: Map[String, String] = Map.empty): Unit =
+    props.foldLeft(df.write.format("jdbc")
+        .option("url", url).option("dbtable", table)) {
+      case (w, (k, v)) => w.option(k, v)
+    }.mode(mode).save()
+
   /** postgresql('host:port','db','table','user','pw') table function /
     * ENGINE=PostgreSQL (homeworks/hw19.md:37-118): external RDBMS table
-    * through Spark's JDBC source. `partitionColumn` options parallelize
-    * the read at scale. Untestable in this harness (no DB endpoint); the
-    * wrapper is the documented surface.
+    * through Spark's JDBC source. The JDBC path itself is spec-exercised
+    * against embedded Derby (no postgres endpoint in this harness).
     */
   def postgresql(spark: SparkSession, hostPort: String, db: String,
                  table: String, user: String, password: String,
                  schema: String = "public"): DataFrame =
-    spark.read.format("jdbc")
-      .option("url", s"jdbc:postgresql://$hostPort/$db")
-      .option("dbtable", s"$schema.$table")
-      .option("user", user)
-      .option("password", password)
-      .load()
+    jdbc(spark, s"jdbc:postgresql://$hostPort/$db", s"$schema.$table",
+      Map("user" -> user, "password" -> password))
 
   // ---- INSERT ... VALUES (lectures/lecture_03.md:196-203)
 

@@ -52,6 +52,57 @@ class ProjectionRewriteSpec extends SparkSpec {
     }
   }
 
+  test("hw08 projection: sum(quantity*price) + min/max/avg route and match") {
+    // homeworks/hw08.md:40-48 — projection over (product_id,
+    // sum(quantity), sum(quantity*price)); extended with extrema/avg states
+    val root = Files.createTempDirectory("graft_projrw3").toString
+    val base = s"$root/base"
+    (1 to 20000).map(i =>
+        (i % 50L, (i % 7 + 1).toLong, (i % 13 + 1) * 0.5))
+      .toDF("product_id", "quantity", "price").write.parquet(base)
+
+    val p = ProjectionDef("by_product", Seq("product_id"), Seq("quantity"),
+      s"$root/proj",
+      sumExprs = Map("revenue" -> "quantity * price"),
+      minCols = Seq("price"), maxCols = Seq("price"), avgCols = Seq("price"))
+    Projections.materialize(spark.read.parquet(base), p)
+    ProjectionRouting.register(base, p)
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations :+ new ProjectionRewrite(spark)
+    try {
+      def query() = spark.read.parquet(base).groupBy($"product_id")
+        .agg(count(lit(1)).as("n"), sum($"quantity").as("sq"),
+          sum($"quantity" * $"price").as("revenue"),
+          min($"price").as("pmin"), max($"price").as("pmax"),
+          avg($"price").as("pavg"))
+      val q = query()
+      val paths = q.queryExecution.optimizedPlan.collect {
+        case org.apache.spark.sql.execution.datasources.LogicalRelation(
+          fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation, _, _, _, _) =>
+          fs.location.rootPaths.map(_.toString)
+      }.flatten
+      assert(paths.exists(_.contains("proj")), s"expected projection scan, got $paths")
+      assert(!paths.exists(_.endsWith("base")), s"base still scanned: $paths")
+
+      val routed = q.collect().map(r => r.getLong(0) -> r).toMap
+      ProjectionRouting.clear()
+      val direct = query().collect().map(r => r.getLong(0) -> r).toMap
+      assert(routed.keySet == direct.keySet)
+      routed.keySet.foreach { k =>
+        val (r, d) = (routed(k), direct(k))
+        assert(r.getLong(1) == d.getLong(1) && r.getLong(2) == d.getLong(2))
+        assert(math.abs(r.getDouble(3) - d.getDouble(3)) < 1e-9)   // revenue
+        assert(r.getDouble(4) == d.getDouble(4) && r.getDouble(5) == d.getDouble(5))
+        assert(math.abs(r.getDouble(6) - d.getDouble(6)) < 1e-12)  // avg
+      }
+    } finally {
+      ProjectionRouting.clear()
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations
+          .filterNot(_.isInstanceOf[ProjectionRewrite])
+    }
+  }
+
   test("non-covered aggregates are left untouched") {
     val root = Files.createTempDirectory("graft_projrw2").toString
     val base = s"$root/base"

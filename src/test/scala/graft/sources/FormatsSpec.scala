@@ -2,7 +2,7 @@ package graft.sources
 
 import java.nio.file.Files
 
-import org.apache.spark.sql.Row
+import org.apache.spark.sql.{Row, SaveMode}
 import org.apache.spark.sql.types._
 import graft.SparkSpec
 
@@ -62,5 +62,55 @@ class FormatsSpec extends SparkSpec {
     Formats.appendParquet(Seq(1, 2).toDF("x"), dir)
     Formats.appendParquet(Seq(3).toDF("x"), dir)
     assert(spark.read.parquet(dir).count() == 3)
+  }
+
+  test("url() + brace glob reads CSV over real HTTP (loopback server)") {
+    // homeworks/hw02.md:75-78 — url('...trips_{0..2}.gz', CSVWithNames)
+    import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
+    val files = Map(
+      "/trips_0.csv" -> "id,city\n1,berlin\n2,paris\n",
+      "/trips_1.csv" -> "id,city\n3,madrid\n",
+      "/trips_2.csv" -> "id,city\n4,rome\n5,oslo\n")
+    val server = HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    files.foreach { case (p, body) =>
+      server.createContext(p, new HttpHandler {
+        override def handle(x: HttpExchange): Unit = {
+          val b = body.getBytes("UTF-8")
+          x.sendResponseHeaders(200, b.length)
+          x.getResponseBody.write(b)
+          x.close()
+        }
+      })
+    }
+    server.start()
+    try {
+      val port = server.getAddress.getPort
+      val df = Formats.urlCsvWithNames(spark,
+        s"http://127.0.0.1:$port/trips_{0..2}.csv")
+      assert(df.columns.toSeq == Seq("id", "city"))
+      val rows = df.select($"id".cast("long"), $"city")
+        .as[(Long, String)].collect().sortBy(_._1).toSeq
+      assert(rows == Seq(1L -> "berlin", 2L -> "paris", 3L -> "madrid",
+        4L -> "rome", 5L -> "oslo"))
+      // one partition per URL: the three fetches are executor tasks
+      assert(df.rdd.getNumPartitions >= 1)
+    } finally server.stop(0)
+  }
+
+  test("JDBC round-trip against embedded Derby (postgresql() engine path)") {
+    // homeworks/hw19.md:37-118 — write, append, read back over JDBC
+    val url = "jdbc:derby:memory:graftdb;create=true"
+    val base = Seq((1L, "alpha"), (2L, "beta")).toDF("k", "s")
+    Formats.jdbcWrite(base, url, "t_rt", SaveMode.Overwrite)
+    Formats.jdbcWrite(Seq((3L, "gamma")).toDF("k", "s"), url, "t_rt")
+    val back = Formats.jdbc(spark, url, "t_rt")
+      .orderBy($"k").as[(Long, String)].collect().toSeq
+    assert(back == Seq(1L -> "alpha", 2L -> "beta", 3L -> "gamma"))
+    // table-function form: dbtable can be a subquery pushdown
+    val filtered = Formats.jdbc(spark, url,
+      """(SELECT "k" FROM t_rt WHERE "k" > 1) sub""")
+      .as[Long].collect().sorted.toSeq
+    assert(filtered == Seq(2L, 3L))
   }
 }
