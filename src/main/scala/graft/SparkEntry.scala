@@ -18,6 +18,19 @@ object SparkEntry {
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops (the
     * driver records a weaker rows-only check for those).
+    *
+    * Rows-only by design, with the reason each cannot be oracled:
+    *  - q14_uniq_approx: HyperLogLog estimate — value depends on the
+    *    engine's own hash/sketch internals (exact twin q13 IS oracled).
+    *  - q26b_state_merge_approx: same — HLL -State/-Merge partial sketches
+    *    (exact fixed-point twin q26 IS oracled).
+    *  - d05_dedup_simhash: simhash candidate set ≠ exhaustive jaccard set
+    *    (pigeonhole blocking only guarantees recall to hamming ≤ 3;
+    *    evaluated and documented at the query). Spec-checked invariants.
+    *  - d08_ann_lsh: approximate top-k — ranking beyond the planted-twin
+    *    recall spec depends on engine-internal bucket hashing.
+    *    (d04 got the verified-output oracle treatment in round 2 because
+    *    its LSH recall on this corpus is provably 1.0; these cannot.)
     */
   def oracleSql: Map[String, String] =
     graft.queries.Registry.all.flatMap(q => q.oracle.map(q.name -> _)).toMap

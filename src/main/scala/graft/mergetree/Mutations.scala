@@ -113,6 +113,65 @@ object Mutations {
     f.rename(src, dst)
   }
 
+  /** ALTER TABLE DETACH PARTITION (homeworks/hw11.md:132-163): the
+    * partition directory moves to the table's `_detached/` area (underscore-prefixed so
+    * partition discovery ignores it) — data is
+    * invisible to reads (Spark's partition discovery skips non-`col=value`
+    * directories) but not deleted.
+    */
+  def detachPartition(spark: SparkSession, tablePath: String, partCol: String,
+                      partValue: Any): Unit = {
+    val f = fs(spark, tablePath)
+    val base = tablePath.stripSuffix("/")
+    val src = new Path(s"$base/$partCol=$partValue")
+    val dst = new Path(s"$base/_detached/$partCol=$partValue")
+    require(f.exists(src), s"no partition $partCol=$partValue to detach")
+    f.mkdirs(dst.getParent)
+    f.delete(dst, true)
+    f.rename(src, dst)
+  }
+
+  /** ALTER TABLE ATTACH PARTITION: the inverse of [[detachPartition]]. */
+  def attachPartition(spark: SparkSession, tablePath: String, partCol: String,
+                      partValue: Any): Unit = {
+    val f = fs(spark, tablePath)
+    val base = tablePath.stripSuffix("/")
+    val src = new Path(s"$base/_detached/$partCol=$partValue")
+    val dst = new Path(s"$base/$partCol=$partValue")
+    require(f.exists(src), s"no detached partition $partCol=$partValue")
+    f.delete(dst, true)
+    f.rename(src, dst)
+  }
+
+  /** TRUNCATE TABLE (lectures/lecture_12.md:237-242): drop all data, keep
+    * the (empty) table directory.
+    */
+  def truncate(spark: SparkSession, tablePath: String): Unit = {
+    val f = fs(spark, tablePath)
+    val p = new Path(tablePath)
+    f.delete(p, true)
+    f.mkdirs(p)
+  }
+
+  /** RENAME TABLE a TO b: directory rename, O(1). */
+  def renameTable(spark: SparkSession, fromPath: String, toPath: String): Unit = {
+    val f = fs(spark, fromPath)
+    require(!f.exists(new Path(toPath)), s"target $toPath already exists")
+    f.rename(new Path(fromPath), new Path(toPath))
+  }
+
+  /** EXCHANGE TABLES a AND b (lectures/lecture_12.md): atomic-ish swap via
+    * a temporary name — both tables keep serving under the other's path.
+    */
+  def exchangeTables(spark: SparkSession, aPath: String, bPath: String): Unit = {
+    val f = fs(spark, aPath)
+    val tmp = new Path(aPath.stripSuffix("/") + ".__exchange__")
+    f.delete(tmp, true)
+    require(f.rename(new Path(aPath), tmp), s"cannot move $aPath aside")
+    require(f.rename(new Path(bPath), new Path(aPath)), s"cannot move $bPath")
+    require(f.rename(tmp, new Path(bPath)), "cannot finish exchange")
+  }
+
   /** Table TTL (homeworks/hw09.md:289-323): scheduled retention — delete
     * rows older than `retainDays` relative to `now`. When the table is
     * partitioned by day and the TTL aligns, prefer [[dropPartition]]
@@ -189,4 +248,128 @@ object Compaction {
     optimizeFinal(spark, tablePath,
       df => if (byCols.isEmpty) df.dropDuplicates() else df.dropDuplicates(byCols),
       partitionBy)
+}
+
+/** ALTER TABLE schema evolution (homeworks/hw03.md:35-38,
+  * lectures/lecture_08.md:90-129). ADD/DROP COLUMN are metadata-only —
+  * exactly the reference's contract, where existing parts are untouched and
+  * reads fill defaults — via a `_graft_schema.json` sidecar that
+  * [[readTable]] applies: added columns surface with their default
+  * expression on files that lack them (parquet mergeSchema covers files
+  * written after the ALTER), dropped columns disappear from reads without
+  * rewriting a byte. MATERIALIZE COLUMN / a physical drop are the explicit
+  * rewrite ops, as in the reference.
+  */
+object SchemaEvolution {
+
+  private def metaPath(tablePath: String) =
+    new Path(tablePath.stripSuffix("/") + "/_graft_schema.json")
+
+  private def fs(spark: SparkSession, path: String): FileSystem =
+    new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** added: name → default SQL expression; dropped: names hidden. */
+  final case class TableMeta(added: Map[String, String], dropped: Seq[String])
+
+  private def readMeta(spark: SparkSession, tablePath: String): TableMeta = {
+    val f = fs(spark, tablePath)
+    val p = metaPath(tablePath)
+    if (!f.exists(p)) return TableMeta(Map.empty, Nil)
+    val in = f.open(p)
+    val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    parse(txt)
+  }
+
+  private def writeMeta(spark: SparkSession, tablePath: String, m: TableMeta): Unit = {
+    val out = fs(spark, tablePath).create(metaPath(tablePath), true)
+    try out.write(render(m).getBytes("UTF-8")) finally out.close()
+  }
+
+  // json4s (already on Spark's classpath) for the sidecar encoding
+  import org.json4s._
+  import org.json4s.jackson.JsonMethods
+
+  private def render(m: TableMeta): String =
+    JsonMethods.compact(JsonMethods.render(JObject(
+      "added" -> JObject(m.added.toList.sortBy(_._1)
+        .map { case (k, v) => JField(k, JString(v)) }),
+      "dropped" -> JArray(m.dropped.map(JString(_)).toList))))
+
+  private def parse(txt: String): TableMeta = {
+    val j = JsonMethods.parse(txt)
+    val added = j \ "added" match {
+      case JObject(fields) =>
+        fields.collect { case JField(k, JString(v)) => k -> v }.toMap
+      case _ => Map.empty[String, String]
+    }
+    val dropped = j \ "dropped" match {
+      case JArray(xs) => xs.collect { case JString(s) => s }
+      case _          => Nil
+    }
+    TableMeta(added, dropped)
+  }
+
+  /** ALTER TABLE ADD COLUMN name DEFAULT expr — metadata-only, O(1). */
+  def addColumn(spark: SparkSession, tablePath: String, name: String,
+                defaultSql: String): Unit = {
+    val m = readMeta(spark, tablePath)
+    writeMeta(spark, tablePath,
+      m.copy(added = m.added + (name -> defaultSql),
+        dropped = m.dropped.filterNot(_ == name)))
+  }
+
+  /** ALTER TABLE DROP COLUMN — metadata-only, O(1). */
+  def dropColumn(spark: SparkSession, tablePath: String, name: String): Unit = {
+    val m = readMeta(spark, tablePath)
+    writeMeta(spark, tablePath,
+      m.copy(added = m.added - name, dropped = (m.dropped :+ name).distinct))
+  }
+
+  /** Read with schema evolution applied: mergeSchema across files, added
+    * columns defaulted where files lack them, dropped columns hidden.
+    */
+  def readTable(spark: SparkSession, tablePath: String): DataFrame = {
+    val m = readMeta(spark, tablePath)
+    val df = spark.read.option("mergeSchema", "true").parquet(tablePath)
+    val withAdds = m.added.toSeq.sortBy(_._1).foldLeft(df) {
+      case (acc, (name, dflt)) =>
+        if (acc.columns.contains(name))
+          acc.withColumn(name, coalesce(col(name), expr(dflt)))
+        else acc.withColumn(name, expr(dflt))
+    }
+    m.dropped.foldLeft(withAdds)((acc, d) =>
+      if (acc.columns.contains(d)) acc.drop(d) else acc)
+  }
+
+  /** ALTER TABLE ... MATERIALIZE COLUMN (and physically remove dropped
+    * columns): one copy-on-write rewrite folding the sidecar into data.
+    */
+  def materialize(spark: SparkSession, tablePath: String,
+                  partitionBy: Seq[String] = Nil): Unit = {
+    val folded = readTable(spark, tablePath)
+    val tmp = tablePath.stripSuffix("/") + ".__materializing__"
+    val f = fs(spark, tablePath)
+    f.delete(new Path(tmp), true)
+    val w = folded.write.mode(SaveMode.Overwrite)
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(tmp)
+    f.delete(new Path(tablePath), true)
+    f.rename(new Path(tmp), new Path(tablePath))
+  }
+
+  /** ALTER TABLE ... MODIFY ORDER BY (lectures/lecture_08.md:90-129): a
+    * resort-rewrite through [[TableLayout.writeSorted]] so footer-stat
+    * pruning works against the NEW key — the real cost the reference also
+    * pays (it only allows appending to the key without a rewrite).
+    */
+  def modifyOrderBy(spark: SparkSession, tablePath: String,
+                    sortKeys: Seq[String],
+                    partitionCol: Option[String] = None): Unit = {
+    val df = readTable(spark, tablePath)
+    val tmp = tablePath.stripSuffix("/") + ".__resorting__"
+    val f = fs(spark, tablePath)
+    f.delete(new Path(tmp), true)
+    TableLayout.writeSorted(df, tmp, sortKeys, partitionCol)
+    f.delete(new Path(tablePath), true)
+    f.rename(new Path(tmp), new Path(tablePath))
+  }
 }

@@ -81,4 +81,77 @@ class MutationsSpec extends SparkSpec {
     Compaction.deduplicate(spark, dir)
     assert(spark.read.parquet(dir).count() == 2)
   }
+
+  test("DETACH PARTITION hides data; ATTACH brings it back (hw11.md:132-163)") {
+    val t = tmpTable(partitioned = true)
+    assert(spark.read.parquet(t).count() == 100)
+    Mutations.detachPartition(spark, t, "p", 0)
+    assert(spark.read.parquet(t).count() == 80)            // p=0 invisible
+    assert(new java.io.File(s"$t/_detached/p=0").exists())  // but not deleted
+    Mutations.attachPartition(spark, t, "p", 0)
+    assert(spark.read.parquet(t).count() == 100)
+  }
+
+  test("TRUNCATE / RENAME / EXCHANGE TABLES") {
+    val a = tmpTable()
+    val b = Files.createTempDirectory("graft_mut").toString + "/t2"
+    Seq((999L, 9, 9.0)).toDF("id", "p", "v").write.parquet(b)
+
+    Mutations.exchangeTables(spark, a, b)
+    assert(spark.read.parquet(a).count() == 1)    // swapped
+    assert(spark.read.parquet(b).count() == 100)
+
+    val c = a.stripSuffix("/") + "_renamed"
+    Mutations.renameTable(spark, a, c)
+    assert(spark.read.parquet(c).count() == 1)
+    assert(!new java.io.File(a).exists())
+
+    Mutations.truncate(spark, c)
+    assert(new java.io.File(c).isDirectory)
+    assert(new java.io.File(c).listFiles().isEmpty)
+  }
+
+  test("ADD/DROP COLUMN are metadata-only; MATERIALIZE folds them in") {
+    val t = tmpTable()
+    val filesBefore = new java.io.File(t).listFiles().map(_.getName).toSet
+
+    SchemaEvolution.addColumn(spark, t, "source", "'legacy'")
+    SchemaEvolution.dropColumn(spark, t, "v")
+    // no data file rewritten
+    val filesAfter = new java.io.File(t).listFiles().map(_.getName).toSet
+    assert((filesAfter -- filesBefore).forall(_.contains("_graft_schema.json")))
+
+    val read = SchemaEvolution.readTable(spark, t)
+    assert(read.columns.toSet == Set("id", "p", "source"))
+    assert(read.filter($"source" === "legacy").count() == 100)
+
+    // files written AFTER the ALTER carry the column; old files default
+    Seq((101L, 0, "fresh")).toDF("id", "p", "source")
+      .write.mode("append").parquet(t)
+    val merged = SchemaEvolution.readTable(spark, t)
+    assert(merged.filter($"source" === "fresh").count() == 1)
+    assert(merged.filter($"source" === "legacy").count() == 100)
+
+    SchemaEvolution.materialize(spark, t)
+    val raw = spark.read.parquet(t)                       // no sidecar logic
+    assert(raw.columns.toSet == Set("id", "p", "source"))
+    assert(raw.filter($"source" === "legacy").count() == 100)
+  }
+
+  test("MODIFY ORDER BY resorts so footer-stat ranges are disjoint") {
+    val dir = Files.createTempDirectory("graft_sort").toString + "/t"
+    // written in key-scrambled order → file min/max ranges all overlap
+    (1 to 10000).map(i => ((i * 7919) % 10000L, s"r$i")).toDF("k", "s")
+      .repartition(4).write.parquet(dir)
+    SchemaEvolution.modifyOrderBy(spark, dir, Seq("k"))
+    val out = spark.read.parquet(dir)
+    assert(out.count() == 10000)
+    val stats = TableLayout.partStats(spark, dir, "k")
+      .orderBy($"min_k").select($"min_k", $"max_k")
+      .as[(Long, Long)].collect()
+    assert(stats.length > 1)
+    stats.sliding(2).foreach { case Array((_, max1), (min2, _)) =>
+      assert(max1 <= min2, s"file ranges overlap: $max1 > $min2")
+    }
+  }
 }
