@@ -93,6 +93,19 @@ object ChFunctions {
     }
   }
 
+  /** formatReadableQuantity(x) → "1.23 million" (decimal units: thousand /
+    * million / billion / trillion, 2 decimals — ClickHouse's formatting).
+    */
+  def formatReadableQuantity(c: Column): Column = {
+    val units = Seq("thousand", "million", "billion", "trillion")
+    val x = c.cast(DoubleType)
+    units.zipWithIndex.foldLeft(format_string("%.2f", x): Column) {
+      case (acc, (u, i)) =>
+        val p = math.pow(1000.0, (i + 1).toDouble)
+        when(x >= p, format_string(s"%.2f $u", x / p)).otherwise(acc)
+    }
+  }
+
   def splitByChar(sep: String, c: Column): Column = split(c, java.util.regex.Pattern.quote(sep))
   def extractAllCh(c: Column, re: String): Column = regexp_extract_all(c, lit(re))
   def matchCh(c: Column, re: String): Column = c.rlike(re)

@@ -91,9 +91,15 @@ object Dedup {
   def jaccardVerify(pairs: DataFrame, docs: DataFrame, idCol: String,
                     textCol: String, nGram: Int): DataFrame = {
     NativeFunctions.register(docs.sparkSession)
-    val grams = docs.select(col(idCol),
-      NativeFunctions.shingles(
-        NativeFunctions.normTokens(col(textCol)), nGram).as("g"))
+    // shingle only documents that appear in a candidate pair — candidates
+    // are a vanishing fraction of the corpus at scale, so the two
+    // verification joins see |pairs|-sized inputs, not corpus-sized ones
+    val inPairs = pairs.select(col("a").as(idCol))
+      .union(pairs.select(col("b").as(idCol))).distinct()
+    val grams = docs.join(inPairs, Seq(idCol), "left_semi")
+      .select(col(idCol),
+        NativeFunctions.shingles(
+          NativeFunctions.normTokens(col(textCol)), nGram).as("g"))
     pairs
       .join(grams.select(col(idCol).as("a"), col("g").as("ga")), "a")
       .join(grams.select(col(idCol).as("b"), col("g").as("gb")), "b")

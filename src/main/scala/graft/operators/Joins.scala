@@ -77,6 +77,41 @@ object Joins {
     carried.select(leftOut.toSeq ++ rightOut: _*)
   }
 
+  /** ASOF LEFT JOIN through the native operator
+    * ([[graft.plans.AsOfJoinPlan]] → [[graft.plans.AsOfJoinExec]], planned
+    * by the strategy [[graft.plans.GraftExtensions]] registers): one
+    * shuffle + sort per side, then a per-partition merge-scan with O(1)
+    * carried state — no union row-doubling and no null-carry columns,
+    * which [[asofLeft]]'s window formulation pays for. Semantics match
+    * [[asofLeft]] exactly (inclusive rightTime <= leftTime, latest wins).
+    */
+  def asofLeftNative(left: DataFrame, right: DataFrame, key: String,
+                     leftTime: String, rightTime: String,
+                     rightCols: Seq[String], prefix: String = "asof_"): DataFrame = {
+    val spark = left.sparkSession
+    val rsel = right.select((Seq(key, rightTime) ++ rightCols).distinct.map(col): _*)
+    val renamed = rsel.columns.foldLeft(rsel)((acc, c) =>
+      acc.withColumnRenamed(c, "__r_" + c))
+    val lplan = left.queryExecution.analyzed
+    val rplan = renamed.queryExecution.analyzed
+    def attr(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, n: String) =
+      p.output.find(_.name == n).getOrElse(
+        throw new IllegalArgumentException(s"no column $n in ${p.output.map(_.name)}"))
+    val (lk, rk) = (attr(lplan, key), attr(rplan, "__r_" + key))
+    val (lt, rt) = (attr(lplan, leftTime), attr(rplan, "__r_" + rightTime))
+    require(lk.dataType == rk.dataType, s"key types differ: ${lk.dataType} vs ${rk.dataType}")
+    require(lt.dataType == rt.dataType, s"time types differ: ${lt.dataType} vs ${rt.dataType}")
+    // usable from any session: register the strategy if the session was not
+    // built with GraftExtensions
+    if (!spark.experimental.extraStrategies.contains(graft.plans.AsOfJoinStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ graft.plans.AsOfJoinStrategy
+    val joined = org.apache.spark.sql.GraftSqlBridge.ofRows(spark,
+      graft.plans.AsOfJoinPlan(lplan, rplan, lk, rk, lt, rt, isLeftOuter = true))
+    joined.select(left.columns.map(col).toSeq ++
+      rightCols.map(c => col("__r_" + c).as(prefix + c)): _*)
+  }
+
   /** PASTE JOIN (lectures/lecture_10.md:15): positional zip of two result
     * sets. Suited to ranked/aggregated inputs (the reference uses it that
     * way); ordering must be total for determinism.

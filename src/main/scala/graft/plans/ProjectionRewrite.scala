@@ -192,5 +192,6 @@ class ProjectionRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
   override def apply(e: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(session => new ProjectionRewrite(session))
+    e.injectPlannerStrategy(_ => AsOfJoinStrategy)
   }
 }

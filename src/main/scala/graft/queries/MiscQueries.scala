@@ -312,6 +312,78 @@ object MiscQueries {
         .orderBy(col("et"))
     },
 
+    // ---- GROUP BY CUBE (lectures/lecture_06.md ROLLUP family)
+    Q("q47_cube",
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  COUNT(*) AS n
+        |FROM lineitem
+        |GROUP BY CUBE(l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""") { (s, dir) =>
+      Tables(s, dir).lineitem
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(col("l_quantity").cast(DecimalType(18, 2))).cast(DoubleType).as("sum_qty"),
+          count(lit(1)).as("n"))
+        .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
+    },
+
+    // ---- GROUPING SETS with grouping() disambiguation
+    Q("q48_grouping_sets",
+      """SELECT l_returnflag, l_linestatus,
+        |  GROUPING(l_returnflag) AS g_rf, GROUPING(l_linestatus) AS g_ls,
+        |  COUNT(*) AS n
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        |ORDER BY g_rf, g_ls, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""") { (s, dir) =>
+      Tables(s, dir).lineitem.createOrReplaceTempView("__q48_lineitem")
+      s.sql(
+        """SELECT l_returnflag, l_linestatus,
+          |  CAST(grouping(l_returnflag) AS BIGINT) AS g_rf,
+          |  CAST(grouping(l_linestatus) AS BIGINT) AS g_ls,
+          |  COUNT(*) AS n
+          |FROM __q48_lineitem
+          |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+          |ORDER BY g_rf, g_ls, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin)
+    },
+
+    // ---- quantile/quantiles (lectures/lecture_06.md): interpolated
+    // quantiles of an integer-valued column are exactly representable
+    // doubles (a + {0,.25,.5,.75}·(b-a)), so Spark percentile and DuckDB
+    // quantile_cont agree bit-for-bit
+    Q("q49_quantiles",
+      """SELECT l_returnflag,
+        |  quantile_cont(l_quantity, 0.25) AS q25,
+        |  quantile_cont(l_quantity, 0.50) AS q50,
+        |  quantile_cont(l_quantity, 0.75) AS q75,
+        |  COUNT(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""") { (s, dir) =>
+      Tables(s, dir).lineitem
+        .groupBy(col("l_returnflag"))
+        .agg(
+          percentile(col("l_quantity"), lit(0.25)).as("q25"),
+          percentile(col("l_quantity"), lit(0.50)).as("q50"),
+          percentile(col("l_quantity"), lit(0.75)).as("q75"),
+          count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag"))
+    },
+
+    // ---- formatReadableQuantity (decimal-unit sibling of q40)
+    Q("q50_format_readable_quantity",
+      """SELECT o_orderkey,
+        |  CASE WHEN q >= 1000000000000.0 THEN printf('%.2f trillion', q / 1000000000000.0)
+        |       WHEN q >= 1000000000.0 THEN printf('%.2f billion', q / 1000000000.0)
+        |       WHEN q >= 1000000.0 THEN printf('%.2f million', q / 1000000.0)
+        |       WHEN q >= 1000.0 THEN printf('%.2f thousand', q / 1000.0)
+        |       ELSE printf('%.2f', q) END AS readable
+        |FROM (SELECT o_orderkey, CAST(FLOOR(o_totalprice) * 31337 AS DOUBLE) AS q FROM orders)
+        |ORDER BY o_orderkey LIMIT 50""") { (s, dir) =>
+      Tables(s, dir).orders
+        .select(col("o_orderkey"),
+          (floor(col("o_totalprice")) * 31337).cast(DoubleType).as("q"))
+        .select(col("o_orderkey"), formatReadableQuantity(col("q")).as("readable"))
+        .orderBy(col("o_orderkey")).limit(50)
+    },
+
     // ---- formatReadableSize (lectures/lecture_09.md:326)
     Q("q40_format_readable",
       """SELECT o_orderkey,

@@ -6,6 +6,44 @@ import graft.SparkSpec
 class JoinsSpec extends SparkSpec {
   import spark.implicits._
 
+  test("asofLeftNative (custom exec): equals the window formulation on a randomized fixture") {
+    val rnd = new scala.util.Random(31)
+    val left = (1 to 4000).map(_ =>
+        (rnd.nextInt(40).toLong, rnd.nextInt(1000).toLong, rnd.nextInt(100)))
+      .toDF("k", "t", "payload").repartition(7)
+    val right = (1 to 3000).map(_ =>
+        (rnd.nextInt(50).toLong, rnd.nextInt(1000).toLong, rnd.nextDouble()))
+      .distinct // unique (k,t,v); ties on (k,t) would be ambiguous by spec
+      .toDF("k", "t", "v").repartition(5)
+    // dedupe right on (k,t) — both formulations document this requirement
+    val rightU = right.groupBy($"k", $"t").agg(max($"v").as("v"))
+
+    val native = Joins.asofLeftNative(left, rightU, "k", "t", "t", Seq("t", "v"))
+    val window = Joins.asofLeft(left, rightU, "k", "t", "t", Seq("t", "v"))
+    assert(native.count() == 4000)
+    assert(native.exceptAll(window).isEmpty && window.exceptAll(native).isEmpty)
+
+    // the plan is the custom operator, not a union+window
+    val plan = native.queryExecution.executedPlan.toString
+    assert(plan.contains("AsOfJoin"), plan.take(1500))
+    assert(!plan.contains("Window"), "native asof must not plan a window")
+  }
+
+  test("asofLeftNative: inclusive match, null keys/times never match") {
+    val left = Seq(
+      (java.lang.Long.valueOf(1L), java.lang.Long.valueOf(20L), "incl"),
+      (java.lang.Long.valueOf(1L), java.lang.Long.valueOf(4L), "early"),
+      (null.asInstanceOf[java.lang.Long], java.lang.Long.valueOf(30L), "nullk"),
+      (java.lang.Long.valueOf(1L), null.asInstanceOf[java.lang.Long], "nullt"))
+      .toDF("k", "t", "tag")
+    val right = Seq((1L, 5L, "r5"), (1L, 20L, "r20")).toDF("k", "t", "v")
+    val got = Joins.asofLeftNative(left, right, "k", "t", "t", Seq("v"))
+      .select($"tag", $"asof_v").as[(String, Option[String])]
+      .collect().toMap
+    assert(got == Map("incl" -> Some("r20"), "early" -> None,
+      "nullk" -> None, "nullt" -> None))
+  }
+
   test("asofLeft picks the most recent right row at or before left time") {
     val left = Seq((1L, 10L, "l1"), (1L, 20L, "l2"), (2L, 5L, "l3"))
       .toDF("k", "t", "tag")
