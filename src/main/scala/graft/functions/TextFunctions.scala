@@ -58,6 +58,28 @@ object TextFunctions {
 
   def distinctWordNgrams(c: Column, n: Int): Column = array_distinct(wordNgrams(c, n))
 
+  /** Winnowing document fingerprint (the MOSS scheme): hash every word
+    * k-gram, slide a window of `w` hashes, keep each window's minimum,
+    * dedup + sort. Guarantees any shared run of ≥ w+k-1 tokens between two
+    * documents shares a fingerprint, at ~1/w the storage of full shingling
+    * — the scale-friendly containment/fingerprint index.
+    *
+    * The k-gram hash is the first 8 md5 hex digits as an integer, chosen
+    * because it is engine-portable (bit-identical in any SQL engine with
+    * md5 — the DuckDB oracle reproduces it), unlike engine-internal hashes.
+    */
+  def winnowingFingerprint(c: Column, k: Int = 3, w: Int = 4): Column = {
+    val hs = transform(wordNgrams(c, k),
+      g => conv(substring(md5(g), 1, 8), 16, 10).cast(LongType))
+    val nWin = size(hs) - (w - 1)
+    val wins =
+      when(size(hs) === 0, array().cast(ArrayType(LongType)))
+        .when(nWin < 1, array(array_min(hs)))
+        .otherwise(transform(sequence(lit(1), nWin),
+          i => array_min(slice(hs, i, lit(w)))))
+    array_sort(array_distinct(wins))
+  }
+
   // ---- quality scoring: cheap, deterministic per-document features
 
   val DefaultStopwords: Seq[String] = Seq(

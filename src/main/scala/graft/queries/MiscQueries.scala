@@ -384,6 +384,26 @@ object MiscQueries {
         .orderBy(col("o_orderkey")).limit(50)
     },
 
+    // ---- join_use_nulls = 0 (ClickHouse default): unmatched right side
+    // fills TYPE DEFAULTS, not nulls — customers with no orders read 0/0.0
+    Q("q51_join_use_nulls_off",
+      """WITH o AS (SELECT o_custkey, COUNT(*) AS n_orders,
+        |             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spend
+        |           FROM orders GROUP BY o_custkey)
+        |SELECT c.c_custkey,
+        |  COALESCE(o.n_orders, 0) AS n_orders,
+        |  COALESCE(o.spend, 0.0) AS spend
+        |FROM customer c LEFT JOIN o ON c.c_custkey = o.o_custkey
+        |ORDER BY c.c_custkey""") { (s, dir) =>
+      val t = Tables(s, dir)
+      val perCust = t.orders.groupBy(col("o_custkey").as("c_custkey"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(dec2(col("o_totalprice"))).cast(DoubleType).as("spend"))
+      graft.operators.Joins.leftJoinDefaults(
+          t.customer.select(col("c_custkey")), perCust, Seq("c_custkey"))
+        .orderBy(col("c_custkey"))
+    },
+
     // ---- formatReadableSize (lectures/lecture_09.md:326)
     Q("q40_format_readable",
       """SELECT o_orderkey,

@@ -263,6 +263,36 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     },
 
+    // ---- winnowing fingerprints (MOSS scheme): k-gram md5-prefix hashes,
+    // sliding-window minima, dedup — any shared ≥ (w+k-1)-token run between
+    // docs shares a fingerprint at ~1/w the storage of full shingling. The
+    // portable md5-prefix hash makes the whole pipeline oracle-checkable.
+    Q("t04_winnowing",
+      s"""WITH t AS (SELECT doc_id, ${toksSql(normSql)} AS toks
+         |          FROM documents WHERE $normSql <> ''),
+         |g AS (SELECT doc_id,
+         |        CASE WHEN len(toks) >= 3
+         |             THEN [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+         |                   for i in range(1, len(toks)-1)]
+         |             ELSE [] END AS grams
+         |      FROM t),
+         |h AS (SELECT doc_id,
+         |        [CAST(concat('0x', substr(md5(g), 1, 8)) AS BIGINT) for g in grams] AS hs
+         |      FROM g),
+         |f AS (SELECT doc_id,
+         |        CASE WHEN len(hs) = 0 THEN []
+         |             WHEN len(hs) < 4 THEN [list_min(hs)]
+         |             ELSE list_sort(list_distinct(
+         |               [list_min(hs[i:i+3]) for i in range(1, len(hs)-2)]))
+         |        END AS fps
+         |      FROM h)
+         |SELECT doc_id, unnest(fps) AS fp FROM f ORDER BY doc_id, fp""") { (s, dir) =>
+      Tables(s, dir).documents
+        .select(col("doc_id"),
+          explode(TextFunctions.winnowingFingerprint(col("text"), k = 3, w = 4)).as("fp"))
+        .orderBy(col("doc_id"), col("fp"))
+    },
+
     // ---- multimodal binary plumbing: opaque payload bytes → per-partition
     // batch "decode" (stub codec). The oracle re-derives the stub's
     // arithmetic from the byte length / first byte — proving the

@@ -92,6 +92,30 @@ class TextAndRegistrySpec extends SparkSpec {
     assert(both.filter($"c" =!= $"m").count() == 0)
   }
 
+  test("winnowing fingerprint: shared long runs share a print; short/empty docs behave") {
+    // winnowing guarantee: a shared run of >= w+k-1 = 6 tokens must yield
+    // at least one common fingerprint
+    val shared = "the quick brown fox jumps over"
+    val df = Seq(
+      (1L, s"alpha beta $shared gamma delta"),
+      (2L, s"one two three $shared nine ten"),
+      (3L, "completely different words here entirely"),
+      (4L, "tiny doc"),   // < k tokens → no k-grams → empty fingerprint
+      (5L, "")).toDF("id", "text")
+    val fps = df.select($"id",
+        TextFunctions.winnowingFingerprint($"text", k = 3, w = 4).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    assert((fps(1) intersect fps(2)).nonEmpty, "shared 6-token run must share a print")
+    assert((fps(3) intersect fps(1)).isEmpty)
+    assert(fps(4).isEmpty && fps(5).isEmpty)
+    // compression: far fewer prints than 3-grams for a long doc
+    val doc = (1 to 200).map(i => s"w${i % 97}").mkString(" ")
+    val one = Seq((1L, doc)).toDF("id", "text")
+    val nFp = one.select(TextFunctions.winnowingFingerprint($"text").as("f"))
+      .select(org.apache.spark.sql.functions.size($"f")).as[Int].head()
+    assert(nFp > 0 && nFp < 198, s"expected winnowed set < #3-grams, got $nFp")
+  }
+
   test("CH aggregate names: uniq / uniqExact / argMax / groupArray") {
     Seq((1, "a", 10), (1, "b", 20), (2, "c", 5)).toDF("g", "s", "v")
       .createOrReplaceTempView("t_reg")

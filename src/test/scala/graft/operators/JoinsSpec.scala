@@ -44,6 +44,14 @@ class JoinsSpec extends SparkSpec {
       "nullk" -> None, "nullt" -> None))
   }
 
+  test("leftJoinDefaults fills type defaults, not nulls (join_use_nulls=0)") {
+    val left = Seq(1L, 2L, 3L).toDF("k")
+    val right = Seq((1L, 5L, "x", 1.5)).toDF("k", "n", "s", "v")
+    val got = Joins.leftJoinDefaults(left, right, Seq("k"))
+      .orderBy($"k").collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3)))
+    assert(got.toSeq == Seq((1L, 5L, "x", 1.5), (2L, 0L, "", 0.0), (3L, 0L, "", 0.0)))
+  }
+
   test("asofLeft picks the most recent right row at or before left time") {
     val left = Seq((1L, 10L, "l1"), (1L, 20L, "l2"), (2L, 5L, "l3"))
       .toDF("k", "t", "tag")
