@@ -404,6 +404,32 @@ object MiscQueries {
         .orderBy(col("c_custkey"))
     },
 
+    // ---- sessionization (batch twin of the flatMapGroupsWithState
+    // streaming operator in streaming/Sessionize.scala): 30-min-gap user
+    // sessions over the events table
+    Q("q52_sessionize",
+      """WITH e AS (SELECT user_id, epoch_ns(ts) // 1000000000 AS ts_s,
+        |             CAST(value AS DECIMAL(18,2)) AS v FROM events),
+        |s AS (SELECT user_id, ts_s, v,
+        |        CASE WHEN lag(ts_s) OVER w IS NULL
+        |               OR ts_s - lag(ts_s) OVER w > 1800 THEN 1 ELSE 0 END AS brk
+        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_s)),
+        |t AS (SELECT user_id, ts_s, v,
+        |        SUM(brk) OVER (PARTITION BY user_id ORDER BY ts_s
+        |                       ROWS UNBOUNDED PRECEDING) AS sid FROM s)
+        |SELECT user_id, MIN(ts_s) AS session_start, MAX(ts_s) AS session_end,
+        |       COUNT(*) AS n_events, CAST(SUM(v) AS DOUBLE) AS total
+        |FROM t GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""") { (s, dir) =>
+      val ev = Tables(s, dir).events
+        .select(col("user_id"), unix_timestamp(col("ts")).as("ts_s"),
+          col("value").cast(DecimalType(18, 2)).as("v"))
+      graft.streaming.Sessionize
+        .sessionizeBatch(ev, "user_id", "ts_s", "v", gapSeconds = 1800)
+        .withColumn("total", col("total").cast(DoubleType))
+        .orderBy(col("user_id"), col("session_start"))
+    },
+
     // ---- formatReadableSize (lectures/lecture_09.md:326)
     Q("q40_format_readable",
       """SELECT o_orderkey,
