@@ -49,4 +49,16 @@ object ChAggregates {
   /** uniqArray / groupUniqArray (homeworks/hw14.md:54-70). */
   def groupUniqArray(c: Column): Column = collect_set(c)
   def uniqArraySorted(c: Column): Column = sort_array(collect_set(c))
+
+  /** GROUP BY ... WITH TOTALS (lectures/lecture_06.md): the per-group rows
+    * plus one grand-total row (group columns null), computed in ONE pass as
+    * GROUPING SETS ((cols...), ()) — Spark plans a single expand+aggregate,
+    * not two scans.
+    */
+  def withTotals(df: org.apache.spark.sql.DataFrame, groupCols: Seq[String],
+                 aggs: Seq[Column]): org.apache.spark.sql.DataFrame = {
+    val gcols = groupCols.map(org.apache.spark.sql.functions.col)
+    df.groupingSets(Seq(gcols, Seq.empty), gcols: _*)
+      .agg(aggs.head, aggs.tail: _*)
+  }
 }

@@ -58,6 +58,19 @@ object ChRegistry {
     f("groupArray")(e => CollectList(e.head))
     f("groupUniqArray")(e => CollectSet(e.head))
     f("countIf")(e => Count(Seq(new NullIf(Literal(1), If(e.head, Literal(1), Literal(2))))))
+    // -If combinators (lectures/lecture_06.md): agg over rows where cond
+    // holds — If(cond, x, NULL) and the aggregate's null-skipping does the
+    // rest (the analyzer coerces the NullType branch)
+    f("sumIf")(e => Sum(If(e(1), e(0), Literal.create(null, NullType))))
+    f("avgIf")(e => Average(If(e(1), e(0), Literal.create(null, NullType))))
+    f("minIf")(e => Min(If(e(1), e(0), Literal.create(null, NullType))))
+    f("maxIf")(e => Max(If(e(1), e(0), Literal.create(null, NullType))))
+    // quantiles — ClickHouse's parametric call form quantile(0.5)(x) is
+    // not Spark-parsable, so the dialect uses quantile(x, level)
+    f("median")(e => new Percentile(e.head, Literal(0.5d)))
+    f("quantile")(e => new Percentile(e(0), e(1)))
+    f("quantileExact")(e => new Percentile(e(0), e(1)))
+    f("quantileTDigest")(e => new ApproximatePercentile(e(0), e(1)))
 
     // misc scalar
     f("intDiv")(e => Cast(Divide(Cast(e(0), DoubleType), Cast(e(1), DoubleType)), LongType))

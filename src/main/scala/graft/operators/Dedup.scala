@@ -167,6 +167,40 @@ object Dedup {
       .select(col("a"), col("b"), col("cosine"))
   }
 
+  /** Embedding near-dup with AUTOMATIC blocking — no caller-supplied key:
+    * multi-table hyperplane-LSH buckets are the block, exact cosine the
+    * verify. Same bounded-bucket discipline as the text dedup family
+    * (`maxBucket` caps degenerate buckets), so the join stays sub-quadratic
+    * on any corpus. Near vectors land in the same bucket in at least one
+    * table with probability 1-(1-p^bits)^tables.
+    */
+  def embeddingNearDupPairsLsh(df: DataFrame, idCol: String, vecCol: String,
+                               minCosine: Double, bits: Int = 10,
+                               tables: Int = 2,
+                               maxBucket: Int = 1000): DataFrame = {
+    NativeFunctions.register(df.sparkSession)
+    val tb = (0 until tables).map(t =>
+      struct(lit(t).as("tbl"),
+        NativeFunctions.lshBucket(col(vecCol), bits, t).as("bucket")))
+    val bucketed = df
+      .select(col(idCol), col(vecCol), explode(array(tb: _*)).as("tb"))
+      .select(col(idCol), col(vecCol),
+        col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+    val bounded = bucketed
+      .withColumn("sz", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("tbl"), col("bucket"))))
+      .filter(col("sz") <= maxBucket && col("sz") > 1)
+      .drop("sz")
+    val a = bounded.select(col("tbl"), col("bucket"), col(idCol).as("a"), col(vecCol).as("va"))
+    val b = bounded.select(col("tbl"), col("bucket"), col(idCol).as("b"), col(vecCol).as("vb"))
+    a.join(b, Seq("tbl", "bucket"))
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b"),
+        NativeFunctions.cosine(col("va"), col("vb")).as("cosine"))
+      .distinct()
+      .filter(col("cosine") >= minCosine)
+  }
+
   /** Greedy near-dup removal: drop the higher id of every pair. */
   def dropNearDups(df: DataFrame, idCol: String, pairs: DataFrame): DataFrame =
     df.join(pairs.select(col("b").as(idCol)).distinct(), Seq(idCol), "left_anti")

@@ -125,6 +125,34 @@ class TextAndRegistrySpec extends SparkSpec {
     assert(r(0).getLong(1) == 2L && r(0).getString(2) == "b")
     assert(r(1).getLong(1) == 1L && r(1).getString(2) == "c")
   }
+
+  test("CH dialect: sumIf/avgIf/minIf/maxIf, median/quantile") {
+    Seq((1, 10, true), (1, 20, false), (1, 30, true), (2, 7, true))
+      .toDF("g", "v", "ok").createOrReplaceTempView("t_if")
+    val r = spark.sql(
+      """SELECT g, sumIf(v, ok) AS s, avgIf(v, ok) AS a,
+        |       minIf(v, ok) AS mn, maxIf(v, ok) AS mx,
+        |       median(v) AS md, quantile(v, 0.5) AS q50
+        |FROM t_if GROUP BY g ORDER BY g""".stripMargin).collect()
+    assert(r(0).getLong(1) == 40L && r(0).getDouble(2) == 20.0)
+    assert(r(0).getInt(3) == 10 && r(0).getInt(4) == 30)
+    assert(r(0).getDouble(5) == 20.0 && r(0).getDouble(6) == 20.0)
+    assert(r(1).getLong(1) == 7L)
+  }
+
+  test("WITH TOTALS: per-group rows plus one grand-total row, single pass") {
+    val df = Seq(("x", 1), ("x", 2), ("y", 10)).toDF("g", "v")
+    val out = ChAggregates.withTotals(df, Seq("g"),
+      Seq(org.apache.spark.sql.functions.sum($"v").as("s"),
+        org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)).as("n")))
+    val rows = out.collect().map(r =>
+      (Option(r.get(0)).map(_.toString), r.getLong(1), r.getLong(2))).toSet
+    assert(rows == Set(
+      (Some("x"), 3L, 2L), (Some("y"), 10L, 1L), (None, 13L, 3L)))
+    // one aggregation over an Expand — not two scans unioned
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("Expand") && !plan.contains("Union"), plan.take(800))
+  }
 }
 
 object TextRegParityHelper {

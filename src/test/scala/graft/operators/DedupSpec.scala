@@ -51,4 +51,27 @@ class DedupSpec extends SparkSpec {
     assert(j((1L, 2L)) == 1.0)
     assert(j((1L, 4L)) == 0.0)
   }
+
+  test("embeddingNearDupPairsLsh blocks automatically and finds planted twins") {
+    val rnd = new scala.util.Random(43)
+    def unit(dim: Int): Array[Float] = {
+      val v = Array.fill(dim)(rnd.nextGaussian().toFloat)
+      val n = math.sqrt(v.map(x => x * x.toDouble).sum).toFloat
+      v.map(_ / n)
+    }
+    val bases = (0 until 25).map(i => (i.toLong, unit(64)))
+    val twins = bases.map { case (i, c) =>
+      (1000L + i, c.map(x => x + 0.02f * rnd.nextGaussian().toFloat))
+    }
+    val decoys = (0 until 200).map(i => (2000L + i, unit(64)))
+    val df = (bases ++ twins ++ decoys).toDF("vec_id", "embedding")
+    val pairs = Dedup.embeddingNearDupPairsLsh(df, "vec_id", "embedding",
+        minCosine = 0.95, bits = 10, tables = 4)
+      .select($"a", $"b").as[(Long, Long)].collect().toSet
+    val found = bases.count { case (i, _) => pairs.contains((i, 1000L + i)) }
+    assert(found >= 20, s"found $found/25 planted twin pairs")
+    // verify step kills false positives: every emitted pair is a twin pair
+    assert(pairs.forall { case (a, b) => b - a == 1000L },
+      s"unexpected non-twin pairs: ${pairs.filterNot { case (a, b) => b - a == 1000L }.take(5)}")
+  }
 }
