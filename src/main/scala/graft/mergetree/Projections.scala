@@ -9,11 +9,11 @@ import org.apache.spark.sql.functions._
   * scan 0.073s vs projection 0.019s (homeworks/hw08.md:179,231) — the same
   * win here is reading a counts table instead of the fact table.
   *
-  * The projection stores partial aggregates (count + sum per group), so
-  * any query grouping by a SUBSET of the projection's keys re-aggregates
-  * the projection — the standard aggregate-rollup containment rule.
-  * Round-1 routing is via [[route]] (explicit); transparent Catalyst-rule
-  * rewriting is the planned upgrade once plan-matching is table-driven.
+  * The projection stores partial aggregates per group, so any query
+  * grouping by a SUBSET of the projection's keys re-aggregates the
+  * projection — the standard aggregate-rollup containment rule. Routing is
+  * transparent via [[graft.plans.ProjectionRewrite]] (count/sum/sum-expr/
+  * min/max/avg/hll-uniq), or explicit via [[Projections.route]].
   */
 /** @param sumExprs alias → SQL expression over base columns; materialized
   *                  as `__sum_<alias>` and routed for `sum(<that expr>)`
@@ -22,6 +22,11 @@ import org.apache.spark.sql.functions._
   * @param minCols / maxCols  re-aggregable extrema partial states
   * @param avgCols  stored as (sum, non-null count) pairs so avg
   *                 re-aggregates exactly
+  * @param uniqCols stored as DataSketches HLL sketches (`hll_sketch_agg`)
+  *                 — the uniqState projection of lectures/lecture_13.md;
+  *                 sketch union is lossless, so routed
+  *                 `hll_sketch_estimate(hll_sketch_agg(c))` queries return
+  *                 EXACTLY the unrouted value
   */
 final case class ProjectionDef(
     name: String,
@@ -31,7 +36,8 @@ final case class ProjectionDef(
     sumExprs: Map[String, String] = Map.empty,
     minCols: Seq[String] = Nil,
     maxCols: Seq[String] = Nil,
-    avgCols: Seq[String] = Nil)
+    avgCols: Seq[String] = Nil,
+    uniqCols: Seq[String] = Nil)
 
 object Projections {
 
@@ -46,7 +52,8 @@ object Projections {
       p.minCols.map(c => min(col(c)).as(s"__min_$c")) ++
       p.maxCols.map(c => max(col(c)).as(s"__max_$c")) ++
       p.avgCols.flatMap(c => Seq(
-        sum(col(c)).as(s"__avgsum_$c"), count(col(c)).as(s"__avgcnt_$c")))
+        sum(col(c)).as(s"__avgsum_$c"), count(col(c)).as(s"__avgcnt_$c"))) ++
+      p.uniqCols.map(c => hll_sketch_agg(col(c)).as(s"__hll_$c"))
     base.groupBy(p.groupCols.map(col): _*)
       .agg(aggs.head, aggs.tail: _*)
       .write.mode(SaveMode.Overwrite).parquet(p.path)

@@ -4,8 +4,8 @@ import scala.collection.concurrent.TrieMap
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
-import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, Cast, Divide, Expression, Literal, NamedExpression}
-import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Count, Max, Min, Sum}
+import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, Cast, Divide, Expression, HllSketchEstimate, Literal, NamedExpression}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Count, HllSketchAgg, HllUnionAgg, Max, Min, Sum}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
@@ -108,6 +108,7 @@ class ProjectionRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     case class MinOut(col: String) extends Out
     case class MaxOut(col: String) extends Out
     case class AvgOut(col: String) extends Out
+    case class UniqOut(col: String) extends Out
     val outs: Seq[(NamedExpression, Out)] = aggExprs.map {
       case a: AttributeReference if p.groupCols.contains(a.name) => a -> GroupOut(a.name)
       case al @ Alias(AggregateExpression(Count(Seq(Literal(_, _))), _, false, None, _), _) =>
@@ -130,6 +131,14 @@ class ProjectionRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
           if p.avgCols.contains(ar.name) &&
             al.dataType == org.apache.spark.sql.types.DoubleType =>
         al -> AvgOut(ar.name)
+      // uniqState → uniqMerge (lectures/lecture_13.md): estimate over a
+      // per-group sketch routes to estimate-over-union of the projection's
+      // stored sketches — DataSketches union is lossless, so values match
+      // the unrouted plan exactly. Only the default lgConfK routes.
+      case al @ Alias(HllSketchEstimate(AggregateExpression(
+            HllSketchAgg(ar: AttributeReference, Literal(12, _), _, _), _, false, None, _)), _)
+          if p.uniqCols.contains(ar.name) =>
+        al -> UniqOut(ar.name)
       case _ => return None
     }
 
@@ -147,6 +156,7 @@ class ProjectionRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       case (_, MinOut(c))     => Seq(s"__min_$c")
       case (_, MaxOut(c))     => Seq(s"__max_$c")
       case (_, AvgOut(c))     => Seq(s"__avgsum_$c", s"__avgcnt_$c")
+      case (_, UniqOut(c))    => Seq(s"__hll_$c")
     }
     if (!p.groupCols.forall(projAttr.contains) ||
         !needed.forall(projAttr.contains)) return None
@@ -171,6 +181,10 @@ class ProjectionRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
             org.apache.spark.sql.types.DoubleType),
           Cast(Sum(projAttr(s"__avgcnt_$c")).toAggregateExpression(),
             org.apache.spark.sql.types.DoubleType)), orig.name)()
+      case (orig, UniqOut(c)) =>
+        Alias(HllSketchEstimate(
+          new HllUnionAgg(projAttr(s"__hll_$c")).toAggregateExpression()),
+          orig.name)()
     }
     val newAgg = Aggregate(newGroup, newAggExprs, projPlan, None)
 

@@ -103,6 +103,41 @@ class ProjectionRewriteSpec extends SparkSpec {
     }
   }
 
+  test("uniqState projection: hll sketch routes and matches EXACTLY (lecture_13)") {
+    val root = Files.createTempDirectory("graft_projrw4").toString
+    val base = s"$root/base"
+    (1 to 30000).map(i => (s"g${i % 5}", (i % 997).toLong))
+      .toDF("g", "u").write.parquet(base)
+
+    val p = ProjectionDef("by_g_uniq", Seq("g"), Nil, s"$root/proj",
+      uniqCols = Seq("u"))
+    Projections.materialize(spark.read.parquet(base), p)
+    ProjectionRouting.register(base, p)
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations :+ new ProjectionRewrite(spark)
+    try {
+      def query() = spark.read.parquet(base).groupBy($"g")
+        .agg(hll_sketch_estimate(hll_sketch_agg($"u")).as("uniq_u"))
+      val q = query()
+      val paths = q.queryExecution.optimizedPlan.collect {
+        case org.apache.spark.sql.execution.datasources.LogicalRelation(
+          fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation, _, _, _, _) =>
+          fs.location.rootPaths.map(_.toString)
+      }.flatten
+      assert(paths.exists(_.contains("proj")), s"expected projection scan, got $paths")
+      val routed = q.as[(String, Long)].collect().toMap
+      ProjectionRouting.clear()
+      val direct = query().as[(String, Long)].collect().toMap
+      // sketch union is lossless → identical estimates, not just close
+      assert(routed == direct)
+    } finally {
+      ProjectionRouting.clear()
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations
+          .filterNot(_.isInstanceOf[ProjectionRewrite])
+    }
+  }
+
   test("non-covered aggregates are left untouched") {
     val root = Files.createTempDirectory("graft_projrw2").toString
     val base = s"$root/base"
