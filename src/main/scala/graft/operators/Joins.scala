@@ -110,9 +110,19 @@ object Joins {
     */
   def asofLeftNative(left: DataFrame, right: DataFrame, key: String,
                      leftTime: String, rightTime: String,
-                     rightCols: Seq[String], prefix: String = "asof_"): DataFrame = {
+                     rightCols: Seq[String], prefix: String = "asof_"): DataFrame =
+    asofLeftNativeMulti(left, right, Seq(key), leftTime, rightTime, rightCols, prefix)
+
+  /** Multi-equi-key form (`ASOF JOIN ... ON a.k1=b.k1 AND a.k2=b.k2 AND
+    * a.t >= b.t` — ClickHouse allows any number of equality clauses before
+    * the one inequality).
+    */
+  def asofLeftNativeMulti(left: DataFrame, right: DataFrame, keys: Seq[String],
+                          leftTime: String, rightTime: String,
+                          rightCols: Seq[String],
+                          prefix: String = "asof_"): DataFrame = {
     val spark = left.sparkSession
-    val rsel = right.select((Seq(key, rightTime) ++ rightCols).distinct.map(col): _*)
+    val rsel = right.select((keys ++ Seq(rightTime) ++ rightCols).distinct.map(col): _*)
     val renamed = rsel.columns.foldLeft(rsel)((acc, c) =>
       acc.withColumnRenamed(c, "__r_" + c))
     val lplan = left.queryExecution.analyzed
@@ -120,9 +130,13 @@ object Joins {
     def attr(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, n: String) =
       p.output.find(_.name == n).getOrElse(
         throw new IllegalArgumentException(s"no column $n in ${p.output.map(_.name)}"))
-    val (lk, rk) = (attr(lplan, key), attr(rplan, "__r_" + key))
+    val lks = keys.map(attr(lplan, _))
+    val rks = keys.map(k => attr(rplan, "__r_" + k))
     val (lt, rt) = (attr(lplan, leftTime), attr(rplan, "__r_" + rightTime))
-    require(lk.dataType == rk.dataType, s"key types differ: ${lk.dataType} vs ${rk.dataType}")
+    lks.zip(rks).foreach { case (lk, rk) =>
+      require(lk.dataType == rk.dataType,
+        s"key types differ: ${lk.dataType} vs ${rk.dataType}")
+    }
     require(lt.dataType == rt.dataType, s"time types differ: ${lt.dataType} vs ${rt.dataType}")
     // usable from any session: register the strategy if the session was not
     // built with GraftExtensions
@@ -130,7 +144,7 @@ object Joins {
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ graft.plans.AsOfJoinStrategy
     val joined = org.apache.spark.sql.GraftSqlBridge.ofRows(spark,
-      graft.plans.AsOfJoinPlan(lplan, rplan, lk, rk, lt, rt, isLeftOuter = true))
+      graft.plans.AsOfJoinPlan(lplan, rplan, lks, rks, lt, rt, isLeftOuter = true))
     joined.select(left.columns.map(col).toSeq ++
       rightCols.map(c => col("__r_" + c).as(prefix + c)): _*)
   }

@@ -27,7 +27,7 @@ import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
   */
 case class AsOfJoinPlan(
     left: LogicalPlan, right: LogicalPlan,
-    leftKey: Expression, rightKey: Expression,
+    leftKeys: Seq[Expression], rightKeys: Seq[Expression],
     leftTime: Expression, rightTime: Expression,
     isLeftOuter: Boolean) extends BinaryNode {
 
@@ -50,7 +50,7 @@ object AsOfJoinStrategy extends SparkStrategy {
 
 case class AsOfJoinExec(
     left: SparkPlan, right: SparkPlan,
-    leftKey: Expression, rightKey: Expression,
+    leftKeys: Seq[Expression], rightKeys: Seq[Expression],
     leftTime: Expression, rightTime: Expression,
     isLeftOuter: Boolean) extends BinaryExecNode {
 
@@ -59,29 +59,30 @@ case class AsOfJoinExec(
                     else right.output)
 
   override def requiredChildDistribution: Seq[Distribution] =
-    ClusteredDistribution(Seq(leftKey)) ::
-      ClusteredDistribution(Seq(rightKey)) :: Nil
+    ClusteredDistribution(leftKeys) :: ClusteredDistribution(rightKeys) :: Nil
 
   override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
-    Seq(SortOrder(leftKey, Ascending), SortOrder(leftTime, Ascending)),
-    Seq(SortOrder(rightKey, Ascending), SortOrder(rightTime, Ascending)))
+    leftKeys.map(SortOrder(_, Ascending)) :+ SortOrder(leftTime, Ascending),
+    rightKeys.map(SortOrder(_, Ascending)) :+ SortOrder(rightTime, Ascending))
 
   // the merge preserves the left side's layout
   override def outputPartitioning = left.outputPartitioning
   override def outputOrdering: Seq[SortOrder] =
-    Seq(SortOrder(leftKey, Ascending), SortOrder(leftTime, Ascending))
+    leftKeys.map(SortOrder(_, Ascending)) :+ SortOrder(leftTime, Ascending)
 
   override protected def withNewChildrenInternal(
       newLeft: SparkPlan, newRight: SparkPlan): SparkPlan =
     copy(left = newLeft, right = newRight)
 
   protected override def doExecute(): RDD[InternalRow] = {
-    val lKeyB = BindReferences.bindReference(leftKey, left.output)
+    val lKeyB = leftKeys.map(BindReferences.bindReference(_, left.output)).toArray
     val lTimeB = BindReferences.bindReference(leftTime, left.output)
-    val rKeyB = BindReferences.bindReference(rightKey, right.output)
+    val rKeyB = rightKeys.map(BindReferences.bindReference(_, right.output)).toArray
     val rTimeB = BindReferences.bindReference(rightTime, right.output)
-    val keyOrd = TypeUtils.getInterpretedOrdering(leftKey.dataType)
+    val keyOrds = leftKeys.map(k =>
+      TypeUtils.getInterpretedOrdering(k.dataType)).toArray
     val timeOrd = TypeUtils.getInterpretedOrdering(leftTime.dataType)
+    val nKeys = leftKeys.length
     val nRight = right.output.length
     val louter = isLeftOuter
     val outAttrs = output
@@ -91,33 +92,56 @@ case class AsOfJoinExec(
       val nullRight = new GenericInternalRow(nRight)
       val proj = UnsafeProjection.create(outAttrs, outAttrs)
       val rBuf = rIter.buffered
-      // latest right row consumed whose (key, time) could still match; its
-      // key is re-evaluated AFTER the copy so it doesn't alias the shuffle
-      // reader's reused buffer
+
+      // evaluates the key tuple; null if any component is null (no-match)
+      def keysOf(bound: Array[Expression], row: InternalRow): Array[Any] = {
+        val out = new Array[Any](nKeys)
+        var i = 0
+        while (i < nKeys) {
+          val v = bound(i).eval(row)
+          if (v == null) return null
+          out(i) = v
+          i += 1
+        }
+        out
+      }
+      def cmpKeys(a: Array[Any], b: Array[Any]): Int = {
+        var i = 0
+        while (i < nKeys) {
+          val c = keyOrds(i).compare(a(i), b(i))
+          if (c != 0) return c
+          i += 1
+        }
+        0
+      }
+
+      // latest right row consumed whose (keys, time) could still match; the
+      // key tuple is re-evaluated AFTER the copy so it doesn't alias the
+      // shuffle reader's reused buffer
       var lastRight: InternalRow = null
-      var lastRightKey: Any = null
+      var lastRightKeys: Array[Any] = null
 
       lIter.flatMap { lrow =>
-        val lk = lKeyB.eval(lrow)
+        val lk = keysOf(lKeyB, lrow)
         val lt = lTimeB.eval(lrow)
         var matched: InternalRow = null
         if (lk != null && lt != null) {
           var continue = true
           while (continue && rBuf.hasNext) {
             val peek = rBuf.head
-            val rk = rKeyB.eval(peek)
+            val rk = keysOf(rKeyB, peek)
             val rt = rTimeB.eval(peek)
             if (rk == null || rt == null) { rBuf.next(); () }
             else {
-              val c = keyOrd.compare(rk, lk)
+              val c = cmpKeys(rk, lk)
               if (c < 0) { rBuf.next(); () } // before this key group
               else if (c == 0 && timeOrd.compare(rt, lt) <= 0) {
                 lastRight = rBuf.next().copy()
-                lastRightKey = rKeyB.eval(lastRight)
+                lastRightKeys = keysOf(rKeyB, lastRight)
               } else continue = false        // beyond lt (or next key group)
             }
           }
-          if (lastRight != null && keyOrd.compare(lastRightKey, lk) == 0)
+          if (lastRight != null && cmpKeys(lastRightKeys, lk) == 0)
             matched = lastRight
         }
         if (matched != null) Iterator.single(proj(joiner(lrow, matched)))

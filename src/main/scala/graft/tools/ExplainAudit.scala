@@ -11,7 +11,8 @@ object ExplainAudit {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
     val names = if (args.nonEmpty) args.toSeq
       else Seq("q01_pricing_summary", "q02_filter_pushdown",
-        "q03_join_revenue_by_nation", "q07_asof_join", "d04_dedup_minhash")
+        "q03_join_revenue_by_nation", "q07_asof_join", "q07b_asof_native",
+        "d04_dedup_minhash", "d07_ann_brute_force", "q52_sessionize")
     val spark = GraftSession.create(master = "local[4]")
     names.foreach { n =>
       println(s"\n========== $n ==========")

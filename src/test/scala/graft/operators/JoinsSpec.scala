@@ -44,6 +44,19 @@ class JoinsSpec extends SparkSpec {
       "nullk" -> None, "nullt" -> None))
   }
 
+  test("asofLeftNativeMulti: two equi-keys before the inequality") {
+    val left = Seq(("eu", 1L, 100L, "a"), ("eu", 2L, 100L, "b"), ("us", 1L, 100L, "c"))
+      .toDF("region", "k", "t", "tag")
+    val right = Seq(
+      ("eu", 1L, 50L, 1.0), ("eu", 1L, 90L, 2.0),
+      ("eu", 2L, 100L, 3.0), ("us", 2L, 10L, 9.0))
+      .toDF("region", "k", "t", "v")
+    val got = Joins.asofLeftNativeMulti(left, right, Seq("region", "k"),
+        "t", "t", Seq("v"))
+      .select($"tag", $"asof_v").as[(String, Option[Double])].collect().toMap
+    assert(got == Map("a" -> Some(2.0), "b" -> Some(3.0), "c" -> None))
+  }
+
   test("leftJoinDefaults fills type defaults, not nulls (join_use_nulls=0)") {
     val left = Seq(1L, 2L, 3L).toDF("k")
     val right = Seq((1L, 5L, "x", 1.5)).toDF("k", "n", "s", "v")
