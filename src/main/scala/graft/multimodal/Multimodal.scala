@@ -95,4 +95,55 @@ object Multimodal {
       octet_length(payload).as("n_bytes"),
       crc32(payload).as("crc"),
       substring(hex(payload), 0, 8).as("magic"))
+
+  /** Resize, per-partition batched like [[withDecodedMeta]]. The pixel
+    * resample is the STUB (`resizeStub` — deterministic byte subsampling);
+    * everything Spark-side is real: binary-in/binary-out schema, one
+    * "codec" per partition, new dimensions attached. A real implementation
+    * replaces only the inner function.
+    */
+  def resizeStub(payload: Array[Byte], w: Int, h: Int): Array[Byte] = {
+    val target = math.max(1, math.min(payload.length, w * h / 64))
+    val step = math.max(1, payload.length / target)
+    payload.grouped(step).map(_.head).toArray.take(target)
+  }
+
+  def withResized(df: DataFrame, targetW: Int, targetH: Int,
+                  payloadCol: String = "payload"): DataFrame = {
+    val base = df.schema
+      .add("resized", BinaryType)
+      .add("res_w", IntegerType)
+      .add("res_h", IntegerType)
+    df.mapPartitions { rows =>
+      // per-partition scaler init would go here (native lib handle)
+      rows.map { r =>
+        val p = r.getAs[Array[Byte]](payloadCol)
+        Row.fromSeq(r.toSeq ++ Seq(resizeStub(p, targetW, targetH), targetW, targetH))
+      }
+    }(Encoders.row(base))
+  }
+
+  /** Byte-histogram embedding — a REAL (non-stub) feature extractor: the
+    * 16-bucket byte-value histogram, L2-normalized, as `Array[Float]`.
+    * Codec-free, deterministic, and compatible with the embedding dedup /
+    * ANN family (`Dedup.embeddingNearDupPairsLsh`,
+    * `SimilaritySearch.*`) — near-identical payloads get cosine ≈ 1.
+    */
+  def byteHistogramFeatures(df: DataFrame,
+                            payloadCol: String = "payload",
+                            outCol: String = "features"): DataFrame = {
+    val base = df.schema.add(outCol, ArrayType(FloatType))
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val p = r.getAs[Array[Byte]](payloadCol)
+        val hist = new Array[Float](16)
+        var i = 0
+        while (i < p.length) { hist((p(i) & 0xff) >> 4) += 1f; i += 1 }
+        var ss = 0.0
+        hist.foreach(x => ss += x * x)
+        val n = if (ss == 0) 1f else math.sqrt(ss).toFloat
+        Row.fromSeq(r.toSeq :+ hist.map(_ / n).toSeq)
+      }
+    }(Encoders.row(base))
+  }
 }

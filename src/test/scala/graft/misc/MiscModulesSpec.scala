@@ -94,6 +94,31 @@ class MiscModulesSpec extends SparkSpec {
     assert(frames.count() == 2) // 4 frames, every 2nd
   }
 
+  test("multimodal resize + byte-histogram features feed the embedding dedup family") {
+    val big = (0 until 4096).map(i => (i % 251).toByte).toArray
+    val media = Seq(
+      (1L, "image", big),
+      (2L, "image", big.map(b => (b ^ 1).toByte)),   // near-identical bytes
+      (3L, "image", Array.fill(4096)(7.toByte)))     // degenerate histogram
+      .toDF("media_id", "kind", "payload")
+
+    val res = Multimodal.withResized(media, 64, 64)
+    assert(res.count() == 3)
+    val r1 = res.filter($"media_id" === 1)
+      .select("resized", "res_w", "res_h").head()
+    assert(r1.getAs[Array[Byte]](0).length == 64 * 64 / 64) // deterministic stub size
+    assert(r1.getInt(1) == 64 && r1.getInt(2) == 64)
+
+    val feat = Multimodal.byteHistogramFeatures(media)
+    // near-identical payloads → cosine ~1 through the REAL feature extractor
+    val pairs = graft.operators.Dedup.embeddingNearDupPairsLsh(
+        feat.select($"media_id", $"features"), "media_id", "features",
+        minCosine = 0.99, bits = 4, tables = 2)
+      .select($"a", $"b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)), s"near-identical media not paired: $pairs")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
   private implicit class Tup3Ops[A, B, C](xs: Array[(A, B, C)]) {
     def toMap2: Map[A, (B, C)] = xs.map(t => t._1 -> ((t._2, t._3))).toMap
   }
