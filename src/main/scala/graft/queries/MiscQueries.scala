@@ -430,6 +430,42 @@ object MiscQueries {
         .orderBy(col("user_id"), col("session_start"))
     },
 
+    // ---- TPC-H Q5 shape: six-table join (region→nation→customer→orders→
+    // lineitem + supplier) with local-supplier predicate — the join-planner
+    // stress test. At 100 TB: region/nation/customer/supplier broadcast,
+    // the orders⋈lineitem fact join is the single big shuffle.
+    Q("q53_local_supplier_volume",
+      """SELECT n.n_name,
+        |  CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) *
+        |           CAST(1 - l.l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_items
+        |FROM region r
+        |JOIN nation n   ON n.n_regionkey = r.r_regionkey
+        |JOIN customer c ON c.c_nationkey = n.n_nationkey
+        |JOIN orders o   ON o.o_custkey = c.c_custkey
+        |JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        |JOIN supplier s ON s.s_suppkey = l.l_suppkey AND s.s_nationkey = c.c_nationkey
+        |WHERE r.r_name IN ('ASIA', 'EUROPE')
+        |  AND o.o_orderdate >= DATE '1994-01-01'
+        |GROUP BY n.n_name ORDER BY revenue DESC, n.n_name""") { (s, dir) =>
+      val t = Tables(s, dir)
+      val dec = (c: org.apache.spark.sql.Column) => c.cast(DecimalType(18, 2))
+      t.region.filter(col("r_name").isin("ASIA", "EUROPE"))
+        .join(t.nation, col("n_regionkey") === col("r_regionkey"))
+        .join(t.customer, col("c_nationkey") === col("n_nationkey"))
+        .join(t.orders.filter(col("o_orderdate") >= lit("1994-01-01").cast(DateType)),
+          col("o_custkey") === col("c_custkey"))
+        .join(t.lineitem, col("l_orderkey") === col("o_orderkey"))
+        .join(t.supplier,
+          col("s_suppkey") === col("l_suppkey") &&
+            col("s_nationkey") === col("c_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(sum(dec(col("l_extendedprice")) * dec(lit(1) - col("l_discount")))
+            .cast(DoubleType).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    },
+
     // ---- formatReadableSize (lectures/lecture_09.md:326)
     Q("q40_format_readable",
       """SELECT o_orderkey,
