@@ -44,15 +44,20 @@ object TextFunctions {
     * n == 1 is the distinct word set.
     */
   def wordNgrams(c: Column, n: Int): Column = {
-    val ts = tokens(c)
-    if (n == 1) ts
+    if (n == 1) tokens(c)
     else {
       // slide a window of n over the token array with transform+slice;
-      // guard short docs — sequence(1, 0) would run DESCENDING in Spark
-      val count = size(ts) - (n - 1)
-      when(count < 1, array().cast(ArrayType(StringType)))
-        .otherwise(transform(sequence(lit(1), count),
-          i => array_join(slice(ts, i, lit(n)), " ")))
+      // guard short docs — sequence(1, 0) would run DESCENDING in Spark.
+      // CRITICAL: the token array is BOUND ONCE as a lambda variable via
+      // transform(array(tokens), ts -> ...). Referencing the tokens(c)
+      // EXPRESSION inside the window lambda instead would re-run the
+      // normalize-regex + split for every window position — O(n²) per row.
+      element_at(transform(array(tokens(c)), ts => {
+        val count = size(ts) - (n - 1)
+        when(count < 1, array().cast(ArrayType(StringType)))
+          .otherwise(transform(sequence(lit(1), count),
+            i => array_join(slice(ts, i, lit(n)), " ")))
+      }), 1)
     }
   }
 
@@ -69,15 +74,21 @@ object TextFunctions {
     * md5 — the DuckDB oracle reproduces it), unlike engine-internal hashes.
     */
   def winnowingFingerprint(c: Column, k: Int = 3, w: Int = 4): Column = {
-    val hs = transform(wordNgrams(c, k),
+    // same binding discipline as wordNgrams: the k-gram hash array is
+    // computed ONCE per row (bound as the lambda variable hs); putting the
+    // expression tree inside the window transform would re-hash every
+    // k-gram for every window position — O(n²) md5 calls per document
+    val hashes = transform(wordNgrams(c, k),
       g => conv(substring(md5(g), 1, 8), 16, 10).cast(LongType))
-    val nWin = size(hs) - (w - 1)
-    val wins =
-      when(size(hs) === 0, array().cast(ArrayType(LongType)))
-        .when(nWin < 1, array(array_min(hs)))
-        .otherwise(transform(sequence(lit(1), nWin),
-          i => array_min(slice(hs, i, lit(w)))))
-    array_sort(array_distinct(wins))
+    element_at(transform(array(hashes), hs => {
+      val nWin = size(hs) - (w - 1)
+      val wins =
+        when(size(hs) === 0, array().cast(ArrayType(LongType)))
+          .when(nWin < 1, array(array_min(hs)))
+          .otherwise(transform(sequence(lit(1), nWin),
+            i => array_min(slice(hs, i, lit(w)))))
+      array_sort(array_distinct(wins))
+    }), 1)
   }
 
   // ---- quality scoring: cheap, deterministic per-document features
