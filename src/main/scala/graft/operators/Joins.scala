@@ -120,7 +120,17 @@ object Joins {
   def asofLeftNativeMulti(left: DataFrame, right: DataFrame, keys: Seq[String],
                           leftTime: String, rightTime: String,
                           rightCols: Seq[String],
-                          prefix: String = "asof_"): DataFrame = {
+                          prefix: String = "asof_"): DataFrame =
+    asofNativeMulti(left, right, keys, leftTime, rightTime, rightCols, prefix,
+      leftOuter = true)
+
+  /** `leftOuter = false` is ASOF INNER — ClickHouse's default ASOF JOIN:
+    * unmatched left rows DROP instead of padding nulls.
+    */
+  def asofNativeMulti(left: DataFrame, right: DataFrame, keys: Seq[String],
+                      leftTime: String, rightTime: String,
+                      rightCols: Seq[String], prefix: String = "asof_",
+                      leftOuter: Boolean = true): DataFrame = {
     val spark = left.sparkSession
     val rsel = right.select((keys ++ Seq(rightTime) ++ rightCols).distinct.map(col): _*)
     val renamed = rsel.columns.foldLeft(rsel)((acc, c) =>
@@ -144,7 +154,8 @@ object Joins {
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ graft.plans.AsOfJoinStrategy
     val joined = org.apache.spark.sql.GraftSqlBridge.ofRows(spark,
-      graft.plans.AsOfJoinPlan(lplan, rplan, lks, rks, lt, rt, isLeftOuter = true))
+      graft.plans.AsOfJoinPlan(lplan, rplan, lks, rks, lt, rt,
+        isLeftOuter = leftOuter))
     joined.select(left.columns.map(col).toSeq ++
       rightCols.map(c => col("__r_" + c).as(prefix + c)): _*)
   }

@@ -55,6 +55,12 @@ class JoinsSpec extends SparkSpec {
         "t", "t", Seq("v"))
       .select($"tag", $"asof_v").as[(String, Option[Double])].collect().toMap
     assert(got == Map("a" -> Some(2.0), "b" -> Some(3.0), "c" -> None))
+
+    // ASOF INNER (ClickHouse default): unmatched left rows drop
+    val inner = Joins.asofNativeMulti(left, right, Seq("region", "k"),
+        "t", "t", Seq("v"), leftOuter = false)
+      .select($"tag", $"asof_v").as[(String, Double)].collect().toMap
+    assert(inner == Map("a" -> 2.0, "b" -> 3.0))
   }
 
   test("leftJoinDefaults fills type defaults, not nulls (join_use_nulls=0)") {
