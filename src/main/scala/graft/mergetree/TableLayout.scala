@@ -18,11 +18,20 @@ import org.apache.spark.sql.functions._
   */
 object TableLayout {
 
-  /** CREATE TABLE ... PARTITION BY p ORDER BY keys + INSERT. */
+  /** CREATE TABLE ... PARTITION BY p ORDER BY keys + INSERT.
+    *
+    * `codec` is the column-compression clause (`CODEC(ZSTD(n))`,
+    * lectures/lecture_07.md:172, lecture_16.md:217-221) mapped to the
+    * parquet file codec — zstd | snappy | gzip | lz4 | none. Delta/
+    * dictionary encodings (the reference's `Delta`, `LowCardinality`) are
+    * parquet-native per column and need no declaration; the sorted layout
+    * this method produces is exactly what makes them effective.
+    */
   def writeSorted(df: DataFrame, path: String, sortKeys: Seq[String],
                   partitionCol: Option[String] = None,
                   mode: SaveMode = SaveMode.Overwrite,
-                  targetPartitions: Int = 0): Unit = {
+                  targetPartitions: Int = 0,
+                  codec: String = "zstd"): Unit = {
     val keyCols = sortKeys.map(col)
     val n = if (targetPartitions > 0) targetPartitions
             else df.sparkSession.sessionState.conf.numShufflePartitions
@@ -33,7 +42,7 @@ object TableLayout {
       case None =>
         df.repartitionByRange(n, keyCols: _*).sortWithinPartitions(keyCols: _*)
     }
-    val w = arranged.write.mode(mode)
+    val w = arranged.write.mode(mode).option("compression", codec)
     partitionCol.fold(w)(p => w.partitionBy(p)).parquet(path)
   }
 

@@ -32,4 +32,16 @@ class TableLayoutSpec extends SparkSpec {
     Mutations.dropPartition(spark, dir, "p", 3)
     assert(spark.read.parquet(dir).select("p").distinct().count() == 3)
   }
+
+  test("CODEC clause maps to the parquet codec (lecture_07 CODEC(ZSTD))") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_codec").toString + "/t"
+    val df = (1 to 1000).map(i => (i.toLong, s"s$i")).toDF("k", "s")
+    TableLayout.writeSorted(df, dir, Seq("k"), codec = "zstd")
+    val files = new java.io.File(dir).listFiles().map(_.getName)
+    assert(files.exists(_.endsWith(".zstd.parquet")), files.mkString(","))
+    assert(spark.read.parquet(dir).count() == 1000)
+    TableLayout.writeSorted(df, dir + "2", Seq("k"), codec = "gzip")
+    assert(new java.io.File(dir + "2").listFiles()
+      .exists(_.getName.endsWith(".gz.parquet")))
+  }
 }
