@@ -114,7 +114,12 @@ object Dedup {
                           nGram: Int = 3, numHashes: Int = 64, bands: Int = 16,
                           threshold: Double = 0.7): DataFrame = {
     val sigs = minhashSignatures(df, idCol, textCol, nGram, numHashes)
+    // verification reuses the candidate set three times (both join sides
+    // plus the id prune); checkpointing it runs the LSH bucket join once
+    // instead of thrice — candidates are a vanishing fraction of the
+    // corpus, so the materialization is tiny next to the work it saves
     val cands = minhashCandidatePairs(sigs, idCol, numHashes, bands)
+      .localCheckpoint()
     jaccardVerify(cands, df, idCol, textCol, nGram).filter(col("jaccard") >= threshold)
   }
 
@@ -204,4 +209,61 @@ object Dedup {
   /** Greedy near-dup removal: drop the higher id of every pair. */
   def dropNearDups(df: DataFrame, idCol: String, pairs: DataFrame): DataFrame =
     df.join(pairs.select(col("b").as(idCol)).distinct(), Seq(idCol), "left_anti")
+
+  // ---------- dedup clustering (connected components over match pairs)
+
+  /** Connected components over near-dup pairs (`a`/`b` columns) — the
+    * clustering step that turns pairwise matches into dedup groups.
+    * Returns one row per id appearing in any pair with its component
+    * `label` (the smallest id in the component).
+    *
+    * Min-label propagation: each vertex repeatedly adopts the smallest
+    * label among itself and its neighbors, converging in O(component
+    * diameter) rounds. Near-dup components are shallow (variants of a
+    * common original), so rounds stay in single digits; each round is ONE
+    * shuffle keyed on vertex id — full key cardinality, no hot reducer —
+    * and `localCheckpoint` truncates lineage so the plan doesn't grow
+    * with rounds. Early-stops the first round that changes nothing.
+    */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
+      .union(pairs.select(col("b").as("src"), col("a").as("dst")))
+      .distinct()
+      .localCheckpoint()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .localCheckpoint()
+    var round = 0
+    var done = false
+    while (!done && round < maxIter) {
+      val nbrMin = edges
+        .join(labels.select(col("id").as("dst"), col("label")), "dst")
+        .groupBy(col("src").as("id"))
+        .agg(min(col("label")).as("nbr_label"))
+      val next = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
+        .localCheckpoint()
+      val changed = next
+        .join(labels.withColumnRenamed("label", "old"), "id")
+        .filter(col("label") =!= col("old"))
+        .limit(1).count()
+      labels = next
+      done = changed == 0L
+      round += 1
+    }
+    labels
+  }
+
+  /** Cluster assignment for the WHOLE corpus: every document gets a
+    * `cluster_id` — the smallest id of its near-dup component, or its own
+    * id when it matched nothing (singleton cluster).
+    */
+  def clusterRepresentatives(df: DataFrame, idCol: String,
+                             pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val cc = connectedComponents(pairs, maxIter)
+    df.join(cc.withColumnRenamed("id", idCol), Seq(idCol), "left")
+      .withColumn("cluster_id", coalesce(col("label"), col(idCol)))
+      .drop("label")
+  }
 }

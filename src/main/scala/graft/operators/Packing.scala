@@ -1,0 +1,84 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Token-budget sequence packing for LLM training pipelines: documents are
+  * laid out end-to-end in id order and cut into fixed-`budget`-token
+  * sequences (the standard concat-and-chunk scheme).
+  *
+  * The global token offset of each document is a distributed TWO-PHASE
+  * prefix sum — not a single global window (an un-partitioned window
+  * funnels the whole corpus through one reducer):
+  *
+  *   1. range-repartition by id, then reduce each partition to one
+  *      (partition, token-total) row; the driver cumsums that — O(#parts)
+  *      state, a few KB even with 100k partitions;
+  *   2. a within-partition running sum (bounded window) plus the broadcast
+  *      partition offset reconstructs the exact global prefix sum.
+  *
+  * So the only corpus-sized work is one range shuffle and one
+  * per-partition sort — the same cost as writing a sorted table.
+  */
+object Packing {
+
+  /** Assign every document its packed position: `seq_id`/`seq_offset` of
+    * its first token and `end_seq_id` of its last, under `budget` tokens
+    * per training sequence. Documents longer than `budget` span sequences
+    * (concat-and-chunk semantics; zero-token docs occupy their start
+    * position). Deterministic: layout order is `idCol` ascending.
+    */
+  def concatChunk(df: DataFrame, idCol: String, tokCol: String,
+                  budget: Int, targetPartitions: Int = 0): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    val spark = df.sparkSession
+    val n = if (targetPartitions > 0) targetPartitions
+            else spark.sessionState.conf.numShufflePartitions
+    // localCheckpoint pins the partition assignment so phase 1's totals
+    // describe exactly the partitions phase 2 windows over
+    val parted = df
+      .select(col(idCol), col(tokCol).cast("long").as("__tok"))
+      .repartitionByRange(n, col(idCol))
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint()
+    val totals = parted.groupBy(col("__pid")).agg(sum(col("__tok")).as("__t"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    var acc = 0L
+    val offsets = totals.keys.toSeq.sorted.map { p =>
+      val o = acc; acc += totals(p); (p, o)
+    }
+    val offDf = spark.createDataFrame(offsets).toDF("__pid", "__off")
+    val w = Window.partitionBy(col("__pid")).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    parted.join(broadcast(offDf), "__pid")
+      .withColumn("__start", col("__off") + coalesce(sum(col("__tok")).over(w), lit(0L)))
+      .select(col(idCol),
+        col("__tok").as("n_tokens"),
+        expr(s"__start DIV ${budget}L").as("seq_id"),
+        (col("__start") % budget).as("seq_offset"),
+        expr(s"(__start + greatest(__tok, 1L) - 1L) DIV ${budget}L").as("end_seq_id"))
+  }
+
+  /** Sequence-level fill report for a packed layout: tokens landing in
+    * each training sequence (last sequence may be ragged). Derived from
+    * the same prefix sums, aggregated by sequence id — one extra shuffle
+    * keyed on `seq_id`.
+    */
+  def sequenceFill(packed: DataFrame, budget: Int): DataFrame = {
+    // per-doc token count clipped to each sequence it spans is awkward in
+    // one pass; total fill per seq_id is enough for pipeline monitoring:
+    // a doc contributes min(end, seqEnd) - max(start, seqStart) tokens to
+    // each spanned sequence. Explode the (small) span range per doc.
+    val spans = packed
+      .withColumn("__seq", explode(sequence(col("seq_id"), col("end_seq_id"))))
+    spans
+      .withColumn("__s", greatest(col("__seq") * budget,
+        col("seq_id") * budget + col("seq_offset")))
+      .withColumn("__e", least((col("__seq") + lit(1)) * budget,
+        col("seq_id") * budget + col("seq_offset") + col("n_tokens")))
+      .groupBy(col("__seq").as("seq_id"))
+      .agg(sum(greatest(col("__e") - col("__s"), lit(0L))).as("fill_tokens"),
+        count(lit(1)).as("n_docs"))
+  }
+}

@@ -5,7 +5,7 @@ import org.apache.spark.sql.types._
 
 import graft.tables.Tables
 import graft.functions.TextFunctions
-import graft.operators.{Dedup, SimilaritySearch}
+import graft.operators.{CorpusStats, Dedup, Packing, SimilaritySearch}
 import graft.multimodal.Multimodal
 
 /** Training-data-pipeline operators (builder-prompt mandate): dedup
@@ -23,6 +23,48 @@ object PipelineQueries {
   private val normSql =
     "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))"
   private def toksSql(norm: String) = s"string_split($norm, ' ')"
+
+  /** d03's banded jaccard pairs, reused by the clustering query d09.
+    * Blocking key is (source, 20-char length band), not source alone:
+    * |Δn_chars| <= 20 implies the bands differ by at most 1, so the a
+    * side joins on its own band while the b side fans out to band±1 —
+    * bounded buckets instead of an all-pairs join within a
+    * low-cardinality source key. The three b-side keys are distinct, so
+    * each qualifying pair matches exactly once (no post-join dedup).
+    */
+  private def bandedJaccardPairs(s: org.apache.spark.sql.SparkSession,
+                                 dir: String): org.apache.spark.sql.DataFrame = {
+    graft.plans.NativeFunctions.register(s)
+    val docs = Tables(s, dir).documents
+    val g = docs.select(col("doc_id"), col("source"), col("n_chars"),
+      array_distinct(graft.plans.NativeFunctions.normTokens(col("text"))).as("gr"))
+    val band = floor(col("n_chars") / 20).cast(LongType)
+    val a = g.select(col("source"), band.as("band"), col("doc_id").as("a"),
+      col("n_chars").as("nca"), col("gr").as("ga"))
+    val b = g.select(col("source"), col("doc_id").as("b"), col("n_chars").as("ncb"),
+      col("gr").as("gb"),
+      explode(array(band - 1, band, band + 1)).as("band"))
+    a.join(b, Seq("source", "band"))
+      .filter(col("a") < col("b") && abs(col("nca") - col("ncb")) <= 20)
+      .withColumn("jaccard",
+        size(array_intersect(col("ga"), col("gb"))).cast(DoubleType) /
+          size(array_union(col("ga"), col("gb"))).cast(DoubleType))
+      .filter(col("jaccard") >= 0.4)
+      .select(col("a"), col("b"), col("jaccard"))
+  }
+
+  /** d03/d09's shared oracle CTEs: banded jaccard pairs in DuckDB. */
+  private val pairsSqlCtes =
+    s"""g AS (SELECT doc_id, source, n_chars,
+       |    list_distinct(${toksSql(normSql)}) AS gr FROM documents),
+       |p AS (SELECT a.doc_id AS a, b.doc_id AS b,
+       |  CAST(len(list_intersect(a.gr, b.gr)) AS DOUBLE) /
+       |  CAST(len(list_distinct(a.gr || b.gr)) AS DOUBLE) AS jaccard
+       |FROM g a JOIN g b
+       |  ON a.source = b.source AND a.doc_id < b.doc_id
+       | AND abs(a.n_chars - b.n_chars) <= 20
+       |WHERE CAST(len(list_intersect(a.gr, b.gr)) AS DOUBLE) /
+       |      CAST(len(list_distinct(a.gr || b.gr)) AS DOUBLE) >= 0.4)""".stripMargin
 
   val all: Seq[Q] = Seq(
 
@@ -58,41 +100,32 @@ object PipelineQueries {
     // word sets = 1-grams so the oracle is SQL-expressible; the library
     // supports any n — specs cover n=3)
     Q("d03_ngram_jaccard",
-      s"""WITH g AS (SELECT doc_id, source, n_chars,
-         |    list_distinct(${toksSql(normSql)}) AS gr FROM documents)
-         |SELECT a.doc_id AS a, b.doc_id AS b,
-         |  CAST(len(list_intersect(a.gr, b.gr)) AS DOUBLE) /
-         |  CAST(len(list_distinct(a.gr || b.gr)) AS DOUBLE) AS jaccard
-         |FROM g a JOIN g b
-         |  ON a.source = b.source AND a.doc_id < b.doc_id
-         | AND abs(a.n_chars - b.n_chars) <= 20
-         |WHERE CAST(len(list_intersect(a.gr, b.gr)) AS DOUBLE) /
-         |      CAST(len(list_distinct(a.gr || b.gr)) AS DOUBLE) >= 0.4
-         |ORDER BY a, b""") { (s, dir) =>
-      graft.plans.NativeFunctions.register(s)
-      val docs = Tables(s, dir).documents
-      val g = docs.select(col("doc_id"), col("source"), col("n_chars"),
-        array_distinct(graft.plans.NativeFunctions.normTokens(col("text"))).as("gr"))
-      // Blocking key is (source, 20-char length band), not source alone:
-      // |Δn_chars| <= 20 implies the bands differ by at most 1, so the a
-      // side joins on its own band while the b side fans out to band±1 —
-      // bounded buckets instead of an all-pairs join within a
-      // low-cardinality source key. The three b-side keys are distinct, so
-      // each qualifying pair matches exactly once (no post-join dedup).
-      val band = floor(col("n_chars") / 20).cast(LongType)
-      val a = g.select(col("source"), band.as("band"), col("doc_id").as("a"),
-        col("n_chars").as("nca"), col("gr").as("ga"))
-      val b = g.select(col("source"), col("doc_id").as("b"), col("n_chars").as("ncb"),
-        col("gr").as("gb"),
-        explode(array(band - 1, band, band + 1)).as("band"))
-      a.join(b, Seq("source", "band"))
-        .filter(col("a") < col("b") && abs(col("nca") - col("ncb")) <= 20)
-        .withColumn("jaccard",
-          size(array_intersect(col("ga"), col("gb"))).cast(DoubleType) /
-            size(array_union(col("ga"), col("gb"))).cast(DoubleType))
-        .filter(col("jaccard") >= 0.4)
-        .select(col("a"), col("b"), col("jaccard"))
-        .orderBy(col("a"), col("b"))
+      s"""WITH $pairsSqlCtes
+         |SELECT a, b, jaccard FROM p ORDER BY a, b""") { (s, dir) =>
+      bandedJaccardPairs(s, dir).orderBy(col("a"), col("b"))
+    },
+
+    // ---- dedup clustering: connected components over the d03 match
+    // pairs — pairwise matches → dedup groups, every doc labeled with its
+    // component's smallest id (singletons label themselves). The oracle
+    // computes min-reachable-id with a recursive CTE; the engine uses
+    // min-label propagation (one id-keyed shuffle per round, early-stop).
+    Q("d09_dedup_clusters",
+      s"""WITH RECURSIVE $pairsSqlCtes,
+         |e AS (SELECT a AS src, b AS dst FROM p UNION SELECT b, a FROM p),
+         |reach(id, label) AS (
+         |  SELECT src, src FROM e
+         |  UNION
+         |  SELECT e.src, r.label FROM e JOIN reach r ON e.dst = r.id),
+         |c AS (SELECT id, MIN(label) AS cluster_id FROM reach GROUP BY id)
+         |SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id
+         |FROM documents d LEFT JOIN c ON d.doc_id = c.id
+         |ORDER BY d.doc_id""") { (s, dir) =>
+      Dedup.clusterRepresentatives(
+          Tables(s, dir).documents.select(col("doc_id")), "doc_id",
+          bandedJaccardPairs(s, dir))
+        .select(col("doc_id"), col("cluster_id"))
+        .orderBy(col("doc_id"))
     },
 
     // ---- MinHash + LSH near-dup (shingle→minhash→band→bucket-join);
@@ -260,6 +293,55 @@ object PipelineQueries {
         .select(col("doc_id"),
           size(graft.plans.NativeFunctions.normTokens(col("text"))).as("ws_tokens"),
           TextFunctions.bpeishTokenCount(col("text")).as("bpeish_tokens"))
+        .orderBy(col("doc_id"))
+    },
+
+    // ---- TF-IDF corpus statistics: per-(doc, term) counts + tf·ln(N/df)
+    // weighting. Integer counts hash-match exactly; the double weight is
+    // rounded to 4 places (both engines compute it from the same integer
+    // inputs in IEEE doubles).
+    Q("t05_tfidf",
+      s"""WITH t AS (SELECT doc_id, unnest(${toksSql(normSql)}) AS term
+         |          FROM documents WHERE $normSql <> ''),
+         |tf AS (SELECT doc_id, term, COUNT(*) AS tf_count FROM t GROUP BY 1, 2),
+         |dl AS (SELECT doc_id, COUNT(*) AS doc_len FROM t GROUP BY 1),
+         |df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+         |n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM t)
+         |SELECT tf.doc_id, tf.term, tf.tf_count, df.df,
+         |  round((CAST(tf.tf_count AS DOUBLE) / dl.doc_len) *
+         |        ln(CAST(n.n_docs AS DOUBLE) / df.df), 4) AS tfidf4
+         |FROM tf JOIN dl USING (doc_id) JOIN df USING (term) CROSS JOIN n
+         |ORDER BY doc_id, term""") { (s, dir) =>
+      graft.plans.NativeFunctions.register(s)
+      CorpusStats.tfidf(Tables(s, dir).documents, "doc_id",
+          graft.plans.NativeFunctions.normTokens(col("text")))
+        .select(col("doc_id"), col("term"), col("tf_count"), col("df"),
+          round(col("tfidf"), 4).as("tfidf4"))
+        .orderBy(col("doc_id"), col("term"))
+    },
+
+    // ---- token-budget sequence packing (concat-and-chunk): documents
+    // laid out end-to-end in id order, cut into 512-token sequences. The
+    // oracle's global window cumsum IS the semantics; the engine computes
+    // it as a two-phase distributed prefix sum (per-partition totals
+    // cumsum'd on the driver + bounded within-partition windows) so no
+    // reducer ever sees more than one partition of the corpus.
+    Q("t06_seq_pack",
+      s"""WITH t AS (SELECT doc_id,
+         |    CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) AS BIGINT) AS n_tokens
+         |  FROM documents),
+         |s AS (SELECT doc_id, n_tokens,
+         |    CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS strt
+         |  FROM t)
+         |SELECT doc_id, n_tokens,
+         |  strt // 512 AS seq_id, strt % 512 AS seq_offset,
+         |  (strt + greatest(n_tokens, 1) - 1) // 512 AS end_seq_id
+         |FROM s ORDER BY doc_id""") { (s, dir) =>
+      graft.plans.NativeFunctions.register(s)
+      val docs = Tables(s, dir).documents
+        .select(col("doc_id"), TextFunctions.bpeishTokenCount(col("text")).as("tok"))
+      Packing.concatChunk(docs, "doc_id", "tok", budget = 512)
         .orderBy(col("doc_id"))
     },
 

@@ -1,0 +1,99 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Sequence packing (two-phase prefix sum) + corpus TF-IDF stats. */
+class PackingAndStatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("concatChunk matches a sequential single-pass pack") {
+    val docs = (1L to 200L).map(i => (i, (i * 37 % 90 + 1))).toDF("id", "tok")
+    // force multiple partitions so the partition-offset phase is exercised
+    val packed = Packing.concatChunk(docs, "id", "tok", budget = 100,
+      targetPartitions = 7).orderBy("id").collect()
+    var start = 0L
+    docs.orderBy("id").collect().zip(packed).foreach { case (d, p) =>
+      val tok = d.getLong(1)
+      assert(p.getAs[Long]("seq_id") == start / 100, s"seq_id at id=${d.getLong(0)}")
+      assert(p.getAs[Long]("seq_offset") == start % 100)
+      assert(p.getAs[Long]("end_seq_id") == (start + math.max(tok, 1) - 1) / 100)
+      start += tok
+    }
+  }
+
+  test("concatChunk handles zero-token and over-budget docs") {
+    val docs = Seq((1L, 0L), (2L, 250L), (3L, 50L)).toDF("id", "tok")
+    val rows = Packing.concatChunk(docs, "id", "tok", budget = 100)
+      .orderBy("id").collect()
+    // doc1: start 0, zero tokens → occupies its start slot in seq 0
+    assert(rows(0).getAs[Long]("seq_id") == 0 && rows(0).getAs[Long]("end_seq_id") == 0)
+    // doc2: start 0..249 spans seqs 0-2
+    assert(rows(1).getAs[Long]("seq_id") == 0 && rows(1).getAs[Long]("end_seq_id") == 2)
+    // doc3: start 250 → seq 2 offset 50, ends at 299 in seq 2
+    assert(rows(2).getAs[Long]("seq_id") == 2 && rows(2).getAs[Long]("seq_offset") == 50
+      && rows(2).getAs[Long]("end_seq_id") == 2)
+  }
+
+  test("sequenceFill conserves the total token count") {
+    val docs = (1L to 50L).map(i => (i, i % 37 + 3)).toDF("id", "tok")
+    val packed = Packing.concatChunk(docs, "id", "tok", budget = 64)
+    val fill = Packing.sequenceFill(packed, budget = 64)
+    val total = fill.agg(sum("fill_tokens")).as[Long].head()
+    val expected = docs.agg(sum("tok")).as[Long].head()
+    assert(total == expected)
+    // every sequence but the last is exactly full
+    val fills = fill.orderBy("seq_id").select("fill_tokens").as[Long].collect()
+    assert(fills.init.forall(_ == 64L) && fills.last <= 64L)
+  }
+
+  test("concatChunk plans a partition-bounded window, not a global one") {
+    val docs = (1L to 100L).map(i => (i, i % 7 + 1)).toDF("id", "tok")
+    val plan = Packing.concatChunk(docs, "id", "tok", budget = 50)
+      .queryExecution.executedPlan.toString
+    // the only window is the within-partition running sum keyed on __pid —
+    // an empty partition spec would funnel the corpus through one reducer
+    assert(plan.contains("windowspecdefinition(__pid"), plan.take(2000))
+    assert(!plan.contains("windowspecdefinition(id#") &&
+      !"windowspecdefinition\\(\\s*id".r.findFirstIn(plan).isDefined)
+  }
+
+  test("connectedComponents labels chains and leaves separate components apart") {
+    // chain 1-2-3-4, pair 10-11, singleton 20 not in pairs
+    val pairs = Seq((2L, 1L), (2L, 3L), (4L, 3L), (11L, 10L)).toDF("a", "b")
+    val cc = Dedup.connectedComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(Seq(1L, 2L, 3L, 4L).forall(cc(_) == 1L))
+    assert(cc(10L) == 10L && cc(11L) == 10L)
+    val docs = Seq(1L, 2L, 3L, 4L, 10L, 11L, 20L).toDF("doc_id")
+    val reps = Dedup.clusterRepresentatives(docs, "doc_id", pairs.toDF())
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("cluster_id")).toMap
+    assert(reps(20L) == 20L && reps(4L) == 1L && reps(11L) == 10L)
+  }
+
+  test("tfidf: counts exact, weight matches the definition") {
+    val docs = Seq(
+      (1L, Seq("a", "b", "a")),
+      (2L, Seq("b", "c")),
+      (3L, Seq("c", "c", "c", "d"))).toDF("id", "toks")
+    val out = CorpusStats.tfidf(docs, "id", col("toks"))
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[String]("term")) -> r).toMap
+    val r1a = out((1L, "a"))
+    assert(r1a.getAs[Long]("tf_count") == 2 && r1a.getAs[Long]("doc_len") == 3
+      && r1a.getAs[Long]("df") == 1 && r1a.getAs[Long]("n_docs") == 3)
+    assert(math.abs(r1a.getAs[Double]("tfidf") - (2.0 / 3.0) * math.log(3.0)) < 1e-12)
+    val r2b = out((2L, "b"))
+    assert(r2b.getAs[Long]("df") == 2)
+    assert(math.abs(r2b.getAs[Double]("tfidf") - 0.5 * math.log(1.5)) < 1e-12)
+  }
+
+  test("vocabulary: df/cf/idf per term") {
+    val docs = Seq((1L, Seq("x", "x", "y")), (2L, Seq("y", "z"))).toDF("id", "toks")
+    val v = CorpusStats.vocabulary(docs, "id", col("toks"))
+      .collect().map(r => r.getAs[String]("term") -> r).toMap
+    assert(v("x").getAs[Long]("df") == 1 && v("x").getAs[Long]("cf") == 2)
+    assert(v("y").getAs[Long]("df") == 2 && v("y").getAs[Long]("cf") == 2)
+    assert(math.abs(v("z").getAs[Double]("idf") - math.log(2.0)) < 1e-12)
+  }
+}
