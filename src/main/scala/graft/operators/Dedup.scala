@@ -212,27 +212,48 @@ object Dedup {
 
   // ---------- dedup clustering (connected components over match pairs)
 
+  /** Materialize an iteration state frame. `localCheckpoint` alone is NOT
+    * enough for iterative self-joins: `LogicalRDD.fromDataset` carries the
+    * originating plan's size estimate forward, so a join-per-round loop
+    * SQUARES the estimate every round — by round ~10 the stats are
+    * million-bit BigIntegers and Catalyst spends minutes multiplying them.
+    * [[org.apache.spark.sql.graftinternal.Rematerialize]] checkpoints and
+    * rewraps the InternalRow RDD with fresh default stats (zero-copy).
+    */
+  private def pinned(df: DataFrame): DataFrame =
+    org.apache.spark.sql.graftinternal.Rematerialize(df)
+
   /** Connected components over near-dup pairs (`a`/`b` columns) — the
     * clustering step that turns pairwise matches into dedup groups.
     * Returns one row per id appearing in any pair with its component
     * `label` (the smallest id in the component).
     *
-    * Min-label propagation: each vertex repeatedly adopts the smallest
-    * label among itself and its neighbors, converging in O(component
-    * diameter) rounds. Near-dup components are shallow (variants of a
-    * common original), so rounds stay in single digits; each round is ONE
-    * shuffle keyed on vertex id — full key cardinality, no hot reducer —
-    * and `localCheckpoint` truncates lineage so the plan doesn't grow
-    * with rounds. Early-stops the first round that changes nothing.
+    * Min-label propagation: each round every vertex adopts the smallest
+    * label among itself and its neighbors (one shuffle keyed on vertex
+    * id — full key cardinality, no hot reducer), optionally followed by
+    * `hopsPerRound` label-table self-hops (label ← label(label)). State
+    * is re-materialized per round (lineage truncation + stats reset) and
+    * the loop early-stops on the first round that changes nothing.
+    *
+    * Rounds scale with component DIAMETER. Real near-dup components are
+    * star-shaped (many variants of one original) — diameter 2-3, so 3-4
+    * rounds; pathological chain components cost O(diameter) rounds, each
+    * a label-table-sized shuffle. If a corpus profile shows deep
+    * components, the upgrade path is alternating large-star/small-star
+    * contraction (Kiveris et al., O(log² n) rounds) — same per-round
+    * primitives, more involved convergence bookkeeping.
     */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
-    val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
-      .union(pairs.select(col("b").as("src"), col("a").as("dst")))
-      .distinct()
-      .localCheckpoint()
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id"))
-      .localCheckpoint()
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 25,
+                          hopsPerRound: Int = 1): DataFrame = {
+    // materialize pairs once: both union branches below would otherwise
+    // re-evaluate the (expensive) candidate-pair plan
+    val p = pinned(pairs.select(col("a"), col("b")))
+    val edges = pinned(
+      p.select(col("a").as("src"), col("b").as("dst"))
+        .union(p.select(col("b").as("src"), col("a").as("dst")))
+        .distinct())
+    var labels = pinned(
+      edges.select(col("src").as("id")).distinct().withColumn("label", col("id")))
     var round = 0
     var done = false
     while (!done && round < maxIter) {
@@ -240,19 +261,85 @@ object Dedup {
         .join(labels.select(col("id").as("dst"), col("label")), "dst")
         .groupBy(col("src").as("id"))
         .agg(min(col("label")).as("nbr_label"))
-      val next = labels.join(nbrMin, Seq("id"), "left")
-        .select(col("id"),
-          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
-        .localCheckpoint()
-      val changed = next
-        .join(labels.withColumnRenamed("label", "old"), "id")
-        .filter(col("label") =!= col("old"))
-        .limit(1).count()
-      labels = next
+      // materialized: feeds both sides of the hop self-join below (the
+      // expensive neighbor join must not run twice per round)
+      var cur = pinned(labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"), col("label").as("old"),
+          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label")))
+      for (_ <- 0 until hopsPerRound) {
+        val hop = cur.select(col("id").as("label"), col("label").as("label2"))
+        cur = pinned(cur.join(hop, Seq("label"), "left")
+          .select(col("id"),
+            least(col("label"), coalesce(col("label2"), col("label"))).as("label"),
+            col("old")))
+      }
+      // the change probe scans the materialized state — no recompute
+      val changed = cur.filter(col("label") =!= col("old")).limit(1).count()
+      labels = cur.drop("old")
       done = changed == 0L
       round += 1
     }
     labels
+  }
+
+  /** Connected components by alternating large-star / small-star
+    * contraction (Kiveris et al., "Connected Components in MapReduce and
+    * Beyond") — converges in O(log² n) rounds regardless of component
+    * diameter, where min-label propagation needs O(diameter). Same
+    * output contract as [[connectedComponents]]: one row per id in any
+    * pair with its component `label` (the component's smallest id).
+    *
+    * Each round is two phases over the (shrinking) edge list, each one
+    * groupBy + one join keyed on node id. Invariant maintained by both
+    * phases: the edge set's connectivity is preserved while every edge is
+    * progressively redirected at the component minimum; at the fixed
+    * point every component is a star centered on its minimum.
+    */
+  def connectedComponentsStars(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
+    // canonical (big, small) directed edges, self-loops dropped
+    var edges = pinned(pairs
+      .select(greatest(col("a"), col("b")).as("u"), least(col("a"), col("b")).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct())
+    val vertices = pinned(
+      edges.select(col("u").as("id")).union(edges.select(col("v").as("id"))).distinct())
+    var round = 0
+    var done = false
+    while (!done && round < maxIter) {
+      // large-star: connect every neighbor LARGER than u to the minimum
+      // of u's closed neighborhood (strictly-smaller targets only, so
+      // orientation stays big→small and progress is monotone)
+      val sym = edges.select(col("u"), col("v"))
+        .union(edges.select(col("v").as("u"), col("u").as("v")))
+      val mins = sym.groupBy(col("u")).agg(min(col("v")).as("mn"))
+        .select(col("u"), least(col("u"), col("mn")).as("m"))
+      val afterLarge = pinned(sym.join(mins, "u")
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .filter(col("u") =!= col("v"))
+        .distinct())
+      // small-star: point u and all its (smaller) neighbors at u's
+      // smallest neighbor
+      val smins = afterLarge.groupBy(col("u")).agg(min(col("v")).as("m"))
+      val afterSmall = pinned(afterLarge.join(smins, "u")
+        .select(explode(array(
+          struct(col("v").as("_1"), col("m").as("_2")),
+          struct(col("u").as("_1"), col("m").as("_2")))).as("e"))
+        .select(col("e._1").as("u"), col("e._2").as("v"))
+        .filter(col("u") =!= col("v"))
+        .distinct())
+      // converged when the small-star pass changed nothing
+      val changed = afterSmall.unionAll(edges)
+        .groupBy(col("u"), col("v")).agg(count(lit(1)).as("c"))
+        .filter(col("c") =!= 2).limit(1).count()
+      edges = afterSmall
+      done = changed == 0L
+      round += 1
+    }
+    // fixed point: stars centered on component minima
+    val nonRoots = edges.groupBy(col("u").as("id")).agg(min(col("v")).as("label"))
+    vertices.join(nonRoots, Seq("id"), "left")
+      .select(col("id"), coalesce(col("label"), col("id")).as("label"))
   }
 
   /** Cluster assignment for the WHOLE corpus: every document gets a
@@ -260,8 +347,8 @@ object Dedup {
     * id when it matched nothing (singleton cluster).
     */
   def clusterRepresentatives(df: DataFrame, idCol: String,
-                             pairs: DataFrame, maxIter: Int = 20): DataFrame = {
-    val cc = connectedComponents(pairs, maxIter)
+                             pairs: DataFrame, maxIter: Int = 25): DataFrame = {
+    val cc = connectedComponentsStars(pairs, maxIter)
     df.join(cc.withColumnRenamed("id", idCol), Seq(idCol), "left")
       .withColumn("cluster_id", coalesce(col("label"), col(idCol)))
       .drop("label")

@@ -62,14 +62,43 @@ class PackingAndStatsSpec extends SparkSpec {
   test("connectedComponents labels chains and leaves separate components apart") {
     // chain 1-2-3-4, pair 10-11, singleton 20 not in pairs
     val pairs = Seq((2L, 1L), (2L, 3L), (4L, 3L), (11L, 10L)).toDF("a", "b")
-    val cc = Dedup.connectedComponents(pairs).collect()
-      .map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(Seq(1L, 2L, 3L, 4L).forall(cc(_) == 1L))
-    assert(cc(10L) == 10L && cc(11L) == 10L)
+    for (cc <- Seq(
+        Dedup.connectedComponents(pairs),
+        Dedup.connectedComponentsStars(pairs))) {
+      val m = cc.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(Seq(1L, 2L, 3L, 4L).forall(m(_) == 1L))
+      assert(m(10L) == 10L && m(11L) == 10L)
+    }
     val docs = Seq(1L, 2L, 3L, 4L, 10L, 11L, 20L).toDF("doc_id")
     val reps = Dedup.clusterRepresentatives(docs, "doc_id", pairs.toDF())
       .collect().map(r => r.getLong(0) -> r.getAs[Long]("cluster_id")).toMap
     assert(reps(20L) == 20L && reps(4L) == 1L && reps(11L) == 10L)
+  }
+
+  test("star contraction agrees with union-find on random graphs") {
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 3) {
+      val n = 60
+      val edges = Seq.fill(70)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      // driver-side union-find ground truth
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val truth = edges.flatMap(e => Seq(e._1, e._2)).distinct
+        .map(v => v -> {
+          // component min over the vertices actually present in edges
+          val root = find(v.toInt)
+          edges.flatMap(e => Seq(e._1, e._2)).distinct
+            .filter(u => find(u.toInt) == root).min
+        }).toMap
+      val got = Dedup.connectedComponentsStars(edges.toDF("a", "b")).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == truth, s"trial $trial")
+    }
   }
 
   test("tfidf: counts exact, weight matches the definition") {
