@@ -223,6 +223,39 @@ object Dedup {
   private def pinned(df: DataFrame): DataFrame =
     org.apache.spark.sql.graftinternal.Rematerialize(df)
 
+  /** Round-state pin for iterative loops with an optional DURABLE mode:
+    * when `durable`, the round's state goes through a reliable checkpoint
+    * (`sparkContext.getCheckpointDir` — HDFS/object store on a cluster) so
+    * an executor loss late in the loop replays at most the rounds since
+    * the last durable pin, instead of restarting from round 0 (the
+    * localCheckpoint failure mode: lineage is truncated and the blocks
+    * lived only in the lost executor's block manager).
+    */
+  private def pinnedRound(df: DataFrame, durable: Boolean): DataFrame =
+    if (durable) org.apache.spark.sql.graftinternal.Rematerialize.reliable(df)
+    else org.apache.spark.sql.graftinternal.Rematerialize(df)
+
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  private def warnNotConverged(algo: String, maxIter: Int): Unit =
+    log.warn(s"$algo exhausted maxIter=$maxIter without reaching the fixed " +
+      "point: component labels may be PARTIALLY MERGED (split clusters). " +
+      "Raise maxIter or inspect the pair graph.")
+
+  /** Order-independent signature of a distinct edge set: (row count,
+    * XOR of per-edge 64-bit hashes). Two distinct sets with equal
+    * signatures differ with probability ~2^-64; comparing consecutive
+    * rounds' signatures replaces a symmetric-difference probe that cost a
+    * full extra union+groupBy SHUFFLE of the edge table per round with one
+    * cheap scan of already-materialized state.
+    */
+  private def edgeSig(edges: DataFrame): (Long, Long) = {
+    val r = edges.agg(
+      count(lit(1)),
+      bit_xor(xxhash64(col("u"), col("v")))).head()
+    (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+  }
+
   /** Connected components over near-dup pairs (`a`/`b` columns) — the
     * clustering step that turns pairwise matches into dedup groups.
     * Returns one row per id appearing in any pair with its component
@@ -244,7 +277,8 @@ object Dedup {
     * primitives, more involved convergence bookkeeping.
     */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 25,
-                          hopsPerRound: Int = 1): DataFrame = {
+                          hopsPerRound: Int = 1,
+                          reliableEvery: Int = 0): DataFrame = {
     // materialize pairs once: both union branches below would otherwise
     // re-evaluate the (expensive) candidate-pair plan
     val p = pinned(pairs.select(col("a"), col("b")))
@@ -263,9 +297,10 @@ object Dedup {
         .agg(min(col("label")).as("nbr_label"))
       // materialized: feeds both sides of the hop self-join below (the
       // expensive neighbor join must not run twice per round)
-      var cur = pinned(labels.join(nbrMin, Seq("id"), "left")
+      var cur = pinnedRound(labels.join(nbrMin, Seq("id"), "left")
         .select(col("id"), col("label").as("old"),
-          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label")))
+          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label")),
+        reliableEvery > 0 && (round + 1) % reliableEvery == 0)
       for (_ <- 0 until hopsPerRound) {
         val hop = cur.select(col("id").as("label"), col("label").as("label2"))
         cur = pinned(cur.join(hop, Seq("label"), "left")
@@ -279,6 +314,7 @@ object Dedup {
       done = changed == 0L
       round += 1
     }
+    if (!done) warnNotConverged("connectedComponents", maxIter)
     labels
   }
 
@@ -295,47 +331,74 @@ object Dedup {
     * progressively redirected at the component minimum; at the fixed
     * point every component is a star centered on its minimum.
     */
-  def connectedComponentsStars(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
+  def connectedComponentsStars(pairs: DataFrame, maxIter: Int = 25,
+                               reliableEvery: Int = 0): DataFrame = {
+    val durableMode = reliableEvery > 0
     // canonical (big, small) directed edges, self-loops dropped
-    var edges = pinned(pairs
+    var edges = pinnedRound(pairs
       .select(greatest(col("a"), col("b")).as("u"), least(col("a"), col("b")).as("v"))
       .filter(col("u") =!= col("v"))
-      .distinct())
+      .distinct(), durableMode)
     val vertices = pinned(
       edges.select(col("u").as("id")).union(edges.select(col("v").as("id"))).distinct())
+    var sig = edgeSig(edges)
+    // failure-recovery anchor: (edge frame on durable storage, its
+    // signature, its round). Rounds between anchors use the fast
+    // executor-local pin; on a lost-block failure the loop resumes from
+    // the anchor instead of the job dying — bounding replay to
+    // `reliableEvery` rounds.
+    var anchor: Option[(DataFrame, (Long, Long), Int)] =
+      if (durableMode) Some((edges, sig, 0)) else None
+    var retriesLeft = 3
     var round = 0
     var done = false
     while (!done && round < maxIter) {
-      // large-star: connect every neighbor LARGER than u to the minimum
-      // of u's closed neighborhood (strictly-smaller targets only, so
-      // orientation stays big→small and progress is monotone)
-      val sym = edges.select(col("u"), col("v"))
-        .union(edges.select(col("v").as("u"), col("u").as("v")))
-      val mins = sym.groupBy(col("u")).agg(min(col("v")).as("mn"))
-        .select(col("u"), least(col("u"), col("mn")).as("m"))
-      val afterLarge = pinned(sym.join(mins, "u")
-        .filter(col("v") > col("u"))
-        .select(col("v").as("u"), col("m").as("v"))
-        .filter(col("u") =!= col("v"))
-        .distinct())
-      // small-star: point u and all its (smaller) neighbors at u's
-      // smallest neighbor
-      val smins = afterLarge.groupBy(col("u")).agg(min(col("v")).as("m"))
-      val afterSmall = pinned(afterLarge.join(smins, "u")
-        .select(explode(array(
-          struct(col("v").as("_1"), col("m").as("_2")),
-          struct(col("u").as("_1"), col("m").as("_2")))).as("e"))
-        .select(col("e._1").as("u"), col("e._2").as("v"))
-        .filter(col("u") =!= col("v"))
-        .distinct())
-      // converged when the small-star pass changed nothing
-      val changed = afterSmall.unionAll(edges)
-        .groupBy(col("u"), col("v")).agg(count(lit(1)).as("c"))
-        .filter(col("c") =!= 2).limit(1).count()
-      edges = afterSmall
-      done = changed == 0L
-      round += 1
+      try {
+        // large-star: connect every neighbor LARGER than u to the minimum
+        // of u's closed neighborhood (strictly-smaller targets only, so
+        // orientation stays big→small and progress is monotone)
+        val sym = edges.select(col("u"), col("v"))
+          .union(edges.select(col("v").as("u"), col("u").as("v")))
+        val mins = sym.groupBy(col("u")).agg(min(col("v")).as("mn"))
+          .select(col("u"), least(col("u"), col("mn")).as("m"))
+        val afterLarge = pinned(sym.join(mins, "u")
+          .filter(col("v") > col("u"))
+          .select(col("v").as("u"), col("m").as("v"))
+          .filter(col("u") =!= col("v"))
+          .distinct())
+        // small-star: point u and all its (smaller) neighbors at u's
+        // smallest neighbor
+        val smins = afterLarge.groupBy(col("u")).agg(min(col("v")).as("m"))
+        val durable = durableMode && (round + 1) % reliableEvery == 0
+        val afterSmall = pinnedRound(afterLarge.join(smins, "u")
+          .select(explode(array(
+            struct(col("v").as("_1"), col("m").as("_2")),
+            struct(col("u").as("_1"), col("m").as("_2")))).as("e"))
+          .select(col("e._1").as("u"), col("e._2").as("v"))
+          .filter(col("u") =!= col("v"))
+          .distinct(), durable)
+        // converged when the small-star pass changed nothing — signature
+        // comparison against the previous round (one scan of materialized
+        // state; no symmetric-difference shuffle)
+        val nextSig = edgeSig(afterSmall)
+        if (durable) anchor = Some((afterSmall, nextSig, round + 1))
+        edges = afterSmall
+        done = nextSig == sig
+        sig = nextSig
+        round += 1
+      } catch {
+        case e: org.apache.spark.SparkException
+            if anchor.isDefined && retriesLeft > 0 =>
+          val (aDf, aSig, aRound) = anchor.get
+          log.warn(s"connectedComponentsStars round $round failed " +
+            s"(${e.getMessage}); resuming from durable round $aRound")
+          retriesLeft -= 1
+          edges = aDf
+          sig = aSig
+          round = aRound
+      }
     }
+    if (!done) warnNotConverged("connectedComponentsStars", maxIter)
     // fixed point: stars centered on component minima
     val nonRoots = edges.groupBy(col("u").as("id")).agg(min(col("v")).as("label"))
     vertices.join(nonRoots, Seq("id"), "left")
@@ -347,8 +410,9 @@ object Dedup {
     * id when it matched nothing (singleton cluster).
     */
   def clusterRepresentatives(df: DataFrame, idCol: String,
-                             pairs: DataFrame, maxIter: Int = 25): DataFrame = {
-    val cc = connectedComponentsStars(pairs, maxIter)
+                             pairs: DataFrame, maxIter: Int = 25,
+                             reliableEvery: Int = 0): DataFrame = {
+    val cc = connectedComponentsStars(pairs, maxIter, reliableEvery)
     df.join(cc.withColumnRenamed("id", idCol), Seq(idCol), "left")
       .withColumn("cluster_id", coalesce(col("label"), col(idCol)))
       .drop("label")

@@ -21,8 +21,26 @@ import org.apache.spark.sql.classic
   * `org.apache.spark.sql` for that access and contains no other logic.
   */
 object Rematerialize {
-  def apply(df: DataFrame): DataFrame = {
-    val ck = df.localCheckpoint()
+
+  /** Fast default: executor-local checkpoint. Blocks live in executor
+    * block managers only — an executor loss after lineage truncation is
+    * unrecoverable (the job restarts from the caller's round 0). Use
+    * [[reliable]] periodically in long iterative loops when that failure
+    * mode matters.
+    */
+  def apply(df: DataFrame): DataFrame = rewrap(df.localCheckpoint())
+
+  /** Durable re-materialization: a RELIABLE checkpoint to
+    * `sparkContext.getCheckpointDir` (HDFS/object store on a cluster).
+    * Contract: after this returns, the frame's data survives any executor
+    * loss — recomputation reads the checkpoint files instead of replaying
+    * lineage, so an iterative loop that calls this every N rounds bounds
+    * its replay window to N rounds. Requires `setCheckpointDir`; throws
+    * otherwise (same as `Dataset.checkpoint`).
+    */
+  def reliable(df: DataFrame): DataFrame = rewrap(df.checkpoint())
+
+  private def rewrap(ck: DataFrame): DataFrame = {
     val spark = ck.sparkSession.asInstanceOf[classic.SparkSession]
     val classicCk = ck.asInstanceOf[classic.Dataset[org.apache.spark.sql.Row]]
     spark.internalCreateDataFrame(classicCk.queryExecution.toRdd, ck.schema)

@@ -75,6 +75,24 @@ class PackingAndStatsSpec extends SparkSpec {
     assert(reps(20L) == 20L && reps(4L) == 1L && reps(11L) == 10L)
   }
 
+  test("durable-checkpoint CC mode matches the default and writes reliable checkpoints") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ck").toFile
+    spark.sparkContext.setCheckpointDir(dir.toString)
+    val pairs = Seq((2L, 1L), (2L, 3L), (4L, 3L), (11L, 10L), (7L, 4L)).toDF("a", "b")
+    val base = Dedup.connectedComponentsStars(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val durable = Dedup.connectedComponentsStars(pairs, reliableEvery = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(durable == base)
+    // round state actually landed on durable storage (the recovery anchor)
+    def countFiles(f: java.io.File): Int =
+      if (f.isDirectory) f.listFiles.map(countFiles).sum else 1
+    assert(countFiles(dir) > 0)
+    val minLabel = Dedup.connectedComponents(pairs, reliableEvery = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(minLabel == base)
+  }
+
   test("star contraction agrees with union-find on random graphs") {
     val rnd = new scala.util.Random(42)
     for (trial <- 1 to 3) {
