@@ -7,12 +7,14 @@ import org.apache.spark.sql.types._
 /** Multimodal column plumbing: image/audio/video as opaque `binary`
   * columns with typed metadata, processed batch-wise per partition.
   *
-  * The Spark side — schema, partitioning, per-partition batch shape,
-  * row-preserving decode — is real and tested. The media decoding itself
-  * is a STUB (this container has no image/audio codecs): [[decodeStub]]
-  * derives deterministic fake metadata from the payload bytes. Swapping in
-  * a real decoder (JavaCV, TwelveMonkeys, ffmpeg-pipe) only replaces that
-  * one function; the distributed plumbing is unchanged.
+  * Image payloads are decoded by a REAL codec ([[ImageCodec]], on the
+  * JDK's `javax.imageio` — PNG/JPEG/BMP/GIF): true width/height/format,
+  * real pixel stats, real bilinear resampling. Payloads that are not
+  * images (audio/video containers, arbitrary bytes) fall back to
+  * [[byteMetaFallback]] — deterministic byte-derived metadata — because
+  * this container ships no audio/video demuxer; swapping in one (JavaCV,
+  * ffmpeg-pipe) replaces only that function, the distributed plumbing is
+  * identical.
   */
 object Multimodal {
 
@@ -27,10 +29,12 @@ object Multimodal {
       StructField("n_bytes", LongType, nullable = true),
       StructField("duration_ms", LongType, nullable = true))), nullable = true)))
 
-  /** STUB decoder: deterministic pseudo-metadata from payload bytes.
-    * A real deployment replaces this body with an actual codec call.
+  /** Fallback metadata for payloads the image codec rejects (audio/video
+    * containers — no JDK demuxer — and arbitrary bytes): deterministic
+    * byte-derived pseudo-metadata, so the batch map stays row-preserving
+    * over mixed binary columns.
     */
-  def decodeStub(payload: Array[Byte]): (Int, Int, Long, Long) = {
+  def byteMetaFallback(payload: Array[Byte]): (Int, Int, Long, Long) = {
     if (payload == null || payload.isEmpty) (0, 0, 0L, 0L)
     else {
       val n = payload.length.toLong
@@ -45,6 +49,11 @@ object Multimodal {
     * batch map (the Scala analogue of mapInPandas): no shuffle, preserves
     * partitioning, one decoder instance per partition — the shape a real
     * codec needs (native init amortized across the batch).
+    *
+    * Image payloads get REAL decoded values ([[ImageCodec.decode]]):
+    * `dec_width`/`dec_height` are the image's true dimensions and
+    * `dec_format` its sniffed container format. Non-image payloads get
+    * [[byteMetaFallback]] metadata and a null `dec_format`.
     */
   def withDecodedMeta(df: DataFrame, payloadCol: String = "payload"): DataFrame = {
     val schema = df.schema
@@ -52,13 +61,57 @@ object Multimodal {
       .add("dec_height", IntegerType)
       .add("dec_bytes", LongType)
       .add("dec_duration_ms", LongType)
+      .add("dec_format", StringType)
     val idx = df.schema.fieldIndex(payloadCol)
     df.mapPartitions { rows =>
-      // per-partition decoder init would go here (native lib handle)
       rows.map { r =>
-        val (w, h, n, d) = decodeStub(
-          if (r.isNullAt(idx)) null else r.getAs[Array[Byte]](idx))
-        Row.fromSeq(r.toSeq ++ Seq(Int.box(w), Int.box(h), Long.box(n), Long.box(d)))
+        val p = if (r.isNullAt(idx)) null else r.getAs[Array[Byte]](idx)
+        ImageCodec.decode(p) match {
+          case Some(d) =>
+            Row.fromSeq(r.toSeq ++ Seq(Int.box(d.width), Int.box(d.height),
+              Long.box(p.length.toLong), null, d.format))
+          case None =>
+            val (w, h, n, dur) = byteMetaFallback(p)
+            Row.fromSeq(r.toSeq ++ Seq(Int.box(w), Int.box(h), Long.box(n),
+              Long.box(dur), null))
+        }
+      }
+    }(Encoders.row(schema))
+  }
+
+  /** Real decoded-pixel statistics per image: true dimensions, format,
+    * and exact min/max/sum over the 8-bit pixel samples — all null for
+    * payloads the codec rejects. Integer stats make the whole
+    * decode path oracle-checkable when image content is deterministic.
+    */
+  def decodedPixelStats(df: DataFrame, payloadCol: String = "payload"): DataFrame = {
+    val schema = df.schema
+      .add("dec_width", IntegerType)
+      .add("dec_height", IntegerType)
+      .add("dec_format", StringType)
+      .add("px_min", IntegerType)
+      .add("px_max", IntegerType)
+      .add("px_sum", LongType)
+    val idx = df.schema.fieldIndex(payloadCol)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val p = if (r.isNullAt(idx)) null else r.getAs[Array[Byte]](idx)
+        ImageCodec.decode(p) match {
+          case Some(d) =>
+            var mn = 255; var mx = 0; var sum = 0L
+            var i = 0
+            while (i < d.pixels.length) {
+              val v = d.pixels(i)
+              if (v < mn) mn = v
+              if (v > mx) mx = v
+              sum += v
+              i += 1
+            }
+            Row.fromSeq(r.toSeq ++ Seq(Int.box(d.width), Int.box(d.height),
+              d.format, Int.box(mn), Int.box(mx), Long.box(sum)))
+          case None =>
+            Row.fromSeq(r.toSeq ++ Seq(null, null, null, null, null, null))
+        }
       }
     }(Encoders.row(schema))
   }
@@ -96,29 +149,26 @@ object Multimodal {
       crc32(payload).as("crc"),
       substring(hex(payload), 0, 8).as("magic"))
 
-  /** Resize, per-partition batched like [[withDecodedMeta]]. The pixel
-    * resample is the STUB (`resizeStub` — deterministic byte subsampling);
-    * everything Spark-side is real: binary-in/binary-out schema, one
-    * "codec" per partition, new dimensions attached. A real implementation
-    * replaces only the inner function.
+  /** REAL image resize, per-partition batched like [[withDecodedMeta]]:
+    * decode → bilinear resample ([[ImageCodec.resizeBilinear]]) →
+    * re-encode as PNG. `resized` is null for payloads the codec rejects
+    * (no fake bytes — a training pipeline filters those rows).
     */
-  def resizeStub(payload: Array[Byte], w: Int, h: Int): Array[Byte] = {
-    val target = math.max(1, math.min(payload.length, w * h / 64))
-    val step = math.max(1, payload.length / target)
-    payload.grouped(step).map(_.head).toArray.take(target)
-  }
-
   def withResized(df: DataFrame, targetW: Int, targetH: Int,
                   payloadCol: String = "payload"): DataFrame = {
     val base = df.schema
       .add("resized", BinaryType)
       .add("res_w", IntegerType)
       .add("res_h", IntegerType)
+    val idx = df.schema.fieldIndex(payloadCol)
     df.mapPartitions { rows =>
-      // per-partition scaler init would go here (native lib handle)
       rows.map { r =>
-        val p = r.getAs[Array[Byte]](payloadCol)
-        Row.fromSeq(r.toSeq ++ Seq(resizeStub(p, targetW, targetH), targetW, targetH))
+        val p = if (r.isNullAt(idx)) null else r.getAs[Array[Byte]](idx)
+        val resized = ImageCodec.decode(p).map { d =>
+          ImageCodec.encodePngPixels(targetW, targetH,
+            ImageCodec.resizeBilinear(d, targetW, targetH))
+        }.orNull
+        Row.fromSeq(r.toSeq ++ Seq(resized, Int.box(targetW), Int.box(targetH)))
       }
     }(Encoders.row(base))
   }
@@ -139,11 +189,46 @@ object Multimodal {
         val hist = new Array[Float](16)
         var i = 0
         while (i < p.length) { hist((p(i) & 0xff) >> 4) += 1f; i += 1 }
-        var ss = 0.0
-        hist.foreach(x => ss += x * x)
-        val n = if (ss == 0) 1f else math.sqrt(ss).toFloat
-        Row.fromSeq(r.toSeq :+ hist.map(_ / n).toSeq)
+        Row.fromSeq(r.toSeq :+ l2Normalize(hist))
       }
     }(Encoders.row(base))
+  }
+
+  /** Pixel-histogram embedding over REAL decoded pixels: the 16-bucket
+    * histogram of 8-bit pixel samples, L2-normalized — content features,
+    * not container-byte features (two encodings of the same image get the
+    * same embedding; [[byteHistogramFeatures]] would not). Non-image
+    * payloads fall back to the byte histogram so mixed columns still
+    * produce a usable vector. Compatible with the embedding dedup / ANN
+    * family (`Dedup.embeddingNearDupPairsLsh`, `SimilaritySearch.*`).
+    */
+  def pixelHistogramFeatures(df: DataFrame,
+                             payloadCol: String = "payload",
+                             outCol: String = "features"): DataFrame = {
+    val base = df.schema.add(outCol, ArrayType(FloatType))
+    val idx = df.schema.fieldIndex(payloadCol)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val p = if (r.isNullAt(idx)) Array.emptyByteArray
+                else r.getAs[Array[Byte]](idx)
+        val hist = new Array[Float](16)
+        ImageCodec.decode(p) match {
+          case Some(d) =>
+            var i = 0
+            while (i < d.pixels.length) { hist(d.pixels(i) >> 4) += 1f; i += 1 }
+          case None =>
+            var i = 0
+            while (i < p.length) { hist((p(i) & 0xff) >> 4) += 1f; i += 1 }
+        }
+        Row.fromSeq(r.toSeq :+ l2Normalize(hist))
+      }
+    }(Encoders.row(base))
+  }
+
+  private def l2Normalize(hist: Array[Float]): Seq[Float] = {
+    var ss = 0.0
+    hist.foreach(x => ss += x * x)
+    val n = if (ss == 0) 1f else math.sqrt(ss).toFloat
+    hist.map(_ / n).toSeq
   }
 }

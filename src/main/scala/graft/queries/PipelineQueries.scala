@@ -6,7 +6,7 @@ import org.apache.spark.sql.types._
 import graft.tables.Tables
 import graft.functions.TextFunctions
 import graft.operators.{CorpusStats, Dedup, Packing, SimilaritySearch}
-import graft.multimodal.Multimodal
+import graft.multimodal.{ImageCodec, Multimodal}
 
 /** Training-data-pipeline operators (builder-prompt mandate): dedup
   * (exact / MinHash-LSH / SimHash / n-gram Jaccard / embedding-cosine),
@@ -375,10 +375,11 @@ object PipelineQueries {
         .orderBy(col("doc_id"), col("fp"))
     },
 
-    // ---- multimodal binary plumbing: opaque payload bytes → per-partition
-    // batch "decode" (stub codec). The oracle re-derives the stub's
-    // arithmetic from the byte length / first byte — proving the
-    // mapPartitions path is row-correct and deterministic.
+    // ---- multimodal binary plumbing: opaque NON-IMAGE payload bytes →
+    // per-partition batch map falls back to byte-derived metadata. The
+    // oracle re-derives the fallback's arithmetic from the byte length /
+    // first byte — proving the mapPartitions path is row-correct and
+    // deterministic over payloads the image codec rejects.
     Q("mm01_binary_meta",
       """SELECT doc_id,
         |  octet_length(CAST(text AS BLOB)) AS dec_bytes,
@@ -389,6 +390,65 @@ object PipelineQueries {
         .select(col("doc_id"), col("text").cast(BinaryType).as("payload"))
       Multimodal.withDecodedMeta(media)
         .select(col("doc_id"), col("dec_bytes"), col("dec_width"), col("dec_height"))
+        .orderBy(col("doc_id"))
+    },
+
+    // ---- REAL image decode (javax.imageio): each doc becomes a two-tone
+    // grayscale PNG whose dimensions and tones are formulas of doc_id; the
+    // engine encodes the bytes, then the codec path decodes them back —
+    // true width/height, sniffed format, exact integer pixel stats. The
+    // oracle recomputes the same formulas in SQL, so a hash match proves
+    // the encode→decode→pixel-stats loop is bit-exact.
+    Q("mm02_image_decode",
+      """SELECT doc_id,
+        |  CAST(8 + doc_id % 24 AS INT) AS dec_width,
+        |  CAST(8 + (doc_id * 3) % 16 AS INT) AS dec_height,
+        |  'png' AS dec_format,
+        |  CAST(least(doc_id % 256, (doc_id * 7 + 13) % 256) AS INT) AS px_min,
+        |  CAST(greatest(doc_id % 256, (doc_id * 7 + 13) % 256) AS INT) AS px_max,
+        |  CAST((8 + (doc_id * 3) % 16) *
+        |       (((8 + doc_id % 24) // 2) * (doc_id % 256) +
+        |        ((8 + doc_id % 24) - (8 + doc_id % 24) // 2) * ((doc_id * 7 + 13) % 256))
+        |       AS BIGINT) AS px_sum
+        |FROM documents ORDER BY doc_id""") { (s, dir) =>
+      val mkPng = udf { (id: Long) =>
+        val w = (8 + id % 24).toInt
+        val h = (8 + (id * 3) % 16).toInt
+        val gL = (id % 256).toInt
+        val gR = ((id * 7 + 13) % 256).toInt
+        ImageCodec.encodePng(w, h, (x, _) => if (x < w / 2) gL else gR)
+      }
+      val media = Tables(s, dir).documents
+        .select(col("doc_id"), mkPng(col("doc_id")).as("payload"))
+      Multimodal.decodedPixelStats(media)
+        .select(col("doc_id"), col("dec_width"), col("dec_height"),
+          col("dec_format"), col("px_min"), col("px_max"), col("px_sum"))
+        .orderBy(col("doc_id"))
+    },
+
+    // ---- REAL image resize: constant-gray PNG → decode → bilinear
+    // resample to 5×4 → PNG re-encode → decode AGAIN for stats. Bilinear
+    // of a constant image is exactly that constant, so the full
+    // encode→resample→re-encode→decode loop is integer-oracle-checkable.
+    Q("mm03_image_resize",
+      """SELECT doc_id,
+        |  CAST(5 AS INT) AS dec_width, CAST(4 AS INT) AS dec_height,
+        |  CAST((doc_id * 5 + 3) % 256 AS INT) AS px_min,
+        |  CAST((doc_id * 5 + 3) % 256 AS INT) AS px_max,
+        |  CAST(20 * ((doc_id * 5 + 3) % 256) AS BIGINT) AS px_sum
+        |FROM documents ORDER BY doc_id""") { (s, dir) =>
+      val mkPng = udf { (id: Long) =>
+        val w = (9 + id % 13).toInt
+        val h = (7 + id % 11).toInt
+        val g = ((id * 5 + 3) % 256).toInt
+        ImageCodec.encodePng(w, h, (_, _) => g)
+      }
+      val media = Tables(s, dir).documents
+        .select(col("doc_id"), mkPng(col("doc_id")).as("payload"))
+      Multimodal.decodedPixelStats(
+          Multimodal.withResized(media, targetW = 5, targetH = 4), "resized")
+        .select(col("doc_id"), col("dec_width"), col("dec_height"),
+          col("px_min"), col("px_max"), col("px_sum"))
         .orderBy(col("doc_id"))
     }
   )

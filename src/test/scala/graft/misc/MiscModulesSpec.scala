@@ -80,43 +80,78 @@ class MiscModulesSpec extends SparkSpec {
     assert(out.filter($"ts" >= lit("2024-06-23 00:00:00") && $"payload" === "").count() == 0)
   }
 
-  test("multimodal decode plumbing: row-preserving, deterministic; frame sampling explodes") {
-    val media = Seq((1L, "image", "abcdef".getBytes), (2L, "video", ("x" * 4096).getBytes))
+  test("multimodal decode: real images get true dims/format, others fall back; frames explode") {
+    import graft.multimodal.ImageCodec
+    val png = ImageCodec.encodePng(37, 21, (x, y) => (x * 3 + y * 5) % 256)
+    val media = Seq(
+      (1L, "image", png),
+      (2L, "video", ("x" * 4096).getBytes),
+      (3L, "blob", "abcdef".getBytes))
       .toDF("media_id", "kind", "payload")
     val dec = Multimodal.withDecodedMeta(media)
-    assert(dec.count() == 2)
-    val r = dec.filter($"media_id" === 1).select("dec_bytes", "dec_width").head()
-    assert(r.getLong(0) == 6L)
-    val (w, _, _, _) = Multimodal.decodeStub("abcdef".getBytes)
-    assert(r.getInt(1) == w)
+    assert(dec.count() == 3)
+    // real decode: true dimensions + sniffed format, not byte formulas
+    val ri = dec.filter($"media_id" === 1)
+      .select("dec_width", "dec_height", "dec_format", "dec_bytes").head()
+    assert(ri.getInt(0) == 37 && ri.getInt(1) == 21 && ri.getString(2) == "png")
+    assert(ri.getLong(3) == png.length.toLong)
+    // non-image: byte-derived fallback metadata, null format
+    val rf = dec.filter($"media_id" === 3)
+      .select("dec_bytes", "dec_width", "dec_format").head()
+    assert(rf.getLong(0) == 6L)
+    val (w, _, _, _) = Multimodal.byteMetaFallback("abcdef".getBytes)
+    assert(rf.getInt(1) == w && rf.isNullAt(2))
     val frames = Multimodal.sampleFrames(media.filter($"media_id" === 2), "payload",
       everyNth = 2, frameBytes = 1024)
     assert(frames.count() == 2) // 4 frames, every 2nd
   }
 
-  test("multimodal resize + byte-histogram features feed the embedding dedup family") {
-    val big = (0 until 4096).map(i => (i % 251).toByte).toArray
+  test("image codec roundtrip: pixels survive PNG encode/decode; bilinear resize is real") {
+    import graft.multimodal.ImageCodec
+    val px = Array.tabulate(24 * 16)(i => (i * 7) % 256)
+    val d = ImageCodec.decode(ImageCodec.encodePngPixels(24, 16, px)).get
+    assert(d.width == 24 && d.height == 16 && d.format == "png")
+    assert(d.pixels.sameElements(px)) // lossless roundtrip, raw samples
+    // bilinear: constant stays constant; a gradient resamples to interior values
+    val const = ImageCodec.Decoded(10, 10, "png", Array.fill(100)(77))
+    assert(ImageCodec.resizeBilinear(const, 4, 3).forall(_ == 77))
+    val grad = ImageCodec.Decoded(3, 1, "png", Array(0, 100, 200))
+    assert(ImageCodec.resizeBilinear(grad, 5, 1).toSeq == Seq(0, 50, 100, 150, 200))
+  }
+
+  test("multimodal resize decodes, resamples and re-encodes; null for non-images") {
+    import graft.multimodal.ImageCodec
     val media = Seq(
-      (1L, "image", big),
-      (2L, "image", big.map(b => (b ^ 1).toByte)),   // near-identical bytes
-      (3L, "image", Array.fill(4096)(7.toByte)))     // degenerate histogram
+      (1L, "image", ImageCodec.encodePng(40, 30, (x, y) => (x + y) % 256)),
+      (2L, "blob", "not an image".getBytes))
       .toDF("media_id", "kind", "payload")
-
     val res = Multimodal.withResized(media, 64, 64)
-    assert(res.count() == 3)
-    val r1 = res.filter($"media_id" === 1)
-      .select("resized", "res_w", "res_h").head()
-    assert(r1.getAs[Array[Byte]](0).length == 64 * 64 / 64) // deterministic stub size
+    val r1 = res.filter($"media_id" === 1).select("resized", "res_w", "res_h").head()
+    val out = ImageCodec.decode(r1.getAs[Array[Byte]](0)).get
+    assert(out.width == 64 && out.height == 64 && out.format == "png")
     assert(r1.getInt(1) == 64 && r1.getInt(2) == 64)
+    assert(res.filter($"media_id" === 2).select("resized").head().isNullAt(0))
+  }
 
-    val feat = Multimodal.byteHistogramFeatures(media)
-    // near-identical payloads → cosine ~1 through the REAL feature extractor
+  test("pixel-histogram features on real decoded images feed the embedding dedup family") {
+    import graft.multimodal.ImageCodec
+    val basePx = Array.tabulate(64 * 64)(i => (i % 251))
+    val tweaked = basePx.clone(); tweaked(0) = (tweaked(0) + 8) % 256
+    val media = Seq(
+      (1L, "image", ImageCodec.encodePngPixels(64, 64, basePx)),
+      (2L, "image", ImageCodec.encodePngPixels(64, 64, tweaked)), // near-identical pixels
+      (3L, "image", ImageCodec.encodePng(64, 64, (_, _) => 7)))   // degenerate histogram
+      .toDF("media_id", "kind", "payload")
+    val feat = Multimodal.pixelHistogramFeatures(media)
+    // near-identical decoded CONTENT → cosine ~1 through the real extractor
     val pairs = graft.operators.Dedup.embeddingNearDupPairsLsh(
         feat.select($"media_id", $"features"), "media_id", "features",
         minCosine = 0.99, bits = 4, tables = 2)
       .select($"a", $"b").as[(Long, Long)].collect().toSet
     assert(pairs.contains((1L, 2L)), s"near-identical media not paired: $pairs")
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+    // byte-histogram variant still works for mixed/opaque payloads
+    assert(Multimodal.byteHistogramFeatures(media).count() == 3)
   }
 
   private implicit class Tup3Ops[A, B, C](xs: Array[(A, B, C)]) {
