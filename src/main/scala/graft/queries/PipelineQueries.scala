@@ -218,6 +218,30 @@ object PipelineQueries {
         .orderBy(col("query_id"), col("rank"))
     },
 
+    // ---- persisted-IVF ANN: build the cell-partitioned inverted file,
+    // then probe it — the probe's cell set reaches the parquet scan as a
+    // PARTITION filter (asserted by spec on scan metrics), so only
+    // nProbe/nLists of the corpus is read. Rows-only BY DESIGN: this
+    // fixture's embeddings are near-random (a query's true top-10 scatter
+    // across cells — verified empirically), so no nProbe < nLists has
+    // provable recall and the d04 exhaustive-oracle trick cannot apply;
+    // setting nProbe = nLists would hash-match trivially while defeating
+    // the pruning the query demonstrates. Recall invariants are
+    // spec-checked on planted-twin corpora instead (BufferAndIvfSpec).
+    Q.noOracle("d10_ann_ivf") { (s, dir) =>
+      val emb = Tables(s, dir).embeddings
+      val queries = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      val path = System.getProperty("java.io.tmpdir") + "/graft_ivf_" +
+        Integer.toHexString(dir.hashCode)
+      SimilaritySearch.ivfWrite(emb, "vec_id", "embedding", path, nLists = 16)
+      SimilaritySearch.ivfProbe(s, path, queries, "query_id", "qv",
+          k = 10, nProbe = 4)
+        .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
+          round(col("cosine"), 4).as("cos4"))
+        .orderBy(col("query_id"), col("rank"))
+    },
+
     // ---- language ID (marker-token voting) — confusion matrix vs the
     // dataset's lang label
     Q("t01_lang_id",

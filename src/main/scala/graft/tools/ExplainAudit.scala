@@ -12,8 +12,8 @@ object ExplainAudit {
     val names = if (args.nonEmpty) args.toSeq
       else Seq("q01_pricing_summary", "q02_filter_pushdown",
         "q03_join_revenue_by_nation", "q07_asof_join", "q07b_asof_native",
-        "d04_dedup_minhash", "d07_ann_brute_force", "q52_sessionize",
-        "d09_dedup_clusters", "t06_seq_pack")
+        "d04_dedup_minhash", "d07_ann_brute_force", "d10_ann_ivf",
+        "q52_sessionize", "d09_dedup_clusters", "t06_seq_pack")
     val spark = GraftSession.create(master = "local[4]")
     names.foreach { n =>
       println(s"\n========== $n ==========")

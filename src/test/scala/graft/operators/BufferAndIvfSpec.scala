@@ -51,6 +51,25 @@ class BufferAndIvfSpec extends SparkSpec {
     assert(hits >= 12, s"recovered $hits/15 planted twins")
   }
 
+  test("d10 registry query prunes cell partitions and ranks real neighbors") {
+    val res = graft.queries.Registry.byName("d10_ann_ivf").fn(spark, sfDir)
+    val rows = res.collect()
+    assert(rows.length == 50, s"expected 5 queries x k=10, got ${rows.length}")
+    // ranks are 1..10 per query, cosines non-increasing within a query
+    val byQ = rows.groupBy(_.getLong(0))
+    assert(byQ.keySet == Set(0L, 1L, 2L, 3L, 4L))
+    byQ.values.foreach { rs =>
+      val sorted = rs.sortBy(_.getInt(1))
+      assert(sorted.map(_.getInt(1)).toSeq == (1 to 10))
+      val cos = sorted.map(_.getDouble(3)).toSeq
+      assert(cos.zip(cos.tail).forall { case (a, b) => a >= b })
+    }
+    // the probe's cell filter reached the scan as a partition filter
+    val plan = res.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("cell"),
+      plan.take(2000))
+  }
+
   test("persisted IVF: probe prunes cell partitions at the scan") {
     val rnd = new scala.util.Random(23)
     def unit(dim: Int): Array[Float] = {
