@@ -37,8 +37,10 @@ object Packing {
             else spark.sessionState.conf.numShufflePartitions
     // localCheckpoint pins the partition assignment so phase 1's totals
     // describe exactly the partitions phase 2 windows over
+    // null token counts fold to 0 — an all-null partition would otherwise
+    // NPE the driver-side totals read, and null starts poison downstream
     val parted = df
-      .select(col(idCol), col(tokCol).cast("long").as("__tok"))
+      .select(col(idCol), coalesce(col(tokCol).cast("long"), lit(0L)).as("__tok"))
       .repartitionByRange(n, col(idCol))
       .withColumn("__pid", spark_partition_id())
       .localCheckpoint()
@@ -58,6 +60,31 @@ object Packing {
         expr(s"__start DIV ${budget}L").as("seq_id"),
         (col("__start") % budget).as("seq_offset"),
         expr(s"(__start + greatest(__tok, 1L) - 1L) DIV ${budget}L").as("end_seq_id"))
+  }
+
+  /** The MATERIALIZED packed output — what a training pipeline actually
+    * writes: one row per (sequence, document-slice), i.e. each training
+    * sequence's ordered token slices with document provenance. Derived
+    * from [[concatChunk]]'s layout coordinates by exploding each doc's
+    * (bounded) spanned-sequence range; fully deterministic, so it is
+    * oracle-checkable. `seq_off` is the slice's start within the
+    * sequence, `doc_off` its start within the document; empty slices
+    * (zero-token docs) are dropped — a sequence carries tokens only.
+    */
+  def packedSlices(packed: DataFrame, idCol: String, budget: Int): DataFrame = {
+    val spans = packed
+      .withColumn("__start", col("seq_id") * budget + col("seq_offset"))
+      .withColumn("__seq", explode(sequence(col("seq_id"), col("end_seq_id"))))
+    spans
+      .withColumn("__s", greatest(col("__seq") * budget, col("__start")))
+      .withColumn("__e", least((col("__seq") + lit(1)) * budget,
+        col("__start") + col("n_tokens")))
+      .filter(col("__e") > col("__s"))
+      .select(col("__seq").as("seq_id"),
+        (col("__s") - col("__seq") * budget).as("seq_off"),
+        col(idCol),
+        (col("__s") - col("__start")).as("doc_off"),
+        (col("__e") - col("__s")).as("len"))
   }
 
   /** Sequence-level fill report for a packed layout: tokens landing in

@@ -369,6 +369,37 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     },
 
+    // ---- the MATERIALIZED packed output (what the pipeline writes): one
+    // row per (training sequence, document slice) — seq-local offset,
+    // doc-local offset, slice length — derived from t06's layout, which
+    // makes it fully deterministic and oracle-checkable.
+    Q("t07_packed_slices",
+      s"""WITH t AS (SELECT doc_id,
+         |    CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) AS BIGINT) AS n_tokens
+         |  FROM documents),
+         |s AS (SELECT doc_id, n_tokens,
+         |    CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS strt
+         |  FROM t),
+         |sp AS (SELECT doc_id, n_tokens, strt,
+         |    unnest(range(strt // 512, (strt + greatest(n_tokens, 1) - 1) // 512 + 1)) AS seq_id
+         |  FROM s),
+         |sl AS (SELECT seq_id,
+         |    greatest(seq_id * 512, strt) - seq_id * 512 AS seq_off,
+         |    doc_id,
+         |    greatest(seq_id * 512, strt) - strt AS doc_off,
+         |    least((seq_id + 1) * 512, strt + n_tokens) - greatest(seq_id * 512, strt) AS len
+         |  FROM sp)
+         |SELECT seq_id, seq_off, doc_id, doc_off, len
+         |FROM sl WHERE len > 0 ORDER BY seq_id, seq_off""") { (s, dir) =>
+      graft.plans.NativeFunctions.register(s)
+      val docs = Tables(s, dir).documents
+        .select(col("doc_id"), TextFunctions.bpeishTokenCount(col("text")).as("tok"))
+      Packing.packedSlices(
+          Packing.concatChunk(docs, "doc_id", "tok", budget = 512), "doc_id", 512)
+        .orderBy(col("seq_id"), col("seq_off"))
+    },
+
     // ---- winnowing fingerprints (MOSS scheme): k-gram md5-prefix hashes,
     // sliding-window minima, dedup — any shared ≥ (w+k-1)-token run between
     // docs shares a fingerprint at ~1/w the storage of full shingling. The

@@ -36,6 +36,48 @@ class PackingAndStatsSpec extends SparkSpec {
       && rows(2).getAs[Long]("end_seq_id") == 2)
   }
 
+  test("packedSlices reconstructs every doc and fills every sequence") {
+    val docs = Seq((1L, 30L), (2L, 0L), (3L, 250L), (4L, 70L), (5L, 10L))
+      .toDF("id", "tok")
+    val slices = Packing.packedSlices(
+      Packing.concatChunk(docs, "id", "tok", budget = 100), "id", 100)
+    val rows = slices.collect()
+    // per-doc: slice lengths sum to the doc's tokens, doc_offs contiguous
+    val byDoc = rows.groupBy(_.getAs[Long]("id"))
+    assert(!byDoc.contains(2L)) // zero-token doc emits no slice
+    assert(byDoc(3L).map(_.getAs[Long]("len")).sum == 250L)
+    byDoc.foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_.getAs[Long]("doc_off"))
+      var expect = 0L
+      sorted.foreach { r =>
+        assert(r.getAs[Long]("doc_off") == expect)
+        expect += r.getAs[Long]("len")
+      }
+    }
+    // per-sequence: slices tile [0, fill) with no gaps or overlaps
+    rows.groupBy(_.getAs[Long]("seq_id")).foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_.getAs[Long]("seq_off"))
+      var cursor = 0L
+      sorted.foreach { r =>
+        assert(r.getAs[Long]("seq_off") == cursor)
+        cursor += r.getAs[Long]("len")
+      }
+      assert(cursor <= 100L)
+    }
+    // total conservation
+    assert(rows.map(_.getAs[Long]("len")).sum == 360L)
+  }
+
+  test("concatChunk tolerates null token counts (fold to zero)") {
+    val docs = Seq((1L, Some(5L)), (2L, None), (3L, Some(7L)))
+      .toDF("id", "tok")
+    val packed = Packing.concatChunk(docs, "id", "tok", budget = 10)
+      .orderBy("id").collect()
+    assert(packed.length == 3)
+    assert(packed(1).getAs[Long]("n_tokens") == 0L)
+    assert(packed(2).getAs[Long]("seq_offset") == 5L) // null contributed 0
+  }
+
   test("sequenceFill conserves the total token count") {
     val docs = (1L to 50L).map(i => (i, i % 37 + 3)).toDF("id", "tok")
     val packed = Packing.concatChunk(docs, "id", "tok", budget = 64)
