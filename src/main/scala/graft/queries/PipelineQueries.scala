@@ -5,7 +5,7 @@ import org.apache.spark.sql.types._
 
 import graft.tables.Tables
 import graft.functions.TextFunctions
-import graft.operators.{CorpusStats, Dedup, Packing, SimilaritySearch}
+import graft.operators.{CorpusStats, Decontaminate, Dedup, Packing, SimilaritySearch}
 import graft.multimodal.{ImageCodec, Multimodal}
 
 /** Training-data-pipeline operators (builder-prompt mandate): dedup
@@ -428,6 +428,49 @@ object PipelineQueries {
         .select(col("doc_id"),
           explode(TextFunctions.winnowingFingerprint(col("text"), k = 3, w = 4)).as("fp"))
         .orderBy(col("doc_id"), col("fp"))
+    },
+
+    // ---- benchmark decontamination: winnow BOTH sides (docs with
+    // doc_id < 25 stand in as the "eval set", the rest as the training
+    // corpus), broadcast-join eval fingerprints, report per-pair shared
+    // fingerprint counts. Integer columns only — the containment ratio
+    // stays operator-side (round-half parity between engines is not
+    // guaranteed on ratio midpoints).
+    Q("t08_decontaminate",
+      s"""WITH t AS (SELECT doc_id, ${toksSql(normSql)} AS toks
+         |          FROM documents WHERE $normSql <> ''),
+         |g AS (SELECT doc_id,
+         |        CASE WHEN len(toks) >= 3
+         |             THEN [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+         |                   for i in range(1, len(toks)-1)]
+         |             ELSE [] END AS grams
+         |      FROM t),
+         |h AS (SELECT doc_id,
+         |        [CAST(concat('0x', substr(md5(g), 1, 8)) AS BIGINT) for g in grams] AS hs
+         |      FROM g),
+         |f AS (SELECT doc_id,
+         |        CASE WHEN len(hs) = 0 THEN []
+         |             WHEN len(hs) < 4 THEN [list_min(hs)]
+         |             ELSE list_sort(list_distinct(
+         |               [list_min(hs[i:i+3]) for i in range(1, len(hs)-2)]))
+         |        END AS fps
+         |      FROM h),
+         |c AS (SELECT doc_id, unnest(fps) AS fp FROM f WHERE doc_id >= 25),
+         |ec AS (SELECT doc_id AS eval_id, len(fps) AS eval_fps FROM f WHERE doc_id < 25),
+         |e AS (SELECT doc_id AS eval_id, unnest(fps) AS fp FROM f WHERE doc_id < 25)
+         |SELECT c.doc_id, e.eval_id AS eval_id, COUNT(*) AS shared_fps,
+         |  CAST(ec.eval_fps AS INT) AS eval_fps
+         |FROM c JOIN e USING (fp) JOIN ec ON e.eval_id = ec.eval_id
+         |GROUP BY c.doc_id, e.eval_id, ec.eval_fps
+         |HAVING COUNT(*) >= 2
+         |ORDER BY c.doc_id, e.eval_id""") { (s, dir) =>
+      val docs = Tables(s, dir).documents
+      Decontaminate.overlapReport(
+          docs.filter(col("doc_id") >= 25), "doc_id", "text",
+          docs.filter(col("doc_id") < 25), "doc_id", "text",
+          k = 3, w = 4, minShared = 2)
+        .select(col("doc_id"), col("eval_id"), col("shared_fps"), col("eval_fps"))
+        .orderBy(col("doc_id"), col("eval_id"))
     },
 
     // ---- multimodal binary plumbing: opaque NON-IMAGE payload bytes →
