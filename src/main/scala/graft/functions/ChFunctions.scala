@@ -4,6 +4,8 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
+import graft.plans.NativeFunctions
+
 /** ClickHouse-dialect scalar functions re-expressed as Spark `Column`
   * combinators (SURVEY.md §2.8). Everything here composes built-in,
   * codegen'd `org.apache.spark.sql.functions` — no UDFs — so the whole
@@ -84,10 +86,15 @@ object ChFunctions {
     val units = Seq("B", "KiB", "MiB", "GiB", "TiB", "PiB")
     val b = c.cast(DoubleType)
     // build nested whens smallest-unit-first so the OUTERMOST test is the
-    // largest unit; format_string (no thousands grouping), 2 decimals
+    // largest unit; format_string (no thousands grouping), 2 decimals.
+    // Pre-round with RoundHalfEvenExact so the format step is rounding-free:
+    // Java's %.2f rounds the SHORTEST decimal repr half-up, while C-family
+    // printf (the reference's output, and a DuckDB oracle) rounds the exact
+    // binary value ties-to-even — they disagree on e.g. 1.005 and 2.675.
     units.zipWithIndex.tail.foldLeft(
-      format_string("%.2f B", b): Column) { case (acc, (u, i)) =>
-      val scaled = b / math.pow(1024.0, i.toDouble)
+      format_string("%.2f B", NativeFunctions.roundEven(b, 2)): Column) {
+      case (acc, (u, i)) =>
+      val scaled = NativeFunctions.roundEven(b / math.pow(1024.0, i.toDouble), 2)
       when(b >= math.pow(1024.0, i.toDouble),
         format_string(s"%.2f $u", scaled)).otherwise(acc)
     }
@@ -95,14 +102,19 @@ object ChFunctions {
 
   /** formatReadableQuantity(x) → "1.23 million" (decimal units: thousand /
     * million / billion / trillion, 2 decimals — ClickHouse's formatting).
+    * Exact-value half-even pre-rounding, same reasoning as
+    * [[formatReadableSize]].
     */
   def formatReadableQuantity(c: Column): Column = {
     val units = Seq("thousand", "million", "billion", "trillion")
     val x = c.cast(DoubleType)
-    units.zipWithIndex.foldLeft(format_string("%.2f", x): Column) {
+    units.zipWithIndex.foldLeft(
+      format_string("%.2f", NativeFunctions.roundEven(x, 2)): Column) {
       case (acc, (u, i)) =>
         val p = math.pow(1000.0, (i + 1).toDouble)
-        when(x >= p, format_string(s"%.2f $u", x / p)).otherwise(acc)
+        when(x >= p,
+          format_string(s"%.2f $u", NativeFunctions.roundEven(x / p, 2)))
+          .otherwise(acc)
     }
   }
 

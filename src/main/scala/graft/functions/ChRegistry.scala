@@ -17,6 +17,9 @@ import org.apache.spark.sql.types._
 object ChRegistry {
 
   def registerAll(spark: SparkSession): Unit = {
+    // the Column helpers in ChFunctions bridge to native kernels through
+    // call_function, so the kernel registry must ride along
+    graft.plans.NativeFunctions.register(spark)
     val reg = spark.sessionState.functionRegistry
     def f(name: String)(builder: Seq[Expression] => Expression): Unit =
       reg.createOrReplaceTempFunction(name, builder, "scala_udf")
@@ -95,13 +98,15 @@ object ChRegistry {
       "regexp_extract_all(s, re, 0)", orReplace = true)
     macros.createFunction("splitByChar", Seq("sep", "s"),
       "split(s, concat('\\\\Q', sep, '\\\\E'))", orReplace = true)
+    // graft_round_even = exact-binary-value half-even pre-round (printf
+    // parity; Java %.2f alone would round the shortest repr half-up)
     macros.createFunction("formatReadableSize", Seq("b"),
-      """CASE WHEN b >= 1125899906842624D THEN format_string('%.2f PiB', CAST(b AS DOUBLE) / 1125899906842624D)
-        |     WHEN b >= 1099511627776D THEN format_string('%.2f TiB', CAST(b AS DOUBLE) / 1099511627776D)
-        |     WHEN b >= 1073741824D THEN format_string('%.2f GiB', CAST(b AS DOUBLE) / 1073741824D)
-        |     WHEN b >= 1048576D THEN format_string('%.2f MiB', CAST(b AS DOUBLE) / 1048576D)
-        |     WHEN b >= 1024D THEN format_string('%.2f KiB', CAST(b AS DOUBLE) / 1024D)
-        |     ELSE format_string('%.2f B', CAST(b AS DOUBLE)) END""".stripMargin,
+      """CASE WHEN b >= 1125899906842624D THEN format_string('%.2f PiB', graft_round_even(CAST(b AS DOUBLE) / 1125899906842624D, 2))
+        |     WHEN b >= 1099511627776D THEN format_string('%.2f TiB', graft_round_even(CAST(b AS DOUBLE) / 1099511627776D, 2))
+        |     WHEN b >= 1073741824D THEN format_string('%.2f GiB', graft_round_even(CAST(b AS DOUBLE) / 1073741824D, 2))
+        |     WHEN b >= 1048576D THEN format_string('%.2f MiB', graft_round_even(CAST(b AS DOUBLE) / 1048576D, 2))
+        |     WHEN b >= 1024D THEN format_string('%.2f KiB', graft_round_even(CAST(b AS DOUBLE) / 1024D, 2))
+        |     ELSE format_string('%.2f B', graft_round_even(CAST(b AS DOUBLE), 2)) END""".stripMargin,
       orReplace = true)
   }
 

@@ -326,15 +326,41 @@ object SchemaEvolution {
   }
 
   /** Read with schema evolution applied: mergeSchema across files, added
-    * columns defaulted where files lack them, dropped columns hidden.
+    * columns defaulted ONLY on files whose footer lacks them, dropped
+    * columns hidden.
+    *
+    * Defaults are per-FILE, not per-value: a file written after the ALTER
+    * returns its stored values unchanged — including explicit NULLs in a
+    * Nullable added column (a blanket `coalesce(col, default)` would
+    * silently rewrite those). Files are grouped by footer schema and each
+    * group aligned to the merged schema (missing added columns get their
+    * default, other missing columns get null), then unioned — the same
+    * one-footer-read-per-file cost mergeSchema already pays.
     */
   def readTable(spark: SparkSession, tablePath: String): DataFrame = {
     val m = readMeta(spark, tablePath)
-    val df = spark.read.option("mergeSchema", "true").parquet(tablePath)
-    val withAdds = m.added.toSeq.sortBy(_._1).foldLeft(df) {
+    val merged = spark.read.option("mergeSchema", "true").parquet(tablePath)
+    val base =
+      if (m.added.isEmpty) merged
+      else {
+        val files = merged.inputFiles.toSeq
+        val groups = files.groupBy(f => spark.read.parquet(f).columns.toSet)
+        groups.values.map { fs =>
+          val part = spark.read
+            .option("basePath", tablePath)
+            .parquet(fs: _*)
+          merged.schema.fields.foldLeft(part) { (acc, f) =>
+            if (acc.columns.contains(f.name)) acc
+            else if (m.added.contains(f.name))
+              acc.withColumn(f.name, expr(m.added(f.name)).cast(f.dataType))
+            else acc.withColumn(f.name, lit(null).cast(f.dataType))
+          }.select(merged.columns.map(col).toSeq: _*)
+        }.reduce(_.unionByName(_))
+      }
+    // a column added but never yet written by any file
+    val withAdds = m.added.toSeq.sortBy(_._1).foldLeft(base) {
       case (acc, (name, dflt)) =>
-        if (acc.columns.contains(name))
-          acc.withColumn(name, coalesce(col(name), expr(dflt)))
+        if (acc.columns.contains(name)) acc
         else acc.withColumn(name, expr(dflt))
     }
     m.dropped.foldLeft(withAdds)((acc, d) =>

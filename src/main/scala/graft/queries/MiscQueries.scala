@@ -377,6 +377,7 @@ object MiscQueries {
         |       ELSE printf('%.2f', q) END AS readable
         |FROM (SELECT o_orderkey, CAST(FLOOR(o_totalprice) * 31337 AS DOUBLE) AS q FROM orders)
         |ORDER BY o_orderkey LIMIT 50""") { (s, dir) =>
+      graft.plans.NativeFunctions.register(s) // formatters use graft_round_even
       Tables(s, dir).orders
         .select(col("o_orderkey"),
           (floor(col("o_totalprice")) * 31337).cast(DoubleType).as("q"))
@@ -476,6 +477,7 @@ object MiscQueries {
         |       ELSE printf('%.2f B', CAST(b AS DOUBLE)) END AS readable
         |FROM (SELECT o_orderkey, CAST(FLOOR(o_totalprice * 1024) AS BIGINT) AS b FROM orders)
         |ORDER BY o_orderkey LIMIT 50""") { (s, dir) =>
+      graft.plans.NativeFunctions.register(s) // formatters use graft_round_even
       Tables(s, dir).orders
         .select(col("o_orderkey"),
           floor(col("o_totalprice") * 1024).cast(LongType).as("b"))

@@ -53,35 +53,111 @@ object Formats {
     }
   }
 
+  /** Fetch a URL's full body with connect/read timeouts (a hung remote
+    * must fail the task, not wedge the executor forever).
+    */
+  private def fetchUrl(u: String, connectTimeoutMs: Int,
+                       readTimeoutMs: Int): String = {
+    val conn = new java.net.URL(u).openConnection()
+    conn.setConnectTimeout(connectTimeoutMs)
+    conn.setReadTimeout(readTimeoutMs)
+    val in = conn.getInputStream
+    try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+  }
+
+  /** Quote-aware CSV record split: records end at newlines OUTSIDE
+    * double-quoted fields (so quoted fields may embed separators and
+    * newlines; `""` escapes a quote). Returns logical records, newline
+    * normalized away at record ends only.
+    */
+  private[sources] def splitCsvRecords(body: String): Vector[String] = {
+    val out = Vector.newBuilder[String]
+    val cur = new StringBuilder
+    var inQ = false
+    var i = 0
+    while (i < body.length) {
+      val c = body.charAt(i)
+      if (c == '"') { inQ = !inQ; cur.append(c) }
+      else if ((c == '\n' || c == '\r') && !inQ) {
+        if (c == '\r' && i + 1 < body.length && body.charAt(i + 1) == '\n') i += 1
+        if (cur.nonEmpty) { out += cur.result(); cur.clear() }
+      } else cur.append(c)
+      i += 1
+    }
+    if (cur.nonEmpty) out += cur.result()
+    out.result()
+  }
+
+  /** Quote-aware field split of one logical record: separators inside
+    * quotes are literal; surrounding quotes strip; `""` unescapes.
+    */
+  private[sources] def parseCsvRecord(rec: String, sep: Char): Array[String] = {
+    val fields = scala.collection.mutable.ArrayBuffer.empty[String]
+    val cur = new StringBuilder
+    var inQ = false
+    var i = 0
+    while (i < rec.length) {
+      val c = rec.charAt(i)
+      if (c == '"') {
+        if (inQ && i + 1 < rec.length && rec.charAt(i + 1) == '"') {
+          cur.append('"'); i += 1
+        } else inQ = !inQ
+      } else if (c == sep && !inQ) { fields += cur.result(); cur.clear() }
+      else cur.append(c)
+      i += 1
+    }
+    fields += cur.result()
+    fields.toArray
+  }
+
   /** url('http://host/file{1..3}.csv', CSVWithNames) / ENGINE=URL
     * (homeworks/hw02.md:75-78, lectures/lecture_09.md:285-320): brace glob
     * expands driver-side; each expanded URL is then fetched by its own
     * EXECUTOR task (one partition per URL), so an N-file glob downloads in
     * parallel — the distributed analogue of the reference's url() table
-    * function. The header row comes from one small driver-side read of the
-    * first URL; every task drops its own file's header line.
+    * function. The header comes from one driver-side read of the first
+    * URL; every task drops its own file's header record.
     *
-    * Columns parse with the given schema, or all-string when none —
-    * matching `url(...)` without an explicit structure; cast downstream.
+    * Parsing is RECORD-level, not line-level: quoted fields may embed
+    * separators and newlines (the usual CSV corner a physical-line split
+    * mis-parses). Fetches carry connect/read timeouts. Short records pad
+    * with nulls, long ones truncate (PERMISSIVE-style); empty fields read
+    * as null. Columns cast to the given schema with `try_cast` semantics
+    * (malformed values → null, as a CSV reader's permissive mode), or
+    * stay all-string when none — matching `url(...)` without an explicit
+    * structure.
     */
   def urlCsvWithNames(spark: SparkSession, urlPattern: String,
                       sep: String = ",",
-                      schema: Option[StructType] = None): DataFrame = {
+                      schema: Option[StructType] = None,
+                      connectTimeoutMs: Int = 10000,
+                      readTimeoutMs: Int = 120000): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr}
     import spark.implicits._
+    require(sep.length == 1, s"single-char separator required, got '$sep'")
+    val sepC = sep.charAt(0)
     val urls = braceGlob(urlPattern)
-    def open(u: String) = scala.io.Source.fromURL(u, "UTF-8")
-    val header = {
-      val src = open(urls.head)
-      try src.getLines().next() finally src.close()
+    val header = splitCsvRecords(
+      fetchUrl(urls.head, connectTimeoutMs, readTimeoutMs)).head
+    val cols = parseCsvRecord(header, sepC)
+    val n = cols.length
+    val strSchema = StructType(cols.map(c =>
+      org.apache.spark.sql.types.StructField(c, org.apache.spark.sql.types.StringType)))
+    val (cT, rT) = (connectTimeoutMs, readTimeoutMs)
+    val rows = spark.createDataset(urls).repartition(urls.size)
+      .flatMap { u =>
+        splitCsvRecords(fetchUrl(u, cT, rT)).drop(1).map { rec =>
+          val fs = parseCsvRecord(rec, sepC)
+          val aligned = Array.tabulate[Any](n)(i =>
+            if (i < fs.length && fs(i).nonEmpty) fs(i) else null)
+          org.apache.spark.sql.Row.fromSeq(aligned.toSeq)
+        }
+      }(org.apache.spark.sql.Encoders.row(strSchema))
+    schema match {
+      case None => rows.toDF()
+      case Some(s) => rows.toDF().select(s.fields.map(f =>
+        expr(s"try_cast(`${f.name}` AS ${f.dataType.sql})").as(f.name)).toSeq: _*)
     }
-    val lines = spark.createDataset(urls).repartition(urls.size).flatMap { u =>
-      val src = open(u)
-      try src.getLines().drop(1).toVector finally src.close()
-    }
-    val cols = header.split(java.util.regex.Pattern.quote(sep), -1)
-    val s = schema.getOrElse(StructType(cols.map(c =>
-      org.apache.spark.sql.types.StructField(c, org.apache.spark.sql.types.StringType))))
-    spark.read.option("sep", sep).schema(s).csv(lines)
   }
 
   def urlTsvWithNames(spark: SparkSession, urlPattern: String,

@@ -90,6 +90,21 @@ class TextAndRegistrySpec extends SparkSpec {
       .select(TextRegParityHelper.viaColumns($"b").as("c"),
         org.apache.spark.sql.functions.call_function("formatReadableSize", $"b").as("m"))
     assert(both.filter($"c" =!= $"m").count() == 0)
+    // printf parity (RoundHalfEvenExact): round the EXACT binary value,
+    // ties half-even — what C-family printf / a DuckDB oracle does, and
+    // what Java's %.2f (shortest-repr, half-up) does NOT:
+    //  · 3125/1000 = 3.125 exactly → tie → "3.12" (Java alone: "3.13")
+    //  · 3135/1000 stores as 3.13499… → "3.13" (Java alone: "3.14" —
+    //    its shortest repr is "3.135")
+    //  · 2675/1000 stores as 2.67499… → "2.67" (Java alone: "2.68")
+    val q = Seq(3125L, 3135L, 2675L).toDF("x")
+      .select(ChFunctions.formatReadableQuantity($"x").as("s"))
+      .as[String].collect().toSeq
+    assert(q == Seq("3.12 thousand", "3.13 thousand", "2.67 thousand"), q)
+    // binary-unit sibling: 1152/1024 = 1.125 KiB exactly → tie → "1.12 KiB"
+    val sz = Seq(1152L).toDF("x")
+      .select(ChFunctions.formatReadableSize($"x").as("s")).as[String].head()
+    assert(sz == "1.12 KiB", sz)
   }
 
   test("winnowing fingerprint: shared long runs share a print; short/empty docs behave") {

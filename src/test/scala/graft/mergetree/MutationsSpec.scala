@@ -138,6 +138,21 @@ class MutationsSpec extends SparkSpec {
     assert(raw.filter($"source" === "legacy").count() == 100)
   }
 
+  test("post-ALTER files keep explicitly stored NULLs in added columns") {
+    val t = tmpTable()
+    SchemaEvolution.addColumn(spark, t, "tag", "'dflt'")
+    // a file written AFTER the ALTER stores an explicit NULL — it must
+    // surface as NULL, not be rewritten to the default
+    Seq((201L, 0, Some("real")), (202L, 0, None))
+      .toDF("id", "p", "tag")
+      .write.mode("append").parquet(t)
+    val read = SchemaEvolution.readTable(spark, t)
+    assert(read.filter($"id" === 201L).select("tag").head().getString(0) == "real")
+    assert(read.filter($"id" === 202L).select("tag").head().isNullAt(0))
+    // pre-ALTER files still default
+    assert(read.filter($"tag" === "dflt").count() == 100)
+  }
+
   test("MODIFY ORDER BY resorts so footer-stat ranges are disjoint") {
     val dir = Files.createTempDirectory("graft_sort").toString + "/t"
     // written in key-scrambled order → file min/max ranges all overlap

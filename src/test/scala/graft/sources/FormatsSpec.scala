@@ -98,6 +98,39 @@ class FormatsSpec extends SparkSpec {
     } finally server.stop(0)
   }
 
+  test("url() parses quoted fields with embedded newlines and separators") {
+    import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
+    val body = "id,quote\n1,\"line one\nline two\"\n2,\"has, comma and \"\"quote\"\"\"\n3,plain\n"
+    val server = HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/q.csv", new HttpHandler {
+      override def handle(x: HttpExchange): Unit = {
+        val b = body.getBytes("UTF-8")
+        x.sendResponseHeaders(200, b.length)
+        x.getResponseBody.write(b)
+        x.close()
+      }
+    })
+    server.start()
+    try {
+      val port = server.getAddress.getPort
+      val df = Formats.urlCsvWithNames(spark, s"http://127.0.0.1:$port/q.csv")
+      val rows = df.as[(String, String)].collect().sortBy(_._1).toSeq
+      assert(rows == Seq(
+        "1" -> "line one\nline two",
+        "2" -> "has, comma and \"quote\"",
+        "3" -> "plain"))
+    } finally server.stop(0)
+  }
+
+  test("csv record/field split: quotes, escapes, crlf, ragged rows") {
+    assert(Formats.splitCsvRecords("a,b\r\nc,\"d\ne\"\nf\n") ==
+      Vector("a,b", "c,\"d\ne\"", "f"))
+    assert(Formats.parseCsvRecord("a,\"b,c\",\"d\"\"e\"", ',').toSeq ==
+      Seq("a", "b,c", "d\"e"))
+    assert(Formats.parseCsvRecord("x,,z", ',').toSeq == Seq("x", "", "z"))
+  }
+
   test("JDBC round-trip against embedded Derby (postgresql() engine path)") {
     // homeworks/hw19.md:37-118 — write, append, read back over JDBC
     val url = "jdbc:derby:memory:graftdb;create=true"
