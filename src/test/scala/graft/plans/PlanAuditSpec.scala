@@ -1,0 +1,69 @@
+package graft.plans
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.ExplainMode
+
+import graft.SparkSpec
+import graft.queries.Registry
+
+/** Executable plan audits: the scale properties the engine claims
+  * (pushdown, pruning, broadcast dims, single fact shuffle, AQE) asserted
+  * against the actual physical plans, not eyeballed from explain dumps.
+  * These are the properties that decide whether the same plan survives a
+  * 100 TB input — a regression here is a scale bug even while row counts
+  * stay correct at test SF.
+  */
+class PlanAuditSpec extends SparkSpec {
+
+  private def q(name: String): DataFrame =
+    Registry.byName(name).fn(spark, sfDir)
+
+  private def formatted(df: DataFrame): String =
+    df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+
+  private def count(hay: String, needle: String): Int =
+    hay.sliding(needle.length).count(_ == needle)
+
+  test("q02: predicates are pushed to the parquet scan") {
+    val plan = formatted(q("q02_filter_pushdown"))
+    assert(plan.contains("PushedFilters: ["), plan)
+    assert(!plan.matches("(?s).*PushedFilters: \\[\\].*"),
+      "no filters reached the scan:\n" + plan)
+  }
+
+  test("q01: scan is column-pruned to the aggregated columns") {
+    val plan = formatted(q("q01_pricing_summary"))
+    // 11-column lineitem, 7-column aggregate — unused columns must not
+    // appear in the scan's ReadSchema
+    val read = plan.linesIterator.filter(_.contains("ReadSchema")).mkString
+    assert(read.nonEmpty, plan)
+    assert(!read.contains("l_partkey") && !read.contains("l_suppkey"),
+      "scan reads columns the query never touches: " + read)
+  }
+
+  test("q03: dimension joins broadcast; at most one shuffled fact join") {
+    val plan = formatted(q("q03_join_revenue_by_nation"))
+    assert(count(plan, "BroadcastHashJoin") >= 2, plan)
+    assert(count(plan, "SortMergeJoin") + count(plan, "ShuffledHashJoin") <= 1,
+      "more than one shuffled join in a dims+fact query:\n" + plan)
+  }
+
+  test("q53: six-table join plans broadcast dims, no cartesian product") {
+    val plan = formatted(q("q53_local_supplier_volume"))
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(count(plan, "BroadcastHashJoin") >= 3, plan)
+    assert(count(plan, "SortMergeJoin") + count(plan, "ShuffledHashJoin") <= 1,
+      "fact side should shuffle at most once:\n" + plan)
+  }
+
+  test("AQE with skew-join handling is active and finalizes the plan") {
+    assert(spark.conf.get("spark.sql.adaptive.enabled") == "true")
+    assert(spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true")
+    val df = q("q03_join_revenue_by_nation")
+    df.collect()
+    val ex = df.queryExecution.executedPlan.toString
+    assert(ex.contains("AdaptiveSparkPlan isFinalPlan=true"), ex)
+    // the finalized plan runs inside whole-stage codegen spans ("*(n)")
+    assert(ex.contains("*("), ex)
+  }
+}
