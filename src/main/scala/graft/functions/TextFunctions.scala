@@ -118,6 +118,58 @@ object TextFunctions {
     lenOk * (lit(0.5) * stopRatio + lit(0.5) * alphaRatio(c))
   }
 
+  // ---- PII scrubbing (C4-style corpus hygiene): regex redaction of
+  // emails / phone numbers / IPv4 addresses. Patterns restricted to
+  // syntax shared by Java regex and RE2 (\b, \d, bounded repeats) so a
+  // SQL-engine oracle reproduces them byte-for-byte.
+
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhoneRe = "\\b\\d{3}[- ]\\d{4}\\b"
+  val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+  /** Count of matches for one PII pattern (pre-scrub). */
+  def piiCount(c: Column, re: String): Column =
+    size(regexp_extract_all(c, lit(re), lit(0)))
+
+  /** Redact emails → [EMAIL], IPv4 → [IP], then phones → [PHONE].
+    * Email first (its local part may contain digits a later pass would
+    * chew on), IP before phone (phone's \d{3} must not fire inside a
+    * dotted quad — after IP redaction no dotted quads remain).
+    */
+  def scrubPii(c: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(c, EmailRe, "[EMAIL]"),
+        Ipv4Re, "[IP]"),
+      PhoneRe, "[PHONE]")
+
+  // ---- blocklist filtering: exact-token wordlist hit count (the
+  // NSFW/spam wordlist gate every corpus pipeline runs)
+
+  /** Number of DISTINCT blocklist terms present as whole tokens. Exact
+    * token equality on normalized tokens — not substring matching, so
+    * "grass" never trips a block on "ass".
+    */
+  def blocklistHits(c: Column, blocklist: Seq[String]): Column = {
+    val bl = array(blocklist.map(w => lit(w.toLowerCase)): _*)
+    size(array_intersect(array_distinct(tokens(c)), bl))
+  }
+
+  // ---- repetition (Gopher-style quality signal): fraction of word
+  // n-grams that are repeats — high values mark boilerplate/spam
+
+  /** 1 - distinct/total over word n-grams; 0.0 for docs too short to have
+    * any n-gram. Same lambda-binding discipline as [[wordNgrams]]: the
+    * n-gram array is computed once per row.
+    */
+  def duplicateNgramFraction(c: Column, n: Int): Column =
+    element_at(transform(array(wordNgrams(c, n)), gs => {
+      val total = size(gs)
+      when(total === 0, lit(0.0))
+        .otherwise(lit(1.0) -
+          size(array_distinct(gs)).cast(DoubleType) / total.cast(DoubleType))
+    }), 1)
+
   // ---- language ID: marker-token voting (n-gram heuristic family)
 
   val LangMarkers: Seq[(String, Seq[String])] = Seq(

@@ -5,7 +5,7 @@ import org.apache.spark.sql.types._
 
 import graft.tables.Tables
 import graft.functions.TextFunctions
-import graft.operators.{CorpusStats, Decontaminate, Dedup, Packing, SimilaritySearch}
+import graft.operators.{CorpusStats, DatasetSplit, Decontaminate, Dedup, Packing, SimilaritySearch}
 import graft.multimodal.{ImageCodec, Multimodal}
 
 /** Training-data-pipeline operators (builder-prompt mandate): dedup
@@ -471,6 +471,113 @@ object PipelineQueries {
           k = 3, w = 4, minShared = 2)
         .select(col("doc_id"), col("eval_id"), col("shared_fps"), col("eval_fps"))
         .orderBy(col("doc_id"), col("eval_id"))
+    },
+
+    // ---- deterministic dataset split (train/val/test mixing): bucket =
+    // md5("salt:key") first 8 hex digits mod 10000 → cumulative weights.
+    // Pure map-side expression — no shuffle, no sampling pass — and
+    // append-stable: new docs never reassign old ones. md5 makes the
+    // assignment reproducible by ANY engine (the oracle recomputes it).
+    Q("t09_hash_split",
+      """WITH b AS (SELECT doc_id,
+        |  CAST(concat('0x', substr(md5(concat('mix1:', CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT) % 10000 AS bucket
+        |  FROM documents)
+        |SELECT doc_id, bucket,
+        |  CASE WHEN bucket < 9000 THEN 'train'
+        |       WHEN bucket < 9500 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM b ORDER BY doc_id""") { (s, dir) =>
+      DatasetSplit.withSplit(Tables(s, dir).documents, col("doc_id"),
+          Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05), salt = "mix1")
+        .select(col("doc_id"), col("bucket"), col("split"))
+        .orderBy(col("doc_id"))
+    },
+
+    // ---- PII scrubbing (C4-style): deterministic synthetic PII is
+    // appended per doc (email/phone/IP derived from doc_id), then
+    // redacted. Counts are pre-scrub matches; the scrubbed text is
+    // checked via md5 (engine-portable) instead of shipping full bodies.
+    Q("t10_pii_scrub",
+      """WITH e AS (SELECT doc_id,
+        |  text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com or 555-' ||
+        |  lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' ip 10.0.' ||
+        |  CAST(doc_id % 256 AS VARCHAR) || '.7' AS t FROM documents)
+        |SELECT doc_id,
+        |  len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
+        |  len(regexp_extract_all(t, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ip,
+        |  len(regexp_extract_all(t, '\b\d{3}[- ]\d{4}\b')) AS n_phone,
+        |  md5(regexp_replace(regexp_replace(regexp_replace(t,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IP]', 'g'),
+        |    '\b\d{3}[- ]\d{4}\b', '[PHONE]', 'g')) AS scrub_md5
+        |FROM e ORDER BY doc_id""") { (s, dir) =>
+      val enriched = concat(col("text"),
+        lit(" contact user"), col("doc_id").cast(StringType),
+        lit("@example.com or 555-"),
+        lpad(pmod(col("doc_id"), lit(10000)).cast(StringType), 4, "0"),
+        lit(" ip 10.0."), pmod(col("doc_id"), lit(256)).cast(StringType),
+        lit(".7"))
+      Tables(s, dir).documents
+        .select(col("doc_id"), enriched.as("t"))
+        .select(col("doc_id"),
+          TextFunctions.piiCount(col("t"), TextFunctions.EmailRe).as("n_email"),
+          TextFunctions.piiCount(col("t"), TextFunctions.Ipv4Re).as("n_ip"),
+          TextFunctions.piiCount(col("t"), TextFunctions.PhoneRe).as("n_phone"),
+          md5(TextFunctions.scrubPii(col("t"))).as("scrub_md5"))
+        .orderBy(col("doc_id"))
+    },
+
+    // ---- blocklist gate: distinct whole-token wordlist hits + keep
+    // decision, rolled up per source ("slow"/"vector" occur in the
+    // corpus, "spam" never — exercises both hit and miss paths)
+    Q("t11_blocklist_filter",
+      s"""WITH b AS (SELECT doc_id, source,
+         |  len(list_intersect(list_distinct(${toksSql(normSql)}),
+         |      ['slow', 'vector', 'spam'])) AS hits
+         |  FROM documents)
+         |SELECT source,
+         |  count(*) AS n_docs,
+         |  sum(CASE WHEN hits = 0 THEN 1 ELSE 0 END) AS n_kept,
+         |  sum(hits) AS total_hits
+         |FROM b GROUP BY source ORDER BY source""") { (s, dir) =>
+      val hits = TextFunctions.blocklistHits(col("text"),
+        Seq("slow", "vector", "spam"))
+      Tables(s, dir).documents
+        .select(col("source"), hits.as("hits"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("hits") === 0, 1L).otherwise(0L)).as("n_kept"),
+          sum(col("hits")).cast(LongType).as("total_hits"))
+        .orderBy(col("source"))
+    },
+
+    // ---- repetition signal (Gopher-style): duplicate word-n-gram
+    // fraction for n=2,3. Doubles divide the same integers in IEEE
+    // arithmetic in both engines — exact hash parity.
+    Q("t12_repetition_ratio",
+      s"""WITH t AS (SELECT doc_id, ${toksSql(normSql)} AS toks
+         |          FROM documents WHERE $normSql <> ''),
+         |g AS (SELECT doc_id,
+         |  CASE WHEN len(toks) >= 2
+         |       THEN [toks[i] || ' ' || toks[i+1] for i in range(1, len(toks))]
+         |       ELSE [] END AS g2,
+         |  CASE WHEN len(toks) >= 3
+         |       THEN [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+         |             for i in range(1, len(toks)-1)]
+         |       ELSE [] END AS g3
+         |  FROM t)
+         |SELECT doc_id,
+         |  CASE WHEN len(g2) = 0 THEN 0.0
+         |       ELSE 1.0 - CAST(len(list_distinct(g2)) AS DOUBLE) / CAST(len(g2) AS DOUBLE) END AS dup2,
+         |  CASE WHEN len(g3) = 0 THEN 0.0
+         |       ELSE 1.0 - CAST(len(list_distinct(g3)) AS DOUBLE) / CAST(len(g3) AS DOUBLE) END AS dup3
+         |FROM g ORDER BY doc_id""") { (s, dir) =>
+      Tables(s, dir).documents
+        .filter(TextFunctions.normalizeText(col("text")) =!= "")
+        .select(col("doc_id"),
+          TextFunctions.duplicateNgramFraction(col("text"), 2).as("dup2"),
+          TextFunctions.duplicateNgramFraction(col("text"), 3).as("dup3"))
+        .orderBy(col("doc_id"))
     },
 
     // ---- multimodal binary plumbing: opaque NON-IMAGE payload bytes →
