@@ -30,7 +30,7 @@ def canon(rows, cols):
     out.sort()
     return [cols[i] for i in idx], out
 
-def main(sf_dir, out_dir):
+def main(sf_dir, out_dir, skip=()):
     con = duckdb.connect()
     for t in "region nation customer supplier part orders lineitem events documents embeddings".split():
         p = f"{sf_dir}/{t}.parquet"
@@ -45,6 +45,10 @@ def main(sf_dir, out_dir):
             print(f"FAIL {name}: no spark output"); n_fail += 1; continue
         got = con.execute(f"SELECT * FROM read_parquet('{d}/*.parquet')")
         g_rows, g_cols = got.fetchall(), [c[0] for c in got.description]
+        if name in skip:
+            n_noora += 1
+            print(f"SKIP {name}: {len(g_rows)} rows (oracle skipped by flag)")
+            continue
         if name not in oracles:
             n_noora += 1
             print(f"ROWS {name}: {len(g_rows)} rows (no oracle)")
@@ -70,5 +74,12 @@ def main(sf_dir, out_dir):
     sys.exit(1 if n_fail else 0)
 
 if __name__ == "__main__":
-    main(sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01",
-         sys.argv[2] if len(sys.argv) > 2 else "/tmp/graft_verify")
+    # --skip q1,q2: skip oracles that do not scale in DUCKDB (e.g. d04's
+    # exhaustive all-pairs check is quadratic by design — provable-recall
+    # argument — and is only run at sf<=0.1)
+    args = [a for a in sys.argv[1:] if not a.startswith("--skip")]
+    skip = tuple(a.split("=", 1)[1].split(",")
+                 for a in sys.argv[1:] if a.startswith("--skip="))
+    main(args[0] if len(args) > 0 else "/root/testdata/sf0.01",
+         args[1] if len(args) > 1 else "/tmp/graft_verify",
+         skip=skip[0] if skip else ())
