@@ -67,6 +67,46 @@ class StreamingMvSpec extends SparkSpec {
     assert(byKind == Map("a" -> 8L, "b" -> 8L))
   }
 
+  test("streaming upserts → ReplacingMergeTree table → SELECT FINAL folds to latest") {
+    // the reference's flagship kafka flow (homeworks/hw17.md:24-40 +
+    // clusters/ch_and_kafka/db/init.sql): stream → MV → Replacing table,
+    // reads use FINAL. Here: upsert batches where later micro-batches
+    // re-send keys with higher versions; the table accumulates append-only
+    // parts across batches and the FINAL view folds to the latest version.
+    val root = Files.createTempDirectory("graft_stream_rmt").toString
+    val srcDir = s"$root/src"
+    Files.createDirectories(java.nio.file.Paths.get(srcDir))
+    val upSchema = StructType(Seq(StructField("sensor_id", LongType),
+      StructField("reading", DoubleType), StructField("version", LongType)))
+    def sendBatch(file: String, rows: Seq[(Long, Double, Long)]): Unit =
+      rows.toDF("sensor_id", "reading", "version")
+        .coalesce(1).write.mode("append").json(s"$srcDir/$file")
+
+    sendBatch("b1", Seq((1L, 10.0, 1L), (2L, 20.0, 1L), (3L, 30.0, 1L)))
+    val raw = spark.readStream.schema(upSchema)
+      .option("maxFilesPerTrigger", "1").json(s"$srcDir/*")
+    val table = MaterializedView("sensors", identity, s"$root/sensors")
+    val pipe = new IngestPipeline(None, Seq(table)) // ENGINE=Null source
+    val q = pipe.attachToStream(raw, s"$root/ckpt")
+    try {
+      q.processAllAvailable()
+      // re-send sensors 2,3 with newer readings, add sensor 4
+      sendBatch("b2", Seq((2L, 21.0, 2L), (3L, 31.0, 2L), (4L, 40.0, 1L)))
+      q.processAllAvailable()
+      sendBatch("b3", Seq((3L, 32.0, 3L)))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    // raw parts are append-only: every sent row is stored
+    val parts = spark.read.parquet(s"$root/sensors")
+    assert(parts.count() == 7)
+    // SELECT ... FINAL: one row per key, the highest version wins
+    val fin = graft.mergetree.FoldViews.replacingFinal(
+        parts, Seq("sensor_id"), $"version")
+      .select($"sensor_id", $"reading").as[(Long, Double)].collect().toMap
+    assert(fin == Map(1L -> 10.0, 2L -> 21.0, 3L -> 32.0, 4L -> 40.0), fin)
+  }
+
   test("ingest dedup drops re-sent blocks by id (deduplication window)") {
     val root = Files.createTempDirectory("graft_dedup_stream").toString
     val evSchema = StructType(Seq(StructField("ts", TimestampType),
