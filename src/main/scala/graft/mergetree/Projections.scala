@@ -12,8 +12,9 @@ import org.apache.spark.sql.functions._
   * The projection stores partial aggregates per group, so any query
   * grouping by a SUBSET of the projection's keys re-aggregates the
   * projection — the standard aggregate-rollup containment rule. Routing is
-  * transparent via [[graft.plans.ProjectionRewrite]] (count/sum/sum-expr/
-  * min/max/avg/hll-uniq), or explicit via [[Projections.route]].
+  * transparent via [[graft.plans.ProjectionRewrite]] (count/count-col/
+  * sum/sum-expr/min/max/avg/hll-uniq), or explicit via
+  * [[Projections.route]].
   */
 /** @param sumExprs alias → SQL expression over base columns; materialized
   *                  as `__sum_<alias>` and routed for `sum(<that expr>)`
@@ -27,6 +28,9 @@ import org.apache.spark.sql.functions._
   *                 sketch union is lossless, so routed
   *                 `hll_sketch_estimate(hll_sketch_agg(c))` queries return
   *                 EXACTLY the unrouted value
+  * @param countCols per-column NON-NULL counts (`count(c)`, distinct from
+  *                  the row count `count(*)` that every projection
+  *                  stores); counts re-aggregate by summing
   */
 final case class ProjectionDef(
     name: String,
@@ -37,7 +41,8 @@ final case class ProjectionDef(
     minCols: Seq[String] = Nil,
     maxCols: Seq[String] = Nil,
     avgCols: Seq[String] = Nil,
-    uniqCols: Seq[String] = Nil)
+    uniqCols: Seq[String] = Nil,
+    countCols: Seq[String] = Nil)
 
 object Projections {
 
@@ -53,7 +58,8 @@ object Projections {
       p.maxCols.map(c => max(col(c)).as(s"__max_$c")) ++
       p.avgCols.flatMap(c => Seq(
         sum(col(c)).as(s"__avgsum_$c"), count(col(c)).as(s"__avgcnt_$c"))) ++
-      p.uniqCols.map(c => hll_sketch_agg(col(c)).as(s"__hll_$c"))
+      p.uniqCols.map(c => hll_sketch_agg(col(c)).as(s"__hll_$c")) ++
+      p.countCols.map(c => count(col(c)).as(s"__nncnt_$c"))
     base.groupBy(p.groupCols.map(col): _*)
       .agg(aggs.head, aggs.tail: _*)
       .write.mode(SaveMode.Overwrite).parquet(p.path)

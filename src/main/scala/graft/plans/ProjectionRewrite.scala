@@ -103,6 +103,7 @@ class ProjectionRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     sealed trait Out
     case class GroupOut(name: String) extends Out
     case object CountOut extends Out
+    case class CountColOut(col: String) extends Out
     case class SumOut(col: String) extends Out
     case class SumExprOut(alias: String) extends Out
     case class MinOut(col: String) extends Out
@@ -115,6 +116,11 @@ class ProjectionRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
         al -> CountOut
       case al @ Alias(AggregateExpression(Count(Nil), _, false, None, _), _) =>
         al -> CountOut
+      // count(col) = NON-NULL count — routable only via a stored
+      // per-column count partial, NOT the projection's row count
+      case al @ Alias(AggregateExpression(Count(Seq(ar: AttributeReference)), _, false, None, _), _)
+          if p.countCols.contains(ar.name) =>
+        al -> CountColOut(ar.name)
       case al @ Alias(AggregateExpression(Sum(ar: AttributeReference, _), _, false, None, _), _)
           if p.sumCols.contains(ar.name) =>
         al -> SumOut(ar.name)
@@ -151,6 +157,7 @@ class ProjectionRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     val needed = outs.flatMap {
       case (_, GroupOut(_))   => Nil
       case (_, CountOut)      => Seq("__cnt")
+      case (_, CountColOut(c)) => Seq(s"__nncnt_$c")
       case (_, SumOut(c))     => Seq(s"__sum_$c")
       case (_, SumExprOut(a)) => Seq(s"__sum_$a")
       case (_, MinOut(c))     => Seq(s"__min_$c")
@@ -166,6 +173,8 @@ class ProjectionRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       case (orig, GroupOut(n)) => projAttr(n)
       case (orig, CountOut) =>
         Alias(Sum(projAttr("__cnt")).toAggregateExpression(), orig.name)()
+      case (orig, CountColOut(c)) =>
+        Alias(Sum(projAttr(s"__nncnt_$c")).toAggregateExpression(), orig.name)()
       case (orig, SumOut(c)) =>
         Alias(Sum(projAttr(s"__sum_$c")).toAggregateExpression(), orig.name)()
       case (orig, SumExprOut(a)) =>

@@ -138,6 +138,43 @@ class ProjectionRewriteSpec extends SparkSpec {
     }
   }
 
+  test("count(col) routes via the stored non-null count, not the row count") {
+    val root = Files.createTempDirectory("graft_projrw5").toString
+    val base = s"$root/base"
+    // v is null on every 3rd row — count(v) != count(*)
+    (1 to 9000).map(i => (s"g${i % 4}",
+        if (i % 3 == 0) None else Some(i.toLong)))
+      .toDF("g", "v").write.parquet(base)
+
+    val p = ProjectionDef("by_g_cnt", Seq("g"), Nil, s"$root/proj",
+      countCols = Seq("v"))
+    Projections.materialize(spark.read.parquet(base), p)
+    ProjectionRouting.register(base, p)
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations :+ new ProjectionRewrite(spark)
+    try {
+      def query() = spark.read.parquet(base).groupBy($"g")
+        .agg(count(lit(1)).as("rows"), count($"v").as("nn"))
+      val q = query()
+      val paths = q.queryExecution.optimizedPlan.collect {
+        case org.apache.spark.sql.execution.datasources.LogicalRelation(
+          fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation, _, _, _, _) =>
+          fs.location.rootPaths.map(_.toString)
+      }.flatten
+      assert(paths.exists(_.contains("proj")), s"expected projection scan, got $paths")
+      val routed = q.as[(String, Long, Long)].collect().toSet
+      ProjectionRouting.clear()
+      val direct = query().as[(String, Long, Long)].collect().toSet
+      assert(routed == direct)
+      assert(direct.forall { case (_, rows, nn) => nn < rows }) // nulls real
+    } finally {
+      ProjectionRouting.clear()
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations
+          .filterNot(_.isInstanceOf[ProjectionRewrite])
+    }
+  }
+
   test("non-covered aggregates are left untouched") {
     val root = Files.createTempDirectory("graft_projrw2").toString
     val base = s"$root/base"
