@@ -126,11 +126,19 @@ object Joins {
 
   /** `leftOuter = false` is ASOF INNER — ClickHouse's default ASOF JOIN:
     * unmatched left rows DROP instead of padding nulls.
+    *
+    * `forward`/`strict` select the ASOF inequality (the reference accepts
+    * all four in the ON clause): backward non-strict = `l.t >= r.t`
+    * (default, latest earlier-or-equal right), backward strict = `>`,
+    * forward non-strict = `l.t <= r.t` (earliest later-or-equal right),
+    * forward strict = `<`.
     */
   def asofNativeMulti(left: DataFrame, right: DataFrame, keys: Seq[String],
                       leftTime: String, rightTime: String,
                       rightCols: Seq[String], prefix: String = "asof_",
-                      leftOuter: Boolean = true): DataFrame = {
+                      leftOuter: Boolean = true,
+                      forward: Boolean = false,
+                      strict: Boolean = false): DataFrame = {
     val spark = left.sparkSession
     val rsel = right.select((keys ++ Seq(rightTime) ++ rightCols).distinct.map(col): _*)
     val renamed = rsel.columns.foldLeft(rsel)((acc, c) =>
@@ -155,7 +163,7 @@ object Joins {
         spark.experimental.extraStrategies :+ graft.plans.AsOfJoinStrategy
     val joined = org.apache.spark.sql.GraftSqlBridge.ofRows(spark,
       graft.plans.AsOfJoinPlan(lplan, rplan, lks, rks, lt, rt,
-        isLeftOuter = leftOuter))
+        isLeftOuter = leftOuter, forward = forward, strict = strict))
     joined.select(left.columns.map(col).toSeq ++
       rightCols.map(c => col("__r_" + c).as(prefix + c)): _*)
   }

@@ -12,10 +12,13 @@ import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
   * — the §(c) extension path: custom `LogicalPlan` + `SparkStrategy` +
   * `SparkPlan`, registered through [[GraftExtensions]].
   *
-  * Semantics: for each left row, attach the LATEST right row of the same
-  * key with `rightTime <= leftTime` (inclusive). `isLeftOuter` keeps
-  * unmatched left rows with nulls (ASOF LEFT JOIN); otherwise they drop
-  * (ASOF INNER, ClickHouse's default).
+  * Semantics: for each left row, attach the nearest right row of the same
+  * key in the requested direction — backward (default): the LATEST right
+  * with `rightTime <= leftTime` (`<` when strict); forward: the EARLIEST
+  * right with `rightTime >= leftTime` (`>` when strict). These are the
+  * four inequality forms the reference accepts in the ASOF ON clause.
+  * `isLeftOuter` keeps unmatched left rows with nulls (ASOF LEFT JOIN);
+  * otherwise they drop (ASOF INNER, ClickHouse's default).
   *
   * Physical shape: both sides hash-partitioned on the key (one shuffle
   * each, inserted by EnsureRequirements from the declared distribution)
@@ -29,7 +32,8 @@ case class AsOfJoinPlan(
     left: LogicalPlan, right: LogicalPlan,
     leftKeys: Seq[Expression], rightKeys: Seq[Expression],
     leftTime: Expression, rightTime: Expression,
-    isLeftOuter: Boolean) extends BinaryNode {
+    isLeftOuter: Boolean,
+    forward: Boolean = false, strict: Boolean = false) extends BinaryNode {
 
   override def output: Seq[Attribute] =
     left.output ++ (if (isLeftOuter) right.output.map(_.withNullability(true))
@@ -42,8 +46,9 @@ case class AsOfJoinPlan(
 
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoinPlan(l, r, lk, rk, lt, rt, louter) =>
-      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, louter) :: Nil
+    case AsOfJoinPlan(l, r, lk, rk, lt, rt, louter, fwd, strict) =>
+      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, louter,
+        fwd, strict) :: Nil
     case _ => Nil
   }
 }
@@ -52,7 +57,8 @@ case class AsOfJoinExec(
     left: SparkPlan, right: SparkPlan,
     leftKeys: Seq[Expression], rightKeys: Seq[Expression],
     leftTime: Expression, rightTime: Expression,
-    isLeftOuter: Boolean) extends BinaryExecNode {
+    isLeftOuter: Boolean,
+    forward: Boolean = false, strict: Boolean = false) extends BinaryExecNode {
 
   override def output: Seq[Attribute] =
     left.output ++ (if (isLeftOuter) right.output.map(_.withNullability(true))
@@ -115,11 +121,17 @@ case class AsOfJoinExec(
         0
       }
 
-      // latest right row consumed whose (keys, time) could still match; the
-      // key tuple is re-evaluated AFTER the copy so it doesn't alias the
-      // shuffle reader's reused buffer
+      // BACKWARD: latest right row consumed whose (keys, time) could still
+      // match — carried as O(1) state; the key tuple is re-evaluated AFTER
+      // the copy so it doesn't alias the shuffle reader's reused buffer.
+      // FORWARD: no carry — rights strictly before the current left time
+      // can never match this or any later left row (left times ascend), so
+      // they are consumed; the match is the un-consumed head (it may also
+      // match subsequent left rows).
       var lastRight: InternalRow = null
       var lastRightKeys: Array[Any] = null
+      val fwd = forward
+      val strictCmp = strict
 
       lIter.flatMap { lrow =>
         val lk = keysOf(lKeyB, lrow)
@@ -135,13 +147,25 @@ case class AsOfJoinExec(
             else {
               val c = cmpKeys(rk, lk)
               if (c < 0) { rBuf.next(); () } // before this key group
-              else if (c == 0 && timeOrd.compare(rt, lt) <= 0) {
+              else if (!fwd && c == 0 &&
+                  (if (strictCmp) timeOrd.compare(rt, lt) < 0
+                   else timeOrd.compare(rt, lt) <= 0)) {
                 lastRight = rBuf.next().copy()
                 lastRightKeys = keysOf(rKeyB, lastRight)
-              } else continue = false        // beyond lt (or next key group)
+              } else if (fwd && c == 0 &&
+                  (if (strictCmp) timeOrd.compare(rt, lt) <= 0
+                   else timeOrd.compare(rt, lt) < 0)) {
+                rBuf.next(); ()              // too early to ever match again
+              } else continue = false        // candidate head / next group
             }
           }
-          if (lastRight != null && cmpKeys(lastRightKeys, lk) == 0)
+          if (fwd) {
+            if (rBuf.hasNext) {
+              val peek = rBuf.head
+              val rk = keysOf(rKeyB, peek)
+              if (rk != null && cmpKeys(rk, lk) == 0) matched = peek
+            }
+          } else if (lastRight != null && cmpKeys(lastRightKeys, lk) == 0)
             matched = lastRight
         }
         if (matched != null) Iterator.single(proj(joiner(lrow, matched)))

@@ -207,6 +207,43 @@ object CoreQueries {
         .orderBy(col("event_id"))
     },
 
+    // FORWARD-STRICT ASOF through the same native operator: the reference
+    // accepts all four inequalities in the ASOF ON clause (>=, >, <=, <);
+    // `l.t < r.t` attaches the EARLIEST strictly-later right row — here,
+    // the next signup event after each purchase. DuckDB's ASOF JOIN
+    // supports the same four forms, so the oracle is exact.
+    Q("q07c_asof_forward",
+      """WITH r AS (
+        |  SELECT user_id, ts_s, value FROM (
+        |    SELECT user_id, epoch_ns(ts) // 1000000000 AS ts_s, value,
+        |           row_number() OVER (PARTITION BY user_id, epoch_ns(ts) // 1000000000 ORDER BY event_id DESC) AS rn
+        |    FROM events WHERE event_type = 'signup') WHERE rn = 1),
+        |l AS (
+        |  SELECT event_id, user_id, epoch_ns(ts) // 1000000000 AS ts_s
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT l.event_id, l.user_id, l.ts_s,
+        |       r.ts_s AS next_ts_s, r.value AS next_value
+        |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts_s < r.ts_s
+        |ORDER BY l.event_id""") { (s, dir) =>
+      val ev = Tables(s, dir).events
+      val leftSide = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"),
+          unix_timestamp(col("ts")).as("ts_s"))
+      val rw = Window.partitionBy(col("user_id"), col("ts_s"))
+        .orderBy(col("event_id").desc)
+      val rightSide = ev.filter(col("event_type") === "signup")
+        .select(col("user_id"), unix_timestamp(col("ts")).as("ts_s"),
+          col("value"), col("event_id"))
+        .withColumn("rn", row_number().over(rw)).filter(col("rn") === 1)
+        .select(col("user_id"), col("ts_s"), col("value"))
+      Joins.asofNativeMulti(leftSide, rightSide, Seq("user_id"), "ts_s", "ts_s",
+          Seq("ts_s", "value"), "next_", leftOuter = true,
+          forward = true, strict = true)
+        .select(col("event_id"), col("user_id"), col("ts_s"),
+          col("next_ts_s"), col("next_value"))
+        .orderBy(col("event_id"))
+    },
+
     // ---- 2.3 PASTE JOIN (lectures/lecture_10.md:15): positional zip of
     // two ranked lists.
     Q("q08_paste_join",

@@ -63,6 +63,54 @@ class JoinsSpec extends SparkSpec {
     assert(inner == Map("a" -> 2.0, "b" -> 3.0))
   }
 
+  test("asofNativeMulti: all four ON-clause inequalities on a boundary fixture") {
+    // rights at t = 5, 10, 20 for key 1; left row exactly at t = 10 so each
+    // direction/strictness picks a different neighbor
+    val left = Seq((1L, 10L, "x"), (1L, 3L, "lo"), (1L, 25L, "hi"))
+      .toDF("k", "t", "tag")
+    val right = Seq((1L, 5L, "r5"), (1L, 10L, "r10"), (1L, 20L, "r20"))
+      .toDF("k", "t", "v")
+    def run(forward: Boolean, strict: Boolean) =
+      Joins.asofNativeMulti(left, right, Seq("k"), "t", "t", Seq("v"),
+          leftOuter = true, forward = forward, strict = strict)
+        .select($"tag", $"asof_v").as[(String, Option[String])].collect().toMap
+    // backward >= : latest right at-or-before
+    assert(run(forward = false, strict = false) ==
+      Map("x" -> Some("r10"), "lo" -> None, "hi" -> Some("r20")))
+    // backward > : latest right strictly before
+    assert(run(forward = false, strict = true) ==
+      Map("x" -> Some("r5"), "lo" -> None, "hi" -> Some("r20")))
+    // forward <= : earliest right at-or-after
+    assert(run(forward = true, strict = false) ==
+      Map("x" -> Some("r10"), "lo" -> Some("r5"), "hi" -> None))
+    // forward < : earliest right strictly after
+    assert(run(forward = true, strict = true) ==
+      Map("x" -> Some("r20"), "lo" -> Some("r5"), "hi" -> None))
+  }
+
+  test("asofNativeMulti forward: equals a brute-force formulation on a randomized fixture") {
+    val rnd = new scala.util.Random(47)
+    val left = (1 to 3000).map(_ =>
+        (rnd.nextInt(40).toLong, rnd.nextInt(800).toLong, rnd.nextInt(100)))
+      .toDF("k", "t", "payload").repartition(7)
+    val rightU = (1 to 2500).map(_ =>
+        (rnd.nextInt(50).toLong, rnd.nextInt(800).toLong, rnd.nextDouble()))
+      .toDF("k", "t", "v").groupBy($"k", $"t").agg(max($"v").as("v"))
+
+    val native = Joins.asofNativeMulti(left, rightU, Seq("k"), "t", "t",
+      Seq("t", "v"), forward = true, strict = true)
+    // oracle: theta-join then keep the earliest strictly-later right per left row
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"lid").orderBy($"rt".asc)
+    val brute = left.withColumn("lid", monotonically_increasing_id())
+      .join(rightU.select($"k".as("rk"), $"t".as("rt"), $"v".as("rv")),
+        $"k" === $"rk" && $"t" < $"rt", "left")
+      .withColumn("rn", row_number().over(w)).filter($"rn" === 1 || $"rt".isNull)
+      .select($"k", $"t", $"payload", $"rt".as("asof_t"), $"rv".as("asof_v"))
+    assert(native.count() == 3000)
+    assert(native.exceptAll(brute).isEmpty && brute.exceptAll(native).isEmpty)
+  }
+
   test("leftJoinDefaults fills type defaults, not nulls (join_use_nulls=0)") {
     val left = Seq(1L, 2L, 3L).toDF("k")
     val right = Seq((1L, 5L, "x", 1.5)).toDF("k", "n", "s", "v")
