@@ -5,7 +5,8 @@ package graft.queries
   */
 object Registry {
   def all: Seq[Q] =
-    CoreQueries.all ++ MergeTreeQueries.all ++ MiscQueries.all ++ PipelineQueries.all
+    CoreQueries.all ++ MergeTreeQueries.all ++ MiscQueries.all ++
+      FunnelQueries.all ++ PipelineQueries.all
 
   def byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }
