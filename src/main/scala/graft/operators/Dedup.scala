@@ -210,6 +210,63 @@ object Dedup {
   def dropNearDups(df: DataFrame, idCol: String, pairs: DataFrame): DataFrame =
     df.join(pairs.select(col("b").as(idCol)).distinct(), Seq(idCol), "left_anti")
 
+  // ---------- segment-level dedup (C4-style line/paragraph dedup:
+  // every distinct line is kept exactly once across the whole corpus)
+
+  /** Splits each document into segments on literal `sep`, keeps exactly
+    * ONE occurrence of every distinct segment corpus-wide — the one with
+    * the smallest (id, position) — and reassembles the surviving segments
+    * in document order. Output: (id, text_clean, n_kept, n_segments).
+    *
+    * Scale shape: the explode is pure map work (segments per doc = O(doc
+    * length)); the keep decision is a row_number window partitioned by
+    * the segment MD5 — an unbounded-cardinality key, so no reducer hot
+    * spot (the heaviest group is the corpus's most-duplicated single
+    * segment); reassembly aggregates on the doc id. Two shuffles total,
+    * both on full-cardinality keys.
+    */
+  def segmentDedup(df: DataFrame, idCol: String, textCol: String,
+                   sep: String = "\n\n"): DataFrame = {
+    val sepLit = java.util.regex.Pattern.quote(sep)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__h")).orderBy(col(idCol), col("__pos"))
+    val kept = df
+      .select(col(idCol),
+        posexplode(split(col(textCol), sepLit)).as(Seq("__pos", "__seg")))
+      .withColumn("__h", md5(col("__seg")))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+    val rebuilt = kept.groupBy(col(idCol))
+      .agg(
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("__pos"), col("__seg")))),
+            x => x.getField("__seg")),
+          sep).as("text_clean"),
+        count(lit(1)).as("n_kept"))
+    df.select(col(idCol),
+        size(split(col(textCol), sepLit)).cast(LongType).as("n_segments"))
+      .join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("text_clean"), lit("")).as("text_clean"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        col("n_segments"))
+  }
+
+  /** Segmentation shim for corpora WITHOUT natural line structure:
+    * rewrites text as `sep`-joined chunks of `wordsPerChunk` whitespace
+    * tokens (the trailing chunk may be shorter). Pure column expressions,
+    * zero shuffle.
+    */
+  def chunkText(text: Column, wordsPerChunk: Int, sep: String): Column = {
+    val toks = split(text, " ")
+    val nChunks = ceil(size(toks).cast(DoubleType) / wordsPerChunk).cast(IntegerType)
+    array_join(
+      transform(sequence(lit(0), nChunks - 1),
+        i => array_join(slice(toks, i * wordsPerChunk + 1, lit(wordsPerChunk)), " ")),
+      sep)
+  }
+
   // ---------- dedup clustering (connected components over match pairs)
 
   /** Materialize an iteration state frame. `localCheckpoint` alone is NOT

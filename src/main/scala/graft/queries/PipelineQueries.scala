@@ -242,6 +242,30 @@ object PipelineQueries {
         .orderBy(col("query_id"), col("rank"))
     },
 
+    // ---- segment-level (C4-style line) dedup: every distinct 10-word
+    // chunk kept exactly once corpus-wide (smallest (doc_id, pos) wins),
+    // documents reassembled from their surviving chunks
+    Q("d11_segment_dedup",
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         |seg AS (SELECT doc_id, i AS pos, array_to_string(w[i*10+1 : i*10+10], ' ') AS para
+         |        FROM t, LATERAL (SELECT unnest(range(0, CAST(ceil(len(w)/10.0) AS BIGINT))) AS i) l),
+         |kept AS (SELECT doc_id, pos, para,
+         |                row_number() OVER (PARTITION BY md5(para) ORDER BY doc_id, pos) AS rn
+         |         FROM seg),
+         |k AS (SELECT doc_id, string_agg(para, chr(10) ORDER BY pos) AS text_clean,
+         |             count(*) AS n_kept
+         |      FROM kept WHERE rn = 1 GROUP BY doc_id)
+         |SELECT d.doc_id, coalesce(k.text_clean, '') AS text_clean,
+         |       coalesce(k.n_kept, 0) AS n_kept,
+         |       CAST(ceil(len(string_split(d.text, ' '))/10.0) AS BIGINT) AS n_segments
+         |FROM documents d LEFT JOIN k ON k.doc_id = d.doc_id
+         |ORDER BY d.doc_id""") { (s, dir) =>
+      val chunked = Tables(s, dir).documents
+        .select(col("doc_id"), Dedup.chunkText(col("text"), 10, "\n").as("text"))
+      Dedup.segmentDedup(chunked, "doc_id", "text", "\n")
+        .orderBy(col("doc_id"))
+    },
+
     // ---- language ID (marker-token voting) — confusion matrix vs the
     // dataset's lang label
     Q("t01_lang_id",

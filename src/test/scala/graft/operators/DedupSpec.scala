@@ -74,4 +74,47 @@ class DedupSpec extends SparkSpec {
     assert(pairs.forall { case (a, b) => b - a == 1000L },
       s"unexpected non-twin pairs: ${pairs.filterNot { case (a, b) => b - a == 1000L }.take(5)}")
   }
+
+  test("segmentDedup keeps the first occurrence of each segment corpus-wide") {
+    val docs = Seq(
+      (1L, "shared intro\nunique one\nshared outro"),
+      (2L, "shared intro\nunique two"),
+      (3L, "unique three\nshared outro\nshared outro"))
+      .toDF("doc_id", "text")
+    val got = Dedup.segmentDedup(docs, "doc_id", "text", "\n")
+      .orderBy($"doc_id")
+      .as[(Long, String, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      // doc 1 appears first: keeps everything
+      (1L, "shared intro\nunique one\nshared outro", 3L, 3L),
+      // doc 2 loses the intro doc 1 already claimed
+      (2L, "unique two", 1L, 2L),
+      // doc 3 loses both outro copies (doc 1 claimed the segment)
+      (3L, "unique three", 1L, 3L)))
+  }
+
+  test("segmentDedup: within-document repeats collapse; result is partitioning-independent") {
+    val rnd = new scala.util.Random(7)
+    val lines = (0 until 40).map(i => s"line $i")
+    val docs = (1L to 120L).map { id =>
+      (id, (0 until 8).map(_ => lines(rnd.nextInt(40))).mkString("\n"))
+    }
+    val one = docs.toDF("doc_id", "text").coalesce(1)
+    val many = docs.toDF("doc_id", "text").repartition(13)
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Dedup.segmentDedup(df, "doc_id", "text", "\n")
+        .as[(Long, String, Long, Long)].collect().sortBy(_._1).toSeq
+    val a = run(one)
+    // every distinct line survives exactly once across the corpus
+    val keptLines = a.flatMap(_._2.split("\n").filter(_.nonEmpty))
+    assert(keptLines.length == keptLines.distinct.length)
+    assert(keptLines.toSet == docs.flatMap(_._2.split("\n")).toSet)
+    assert(a == run(many))
+  }
+
+  test("chunkText wraps word streams into fixed-size segments") {
+    val df = Seq((1L, "a b c d e f g")).toDF("doc_id", "text")
+    val got = df.select(Dedup.chunkText($"text", 3, "\n")).as[String].head()
+    assert(got == "a b c\nd e f\ng")
+  }
 }
