@@ -5,7 +5,7 @@ import org.apache.spark.sql.types._
 
 import graft.tables.Tables
 import graft.functions.TextFunctions
-import graft.operators.{CorpusStats, DatasetSplit, Decontaminate, Dedup, Packing, SimilaritySearch}
+import graft.operators.{CorpusStats, DatasetMix, DatasetSplit, Decontaminate, Dedup, Packing, SimilaritySearch}
 import graft.multimodal.{ImageCodec, Multimodal}
 
 /** Training-data-pipeline operators (builder-prompt mandate): dedup
@@ -514,6 +514,43 @@ object PipelineQueries {
       DatasetSplit.withSplit(Tables(s, dir).documents, col("doc_id"),
           Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05), salt = "mix1")
         .select(col("doc_id"), col("bucket"), col("split"))
+        .orderBy(col("doc_id"))
+    },
+
+    // ---- weighted dataset mixing: per-source up/down-sampling into
+    // epochs (src0 2.5x, src1 0.25x, src2 dropped, everything else 1x),
+    // fractional epochs decided by the md5 bucket of key#epoch
+    Q("t13_dataset_mix",
+      """WITH w AS (SELECT doc_id, source,
+        |    CASE source WHEN 'src0' THEN 2 WHEN 'src1' THEN 0 WHEN 'src2' THEN 0 ELSE 1 END AS f,
+        |    CASE source WHEN 'src0' THEN 5000 WHEN 'src1' THEN 2500 WHEN 'src2' THEN 0 ELSE 0 END AS thr
+        |  FROM documents),
+        |e AS (SELECT doc_id, source, f, thr,
+        |        unnest(range(0, f + CASE WHEN thr > 0 THEN 1 ELSE 0 END)) AS epoch
+        |      FROM w)
+        |SELECT doc_id, source, epoch FROM e
+        |WHERE epoch < f OR
+        |  CAST(concat('0x', substr(md5(concat('mix2:', CAST(doc_id AS VARCHAR), '#', CAST(epoch AS VARCHAR))), 1, 8)) AS BIGINT) % 10000 < thr
+        |ORDER BY doc_id, epoch""") { (s, dir) =>
+      DatasetMix.mixBySourceWeights(
+          Tables(s, dir).documents.select(col("doc_id"), col("source")),
+          "source", col("doc_id"),
+          Map("src0" -> 2.5, "src1" -> 0.25, "src2" -> 0.0),
+          defaultWeight = 1.0, salt = "mix2")
+        .select(col("doc_id"), col("source"), col("epoch"))
+        .orderBy(col("doc_id"), col("epoch"))
+    },
+
+    // ---- deterministic training-order shuffle: seeded md5 order with a
+    // two-phase distributed rank (no global window)
+    Q("t14_det_shuffle",
+      """SELECT doc_id,
+        |  row_number() OVER (ORDER BY md5(concat('ord1:', CAST(doc_id AS VARCHAR))), doc_id) - 1 AS shuffle_pos
+        |FROM documents ORDER BY doc_id""") { (s, dir) =>
+      DatasetMix.deterministicShuffle(
+          Tables(s, dir).documents.select(col("doc_id")),
+          col("doc_id"), salt = "ord1")
+        .select(col("doc_id"), col("shuffle_pos"))
         .orderBy(col("doc_id"))
     },
 

@@ -81,4 +81,46 @@ class SplitAndScrubSpec extends SparkSpec {
     // "a b a b a": 2-grams [a b, b a, a b, b a] → 1 - 2/4 = 0.5
     assert(r == Seq(0.5, 0.0, 0.0, 0.0), r)
   }
+
+  test("mixByWeight: integer epochs exact, fractional epoch near its rate, zero drops") {
+    val df = spark.range(4000).toDF("id")
+      .withColumn("src",
+        when(col("id") % 4 === 0, "up")      // weight 2.5
+          .when(col("id") % 4 === 1, "down") // weight 0.25
+          .when(col("id") % 4 === 2, "gone") // weight 0
+          .otherwise("flat"))                // default 1.0
+    val out = DatasetMix.mixBySourceWeights(df, "src", col("id"),
+      Map("up" -> 2.5, "down" -> 0.25, "gone" -> 0.0), 1.0, salt = "t")
+    val bySrc = out.groupBy("src").count().as[(String, Long)].collect().toMap
+    assert(bySrc.getOrElse("gone", 0L) == 0L)
+    assert(bySrc("flat") == 1000L)
+    // 1000 keys * 2.5 ≈ 2500; * 0.25 ≈ 250 (md5 uniformity, wide tolerance)
+    assert(bySrc("up") > 2350 && bySrc("up") < 2650, bySrc)
+    assert(bySrc("down") > 175 && bySrc("down") < 325, bySrc)
+    // every full epoch present for every up-key
+    assert(out.filter(col("src") === "up" && col("epoch") < 2).count() == 2000)
+    // deterministic: same salt -> identical multiset
+    val again = DatasetMix.mixBySourceWeights(df, "src", col("id"),
+      Map("up" -> 2.5, "down" -> 0.25, "gone" -> 0.0), 1.0, salt = "t")
+    assert(out.exceptAll(again).isEmpty && again.exceptAll(out).isEmpty)
+  }
+
+  test("deterministicShuffle: positions are a permutation, stable, and partitioning-independent") {
+    val df = spark.range(5000).toDF("id")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      DatasetMix.deterministicShuffle(d, col("id"), salt = "e0")
+        .select(col("id"), col("shuffle_pos"))
+        .as[(Long, Long)].collect().sortBy(_._1).toSeq
+    val a = run(df.repartition(17))
+    val b = run(df.coalesce(1))
+    assert(a == b)
+    // a permutation of 0..n-1, and not the identity order
+    assert(a.map(_._2).sorted == (0L until 5000L))
+    assert(a.count { case (id, pos) => id == pos } < 50)
+    // a different salt draws a different permutation
+    val c = DatasetMix.deterministicShuffle(df, col("id"), salt = "e1")
+      .select(col("id"), col("shuffle_pos")).as[(Long, Long)]
+      .collect().sortBy(_._1).toSeq
+    assert(c != a)
+  }
 }
