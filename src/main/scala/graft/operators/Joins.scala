@@ -168,6 +168,35 @@ object Joins {
       rightCols.map(c => col("__r_" + c).as(prefix + c)): _*)
   }
 
+  /** Salted equi-join for skewed keys — the explicit fallback when AQE's
+    * skew-join split cannot apply (shuffle-hash joins, or a skewed
+    * aggregation feeding the join). Each left row gets one of `salts`
+    * deterministic salt values (a content hash, so identical keys with
+    * differing payloads spread across reducers); the right side is
+    * replicated once per salt value; the join runs on (keys, salt), so a
+    * hot key's rows land on `salts` reducers instead of one.
+    *
+    * Cost model: right side inflates `salts`×, so use a salts value that
+    * splits the hot key below partition-size targets without blowing up
+    * the small side — the standard trade. Supported join types: inner,
+    * left (outer), left_semi, left_anti — each left row carries exactly
+    * one salt, so no duplicate or lost matches. For a skewed RIGHT side,
+    * swap the arguments.
+    */
+  def saltedJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+                 salts: Int, joinType: String = "inner"): DataFrame = {
+    require(salts > 0, "salts must be positive")
+    val allowed = Set("inner", "left", "left_outer", "leftouter",
+      "left_semi", "leftsemi", "left_anti", "leftanti")
+    require(allowed.contains(joinType.toLowerCase),
+      s"saltedJoin supports $allowed, not $joinType (swap sides for right skew)")
+    val l = left.withColumn("__salt",
+      pmod(xxhash64(left.columns.map(col).toSeq: _*), lit(salts.toLong)).cast("int"))
+    val r = right.withColumn("__salt",
+      explode(sequence(lit(0), lit(salts - 1))))
+    l.join(r, keys :+ "__salt", joinType).drop("__salt")
+  }
+
   /** PASTE JOIN (lectures/lecture_10.md:15): positional zip of two result
     * sets. Suited to ranked/aggregated inputs (the reference uses it that
     * way); ordering must be total for determinism.

@@ -140,6 +140,31 @@ class JoinsSpec extends SparkSpec {
     assert(out.filter($"k" === 1).select("rv").as[String].head() == "x")
   }
 
+  test("saltedJoin equals the plain join on a skewed fixture, for every supported type") {
+    val rnd = new scala.util.Random(19)
+    // 90% of left rows share one hot key
+    val left = (1 to 4000).map(i =>
+        (if (rnd.nextInt(10) < 9) 7L else rnd.nextInt(100).toLong, i))
+      .toDF("k", "payload").repartition(11)
+    val right = (0 until 80).map(k => (k.toLong, s"dim$k")).toDF("k", "v")
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      for (jt <- Seq("inner", "left", "left_semi", "left_anti")) {
+        val salted = Joins.saltedJoin(left, right, Seq("k"), salts = 8, jt)
+        val plain = left.join(right, Seq("k"), jt)
+        assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty,
+          s"mismatch for $jt")
+      }
+      // the hot key really is spread: its rows see several distinct salts
+      val spread = left.filter($"k" === 7L)
+        .withColumn("__salt",
+          pmod(xxhash64(left.columns.map(col).toSeq: _*), lit(8L)).cast("int"))
+        .select(countDistinct($"__salt")).as[Long].head()
+      assert(spread >= 6, s"hot key only spread over $spread salts")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("paste zips by rank; pasteLarge zips by position") {
     val a = Seq(10, 20, 30).toDF("x")
     val b = Seq("c", "b", "a").toDF("y")
