@@ -76,10 +76,18 @@ object StreamingPipeline {
     * lectures/lecture_12.md:89-105): re-sent blocks are dropped by id
     * within the watermark horizon — checkpoint-backed state gives the
     * exactly-once upgrade over the reference's window-of-hashes.
+    *
+    * `dropDuplicatesWithinWatermark`, NOT `dropDuplicates`: with plain
+    * dropDuplicates the state store only evicts when the event-time
+    * column is itself part of the dedup key — keyed on bare ids the
+    * state grows without bound, which is a slow-motion OOM on an
+    * unbounded stream. The WithinWatermark variant expires each key
+    * once the watermark passes its last-seen time.
     */
   def dedupedByKey(stream: DataFrame, tsCol: String, watermark: String,
                    idCols: String*): DataFrame =
-    stream.withWatermark(tsCol, watermark).dropDuplicates(idCols)
+    stream.withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(idCols.head, idCols.tail: _*)
 
   /** Kafka producer sink (ENGINE=Kafka + MV INTO it,
     * clusters/ch_and_kafka/db/init.sql:65-79).

@@ -66,4 +66,30 @@ class PlanAuditSpec extends SparkSpec {
     // the finalized plan runs inside whole-stage codegen spans ("*(n)")
     assert(ex.contains("*("), ex)
   }
+
+  test("t14: the global shuffle rank plans NO un-partitioned window") {
+    val plan = formatted(q("t14_det_shuffle"))
+    // every Window in the plan must be partitioned (on __pid); a global
+    // row_number would read "Window [...], [sort...]" with no partition
+    // spec and funnel the corpus through one reducer
+    val windows = plan.linesIterator.filter(_.contains("Arguments: [row_number"))
+      .mkString("\n")
+    assert(windows.nonEmpty, plan)
+    assert(windows.contains("__pid"),
+      "rank window is not partition-bounded:\n" + windows)
+  }
+
+  test("d11: keep-first window partitions on the segment hash (full-cardinality key)") {
+    val plan = formatted(q("d11_segment_dedup"))
+    val rn = plan.linesIterator.filter(_.contains("Arguments: [row_number"))
+      .mkString("\n")
+    assert(rn.contains("__h"), "keep-first not keyed on segment hash:\n" + rn)
+  }
+
+  test("q54: the funnel aggregate partial-aggregates (map-side combine)") {
+    val plan = formatted(q("q54_window_funnel"))
+    // ObjectHashAggregate appears twice per agg: partial before the
+    // exchange, final after — proving the buffer merges map-side
+    assert(count(plan, "ObjectHashAggregate") >= 2, plan)
+  }
 }
