@@ -232,7 +232,12 @@ private[functions] abstract class SequenceNfaAggregator[OUT](
             alive(0) = true
             completed = true
           } else {
-            if (!alive(p + 1)) { lo(p + 1) = t; hi(p + 1) = t }
+            // an alive no-gap state is dying THIS event (adjacency) —
+            // a re-creation must REPLACE its extremes, not merge with
+            // the stale chain's timestamps
+            val merge = alive(p + 1) &&
+              (steps(p + 1).gapBefore || created(p + 1))
+            if (!merge) { lo(p + 1) = t; hi(p + 1) = t }
             else {
               if (t < lo(p + 1)) lo(p + 1) = t
               if (t > hi(p + 1)) hi(p + 1) = t
