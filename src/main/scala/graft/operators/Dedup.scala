@@ -267,6 +267,60 @@ object Dedup {
       sep)
   }
 
+  // ---------- exact substring duplicate spans (fixed-k positional-gram
+  // form of suffix-array substring dedup, per Lee et al. 2022's
+  // "deduplicating training data" — any k-token window occurring more
+  // than once in the corpus marks a duplicated span)
+
+  /** Finds maximal duplicated token spans: every `k`-token window whose
+    * (normalized) text occurs more than once ANYWHERE in the corpus marks
+    * its positions duplicated; overlapping/adjacent duplicated windows
+    * merge into maximal spans. Output one row per span:
+    * (id, span_start, span_end, n_grams) — token positions, 0-based,
+    * inclusive; `span_end - span_start + 1` is the span's token length
+    * (always >= k).
+    *
+    * Scale shape — this replaces the single-machine suffix array with
+    * pure shuffle-parallel steps: gram extraction is map-side (O(doc
+    * tokens) windows per doc); "occurs more than once" is one partial-
+    * aggregated groupBy on the gram hash (full-cardinality key — the
+    * hottest group is the corpus's single most-repeated k-gram); the
+    * position recovery is a semi-join on the same hash; the island merge
+    * is a per-document window (bounded by doc length). Nothing is
+    * O(corpus²) and no step funnels through one reducer.
+    */
+  def duplicateSpans(df: DataFrame, idCol: String, textCol: String,
+                     k: Int = 5): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    graft.plans.NativeFunctions.register(df.sparkSession)
+    val grams = df
+      .select(col(idCol),
+        graft.plans.NativeFunctions.normTokens(col(textCol)).as("__toks"))
+      .filter(size(col("__toks")) >= k)
+      .select(col(idCol), posexplode(expr(
+        s"transform(sequence(0, size(__toks) - $k), " +
+          s"i -> md5(array_join(slice(__toks, i + 1, $k), ' ')))"))
+        .as(Seq("pos", "__gh")))
+    val dupGrams = grams.groupBy(col("__gh"))
+      .agg(count(lit(1)).as("__c")).filter(col("__c") > 1)
+      .select(col("__gh"))
+    val hits = grams.join(dupGrams, Seq("__gh"), "left_semi")
+    val byDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("pos"))
+    hits
+      .withColumn("__brk",
+        when(col("pos") - lag(col("pos"), 1).over(byDoc) <= k, 0)
+          .otherwise(1))
+      .withColumn("__island",
+        sum(col("__brk")).over(byDoc.rowsBetween(
+          org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .groupBy(col(idCol), col("__island"))
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("pos")) + lit(k - 1)).as("span_end"),
+        count(lit(1)).as("n_grams"))
+      .select(col(idCol), col("span_start"), col("span_end"), col("n_grams"))
+  }
+
   // ---------- dedup clustering (connected components over match pairs)
 
   /** Materialize an iteration state frame. `localCheckpoint` alone is NOT

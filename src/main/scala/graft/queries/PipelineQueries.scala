@@ -641,6 +641,40 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     },
 
+    // ---- exact substring duplicate spans (Lee et al. 2022, fixed-k
+    // positional-gram form): every 5-token window occurring >1 time in
+    // the corpus marks its positions; overlapping windows merge into
+    // maximal spans. Fully deterministic (md5 grams) → hash oracle.
+    Q("t15_dup_spans",
+      s"""WITH t AS (SELECT doc_id, ${toksSql(normSql)} AS toks
+         |          FROM documents WHERE $normSql <> ''),
+         |t2 AS (SELECT doc_id, toks FROM t WHERE len(toks) >= 5),
+         |g AS (SELECT doc_id,
+         |        unnest([{'p': i - 1,
+         |                 'h': md5(array_to_string(toks[i:i+4], ' '))}
+         |                for i in range(1, len(toks) - 3)]) AS u
+         |      FROM t2),
+         |g2 AS (SELECT doc_id, u.p AS pos, u.h AS gh FROM g),
+         |d AS (SELECT gh FROM g2 GROUP BY gh HAVING count(*) > 1),
+         |h AS (SELECT g2.doc_id, g2.pos FROM g2 JOIN d USING (gh)),
+         |i AS (SELECT doc_id, pos,
+         |        CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 5
+         |             THEN 0 ELSE 1 END AS brk FROM h),
+         |s AS (SELECT doc_id, pos,
+         |        sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+         |      FROM i)
+         |SELECT doc_id, min(pos) AS span_start, max(pos) + 4 AS span_end,
+         |  count(*) AS n_grams
+         |FROM s GROUP BY doc_id, island
+         |ORDER BY doc_id, span_start""") { (s, dir) =>
+      Dedup.duplicateSpans(Tables(s, dir).documents, "doc_id", "text", k = 5)
+        .select(col("doc_id"),
+          col("span_start").cast(LongType).as("span_start"),
+          col("span_end").cast(LongType).as("span_end"),
+          col("n_grams"))
+        .orderBy(col("doc_id"), col("span_start"))
+    },
+
     // ---- multimodal binary plumbing: opaque NON-IMAGE payload bytes →
     // per-partition batch map falls back to byte-derived metadata. The
     // oracle re-derives the fallback's arithmetic from the byte length /

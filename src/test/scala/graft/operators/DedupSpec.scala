@@ -44,6 +44,29 @@ class DedupSpec extends SparkSpec {
     assert(kept == Set(1L, 3L, 4L, 5L))
   }
 
+  test("duplicateSpans merges overlapping windows and finds intra-doc repeats") {
+    val d = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "one two alpha beta gamma delta epsilon zeta nine ten"),
+      (3L, "purple monkey dishwasher runs wild here today"),
+      (4L, "x1 x2 x3 x4 x5 filler1 filler2 x1 x2 x3 x4 x5")
+    ).toDF("doc_id", "text")
+    val spans = Dedup.duplicateSpans(d, "doc_id", "text", k = 5)
+      .collect()
+      .map(r => (r.getLong(0), r.getAs[Number](1).longValue(),
+        r.getAs[Number](2).longValue(), r.getLong(3)))
+      .toSet
+    // docs 1/2 share the 6-token run "alpha..zeta": two overlapping
+    // 5-windows merge into one span each; doc 4 repeats its own
+    // 5-token prefix after a gap > k, so two separate islands; doc 3
+    // has no duplicated window at all.
+    assert(spans == Set(
+      (1L, 0L, 5L, 2L),
+      (2L, 2L, 7L, 2L),
+      (4L, 0L, 4L, 1L),
+      (4L, 7L, 11L, 1L)))
+  }
+
   test("jaccardVerify computes exact n-gram jaccard") {
     val pairs = Seq((1L, 2L), (1L, 4L)).toDF("a", "b")
     val j = Dedup.jaccardVerify(pairs, docs, "doc_id", "text", nGram = 3)
