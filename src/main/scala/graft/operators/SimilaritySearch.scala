@@ -173,6 +173,205 @@ object SimilaritySearch {
     ivfScoreAndRank(bucketed, idCol, vecCol, probes, qIdCol, qVecCol, k)
   }
 
+  // ----------------------------------------------------------------- PQ
+
+  /** A fitted product-quantization codebook: `flat` is the `[subspace]
+    * [centroid][component]` array flattened subspace-major.
+    */
+  final case class PqCodebook(m: Int, ksub: Int, subDim: Int,
+                              flat: Array[Float])
+
+  /** Fits PQ codebooks: the vector space is split into `m` subspaces and
+    * each gets `ksub` k-means centroids (Lloyd iterations, deterministic
+    * seed-free spread init). Training happens DRIVER-side on a bounded,
+    * seeded sample (`maxTrain` rows — same contract as [[ivfTopK]]'s
+    * `fitCenters`: one sampling scan of the corpus total, never an
+    * iterative full-corpus pass).
+    */
+  def pqFit(corpus: DataFrame, vecCol: String, m: Int, ksub: Int,
+            trainFraction: Double = 0.05,
+            maxTrain: Int = 65536): PqCodebook = {
+    def collectVecs(df: DataFrame): Array[Array[Float]] =
+      df.collect().map(_.getAs[scala.collection.Seq[Float]](0).toArray)
+    val sampled = collectVecs(corpus.select(col(vecCol))
+      .sample(withReplacement = false, trainFraction, seed = 42L)
+      .limit(maxTrain))
+    val train =
+      if (sampled.length >= 4 * ksub) sampled
+      else collectVecs(corpus.select(col(vecCol)).limit(maxTrain))
+    require(train.nonEmpty, "pqFit: empty training set")
+    val dim = train.head.length
+    require(dim % m == 0, s"pqFit: dim $dim not divisible by m=$m")
+    val subDim = dim / m
+    val n = train.length
+    val flat = new Array[Float](m * ksub * subDim)
+    var j = 0
+    while (j < m) {
+      // deterministic spread init over the (seeded-sample) training order
+      val centers = Array.tabulate(ksub) { c =>
+        val src = train(((c.toLong * n) / ksub).toInt.min(n - 1))
+        java.util.Arrays.copyOfRange(src, j * subDim, (j + 1) * subDim)
+      }
+      val assign = new Array[Int](n)
+      var iter = 0
+      while (iter < 20) {
+        var moved = false
+        var i = 0
+        while (i < n) {
+          val v = train(i)
+          var best = 0
+          var bestD = Double.MaxValue
+          var c = 0
+          while (c < ksub) {
+            var d = 0.0
+            var t = 0
+            while (t < subDim) {
+              val diff = v(j * subDim + t) - centers(c)(t)
+              d += diff * diff
+              t += 1
+            }
+            if (d < bestD) { bestD = d; best = c }
+            c += 1
+          }
+          if (assign(i) != best || iter == 0) { assign(i) = best; moved = true }
+          i += 1
+        }
+        if (!moved) iter = 20
+        else {
+          val sums = Array.fill(ksub)(new Array[Double](subDim))
+          val counts = new Array[Int](ksub)
+          i = 0
+          while (i < n) {
+            val s = sums(assign(i))
+            var t = 0
+            while (t < subDim) { s(t) += train(i)(j * subDim + t); t += 1 }
+            counts(assign(i)) += 1
+            i += 1
+          }
+          var c = 0
+          while (c < ksub) {
+            if (counts(c) > 0) {
+              var t = 0
+              while (t < subDim) {
+                centers(c)(t) = (sums(c)(t) / counts(c)).toFloat
+                t += 1
+              }
+            } // empty cluster: keep the previous center
+            c += 1
+          }
+          iter += 1
+        }
+      }
+      var c = 0
+      while (c < ksub) {
+        System.arraycopy(centers(c), 0, flat, (j * ksub + c) * subDim, subDim)
+        c += 1
+      }
+      j += 1
+    }
+    PqCodebook(m, ksub, subDim, flat)
+  }
+
+  /** Per-query ADC lookup tables, built driver-side (queries are the
+    * broadcast-small side by contract): `__lut_dot[j*ksub+c]` =
+    * dot(q_subspace_j, centroid), `__lut_sq` = |centroid|², plus the
+    * query norm — scoring a candidate code is then `m` table adds.
+    */
+  private def queryLuts(queries: DataFrame, qIdCol: String, qVecCol: String,
+                        cb: PqCodebook): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    import org.apache.spark.sql.types._
+    val spark = queries.sparkSession
+    val rows = queries.select(col(qIdCol), col(qVecCol)).collect().map { r =>
+      val q = r.getAs[scala.collection.Seq[Float]](1).toArray
+      val lutDot = new Array[Float](cb.m * cb.ksub)
+      val lutSq = new Array[Float](cb.m * cb.ksub)
+      var idx = 0
+      var j = 0
+      while (j < cb.m) {
+        var c = 0
+        while (c < cb.ksub) {
+          val base = idx * cb.subDim
+          var d = 0.0
+          var s = 0.0
+          var t = 0
+          while (t < cb.subDim) {
+            val cv = cb.flat(base + t)
+            d += q(j * cb.subDim + t) * cv
+            s += cv.toDouble * cv
+            t += 1
+          }
+          lutDot(idx) = d.toFloat
+          lutSq(idx) = s.toFloat
+          idx += 1
+          c += 1
+        }
+        j += 1
+      }
+      val qn = math.sqrt(q.foldLeft(0.0)((a, x) => a + x.toDouble * x))
+      org.apache.spark.sql.Row(r.get(0), lutDot.toSeq, lutSq.toSeq, qn)
+    }
+    val schema = StructType(Seq(
+      queries.schema(qIdCol).copy(name = qIdCol),
+      StructField("__lut_dot", ArrayType(FloatType, containsNull = false)),
+      StructField("__lut_sq", ArrayType(FloatType, containsNull = false)),
+      StructField("__q_norm", DoubleType)))
+    spark.createDataFrame(rows.toList.asJava, schema)
+  }
+
+  /** PQ-compressed brute-force ANN: the corpus is encoded to `m` bytes
+    * per vector (one map-side pass; a 64-dim float corpus compresses
+    * 32×), queries become broadcast ADC lookup tables, and scoring each
+    * candidate is `m` table adds instead of `dim` multiply-adds. The
+    * memory-scale path: at 100 TB the code table fits where raw vectors
+    * cannot, and the scan reads `m` bytes/row.
+    */
+  def pqTopK(corpus: DataFrame, idCol: String, vecCol: String,
+             queries: DataFrame, qIdCol: String, qVecCol: String,
+             k: Int, m: Int = 8, ksub: Int = 256,
+             trainFraction: Double = 0.05,
+             maxTrain: Int = 65536): DataFrame = {
+    NativeFunctions.register(corpus.sparkSession)
+    val cb = pqFit(corpus, vecCol, m, ksub, trainFraction, maxTrain)
+    val codes = corpus.select(col(idCol),
+      NativeFunctions.pqEncode(col(vecCol), cb.flat, m, ksub).as("pq_code"))
+    val scored = codes.crossJoin(broadcast(queryLuts(queries, qIdCol, qVecCol, cb)))
+      .filter(col(idCol) =!= col(qIdCol))
+      .select(col(qIdCol), col(idCol),
+        NativeFunctions.pqAdc(col("pq_code"), col("__lut_dot"),
+          col("__lut_sq"), col("__q_norm")).as("cosine"))
+    topK(scored, qIdCol, idCol, k)
+  }
+
+  /** IVF-PQ: coarse k-means cells prune the candidate set (queries probe
+    * `nProbe` of `nLists` cells) and PQ codes compress what remains —
+    * the standard billion-scale ANN layout. Each corpus row lands in
+    * exactly one cell, so the probe join produces no duplicate pairs.
+    */
+  def ivfPqTopK(corpus: DataFrame, idCol: String, vecCol: String,
+                queries: DataFrame, qIdCol: String, qVecCol: String,
+                k: Int, nLists: Int = 16, nProbe: Int = 4,
+                m: Int = 8, ksub: Int = 256,
+                trainFraction: Double = 0.05,
+                maxTrain: Int = 65536): DataFrame = {
+    NativeFunctions.register(corpus.sparkSession)
+    val centers = fitCenters(corpus, vecCol, nLists, trainFraction, maxTrain)
+    val cb = pqFit(corpus, vecCol, m, ksub, trainFraction, maxTrain)
+    val coded = assignCells(corpus, vecCol, centers)
+      .select(col(idCol), col("cell"),
+        NativeFunctions.pqEncode(col(vecCol), cb.flat, m, ksub).as("pq_code"))
+    val probes = probeCells(queries.select(col(qIdCol), col(qVecCol)),
+        qVecCol, centers, nProbe)
+      .select(col(qIdCol), col("cell"))
+    val probeLuts = probes.join(queryLuts(queries, qIdCol, qVecCol, cb), qIdCol)
+    val scored = coded.join(broadcast(probeLuts), Seq("cell"))
+      .filter(col(idCol) =!= col(qIdCol))
+      .select(col(qIdCol), col(idCol),
+        NativeFunctions.pqAdc(col("pq_code"), col("__lut_dot"),
+          col("__lut_sq"), col("__q_norm")).as("cosine"))
+    topK(scored, qIdCol, idCol, k)
+  }
+
   // ---------------------------------------------------------------- LSH
 
   /** LSH-bucketed ANN: `tables` independent hyperplane sets (standard

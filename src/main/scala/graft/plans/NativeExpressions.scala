@@ -266,6 +266,61 @@ object VecKernels {
     while (i < 8) { out(i) = ((x >>> (8 * i)) & 0xff).toByte; i += 1 }
     out
   }
+
+  /** Product-quantization encode: per subspace, the index of the nearest
+    * (L2) codebook centroid. `codebook` is flattened `[j][c][t]` —
+    * subspace-major, centroid, then component. One byte per subspace.
+    */
+  def pqEncode(v: ArrayData, codebook: Array[Float], m: Int,
+               ksub: Int): Array[Byte] = {
+    val dim = v.numElements()
+    val subDim = dim / m
+    val out = new Array[Byte](m)
+    var j = 0
+    while (j < m) {
+      var best = 0
+      var bestD = Double.MaxValue
+      var c = 0
+      while (c < ksub) {
+        val base = (j * ksub + c) * subDim
+        var d = 0.0
+        var t = 0
+        while (t < subDim) {
+          val diff = v.getFloat(j * subDim + t) - codebook(base + t)
+          d += diff * diff
+          t += 1
+        }
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      out(j) = best.toByte
+      j += 1
+    }
+    out
+  }
+
+  /** Asymmetric-distance (ADC) cosine: the query side is a precomputed
+    * per-subspace lookup table (`lutDot[j*ksub+c]` = dot(q_j, centroid),
+    * `lutSq` = |centroid|²), so scoring a code is `m` table adds — not
+    * `dim` multiply-adds. `|x̂|² = Σ_j |c_{j,code_j}|²` exactly, because
+    * reconstruction concatenates subspace centroids.
+    */
+  def pqAdc(codes: Array[Byte], lutDot: ArrayData, lutSq: ArrayData,
+            qNorm: Double): Double = {
+    val m = codes.length
+    if (m == 0) return 0.0
+    val ksub = lutDot.numElements() / m
+    var dot = 0.0
+    var sq = 0.0
+    var j = 0
+    while (j < m) {
+      val idx = j * ksub + (codes(j) & 0xff)
+      dot += lutDot.getFloat(idx)
+      sq += lutSq.getFloat(idx)
+      j += 1
+    }
+    if (sq <= 0.0 || qNorm <= 0.0) 0.0 else dot / (qNorm * math.sqrt(sq))
+  }
 }
 
 case class SimHash64(child: Expression) extends UnaryExpression {
@@ -370,6 +425,46 @@ case class NormTokens(child: Expression) extends UnaryExpression {
   * DuckDB and here. Cross-checked against DuckDB printf on 200k values
   * (uniform + 1/1000 grid + odd/8 tie grid): 0 mismatches.
   */
+/** Product-quantization encode (one byte per subspace). The codebook is a
+  * plan-time constant held in the expression (reference-injected into
+  * generated code, broadcast with the task closure) — per-row work is the
+  * `m × ksub × subDim` nearest-centroid scan, no per-row allocation beyond
+  * the m-byte code.
+  */
+case class PqEncode(child: Expression, codebook: Array[Float], m: Int,
+                    ksub: Int) extends UnaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.BinaryType
+  override protected def nullSafeEval(v: Any): Any =
+    VecKernels.pqEncode(v.asInstanceOf[ArrayData], codebook, m, ksub)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cb = ctx.addReferenceObj("pqCodebook", codebook, "float[]")
+    defineCodeGen(ctx, ev, c => s"graft.plans.VecKernels.pqEncode($c, $cb, $m, $ksub)")
+  }
+  override protected def withNewChildInternal(c: Expression): PqEncode = copy(child = c)
+  override def prettyName: String = "graft_pq_encode"
+}
+
+/** ADC scoring: approximate cosine between a query (as its per-subspace
+  * LUTs + norm) and a PQ code — `m` table lookups per candidate row.
+  */
+case class PqAdcScore(first: Expression, second: Expression,
+                      third: Expression, fourth: Expression)
+    extends QuaternaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(codes: Any, lutDot: Any, lutSq: Any,
+                            qNorm: Any): Any =
+    VecKernels.pqAdc(codes.asInstanceOf[Array[Byte]],
+      lutDot.asInstanceOf[ArrayData], lutSq.asInstanceOf[ArrayData],
+      qNorm.asInstanceOf[Double])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (c, ld, ls, qn) =>
+      s"graft.plans.VecKernels.pqAdc($c, $ld, $ls, $qn)")
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression, q: Expression): PqAdcScore =
+    copy(first = f, second = s, third = t, fourth = q)
+  override def prettyName: String = "graft_pq_adc"
+}
+
 case class RoundHalfEvenExact(child: Expression, scale: Int)
     extends UnaryExpression {
   override def dataType: DataType = DoubleType
@@ -428,6 +523,16 @@ object NativeFunctions {
         MinHashSig(v, n, k)
       case e => MinHashSig(e.head, 3, 64)
     }, "built-in")
+    reg.createOrReplaceTempFunction("graft_pq_encode", {
+      case Seq(v, Literal(cb: ArrayData, org.apache.spark.sql.types.ArrayType(
+             org.apache.spark.sql.types.FloatType, _)),
+           Literal(m: Int, IntegerType), Literal(ksub: Int, IntegerType)) =>
+        PqEncode(v, cb.toFloatArray(), m, ksub)
+      case e => throw new IllegalArgumentException(
+        s"graft_pq_encode(vec, codebook literal, m, ksub); got ${e.size} args")
+    }, "built-in")
+    reg.createOrReplaceTempFunction("graft_pq_adc",
+      e => PqAdcScore(e(0), e(1), e(2), e(3)), "built-in")
   }
 
   def roundEven(c: Column, scale: Int = 2): Column =
@@ -453,4 +558,12 @@ object NativeFunctions {
     org.apache.spark.sql.functions.call_function("graft_lsh_bucket", c,
       org.apache.spark.sql.functions.lit(bits),
       org.apache.spark.sql.functions.lit(seed))
+  def pqEncode(c: Column, codebook: Array[Float], m: Int, ksub: Int): Column =
+    org.apache.spark.sql.functions.call_function("graft_pq_encode", c,
+      org.apache.spark.sql.functions.typedlit(codebook.toSeq),
+      org.apache.spark.sql.functions.lit(m),
+      org.apache.spark.sql.functions.lit(ksub))
+  def pqAdc(codes: Column, lutDot: Column, lutSq: Column, qNorm: Column): Column =
+    org.apache.spark.sql.functions.call_function("graft_pq_adc",
+      codes, lutDot, lutSq, qNorm)
 }

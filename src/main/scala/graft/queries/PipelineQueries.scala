@@ -242,6 +242,24 @@ object PipelineQueries {
         .orderBy(col("query_id"), col("rank"))
     },
 
+    // ---- IVF-PQ ANN (the billion-scale layout: coarse cells prune the
+    // candidate set, product-quantization codes compress it 32× and ADC
+    // scoring is m table adds per candidate). Rows-only like d08/d10:
+    // both the k-means cells and the PQ codebooks are engine-internal;
+    // recall + ADC-exactness invariants are spec-checked on planted-twin
+    // corpora (SimilaritySpec).
+    Q.noOracle("d12_ann_ivfpq") { (s, dir) =>
+      val emb = Tables(s, dir).embeddings
+      val queries = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      SimilaritySearch.ivfPqTopK(emb, "vec_id", "embedding",
+          queries, "query_id", "qv", k = 10, nLists = 16, nProbe = 4,
+          m = 8, ksub = 16)
+        .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
+          round(col("cosine"), 4).as("adc4"))
+        .orderBy(col("query_id"), col("rank"))
+    },
+
     // ---- segment-level (C4-style line) dedup: every distinct 10-word
     // chunk kept exactly once corpus-wide (smallest (doc_id, pos) wins),
     // documents reassembled from their surviving chunks

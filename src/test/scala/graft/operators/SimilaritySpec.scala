@@ -50,6 +50,78 @@ class SimilaritySpec extends SparkSpec {
     assert(hits >= 16, s"recovered $hits/20 planted twins")
   }
 
+  test("PQ ADC score equals exact cosine against the reconstructed code") {
+    val cb = SimilaritySearch.pqFit(emb, "embedding", m = 8, ksub = 16)
+    // decode each corpus row's code and check the ADC score is the exact
+    // cosine(query, reconstruction) — ADC's only approximation is the
+    // quantization itself, never the scoring arithmetic
+    val q = emb.filter($"vec_id" === 0)
+      .select($"vec_id".as("query_id"), $"embedding".as("qv"))
+    val got = SimilaritySearch.pqTopK(emb, "vec_id", "embedding",
+        q, "query_id", "qv", k = 3, m = 8, ksub = 16)
+      .select($"vec_id", $"cosine").as[(Long, Double)].collect().toMap
+    val qVec = emb.filter($"vec_id" === 0)
+      .select($"embedding").as[Array[Float]].head()
+    val subDim = cb.subDim
+    def decode(v: Array[Float]): Array[Float] = {
+      val rec = new Array[Float](cb.m * subDim)
+      for (j <- 0 until cb.m) {
+        // nearest centroid per subspace (same metric as the encoder)
+        val best = (0 until cb.ksub).minBy { c =>
+          val base = (j * cb.ksub + c) * subDim
+          (0 until subDim).map { t =>
+            val d = v(j * subDim + t) - cb.flat(base + t); d * d
+          }.sum
+        }
+        System.arraycopy(cb.flat, (j * cb.ksub + best) * subDim, rec,
+          j * subDim, subDim)
+      }
+      rec
+    }
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x.toDouble * y }.sum
+      val na = math.sqrt(a.map(x => x.toDouble * x).sum)
+      val nb = math.sqrt(b.map(x => x.toDouble * x).sum)
+      dot / (na * nb)
+    }
+    val vecs = emb.select($"vec_id", $"embedding").as[(Long, Array[Float])]
+      .collect().toMap
+    got.foreach { case (id, adc) =>
+      val expected = cos(qVec, decode(vecs(id)))
+      assert(math.abs(adc - expected) < 1e-5,
+        s"vec $id: adc=$adc exact=$expected")
+    }
+  }
+
+  test("PQ and IVF-PQ ANN recover planted near-duplicates") {
+    val rnd = new scala.util.Random(11)
+    def unit(dim: Int): Array[Float] = {
+      val v = Array.fill(dim)(rnd.nextGaussian().toFloat)
+      val n = math.sqrt(v.map(x => x * x.toDouble).sum).toFloat
+      v.map(_ / n)
+    }
+    val dim = 64
+    val centers = (0 until 20).map(i => (i.toLong, unit(dim)))
+    val twins = centers.map { case (i, c) =>
+      (1000L + i, c.map(x => x + 0.02f * rnd.nextGaussian().toFloat))
+    }
+    val decoys = (0 until 300).map(i => (2000L + i, unit(dim)))
+    val corpus = (twins ++ decoys).toDF("vec_id", "embedding")
+    val queries = centers.toDF("query_id", "qv")
+    def hits(res: org.apache.spark.sql.DataFrame): Int = {
+      val topK = res.select($"query_id", $"vec_id").as[(Long, Long)]
+        .collect().groupBy(_._1).view.mapValues(_.map(_._2).toSet)
+      centers.count { case (i, _) => topK.get(i).exists(_.contains(1000L + i)) }
+    }
+    val pq = SimilaritySearch.pqTopK(corpus, "vec_id", "embedding",
+      queries, "query_id", "qv", k = 3, m = 8, ksub = 16)
+    assert(hits(pq) >= 18, s"PQ recovered ${hits(pq)}/20 planted twins")
+    val ivfpq = SimilaritySearch.ivfPqTopK(corpus, "vec_id", "embedding",
+      queries, "query_id", "qv", k = 3, nLists = 8, nProbe = 3,
+      m = 8, ksub = 16)
+    assert(hits(ivfpq) >= 15, s"IVF-PQ recovered ${hits(ivfpq)}/20 planted twins")
+  }
+
   test("cosine expression matches a scala-side computation") {
     val rows = emb.limit(2).select($"embedding").as[Array[Float]].collect()
     val expected = {
