@@ -483,6 +483,28 @@ object MiscQueries {
           floor(col("o_totalprice") * 1024).cast(LongType).as("b"))
         .select(col("o_orderkey"), formatReadableSize(col("b")).as("readable"))
         .orderBy(col("o_orderkey")).limit(50)
+    },
+
+    // ---- topK(N)(x) approximate most-frequent aggregate (SpaceSaving).
+    // Oracle-checkable here because cap = 3×5 = 15 exceeds the 5 distinct
+    // priorities — no eviction can occur, so the summary is exact and its
+    // (count desc, value asc) order matches the window formulation;
+    // approximation under pressure is spec-asserted (HeavyHittersSpec).
+    Q("q58_topk_agg",
+      """WITH c AS (SELECT o_orderstatus, o_orderpriority, count(*) AS cnt
+        |           FROM orders GROUP BY 1, 2),
+        |r AS (SELECT o_orderstatus, o_orderpriority,
+        |        row_number() OVER (PARTITION BY o_orderstatus
+        |                           ORDER BY cnt DESC, o_orderpriority) AS rn
+        |      FROM c)
+        |SELECT o_orderstatus, list(o_orderpriority ORDER BY rn) AS top_priorities
+        |FROM r WHERE rn <= 5 GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""") { (s, dir) =>
+      Tables(s, dir).orders
+        .groupBy(col("o_orderstatus"))
+        .agg(graft.functions.HeavyHitters.topK(col("o_orderpriority"), n = 5)
+          .as("top_priorities"))
+        .orderBy(col("o_orderstatus"))
     }
   )
 }

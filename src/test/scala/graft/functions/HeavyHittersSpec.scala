@@ -1,0 +1,52 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class HeavyHittersSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("topK is exact when capacity exceeds distinct count") {
+    // zipf-ish: value v_i appears (10 - i) times; repartition so every
+    // map side holds a slice and the merge path actually runs
+    val rows = (0 until 10).flatMap(i => Seq.fill(10 - i)(s"v$i"))
+    val df = spark.createDataset(rows).toDF("v").repartition(7)
+    val got = df.agg(HeavyHitters.topK($"v", n = 3)).as[Seq[String]].head()
+    assert(got == Seq("v0", "v1", "v2"))
+  }
+
+  test("topK tie-break is (count desc, value asc)") {
+    val df = Seq("b", "a", "b", "a", "c").toDF("v").repartition(3)
+    val got = df.agg(HeavyHitters.topK($"v", n = 3)).as[Seq[String]].head()
+    assert(got == Seq("a", "b", "c"))
+  }
+
+  test("topK under eviction pressure still surfaces the guaranteed heavy hitter") {
+    // 1000 rows, 500 of them "hot" (true freq 0.5 > 1/cap for any cap>2),
+    // the rest 250 distinct near-singletons forcing constant eviction
+    val rnd = new scala.util.Random(5)
+    val rows = Seq.fill(500)("hot") ++
+      (0 until 500).map(_ => s"cold${rnd.nextInt(250)}")
+    val df = spark.createDataset(rnd.shuffle(rows)).toDF("v").repartition(8)
+    val got = df.agg(HeavyHitters.topK($"v", n = 1, loadFactor = 3))
+      .as[Seq[String]].head()
+    assert(got == Seq("hot"))
+  }
+
+  test("topKWeighted ranks by summed weight") {
+    val df = Seq(("a", 1L), ("b", 100L), ("a", 1L), ("c", 50L))
+      .toDF("v", "w").repartition(2)
+    val got = df.agg(HeavyHitters.topKWeighted($"v", $"w", n = 2))
+      .as[Seq[String]].head()
+    assert(got == Seq("b", "c"))
+  }
+
+  test("topK skips nulls and works grouped") {
+    val df = Seq((1, "x"), (1, "x"), (1, null), (2, "y"), (2, "z"), (2, "z"))
+      .toDF("g", "v")
+    val got = df.groupBy($"g")
+      .agg(HeavyHitters.topK($"v", n = 1).as("t"))
+      .orderBy($"g").as[(Int, Seq[String])].collect().toSeq
+    assert(got == Seq((1, Seq("x")), (2, Seq("z"))))
+  }
+}
