@@ -659,6 +659,80 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     },
 
+    // ---- the end-to-end curation pipeline, composed from the operators
+    // above in ONE declarative DAG (what a training-data job actually
+    // runs): language-ID -> quality gate -> exact dedup (min-id per
+    // fingerprint) -> deterministic hash split -> per-(split, lang)
+    // corpus accounting. Every stage is individually oracle-proven
+    // (t01/t02/d01/t09); this row proves the COMPOSITION — Catalyst
+    // collapses all map-side stages into one pass over documents before
+    // the dedup shuffle.
+    Q("t16_curation_pipeline",
+      s"""WITH b AS (SELECT doc_id, text, $normSql AS norm FROM documents),
+         |c AS (SELECT doc_id, text, norm, string_split(norm, ' ') AS toks FROM b),
+         |d AS (SELECT doc_id, text, norm, toks,
+         |  CASE WHEN norm = '' THEN 0 ELSE len(toks) END AS n_tokens,
+         |  len(list_filter(toks, x -> list_contains(
+         |    ['the','a','an','and','or','of','to','in','is','it','for','on','with','as','by','at','this','that'], x))) AS stop_cnt,
+         |  LENGTH(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS alpha_len,
+         |  len(list_filter(toks, x -> list_contains(['the','and','of','to','in','is','that','it'], x))) AS c_en,
+         |  len(list_filter(toks, x -> list_contains(['el','la','de','que','y','los','en','un'], x))) AS c_es,
+         |  len(list_filter(toks, x -> list_contains(['der','die','und','ist','das','nicht','ein','zu'], x))) AS c_de,
+         |  len(list_filter(toks, x -> list_contains(['le','la','et','les','des','est','une','dans'], x))) AS c_fr,
+         |  len(list_filter(toks, x -> list_contains(['i','v','ne','na','chto','eto','kak','po'], x))) AS c_ru
+         |  FROM c),
+         |e AS (SELECT doc_id, norm, n_tokens,
+         |  CASE WHEN greatest(c_en,c_es,c_de,c_fr,c_ru) = 0 THEN 'und'
+         |       WHEN c_en = greatest(c_en,c_es,c_de,c_fr,c_ru) THEN 'en'
+         |       WHEN c_es = greatest(c_en,c_es,c_de,c_fr,c_ru) THEN 'es'
+         |       WHEN c_de = greatest(c_en,c_es,c_de,c_fr,c_ru) THEN 'de'
+         |       WHEN c_fr = greatest(c_en,c_es,c_de,c_fr,c_ru) THEN 'fr'
+         |       ELSE 'ru' END AS lang,
+         |  (CASE WHEN n_tokens >= 5 AND n_tokens <= 100000 THEN 1.0 ELSE 0.0 END) *
+         |  (0.5 * (CAST(stop_cnt AS DOUBLE) / greatest(CAST(n_tokens AS DOUBLE), 1.0)) +
+         |   0.5 * (CAST(alpha_len AS DOUBLE) / CAST(greatest(LENGTH(text), 1) AS DOUBLE))) AS score
+         |  FROM d),
+         |k AS (SELECT doc_id, norm, n_tokens, lang FROM e
+         |      WHERE lang IN ('en','es','de','fr') AND score >= 0.35),
+         |f AS (SELECT doc_id, norm, n_tokens, lang, md5(norm) AS fp FROM k),
+         |g AS (SELECT fp, MIN(doc_id) AS keep_id FROM f GROUP BY fp),
+         |h AS (SELECT f.doc_id, f.lang, f.n_tokens FROM f
+         |      JOIN g ON f.fp = g.fp AND f.doc_id = g.keep_id),
+         |s AS (SELECT doc_id, lang, n_tokens,
+         |  CAST(concat('0x', substr(md5(concat('cur1:', CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT) % 10000 AS bucket
+         |  FROM h)
+         |SELECT CASE WHEN bucket < 9000 THEN 'train'
+         |            WHEN bucket < 9500 THEN 'val'
+         |            ELSE 'test' END AS split,
+         |  lang, count(*) AS n_docs, sum(n_tokens) AS total_tokens
+         |FROM s GROUP BY 1, 2 ORDER BY split, lang""") { (s, dir) =>
+      graft.plans.NativeFunctions.register(s)
+      val toks = graft.plans.NativeFunctions.normTokens(col("text"))
+      val sw = array(TextFunctions.DefaultStopwords.map(lit): _*)
+      val nTok = size(toks).cast(DoubleType)
+      val stopCnt = size(filter(toks, t => array_contains(sw, t)))
+      val alpha = length(regexp_replace(col("text"), "[^a-zA-Z]", ""))
+      val alphaRatio = alpha.cast(DoubleType) /
+        greatest(length(col("text")), lit(1)).cast(DoubleType)
+      val lenOk = when(size(toks) >= 5 && size(toks) <= 100000, lit(1.0))
+        .otherwise(lit(0.0))
+      val enriched = Tables(s, dir).documents
+        .select(col("doc_id"), col("text"),
+          graft.plans.NativeFunctions.langId(toks).as("lang"),
+          size(toks).cast(LongType).as("n_tokens"),
+          (lenOk * (lit(0.5) * (stopCnt.cast(DoubleType) / greatest(nTok, lit(1.0))) +
+            lit(0.5) * alphaRatio)).as("score"))
+      val kept = enriched
+        .filter(col("lang").isin("en", "es", "de", "fr") && col("score") >= 0.35)
+      val deduped = Dedup.exactDedup(kept, "doc_id", "text")
+      DatasetSplit.withSplit(deduped, col("doc_id"),
+          Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05), salt = "cur1")
+        .groupBy(col("split"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("total_tokens"))
+        .orderBy(col("split"), col("lang"))
+    },
+
     // ---- exact substring duplicate spans (Lee et al. 2022, fixed-k
     // positional-gram form): every 5-token window occurring >1 time in
     // the corpus marks its positions; overlapping windows merge into
