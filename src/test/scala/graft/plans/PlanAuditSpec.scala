@@ -92,4 +92,34 @@ class PlanAuditSpec extends SparkSpec {
     // exchange, final after — proving the buffer merges map-side
     assert(count(plan, "ObjectHashAggregate") >= 2, plan)
   }
+
+  test("q58: the SpaceSaving topK aggregate partial-aggregates") {
+    val plan = formatted(q("q58_topk_agg"))
+    assert(count(plan, "ObjectHashAggregate") >= 2,
+      "topK buffers must merge map-side:\n" + plan)
+  }
+
+  test("t15: dup-gram count partial-aggregates; island window is per-document") {
+    val plan = formatted(q("t15_dup_spans"))
+    // the occurs-more-than-once groupBy on the gram hash must combine
+    // map-side (partial + final HashAggregate pair), not ship every gram
+    assert(count(plan, "HashAggregate") >= 2, plan)
+    // the span merge windows must be partitioned by doc_id — a global
+    // window here would funnel every duplicated position into one reducer
+    val windows = plan.linesIterator
+      .filter(l => l.contains("Arguments: [sum") || l.contains("Arguments: [lag"))
+      .mkString("\n")
+    assert(windows.nonEmpty, plan)
+    assert(windows.contains("doc_id"),
+      "island-merge window not partitioned by doc_id:\n" + windows)
+  }
+
+  test("d12: IVF-PQ scores against a broadcast LUT join, no shuffled join") {
+    val plan = formatted(q("d12_ann_ivfpq"))
+    assert(count(plan, "BroadcastHashJoin") >= 1, plan)
+    assert(count(plan, "SortMergeJoin") + count(plan, "ShuffledHashJoin") == 0,
+      "PQ scoring must join broadcast probe LUTs, never shuffle the codes:\n" + plan)
+    // the final per-query top-k partial-aggregates (bounded-heap state)
+    assert(count(plan, "ObjectHashAggregate") >= 2, plan)
+  }
 }
