@@ -5,6 +5,8 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery, Trigger}
 import org.apache.spark.sql.types.StructType
 
+import graft.functions.TextFunctions
+
 /** The reference's streaming surface (SURVEY.md §2.13): Kafka engine table
   * → MV cascade → MergeTree/Kafka sinks
   * (clusters/ch_and_kafka/db/init.sql:11-79), re-expressed as Structured
@@ -88,6 +90,32 @@ object StreamingPipeline {
                    idCols: String*): DataFrame =
     stream.withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(idCols.head, idCols.tail: _*)
+
+  /** Streaming curation — the batch curation pipeline's (t16) streaming
+    * twin for continuously-ingested corpora: language-ID, quality score
+    * and content fingerprint are STATELESS column expressions (pure
+    * map-side work, fused into the scan), the gate filters before any
+    * state is touched, and the only stateful operator is content dedup
+    * keyed on the fingerprint with watermark-bounded state (see
+    * [[dedupedByKey]] for why `dropDuplicatesWithinWatermark` is the only
+    * variant whose state survives an unbounded stream).
+    *
+    * Emits the input rows (survivors only) enriched with `lang`,
+    * `quality`, `fingerprint`.
+    */
+  def curated(stream: DataFrame, textCol: String, tsCol: String,
+              watermark: String, minQuality: Double,
+              langs: Seq[String]): DataFrame = {
+    graft.plans.NativeFunctions.register(stream.sparkSession)
+    val toks = graft.plans.NativeFunctions.normTokens(col(textCol))
+    stream
+      .withColumn("lang", graft.plans.NativeFunctions.langId(toks))
+      .withColumn("quality", TextFunctions.qualityScore(col(textCol)))
+      .withColumn("fingerprint", TextFunctions.fingerprintMd5(col(textCol)))
+      .filter(col("lang").isin(langs: _*) && col("quality") >= minQuality)
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("fingerprint")
+  }
 
   /** Kafka producer sink (ENGINE=Kafka + MV INTO it,
     * clusters/ch_and_kafka/db/init.sql:65-79).
