@@ -46,6 +46,32 @@ object TableLayout {
     partitionCol.fold(w)(p => w.partitionBy(p)).parquet(path)
   }
 
+  /** Bucketed table write — the co-located-join layout for FACT-FACT
+    * joins (two 100 TB tables joined on the same key must not shuffle
+    * either side at query time; broadcast only covers small dims).
+    * Spark's bucketing: rows are hash-clustered into `nBuckets` files per
+    * write-task group and the catalog records the bucketing, so a join of
+    * two tables bucketed on the same key with the same bucket count plans
+    * ZERO Exchange — the shuffle happened once at write time, amortized
+    * over every subsequent join. `sortCols` pre-sorts inside buckets
+    * (removes the query-time Sort under SortMergeJoin too).
+    *
+    * This is the ClickHouse distributed-table sharding-key idiom
+    * (`remote()/cluster()` tables sharded on a join key so GLOBAL JOIN is
+    * local per shard) in Spark-native form.
+    */
+  def writeBucketed(df: DataFrame, table: String, bucketCols: Seq[String],
+                    nBuckets: Int, sortCols: Seq[String] = Nil,
+                    mode: SaveMode = SaveMode.Overwrite,
+                    path: Option[String] = None): Unit = {
+    val w0 = df.write.mode(mode).format("parquet")
+      .bucketBy(nBuckets, bucketCols.head, bucketCols.tail: _*)
+    val w1 = if (sortCols.nonEmpty) w0.sortBy(sortCols.head, sortCols.tail: _*)
+             else w0
+    val w = path.fold(w1)(p => w1.option("path", p))
+    w.saveAsTable(table)
+  }
+
   /** Per-file sort-key min/max — the analogue of system.parts'
     * primary-key ranges; shows what footer-stat pruning has to work with.
     */

@@ -8,6 +8,33 @@ import graft.SparkSpec
 class TableLayoutSpec extends SparkSpec {
   import spark.implicits._
 
+  test("bucketed fact-fact join plans ZERO exchange (write-time co-location)") {
+    val root = Files.createTempDirectory("graft_bucketed").toString
+    val facts = (1 to 20000).map(i => (i.toLong % 997, i.toLong)).toDF("k", "v")
+    val other = (1 to 5000).map(i => (i.toLong % 997, i * 2L)).toDF("k", "w")
+    TableLayout.writeBucketed(facts, "b_facts", Seq("k"), nBuckets = 8,
+      sortCols = Seq("k"), path = Some(s"$root/facts"))
+    TableLayout.writeBucketed(other, "b_other", Seq("k"), nBuckets = 8,
+      sortCols = Seq("k"), path = Some(s"$root/other"))
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // disable broadcast so the join must pick the shuffled-join family —
+      // which bucketing then makes exchange-free on BOTH sides
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val j = spark.table("b_facts")
+        .join(spark.table("b_other"), Seq("k"))
+      val plan = j.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        "bucketed join still shuffles:\n" + plan)
+      val expected = facts.join(other, Seq("k")).count()
+      assert(j.count() == expected)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS b_facts")
+      spark.sql("DROP TABLE IF EXISTS b_other")
+    }
+  }
+
   test("ORDER BY layout gives tight per-part key ranges (footer pruning)") {
     val dir = Files.createTempDirectory("graft_layout").toString + "/t"
     val df = (1 to 100000).map(i => ((i * 2654435761L) % 100000, i.toLong))
