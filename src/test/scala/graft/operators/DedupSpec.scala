@@ -67,6 +67,47 @@ class DedupSpec extends SparkSpec {
       (4L, 7L, 11L, 1L)))
   }
 
+  test("duplicateSpans matches a brute-force reference on random corpora") {
+    val k = 3
+    for (seed <- Seq(1, 2, 3)) {
+      val rnd = new scala.util.Random(seed)
+      val corpus = (0 until 8).map { i =>
+        val n = 20 + rnd.nextInt(21)
+        (i.toLong, Array.fill(n)(s"tok${rnd.nextInt(12)}"))
+      }
+      // brute force: count every k-gram across the corpus; positions whose
+      // gram occurs >1 time anywhere are duplicated; merge islands
+      // (gap <= k) into maximal spans
+      val counts = corpus.flatMap { case (_, toks) =>
+        toks.sliding(k).map(_.mkString(" "))
+      }.groupBy(identity).view.mapValues(_.size).toMap
+      val expected = corpus.flatMap { case (id, toks) =>
+        val dupPos = toks.sliding(k).zipWithIndex
+          .collect { case (g, p) if counts(g.mkString(" ")) > 1 => p }.toList
+        if (dupPos.isEmpty) Nil
+        else {
+          val islands = dupPos.tail.foldLeft(List(List(dupPos.head))) {
+            case (acc @ (cur :: rest), p) =>
+              if (p - cur.head <= k) (p :: cur) :: rest else List(p) :: acc
+            case (Nil, p) => List(List(p))
+          }
+          islands.map { ps =>
+            (id, ps.min.toLong, ps.max.toLong + k - 1, ps.size.toLong)
+          }
+        }
+      }.toSet
+      val df = corpus.map { case (id, toks) => (id, toks.mkString(" ")) }
+        .toDF("doc_id", "text")
+      val got = Dedup.duplicateSpans(df, "doc_id", "text", k)
+        .collect()
+        .map(r => (r.getLong(0), r.getAs[Number](1).longValue(),
+          r.getAs[Number](2).longValue(), r.getLong(3)))
+        .toSet
+      assert(got == expected, s"seed $seed: got ${got.size} spans, " +
+        s"expected ${expected.size}\nmissing: ${expected -- got}\nextra: ${got -- expected}")
+    }
+  }
+
   test("jaccardVerify computes exact n-gram jaccard") {
     val pairs = Seq((1L, 2L), (1L, 4L)).toDF("a", "b")
     val j = Dedup.jaccardVerify(pairs, docs, "doc_id", "text", nGram = 3)
