@@ -472,11 +472,16 @@ object Dedup {
           .union(edges.select(col("v").as("u"), col("u").as("v")))
         val mins = sym.groupBy(col("u")).agg(min(col("v")).as("mn"))
           .select(col("u"), least(col("u"), col("mn")).as("m"))
-        val afterLarge = pinned(sym.join(mins, "u")
+        // NOT pinned: afterLarge appears twice in afterSmall's plan (its
+        // own groupBy + the join), but both references share the same
+        // Exchange subtrees, which Spark dedupes via ReusedExchange inside
+        // the one action — cheaper than an extra per-round checkpoint job,
+        // and round depth stays bounded because afterSmall IS pinned
+        val afterLarge = sym.join(mins, "u")
           .filter(col("v") > col("u"))
           .select(col("v").as("u"), col("m").as("v"))
           .filter(col("u") =!= col("v"))
-          .distinct())
+          .distinct()
         // small-star: point u and all its (smaller) neighbors at u's
         // smallest neighbor
         val smins = afterLarge.groupBy(col("u")).agg(min(col("v")).as("m"))
