@@ -75,7 +75,20 @@ object ChRegistry {
     f("quantileExact")(e => new Percentile(e(0), e(1)))
     f("quantileTDigest")(e => new ApproximatePercentile(e(0), e(1)))
 
+    // any/anyLast: ClickHouse's "some value of the group" — like CH, the
+    // choice is arrival-order-dependent; First/Last with ignoreNulls
+    f("any")(e => First(e.head, ignoreNulls = true))
+    f("anyLast")(e => Last(e.head, ignoreNulls = true))
+    // bitwise aggregate family
+    f("groupBitAnd")(e => BitAndAgg(e.head))
+    f("groupBitOr")(e => BitOrAgg(e.head))
+    f("groupBitXor")(e => BitXorAgg(e.head))
+
     // misc scalar
+    f("empty")(e => EqualTo(Length(e.head), Literal(0)))
+    f("notEmpty")(e => GreaterThan(Length(e.head), Literal(0)))
+    f("lengthUTF8")(e => Length(e.head))
+    f("position")(e => new StringLocate(e(1), e(0))) // CH: (haystack, needle), 1-based
     f("intDiv")(e => Cast(Divide(Cast(e(0), DoubleType), Cast(e(1), DoubleType)), LongType))
     f("modulo")(e => Pmod(e(0), e(1)))
     f("JSONExtractString")(e => jsonPath(e(0), e(1)))

@@ -74,6 +74,25 @@ class TextAndRegistrySpec extends SparkSpec {
     assert(out.getLong(3) == 7L)
   }
 
+  test("dialect names: any/anyLast, groupBit*, empty/position scalars") {
+    val agg = spark.sql(
+      """SELECT any(x) AS a, anyLast(x) AS l,
+        |       groupBitAnd(x) AS ba, groupBitOr(x) AS bo, groupBitXor(x) AS bx
+        |FROM VALUES (6), (3), (7) AS t(x)""".stripMargin).collect().head
+    assert(Set(6, 3, 7).contains(agg.getInt(0)))
+    assert(Set(6, 3, 7).contains(agg.getInt(1)))
+    assert(agg.getInt(2) == (6 & 3 & 7))
+    assert(agg.getInt(3) == (6 | 3 | 7))
+    assert(agg.getInt(4) == (6 ^ 3 ^ 7))
+    val s = spark.sql(
+      """SELECT empty('') AS e, notEmpty('x') AS ne,
+        |       lengthUTF8('héllo') AS n, position('hello world', 'world') AS p
+        |""".stripMargin).collect().head
+    assert(s.getBoolean(0) && s.getBoolean(1))
+    assert(s.getInt(2) == 5)
+    assert(s.getInt(3) == 7)
+  }
+
   test("dialect macros: arrayJoin / toStartOfInterval / formatReadableSize") {
     val r = spark.sql(
       """SELECT arrayJoin(array(1, 2, 3)) AS x""").as[Int].collect().toSeq
