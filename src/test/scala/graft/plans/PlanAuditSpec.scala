@@ -114,6 +114,17 @@ class PlanAuditSpec extends SparkSpec {
       "island-merge window not partitioned by doc_id:\n" + windows)
   }
 
+  test("t08: decontamination joins BROADCAST eval fingerprints against the corpus") {
+    val plan = formatted(q("t08_decontaminate"))
+    // the eval set is small by definition and explicitly broadcast — the
+    // corpus-side fingerprints must never shuffle for the overlap join
+    assert(count(plan, "BroadcastHashJoin") >= 1, plan)
+    assert(count(plan, "SortMergeJoin") + count(plan, "ShuffledHashJoin") == 0,
+      "corpus fingerprints shuffled for the eval join:\n" + plan)
+    // shared-fingerprint counting partial-aggregates
+    assert(count(plan, "HashAggregate") >= 2, plan)
+  }
+
   test("d12: IVF-PQ scores against a broadcast LUT join, no shuffled join") {
     val plan = formatted(q("d12_ann_ivfpq"))
     assert(count(plan, "BroadcastHashJoin") >= 1, plan)
