@@ -8,9 +8,11 @@ import org.apache.spark.sql.functions.udaf
 import org.apache.spark.sql.types.StringType
 
 /** ClickHouse's `topK(N)(x)` / `topKWeighted(N)(x, w)` approximate
-  * most-frequent-values aggregates (SURVEY §2.4; e.g. `topK(10)(UserAgent)`
-  * style queries), implemented as the SpaceSaving summary (Metwally et
-  * al. 2005) behind a partial-aggregatable Spark `Aggregator`.
+  * most-frequent-values aggregates (the reference's parametric two-parens
+  * aggregate family, `lectures/lecture_06.md:57-59`; SURVEY §2.4),
+  * implemented as the SpaceSaving summary (Metwally et al. 2005) behind a
+  * partial-aggregatable Spark `Aggregator`, with the provable distributed
+  * merge from Agarwal et al., "Mergeable Summaries".
   *
   * The summary keeps at most `cap = N × loadFactor` counters (ClickHouse
   * reserves the same 3× by default). Eviction charges the new value the
@@ -56,14 +58,27 @@ object HeavyHitters {
     b
   }
 
+  /** The PROVABLE summary merge (Agarwal et al., "Mergeable Summaries"):
+    * a key absent from a summary that has reached capacity may have been
+    * evicted with count up to that summary's minimum counter, so the
+    * merge charges absentees exactly that minimum (as count AND error).
+    * This preserves the SpaceSaving invariant — true_count <= count <=
+    * true_count + err — across arbitrary distributed merge trees. When a
+    * summary never filled (no eviction possible), absence really means
+    * zero and counts stay exact.
+    */
   private def mergeBufs(b1: Buf, b2: Buf, cap: Int): Buf = {
-    b2.foreach { case (k, c2) =>
-      b1.get(k) match {
-        case Some(c1) => c1.count += c2.count; c1.err += c2.err
-        case None => b1(k) = c2
+    val m1 = if (b1.size >= cap) b1.valuesIterator.map(_.count).min else 0L
+    val m2 = if (b2.size >= cap) b2.valuesIterator.map(_.count).min else 0L
+    val out: Buf = mutable.HashMap.empty
+    (b1.keysIterator ++ b2.keysIterator).foreach { k =>
+      if (!out.contains(k)) {
+        val (c1, e1) = b1.get(k).map(c => (c.count, c.err)).getOrElse((m1, m1))
+        val (c2, e2) = b2.get(k).map(c => (c.count, c.err)).getOrElse((m2, m2))
+        out(k) = new Counter(c1 + c2, e1 + e2)
       }
     }
-    trimmed(b1, cap)
+    trimmed(out, cap)
   }
 
   private def top(b: Buf, n: Int): Seq[String] =

@@ -33,6 +33,25 @@ class HeavyHittersSpec extends SparkSpec {
     assert(got == Seq("hot"))
   }
 
+  test("SpaceSaving guarantee holds on random zipf streams: freq > N/cap is always present") {
+    import org.apache.spark.sql.functions.udaf
+    for (seed <- Seq(11, 12, 13)) {
+      val rnd = new scala.util.Random(seed)
+      // zipf-ish stream over ~120 distinct values, cap far below that
+      val rows = Seq.fill(3000)(s"v${(math.pow(rnd.nextDouble(), 3) * 120).toInt}")
+      val cap = 24
+      val trueCounts = rows.groupBy(identity).view.mapValues(_.size).toMap
+      val guaranteed = trueCounts.filter(_._2 > rows.size / cap).keySet
+      val summary = spark.createDataset(rows).toDF("v").repartition(6)
+        .agg(udaf(new HeavyHitters.TopKFreqAggregator(cap, cap),
+          org.apache.spark.sql.Encoders.STRING).apply($"v"))
+        .as[Seq[String]].head().toSet
+      val missing = guaranteed -- summary
+      assert(missing.isEmpty,
+        s"seed $seed: guaranteed heavy hitters missing from summary: $missing")
+    }
+  }
+
   test("topKWeighted ranks by summed weight") {
     val df = Seq(("a", 1L), ("b", 100L), ("a", 1L), ("c", 50L))
       .toDF("v", "w").repartition(2)
