@@ -64,6 +64,21 @@ object ProfileAnn {
           queries, "query_id", "qv", k, nLists = nLists, nProbe = nProbe)))
       report(s"ivf_l${nLists}_p$nProbe", got, t)
     }
+    // PQ: full-scan ADC (recall loss = quantization only) and IVF-PQ
+    // (adds cell pruning). m=8 on 64-dim = 32x memory compression.
+    for ((m, ksub) <- Seq((8, 16), (8, 64), (16, 64))) {
+      val (got, t) = timed(pairs(
+        SimilaritySearch.pqTopK(emb, "vec_id", "embedding",
+          queries, "query_id", "qv", k, m = m, ksub = ksub)))
+      report(s"pq_m${m}_k$ksub", got, t)
+    }
+    for ((nLists, nProbe, m, ksub) <- Seq((16, 4, 8, 64), (16, 8, 8, 64))) {
+      val (got, t) = timed(pairs(
+        SimilaritySearch.ivfPqTopK(emb, "vec_id", "embedding",
+          queries, "query_id", "qv", k, nLists = nLists, nProbe = nProbe,
+          m = m, ksub = ksub)))
+      report(s"ivfpq_l${nLists}_p${nProbe}_m${m}_k$ksub", got, t)
+    }
     spark.stop()
   }
 }
