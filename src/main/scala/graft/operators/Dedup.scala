@@ -40,6 +40,49 @@ object Dedup {
     df.join(groups, Seq(idCol), "left_semi")
   }
 
+  /** Incremental exact dedup against a persisted fingerprint store — the
+    * production shape for CONTINUOUS corpus growth: each increment dedups
+    * (a) within itself (smallest id wins) and (b) against every previous
+    * increment via the store, WITHOUT re-reading any historical corpus
+    * text. Survivors' fingerprints are appended to the store.
+    *
+    * Scale shape: the store holds one md5 row per distinct historical
+    * document (orders of magnitude smaller than the corpus); the check is
+    * one left_anti shuffle keyed on the fingerprint (full-cardinality
+    * key). History never rescans — cost per increment is O(increment +
+    * store), not O(corpus). Store files accrue per increment; compact
+    * with [[graft.mergetree.Compaction]] when file counts matter.
+    *
+    * The append happens AFTER the survivors are computed: re-running a
+    * failed increment is safe (already-appended fingerprints just drop
+    * their docs as duplicates — at-least-once store writes give
+    * exactly-once corpus semantics for EXACT dedup).
+    */
+  def incrementalExactDedup(newDocs: DataFrame, idCol: String,
+                            textCol: String, storePath: String): DataFrame = {
+    val spark = newDocs.sparkSession
+    val withFp = newDocs.withColumn("__fp",
+      TextFunctions.fingerprintMd5(col(textCol)))
+    val inBatchKept = withFp
+      .withColumn("__keep",
+        min(col(idCol)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("__fp"))))
+      .filter(col(idCol) === col("__keep"))
+      .drop("__keep")
+    val storeExists = new java.io.File(storePath).exists()
+    val kept =
+      if (!storeExists) inBatchKept
+      else inBatchKept.join(
+        spark.read.parquet(storePath).select(col("fingerprint").as("__fp")),
+        Seq("__fp"), "left_anti")
+    // materialize survivors BEFORE the store append so the anti-join is
+    // not re-evaluated against a store that already contains this batch
+    val pinnedKept = pinned(kept)
+    pinnedKept.select(col("__fp").as("fingerprint"))
+      .write.mode("append").parquet(storePath)
+    pinnedKept.drop("__fp")
+  }
+
   // ---------- MinHash + LSH (shingle → minhash → band → bucket-join)
 
   /** Per-document MinHash signature as one `sig: array<long>` column,

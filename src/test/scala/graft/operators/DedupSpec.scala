@@ -44,6 +44,32 @@ class DedupSpec extends SparkSpec {
     assert(kept == Set(1L, 3L, 4L, 5L))
   }
 
+  test("incrementalExactDedup dedups within and across increments via the store") {
+    val store = java.nio.file.Files.createTempDirectory("graft_incr").toString + "/fps"
+    val batch1 = Seq(
+      (1L, "first document body"),
+      (2L, "second document body"),
+      (3L, "first document body")   // in-batch dup of 1
+    ).toDF("doc_id", "text")
+    val kept1 = Dedup.incrementalExactDedup(batch1, "doc_id", "text", store)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept1 == Set(1L, 2L))
+    val batch2 = Seq(
+      (10L, "second document body"), // historical dup -> dropped via store
+      (11L, "a fresh document"),
+      (12L, "a fresh document"),     // in-batch dup of 11
+      (13L, "First  Document body")  // normalization-equal to 1 -> dropped
+    ).toDF("doc_id", "text")
+    val kept2 = Dedup.incrementalExactDedup(batch2, "doc_id", "text", store)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept2 == Set(11L))
+    // the store now holds one fingerprint per distinct content ever kept
+    assert(spark.read.parquet(store).distinct().count() == 3)
+    // replaying a batch after its append drops everything (safe re-run)
+    val replay = Dedup.incrementalExactDedup(batch2, "doc_id", "text", store)
+    assert(replay.count() == 0)
+  }
+
   test("duplicateSpans merges overlapping windows and finds intra-doc repeats") {
     val d = Seq(
       (1L, "alpha beta gamma delta epsilon zeta eta theta"),
