@@ -69,7 +69,11 @@ object Dedup {
           org.apache.spark.sql.expressions.Window.partitionBy(col("__fp"))))
       .filter(col(idCol) === col("__keep"))
       .drop("__keep")
-    val storeExists = new java.io.File(storePath).exists()
+    // Hadoop FS, not java.io.File: the store path is hdfs://-or-object-store
+    // on a real cluster
+    val hPath = new org.apache.hadoop.fs.Path(storePath)
+    val storeExists = hPath
+      .getFileSystem(spark.sessionState.newHadoopConf()).exists(hPath)
     val kept =
       if (!storeExists) inBatchKept
       else inBatchKept.join(
