@@ -485,6 +485,29 @@ object MiscQueries {
         .orderBy(col("o_orderkey")).limit(50)
     },
 
+    // ---- correlated EXISTS (TPC-H Q4 shape): counts orders with at
+    // least one line shipped after the order date. Exercises Catalyst's
+    // correlated-subquery rewrite (EXISTS -> left semi join on the
+    // correlation key — no per-row subquery execution).
+    Q("q59_exists_subquery",
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey
+        |                AND l_shipdate > o_orderdate)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""") { (s, dir) =>
+      val t = Tables(s, dir)
+      t.orders.createOrReplaceTempView("q59_orders")
+      t.lineitem.createOrReplaceTempView("q59_lineitem")
+      s.sql(
+        """SELECT o_orderpriority, count(*) AS order_count
+          |FROM q59_orders
+          |WHERE EXISTS (SELECT 1 FROM q59_lineitem
+          |              WHERE l_orderkey = o_orderkey
+          |                AND l_shipdate > o_orderdate)
+          |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+    },
+
     // ---- topK(N)(x) approximate most-frequent aggregate (SpaceSaving).
     // Oracle-checkable here because cap = 3×5 = 15 exceeds the 5 distinct
     // priorities — no eviction can occur, so the summary is exact and its

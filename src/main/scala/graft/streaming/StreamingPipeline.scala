@@ -117,6 +117,30 @@ object StreamingPipeline {
       .dropDuplicatesWithinWatermark("fingerprint")
   }
 
+  /** Stream-stream equi-join within an event-time interval (the
+    * impressions⋈clicks shape): rows join when keys match AND the right
+    * event lands in `[left ts, left ts + maxDelay]`. Both sides carry
+    * watermarks, so each side's join state is EVICTED once the other
+    * side's watermark passes the interval bound — bounded state on
+    * unbounded streams (an un-watermarked stream-stream join buffers
+    * forever). Columns from the right side are returned suffixed `_r`
+    * for the key/ts to keep the output schema unambiguous.
+    */
+  def joinWithinInterval(left: DataFrame, right: DataFrame,
+                         keyCol: String, leftTsCol: String,
+                         rightTsCol: String, watermark: String,
+                         maxDelay: String): DataFrame = {
+    val l = left.withWatermark(leftTsCol, watermark)
+    val r = right
+      .withColumnRenamed(keyCol, s"${keyCol}_r")
+      .withColumnRenamed(rightTsCol, s"${rightTsCol}_r")
+      .withWatermark(s"${rightTsCol}_r", watermark)
+    l.join(r,
+      col(keyCol) === col(s"${keyCol}_r") &&
+        col(s"${rightTsCol}_r") >= col(leftTsCol) &&
+        col(s"${rightTsCol}_r") <= col(leftTsCol) + expr(s"INTERVAL $maxDelay"))
+  }
+
   /** Kafka producer sink (ENGINE=Kafka + MV INTO it,
     * clusters/ch_and_kafka/db/init.sql:65-79).
     */

@@ -114,6 +114,13 @@ class PlanAuditSpec extends SparkSpec {
       "island-merge window not partitioned by doc_id:\n" + windows)
   }
 
+  test("q59: correlated EXISTS rewrites to one semi join, no per-row subquery") {
+    val plan = formatted(q("q59_exists_subquery"))
+    assert(plan.contains("LeftSemi"), plan)
+    assert(!plan.contains("InSubquery") && !plan.contains("exists#"),
+      "EXISTS survived as a subquery instead of a join:\n" + plan)
+  }
+
   test("t08: decontamination joins BROADCAST eval fingerprints against the corpus") {
     val plan = formatted(q("t08_decontaminate"))
     // the eval set is small by definition and explicitly broadcast — the

@@ -23,6 +23,36 @@ class StreamingCurationSpec extends SparkSpec {
       .select($"doc_id", $"ts".cast(TimestampType).as("ts"), $"text")
       .coalesce(1).write.mode("append").parquet(dir)
 
+  test("stream-stream interval join matches clicks to impressions within the delay bound") {
+    val root = Files.createTempDirectory("graft_ssj").toString
+    val impSchema = StructType(Seq(
+      StructField("ad_id", LongType), StructField("imp_ts", TimestampType)))
+    val clkSchema = StructType(Seq(
+      StructField("ad_id", LongType), StructField("clk_ts", TimestampType)))
+    def write(dir: String, rows: Seq[(Long, String)], ts: String): Unit =
+      rows.toDF("ad_id", ts)
+        .select($"ad_id", col(ts).cast(TimestampType).as(ts))
+        .coalesce(1).write.mode("append").parquet(dir)
+    write(s"$root/imp", Seq(
+      (1L, "2026-01-01 10:00:00"),
+      (2L, "2026-01-01 10:00:00"),
+      (3L, "2026-01-01 10:00:00")), "imp_ts")
+    write(s"$root/clk", Seq(
+      (1L, "2026-01-01 10:00:30"),   // within 1 minute  -> joins
+      (2L, "2026-01-01 10:05:00"),   // beyond the delay -> no join
+      (4L, "2026-01-01 10:00:10")), "clk_ts") // no impression -> no join
+    val imp = spark.readStream.schema(impSchema).parquet(s"$root/imp")
+    val clk = spark.readStream.schema(clkSchema).parquet(s"$root/clk")
+    val joined = StreamingPipeline.joinWithinInterval(
+      imp, clk, "ad_id", "imp_ts", "clk_ts",
+      watermark = "2 minutes", maxDelay = "1 minute")
+    val q = joined.writeStream.format("memory").queryName("ssj_sink")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("ssj_sink").select($"ad_id").as[Long].collect().toSeq
+    assert(got == Seq(1L), s"joined ads: $got")
+  }
+
   test("streaming curation gates quality and dedups content within the watermark") {
     val root = Files.createTempDirectory("graft_cur").toString
     val srcDir = s"$root/src"
