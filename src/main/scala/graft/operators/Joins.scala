@@ -212,6 +212,33 @@ object Joins {
     ra.join(rb, "paste_rn")
   }
 
+  /** Point-in-interval RANGE JOIN by binning — the shape Spark's planner
+    * can only express as BroadcastNestedLoopJoin (O(|points|·|intervals|)
+    * comparisons; with a large interval side, a non-starter at scale).
+    *
+    * Binning turns it into ONE equi-shuffle: each point hashes to its
+    * single bin `floor(pt/binWidth)`, each interval explodes to the bins
+    * it covers (`(hi-lo)/binWidth + 1` rows — bounded when callers pick
+    * `binWidth` near the typical interval length), the bin equi-join
+    * co-locates candidates, and the exact `lo <= pt <= hi` filter runs
+    * within buckets. A (point, interval) pair can meet in only the
+    * point's own bin, so no post-join dedup is needed. Both columns must
+    * be numeric (cast timestamps to epoch units first).
+    */
+  def rangeJoinBinned(points: DataFrame, ptCol: String,
+                      intervals: DataFrame, loCol: String, hiCol: String,
+                      binWidth: Long): DataFrame = {
+    require(binWidth > 0, "binWidth must be positive")
+    val p = points.withColumn("__bin",
+      floor(col(ptCol) / binWidth).cast("long"))
+    val iv = intervals.withColumn("__bin",
+      explode(sequence(floor(col(loCol) / binWidth).cast("long"),
+        floor(col(hiCol) / binWidth).cast("long"))))
+    p.join(iv, Seq("__bin"))
+      .filter(col(ptCol) >= col(loCol) && col(ptCol) <= col(hiCol))
+      .drop("__bin")
+  }
+
   /** Distributed positional zip: RDD zipWithIndex (one lightweight count
     * job, no global sort) then co-grouped by index.
     */

@@ -485,6 +485,35 @@ object MiscQueries {
         .orderBy(col("o_orderkey")).limit(50)
     },
 
+    // ---- binned range join: shipments falling inside 14-day windows
+    // anchored at sampled order dates. Spark's native plan for a
+    // point-in-interval join is BroadcastNestedLoopJoin (O(n·m)); the
+    // binned form is one equi-shuffle on the bin key (see
+    // Joins.rangeJoinBinned scaladoc; equivalence property-tested).
+    Q("q60_range_join",
+      """WITH iv AS (SELECT o_orderkey,
+        |              CAST(epoch(o_orderdate) AS BIGINT) AS lo,
+        |              CAST(epoch(o_orderdate) AS BIGINT) + 14*86400 AS hi
+        |            FROM orders WHERE o_orderkey % 500 = 0),
+        |p AS (SELECT CAST(epoch(l_shipdate) AS BIGINT) AS pt
+        |      FROM lineitem WHERE l_orderkey % 7 = 0)
+        |SELECT o_orderkey, count(*) AS n_pts
+        |FROM iv JOIN p ON p.pt >= iv.lo AND p.pt <= iv.hi
+        |GROUP BY o_orderkey ORDER BY o_orderkey""") { (s, dir) =>
+      val t = Tables(s, dir)
+      val intervals = t.orders.filter(col("o_orderkey") % 500 === 0)
+        .select(col("o_orderkey"),
+          unix_timestamp(col("o_orderdate")).as("lo"),
+          (unix_timestamp(col("o_orderdate")) + 14L * 86400).as("hi"))
+      val points = t.lineitem.filter(col("l_orderkey") % 7 === 0)
+        .select(unix_timestamp(col("l_shipdate")).as("pt"))
+      graft.operators.Joins.rangeJoinBinned(points, "pt",
+          intervals, "lo", "hi", binWidth = 7L * 86400)
+        .groupBy(col("o_orderkey"))
+        .agg(count(lit(1)).as("n_pts"))
+        .orderBy(col("o_orderkey"))
+    },
+
     // ---- correlated EXISTS (TPC-H Q4 shape): counts orders with at
     // least one line shipped after the order date. Exercises Catalyst's
     // correlated-subquery rewrite (EXISTS -> left semi join on the

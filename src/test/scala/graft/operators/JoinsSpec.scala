@@ -6,6 +6,25 @@ import graft.SparkSpec
 class JoinsSpec extends SparkSpec {
   import spark.implicits._
 
+  test("rangeJoinBinned equals the naive cross-filter on random intervals") {
+    val rnd = new scala.util.Random(17)
+    val points = (0 until 500).map(i => (i.toLong, rnd.nextInt(10000).toLong))
+      .toDF("pid", "pt")
+    val intervals = (0 until 80).map { i =>
+      val lo = rnd.nextInt(10000).toLong
+      (1000L + i, lo, lo + rnd.nextInt(600))
+    }.toDF("iid", "lo", "hi")
+    val naive = points.crossJoin(intervals)
+      .filter($"pt" >= $"lo" && $"pt" <= $"hi")
+      .select($"pid", $"iid").as[(Long, Long)].collect().toSet
+    for (binWidth <- Seq(1L, 64L, 256L, 5000L, 100000L)) {
+      val binned = Joins.rangeJoinBinned(points, "pt", intervals, "lo", "hi",
+          binWidth)
+        .select($"pid", $"iid").as[(Long, Long)].collect().toSet
+      assert(binned == naive, s"binWidth=$binWidth: ${binned.size} vs ${naive.size}")
+    }
+  }
+
   test("asofLeftNative (custom exec): equals the window formulation on a randomized fixture") {
     val rnd = new scala.util.Random(31)
     val left = (1 to 4000).map(_ =>
