@@ -201,6 +201,20 @@ object VecKernels {
     org.apache.spark.unsafe.types.UTF8String.fromBytes(java.util.Arrays.copyOf(out, o))
   }
 
+  /** NFC-normalize; pure-ASCII bytes (the overwhelmingly common case)
+    * return the input object untouched — no transcode, no allocation.
+    */
+  def nfcNormalize(s: org.apache.spark.unsafe.types.UTF8String)
+      : org.apache.spark.unsafe.types.UTF8String = {
+    val bytes = s.getBytes
+    var i = 0
+    var ascii = true
+    while (ascii && i < bytes.length) { if (bytes(i) < 0) ascii = false; i += 1 }
+    if (ascii) s
+    else org.apache.spark.unsafe.types.UTF8String.fromString(
+      java.text.Normalizer.normalize(s.toString, java.text.Normalizer.Form.NFC))
+  }
+
   /** One-pass normalize + whitespace tokenize (= tokens(normText)). */
   def normTokens(s: org.apache.spark.unsafe.types.UTF8String)
       : org.apache.spark.sql.catalyst.util.GenericArrayData = {
@@ -402,6 +416,22 @@ case class NormText(child: Expression) extends UnaryExpression {
   override def prettyName: String = "graft_norm_text"
 }
 
+/** Unicode NFC normalization (canonical composition) — the hygiene pass a
+  * corpus needs BEFORE content fingerprinting: visually-identical strings
+  * with composed vs decomposed code points (é vs e+U+0301) md5 to
+  * different fingerprints and silently defeat exact dedup. ASCII-only
+  * inputs short-circuit without allocating.
+  */
+case class NfcNormalize(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.StringType
+  override protected def nullSafeEval(v: Any): Any =
+    VecKernels.nfcNormalize(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.VecKernels.nfcNormalize($c)")
+  override protected def withNewChildInternal(c: Expression): NfcNormalize = copy(child = c)
+  override def prettyName: String = "graft_nfc"
+}
+
 case class NormTokens(child: Expression) extends UnaryExpression {
   override def dataType: DataType =
     org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.StringType)
@@ -512,6 +542,8 @@ object NativeFunctions {
       e => LangIdVote(e.head, graft.functions.TextFunctions.LangMarkers), "built-in")
     reg.createOrReplaceTempFunction("graft_norm_text",
       e => NormText(e.head), "built-in")
+    reg.createOrReplaceTempFunction("graft_nfc",
+      e => NfcNormalize(e.head), "built-in")
     reg.createOrReplaceTempFunction("graft_norm_tokens",
       e => NormTokens(e.head), "built-in")
     reg.createOrReplaceTempFunction("graft_round_even", {
@@ -548,6 +580,8 @@ object NativeFunctions {
     org.apache.spark.sql.functions.call_function("graft_norm_text", c)
   def normTokens(c: Column): Column =
     org.apache.spark.sql.functions.call_function("graft_norm_tokens", c)
+  def nfcNormalize(c: Column): Column =
+    org.apache.spark.sql.functions.call_function("graft_nfc", c)
   def minhashSig(tokens: Column, n: Int, k: Int): Column =
     org.apache.spark.sql.functions.call_function("graft_minhash_sig", tokens,
       org.apache.spark.sql.functions.lit(n), org.apache.spark.sql.functions.lit(k))

@@ -733,6 +733,32 @@ object PipelineQueries {
         .orderBy(col("split"), col("lang"))
     },
 
+    // ---- Unicode NFC normalization (corpus hygiene BEFORE content
+    // fingerprinting): decomposed sequences (e + U+0301) are appended
+    // deterministically per doc, then canonically composed. The oracle is
+    // DuckDB's nfc_normalize — md5 parity proves byte-identical NFC
+    // output across engines; the length delta shows composition happened.
+    Q("t17_nfc_normalize",
+      """WITH e AS (SELECT doc_id,
+        |  text || ' cafe' || chr(769) || ' nino' || chr(771) AS t
+        |  FROM documents)
+        |SELECT doc_id,
+        |  length(t) AS len_raw,
+        |  length(nfc_normalize(t)) AS len_nfc,
+        |  md5(nfc_normalize(t)) AS nfc_md5
+        |FROM e ORDER BY doc_id""") { (s, dir) =>
+      graft.plans.NativeFunctions.register(s)
+      // decomposed on purpose: e + U+0301, o + U+0303 (mirrors the
+      // oracle's chr() appends); NFC composes both
+      val t = concat(col("text"), lit(" cafe\u0301 nino\u0303"))
+      Tables(s, dir).documents
+        .select(col("doc_id"),
+          length(t).as("len_raw"),
+          length(graft.plans.NativeFunctions.nfcNormalize(t)).as("len_nfc"),
+          md5(graft.plans.NativeFunctions.nfcNormalize(t)).as("nfc_md5"))
+        .orderBy(col("doc_id"))
+    },
+
     // ---- exact substring duplicate spans (Lee et al. 2022, fixed-k
     // positional-gram form): every 5-token window occurring >1 time in
     // the corpus marks its positions; overlapping windows merge into
