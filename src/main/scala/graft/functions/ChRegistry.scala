@@ -85,10 +85,16 @@ object ChRegistry {
     f("groupBitXor")(e => BitXorAgg(e.head))
 
     // misc scalar
-    f("empty")(e => EqualTo(Length(e.head), Literal(0)))
-    f("notEmpty")(e => GreaterThan(Length(e.head), Literal(0)))
+    f("empty")(e => graft.plans.EmptyCheck(e.head, negate = false))
+    f("notEmpty")(e => graft.plans.EmptyCheck(e.head, negate = true))
     f("lengthUTF8")(e => Length(e.head))
-    f("position")(e => new StringLocate(e(1), e(0))) // CH: (haystack, needle), 1-based
+    // CH: position(haystack, needle[, start_pos]), 1-based
+    f("position") {
+      case Seq(h, n) => new StringLocate(n, h)
+      case Seq(h, n, start) => StringLocate(n, h, start)
+      case e => throw new IllegalArgumentException(
+        s"position(haystack, needle[, start]); got ${e.size} args")
+    }
     f("intDiv")(e => Cast(Divide(Cast(e(0), DoubleType), Cast(e(1), DoubleType)), LongType))
     f("modulo")(e => Pmod(e(0), e(1)))
     f("JSONExtractString")(e => jsonPath(e(0), e(1)))

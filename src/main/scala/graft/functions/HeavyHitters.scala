@@ -117,9 +117,15 @@ object HeavyHitters {
     udaf(new TopKFreqAggregator(n, n * loadFactor), Encoders.STRING)
       .apply(c.cast(StringType))
 
-  /** topKWeighted(n)(x, w): frequency is the sum of `w` per value. */
+  /** topKWeighted(n)(x, w): frequency is the sum of `w` per value. NULL
+    * weights coalesce to 0 (= skipped) BEFORE the aggregator: the
+    * product encoder's primitive Long field would otherwise throw on a
+    * null row instead of skipping it.
+    */
   def topKWeighted(c: Column, w: Column, n: Int, loadFactor: Int = 3): Column =
     udaf(new TopKWeightedAggregator(n, n * loadFactor),
       Encoders.product[Weighted])
-      .apply(c.cast(StringType), w.cast("long"))
+      .apply(c.cast(StringType),
+        org.apache.spark.sql.functions.coalesce(w.cast("long"),
+          org.apache.spark.sql.functions.lit(0L)))
 }

@@ -44,22 +44,28 @@ object Dedup {
     * production shape for CONTINUOUS corpus growth: each increment dedups
     * (a) within itself (smallest id wins) and (b) against every previous
     * increment via the store, WITHOUT re-reading any historical corpus
-    * text. Survivors' fingerprints are appended to the store.
+    * text.
     *
     * Scale shape: the store holds one md5 row per distinct historical
     * document (orders of magnitude smaller than the corpus); the check is
     * one left_anti shuffle keyed on the fingerprint (full-cardinality
     * key). History never rescans — cost per increment is O(increment +
-    * store), not O(corpus). Store files accrue per increment; compact
-    * with [[graft.mergetree.Compaction]] when file counts matter.
+    * store), not O(corpus).
     *
-    * The append happens AFTER the survivors are computed: re-running a
-    * failed increment is safe (already-appended fingerprints just drop
-    * their docs as duplicates — at-least-once store writes give
-    * exactly-once corpus semantics for EXACT dedup).
+    * Replay safety comes from IDEMPOTENT per-increment layout, not write
+    * ordering: both the survivors (`outputPath/increment=<id>`) and their
+    * fingerprints (`storePath/increment=<id>`) land in directories owned
+    * by this `incrementId` and written with overwrite, and the anti-join
+    * reads the store EXCLUDING this increment's own partition. Re-running
+    * a failed increment therefore recomputes the exact same survivor set
+    * (whatever had already been written for this id is ignored, then
+    * overwritten) — a crash at ANY point leaves a state one clean re-run
+    * repairs. Returns the survivors (not yet re-read from disk).
     */
   def incrementalExactDedup(newDocs: DataFrame, idCol: String,
-                            textCol: String, storePath: String): DataFrame = {
+                            textCol: String, storePath: String,
+                            incrementId: String,
+                            outputPath: Option[String] = None): DataFrame = {
     val spark = newDocs.sparkSession
     val withFp = newDocs.withColumn("__fp",
       TextFunctions.fingerprintMd5(col(textCol)))
@@ -74,17 +80,21 @@ object Dedup {
     val hPath = new org.apache.hadoop.fs.Path(storePath)
     val storeExists = hPath
       .getFileSystem(spark.sessionState.newHadoopConf()).exists(hPath)
-    val kept =
-      if (!storeExists) inBatchKept
-      else inBatchKept.join(
-        spark.read.parquet(storePath).select(col("fingerprint").as("__fp")),
-        Seq("__fp"), "left_anti")
-    // materialize survivors BEFORE the store append so the anti-join is
-    // not re-evaluated against a store that already contains this batch
-    val pinnedKept = pinned(kept)
-    pinnedKept.select(col("__fp").as("fingerprint"))
-      .write.mode("append").parquet(storePath)
-    pinnedKept.drop("__fp")
+    val history =
+      if (!storeExists) None
+      else Some(spark.read.parquet(storePath)
+        .filter(col("increment").cast("string") =!= incrementId)
+        .select(col("fingerprint").as("__fp")))
+    val kept = pinned(history.fold(inBatchKept)(h =>
+      inBatchKept.join(h, Seq("__fp"), "left_anti")))
+    outputPath.foreach { out =>
+      kept.drop("__fp").write.mode("overwrite")
+        .parquet(s"$out/increment=$incrementId")
+    }
+    kept.select(col("__fp").as("fingerprint"))
+      .write.mode("overwrite")
+      .parquet(s"$storePath/increment=$incrementId")
+    kept.drop("__fp")
   }
 
   // ---------- MinHash + LSH (shingle → minhash → band → bucket-join)

@@ -269,8 +269,12 @@ object SimilaritySearch {
     */
   def pqFit(corpus: DataFrame, vecCol: String, m: Int, ksub: Int,
             trainFraction: Double = 0.05,
-            maxTrain: Int = 65536): PqCodebook = {
-    val train = trainSample(corpus, vecCol, ksub, trainFraction, maxTrain)
+            maxTrain: Int = 65536): PqCodebook =
+    pqFitFrom(trainSample(corpus, vecCol, ksub, trainFraction, maxTrain),
+      m, ksub)
+
+  private def pqFitFrom(train: Array[Array[Float]], m: Int,
+                        ksub: Int): PqCodebook = {
     val dim = train.head.length
     require(dim % m == 0, s"pqFit: dim $dim not divisible by m=$m")
     val subDim = dim / m
@@ -373,8 +377,13 @@ object SimilaritySearch {
                 trainFraction: Double = 0.05,
                 maxTrain: Int = 65536): DataFrame = {
     NativeFunctions.register(corpus.sparkSession)
-    val centers = fitCenters(corpus, vecCol, nLists, trainFraction, maxTrain)
-    val cb = pqFit(corpus, vecCol, m, ksub, trainFraction, maxTrain)
+    // ONE sampling scan + collect feeds both fits (the coarse cells and
+    // the PQ codebooks) — two independent trainSample calls would scan
+    // the corpus twice for identical data
+    val train = trainSample(corpus, vecCol, math.max(nLists, ksub),
+      trainFraction, maxTrain)
+    val centers = lloyd(train, nLists)
+    val cb = pqFitFrom(train, m, ksub)
     val coded = assignCells(corpus, vecCol, centers)
       .select(col(idCol), col("cell"),
         NativeFunctions.pqEncode(col(vecCol), cb.flat, m, ksub).as("pq_code"))

@@ -432,6 +432,45 @@ case class NfcNormalize(child: Expression) extends UnaryExpression {
   override def prettyName: String = "graft_nfc"
 }
 
+/** ClickHouse `empty()`/`notEmpty()` — length-zero test over strings,
+  * binaries, arrays AND maps (Catalyst's Length takes only string/binary,
+  * Size only array/map; CH accepts all four). Type dispatch happens at
+  * resolution/codegen time, when `child.dataType` is known.
+  */
+case class EmptyCheck(child: Expression, negate: Boolean)
+    extends UnaryExpression {
+  import org.apache.spark.sql.types._
+  override def dataType: DataType = BooleanType
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType | BinaryType | _: ArrayType | _: MapType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"empty()/notEmpty() needs string/binary/array/map, got ${t.sql}")
+    }
+  private def isEmpty(v: Any): Boolean = child.dataType match {
+    case StringType =>
+      v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].numBytes == 0
+    case BinaryType => v.asInstanceOf[Array[Byte]].length == 0
+    case _: ArrayType => v.asInstanceOf[ArrayData].numElements() == 0
+    case _: MapType =>
+      v.asInstanceOf[org.apache.spark.sql.catalyst.util.MapData].numElements() == 0
+  }
+  override protected def nullSafeEval(v: Any): Any = isEmpty(v) != negate
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val zero = child.dataType match {
+      case StringType => (c: String) => s"($c.numBytes() == 0)"
+      case BinaryType => (c: String) => s"($c.length == 0)"
+      case _ => (c: String) => s"($c.numElements() == 0)"
+    }
+    val op = if (negate) "!" else ""
+    defineCodeGen(ctx, ev, c => s"($op${zero(c)})")
+  }
+  override protected def withNewChildInternal(c: Expression): EmptyCheck =
+    copy(child = c)
+  override def prettyName: String = if (negate) "notEmpty" else "empty"
+}
+
 case class NormTokens(child: Expression) extends UnaryExpression {
   override def dataType: DataType =
     org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.StringType)

@@ -708,20 +708,11 @@ object PipelineQueries {
          |FROM s GROUP BY 1, 2 ORDER BY split, lang""") { (s, dir) =>
       graft.plans.NativeFunctions.register(s)
       val toks = graft.plans.NativeFunctions.normTokens(col("text"))
-      val sw = array(TextFunctions.DefaultStopwords.map(lit): _*)
-      val nTok = size(toks).cast(DoubleType)
-      val stopCnt = size(filter(toks, t => array_contains(sw, t)))
-      val alpha = length(regexp_replace(col("text"), "[^a-zA-Z]", ""))
-      val alphaRatio = alpha.cast(DoubleType) /
-        greatest(length(col("text")), lit(1)).cast(DoubleType)
-      val lenOk = when(size(toks) >= 5 && size(toks) <= 100000, lit(1.0))
-        .otherwise(lit(0.0))
       val enriched = Tables(s, dir).documents
         .select(col("doc_id"), col("text"),
           graft.plans.NativeFunctions.langId(toks).as("lang"),
           size(toks).cast(LongType).as("n_tokens"),
-          (lenOk * (lit(0.5) * (stopCnt.cast(DoubleType) / greatest(nTok, lit(1.0))) +
-            lit(0.5) * alphaRatio)).as("score"))
+          TextFunctions.qualityScore(col("text")).as("score"))
       val kept = enriched
         .filter(col("lang").isin("en", "es", "de", "fr") && col("score") >= 0.35)
       val deduped = Dedup.exactDedup(kept, "doc_id", "text")

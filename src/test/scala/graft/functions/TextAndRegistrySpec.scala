@@ -91,6 +91,14 @@ class TextAndRegistrySpec extends SparkSpec {
     assert(s.getBoolean(0) && s.getBoolean(1))
     assert(s.getInt(2) == 5)
     assert(s.getInt(3) == 7)
+    // CH accepts arrays/maps in empty()/notEmpty(), and position takes an
+    // optional 1-based start offset
+    val s2 = spark.sql(
+      """SELECT empty(array()) AS ea, notEmpty(array(1, 2)) AS na,
+        |       empty(map()) AS em, position('ababab', 'ab', 3) AS p3
+        |""".stripMargin).collect().head
+    assert(s2.getBoolean(0) && s2.getBoolean(1) && s2.getBoolean(2))
+    assert(s2.getInt(3) == 3)
   }
 
   test("dialect macros: arrayJoin / toStartOfInterval / formatReadableSize") {

@@ -45,13 +45,16 @@ class DedupSpec extends SparkSpec {
   }
 
   test("incrementalExactDedup dedups within and across increments via the store") {
-    val store = java.nio.file.Files.createTempDirectory("graft_incr").toString + "/fps"
+    val root = java.nio.file.Files.createTempDirectory("graft_incr").toString
+    val store = s"$root/fps"
+    val out = s"$root/corpus"
     val batch1 = Seq(
       (1L, "first document body"),
       (2L, "second document body"),
       (3L, "first document body")   // in-batch dup of 1
     ).toDF("doc_id", "text")
-    val kept1 = Dedup.incrementalExactDedup(batch1, "doc_id", "text", store)
+    val kept1 = Dedup.incrementalExactDedup(batch1, "doc_id", "text", store,
+        incrementId = "b1", outputPath = Some(out))
       .select("doc_id").as[Long].collect().toSet
     assert(kept1 == Set(1L, 2L))
     val batch2 = Seq(
@@ -60,14 +63,24 @@ class DedupSpec extends SparkSpec {
       (12L, "a fresh document"),     // in-batch dup of 11
       (13L, "First  Document body")  // normalization-equal to 1 -> dropped
     ).toDF("doc_id", "text")
-    val kept2 = Dedup.incrementalExactDedup(batch2, "doc_id", "text", store)
+    val kept2 = Dedup.incrementalExactDedup(batch2, "doc_id", "text", store,
+        incrementId = "b2", outputPath = Some(out))
       .select("doc_id").as[Long].collect().toSet
     assert(kept2 == Set(11L))
-    // the store now holds one fingerprint per distinct content ever kept
-    assert(spark.read.parquet(store).distinct().count() == 3)
-    // replaying a batch after its append drops everything (safe re-run)
-    val replay = Dedup.incrementalExactDedup(batch2, "doc_id", "text", store)
-    assert(replay.count() == 0)
+    // the store holds one fingerprint per distinct content ever kept
+    assert(spark.read.parquet(store)
+      .select("fingerprint").distinct().count() == 3)
+    // REPLAYING an increment is idempotent, not destructive: the same
+    // survivors come back (its own store partition is excluded from the
+    // anti-join) and the persisted corpus still holds them exactly once
+    val replay = Dedup.incrementalExactDedup(batch2, "doc_id", "text", store,
+        incrementId = "b2", outputPath = Some(out))
+      .select("doc_id").as[Long].collect().toSet
+    assert(replay == Set(11L))
+    assert(spark.read.parquet(out).select("doc_id").as[Long].collect().toSet
+      == Set(1L, 2L, 11L))
+    assert(spark.read.parquet(store)
+      .select("fingerprint").distinct().count() == 3)
   }
 
   test("duplicateSpans merges overlapping windows and finds intra-doc repeats") {
