@@ -103,6 +103,17 @@ object ChRegistry {
 
     // arrayJoin is the row-expanding form (lectures/lecture_06.md:17-28)
     f("arrayJoin")(e => Explode(e.head))
+    // higher-order array functions — CH puts the lambda FIRST
+    // (lectures/lecture_06.md:16, lecture_21.md:348 arrayMap usage)
+    f("arrayMap")(e => ArrayTransform(e(1), e(0)))
+    f("arrayFilter")(e => ArrayFilter(e(1), e(0)))
+    f("arrayExists")(e => ArrayExists(e(1), e(0)))
+    // (no arrayCount: the analyzer requires a HigherOrderFunction at the
+    // registered root when lambda args are present — size(arrayFilter(..))
+    // composes fine as separate calls)
+    f("arrayEnumerate")(e =>
+      new Sequence(Literal(1), Size(e.head)))  // 1..len, lecture_06.md:15
+    f("indexOf")(e => ArrayPosition(e(0), e(1)))
 
     // parser-backed dialect macros — inlined expressions, so Catalyst
     // optimizes through them like any built-in

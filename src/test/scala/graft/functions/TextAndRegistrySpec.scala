@@ -99,6 +99,19 @@ class TextAndRegistrySpec extends SparkSpec {
         |""".stripMargin).collect().head
     assert(s2.getBoolean(0) && s2.getBoolean(1) && s2.getBoolean(2))
     assert(s2.getInt(3) == 3)
+    // higher-order array names, CH argument order (lambda first)
+    val a = spark.sql(
+      """SELECT arrayMap(x -> x * 2, array(1, 2, 3)) AS m,
+        |       arrayFilter(x -> x > 1, array(1, 2, 3)) AS f,
+        |       arrayExists(x -> x = 2, array(1, 2, 3)) AS ex,
+        |       arrayEnumerate(array('a', 'b', 'c')) AS en,
+        |       indexOf(array(10, 20, 30), 20) AS io
+        |""".stripMargin).collect().head
+    assert(a.getSeq[Int](0) == Seq(2, 4, 6))
+    assert(a.getSeq[Int](1) == Seq(2, 3))
+    assert(a.getBoolean(2))
+    assert(a.getSeq[Int](3) == Seq(1, 2, 3))
+    assert(a.getLong(4) == 2L)
   }
 
   test("dialect macros: arrayJoin / toStartOfInterval / formatReadableSize") {
