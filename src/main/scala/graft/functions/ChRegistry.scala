@@ -33,6 +33,10 @@ object ChRegistry {
     f("toStartOfHour")(e => TruncTimestamp(Literal("hour"), e.head))
     f("toDate")(e => Cast(e.head, DateType))
     f("toDateTime")(e => Cast(e.head, TimestampType))
+    // now()/today()/yesterday() (lectures/lecture_04.md, lecture_21.md usage)
+    f("now")(_ => CurrentTimestamp())
+    f("today")(_ => CurrentDate())
+    f("yesterday")(_ => DateSub(CurrentDate(), Literal(1)))
 
     // casts
     f("toUInt64")(e => Cast(e.head, LongType))
@@ -97,6 +101,25 @@ object ChRegistry {
     }
     f("intDiv")(e => Cast(Divide(Cast(e(0), DoubleType), Cast(e(1), DoubleType)), LongType))
     f("modulo")(e => Pmod(e(0), e(1)))
+    // CH's named arithmetic (SELECT multiply(a, b) appears in lecture logs);
+    // divide is float division in CH regardless of input types
+    f("plus")(e => Add(e(0), e(1)))
+    f("minus")(e => Subtract(e(0), e(1)))
+    f("multiply")(e => Multiply(e(0), e(1)))
+    f("divide")(e => Divide(Cast(e(0), DoubleType), Cast(e(1), DoubleType)))
+    f("negate")(e => UnaryMinus(e.head))
+    // introspection scalars the course queries constantly (system-table
+    // tours, lectures/lecture_02.md:213, lecture_08.md): tuple() is CH's
+    // anonymous struct (also its "empty partition key" idiom), toTypeName
+    // prints the argument's type, hostName()/version() identify the server.
+    // hostName is bound once at registration — in local mode the driver IS
+    // the executing server, which is exactly CH's semantics.
+    f("tuple")(e => CreateStruct(e))
+    f("toTypeName")(e => TypeOf(e.head))
+    f("currentDatabase")(_ => CurrentDatabase())
+    f("version")(_ => SparkVersion())
+    val host = java.net.InetAddress.getLocalHost.getHostName
+    f("hostName")(_ => Literal(host))
     f("JSONExtractString")(e => jsonPath(e(0), e(1)))
     f("JSONExtractInt")(e => Cast(jsonPath(e(0), e(1)), LongType))
     f("JSONExtractFloat")(e => Cast(jsonPath(e(0), e(1)), DoubleType))
@@ -128,6 +151,23 @@ object ChRegistry {
       "regexp_extract_all(s, re, 0)", orReplace = true)
     macros.createFunction("splitByChar", Seq("sep", "s"),
       "split(s, concat('\\\\Q', sep, '\\\\E'))", orReplace = true)
+    // lenient multi-format parses (lectures/lecture_21.md:105-107); the US
+    // variant tries month-first forms before the ISO fallbacks, OrZero
+    // yields epoch 0 instead of NULL on unparseable input
+    macros.createFunction("parseDateTimeBestEffort", Seq("s"),
+      """coalesce(try_to_timestamp(s, 'yyyy-MM-dd HH:mm:ss'),
+        |         try_to_timestamp(s, "yyyy-MM-dd'T'HH:mm:ss"),
+        |         try_to_timestamp(s, 'yyyy-MM-dd'),
+        |         try_to_timestamp(s, 'dd/MM/yyyy HH:mm:ss'),
+        |         try_to_timestamp(s))""".stripMargin, orReplace = true)
+    macros.createFunction("parseDateTimeBestEffortOrZero", Seq("s"),
+      "coalesce(parseDateTimeBestEffort(s), timestamp_seconds(0))",
+      orReplace = true)
+    macros.createFunction("parseDateTimeBestEffortUSOrZero", Seq("s"),
+      """coalesce(try_to_timestamp(s, 'MM/dd/yyyy HH:mm:ss'),
+        |         try_to_timestamp(s, 'MM/dd/yyyy'),
+        |         parseDateTimeBestEffort(s),
+        |         timestamp_seconds(0))""".stripMargin, orReplace = true)
     // graft_round_even = exact-binary-value half-even pre-round (printf
     // parity; Java %.2f alone would round the shortest repr half-up)
     macros.createFunction("formatReadableSize", Seq("b"),

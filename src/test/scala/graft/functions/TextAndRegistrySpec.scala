@@ -114,6 +114,45 @@ class TextAndRegistrySpec extends SparkSpec {
     assert(a.getLong(4) == 2L)
   }
 
+  test("dialect names: arithmetic, tuple, introspection, now/today") {
+    val r = spark.sql(
+      """SELECT plus(2, 3) AS p, minus(10, 4) AS m, multiply(6, 7) AS mu,
+        |       divide(7, 2) AS d, negate(5) AS n, tuple(1, 'a') AS t,
+        |       toTypeName(CAST(1 AS BIGINT)) AS tn
+        |""".stripMargin).collect().head
+    assert(r.getInt(0) == 5 && r.getInt(1) == 6 && r.getInt(2) == 42)
+    assert(r.getDouble(3) == 3.5)
+    assert(r.getInt(4) == -5)
+    assert(r.getStruct(5).getInt(0) == 1 && r.getStruct(5).getString(1) == "a")
+    assert(r.getString(6) == "bigint")
+    val ident = spark.sql(
+      "SELECT currentDatabase() AS db, version() AS v, hostName() AS h")
+      .collect().head
+    assert(ident.getString(0).nonEmpty)
+    assert(ident.getString(1).startsWith("4."))
+    assert(ident.getString(2).nonEmpty)
+    // now/today/yesterday evaluate to the session clock
+    val clock = spark.sql(
+      "SELECT now() AS n, today() AS t, yesterday() AS y").collect().head
+    assert(clock.getTimestamp(0) != null)
+    assert(clock.getDate(1).toLocalDate.minusDays(1) == clock.getDate(2).toLocalDate)
+  }
+
+  test("dialect macros: parseDateTimeBestEffort family") {
+    val r = spark.sql(
+      """SELECT parseDateTimeBestEffort('2024-03-15 10:00:00') AS iso,
+        |       parseDateTimeBestEffort('2024-03-15T10:00:00') AS isot,
+        |       parseDateTimeBestEffort('2024-03-15') AS d,
+        |       parseDateTimeBestEffortOrZero('not a date') AS z,
+        |       parseDateTimeBestEffortUSOrZero('03/15/2024 10:00:00') AS us
+        |""".stripMargin).collect().head
+    assert(r.getTimestamp(0).toString == "2024-03-15 10:00:00.0")
+    assert(r.getTimestamp(1).toString == "2024-03-15 10:00:00.0")
+    assert(r.getTimestamp(2).toString == "2024-03-15 00:00:00.0")
+    assert(r.getTimestamp(3).toInstant.getEpochSecond == 0L)
+    assert(r.getTimestamp(4).toString == "2024-03-15 10:00:00.0")
+  }
+
   test("dialect macros: arrayJoin / toStartOfInterval / formatReadableSize") {
     val r = spark.sql(
       """SELECT arrayJoin(array(1, 2, 3)) AS x""").as[Int].collect().toSeq
