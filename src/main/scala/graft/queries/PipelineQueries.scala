@@ -5,7 +5,7 @@ import org.apache.spark.sql.types._
 
 import graft.tables.Tables
 import graft.functions.TextFunctions
-import graft.operators.{CorpusStats, DatasetMix, DatasetSplit, Decontaminate, Dedup, Packing, SimilaritySearch}
+import graft.operators.{CorpusStats, DatasetMix, DatasetSplit, Decontaminate, Dedup, Packing, Sampling, SimilaritySearch}
 import graft.multimodal.{ImageCodec, Multimodal}
 
 /** Training-data-pipeline operators (builder-prompt mandate): dedup
@@ -747,6 +747,44 @@ object PipelineQueries {
           length(t).as("len_raw"),
           length(graft.plans.NativeFunctions.nfcNormalize(t)).as("len_nfc"),
           md5(graft.plans.NativeFunctions.nfcNormalize(t)).as("nfc_md5"))
+        .orderBy(col("doc_id"))
+    },
+
+    // ---- deterministic per-stratum RATE sampling (curation: keep 50% of
+    // src0, 25% of src1, drop src2, keep the rest): md5-bucket threshold
+    // per stratum, pure map-side filter — no shuffle, no sampling pass,
+    // append-stable. Any engine reproduces the exact selection.
+    Q("t18_stratified_sample",
+      """SELECT doc_id, source FROM documents
+        |WHERE CAST(concat('0x', substr(md5(concat('smp1:', CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT) % 10000 <
+        |  CASE source WHEN 'src0' THEN 5000 WHEN 'src1' THEN 2500
+        |              WHEN 'src2' THEN 0 ELSE 10000 END
+        |ORDER BY doc_id""") { (s, dir) =>
+      Sampling.stratifiedSample(
+          Tables(s, dir).documents.select(col("doc_id"), col("source")),
+          col("source"), col("doc_id"),
+          Map("src0" -> 0.5, "src1" -> 0.25, "src2" -> 0.0),
+          defaultFraction = 1.0, salt = "smp1")
+        .orderBy(col("doc_id"))
+    },
+
+    // ---- deterministic per-stratum QUOTA sampling (exactly n docs per
+    // source, e.g. a balanced eval set): phase 1 computes each stratum's
+    // n-th-smallest (md5-order, id) cutoff via a partial-aggregated
+    // bounded min-k buffer (O(n) map-side state — never a per-stratum
+    // window reducer), phase 2 broadcasts the per-stratum cutoffs and
+    // filters map-side. The oracle re-derives the same selection with a
+    // window, feasible at oracle scale.
+    Q("t19_quota_sample",
+      """WITH h AS (SELECT doc_id, source,
+        |  CAST(concat('0x', substr(md5(concat('smp2:', CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT) AS ho
+        |  FROM documents),
+        |r AS (SELECT doc_id, source,
+        |  row_number() OVER (PARTITION BY source ORDER BY ho, doc_id) AS rn FROM h)
+        |SELECT doc_id, source FROM r WHERE rn <= 12 ORDER BY doc_id""") { (s, dir) =>
+      Sampling.stratifiedExactN(
+          Tables(s, dir).documents.select(col("doc_id"), col("source")),
+          col("source"), col("doc_id"), n = 12, salt = "smp2")
         .orderBy(col("doc_id"))
     },
 
