@@ -192,6 +192,27 @@ object TextFunctions {
     * `graft.plans.NativeFunctions.langId(tokens(c))` (same definition —
     * equivalence is spec-asserted).
     */
+  /** Extract readable text from HTML/markup — the first step of a web-
+    * crawl curation pipeline (strip script/style/comments, drop tags,
+    * decode the common entities, collapse whitespace). Every pass is a
+    * codegen'd regexp/replace over RE2-PORTABLE patterns (no
+    * backreferences, no lookaround): script and style get separate passes
+    * instead of a `</\1>` backreference, so any engine — including the
+    * DuckDB oracle — reproduces the extraction byte-for-byte.
+    */
+  def extractHtmlText(c: Column): Column = {
+    val noScript = regexp_replace(c, "(?is)<script[^>]*>.*?</script>", " ")
+    val noStyle = regexp_replace(noScript, "(?is)<style[^>]*>.*?</style>", " ")
+    val noComment = regexp_replace(noStyle, "(?s)<!--.*?-->", " ")
+    val noTags = regexp_replace(noComment, "<[^>]*>", " ")
+    // decode &amp; LAST so "&amp;lt;" yields the literal "&lt;"
+    val decoded = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+        "&#39;" -> "'", "&nbsp;" -> " ")
+      .foldLeft(noTags) { case (acc, (e, v)) => replace(acc, lit(e), lit(v)) }
+    val amp = replace(decoded, lit("&amp;"), lit("&"))
+    trim(regexp_replace(amp, "\\s+", " "))
+  }
+
   def langId(c: Column): Column = {
     val counts = LangMarkers.map { case (lang, mk) => lang -> langMarkerCount(c, mk) }
     val maxCnt = greatest(counts.map(_._2): _*)

@@ -788,6 +788,44 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     },
 
+    // ---- HTML text extraction (web-crawl curation step 1): documents
+    // are wrapped in deterministic markup (script/style/comments/tags/
+    // entities), then the extractor strips markup and decodes entities.
+    // All patterns are RE2-portable, so the oracle reproduces the
+    // extraction byte-for-byte — md5 parity proves it.
+    Q("t20_html_extract",
+      """WITH e AS (SELECT doc_id,
+        |  '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) ||
+        |  '</title><style>p { color: red }</style><script>if (1 < 2) { x(); }</script></head>' ||
+        |  '<body><!-- hidden --><p class="main">' || text ||
+        |  '</p><a href="/u?a=1&amp;b=2">link &amp; more</a>&nbsp;&lt;end&gt;</body></html>' AS h
+        |  FROM documents),
+        |x AS (SELECT doc_id,
+        |  trim(regexp_replace(
+        |    replace(replace(replace(replace(replace(replace(
+        |      regexp_replace(
+        |        regexp_replace(
+        |          regexp_replace(
+        |            regexp_replace(h, '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+        |            '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+        |          '(?s)<!--.*?-->', ' ', 'g'),
+        |        '<[^>]*>', ' ', 'g'),
+        |      '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&'),
+        |    '\s+', ' ', 'g')) AS txt
+        |  FROM e)
+        |SELECT doc_id, length(txt) AS txt_len, md5(txt) AS txt_md5
+        |FROM x ORDER BY doc_id""") { (s, dir) =>
+      val h = concat(
+        lit("<html><head><title>Doc "), col("doc_id").cast(StringType),
+        lit("</title><style>p { color: red }</style><script>if (1 < 2) { x(); }</script></head>"),
+        lit("<body><!-- hidden --><p class=\"main\">"), col("text"),
+        lit("</p><a href=\"/u?a=1&amp;b=2\">link &amp; more</a>&nbsp;&lt;end&gt;</body></html>"))
+      val txt = TextFunctions.extractHtmlText(h)
+      Tables(s, dir).documents
+        .select(col("doc_id"), length(txt).as("txt_len"), md5(txt).as("txt_md5"))
+        .orderBy(col("doc_id"))
+    },
+
     // ---- exact substring duplicate spans (Lee et al. 2022, fixed-k
     // positional-gram form): every 5-token window occurring >1 time in
     // the corpus marks its positions; overlapping windows merge into

@@ -114,6 +114,22 @@ class TextAndRegistrySpec extends SparkSpec {
     assert(a.getLong(4) == 2L)
   }
 
+  test("extractHtmlText strips markup, decodes entities, collapses space") {
+    def x(s: String): String =
+      Seq(s).toDF("h").select(TextFunctions.extractHtmlText($"h"))
+        .as[String].collect().head
+    assert(x("<p>Hello <b>world</b></p>") == "Hello world")
+    // script/style bodies vanish entirely, case-insensitively, multiline
+    assert(x("<SCRIPT>\nvar a = 1 < 2;\n</SCRIPT>ok<style>b{}</style>") == "ok")
+    // comments go; entities decode; &amp;lt; yields the LITERAL "&lt;"
+    assert(x("<!-- no -->a &lt;tag&gt; &amp; b &amp;lt; c") == "a <tag> & b &lt; c")
+    assert(x("a&nbsp;b&quot;c&#39;d") == "a b\"c'd")
+    // whitespace collapses and trims
+    assert(x("  <div>\n a \n\t b </div> ") == "a b")
+    assert(x("plain text, no markup") == "plain text, no markup")
+    assert(x("") == "")
+  }
+
   test("dialect names: arithmetic, tuple, introspection, now/today") {
     val r = spark.sql(
       """SELECT plus(2, 3) AS p, minus(10, 4) AS m, multiply(6, 7) AS mu,
