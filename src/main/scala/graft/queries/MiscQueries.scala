@@ -518,6 +518,24 @@ object MiscQueries {
     // least one line shipped after the order date. Exercises Catalyst's
     // correlated-subquery rewrite (EXISTS -> left semi join on the
     // correlation key — no per-row subquery execution).
+    // ---- LIMIT n BY key (§2.6): group-wise truncation — the 3 priciest
+    // orders per order priority, whole rows, no aggregation. CH:
+    // `... ORDER BY o_totalprice DESC LIMIT 3 BY o_orderpriority`.
+    Q("q61_limit_by",
+      """WITH r AS (SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |  row_number() OVER (PARTITION BY o_orderpriority
+        |                     ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders)
+        |SELECT o_orderpriority, o_orderkey, o_totalprice FROM r
+        |WHERE rn <= 3 ORDER BY o_orderpriority, o_orderkey""") { (s, dir) =>
+      graft.operators.LimitBy.limitBy(
+          Tables(s, dir).orders
+            .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice")),
+          n = 3, keys = Seq(col("o_orderpriority")),
+          order = Seq(col("o_totalprice").desc, col("o_orderkey")))
+        .orderBy(col("o_orderpriority"), col("o_orderkey"))
+    },
+
     Q("q59_exists_subquery",
       """SELECT o_orderpriority, count(*) AS order_count
         |FROM orders

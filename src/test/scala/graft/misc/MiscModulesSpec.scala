@@ -154,6 +154,19 @@ class MiscModulesSpec extends SparkSpec {
     assert(Multimodal.byteHistogramFeatures(media).count() == 3)
   }
 
+  test("LimitBy keeps the first n per key in order, with CH offset form") {
+    import graft.operators.LimitBy
+    val df = Seq(("a", 3), ("a", 1), ("a", 2), ("b", 9), ("b", 8), ("c", 5))
+      .toDF("k", "v")
+    val top2 = LimitBy.limitBy(df, 2, Seq($"k"), Seq($"v".desc))
+      .as[(String, Int)].collect().toSet
+    assert(top2 == Set(("a", 3), ("a", 2), ("b", 9), ("b", 8), ("c", 5)))
+    // LIMIT 1, 2 BY k — skip the first row of each group, take next 2
+    val off = LimitBy.limitBy(df, 2, Seq($"k"), Seq($"v".desc), offset = 1)
+      .as[(String, Int)].collect().toSet
+    assert(off == Set(("a", 2), ("a", 1), ("b", 8)))
+  }
+
   private implicit class Tup3Ops[A, B, C](xs: Array[(A, B, C)]) {
     def toMap2: Map[A, (B, C)] = xs.map(t => t._1 -> ((t._2, t._3))).toMap
   }
