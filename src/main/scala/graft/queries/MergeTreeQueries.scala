@@ -118,6 +118,27 @@ object MergeTreeQueries {
         .orderBy(col("l_returnflag"))
     },
 
+    // ---- system.parts_columns / system.columns introspection
+    // (lectures/lecture_02.md:199-231, lecture_08.md:321, lecture_12.md:246):
+    // per-column value counts, compressed/uncompressed bytes and codec from
+    // parquet FOOTERS, read on the executors. The oracle is DuckDB's
+    // parquet_metadata() over the SAME file — byte-for-byte footer parity
+    // across engines. The path is the driver's correctness-gate dir
+    // (sf0.01); oracle_check at other SFs must --skip this row.
+    Q("q62_parts_columns",
+      """SELECT path_in_schema AS column,
+        |  CAST(sum(num_values) AS BIGINT) AS n_values,
+        |  CAST(sum(total_compressed_size) AS BIGINT) AS compressed_bytes,
+        |  CAST(sum(total_uncompressed_size) AS BIGINT) AS uncompressed_bytes,
+        |  any_value(compression) AS codec
+        |FROM parquet_metadata('/root/testdata/sf0.01/lineitem.parquet')
+        |GROUP BY 1 ORDER BY 1""") { (s, dir) =>
+      graft.mergetree.SystemTables.columns(s, s"$dir/lineitem.parquet")
+        .select(col("column"), col("n_values"),
+          col("compressed_bytes"), col("uncompressed_bytes"), col("codec"))
+        .orderBy(col("column"))
+    },
+
     // ---- uniqState → uniqMerge over our own HLL sketch
     // (lectures/lecture_13.md:60-93). The sketch is internal to the engine,
     // so no SQL oracle — the spec asserts merge-of-states == direct state
