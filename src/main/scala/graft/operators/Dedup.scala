@@ -61,11 +61,26 @@ object Dedup {
     * (whatever had already been written for this id is ignored, then
     * overwritten) — a crash at ANY point leaves a state one clean re-run
     * repairs. Returns the survivors (not yet re-read from disk).
+    *
+    * `bloomExpectedItems > 0` enables BLOOM ROUTING: a persisted bloom
+    * blob over the store's fingerprints (`storePath/_bloom.bin` — the
+    * leading underscore keeps parquet readers away) rides to the
+    * executors as a literal, and increment rows the filter rules out skip
+    * the anti-join shuffle entirely. On a mostly-novel increment that is
+    * nearly all of them — the store-sized shuffle shrinks to the
+    * duplicate tail plus the fpp. Correctness never depends on the
+    * filter (exact anti-join decides every routed row; replays merge the
+    * bloom idempotently — union is bit-OR). Size `bloomExpectedItems` to
+    * the store's EVENTUAL key count: the blob is fixed at first build
+    * (1.2 MB per million keys at 1% fpp) and later increments merge into
+    * it. Raise `spark.sql.optimizer.runtime.bloomFilter.maxNumItems` /
+    * `maxNumBits` beyond ~4M keys.
     */
   def incrementalExactDedup(newDocs: DataFrame, idCol: String,
                             textCol: String, storePath: String,
                             incrementId: String,
-                            outputPath: Option[String] = None): DataFrame = {
+                            outputPath: Option[String] = None,
+                            bloomExpectedItems: Long = 0L): DataFrame = {
     val spark = newDocs.sparkSession
     val withFp = newDocs.withColumn("__fp",
       TextFunctions.fingerprintMd5(col(textCol)))
@@ -85,8 +100,22 @@ object Dedup {
       else Some(spark.read.parquet(storePath)
         .filter(col("increment").cast("string") =!= incrementId)
         .select(col("fingerprint").as("__fp")))
-    val kept = pinned(history.fold(inBatchKept)(h =>
-      inBatchKept.join(h, Seq("__fp"), "left_anti")))
+    val bloomPath = s"$storePath/_bloom.bin"
+    val existingBloom =
+      if (bloomExpectedItems > 0) BloomPrune.read(spark, bloomPath) else None
+    val kept = pinned(history.fold(inBatchKept) { h =>
+      existingBloom match {
+        case Some((blob, _, _)) =>
+          // map-side routing: definitely-absent rows never shuffle
+          val routed = inBatchKept.withColumn("__might",
+            BloomPrune.mightContain(blob, col("__fp")))
+          routed.filter(!col("__might")).drop("__might")
+            .unionByName(routed.filter(col("__might")).drop("__might")
+              .join(h, Seq("__fp"), "left_anti"))
+        case None =>
+          inBatchKept.join(h, Seq("__fp"), "left_anti")
+      }
+    })
     outputPath.foreach { out =>
       kept.drop("__fp").write.mode("overwrite")
         .parquet(s"$out/increment=$incrementId")
@@ -94,6 +123,23 @@ object Dedup {
     kept.select(col("__fp").as("fingerprint"))
       .write.mode("overwrite")
       .parquet(s"$storePath/increment=$incrementId")
+    if (bloomExpectedItems > 0) {
+      val (items, bits) = existingBloom
+        .map(e => (e._2, e._3))
+        .getOrElse((bloomExpectedItems,
+          BloomPrune.optimalNumBits(bloomExpectedItems, 0.01)))
+      // first build with a pre-existing store backfills history's keys;
+      // afterwards each increment folds in only its own survivors
+      val toIndex = existingBloom match {
+        case Some(_) => kept.select(col("__fp"))
+        case None => history.fold(kept.select(col("__fp")))(h =>
+          kept.select(col("__fp")).unionByName(h))
+      }
+      Option(BloomPrune.build(toIndex, col("__fp"), items, bits)).foreach { b =>
+        val merged = existingBloom.map(e => BloomPrune.merge(e._1, b)).getOrElse(b)
+        BloomPrune.write(spark, bloomPath, merged, items, bits)
+      }
+    }
     kept.drop("__fp")
   }
 

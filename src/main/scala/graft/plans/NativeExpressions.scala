@@ -604,6 +604,19 @@ object NativeFunctions {
     }, "built-in")
     reg.createOrReplaceTempFunction("graft_pq_adc",
       e => PqAdcScore(e(0), e(1), e(2), e(3)), "built-in")
+    // Spark's own runtime-filter machinery, exposed as a first-class
+    // surface: the aggregate builds one binary bloom blob over
+    // xxhash64(key) with partial aggregation (map-side bit-OR merges);
+    // might_contain tests a key against the blob. Both sides hash with
+    // the same XxHash64 seed, so routing is symmetric by construction.
+    reg.createOrReplaceTempFunction("graft_bloom_agg", {
+      case Seq(v, n @ Literal(_: Long, LongType), bits @ Literal(_: Long, LongType)) =>
+        new aggregate.BloomFilterAggregate(new XxHash64(Seq(v)), n, bits)
+      case e => throw new IllegalArgumentException(
+        s"graft_bloom_agg(key, expectedItems literal, numBits literal); got ${e.size} args")
+    }, "built-in")
+    reg.createOrReplaceTempFunction("graft_bloom_might_contain",
+      e => BloomFilterMightContain(e(0), new XxHash64(Seq(e(1)))), "built-in")
   }
 
   def roundEven(c: Column, scale: Int = 2): Column =
@@ -639,4 +652,11 @@ object NativeFunctions {
   def pqAdc(codes: Column, lutDot: Column, lutSq: Column, qNorm: Column): Column =
     org.apache.spark.sql.functions.call_function("graft_pq_adc",
       codes, lutDot, lutSq, qNorm)
+  def bloomAgg(key: Column, expectedItems: Long, numBits: Long): Column =
+    org.apache.spark.sql.functions.call_function("graft_bloom_agg", key,
+      org.apache.spark.sql.functions.lit(expectedItems),
+      org.apache.spark.sql.functions.lit(numBits))
+  def bloomMightContain(bloom: Column, key: Column): Column =
+    org.apache.spark.sql.functions.call_function("graft_bloom_might_contain",
+      bloom, key)
 }
