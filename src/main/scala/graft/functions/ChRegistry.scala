@@ -151,6 +151,30 @@ object ChRegistry {
       "regexp_extract_all(s, re, 0)", orReplace = true)
     macros.createFunction("splitByChar", Seq("sep", "s"),
       "split(s, concat('\\\\Q', sep, '\\\\E'))", orReplace = true)
+    // CH URL function family — same RE2-portable patterns as
+    // graft.functions.UrlFunctions (keep the two in sync)
+    macros.createFunction("protocol", Seq("u"),
+      "lower(regexp_extract(u, '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1))",
+      orReplace = true)
+    macros.createFunction("domain", Seq("u"),
+      "lower(regexp_replace(regexp_replace(regexp_extract(u, " +
+        "'^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)', 1), '^[^@]*@', ''), ':[0-9]+$', ''))",
+      orReplace = true)
+    macros.createFunction("path", Seq("u"),
+      "regexp_extract(u, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)', 1)",
+      orReplace = true)
+    macros.createFunction("queryString", Seq("u"),
+      "regexp_extract(u, '\\\\?([^#]*)', 1)", orReplace = true)
+    macros.createFunction("fragment", Seq("u"),
+      "regexp_extract(u, '#(.*)$', 1)", orReplace = true)
+    macros.createFunction("cutQueryString", Seq("u"),
+      "regexp_replace(u, '\\\\?[^#]*', '')", orReplace = true)
+    macros.createFunction("cutFragment", Seq("u"),
+      "regexp_replace(u, '#.*$', '')", orReplace = true)
+    // p must fold to a literal at the call site (regexp_extract needs a
+    // foldable pattern — constant folding inlines concat of literals)
+    macros.createFunction("extractURLParameter", Seq("u", "p"),
+      "regexp_extract(u, concat('[?&]', p, '=([^&#]*)'), 1)", orReplace = true)
     // lenient multi-format parses (lectures/lecture_21.md:105-107); the US
     // variant tries month-first forms before the ISO fallbacks, OrZero
     // yields epoch 0 instead of NULL on unparseable input

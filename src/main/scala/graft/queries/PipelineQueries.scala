@@ -826,6 +826,55 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     },
 
+    // ---- URL canonicalization + URL-level dedup (crawl curation): the
+    // same page arrives as HTTP://Host:80/p/?utm_source=x&b=1#f and
+    // http://host/p?b=1 — canonicalize (lowercase scheme/host, strip
+    // port/userinfo/fragment/trailing slash, drop tracking params, sort
+    // survivors), then group. Synthetic variants derive from doc_id so
+    // the oracle reproduces the exact merge: 20 canonical pages.
+    Q("t21_url_canon",
+      """WITH u AS (SELECT doc_id,
+        |  'HTTP://ExAmple' || CAST(doc_id % 5 AS VARCHAR) || '.COM' ||
+        |  CASE WHEN doc_id % 2 = 0 THEN ':80' ELSE '' END ||
+        |  '/p/' || CAST(doc_id % 20 AS VARCHAR) ||
+        |  CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END ||
+        |  '?b=2&utm_source=s' || CAST(doc_id AS VARCHAR) ||
+        |  '&a=1#f' || CAST(doc_id AS VARCHAR) AS url
+        |  FROM documents),
+        |p AS (SELECT doc_id, url,
+        |  list_sort(list_filter(string_split(regexp_extract(url, '\?([^#]*)', 1), '&'),
+        |    x -> x <> '' AND NOT (starts_with(x, 'utm_') OR starts_with(x, 'fbclid')
+        |      OR starts_with(x, 'gclid') OR starts_with(x, 'msclkid')
+        |      OR starts_with(x, 'ref_') OR starts_with(x, 'mc_cid')
+        |      OR starts_with(x, 'mc_eid')))) AS prms
+        |  FROM u),
+        |c AS (SELECT doc_id,
+        |  lower(regexp_extract(url, '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1)) || '://' ||
+        |  lower(regexp_replace(regexp_replace(
+        |    regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)', 1),
+        |    '^[^@]*@', '', 'g'), ':[0-9]+$', '', 'g')) ||
+        |  regexp_replace(regexp_extract(url,
+        |    '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)', 1), '/+$', '', 'g') ||
+        |  CASE WHEN len(prms) > 0 THEN '?' || array_to_string(prms, '&') ELSE '' END AS canon
+        |  FROM p)
+        |SELECT canon, MIN(doc_id) AS keep_id, count(*) AS n_variants
+        |FROM c GROUP BY canon ORDER BY canon""") { (s, dir) =>
+      import graft.functions.UrlFunctions
+      val id = col("doc_id")
+      val url = concat(
+        lit("HTTP://ExAmple"), (id % 5).cast(StringType), lit(".COM"),
+        when(id % 2 === 0, ":80").otherwise(""),
+        lit("/p/"), (id % 20).cast(StringType),
+        when(id % 3 === 0, "/").otherwise(""),
+        lit("?b=2&utm_source=s"), id.cast(StringType),
+        lit("&a=1#f"), id.cast(StringType))
+      Tables(s, dir).documents
+        .select(id, UrlFunctions.canonicalizeUrl(url).as("canon"))
+        .groupBy(col("canon"))
+        .agg(min(id).as("keep_id"), count(lit(1)).as("n_variants"))
+        .orderBy(col("canon"))
+    },
+
     // ---- exact substring duplicate spans (Lee et al. 2022, fixed-k
     // positional-gram form): every 5-token window occurring >1 time in
     // the corpus marks its positions; overlapping windows merge into

@@ -130,6 +130,56 @@ class TextAndRegistrySpec extends SparkSpec {
     assert(x("") == "")
   }
 
+  test("UrlFunctions: parts, cuts, canonicalization") {
+    import graft.functions.UrlFunctions._
+    val u = "HTTPS://User@Sub.ExAmple.COM:8443/a/b/?z=1&utm_source=x&a=2#frag"
+    def one(c: org.apache.spark.sql.Column): String =
+      Seq(u).toDF("u").select(c.cast("string")).as[String].collect().head
+    assert(one(protocol($"u")) == "https")
+    assert(one(domain($"u")) == "sub.example.com")
+    assert(one(path($"u")) == "/a/b/")
+    assert(one(queryString($"u")) == "z=1&utm_source=x&a=2")
+    assert(one(fragment($"u")) == "frag")
+    assert(one(cutFragment($"u")) == u.takeWhile(_ != '#'))
+    assert(one(cutQueryString($"u")) ==
+      "HTTPS://User@Sub.ExAmple.COM:8443/a/b/#frag")
+    assert(one(extractURLParameter($"u", "a")) == "2")
+    assert(one(extractURLParameter($"u", "nope")) == "")
+    assert(one(canonicalizeUrl($"u")) == "https://sub.example.com/a/b?a=2&z=1")
+    // no scheme -> opaque passthrough; no query/path -> bare host
+    assert(one(canonicalizeUrl(lit(" relative/path "))) == "relative/path")
+    assert(one(canonicalizeUrl(lit("http://A.com/"))) == "http://a.com")
+    // the equivalence canonicalization exists for
+    val variants = Seq(
+      "HTTP://Site.com:80/a/?utm_source=x&b=1&a=2#top",
+      "http://site.com/a?a=2&b=1",
+      "http://USER@site.com/a/?b=1&a=2&gclid=42")
+    val canon = variants.toDF("u")
+      .select(canonicalizeUrl($"u")).as[String].collect().toSet
+    assert(canon == Set("http://site.com/a?a=2&b=1"))
+  }
+
+  test("dialect names: CH URL family matches the Column API") {
+    val r = spark.sql(
+      """SELECT protocol('HTTP://X.com/p') AS pr,
+        |       domain('https://u@A.B.com:443/x?q=1') AS d,
+        |       path('http://a.com/x/y?q=1') AS p,
+        |       queryString('http://a.com/x?q=1&r=2#f') AS qs,
+        |       fragment('http://a.com/x#sec') AS fr,
+        |       cutQueryString('http://a.com/x?q=1#f') AS cq,
+        |       cutFragment('http://a.com/x?q=1#f') AS cf,
+        |       extractURLParameter('http://a.com/x?q=1&r=2', 'r') AS ep
+        |""".stripMargin).collect().head
+    assert(r.getString(0) == "http")
+    assert(r.getString(1) == "a.b.com")
+    assert(r.getString(2) == "/x/y")
+    assert(r.getString(3) == "q=1&r=2")
+    assert(r.getString(4) == "sec")
+    assert(r.getString(5) == "http://a.com/x#f")
+    assert(r.getString(6) == "http://a.com/x?q=1")
+    assert(r.getString(7) == "2")
+  }
+
   test("dialect names: arithmetic, tuple, introspection, now/today") {
     val r = spark.sql(
       """SELECT plus(2, 3) AS p, minus(10, 4) AS m, multiply(6, 7) AS mu,
