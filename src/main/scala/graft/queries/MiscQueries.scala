@@ -536,6 +536,36 @@ object MiscQueries {
         .orderBy(col("o_orderpriority"), col("o_orderkey"))
     },
 
+    // ---- window-function breadth (§2.5): ranking + distribution +
+    // positional functions in one pass (ntile buckets, percent_rank,
+    // cume_dist, first/nth value). Deterministic via unique sort key.
+    Q("q63_window_breadth",
+      """SELECT o_orderkey, o_orderpriority,
+        |  ntile(4) OVER w AS quartile,
+        |  percent_rank() OVER w AS pr,
+        |  cume_dist() OVER w AS cd,
+        |  first_value(o_orderkey) OVER w AS first_key,
+        |  nth_value(o_orderkey, 2) OVER w AS second_key,
+        |  dense_rank() OVER w AS dr
+        |FROM orders
+        |WHERE o_custkey < 50
+        |WINDOW w AS (PARTITION BY o_orderpriority
+        |             ORDER BY o_totalprice DESC, o_orderkey)
+        |ORDER BY o_orderpriority, o_orderkey""") { (s, dir) =>
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      Tables(s, dir).orders
+        .filter(col("o_custkey") < 50)
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          ntile(4).over(w).as("quartile"),
+          percent_rank().over(w).as("pr"),
+          cume_dist().over(w).as("cd"),
+          first(col("o_orderkey")).over(w).as("first_key"),
+          nth_value(col("o_orderkey"), 2).over(w).as("second_key"),
+          dense_rank().over(w).as("dr"))
+        .orderBy(col("o_orderpriority"), col("o_orderkey"))
+    },
+
     Q("q59_exists_subquery",
       """SELECT o_orderpriority, count(*) AS order_count
         |FROM orders
