@@ -124,6 +124,42 @@ object ChRegistry {
     f("JSONExtractInt")(e => Cast(jsonPath(e(0), e(1)), LongType))
     f("JSONExtractFloat")(e => Cast(jsonPath(e(0), e(1)), DoubleType))
 
+    // CH string-function names without a same-named Spark builtin (hex /
+    // repeat / reverse / lower / upper / startsWith / endsWith resolve
+    // natively already — the registry is case-insensitive)
+    f("base64Encode")(e => Base64(Cast(e.head, BinaryType)))
+    f("base64Decode")(e => Cast(UnBase64(e.head), StringType))
+    f("leftPad") {
+      case Seq(s, len) => StringLPad(s, len, Literal(" "))
+      case Seq(s, len, pad) => StringLPad(s, len, pad)
+      case e => throw new IllegalArgumentException(
+        s"leftPad(s, len[, pad]); got ${e.size} args")
+    }
+    f("rightPad") {
+      case Seq(s, len) => StringRPad(s, len, Literal(" "))
+      case Seq(s, len, pad) => StringRPad(s, len, pad)
+      case e => throw new IllegalArgumentException(
+        s"rightPad(s, len[, pad]); got ${e.size} args")
+    }
+    f("trimBoth")(e => StringTrim(e.head))
+    f("trimLeft")(e => StringTrimLeft(e.head))
+    f("trimRight")(e => StringTrimRight(e.head))
+    f("substringUTF8") {
+      case Seq(s, pos) => Substring(s, pos, Literal(Int.MaxValue))
+      case Seq(s, pos, len) => Substring(s, pos, len)
+      case e => throw new IllegalArgumentException(
+        s"substringUTF8(s, offset[, length]); got ${e.size} args")
+    }
+    f("lowerUTF8")(e => Lower(e.head))
+    f("upperUTF8")(e => Upper(e.head))
+    f("replaceAll")(e => StringReplace(e(0), e(1), e(2)))
+    f("replaceRegexpAll")(e => RegExpReplace(e(0), e(1), e(2)))
+    // multiSearchAny(s, [needles]) — any needle a substring of s
+    f("multiSearchAny") { e =>
+      val x = UnresolvedNamedLambdaVariable(Seq("x"))
+      ArrayExists(e(1), LambdaFunction(Contains(e(0), x), Seq(x)))
+    }
+
     // arrayJoin is the row-expanding form (lectures/lecture_06.md:17-28)
     f("arrayJoin")(e => Explode(e.head))
     // higher-order array functions — CH puts the lambda FIRST
@@ -150,6 +186,8 @@ object ChRegistry {
     macros.createFunction("extractAll", Seq("s", "re"),
       "regexp_extract_all(s, re, 0)", orReplace = true)
     macros.createFunction("splitByChar", Seq("sep", "s"),
+      "split(s, concat('\\\\Q', sep, '\\\\E'))", orReplace = true)
+    macros.createFunction("splitByString", Seq("sep", "s"),
       "split(s, concat('\\\\Q', sep, '\\\\E'))", orReplace = true)
     // CH URL function family — same RE2-portable patterns as
     // graft.functions.UrlFunctions (keep the two in sync)

@@ -566,6 +566,39 @@ object MiscQueries {
         .orderBy(col("o_orderpriority"), col("o_orderkey"))
     },
 
+    // ---- string-function breadth (§2.8) through the CH-dialect SQL
+    // names: base64, padding, trimming, replace, case, reverse — one
+    // oracle row proves byte-parity across engines.
+    Q("q64_string_breadth",
+      """SELECT n_name,
+        |  base64(CAST(n_name AS BLOB)) AS b64,
+        |  hex(n_name) AS hx,
+        |  lpad(n_name, 20, '.') AS lp,
+        |  rpad(n_name, 20, '.') AS rp,
+        |  trim('  ' || n_name || '  ') AS tb,
+        |  replace(n_name, 'A', '@') AS rep,
+        |  regexp_replace(n_name, '[AEIOU]', '_', 'g') AS rex,
+        |  reverse(n_name) AS rev,
+        |  lower(n_name) AS lo,
+        |  substr(n_name, 2, 3) AS sub
+        |FROM nation ORDER BY n_name""") { (s, dir) =>
+      graft.functions.ChRegistry.registerAll(s)
+      Tables(s, dir).nation.createOrReplaceTempView("q64_nation")
+      s.sql(
+        """SELECT n_name,
+          |  base64Encode(n_name) AS b64,
+          |  hex(n_name) AS hx,
+          |  leftPad(n_name, 20, '.') AS lp,
+          |  rightPad(n_name, 20, '.') AS rp,
+          |  trimBoth(concat('  ', n_name, '  ')) AS tb,
+          |  replaceAll(n_name, 'A', '@') AS rep,
+          |  replaceRegexpAll(n_name, '[AEIOU]', '_') AS rex,
+          |  reverse(n_name) AS rev,
+          |  lowerUTF8(n_name) AS lo,
+          |  substringUTF8(n_name, 2, 3) AS sub
+          |FROM q64_nation ORDER BY n_name""".stripMargin)
+    },
+
     Q("q59_exists_subquery",
       """SELECT o_orderpriority, count(*) AS order_count
         |FROM orders

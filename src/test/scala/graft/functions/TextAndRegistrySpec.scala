@@ -180,6 +180,29 @@ class TextAndRegistrySpec extends SparkSpec {
     assert(r.getString(7) == "2")
   }
 
+  test("dialect names: CH string family") {
+    val r = spark.sql(
+      """SELECT base64Encode('hi') AS b64, base64Decode('aGk=') AS bd,
+        |       leftPad('x', 4, '.') AS lp, rightPad('x', 4) AS rp,
+        |       trimBoth('  a  ') AS tb, trimLeft('  a  ') AS tl, trimRight('  a  ') AS tr,
+        |       substringUTF8('héllo', 2, 3) AS su, substringUTF8('hello', 3) AS su2,
+        |       lowerUTF8('ÀBC') AS lo, upperUTF8('àbc') AS up,
+        |       replaceAll('aaa', 'a', 'b') AS ra,
+        |       replaceRegexpAll('a1b2', '[0-9]', '#') AS rr,
+        |       multiSearchAny('haystack', array('zz', 'stack')) AS ms,
+        |       multiSearchAny('haystack', array('zz')) AS ms2,
+        |       splitByString('ab', '1ab2ab3') AS sp
+        |""".stripMargin).collect().head
+    assert(r.getString(0) == "aGk=" && r.getString(1) == "hi")
+    assert(r.getString(2) == "...x" && r.getString(3) == "x   ")
+    assert(r.getString(4) == "a" && r.getString(5) == "a  " && r.getString(6) == "  a")
+    assert(r.getString(7) == "éll" && r.getString(8) == "llo")
+    assert(r.getString(9) == "àbc" && r.getString(10) == "ÀBC")
+    assert(r.getString(11) == "bbb" && r.getString(12) == "a#b#")
+    assert(r.getBoolean(13) && !r.getBoolean(14))
+    assert(r.getSeq[String](15) == Seq("1", "2", "3"))
+  }
+
   test("dialect names: arithmetic, tuple, introspection, now/today") {
     val r = spark.sql(
       """SELECT plus(2, 3) AS p, minus(10, 4) AS m, multiply(6, 7) AS mu,
