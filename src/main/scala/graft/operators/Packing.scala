@@ -87,6 +87,40 @@ object Packing {
         (col("__e") - col("__s")).as("len"))
   }
 
+  /** Overlapping token-window chunking — RAG/embedding prep: one row per
+    * chunk with provenance, consecutive chunks sharing `overlap` tokens
+    * so no boundary context is lost. Stride = maxTokens - overlap; a doc
+    * of n tokens yields 1 chunk when n <= maxTokens, else
+    * ceil((n - maxTokens) / stride) + 1 (the last may be shorter, never
+    * empty); zero-token docs yield zero chunks. Pure map-side
+    * (sequence + posexplode) — no shuffle, so it scales as a plain
+    * corpus pass.
+    *
+    * Output: (idCol, chunk_id, start_tok, n_toks, chunk) — `start_tok`
+    * 0-based, `chunk` the space-joined token window.
+    */
+  def chunkByTokens(df: DataFrame, idCol: String, textCol: String,
+                    maxTokens: Int, overlap: Int): DataFrame = {
+    require(maxTokens > 0 && overlap >= 0 && overlap < maxTokens,
+      s"need 0 <= overlap < maxTokens, got overlap=$overlap max=$maxTokens")
+    val stride = maxTokens - overlap
+    val toks = split(trim(regexp_replace(col(textCol), "\\s+", " ")), " ")
+    val n = size(toks)
+    val nChunks = when(n === 1 && element_at(toks, 1) === "", lit(0))
+      .when(n <= maxTokens, lit(1))
+      .otherwise(ceil((n - maxTokens).cast("double") / stride)
+        .cast("int") + 1)
+    df.select(col(idCol), toks.as("__toks"), n.as("__n"), nChunks.as("__nc"))
+      .filter(col("__nc") > 0)
+      .select(col(idCol), col("__toks"), col("__n"),
+        posexplode(sequence(lit(0), col("__nc") - 1)).as(Seq("chunk_id", "__k")))
+      .select(col(idCol), col("chunk_id"),
+        (col("__k") * stride).as("start_tok"),
+        least(lit(maxTokens), col("__n") - col("__k") * stride).as("n_toks"),
+        array_join(slice(col("__toks"), col("__k") * stride + 1,
+          lit(maxTokens)), " ").as("chunk"))
+  }
+
   /** Sequence-level fill report for a packed layout: tokens landing in
     * each training sequence (last sequence may be ragged). Derived from
     * the same prefix sums, aggregated by sequence id — one extra shuffle

@@ -875,6 +875,31 @@ object PipelineQueries {
         .orderBy(col("canon"))
     },
 
+    // ---- overlapping token-window chunking (RAG/embedding prep): 48-token
+    // windows, 8-token overlap, provenance per chunk. Deterministic layout
+    // → the oracle recomputes every chunk byte-for-byte (md5 parity).
+    Q("t22_chunk_overlap",
+      """WITH t AS (SELECT doc_id,
+        |    string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS toks
+        |  FROM documents WHERE trim(text) <> ''),
+        |n AS (SELECT doc_id, toks, len(toks) AS n,
+        |    CASE WHEN len(toks) <= 48 THEN 1
+        |         ELSE CAST(ceil((len(toks) - 48) / 40.0) AS INT) + 1 END AS nc
+        |  FROM t),
+        |c AS (SELECT doc_id, toks, n, unnest(range(0, nc)) AS k FROM n)
+        |SELECT doc_id, CAST(k AS INT) AS chunk_id,
+        |  CAST(k * 40 AS INT) AS start_tok,
+        |  CAST(least(48, n - k * 40) AS INT) AS n_toks,
+        |  md5(array_to_string(toks[(k * 40 + 1):(k * 40 + 48)], ' ')) AS chunk_md5
+        |FROM c ORDER BY doc_id, chunk_id""") { (s, dir) =>
+      Packing.chunkByTokens(
+          Tables(s, dir).documents.filter(trim(col("text")) =!= ""),
+          "doc_id", "text", maxTokens = 48, overlap = 8)
+        .select(col("doc_id"), col("chunk_id"), col("start_tok"),
+          col("n_toks"), md5(col("chunk")).as("chunk_md5"))
+        .orderBy(col("doc_id"), col("chunk_id"))
+    },
+
     // ---- exact substring duplicate spans (Lee et al. 2022, fixed-k
     // positional-gram form): every 5-token window occurring >1 time in
     // the corpus marks its positions; overlapping windows merge into

@@ -185,4 +185,36 @@ class PackingAndStatsSpec extends SparkSpec {
     assert(v("y").getAs[Long]("df") == 2 && v("y").getAs[Long]("cf") == 2)
     assert(math.abs(v("z").getAs[Double]("idf") - math.log(2.0)) < 1e-12)
   }
+
+  test("chunkByTokens: coverage, overlap, reconstruction, edge cases") {
+    val docs = Seq(
+      (1L, (1 to 100).map(i => s"w$i").mkString(" ")), // 100 toks -> 3 chunks
+      (2L, (1 to 48).map(i => s"x$i").mkString(" ")),  // exactly max -> 1
+      (3L, (1 to 49).map(i => s"y$i").mkString(" ")),  // 1 over -> 2
+      (4L, "  a \n b\tc  "),                           // whitespace mess -> 1
+      (5L, "   ")                                      // no tokens -> 0 chunks
+    ).toDF("doc_id", "text")
+    val out = Packing.chunkByTokens(docs, "doc_id", "text", 48, 8)
+      .orderBy($"doc_id", $"chunk_id")
+      .as[(Long, Int, Int, Int, String)].collect()
+
+    val byDoc = out.groupBy(_._1)
+    assert(byDoc(1L).length == 3 && byDoc(2L).length == 1 && byDoc(3L).length == 2)
+    assert(!byDoc.contains(5L))
+    assert(byDoc(4L).head._5 == "a b c")
+    // starts advance by stride=40; consecutive chunks share 8 tokens
+    assert(byDoc(1L).map(_._3).toSeq == Seq(0, 40, 80))
+    val c0 = byDoc(1L)(0)._5.split(" ")
+    val c1 = byDoc(1L)(1)._5.split(" ")
+    assert(c0.takeRight(8).toSeq == c1.take(8).toSeq)
+    // every token position is covered and lengths add up
+    assert(byDoc(1L).map(_._4).toSeq == Seq(48, 48, 20))
+    assert(byDoc(3L).map(_._4).toSeq == Seq(48, 9))
+    // dropping each chunk's leading overlap (after the first) rebuilds the doc
+    val rebuilt = byDoc(1L).sortBy(_._2).zipWithIndex.flatMap { case (c, i) =>
+      val ts = c._5.split(" ").toSeq
+      if (i == 0) ts else ts.drop(8)
+    }
+    assert(rebuilt.toSeq == (1 to 100).map(i => s"w$i"))
+  }
 }
