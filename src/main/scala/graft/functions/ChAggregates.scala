@@ -50,6 +50,25 @@ object ChAggregates {
   def groupUniqArray(c: Column): Column = collect_set(c)
   def uniqArraySorted(c: Column): Column = sort_array(collect_set(c))
 
+  /** sumMap(m) (ClickHouse parametric aggregate, the SummingMergeTree
+    * map-column fold): per group, sum map values key-wise and return
+    * (sorted keys, matching sums) — CH's exact output shape. Composed
+    * natively: explode → (group, key) partial-aggregated sum → per-group
+    * sorted entry collect. Both shuffles key on full cardinality
+    * (group × map key), so the work spreads at any scale.
+    */
+  def sumMap(df: org.apache.spark.sql.DataFrame, groupCols: Seq[String],
+             mapCol: Column): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.{col, explode, sort_array, collect_list, struct, sum}
+    val g = groupCols.map(col)
+    df.select(g :+ explode(mapCol).as(Seq("__k", "__v")): _*)
+      .groupBy(g :+ col("__k"): _*)
+      .agg(sum(col("__v")).as("__s"))
+      .groupBy(g: _*)
+      .agg(sort_array(collect_list(struct(col("__k"), col("__s")))).as("__e"))
+      .select(g :+ col("__e.__k").as("keys") :+ col("__e.__s").as("values"): _*)
+  }
+
   /** GROUP BY ... WITH TOTALS (lectures/lecture_06.md): the per-group rows
     * plus one grand-total row (group columns null), computed in ONE pass as
     * GROUPING SETS ((cols...), ()) — Spark plans a single expand+aggregate,

@@ -599,6 +599,22 @@ object MiscQueries {
           |FROM q64_nation ORDER BY n_name""".stripMargin)
     },
 
+    // ---- sumMap parametric aggregate (§2.4, the SummingMergeTree map
+    // fold): key-wise map-value sums per group, emitted as CH's
+    // (sorted keys, values) pair.
+    Q("q65_sum_map",
+      """WITH e AS (SELECT user_id % 10 AS g, event_type AS k,
+        |             event_id % 100 AS v FROM events),
+        |s AS (SELECT g, k, sum(v) AS sv FROM e GROUP BY g, k)
+        |SELECT g, list(k ORDER BY k) AS keys, list(sv ORDER BY k) AS values
+        |FROM s GROUP BY g ORDER BY g""") { (s, dir) =>
+      val ev = Tables(s, dir).events
+        .select((col("user_id") % 10).as("g"),
+          map(col("event_type"), col("event_id") % 100).as("m"))
+      graft.functions.ChAggregates.sumMap(ev, Seq("g"), col("m"))
+        .orderBy(col("g"))
+    },
+
     Q("q59_exists_subquery",
       """SELECT o_orderpriority, count(*) AS order_count
         |FROM orders
