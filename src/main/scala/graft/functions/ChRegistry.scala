@@ -33,6 +33,44 @@ object ChRegistry {
     f("toStartOfHour")(e => TruncTimestamp(Literal("hour"), e.head))
     f("toDate")(e => Cast(e.head, DateType))
     f("toDateTime")(e => Cast(e.head, TimestampType))
+    // calendar-part extraction; CH toDayOfWeek is ISO (Monday=1), Spark's
+    // WeekDay is Monday=0
+    f("toDayOfWeek")(e => Add(WeekDay(e.head), Literal(1)))
+    f("toDayOfMonth")(e => DayOfMonth(e.head))
+    f("toDayOfYear")(e => DayOfYear(e.head))
+    f("toHour")(e => Hour(e.head))
+    f("toMinute")(e => Minute(e.head))
+    f("toSecond")(e => Second(e.head))
+    f("toMonth")(e => Month(e.head))
+    f("toYear")(e => Year(e.head))
+    f("toQuarter")(e => Quarter(e.head))
+    f("toMonday")(e => Cast(TruncTimestamp(Literal("week"), e.head), DateType))
+    f("toStartOfQuarter")(e => TruncDate(e.head, Literal("quarter")))
+    f("toStartOfYear")(e => TruncDate(e.head, Literal("year")))
+    // date arithmetic
+    f("addDays")(e => DateAdd(e(0), e(1)))
+    f("subtractDays")(e => DateSub(e(0), e(1)))
+    f("addMonths")(e => AddMonths(e(0), e(1)))
+    f("subtractMonths")(e => AddMonths(e(0), UnaryMinus(e(1))))
+    f("addHours")(e => new TimestampAdd("HOUR", e(1), e(0)))
+    f("addMinutes")(e => new TimestampAdd("MINUTE", e(1), e(0)))
+    // dateDiff: the parser owns the 3-arg form — Spark's native
+    // `datediff(DAY, start, end)` (unquoted unit) has CH's argument order
+    // and end-minus-start semantics, so CH queries need only unquote the
+    // unit. This registration covers the quoted-'unit' form for
+    // non-parser call paths and keeps the builtin 2-arg datediff(end,
+    // start) working (the registry is case-insensitive, so the name
+    // shadows it).
+    f("dateDiff") {
+      case Seq(Literal(u, StringType), a, b) =>
+        new TimestampDiff(u.toString.toUpperCase(java.util.Locale.ROOT),
+          Cast(a, TimestampType), Cast(b, TimestampType))
+      case Seq(end, start) => DateDiff(end, start)
+      case e => throw new IllegalArgumentException(
+        s"dateDiff('unit', start, end) or datediff(end, start); got ${e.size} args")
+    }
+    f("toUnixTimestamp")(e => UnixTimestamp(e.head, Literal("yyyy-MM-dd HH:mm:ss")))
+    f("fromUnixTimestamp")(e => SecondsToTimestamp(e.head))
     // now()/today()/yesterday() (lectures/lecture_04.md, lecture_21.md usage)
     f("now")(_ => CurrentTimestamp())
     f("today")(_ => CurrentDate())

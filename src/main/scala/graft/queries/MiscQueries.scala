@@ -615,6 +615,44 @@ object MiscQueries {
         .orderBy(col("g"))
     },
 
+    // ---- date-function breadth (§2.8) through CH-dialect names:
+    // calendar parts (ISO day-of-week), date arithmetic, dateDiff,
+    // toMonday — one oracle row proves value parity across engines.
+    Q("q66_date_breadth",
+      """WITH o AS (SELECT o_orderkey, CAST(o_orderdate AS DATE) AS d
+        |           FROM orders WHERE o_custkey < 50)
+        |SELECT o_orderkey,
+        |  CAST(isodow(d) AS INT) AS dow,
+        |  CAST(day(d) AS INT) AS dom,
+        |  CAST(dayofyear(d) AS INT) AS doy,
+        |  CAST(month(d) AS INT) AS mon,
+        |  CAST(year(d) AS INT) AS yr,
+        |  CAST(quarter(d) AS INT) AS q,
+        |  CAST(date_trunc('week', d) AS DATE) AS monday,
+        |  d + 10 AS plus10,
+        |  d - 3 AS minus3,
+        |  CAST(d + INTERVAL 2 MONTH AS DATE) AS plus2m,
+        |  date_diff('day', d, DATE '1998-12-31') AS to_end
+        |FROM o ORDER BY o_orderkey""") { (s, dir) =>
+      graft.functions.ChRegistry.registerAll(s)
+      Tables(s, dir).orders.filter(col("o_custkey") < 50)
+        .createOrReplaceTempView("q66_orders")
+      s.sql(
+        """SELECT o_orderkey,
+          |  toDayOfWeek(o_orderdate) AS dow,
+          |  toDayOfMonth(o_orderdate) AS dom,
+          |  toDayOfYear(o_orderdate) AS doy,
+          |  toMonth(o_orderdate) AS mon,
+          |  toYear(o_orderdate) AS yr,
+          |  toQuarter(o_orderdate) AS q,
+          |  toMonday(o_orderdate) AS monday,
+          |  addDays(o_orderdate, 10) AS plus10,
+          |  subtractDays(o_orderdate, 3) AS minus3,
+          |  addMonths(o_orderdate, 2) AS plus2m,
+          |  datediff(DAY, o_orderdate, DATE '1998-12-31') AS to_end
+          |FROM q66_orders ORDER BY o_orderkey""".stripMargin)
+    },
+
     Q("q59_exists_subquery",
       """SELECT o_orderpriority, count(*) AS order_count
         |FROM orders

@@ -227,6 +227,29 @@ class TextAndRegistrySpec extends SparkSpec {
     assert(clock.getDate(1).toLocalDate.minusDays(1) == clock.getDate(2).toLocalDate)
   }
 
+  test("dialect names: CH date family") {
+    val r = spark.sql(
+      """SELECT toDayOfWeek(DATE '2024-03-15') AS dow,  -- a Friday
+        |       toDayOfMonth(DATE '2024-03-15') AS dom,
+        |       toQuarter(DATE '2024-03-15') AS q,
+        |       toMonday(DATE '2024-03-15') AS mon,
+        |       addDays(DATE '2024-03-15', 20) AS ad,
+        |       subtractMonths(DATE '2024-03-15', 3) AS sm,
+        |       addHours(TIMESTAMP '2024-03-15 22:30:00', 3) AS ah,
+        |       datediff(DATE '2024-03-20', DATE '2024-03-15') AS dd2,
+        |       toUnixTimestamp(TIMESTAMP '1970-01-01 00:01:00') AS ux,
+        |       fromUnixTimestamp(60) AS fx
+        |""".stripMargin).collect().head
+    assert(r.getInt(0) == 5 && r.getInt(1) == 15 && r.getInt(2) == 1)
+    assert(r.getDate(3).toString == "2024-03-11")
+    assert(r.getDate(4).toString == "2024-04-04")
+    assert(r.getDate(5).toString == "2023-12-15")
+    assert(r.getTimestamp(6).toString == "2024-03-16 01:30:00.0")
+    assert(r.getInt(7) == 5)
+    assert(r.getLong(8) == 60L)
+    assert(r.getTimestamp(9).toInstant.getEpochSecond == 60L)
+  }
+
   test("dialect macros: parseDateTimeBestEffort family") {
     val r = spark.sql(
       """SELECT parseDateTimeBestEffort('2024-03-15 10:00:00') AS iso,
