@@ -140,4 +140,55 @@ class PlanAuditSpec extends SparkSpec {
     // the final per-query top-k partial-aggregates (bounded-heap state)
     assert(count(plan, "ObjectHashAggregate") >= 2, plan)
   }
+
+  test("t19: quota-sample cutoffs partial-aggregate and broadcast back") {
+    val plan = formatted(q("t19_quota_sample"))
+    // min-k buffers merge map-side (partial ObjectHashAggregate before
+    // the exchange), and the per-stratum cutoffs come back broadcast —
+    // the corpus side never shuffles for the filter
+    assert(count(plan, "ObjectHashAggregate") >= 2, plan)
+    assert(count(plan, "BroadcastHashJoin") >= 1, plan)
+    assert(count(plan, "SortMergeJoin") + count(plan, "ShuffledHashJoin") == 0,
+      "quota filter must broadcast cutoffs, not shuffle the corpus:\n" + plan)
+  }
+
+  test("t22: overlapping chunking is one shuffle-free corpus pass") {
+    val plan = formatted(
+      graft.operators.Packing.chunkByTokens(
+        graft.tables.Tables(spark, sfDir).documents,
+        "doc_id", "text", maxTokens = 48, overlap = 8))
+    assert(!plan.contains("Exchange"),
+      "chunking must not shuffle:\n" + plan)
+  }
+
+  test("t18: stratified rate sampling pushes nothing to a shuffle") {
+    val plan = formatted(q("t18_stratified_sample"))
+    // the only allowed exchange is the final orderBy's range partitioning
+    // ("Exchange (" matches tree lines only, not the detail section)
+    assert(count(plan, "Exchange (") <= 1, plan)
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("HashAggregate"),
+      "rate sampling is a pure map-side filter:\n" + plan)
+  }
+
+  test("bloom routing: might_contain filters the anti-join input map-side") {
+    import org.apache.spark.sql.functions.md5
+    import spark.implicits._
+    // parquet-backed inputs — a local Seq would let Catalyst constant-fold
+    // the filter away and hide the routing shape
+    val docs = graft.tables.Tables(spark, sfDir).documents
+      .select($"doc_id", md5($"text").as("__fp"))
+    val history = docs.filter($"doc_id" < 300).select("__fp")
+    val inc = docs.filter($"doc_id" >= 200)
+    val bits = graft.operators.BloomPrune.optimalNumBits(1000, 0.01)
+    val blob = graft.operators.BloomPrune.build(history, $"__fp", 1000, bits)
+    val might = graft.operators.BloomPrune.mightContain(blob, $"__fp")
+    val routed = inc.filter(might).join(history, Seq("__fp"), "left_anti")
+      .unionByName(inc.filter(!might))
+    val plan = formatted(routed)
+    // the probe sits in a map-side Filter on the scan side of the join
+    assert(plan.contains("might_contain"), plan)
+    // routing adds no extra join: one anti-join total, one branch join-free
+    assert(count(plan, "Join") == count(formatted(
+      inc.join(history, Seq("__fp"), "left_anti")), "Join"), plan)
+  }
 }
