@@ -211,6 +211,32 @@ object ChRegistry {
     f("arrayEnumerate")(e =>
       new Sequence(Literal(1), Size(e.head)))  // 1..len, lecture_06.md:15
     f("indexOf")(e => ArrayPosition(e(0), e(1)))
+    // array manipulation family (lectures/lecture_06.md) — native
+    // collection expressions; CH's n-ary arrayIntersect/arrayConcat fold
+    f("arrayIntersect")(e => e.reduce(ArrayIntersect(_, _)))
+    f("arrayConcat")(e => Concat(e))
+    f("arraySort")(e => new SortArray(e.head))
+    f("arrayReverseSort")(e => SortArray(e.head, Literal(false)))
+    f("arrayReverse")(e => Reverse(e.head))
+    f("arrayDistinct")(e => ArrayDistinct(e.head))
+    f("arrayFlatten")(e => Flatten(e.head))
+    f("arrayPushBack")(e => ArrayAppend(e(0), e(1)))
+    f("arrayPushFront")(e => ArrayPrepend(e(0), e(1)))
+    f("arrayPopBack")(e => Slice(e(0), Literal(1),
+      Greatest(Seq(Literal(0), Subtract(Size(e(0)), Literal(1))))))
+    f("arrayPopFront")(e => Slice(e(0), Literal(2),
+      Greatest(Seq(Literal(0), Subtract(Size(e(0)), Literal(1))))))
+    // arraySlice(arr, offset[, length]) — 1-based, negative offset from
+    // the end (Slice shares CH's convention); open length = "to the end"
+    f("arraySlice") {
+      case Seq(a, off) =>
+        Slice(a, off, If(GreaterThan(off, Literal(0)),
+          Greatest(Seq(Literal(0), Subtract(Add(Size(a), Literal(1)), off))),
+          UnaryMinus(off)))
+      case Seq(a, off, len) => Slice(a, off, len)
+      case e => throw new IllegalArgumentException(
+        s"arraySlice(arr, offset[, length]); got ${e.size} args")
+    }
 
     // parser-backed dialect macros — inlined expressions, so Catalyst
     // optimizes through them like any built-in
@@ -251,6 +277,22 @@ object ChRegistry {
     // foldable pattern — constant folding inlines concat of literals)
     macros.createFunction("extractURLParameter", Seq("u", "p"),
       "regexp_extract(u, concat('[?&]', p, '=([^&#]*)'), 1)", orReplace = true)
+    // numeric array folds as lambda macros (ChUdfs binds lambda names);
+    // results are DOUBLE (CH widens integer arrays similarly)
+    macros.createFunction("arraySum", Seq("arr"),
+      "aggregate(arr, CAST(0 AS DOUBLE), (acc, x) -> acc + x)",
+      orReplace = true)
+    macros.createFunction("arrayProduct", Seq("arr"),
+      "aggregate(arr, CAST(1 AS DOUBLE), (acc, x) -> acc * x)",
+      orReplace = true)
+    macros.createFunction("arrayAvg", Seq("arr"),
+      "CASE WHEN size(arr) = 0 THEN 0.0D ELSE " +
+        "aggregate(arr, CAST(0 AS DOUBLE), (acc, x) -> acc + x) / size(arr) END",
+      orReplace = true)
+    macros.createFunction("arrayMin", Seq("arr"), "array_min(arr)",
+      orReplace = true)
+    macros.createFunction("arrayMax", Seq("arr"), "array_max(arr)",
+      orReplace = true)
     // lenient multi-format parses (lectures/lecture_21.md:105-107); the US
     // variant tries month-first forms before the ISO fallbacks, OrZero
     // yields epoch 0 instead of NULL on unparseable input

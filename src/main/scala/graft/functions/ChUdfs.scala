@@ -32,13 +32,22 @@ final class ChUdfs(spark: SparkSession) {
         f.nameParts.last
     }.toSet
     require(!calledFns.contains(name), s"recursive UDF $name not allowed")
-    val unknown = referenced -- params.toSet
+    // names bound by lambda arguments inside the body (higher-order
+    // functions: `(acc, x) -> acc + x`) are not macro parameters
+    val lambdaBound = body.collect {
+      case l: org.apache.spark.sql.catalyst.expressions.LambdaFunction =>
+        l.arguments.map(_.name)
+    }.flatten.toSet
+    val unknown = referenced -- params.toSet -- lambdaBound
     require(unknown.isEmpty, s"body references non-parameters: $unknown")
     val builder: Seq[Expression] => Expression = { args =>
       require(args.length == params.length,
         s"$name expects ${params.length} arguments, got ${args.length}")
       val byName = params.zip(args).toMap
-      body.transformUp { case a: UnresolvedAttribute => byName(a.name) }
+      // lambda-bound names stay as-is for the analyzer to bind
+      body.transformUp {
+        case a: UnresolvedAttribute => byName.getOrElse(a.name, a)
+      }
     }
     spark.sessionState.functionRegistry
       .createOrReplaceTempFunction(name, builder, "sql_udf")

@@ -653,6 +653,61 @@ object MiscQueries {
           |FROM q66_orders ORDER BY o_orderkey""".stripMargin)
     },
 
+    // ---- array-function breadth (§2.8, lecture_06's array family)
+    // through CH-dialect names; order-unstable ops (intersect/distinct)
+    // are sorted on both sides so the oracle compares sets, not layouts.
+    Q("q67_array_breadth",
+      """WITH t AS (SELECT CAST(n_nationkey AS BIGINT) AS k FROM nation),
+        |u AS (SELECT k, [k % 5, k % 3, CAST(7 AS BIGINT)] AS a,
+        |             [k % 3, CAST(2 AS BIGINT)] AS b FROM t)
+        |SELECT k,
+        |  list_sort(list_intersect(a, b)) AS ai,
+        |  list_concat(a, b) AS ac,
+        |  list_sort(a) AS asrt,
+        |  list_reverse_sort(a) AS arsrt,
+        |  list_reverse(a) AS arev,
+        |  list_sort(list_distinct(a)) AS adis,
+        |  flatten([a, b]) AS afl,
+        |  list_append(a, CAST(9 AS BIGINT)) AS apb,
+        |  list_prepend(CAST(9 AS BIGINT), a) AS apf,
+        |  a[1:len(a)-1] AS apob,
+        |  a[2:len(a)] AS apof,
+        |  a[2:len(a)] AS asl,
+        |  a[1:2] AS asl2,
+        |  CAST(list_sum(a) AS DOUBLE) AS asum,
+        |  CAST(list_aggregate(a, 'product') AS DOUBLE) AS aprod,
+        |  CAST(list_avg(a) AS DOUBLE) AS aavg,
+        |  list_min(a) AS amin, list_max(a) AS amax
+        |FROM u ORDER BY k""") { (s, dir) =>
+      graft.functions.ChRegistry.registerAll(s)
+      Tables(s, dir).nation
+        .select(col("n_nationkey").cast(LongType).as("k"))
+        .createOrReplaceTempView("q67_nation")
+      s.sql(
+        """WITH u AS (SELECT k,
+          |    array(k % 5, k % 3, CAST(7 AS BIGINT)) AS a,
+          |    array(k % 3, CAST(2 AS BIGINT)) AS b FROM q67_nation)
+          |SELECT k,
+          |  arraySort(arrayIntersect(a, b)) AS ai,
+          |  arrayConcat(a, b) AS ac,
+          |  arraySort(a) AS asrt,
+          |  arrayReverseSort(a) AS arsrt,
+          |  arrayReverse(a) AS arev,
+          |  arraySort(arrayDistinct(a)) AS adis,
+          |  arrayFlatten(array(a, b)) AS afl,
+          |  arrayPushBack(a, CAST(9 AS BIGINT)) AS apb,
+          |  arrayPushFront(a, CAST(9 AS BIGINT)) AS apf,
+          |  arrayPopBack(a) AS apob,
+          |  arrayPopFront(a) AS apof,
+          |  arraySlice(a, 2) AS asl,
+          |  arraySlice(a, 1, 2) AS asl2,
+          |  arraySum(a) AS asum,
+          |  arrayProduct(a) AS aprod,
+          |  arrayAvg(a) AS aavg,
+          |  arrayMin(a) AS amin, arrayMax(a) AS amax
+          |FROM u ORDER BY k""".stripMargin)
+    },
+
     Q("q59_exists_subquery",
       """SELECT o_orderpriority, count(*) AS order_count
         |FROM orders

@@ -34,6 +34,20 @@ class ChUdfsSpec extends SparkSpec {
     intercept[Exception](spark.sql("SELECT fTmp(1)").collect())
   }
 
+  test("lambda-bound names in macro bodies are not treated as parameters") {
+    val udfs = new ChUdfs(spark)
+    udfs.createFunction("fSumSq", Seq("arr"),
+      "aggregate(arr, CAST(0 AS DOUBLE), (acc, x) -> acc + x * x)",
+      orReplace = true)
+    val v = spark.sql("SELECT fSumSq(array(1, 2, 3)) AS v")
+      .collect().head.getDouble(0)
+    assert(v == 14.0)
+    // free variables outside lambdas still rejected
+    intercept[IllegalArgumentException](
+      udfs.createFunction("fBad2", Seq("arr"),
+        "aggregate(arr, z, (acc, x) -> acc + x)"))
+  }
+
   test("macros optimize through Catalyst (constant folding)") {
     val udfs = new ChUdfs(spark)
     udfs.createFunction("fFold", Seq("x"), "x * 2", orReplace = true)
