@@ -34,6 +34,43 @@ object CorpusStats {
           log(col("n_docs").cast(DoubleType) / col("df").cast(DoubleType)))
   }
 
+  /** Char-n-gram LM quality scoring — the CCNet-style perplexity filter:
+    * train add-one-smoothed n-gram counts on the corpus, then score every
+    * document by its average negative log-likelihood under that model
+    * (high = unusual character statistics = likely junk).
+    *
+    * The model is BOUNDED BY CONSTRUCTION: normalized text draws from a
+    * 37-symbol alphabet ([a-z0-9 ]), so the count table holds at most
+    * 37^n grams (~50k for n=3) regardless of corpus size — it broadcasts
+    * at 100 TB exactly as it does at test scale. One shuffle to count,
+    * one broadcast join to score, one doc-keyed aggregate.
+    *
+    * `nll` is rounded to 4 decimals: the per-doc mean sums doubles whose
+    * addition order differs across engines/partitionings (same dodge as
+    * [[tfidf]]'s oracle).
+    */
+  def perplexityScore(docs: DataFrame, idCol: String, textCol: String,
+                      n: Int = 3): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    graft.plans.NativeFunctions.register(docs.sparkSession)
+    val norm = graft.plans.NativeFunctions.normText(col(textCol))
+    val grams = docs
+      .select(col(idCol), norm.as("__norm"))
+      .filter(length(col("__norm")) >= n)
+      .select(col(idCol), explode(transform(
+        sequence(lit(1), length(col("__norm")) - (n - 1)),
+        i => col("__norm").substr(i, lit(n)))).as("__g"))
+    val counts = grams.groupBy(col("__g")).agg(count(lit(1)).as("__c"))
+    val totals = counts.agg(sum(col("__c")).as("__n"), count(lit(1)).as("__v"))
+    grams.join(broadcast(counts), Seq("__g"), "left")
+      .crossJoin(broadcast(totals))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_grams"),
+        round(avg(-log(
+          (coalesce(col("__c"), lit(0L)) + 1).cast(DoubleType) /
+            (col("__n") + col("__v")).cast(DoubleType))), 4).as("nll"))
+  }
+
   /** Corpus vocabulary report: per-term document frequency, collection
     * frequency, and IDF — the side table a curation pipeline keeps for
     * stopword mining and rare-term filtering.

@@ -900,6 +900,27 @@ object PipelineQueries {
         .orderBy(col("doc_id"), col("chunk_id"))
     },
 
+    // ---- char-trigram LM perplexity scoring (CCNet-style quality
+    // filter): add-one-smoothed trigram model trained ON the corpus,
+    // each doc scored by mean -ln p(gram). Model size is bounded by the
+    // 37-symbol normalized alphabet (<= 37^3 grams) so it broadcasts at
+    // any corpus scale. nll rounded to 4 decimals (double-sum order).
+    Q("t23_perplexity",
+      s"""WITH b AS (SELECT doc_id, $normSql AS norm FROM documents),
+         |f AS (SELECT doc_id, norm FROM b WHERE length(norm) >= 3),
+         |g AS (SELECT doc_id,
+         |        unnest([substr(norm, i, 3) for i in range(1, len(norm) - 1)]) AS gr
+         |      FROM f),
+         |c AS (SELECT gr, count(*) AS c FROM g GROUP BY gr),
+         |t AS (SELECT sum(c) AS n, count(*) AS v FROM c)
+         |SELECT doc_id, count(*) AS n_grams,
+         |  round(avg(-ln(CAST(c.c + 1 AS DOUBLE) / CAST(t.n + t.v AS DOUBLE))), 4) AS nll
+         |FROM g JOIN c USING (gr) CROSS JOIN t
+         |GROUP BY doc_id ORDER BY doc_id""") { (s, dir) =>
+      CorpusStats.perplexityScore(Tables(s, dir).documents, "doc_id", "text")
+        .orderBy(col("doc_id"))
+    },
+
     // ---- exact substring duplicate spans (Lee et al. 2022, fixed-k
     // positional-gram form): every 5-token window occurring >1 time in
     // the corpus marks its positions; overlapping windows merge into

@@ -186,6 +186,23 @@ class PackingAndStatsSpec extends SparkSpec {
     assert(math.abs(v("z").getAs[Double]("idf") - math.log(2.0)) < 1e-12)
   }
 
+  test("perplexityScore ranks planted junk above normal text") {
+    val normal = (1L to 40L).map(i =>
+      (i, s"the quick brown fox jumps over the lazy dog number $i and then " +
+        "walks back home through the quiet evening streets"))
+    val junk = Seq(
+      (100L, "qzxj wvkq pzzt xqzv jjqk zzxw qvjp kxzq wqzz jxvk qpzt zvxq"),
+      (101L, "zz"))  // < 3 normalized chars -> excluded entirely
+    val scored = CorpusStats.perplexityScore(
+      (normal ++ junk).toDF("doc_id", "text"), "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(!scored.contains(101L))
+    val junkNll = scored(100L)
+    val normalMax = normal.map(_._1).map(scored).max
+    assert(junkNll > normalMax,
+      s"junk nll $junkNll must exceed every normal doc (max $normalMax)")
+  }
+
   test("chunkByTokens: coverage, overlap, reconstruction, edge cases") {
     val docs = Seq(
       (1L, (1 to 100).map(i => s"w$i").mkString(" ")), // 100 toks -> 3 chunks
