@@ -546,7 +546,8 @@ object Dedup {
     * point every component is a star centered on its minimum.
     */
   def connectedComponentsStars(pairs: DataFrame, maxIter: Int = 25,
-                               reliableEvery: Int = 0): DataFrame = {
+                               reliableEvery: Int = 0,
+                               localFinishThreshold: Long = 2000000L): DataFrame = {
     val durableMode = reliableEvery > 0
     // canonical (big, small) directed edges, self-loops dropped
     var edges = pinnedRound(pairs
@@ -605,6 +606,40 @@ object Dedup {
         done = nextSig == sig
         sig = nextSig
         round += 1
+        // ADAPTIVE LOCAL FINISH: contraction shrinks the edge list
+        // geometrically, so the tail rounds run 2 shuffles + a probe over
+        // a graph that is tiny relative to the cluster — per-round fixed
+        // cost dominates. Once the contracted graph fits comfortably on
+        // the driver (count is free in the signature), finish it there
+        // with union-find and emit the star edges directly. Same hybrid
+        // GraphX/GraphFrames use; at ANY corpus scale the threshold is an
+        // absolute bound on driver memory (~16 bytes/edge).
+        if (!done && nextSig._1 > 0 && nextSig._1 <= localFinishThreshold) {
+          val local = edges.select(col("u"), col("v")).collect()
+            .map(r => (r.getLong(0), r.getLong(1)))
+          val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+          def find(x: Long): Long = {
+            var r = x
+            while (parent.getOrElse(r, r) != r) r = parent(r)
+            var c = x // path compression
+            while (parent.getOrElse(c, c) != c) { val nxt = parent(c); parent(c) = r; c = nxt }
+            r
+          }
+          local.foreach { case (a, b) =>
+            val (ra, rb) = (find(a), find(b))
+            if (ra != rb) { // smaller root wins -> labels stay component minima
+              if (ra < rb) parent(rb) = ra else parent(ra) = rb
+            }
+          }
+          val stars = local.iterator
+            .flatMap { case (a, b) => Iterator(a, b) }
+            .toSet[Long].iterator
+            .map(id => (id, find(id)))
+            .filter { case (id, r) => id != r }
+            .toSeq
+          edges = pairs.sparkSession.createDataFrame(stars).toDF("u", "v")
+          done = true
+        }
       } catch {
         case e: org.apache.spark.SparkException
             if anchor.isDefined && retriesLeft > 0 =>
@@ -630,8 +665,10 @@ object Dedup {
     */
   def clusterRepresentatives(df: DataFrame, idCol: String,
                              pairs: DataFrame, maxIter: Int = 25,
-                             reliableEvery: Int = 0): DataFrame = {
-    val cc = connectedComponentsStars(pairs, maxIter, reliableEvery)
+                             reliableEvery: Int = 0,
+                             localFinishThreshold: Long = 2000000L): DataFrame = {
+    val cc = connectedComponentsStars(pairs, maxIter, reliableEvery,
+      localFinishThreshold)
     df.join(cc.withColumnRenamed("id", idCol), Seq(idCol), "left")
       .withColumn("cluster_id", coalesce(col("label"), col(idCol)))
       .drop("label")

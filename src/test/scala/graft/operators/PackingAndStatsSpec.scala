@@ -155,9 +155,16 @@ class PackingAndStatsSpec extends SparkSpec {
           edges.flatMap(e => Seq(e._1, e._2)).distinct
             .filter(u => find(u.toInt) == root).min
         }).toMap
+      // default path finishes locally once the contracted graph is small;
+      // threshold 0 forces the pure-distributed fixed point — both must
+      // agree with ground truth
       val got = Dedup.connectedComponentsStars(edges.toDF("a", "b")).collect()
         .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val distributed = Dedup.connectedComponentsStars(edges.toDF("a", "b"),
+          localFinishThreshold = 0L).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
       assert(got == truth, s"trial $trial")
+      assert(distributed == truth, s"trial $trial (distributed)")
     }
   }
 
