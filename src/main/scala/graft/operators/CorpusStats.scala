@@ -54,12 +54,14 @@ object CorpusStats {
     require(n >= 1, s"n must be >= 1, got $n")
     graft.plans.NativeFunctions.register(docs.sparkSession)
     val norm = graft.plans.NativeFunctions.normText(col(textCol))
-    val grams = docs
+    // pinned: the exploded gram stream feeds BOTH the model count and the
+    // scoring join — without it the normalize+explode pass runs twice
+    val grams = org.apache.spark.sql.graftinternal.Rematerialize(docs
       .select(col(idCol), norm.as("__norm"))
       .filter(length(col("__norm")) >= n)
       .select(col(idCol), explode(transform(
         sequence(lit(1), length(col("__norm")) - (n - 1)),
-        i => col("__norm").substr(i, lit(n)))).as("__g"))
+        i => col("__norm").substr(i, lit(n)))).as("__g")))
     val counts = grams.groupBy(col("__g")).agg(count(lit(1)).as("__c"))
     val totals = counts.agg(sum(col("__c")).as("__n"), count(lit(1)).as("__v"))
     grams.join(broadcast(counts), Seq("__g"), "left")
