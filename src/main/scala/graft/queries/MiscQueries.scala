@@ -708,6 +708,16 @@ object MiscQueries {
           |FROM u ORDER BY k""".stripMargin)
     },
 
+    // ---- SELECT * EXCEPT (cols) (§2.2, CH star modifier): drop named
+    // columns from the star expansion — native in Spark 4's parser,
+    // DuckDB spells it EXCLUDE.
+    Q("q68_star_except",
+      """SELECT * EXCLUDE (n_regionkey) FROM nation ORDER BY n_nationkey""") {
+      (s, dir) =>
+        Tables(s, dir).nation.createOrReplaceTempView("q68_nation")
+        s.sql("SELECT * EXCEPT (n_regionkey) FROM q68_nation ORDER BY n_nationkey")
+    },
+
     Q("q59_exists_subquery",
       """SELECT o_orderpriority, count(*) AS order_count
         |FROM orders
