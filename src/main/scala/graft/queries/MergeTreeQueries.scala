@@ -139,6 +139,35 @@ object MergeTreeQueries {
         .orderBy(col("column"))
     },
 
+    // ---- tokenbf_v1 data-skipping index (lectures/lecture_08.md:105,169):
+    // a rare token is planted in ~1/97 docs, the table is written as 8
+    // files, a per-file token-bloom sidecar is built, and the search
+    // reads ONLY the files the index cannot rule out. Pruning is
+    // advisory — the exact token filter still runs — so the result is
+    // oracle-identical to a full scan while skipping most of the I/O.
+    Q("q69_token_skip_index",
+      """WITH e AS (SELECT doc_id,
+        |  text || CASE WHEN doc_id % 97 = 0 THEN ' xylophonezq' ELSE '' END AS t
+        |  FROM documents)
+        |SELECT doc_id FROM e
+        |WHERE list_contains(string_split(regexp_replace(lower(t), '[^a-z0-9]+', ' ', 'g'), ' '), 'xylophonezq')
+        |ORDER BY doc_id""") { (s, dir) =>
+      import graft.mergetree.SkipIndex
+      val docs = Tables(s, dir).documents.select(col("doc_id"),
+        concat(col("text"),
+          when(pmod(col("doc_id"), lit(97)) === 0, " xylophonezq")
+            .otherwise("")).as("t"))
+      val tmp = "/tmp/graft_skipidx_q69"
+      docs.repartitionByRange(8, col("doc_id"))
+        .write.mode("overwrite").parquet(tmp)
+      SkipIndex.buildTokenBloom(s, tmp, "t", "tbf", expectedPerFile = 1000000)
+      val survivors = SkipIndex.filesBloomMightContain(s, tmp, "tbf", "xylophonezq")
+      SkipIndex.readPruned(s, tmp, survivors)
+        .filter(array_contains(split(lower(col("t")), "[^a-z0-9]+"), "xylophonezq"))
+        .select(col("doc_id"))
+        .orderBy(col("doc_id"))
+    },
+
     // ---- uniqState → uniqMerge over our own HLL sketch
     // (lectures/lecture_13.md:60-93). The sketch is internal to the engine,
     // so no SQL oracle — the spec asserts merge-of-states == direct state

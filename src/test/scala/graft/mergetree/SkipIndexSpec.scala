@@ -1,0 +1,75 @@
+package graft.mergetree
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class SkipIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def table(dir: String): Unit =
+    (0L until 800L).map { i =>
+      val tok = if (i == 137L) "zzyzxq" else s"tok${i % 40}"
+      (i, s"k${i % 500}", s"cat${i / 100}", s"common words $tok here")
+    }.toDF("id", "key", "cat", "text")
+      .repartitionByRange(8, $"id")
+      .write.parquet(dir)
+
+  test("bloom_filter index prunes files; pruned read equals full filter") {
+    val dir = Files.createTempDirectory("graft_skip").toString + "/t"
+    table(dir)
+    SkipIndex.buildBloom(spark, dir, "key", "bf_key", expectedPerFile = 1000)
+    val total = SystemTables.parts(spark, dir).count()
+    val survivors = SkipIndex.filesBloomMightContain(spark, dir, "bf_key", "k137")
+    assert(survivors.nonEmpty && survivors.size < total,
+      s"no pruning: ${survivors.size} of $total files")
+    val pruned = SkipIndex.readPruned(spark, dir, survivors)
+      .filter($"key" === "k137").select("id").as[Long].collect().sorted
+    val full = spark.read.parquet(dir)
+      .filter($"key" === "k137").select("id").as[Long].collect().sorted
+    assert(pruned.toSeq == full.toSeq && full.nonEmpty)
+  }
+
+  test("tokenbf index: token probe prunes to the planting file") {
+    val dir = Files.createTempDirectory("graft_skip").toString + "/t"
+    table(dir)
+    SkipIndex.buildTokenBloom(spark, dir, "text", "tbf", expectedPerFile = 10000)
+    val survivors = SkipIndex.filesBloomMightContain(spark, dir, "tbf", "zzyzxq")
+    assert(survivors.size < 8, s"token probe did not prune: $survivors")
+    val ids = SkipIndex.readPruned(spark, dir, survivors)
+      .filter(array_contains(split(lower($"text"), "[^a-z0-9]+"), "zzyzxq"))
+      .select("id").as[Long].collect()
+    assert(ids.toSeq == Seq(137L))
+    // a token in every file survives everywhere (no false pruning)
+    assert(SkipIndex.filesBloomMightContain(spark, dir, "tbf", "common").size == 8)
+  }
+
+  test("set(N) index: capped distinct sets, NULL = always match") {
+    val dir = Files.createTempDirectory("graft_skip").toString + "/t"
+    table(dir)
+    // cat has ~1-2 distinct per file (cap holds); key blows the cap -> NULL
+    SkipIndex.buildSet(spark, dir, "cat", "set_cat", maxValues = 10)
+    SkipIndex.buildSet(spark, dir, "key", "set_key", maxValues = 10)
+    val catSurvivors = SkipIndex.filesSetMightContain(spark, dir, "set_cat", "cat0")
+    assert(catSurvivors.size < 8, s"set index did not prune: $catSurvivors")
+    // over-cap summaries are NULL and never prune
+    assert(SkipIndex.filesSetMightContain(spark, dir, "set_key", "k0").size == 8)
+    val pruned = SkipIndex.readPruned(spark, dir, catSurvivors)
+      .filter($"cat" === "cat0").count()
+    assert(pruned == 100)
+  }
+
+  test("no survivors yields an empty read with the table schema") {
+    val dir = Files.createTempDirectory("graft_skip").toString + "/t"
+    table(dir)
+    SkipIndex.buildBloom(spark, dir, "key", "bf2", expectedPerFile = 1000)
+    val survivors = SkipIndex.filesBloomMightContain(spark, dir, "bf2",
+      "definitely-not-present-anywhere-xq")
+    val out = SkipIndex.readPruned(spark, dir, survivors)
+    assert(out.columns.toSeq == Seq("id", "key", "cat", "text"))
+    // bloom may false-positive a file or two; the exact filter still wins
+    assert(out.filter($"key" === "definitely-not-present-anywhere-xq").count() == 0)
+  }
+}
