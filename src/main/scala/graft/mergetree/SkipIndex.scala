@@ -57,6 +57,30 @@ object SkipIndex {
       .write.mode("overwrite").parquet(sidecar(path, name))
   }
 
+  /** ngrambf_v1 index: per-file bloom over the character n-grams of a
+    * text column — unlike tokenbf this prunes SUBSTRING searches
+    * (`LIKE '%needle%'`): a file can only match if every n-gram of the
+    * needle is present ([[filesNgramMightContain]] probes all of them).
+    */
+  def buildNgramBloom(spark: SparkSession, path: String, textColumn: String,
+                      name: String, n: Int = 3,
+                      expectedPerFile: Long = 1000000L,
+                      fpp: Double = 0.01): Unit = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    NativeFunctions.register(spark)
+    val bits = BloomPrune.optimalNumBits(expectedPerFile, fpp)
+    val low = lower(col(textColumn))
+    spark.read.parquet(path)
+      .select(input_file_name().as("file"),
+        explode(transform(
+          sequence(lit(1), greatest(length(low) - (n - 1), lit(0))),
+          i => low.substr(i, lit(n)))).as("g"))
+      .groupBy(col("file"))
+      .agg(NativeFunctions.bloomAgg(col("g"), expectedPerFile, bits).as("bloom"))
+      .coalesce(1)
+      .write.mode("overwrite").parquet(sidecar(path, name))
+  }
+
   /** set(N) index: per-file distinct values, capped — a file whose
     * distinct count exceeds `maxValues` stores NULL (= always matches,
     * CH's "index useless for this part" semantics).
@@ -91,6 +115,30 @@ object SkipIndex {
           .mightContainLong(hash)
       }
       .map(_.getString(0)).toSeq
+  }
+
+  /** Files an ngrambf index cannot rule out for a SUBSTRING search:
+    * every n-gram of the (lowercased) needle must might-contain.
+    * Needles shorter than n cannot use the index (all files survive).
+    */
+  def filesNgramMightContain(spark: SparkSession, path: String, name: String,
+                             needle: String, n: Int = 3): Seq[String] = {
+    import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
+    val low = needle.toLowerCase(java.util.Locale.ROOT)
+    val grams = (0 to low.length - n).map(i => low.substring(i, i + n))
+    val rows = spark.read.parquet(sidecar(path, name))
+      .select(col("file"), col("bloom")).collect().toSeq
+    if (grams.isEmpty) return rows.map(_.getString(0))
+    val hashes = grams.map(g =>
+      new XxHash64(Seq(Literal(g))).eval(null).asInstanceOf[Long])
+    rows.iterator.filter { r =>
+      val blob = r.getAs[Array[Byte]](1)
+      blob == null || {
+        val bf = org.apache.spark.util.sketch.BloomFilter
+          .readFrom(new java.io.ByteArrayInputStream(blob))
+        hashes.forall(bf.mightContainLong)
+      }
+    }.map(_.getString(0)).toSeq
   }
 
   /** Files a set(N) index cannot rule out (NULL summary = always match). */

@@ -61,6 +61,23 @@ class SkipIndexSpec extends SparkSpec {
     assert(pruned == 100)
   }
 
+  test("ngrambf index prunes substring (LIKE) searches") {
+    val dir = Files.createTempDirectory("graft_skip").toString + "/t"
+    table(dir)
+    SkipIndex.buildNgramBloom(spark, dir, "text", "nbf", n = 3,
+      expectedPerFile = 100000)
+    // 'zzyzxq' lives in one file; probe by a mid-substring LIKE would use
+    val survivors = SkipIndex.filesNgramMightContain(spark, dir, "nbf", "zyzx")
+    assert(survivors.size < 8, s"ngram probe did not prune: $survivors")
+    val ids = SkipIndex.readPruned(spark, dir, survivors)
+      .filter($"text".contains("zyzx")).select("id").as[Long].collect()
+    assert(ids.toSeq == Seq(137L))
+    // needle shorter than n: index unusable, all files survive
+    assert(SkipIndex.filesNgramMightContain(spark, dir, "nbf", "zy").size == 8)
+    // substring present everywhere survives everywhere
+    assert(SkipIndex.filesNgramMightContain(spark, dir, "nbf", "common").size == 8)
+  }
+
   test("no survivors yields an empty read with the table schema") {
     val dir = Files.createTempDirectory("graft_skip").toString + "/t"
     table(dir)
