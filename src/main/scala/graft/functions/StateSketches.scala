@@ -163,6 +163,72 @@ object StateSketches {
   /** finalizeAggregation for HLL states (lectures/lecture_13.md:148-182). */
   def finalizeUniq(state: Array[Byte]): Long = Hll.estimate(state)
 
+  // ---------- quantile: Greenwald-Khanna summary state (the sketch
+  // behind quantileState / quantileMerge in AggregatingMergeTree — like
+  // CH's, the summary depends on arrival order, but the rank-error bound
+  // holds under ANY merge order, which is what part merges need)
+
+  import org.apache.spark.sql.catalyst.util.QuantileSummaries
+
+  private val QRelErr = 0.01
+
+  private[functions] def packQ(qs0: QuantileSummaries): Array[Byte] = {
+    val qs = qs0.compress()
+    val s = qs.sampled
+    val bb = ByteBuffer.allocate(8 + 4 + 8 + 4 + s.length * 24)
+    bb.putDouble(qs.relativeError)
+    bb.putInt(qs.compressThreshold)
+    bb.putLong(qs.count)
+    bb.putInt(s.length)
+    s.foreach { st => bb.putDouble(st.value); bb.putLong(st.g); bb.putLong(st.delta) }
+    bb.array()
+  }
+
+  private[functions] def unpackQ(a: Array[Byte]): QuantileSummaries = {
+    val bb = ByteBuffer.wrap(a)
+    val relErr = bb.getDouble(); val thr = bb.getInt()
+    val count = bb.getLong(); val n = bb.getInt()
+    val s = Array.fill(n)(
+      QuantileSummaries.Stats(bb.getDouble(), bb.getLong(), bb.getLong()))
+    new QuantileSummaries(thr, relErr, s, count, true)
+  }
+
+  private def emptyQ: QuantileSummaries =
+    new QuantileSummaries(QuantileSummaries.defaultCompressThreshold, QRelErr)
+
+  // count stays 0 until the head buffer flushes — ALWAYS compress before
+  // testing emptiness or merging, or unflushed inserts silently vanish
+  private def mergeQ(a: QuantileSummaries, b: QuantileSummaries): QuantileSummaries = {
+    val ac = a.compress(); val bc = b.compress()
+    if (bc.count == 0) ac else if (ac.count == 0) bc else ac.merge(bc)
+  }
+
+  /** quantileState(x): build a mergeable rank summary per group. */
+  object QuantState extends Aggregator[Double, QuantileSummaries, Array[Byte]] {
+    def zero: QuantileSummaries = emptyQ
+    def reduce(b: QuantileSummaries, v: Double): QuantileSummaries = b.insert(v)
+    def merge(a: QuantileSummaries, b: QuantileSummaries): QuantileSummaries =
+      mergeQ(a, b)
+    def finish(b: QuantileSummaries): Array[Byte] = packQ(b)
+    def bufferEncoder: Encoder[QuantileSummaries] = Encoders.kryo[QuantileSummaries]
+    def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+  }
+
+  /** quantileMerge(q)(state): fold states, query the q-quantile. */
+  final class QuantMerge(q: Double)
+      extends Aggregator[Array[Byte], QuantileSummaries, Double] {
+    require(q >= 0 && q <= 1, s"quantile level in [0,1], got $q")
+    def zero: QuantileSummaries = emptyQ
+    def reduce(b: QuantileSummaries, v: Array[Byte]): QuantileSummaries =
+      if (v == null) b else merge(b, unpackQ(v))
+    def merge(a: QuantileSummaries, b: QuantileSummaries): QuantileSummaries =
+      mergeQ(a, b)
+    def finish(b: QuantileSummaries): Double =
+      b.compress().query(q).getOrElse(Double.NaN)
+    def bufferEncoder: Encoder[QuantileSummaries] = Encoders.kryo[QuantileSummaries]
+    def outputEncoder: Encoder[Double] = Encoders.scalaDouble
+  }
+
   // ---------- Column-level entry points
 
   def avgState(c: Column): Column = udaf(AvgCentsState).apply(c)
@@ -170,4 +236,7 @@ object StateSketches {
   def sumLongState(c: Column): Column = udaf(SumLongState).apply(c)
   def uniqState(c: Column): Column = udaf(UniqState).apply(c)
   def uniqMerge(c: Column): Column = udaf(UniqMerge).apply(c)
+  def quantileState(c: Column): Column = udaf(QuantState).apply(c)
+  def quantileMerge(q: Double)(c: Column): Column =
+    udaf(new QuantMerge(q)).apply(c)
 }

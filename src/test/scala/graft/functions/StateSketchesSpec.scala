@@ -41,4 +41,30 @@ class StateSketchesSpec extends SparkSpec {
       assert(math.abs(est - exact) / exact < 0.08, s"g=${r.get(0)} est=$est")
     }
   }
+
+  test("quantileState/quantileMerge: rank error bounded under any merge order") {
+    // 10k values 0..9999 split into 8 per-partition states, merged back
+    val vals = (0 until 10000).map(i => ((i % 8).toLong, i.toDouble))
+      .toDF("part", "v")
+    val states = vals.groupBy($"part").agg(quantileState($"v").as("st"))
+    // states survive a binary round-trip (the persistable-column contract)
+    val roundTrip = states.select($"part", $"st").collect()
+    assert(roundTrip.forall(_.getAs[Array[Byte]](1).length > 20))
+    for (q <- Seq(0.1, 0.5, 0.99)) {
+      val got = states.agg(quantileMerge(q)($"st")).as[Double].head()
+      val exactRank = q * 9999
+      // GK guarantees |rank(got) - q*n| <= relErr*n; values==ranks here
+      assert(math.abs(got - exactRank) <= 0.01 * 10000 + 1,
+        s"q=$q got=$got want~$exactRank")
+    }
+    // merge-of-states equals a single-state query within the same bound
+    val one = vals.agg(quantileState($"v").as("st"))
+      .agg(quantileMerge(0.5)($"st")).as[Double].head()
+    assert(math.abs(one - 4999.5) <= 101)
+    // empty input -> NaN
+    val empty = vals.filter($"v" < 0)
+      .agg(quantileState($"v").as("st"))
+      .agg(quantileMerge(0.5)($"st")).as[Double].head()
+    assert(empty.isNaN)
+  }
 }
