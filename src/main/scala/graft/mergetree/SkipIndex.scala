@@ -149,6 +149,37 @@ object SkipIndex {
         array_contains(col("vals"), lit(value).cast("string")))
       .select(col("file")).collect().map(_.getString(0)).toSeq
 
+  /** `EXPLAIN indexes = 1` analogue (lectures/lecture_07.md:198-230's
+    * "Parts: 1/10, Granules: 1/10" narrative): given named pruning layers
+    * (each a surviving-file list from [[filesBloomMightContain]] /
+    * [[filesSetMightContain]] / [[filesNgramMightContain]] or a sort-key
+    * minmax pass), report each layer's cumulative Parts: k/n line and
+    * return the final surviving set.
+    */
+  def pruningReport(spark: SparkSession, path: String,
+                    layers: Seq[(String, Seq[String])]): (String, Seq[String]) = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val it = fs.listFiles(root, true)
+    val rootPath = fs.makeQualified(root).toString
+    val all = Iterator.continually(it).takeWhile(_.hasNext).map(_.next())
+      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+      .map(_.getPath.toString)
+      // data files only: skip sidecars and other _-prefixed subtrees
+      .filter(p => !p.stripPrefix(rootPath).split('/').exists(_.startsWith("_")))
+      .toVector
+    // normalize away scheme spelling differences (file:/ vs file:///)
+    def norm(s: String): String =
+      new org.apache.hadoop.fs.Path(s).toUri.getPath
+    val total = all.size
+    var surviving = all.map(norm).toSet
+    val lines = layers.map { case (name, files) =>
+      surviving = surviving intersect files.map(norm).toSet
+      f"$name%s: Parts ${surviving.size}%d/$total%d"
+    }
+    (lines.mkString("\n"), surviving.toSeq.sorted)
+  }
+
   /** Read only the surviving files ([[filesBloomMightContain]] /
     * [[filesSetMightContain]]); empty survivors yield an empty frame with
     * the table's schema. Callers still apply their exact filter —

@@ -80,9 +80,16 @@ object SystemTables {
     val root = new Path(path)
     val fs = root.getFileSystem(hconf)
     val it = fs.listFiles(root, true)
+    val qualRoot = fs.makeQualified(root).toString
     val files = Iterator.continually(it)
       .takeWhile(_.hasNext).map(_.next())
       .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+      // `_detached/` parts stay visible (active=false rows); other
+      // _-prefixed subtrees (skip-index sidecars, markers) are not parts
+      .filter { f =>
+        val segs = f.getPath.toString.stripPrefix(qualRoot).split('/')
+        segs.forall(s => !s.startsWith("_") || s == "_detached")
+      }
       .map(f => (f.getPath.toString, f.getLen))
       .toVector
     // conf entries ride to the executors as plain pairs (Configuration

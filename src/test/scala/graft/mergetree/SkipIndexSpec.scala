@@ -44,6 +44,11 @@ class SkipIndexSpec extends SparkSpec {
     assert(ids.toSeq == Seq(137L))
     // a token in every file survives everywhere (no false pruning)
     assert(SkipIndex.filesBloomMightContain(spark, dir, "tbf", "common").size == 8)
+    // EXPLAIN indexes=1 style report composes layers
+    val (report, surviving2) = SkipIndex.pruningReport(spark, dir,
+      Seq("tokenbf(tbf)" -> survivors))
+    assert(report.matches("tokenbf\\(tbf\\): Parts \\d/8"), report)
+    assert(surviving2.size == survivors.size)
   }
 
   test("set(N) index: capped distinct sets, NULL = always match") {
