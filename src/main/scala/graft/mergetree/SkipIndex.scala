@@ -71,9 +71,12 @@ object SkipIndex {
     val bits = BloomPrune.optimalNumBits(expectedPerFile, fpp)
     val low = lower(col(textColumn))
     spark.read.parquet(path)
+      // texts shorter than n carry no n-grams (sequence(1, 0) would run
+      // DESCENDING and hash junk sub-grams into the filter)
+      .filter(length(low) >= n)
       .select(input_file_name().as("file"),
         explode(transform(
-          sequence(lit(1), greatest(length(low) - (n - 1), lit(0))),
+          sequence(lit(1), length(low) - (n - 1)),
           i => low.substr(i, lit(n)))).as("g"))
       .groupBy(col("file"))
       .agg(NativeFunctions.bloomAgg(col("g"), expectedPerFile, bits).as("bloom"))
@@ -96,6 +99,34 @@ object SkipIndex {
       .write.mode("overwrite").parquet(sidecar(path, name))
   }
 
+  private def normPath(s: String): String =
+    new org.apache.hadoop.fs.Path(s).toUri.getPath
+
+  /** Current data files joined with their sidecar summary (None when the
+    * file is NEWER than the index build or contributed no indexed rows —
+    * such files always survive: a stale index may cost I/O, never rows).
+    */
+  private def filesWithSummary[T](spark: SparkSession, path: String,
+                                  name: String, summaryCol: String,
+                                  get: org.apache.spark.sql.Row => T)
+      : Seq[(String, Option[T])] = {
+    val summaries = spark.read.parquet(sidecar(path, name))
+      .select(col("file"), col(summaryCol)).collect()
+      .map(r => normPath(r.getString(0)) ->
+        (if (r.isNullAt(1)) None else Some(get(r)))).toMap
+    SystemTables.listDataFiles(spark, path, keepDetached = false)
+      .map { case (f, _) => (f, summaries.getOrElse(normPath(f), None)) }
+  }
+
+  private def xxhash(value: Any): Long = {
+    import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
+    new XxHash64(Seq(Literal(value))).eval(null).asInstanceOf[Long]
+  }
+
+  private def readBf(blob: Array[Byte]) =
+    org.apache.spark.util.sketch.BloomFilter
+      .readFrom(new java.io.ByteArrayInputStream(blob))
+
   /** Files a bloom-family index (bloom_filter / tokenbf) cannot rule out
     * for `value`. The sidecar is one row per data file, so the membership
     * test runs on the driver over collected blobs; the hash matches the
@@ -103,18 +134,12 @@ object SkipIndex {
     */
   def filesBloomMightContain(spark: SparkSession, path: String, name: String,
                              value: Any): Seq[String] = {
-    import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
-    val hash = new XxHash64(Seq(Literal(value)))
-      .eval(null).asInstanceOf[Long]
-    spark.read.parquet(sidecar(path, name))
-      .select(col("file"), col("bloom")).collect().iterator
-      .filter { r =>
-        val blob = r.getAs[Array[Byte]](1)
-        blob != null && org.apache.spark.util.sketch.BloomFilter
-          .readFrom(new java.io.ByteArrayInputStream(blob))
-          .mightContainLong(hash)
-      }
-      .map(_.getString(0)).toSeq
+    val hash = xxhash(value)
+    filesWithSummary(spark, path, name, "bloom",
+        _.getAs[Array[Byte]](1)).collect {
+      case (f, None) => f
+      case (f, Some(blob)) if readBf(blob).mightContainLong(hash) => f
+    }
   }
 
   /** Files an ngrambf index cannot rule out for a SUBSTRING search:
@@ -123,31 +148,27 @@ object SkipIndex {
     */
   def filesNgramMightContain(spark: SparkSession, path: String, name: String,
                              needle: String, n: Int = 3): Seq[String] = {
-    import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
     val low = needle.toLowerCase(java.util.Locale.ROOT)
-    val grams = (0 to low.length - n).map(i => low.substring(i, i + n))
-    val rows = spark.read.parquet(sidecar(path, name))
-      .select(col("file"), col("bloom")).collect().toSeq
-    if (grams.isEmpty) return rows.map(_.getString(0))
-    val hashes = grams.map(g =>
-      new XxHash64(Seq(Literal(g))).eval(null).asInstanceOf[Long])
-    rows.iterator.filter { r =>
-      val blob = r.getAs[Array[Byte]](1)
-      blob == null || {
-        val bf = org.apache.spark.util.sketch.BloomFilter
-          .readFrom(new java.io.ByteArrayInputStream(blob))
-        hashes.forall(bf.mightContainLong)
-      }
-    }.map(_.getString(0)).toSeq
+    val hashes = (0 to low.length - n).map(i => xxhash(low.substring(i, i + n)))
+    filesWithSummary(spark, path, name, "bloom",
+        _.getAs[Array[Byte]](1)).collect {
+      case (f, None) => f
+      case (f, Some(blob)) if {
+        val bf = readBf(blob); hashes.forall(bf.mightContainLong)
+      } => f
+    }
   }
 
   /** Files a set(N) index cannot rule out (NULL summary = always match). */
   def filesSetMightContain(spark: SparkSession, path: String, name: String,
-                           value: Any): Seq[String] =
-    spark.read.parquet(sidecar(path, name))
-      .filter(col("vals").isNull ||
-        array_contains(col("vals"), lit(value).cast("string")))
-      .select(col("file")).collect().map(_.getString(0)).toSeq
+                           value: Any): Seq[String] = {
+    val v = String.valueOf(value)
+    filesWithSummary(spark, path, name, "vals",
+        _.getSeq[String](1)).collect {
+      case (f, None) => f
+      case (f, Some(vals)) if vals.contains(v) => f
+    }
+  }
 
   /** `EXPLAIN indexes = 1` analogue (lectures/lecture_07.md:198-230's
     * "Parts: 1/10, Granules: 1/10" narrative): given named pruning layers
@@ -158,23 +179,12 @@ object SkipIndex {
     */
   def pruningReport(spark: SparkSession, path: String,
                     layers: Seq[(String, Seq[String])]): (String, Seq[String]) = {
-    val root = new org.apache.hadoop.fs.Path(path)
-    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
-    val it = fs.listFiles(root, true)
-    val rootPath = fs.makeQualified(root).toString
-    val all = Iterator.continually(it).takeWhile(_.hasNext).map(_.next())
-      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
-      .map(_.getPath.toString)
-      // data files only: skip sidecars and other _-prefixed subtrees
-      .filter(p => !p.stripPrefix(rootPath).split('/').exists(_.startsWith("_")))
-      .toVector
-    // normalize away scheme spelling differences (file:/ vs file:///)
-    def norm(s: String): String =
-      new org.apache.hadoop.fs.Path(s).toUri.getPath
+    val all = SystemTables.listDataFiles(spark, path, keepDetached = false)
+      .map(f => normPath(f._1))
     val total = all.size
-    var surviving = all.map(norm).toSet
+    var surviving = all.toSet
     val lines = layers.map { case (name, files) =>
-      surviving = surviving intersect files.map(norm).toSet
+      surviving = surviving intersect files.map(normPath).toSet
       f"$name%s: Parts ${surviving.size}%d/$total%d"
     }
     (lines.mkString("\n"), surviving.toSeq.sorted)

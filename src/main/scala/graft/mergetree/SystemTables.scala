@@ -70,6 +70,31 @@ object SystemTables {
       .toDF("name", "database", "engine", "is_temporary")
   }
 
+  /** Recursive parquet data-file listing with the table's underscore
+    * convention: `_`-prefixed subtrees (skip-index sidecars, markers) are
+    * not data; `_detached/` parts are included only when `keepDetached`
+    * (they surface as active=false). Shared by the introspection views
+    * and [[SkipIndex]]'s pruning so the two can never disagree on what
+    * counts as a data file.
+    */
+  private[mergetree] def listDataFiles(
+      spark: SparkSession, path: String,
+      keepDetached: Boolean): Seq[(String, Long)] = {
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val it = fs.listFiles(root, true)
+    val qualRoot = fs.makeQualified(root).toString
+    Iterator.continually(it)
+      .takeWhile(_.hasNext).map(_.next())
+      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+      .filter { f =>
+        val segs = f.getPath.toString.stripPrefix(qualRoot).split('/')
+        segs.forall(s => !s.startsWith("_") || (keepDetached && s == "_detached"))
+      }
+      .map(f => (f.getPath.toString, f.getLen))
+      .toVector
+  }
+
   /** Flat per-(file, column-chunk) footer facts every view above derives
     * from. One row per (file, row group, column) pre-aggregated to
     * (file, column).
@@ -79,19 +104,7 @@ object SystemTables {
     val hconf = spark.sparkContext.hadoopConfiguration
     val root = new Path(path)
     val fs = root.getFileSystem(hconf)
-    val it = fs.listFiles(root, true)
-    val qualRoot = fs.makeQualified(root).toString
-    val files = Iterator.continually(it)
-      .takeWhile(_.hasNext).map(_.next())
-      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
-      // `_detached/` parts stay visible (active=false rows); other
-      // _-prefixed subtrees (skip-index sidecars, markers) are not parts
-      .filter { f =>
-        val segs = f.getPath.toString.stripPrefix(qualRoot).split('/')
-        segs.forall(s => !s.startsWith("_") || s == "_detached")
-      }
-      .map(f => (f.getPath.toString, f.getLen))
-      .toVector
+    val files = listDataFiles(spark, path, keepDetached = true)
     // conf entries ride to the executors as plain pairs (Configuration
     // itself is not serializable)
     val confPairs = hconf.iterator().asScala

@@ -120,9 +120,11 @@ object Dedup {
       kept.drop("__fp").write.mode("overwrite")
         .parquet(s"$out/increment=$incrementId")
     }
-    kept.select(col("__fp").as("fingerprint"))
-      .write.mode("overwrite")
-      .parquet(s"$storePath/increment=$incrementId")
+    // the bloom is updated BEFORE the store partition lands: a crash
+    // between the two leaves the bloom OVER-covering the store, which
+    // only routes extra rows through the exact anti-join. The reverse
+    // order would leave it under-covering — later increments would skip
+    // the join for keys that ARE in the store and keep duplicates.
     if (bloomExpectedItems > 0) {
       val (items, bits) = existingBloom
         .map(e => (e._2, e._3))
@@ -140,6 +142,9 @@ object Dedup {
         BloomPrune.write(spark, bloomPath, merged, items, bits)
       }
     }
+    kept.select(col("__fp").as("fingerprint"))
+      .write.mode("overwrite")
+      .parquet(s"$storePath/increment=$incrementId")
     kept.drop("__fp")
   }
 

@@ -157,7 +157,9 @@ object MergeTreeQueries {
         concat(col("text"),
           when(pmod(col("doc_id"), lit(97)) === 0, " xylophonezq")
             .otherwise("")).as("t"))
-      val tmp = "/tmp/graft_skipidx_q69"
+      // scoped per input dir: concurrent runs at different SFs must not
+      // race on one shared table path
+      val tmp = s"/tmp/graft_skipidx_q69_${math.abs(dir.hashCode)}"
       docs.repartitionByRange(8, col("doc_id"))
         .write.mode("overwrite").parquet(tmp)
       SkipIndex.buildTokenBloom(s, tmp, "t", "tbf", expectedPerFile = 1000000)

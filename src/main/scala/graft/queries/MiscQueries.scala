@@ -514,10 +514,6 @@ object MiscQueries {
         .orderBy(col("o_orderkey"))
     },
 
-    // ---- correlated EXISTS (TPC-H Q4 shape): counts orders with at
-    // least one line shipped after the order date. Exercises Catalyst's
-    // correlated-subquery rewrite (EXISTS -> left semi join on the
-    // correlation key — no per-row subquery execution).
     // ---- LIMIT n BY key (§2.6): group-wise truncation — the 3 priciest
     // orders per order priority, whole rows, no aggregation. CH:
     // `... ORDER BY o_totalprice DESC LIMIT 3 BY o_orderpriority`.
@@ -718,6 +714,10 @@ object MiscQueries {
         s.sql("SELECT * EXCEPT (n_regionkey) FROM q68_nation ORDER BY n_nationkey")
     },
 
+    // ---- correlated EXISTS (TPC-H Q4 shape): counts orders with at
+    // least one line shipped after the order date. Exercises Catalyst's
+    // correlated-subquery rewrite (EXISTS -> left semi join on the
+    // correlation key — no per-row subquery execution).
     Q("q59_exists_subquery",
       """SELECT o_orderpriority, count(*) AS order_count
         |FROM orders

@@ -83,6 +83,21 @@ class SkipIndexSpec extends SparkSpec {
     assert(SkipIndex.filesNgramMightContain(spark, dir, "nbf", "common").size == 8)
   }
 
+  test("files added AFTER the index build always survive pruning") {
+    val dir = Files.createTempDirectory("graft_skip").toString + "/t"
+    table(dir)
+    SkipIndex.buildBloom(spark, dir, "key", "bf3", expectedPerFile = 1000)
+    // a new file lands after the build (incremental ingest)
+    Seq((9001L, "brandnewkey", "cat9", "late arrival text"))
+      .toDF("id", "key", "cat", "text")
+      .write.mode("append").parquet(dir)
+    val survivors = SkipIndex.filesBloomMightContain(spark, dir, "bf3", "brandnewkey")
+    val ids = SkipIndex.readPruned(spark, dir, survivors)
+      .filter($"key" === "brandnewkey").select("id").as[Long].collect()
+    assert(ids.toSeq == Seq(9001L),
+      s"stale sidecar must never prune unindexed files (survivors=$survivors)")
+  }
+
   test("no survivors yields an empty read with the table schema") {
     val dir = Files.createTempDirectory("graft_skip").toString + "/t"
     table(dir)
