@@ -13,7 +13,8 @@ object ExplainAudit {
       else Seq("q01_pricing_summary", "q02_filter_pushdown",
         "q03_join_revenue_by_nation", "q07_asof_join", "q07b_asof_native",
         "d04_dedup_minhash", "d07_ann_brute_force", "d10_ann_ivf",
-        "q52_sessionize", "d09_dedup_clusters", "t06_seq_pack")
+        "q52_sessionize", "d09_dedup_clusters", "t06_seq_pack",
+        "t19_quota_sample", "t22_chunk_overlap", "t23_perplexity")
     val spark = GraftSession.create(master = "local[4]")
     names.foreach { n =>
       println(s"\n========== $n ==========")
