@@ -572,6 +572,43 @@ object Dedup {
     var retriesLeft = 3
     var round = 0
     var done = false
+    // ADAPTIVE LOCAL FINISH: contraction shrinks the edge list
+    // geometrically, so the tail rounds run 2 shuffles + a probe over a
+    // graph that is tiny relative to the cluster — per-round fixed cost
+    // dominates. Whenever the current edge list fits comfortably on the
+    // driver (count is free in the signature), finish with union-find
+    // and emit the star edges directly — including BEFORE round 1 when
+    // the input is already small. Same hybrid GraphX/GraphFrames use; at
+    // ANY corpus scale the threshold is an absolute bound on driver
+    // memory (~16 bytes/edge).
+    def tryLocalFinish(): Unit =
+      if (!done && sig._1 > 0 && sig._1 <= localFinishThreshold) {
+        val local = edges.select(col("u"), col("v")).collect()
+          .map(r => (r.getLong(0), r.getLong(1)))
+        val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+        def find(x: Long): Long = {
+          var r = x
+          while (parent.getOrElse(r, r) != r) r = parent(r)
+          var c = x // path compression
+          while (parent.getOrElse(c, c) != c) { val nxt = parent(c); parent(c) = r; c = nxt }
+          r
+        }
+        local.foreach { case (a, b) =>
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) { // smaller root wins -> labels stay component minima
+            if (ra < rb) parent(rb) = ra else parent(ra) = rb
+          }
+        }
+        val stars = local.iterator
+          .flatMap { case (a, b) => Iterator(a, b) }
+          .toSet[Long].iterator
+          .map(id => (id, find(id)))
+          .filter { case (id, r) => id != r }
+          .toSeq
+        edges = pairs.sparkSession.createDataFrame(stars).toDF("u", "v")
+        done = true
+      }
+    tryLocalFinish()
     while (!done && round < maxIter) {
       try {
         // large-star: connect every neighbor LARGER than u to the minimum
@@ -611,40 +648,7 @@ object Dedup {
         done = nextSig == sig
         sig = nextSig
         round += 1
-        // ADAPTIVE LOCAL FINISH: contraction shrinks the edge list
-        // geometrically, so the tail rounds run 2 shuffles + a probe over
-        // a graph that is tiny relative to the cluster — per-round fixed
-        // cost dominates. Once the contracted graph fits comfortably on
-        // the driver (count is free in the signature), finish it there
-        // with union-find and emit the star edges directly. Same hybrid
-        // GraphX/GraphFrames use; at ANY corpus scale the threshold is an
-        // absolute bound on driver memory (~16 bytes/edge).
-        if (!done && nextSig._1 > 0 && nextSig._1 <= localFinishThreshold) {
-          val local = edges.select(col("u"), col("v")).collect()
-            .map(r => (r.getLong(0), r.getLong(1)))
-          val parent = scala.collection.mutable.HashMap.empty[Long, Long]
-          def find(x: Long): Long = {
-            var r = x
-            while (parent.getOrElse(r, r) != r) r = parent(r)
-            var c = x // path compression
-            while (parent.getOrElse(c, c) != c) { val nxt = parent(c); parent(c) = r; c = nxt }
-            r
-          }
-          local.foreach { case (a, b) =>
-            val (ra, rb) = (find(a), find(b))
-            if (ra != rb) { // smaller root wins -> labels stay component minima
-              if (ra < rb) parent(rb) = ra else parent(ra) = rb
-            }
-          }
-          val stars = local.iterator
-            .flatMap { case (a, b) => Iterator(a, b) }
-            .toSet[Long].iterator
-            .map(id => (id, find(id)))
-            .filter { case (id, r) => id != r }
-            .toSeq
-          edges = pairs.sparkSession.createDataFrame(stars).toDF("u", "v")
-          done = true
-        }
+        tryLocalFinish()
       } catch {
         case e: org.apache.spark.SparkException
             if anchor.isDefined && retriesLeft > 0 =>

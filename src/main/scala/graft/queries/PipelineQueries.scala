@@ -121,9 +121,14 @@ object PipelineQueries {
          |SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id
          |FROM documents d LEFT JOIN c ON d.doc_id = c.id
          |ORDER BY d.doc_id""") { (s, dir) =>
+      // near-dup edge lists are sparse (pairs, not pairs²); 5M edges is
+      // ~80 MB of driver state — letting the adaptive local finish take
+      // the whole sf1-scale graph in one union-find step skips every
+      // distributed contraction round. Beyond that the rounds run
+      // distributed until the contracted graph fits.
       Dedup.clusterRepresentatives(
           Tables(s, dir).documents.select(col("doc_id")), "doc_id",
-          bandedJaccardPairs(s, dir))
+          bandedJaccardPairs(s, dir), localFinishThreshold = 5000000L)
         .select(col("doc_id"), col("cluster_id"))
         .orderBy(col("doc_id"))
     },
