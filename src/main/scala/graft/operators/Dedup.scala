@@ -204,16 +204,18 @@ object Dedup {
     // verification joins see |pairs|-sized inputs, not corpus-sized ones
     val inPairs = pairs.select(col("a").as(idCol))
       .union(pairs.select(col("b").as(idCol))).distinct()
+    // sorted xxhash64 gram fingerprints + linear-merge jaccard: identical
+    // values to the string-set spelling (collision odds ~n²/2⁶⁴ per
+    // pair), without building two hash sets per candidate pair
     val grams = docs.join(inPairs, Seq(idCol), "left_semi")
       .select(col(idCol),
-        NativeFunctions.shingles(
+        NativeFunctions.shingleHashes(
           NativeFunctions.normTokens(col(textCol)), nGram).as("g"))
     pairs
       .join(grams.select(col(idCol).as("a"), col("g").as("ga")), "a")
       .join(grams.select(col(idCol).as("b"), col("g").as("gb")), "b")
       .withColumn("jaccard",
-        size(array_intersect(col("ga"), col("gb"))).cast(DoubleType) /
-          size(array_union(col("ga"), col("gb"))).cast(DoubleType))
+        NativeFunctions.jaccardSorted(col("ga"), col("gb")))
       .select(col("a"), col("b"), col("jaccard"))
   }
 

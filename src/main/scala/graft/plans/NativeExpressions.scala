@@ -136,6 +136,60 @@ object VecKernels {
 
   private val SPACE = org.apache.spark.unsafe.types.UTF8String.fromString(" ")
 
+  /** Distinct word-n-gram fingerprints as a SORTED long array: each gram
+    * is xxhash64'd instead of materialized as a string, and the sorted
+    * layout lets [[jaccardSortedLongs]] intersect by linear merge. One
+    * 64-bit collision inside a single pair's union (~n²/2⁶⁴) is the only
+    * way the jaccard can differ from the string-set definition —
+    * negligible at any corpus size.
+    */
+  def shingleHashes(tokens: ArrayData, n: Int): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val cnt = tokens.numElements()
+    val m = math.max(cnt - n + 1, 0)
+    val hs = new Array[Long](m)
+    var i = 0
+    while (i < m) {
+      val parts = new Array[org.apache.spark.unsafe.types.UTF8String](2 * n - 1)
+      var j = 0
+      while (j < n) {
+        if (j > 0) parts(2 * j - 1) = SPACE
+        parts(2 * j) = tokens.getUTF8String(i + j)
+        j += 1
+      }
+      val g = org.apache.spark.unsafe.types.UTF8String.concat(parts: _*)
+      hs(i) = org.apache.spark.sql.catalyst.expressions.XxHash64Function
+        .hash(g, org.apache.spark.sql.types.StringType, 42L)
+      i += 1
+    }
+    java.util.Arrays.sort(hs)
+    // dedup in place (sorted)
+    var w = 0
+    i = 0
+    while (i < m) {
+      if (w == 0 || hs(i) != hs(w - 1)) { hs(w) = hs(i); w += 1 }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      java.util.Arrays.copyOf(hs, w))
+  }
+
+  /** Exact Jaccard of two SORTED distinct long arrays by linear merge —
+    * no per-pair hash-set builds (the array_intersect/array_union
+    * spelling builds two string sets per candidate pair on the hottest
+    * dedup path). 0/0 yields NaN, matching the size-ratio spelling.
+    */
+  def jaccardSortedLongs(a: ArrayData, b: ArrayData): Double = {
+    val na = a.numElements(); val nb = b.numElements()
+    var i = 0; var j = 0; var inter = 0
+    while (i < na && j < nb) {
+      val x = a.getLong(i); val y = b.getLong(j)
+      if (x == y) { inter += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    inter.toDouble / (na + nb - inter).toDouble
+  }
+
   /** One-pass language ID over a token array: marker-set voting with
     * first-max tie-break (same definition as the composed-functions
     * spelling, which re-tokenizes once per language — ~10x the work).
@@ -557,6 +611,31 @@ case class Shingles(child: Expression, n: Int) extends UnaryExpression {
   override def prettyName: String = "graft_shingles"
 }
 
+/** Sorted distinct xxhash64 n-gram fingerprints (jaccard-verify fast path). */
+case class ShingleHashes(child: Expression, n: Int) extends UnaryExpression {
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.LongType)
+  override protected def nullSafeEval(v: Any): Any =
+    VecKernels.shingleHashes(v.asInstanceOf[ArrayData], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.VecKernels.shingleHashes($c, $n)")
+  override protected def withNewChildInternal(c: Expression): ShingleHashes = copy(child = c)
+  override def prettyName: String = "graft_shingle_hashes"
+}
+
+/** Linear-merge Jaccard over two sorted distinct long arrays. */
+case class JaccardSortedLongs(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    VecKernels.jaccardSortedLongs(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.plans.VecKernels.jaccardSortedLongs($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): JaccardSortedLongs =
+    copy(left = l, right = r)
+  override def prettyName: String = "graft_jaccard_sorted"
+}
+
 /** Session registration + Column-level API (via the SQL registry, so no
   * private Column/Expression bridging is needed).
   */
@@ -577,6 +656,12 @@ object NativeFunctions {
       case Seq(v, Literal(n: Int, IntegerType)) => Shingles(v, n)
       case e => Shingles(e.head, 3)
     }, "built-in")
+    reg.createOrReplaceTempFunction("graft_shingle_hashes", {
+      case Seq(v, Literal(n: Int, IntegerType)) => ShingleHashes(v, n)
+      case e => ShingleHashes(e.head, 3)
+    }, "built-in")
+    reg.createOrReplaceTempFunction("graft_jaccard_sorted",
+      e => JaccardSortedLongs(e(0), e(1)), "built-in")
     reg.createOrReplaceTempFunction("graft_lang_id",
       e => LangIdVote(e.head, graft.functions.TextFunctions.LangMarkers), "built-in")
     reg.createOrReplaceTempFunction("graft_norm_text",
@@ -640,6 +725,11 @@ object NativeFunctions {
   def shingles(c: Column, n: Int): Column =
     org.apache.spark.sql.functions.call_function("graft_shingles", c,
       org.apache.spark.sql.functions.lit(n))
+  def shingleHashes(c: Column, n: Int): Column =
+    org.apache.spark.sql.functions.call_function("graft_shingle_hashes", c,
+      org.apache.spark.sql.functions.lit(n))
+  def jaccardSorted(a: Column, b: Column): Column =
+    org.apache.spark.sql.functions.call_function("graft_jaccard_sorted", a, b)
   def lshBucket(c: Column, bits: Int, seed: Int = 0): Column =
     org.apache.spark.sql.functions.call_function("graft_lsh_bucket", c,
       org.apache.spark.sql.functions.lit(bits),

@@ -36,8 +36,12 @@ object PipelineQueries {
                                  dir: String): org.apache.spark.sql.DataFrame = {
     graft.plans.NativeFunctions.register(s)
     val docs = Tables(s, dir).documents
+    // sorted xxhash64 token fingerprints + linear-merge jaccard — same
+    // values as the string-set spelling (collisions ~n²/2⁶⁴ per pair)
+    // without two hash-set builds per candidate pair on the hot path
     val g = docs.select(col("doc_id"), col("source"), col("n_chars"),
-      array_distinct(graft.plans.NativeFunctions.normTokens(col("text"))).as("gr"))
+      graft.plans.NativeFunctions.shingleHashes(
+        graft.plans.NativeFunctions.normTokens(col("text")), 1).as("gr"))
     val band = floor(col("n_chars") / 20).cast(LongType)
     val a = g.select(col("source"), band.as("band"), col("doc_id").as("a"),
       col("n_chars").as("nca"), col("gr").as("ga"))
@@ -47,8 +51,7 @@ object PipelineQueries {
     a.join(b, Seq("source", "band"))
       .filter(col("a") < col("b") && abs(col("nca") - col("ncb")) <= 20)
       .withColumn("jaccard",
-        size(array_intersect(col("ga"), col("gb"))).cast(DoubleType) /
-          size(array_union(col("ga"), col("gb"))).cast(DoubleType))
+        graft.plans.NativeFunctions.jaccardSorted(col("ga"), col("gb")))
       .filter(col("jaccard") >= 0.4)
       .select(col("a"), col("b"), col("jaccard"))
   }

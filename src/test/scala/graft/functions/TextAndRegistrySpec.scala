@@ -114,6 +114,34 @@ class TextAndRegistrySpec extends SparkSpec {
     assert(a.getLong(4) == 2L)
   }
 
+  test("shingleHashes + jaccardSorted match the string-set jaccard exactly") {
+    import graft.plans.NativeFunctions
+    NativeFunctions.register(spark)
+    val rnd = new scala.util.Random(7)
+    val docs = (1L to 60L).map { i =>
+      (i, Seq.fill(5 + rnd.nextInt(40))(s"w${rnd.nextInt(30)}").mkString(" "))
+    }.toDF("id", "text")
+    for (n <- Seq(1, 3)) {
+      val toks = NativeFunctions.normTokens($"text")
+      val g = docs.select($"id",
+        NativeFunctions.shingleHashes(toks, n).as("gh"),
+        array_distinct(NativeFunctions.shingles(toks, n)).as("gs"))
+      val pairs = g.as("x").crossJoin(g.as("y"))
+        .filter($"x.id" < $"y.id")
+        .select(
+          NativeFunctions.jaccardSorted($"x.gh", $"y.gh").as("fast"),
+          (size(array_intersect($"x.gs", $"y.gs")).cast("double") /
+            size(array_union($"x.gs", $"y.gs")).cast("double")).as("ref"))
+        .collect()
+      assert(pairs.nonEmpty)
+      pairs.foreach(r => assert(r.getDouble(0) == r.getDouble(1),
+        s"n=$n fast=${r.getDouble(0)} ref=${r.getDouble(1)}"))
+      // sorted-distinct invariant the merge relies on
+      val hs = g.select($"gh").as[Seq[Long]].collect()
+      hs.foreach(a => assert(a == a.distinct.sorted))
+    }
+  }
+
   test("extractHtmlText strips markup, decodes entities, collapses space") {
     def x(s: String): String =
       Seq(s).toDF("h").select(TextFunctions.extractHtmlText($"h"))
