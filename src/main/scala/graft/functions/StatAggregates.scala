@@ -1,0 +1,118 @@
+package graft.functions
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.{Column, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StringType
+
+/** ClickHouse's statistical aggregate family (SURVEY §2.4; the reference
+  * exercises them ad hoc in lecture SQL): `skewPop`, `kurtPop`,
+  * `covarPop/Samp`, `stddevPop/Samp`, `varPop/Samp`, `corr`, `entropy`,
+  * `uniqUpTo(N)`.
+  *
+  * Moment-based members map onto Spark's native codegen'd aggregates
+  * (single pass, partial/final merge — the same shape ClickHouse's
+  * combinators use): Spark's `skewness` IS population skewness
+  * (m3/sigma^3) and `kurtosis` is population EXCESS kurtosis, so CH's
+  * non-excess `kurtPop` (m4/sigma^4) is `kurtosis + 3`.
+  *
+  * `entropy` (Shannon, base 2, over the value distribution) and
+  * `uniqUpTo` have no Spark native; both are partial-aggregatable
+  * `Aggregator`s. `entropy` carries a value→count map (state is
+  * O(distinct), same as ClickHouse's hash-map state); `uniqUpTo` caps its
+  * set at N+1 — the whole point of the ClickHouse original is bounded
+  * state, so a `least(countDistinct, N+1)` rewrite would be cheating.
+  */
+object StatAggregates {
+
+  // ---- moment family: CH name → Spark native -------------------------
+
+  def skewPop(c: Column): Column = skewness(c)
+
+  /** CH kurtPop = m4/sigma^4 (NOT excess); Spark kurtosis is excess. */
+  def kurtPop(c: Column): Column = kurtosis(c) + lit(3.0)
+
+  def covarPopCh(a: Column, b: Column): Column = covar_pop(a, b)
+  def covarSampCh(a: Column, b: Column): Column = covar_samp(a, b)
+  def corrCh(a: Column, b: Column): Column = corr(a, b)
+  def stddevPopCh(c: Column): Column = stddev_pop(c)
+  def stddevSampCh(c: Column): Column = stddev_samp(c)
+  def varPopCh(c: Column): Column = var_pop(c)
+  def varSampCh(c: Column): Column = var_samp(c)
+
+  // ---- entropy -------------------------------------------------------
+
+  type CountMap = mutable.HashMap[String, Long]
+
+  /** Shannon entropy of the value distribution, base 2 — ClickHouse
+    * `entropy(x)` (and DuckDB's `entropy`, which makes it oracle-able).
+    * Computed as log2(n) - sum(c*log2(c))/n: one pass over the final
+    * counter map, numerically stable for large n.
+    */
+  class EntropyAggregator extends Aggregator[String, CountMap, Double] {
+    override def zero: CountMap = mutable.HashMap.empty
+    override def reduce(b: CountMap, v: String): CountMap = {
+      if (v != null) b.update(v, b.getOrElse(v, 0L) + 1L)
+      b
+    }
+    override def merge(b1: CountMap, b2: CountMap): CountMap = {
+      val (big, small) = if (b1.size >= b2.size) (b1, b2) else (b2, b1)
+      small.foreach { case (k, c) => big.update(k, big.getOrElse(k, 0L) + c) }
+      big
+    }
+    override def finish(b: CountMap): Double = {
+      val n = b.valuesIterator.sum
+      if (n == 0L) 0.0
+      else {
+        val log2 = math.log(2.0)
+        val s = b.valuesIterator.map(c => c * math.log(c.toDouble)).sum
+        (math.log(n.toDouble) - s / n) / log2
+      }
+    }
+    override def bufferEncoder = Encoders.kryo[CountMap]
+    override def outputEncoder = Encoders.scalaDouble
+  }
+
+  /** entropy(x): NULLs are skipped (CH counts them as a value; DuckDB's
+    * entropy skips them — we follow the oracle-able definition).
+    */
+  def entropy(c: Column): Column =
+    udaf(new EntropyAggregator, Encoders.STRING).apply(c.cast(StringType))
+
+  // ---- uniqUpTo(N) ---------------------------------------------------
+
+  /** Bounded distinct set: stops growing at cap = N+1 elements, which is
+    * exactly when the answer ("more than N") is already decided — O(N)
+    * state per group on every map side regardless of true cardinality.
+    */
+  class UniqUpToAggregator(n: Int)
+      extends Aggregator[String, mutable.HashSet[String], Long] {
+    private val cap = n + 1
+    override def zero: mutable.HashSet[String] = mutable.HashSet.empty
+    override def reduce(b: mutable.HashSet[String],
+                        v: String): mutable.HashSet[String] = {
+      if (v != null && b.size < cap) b += v
+      b
+    }
+    override def merge(b1: mutable.HashSet[String],
+                       b2: mutable.HashSet[String]): mutable.HashSet[String] = {
+      val (big, small) = if (b1.size >= b2.size) (b1, b2) else (b2, b1)
+      val it = small.iterator
+      while (big.size < cap && it.hasNext) big += it.next()
+      big
+    }
+    override def finish(b: mutable.HashSet[String]): Long = b.size.toLong
+    override def bufferEncoder = Encoders.kryo[mutable.HashSet[String]]
+    override def outputEncoder = Encoders.scalaLong
+  }
+
+  /** uniqUpTo(N)(x): exact distinct count while <= N, else N+1
+    * ("N-or-more"). NULL is not counted (CH behavior for uniq family).
+    */
+  def uniqUpTo(c: Column, n: Int): Column = {
+    require(n >= 1, s"uniqUpTo needs N >= 1, got $n")
+    udaf(new UniqUpToAggregator(n), Encoders.STRING).apply(c.cast(StringType))
+  }
+}

@@ -757,6 +757,68 @@ object MiscQueries {
         .agg(graft.functions.HeavyHitters.topK(col("o_orderpriority"), n = 5)
           .as("top_priorities"))
         .orderBy(col("o_orderstatus"))
+    },
+
+    // ---- statistical aggregate family (SURVEY §2.4): corr / covar /
+    // stddev / var natives, CH skewPop / kurtPop (population moments; CH
+    // kurtPop is non-excess, Spark kurtosis is excess — the +3 delta is
+    // in StatAggregates), and Shannon entropy (own Aggregator; DuckDB's
+    // entropy() is the same base-2 definition). Everything rounds to 4 —
+    // single-pass co-moment order differs between engines in the last
+    // ulps (memory: log-based scores round both sides).
+    Q("q70_stats_family",
+      """WITH m AS (SELECT l_returnflag,
+        |    avg(l_quantity) AS m1,
+        |    avg(l_quantity*l_quantity) AS m2,
+        |    avg(l_quantity*l_quantity*l_quantity) AS m3,
+        |    avg(l_quantity*l_quantity*l_quantity*l_quantity) AS m4,
+        |    round(corr(l_quantity, l_extendedprice), 4)       AS corr_qp,
+        |    round(covar_pop(l_quantity, l_extendedprice), 4)  AS covp_qp,
+        |    round(covar_samp(l_quantity, l_extendedprice), 4) AS covs_qp,
+        |    round(stddev_pop(l_quantity), 4)                  AS sdp_q,
+        |    round(stddev_samp(l_quantity), 4)                 AS sds_q,
+        |    round(var_pop(l_quantity), 4)                     AS vp_q,
+        |    round(var_samp(l_quantity), 4)                    AS vs_q,
+        |    round(entropy(l_linestatus), 4)                   AS ent_ls
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, corr_qp, covp_qp, covs_qp, sdp_q, sds_q, vp_q, vs_q,
+        |  round((m3 - 3*m1*m2 + 2*m1*m1*m1)
+        |        / pow(m2 - m1*m1, 1.5), 4)                  AS skew_q,
+        |  round((m4 - 4*m1*m3 + 6*m1*m1*m2 - 3*m1*m1*m1*m1)
+        |        / pow(m2 - m1*m1, 2.0), 4)                  AS kurt_q,
+        |  ent_ls
+        |FROM m ORDER BY l_returnflag""") { (s, dir) =>
+      Tables(s, dir).lineitem
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(corr(col("l_quantity"), col("l_extendedprice")), 4).as("corr_qp"),
+          round(covar_pop(col("l_quantity"), col("l_extendedprice")), 4).as("covp_qp"),
+          round(covar_samp(col("l_quantity"), col("l_extendedprice")), 4).as("covs_qp"),
+          round(stddev_pop(col("l_quantity")), 4).as("sdp_q"),
+          round(stddev_samp(col("l_quantity")), 4).as("sds_q"),
+          round(var_pop(col("l_quantity")), 4).as("vp_q"),
+          round(var_samp(col("l_quantity")), 4).as("vs_q"),
+          round(graft.functions.StatAggregates.skewPop(col("l_quantity")), 4).as("skew_q"),
+          round(graft.functions.StatAggregates.kurtPop(col("l_quantity")), 4).as("kurt_q"),
+          round(graft.functions.StatAggregates.entropy(col("l_linestatus")), 4).as("ent_ls"))
+        .orderBy(col("l_returnflag"))
+    },
+
+    // ---- uniqUpTo(N)(x) (SURVEY §2.4 uniq family): exact while <= N,
+    // else N+1, with O(N) state per group — the bounded-cardinality
+    // "are there more than N distinct?" probe.
+    Q("q71_uniq_up_to",
+      """SELECT user_id,
+        |  LEAST(COUNT(DISTINCT event_type), 4) AS types_up_to_3,
+        |  COUNT(*) AS n
+        |FROM events GROUP BY user_id ORDER BY user_id""") { (s, dir) =>
+      Tables(s, dir).events
+        .groupBy(col("user_id"))
+        .agg(
+          graft.functions.StatAggregates.uniqUpTo(col("event_type"), 3)
+            .as("types_up_to_3"),
+          count(lit(1)).as("n"))
+        .orderBy(col("user_id"))
     }
   )
 }

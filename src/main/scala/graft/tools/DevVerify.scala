@@ -1,0 +1,36 @@
+package graft.tools
+
+import java.nio.file.{Files, Paths}
+
+import graft.{GraftSession, SparkEntry}
+
+/** Dev-only subset verifier: dumps ONLY the named registry queries (plus
+  * their oracle SQL) into an outDir that scripts/oracle_check.py can
+  * compare, so a new query iterates in seconds instead of re-running the
+  * full 110-query board.
+  *
+  * Usage: runMain graft.tools.DevVerify <sfDir> <outDir> q70_x,q71_y
+  */
+object DevVerify {
+  def main(args: Array[String]): Unit = {
+    val Array(sfDir, outDir, names) = args
+    val wanted = names.split(",").map(_.trim).filter(_.nonEmpty).toSet
+    val spark = GraftSession.create(master = "local[4]", shufflePartitions = 4)
+    new java.io.File(outDir).mkdirs()
+    SparkEntry.queries.filter(kv => wanted(kv._1)).foreach { case (name, fn) =>
+      fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+        .parquet(s"$outDir/$name")
+    }
+    def q(s: String): String = "\"" + s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+    val json = SparkEntry.oracleSql.filter(kv => wanted(kv._1))
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    spark.stop()
+  }
+}

@@ -1,0 +1,57 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class StatAggregatesSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("entropy matches the closed form and survives partial merges") {
+    // 8 a, 4 b, 4 c over 16 rows: H = -(1/2 log 1/2 + 2 * 1/4 log 1/4) = 1.5
+    val rows = Seq.fill(8)("a") ++ Seq.fill(4)("b") ++ Seq.fill(4)("c")
+    val df = spark.createDataset(rows).toDF("v").repartition(7)
+    val h = df.agg(StatAggregates.entropy($"v")).as[Double].head()
+    assert(math.abs(h - 1.5) < 1e-12, s"got $h")
+  }
+
+  test("entropy of a constant column is 0, of an empty group 0, nulls skipped") {
+    val h1 = Seq("x", "x", "x").toDF("v").agg(StatAggregates.entropy($"v"))
+      .as[Double].head()
+    assert(h1 == 0.0)
+    val h2 = Seq(Some("a"), None, Some("b"), None).toDF("v")
+      .agg(StatAggregates.entropy($"v")).as[Double].head()
+    assert(math.abs(h2 - 1.0) < 1e-12, s"got $h2")
+  }
+
+  test("uniqUpTo is exact below N and pegs at N+1 above, across merges") {
+    // group g holds values u0..u_g, each repeated 5 times → g+1 distinct
+    val df = (0 until 7).flatMap(g =>
+        (0 to g).flatMap(j => Seq.fill(5)((g, s"u$j"))))
+      .toDF("g", "v").repartition(9)
+    val got = df.groupBy($"g")
+      .agg(StatAggregates.uniqUpTo($"v", 3).as("u"))
+      .as[(Int, Long)].collect().toMap
+    // group g has distinct values u0..u_{g} → g+1 distinct, capped at 4
+    (0 until 7).foreach { g =>
+      val expect = math.min(g + 1L, 4L)
+      assert(got(g) == expect, s"g=$g got ${got(g)} want $expect")
+    }
+  }
+
+  test("uniqUpTo state never exceeds N+1 entries") {
+    // 10k distinct values in one group: finish must still say N+1; the
+    // bounded reduce/merge paths are what keep state O(N)
+    val df = (0 until 10000).map(i => s"v$i").toDF("v").repartition(13)
+    val got = df.agg(StatAggregates.uniqUpTo($"v", 5)).as[Long].head()
+    assert(got == 6L)
+  }
+
+  test("kurtPop is non-excess (uniform two-point distribution has kurtosis 1)") {
+    // x in {0,1} equally likely: m4/sigma^4 = 1 exactly
+    val df = Seq.fill(50)(0.0).++(Seq.fill(50)(1.0)).toDF("x")
+    val k = df.agg(StatAggregates.kurtPop($"x")).as[Double].head()
+    assert(math.abs(k - 1.0) < 1e-9, s"got $k")
+    val s = df.agg(StatAggregates.skewPop($"x")).as[Double].head()
+    assert(math.abs(s) < 1e-9, s"got $s")
+  }
+}
