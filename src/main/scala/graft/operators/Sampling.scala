@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, Encoders}
 import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{DoubleType, LongType}
 
 /** One (hash-order, key) pair flowing into the per-stratum min-k cutoff. */
 case class HashedKey(h: Long, id: Long)
@@ -142,5 +142,41 @@ object Sampling {
       .filter(col("__h") < col("__cutH") ||
         (col("__h") === col("__cutH") && col("__id") <= col("__cutId")))
       .drop("__s", "__cutH", "__cutId", "__h", "__id")
+  }
+
+  /** Exponential-clock order key for weighted sampling (Efraimidis &
+    * Spirakis A-ES): E = -ln(u)/w with u the deterministic md5-uniform
+    * of (salt, key) mapped into (0,1). The N smallest E values are a
+    * weight-proportional-without-replacement sample; selection is a pure
+    * function of (salt, key, weight), so the oracle recomputes it.
+    * `weight` must be > 0 (a non-positive weight makes E non-positive
+    * and the row sorts ahead of every real candidate).
+    */
+  def weightedOrder(key: Column, weight: Column, salt: String): Column =
+    -log((hashOrder(key, salt).cast(DoubleType) + lit(0.5)) /
+      lit(1152921504606846976.0 /* 2^60 */)) / weight
+
+  /** Exactly min(n, |df|) rows, inclusion probability proportional to
+    * `weight` — the same two-phase min-k shape as [[stratifiedExactN]]
+    * (O(n) partial-aggregated state, broadcast cutoff, map-side filter;
+    * never a global sort). Double keys ride the long-keyed
+    * [[MinKAggregator]] via the order-preserving IEEE bits remap
+    * (`graft_double_bits`), so no precision is lost to a cast.
+    */
+  def weightedExactN(df: DataFrame, key: Column, weight: Column, n: Int,
+                     salt: String = ""): DataFrame = {
+    require(n > 0, "n must be positive")
+    val withH = df
+      .withColumn("__e", graft.plans.NativeFunctions.doubleBits(
+        weightedOrder(key, weight, salt)))
+      .withColumn("__id", key.cast(LongType))
+    val agg = udaf(new MinKAggregator(n), Encoders.product[HashedKey])
+    val cut = withH.agg(agg(col("__e"), col("__id")).as("__mk"))
+      .select(element_at(col("__mk.hs"), col("__mk.n")).as("__cutH"),
+        element_at(col("__mk.ids"), col("__mk.n")).as("__cutId"))
+    withH.join(broadcast(cut))
+      .filter(col("__e") < col("__cutH") ||
+        (col("__e") === col("__cutH") && col("__id") <= col("__cutId")))
+      .drop("__cutH", "__cutId", "__e", "__id")
   }
 }

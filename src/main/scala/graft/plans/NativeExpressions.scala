@@ -328,6 +328,16 @@ object VecKernels {
       .setScale(scale, java.math.RoundingMode.HALF_EVEN)
       .doubleValue()
 
+  /** IEEE-754 bits remapped so the LONG order matches the DOUBLE order
+    * (positive doubles unchanged, negatives lower-63-bit-flipped) — lets
+    * double sort keys ride long-keyed machinery like [[graft.operators
+    * .MinKAggregator]] without a lossy cast (53-bit mantissa survives).
+    */
+  def sortableDoubleBits(d: Double): Long = {
+    val b = java.lang.Double.doubleToLongBits(d)
+    b ^ ((b >> 63) & 0x7FFFFFFFFFFFFFFFL)
+  }
+
   private def longBytes(x: Long): Array[Byte] = {
     val out = new Array[Byte](8)
     var i = 0
@@ -600,6 +610,17 @@ case class RoundHalfEvenExact(child: Expression, scale: Int)
   override def prettyName: String = "graft_round_even"
 }
 
+case class SortableDoubleBits(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override protected def nullSafeEval(v: Any): Any =
+    VecKernels.sortableDoubleBits(v.asInstanceOf[Double])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.VecKernels.sortableDoubleBits($c)")
+  override protected def withNewChildInternal(c: Expression): SortableDoubleBits =
+    copy(child = c)
+  override def prettyName: String = "graft_double_bits"
+}
+
 case class Shingles(child: Expression, n: Int) extends UnaryExpression {
   override def dataType: DataType =
     org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.StringType)
@@ -670,6 +691,8 @@ object NativeFunctions {
       e => NfcNormalize(e.head), "built-in")
     reg.createOrReplaceTempFunction("graft_norm_tokens",
       e => NormTokens(e.head), "built-in")
+    reg.createOrReplaceTempFunction("graft_double_bits",
+      e => SortableDoubleBits(e.head), "built-in")
     reg.createOrReplaceTempFunction("graft_round_even", {
       case Seq(v, Literal(s: Int, IntegerType)) => RoundHalfEvenExact(v, s)
       case e => RoundHalfEvenExact(e.head, 2)
@@ -704,6 +727,8 @@ object NativeFunctions {
       e => BloomFilterMightContain(e(0), new XxHash64(Seq(e(1)))), "built-in")
   }
 
+  def doubleBits(c: Column): Column =
+    org.apache.spark.sql.functions.call_function("graft_double_bits", c)
   def roundEven(c: Column, scale: Int = 2): Column =
     org.apache.spark.sql.functions.call_function("graft_round_even", c,
       org.apache.spark.sql.functions.lit(scale))

@@ -819,6 +819,45 @@ object MiscQueries {
             .as("types_up_to_3"),
           count(lit(1)).as("n"))
         .orderBy(col("user_id"))
+    },
+
+    // ---- bitmap family (SURVEY §2.4 groupBitmap/bitmapAnd/bitmapOr...):
+    // per-audience bitmap states built once, then pairwise overlap by
+    // bitmap algebra on the 5 tiny states — never re-joining fact rows.
+    // The oracle recomputes every pair from DISTINCT fact rows.
+    Q("q72_bitmap_overlap",
+      """WITH d AS (SELECT DISTINCT event_type, user_id FROM events),
+        |c AS (SELECT event_type, count(*) AS n FROM d GROUP BY 1),
+        |x AS (SELECT a.event_type AS ea, b.event_type AS eb, count(*) AS n_and
+        |      FROM d a JOIN d b ON a.user_id = b.user_id
+        |                       AND a.event_type < b.event_type
+        |      GROUP BY 1, 2)
+        |SELECT ca.event_type AS et_a, cb.event_type AS et_b,
+        |  ca.n AS card_a, cb.n AS card_b,
+        |  COALESCE(x.n_and, 0) AS card_and,
+        |  ca.n + cb.n - COALESCE(x.n_and, 0) AS card_or,
+        |  ca.n + cb.n - 2 * COALESCE(x.n_and, 0) AS card_xor,
+        |  ca.n - COALESCE(x.n_and, 0) AS card_andnot
+        |FROM c ca JOIN c cb ON ca.event_type < cb.event_type
+        |LEFT JOIN x ON x.ea = ca.event_type AND x.eb = cb.event_type
+        |ORDER BY et_a, et_b""") { (s, dir) =>
+      import graft.functions.BitmapAggregates._
+      val st = Tables(s, dir).events
+        .groupBy(col("event_type"))
+        .agg(groupBitmapState(col("user_id")).as("bm"),
+          groupBitmap(col("user_id")).as("card"))
+        .cache()
+      val a = st.select(col("event_type").as("et_a"), col("bm").as("bma"),
+        col("card").as("card_a"))
+      val b = st.select(col("event_type").as("et_b"), col("bm").as("bmb"),
+        col("card").as("card_b"))
+      a.join(b, col("et_a") < col("et_b"))
+        .select(col("et_a"), col("et_b"), col("card_a"), col("card_b"),
+          bitmapAndCardinality(col("bma"), col("bmb")).as("card_and"),
+          bitmapOrCardinality(col("bma"), col("bmb")).as("card_or"),
+          bitmapXorCardinality(col("bma"), col("bmb")).as("card_xor"),
+          bitmapAndnotCardinality(col("bma"), col("bmb")).as("card_andnot"))
+        .orderBy(col("et_a"), col("et_b"))
     }
   )
 }

@@ -5,7 +5,7 @@ import org.apache.spark.sql.types._
 
 import graft.tables.Tables
 import graft.functions.TextFunctions
-import graft.operators.{CorpusStats, DatasetMix, DatasetSplit, Decontaminate, Dedup, Packing, Sampling, SimilaritySearch}
+import graft.operators.{CorpusStats, DatasetMix, DatasetSplit, Decontaminate, Dedup, InvertedIndex, Packing, Sampling, SimilaritySearch}
 import graft.multimodal.{ImageCodec, Multimodal}
 
 /** Training-data-pipeline operators (builder-prompt mandate): dedup
@@ -794,6 +794,42 @@ object PipelineQueries {
           Tables(s, dir).documents.select(col("doc_id"), col("source")),
           col("source"), col("doc_id"), n = 12, salt = "smp2")
         .orderBy(col("doc_id"))
+    },
+
+    // ---- weighted sampling without replacement (data mixing by doc
+    // weight — Efraimidis-Spirakis exponential clocks over the same
+    // md5-uniform as t09/t18/t19, selected by the partial-aggregated
+    // min-k cutoff, never a global sort). Deterministic in (salt, id, w),
+    // so the oracle recomputes the exact selection.
+    Q("t24_weighted_sample",
+      """WITH h AS (SELECT doc_id, CAST(len(text) AS BIGINT) AS w,
+        |  -ln((CAST(concat('0x', substr(md5(concat('wsamp:', CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT) + 0.5)
+        |      / 1152921504606846976.0) / len(text) AS e
+        |  FROM documents),
+        |s AS (SELECT doc_id, w FROM h ORDER BY e, doc_id LIMIT 60)
+        |SELECT doc_id, w FROM s ORDER BY doc_id""") { (s, dir) =>
+      val d = Tables(s, dir).documents
+        .select(col("doc_id"), length(col("text")).cast(LongType).as("w"))
+      Sampling.weightedExactN(d, col("doc_id"), col("w"), n = 60,
+          salt = "wsamp")
+        .orderBy(col("doc_id"))
+    },
+
+    // ---- document-partitioned inverted index (term -> sorted postings;
+    // the full-text sibling of the ngrambf skip index). Single-shard here
+    // (every doc_id < 2^40), so df_shard IS the global df; the sharded
+    // layout is spec-asserted. minDf trims the long tail to keep the
+    // board's output bounded.
+    Q("t25_inverted_index",
+      """WITH t AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS term
+        |           FROM documents)
+        |SELECT term, CAST(0 AS BIGINT) AS shard, count(*) AS df_shard,
+        |  list_sort(list(doc_id)) AS postings
+        |FROM t GROUP BY term HAVING count(*) >= 50 ORDER BY term""") { (s, dir) =>
+      InvertedIndex.build(
+          Tables(s, dir).documents,
+          col("doc_id"), split(col("text"), " "), minDfShard = 50L)
+        .orderBy(col("term"))
     },
 
     // ---- HTML text extraction (web-crawl curation step 1): documents

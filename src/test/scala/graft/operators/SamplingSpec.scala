@@ -79,4 +79,35 @@ class SamplingSpec extends SparkSpec {
     val out = Sampling.stratifiedExactN(withNull, $"source", $"doc_id", 5, salt = "s4")
     assert(out.filter($"source".isNull).count() == 5)
   }
+
+  test("weightedExactN equals the sort formulation exactly and is partition-invariant") {
+    val df = (0L until 300L).map(i => (i, 1L + i % 17)).toDF("doc_id", "w")
+    val expect = df
+      .withColumn("e", Sampling.weightedOrder($"doc_id", $"w", "wt1"))
+      .orderBy($"e", $"doc_id").limit(40)
+      .select($"doc_id").as[Long].collect().toSet
+    for (parts <- Seq(1, 7)) {
+      val got = Sampling.weightedExactN(df.repartition(parts), $"doc_id",
+        $"w", 40, salt = "wt1").select($"doc_id").as[Long].collect().toSet
+      assert(got == expect, s"parts=$parts")
+    }
+    assert(expect.size == 40)
+  }
+
+  test("weightedExactN selection probability tracks weight") {
+    // two weight classes, 100 items each: w=9 items should dominate a
+    // 50-item sample (expected ~45 of them) across salts
+    val df = (0L until 200L).map(i => (i, if (i < 100) 9L else 1L))
+      .toDF("doc_id", "w")
+    val heavyCounts = Seq("a", "b", "c").map { salt =>
+      Sampling.weightedExactN(df, $"doc_id", $"w", 50, salt = salt)
+        .filter($"doc_id" < 100).count()
+    }
+    heavyCounts.foreach(c => assert(c > 30, s"heavy picked only $c of 50"))
+  }
+
+  test("weightedExactN returns everything when n exceeds the row count") {
+    val df = (0L until 8L).map(i => (i, i + 1)).toDF("doc_id", "w")
+    assert(Sampling.weightedExactN(df, $"doc_id", $"w", 50).count() == 8)
+  }
 }
