@@ -238,6 +238,60 @@ object ChRegistry {
         s"arraySlice(arr, offset[, length]); got ${e.size} args")
     }
 
+    // bit-function family — native bitwise expressions (analyzer type
+    // coercion promotes mixed widths, as for the Spark-native spellings)
+    f("bitAnd")(e => BitwiseAnd(e(0), e(1)))
+    f("bitOr")(e => BitwiseOr(e(0), e(1)))
+    f("bitXor")(e => BitwiseXor(e(0), e(1)))
+    f("bitNot")(e => BitwiseNot(e.head))
+    f("bitShiftLeft")(e => ShiftLeft(e(0), Cast(e(1), IntegerType)))
+    f("bitShiftRight")(e => ShiftRight(e(0), Cast(e(1), IntegerType)))
+    f("bitCount")(e => BitwiseCount(e.head))
+    f("bitTest")(e => Cast(BitwiseAnd(
+      ShiftRight(Cast(e(0), LongType), Cast(e(1), IntegerType)),
+      Literal(1L)), IntegerType))
+
+    // IPv4 family (CH stores IPv4 as UInt32)
+    def octet(x: Expression, shift: Int): Expression =
+      Cast(BitwiseAnd(ShiftRightUnsigned(Cast(x, LongType), Literal(shift)),
+        Literal(255L)), StringType)
+    f("IPv4NumToString")(e => Concat(Seq(
+      octet(e.head, 24), Literal("."), octet(e.head, 16), Literal("."),
+      octet(e.head, 8), Literal("."), octet(e.head, 0))))
+    def ipv4ToNum(s: Expression): Expression = {
+      val parts = StringSplit(s, Literal("\\."), Literal(-1))
+      def p(i: Int) = Cast(ElementAt(parts, Literal(i)), LongType)
+      Add(Add(Add(Multiply(p(1), Literal(16777216L)),
+        Multiply(p(2), Literal(65536L))), Multiply(p(3), Literal(256L))), p(4))
+    }
+    f("IPv4StringToNum")(e => ipv4ToNum(e.head))
+    f("toIPv4")(e => ipv4ToNum(e.head))
+    // octet-range-checked (CH isIPv4String rejects 999.1.1.1)
+    f("isIPv4String")(e => Cast(RLike(e.head, Literal(
+      "^((25[0-5]|2[0-4][0-9]|[01]?[0-9][0-9]?)\\.){3}" +
+        "(25[0-5]|2[0-4][0-9]|[01]?[0-9][0-9]?)$")), IntegerType))
+
+    // transform(x, [from...], [to...], default) — CH's literal-array
+    // value mapping; 1-based ArrayPosition drives ElementAt. The name
+    // shadows Spark's higher-order transform(arr, lambda) session-wide
+    // (IVF/dedup SQL uses it), so the lambda form MUST keep working —
+    // same polymorphic-dispatch rule as dateDiff.
+    f("transform") {
+      case Seq(arr, l: LambdaFunction) => ArrayTransform(arr, l)
+      case Seq(x, from, to, d) =>
+        val pos = ArrayPosition(from, x)
+        If(GreaterThan(pos, Literal(0L)),
+          ElementAt(to, Cast(pos, IntegerType)), d)
+      case e => throw new IllegalArgumentException(
+        s"transform(arr, lambda) or transform(x, [from], [to], default); got ${e.size} args")
+    }
+    // roundToExp2: nearest power of two not above x (0 for x < 1); log2
+    // of an exact power of two is exact in double, so boundaries hold
+    f("roundToExp2")(e =>
+      If(LessThan(Cast(e.head, DoubleType), Literal(1.0)), Literal(0L),
+        ShiftLeft(Literal(1L),
+          Cast(Floor(Log2(Cast(e.head, DoubleType))), IntegerType))))
+
     // parser-backed dialect macros — inlined expressions, so Catalyst
     // optimizes through them like any built-in
     val macros = new ChUdfs(spark)
@@ -249,6 +303,11 @@ object ChRegistry {
       "array_join(arr, sep)", orReplace = true)
     macros.createFunction("extractAll", Seq("s", "re"),
       "regexp_extract_all(s, re, 0)", orReplace = true)
+    // bar(x, min, max, width): full-block approximation of CH's chart
+    // (CH draws eighth-blocks; we round to whole blocks)
+    macros.createFunction("bar", Seq("x", "mn", "mx", "w"),
+      "repeat('█', greatest(0, cast(round((x - mn) / (mx - mn) * w) as int)))",
+      orReplace = true)
     macros.createFunction("splitByChar", Seq("sep", "s"),
       "split(s, concat('\\\\Q', sep, '\\\\E'))", orReplace = true)
     macros.createFunction("splitByString", Seq("sep", "s"),

@@ -9,10 +9,12 @@ import org.apache.spark.sql.types._
   *
   * Image payloads are decoded by a REAL codec ([[ImageCodec]], on the
   * JDK's `javax.imageio` — PNG/JPEG/BMP/GIF): true width/height/format,
-  * real pixel stats, real bilinear resampling. Payloads that are not
-  * images (audio/video containers, arbitrary bytes) fall back to
+  * real pixel stats, real bilinear resampling. Audio payloads are decoded
+  * by a REAL RIFF/WAVE PCM codec ([[AudioCodec]]): true
+  * rate/channels/frames plus RMS/peak/zero-crossing features. Payloads
+  * that are neither (video containers, arbitrary bytes) fall back to
   * [[byteMetaFallback]] — deterministic byte-derived metadata — because
-  * this container ships no audio/video demuxer; swapping in one (JavaCV,
+  * this container ships no video demuxer; swapping in one (JavaCV,
   * ffmpeg-pipe) replaces only that function, the distributed plumbing is
   * identical.
   */
@@ -111,6 +113,43 @@ object Multimodal {
               d.format, Int.box(mn), Int.box(mx), Long.box(sum)))
           case None =>
             Row.fromSeq(r.toSeq ++ Seq(null, null, null, null, null, null))
+        }
+      }
+    }(Encoders.row(schema))
+  }
+
+  /** Real decoded-audio statistics per clip ([[AudioCodec]] RIFF/PCM
+    * parse): true rate/channels/frames plus the curation features (peak,
+    * RMS, channel-0 zero crossings) — all null for payloads the codec
+    * rejects. Same per-partition batch shape as [[decodedPixelStats]];
+    * integer-friendly features make the path oracle-checkable on
+    * deterministic fixtures.
+    */
+  def audioClipStats(df: DataFrame, payloadCol: String = "payload"): DataFrame = {
+    val schema = df.schema
+      .add("sample_rate", IntegerType)
+      .add("channels", IntegerType)
+      .add("bits", IntegerType)
+      .add("n_frames", LongType)
+      .add("duration_ms", LongType)
+      .add("peak", IntegerType)
+      .add("rms", DoubleType)
+      .add("zero_crossings", LongType)
+    val idx = df.schema.fieldIndex(payloadCol)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val p = if (r.isNullAt(idx)) null else r.getAs[Array[Byte]](idx)
+        AudioCodec.decode(p) match {
+          case Some(d) =>
+            Row.fromSeq(r.toSeq ++ Seq(
+              Int.box(d.meta.sampleRate), Int.box(d.meta.channels),
+              Int.box(d.meta.bitsPerSample), Long.box(d.meta.nFrames.toLong),
+              Long.box(d.meta.durationMs), Int.box(AudioCodec.peak(d)),
+              Double.box(AudioCodec.rms(d)),
+              Long.box(AudioCodec.zeroCrossings(d))))
+          case None =>
+            Row.fromSeq(r.toSeq ++ Seq(null, null, null, null, null, null,
+              null, null))
         }
       }
     }(Encoders.row(schema))

@@ -858,6 +858,56 @@ object MiscQueries {
           bitmapXorCardinality(col("bma"), col("bmb")).as("card_xor"),
           bitmapAndnotCardinality(col("bma"), col("bmb")).as("card_andnot"))
         .orderBy(col("et_a"), col("et_b"))
+    },
+
+    // ---- bit / IPv4 / transform / roundToExp2 dialect family
+    // (SURVEY §2.8): every name maps to a native expression tree
+    // (ChRegistry), checked against DuckDB's native operators. The ip
+    // column is a synthetic UInt32 derived from user_id.
+    Q("q73_bit_ip_functions",
+      """WITH u AS (SELECT DISTINCT user_id, event_type FROM events
+        |           WHERE user_id < 40),
+        |w AS (SELECT user_id, event_type,
+        |        (user_id * 2654435761) % 4294967296 AS ip FROM u)
+        |SELECT user_id, event_type, ip,
+        |  ((ip >> 24) & 255) || '.' || ((ip >> 16) & 255) || '.' ||
+        |    ((ip >> 8) & 255) || '.' || (ip & 255) AS ip_str,
+        |  ip AS ip_back,
+        |  CAST(1 AS INT) AS is4,
+        |  ip & 65535 AS band,
+        |  xor(ip, 12345) AS bxor,
+        |  ~ip AS bnot,
+        |  CAST(bit_count(ip) AS INT) AS bcnt,
+        |  CAST((ip >> 7) & 1 AS INT) AS btest,
+        |  user_id << 3 AS shl,
+        |  ip >> 12 AS shr,
+        |  CASE event_type WHEN 'click' THEN 'c' WHEN 'view' THEN 'v'
+        |    ELSE '?' END AS tr,
+        |  CASE WHEN user_id + 1 < 1 THEN CAST(0 AS BIGINT)
+        |    ELSE (CAST(1 AS BIGINT) << CAST(floor(log2(user_id + 1)) AS INT))
+        |    END AS r2
+        |FROM w ORDER BY user_id, event_type""") { (s, dir) =>
+      graft.functions.ChRegistry.registerAll(s)
+      Tables(s, dir).events.filter(col("user_id") < 40)
+        .select(col("user_id"), col("event_type")).distinct()
+        .createOrReplaceTempView("q73_u")
+      s.sql(
+        """WITH w AS (SELECT user_id, event_type,
+          |        pmod(user_id * 2654435761, 4294967296) AS ip FROM q73_u)
+          |SELECT user_id, event_type, ip,
+          |  IPv4NumToString(ip) AS ip_str,
+          |  IPv4StringToNum(IPv4NumToString(ip)) AS ip_back,
+          |  isIPv4String(IPv4NumToString(ip)) AS is4,
+          |  bitAnd(ip, 65535) AS band,
+          |  bitXor(ip, 12345) AS bxor,
+          |  bitNot(ip) AS bnot,
+          |  bitCount(ip) AS bcnt,
+          |  bitTest(ip, 7) AS btest,
+          |  bitShiftLeft(user_id, 3) AS shl,
+          |  bitShiftRight(ip, 12) AS shr,
+          |  transform(event_type, array('click', 'view'), array('c', 'v'), '?') AS tr,
+          |  roundToExp2(user_id + 1) AS r2
+          |FROM w ORDER BY user_id, event_type""".stripMargin)
     }
   )
 }

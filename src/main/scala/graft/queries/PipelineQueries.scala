@@ -6,7 +6,7 @@ import org.apache.spark.sql.types._
 import graft.tables.Tables
 import graft.functions.TextFunctions
 import graft.operators.{CorpusStats, DatasetMix, DatasetSplit, Decontaminate, Dedup, InvertedIndex, Packing, Sampling, SimilaritySearch}
-import graft.multimodal.{ImageCodec, Multimodal}
+import graft.multimodal.{AudioCodec, ImageCodec, Multimodal}
 
 /** Training-data-pipeline operators (builder-prompt mandate): dedup
   * (exact / MinHash-LSH / SimHash / n-gram Jaccard / embedding-cosine),
@@ -1073,6 +1073,49 @@ object PipelineQueries {
           Multimodal.withResized(media, targetW = 5, targetH = 4), "resized")
         .select(col("doc_id"), col("dec_width"), col("dec_height"),
           col("px_min"), col("px_max"), col("px_sum"))
+        .orderBy(col("doc_id"))
+    },
+
+    // ---- REAL audio decode: deterministic square-wave PCM → RIFF/WAVE
+    // encode (with a LIST metadata chunk on even ids, so the reader's
+    // chunk walk is exercised on the gated path) → chunk-walking decode →
+    // per-clip curation features. A square wave of amplitude A has
+    // RMS = A and one sign flip per half-period — every feature is
+    // integer-closed-form, so the full binary round trip oracle-checks.
+    Q("mm04_audio_wav",
+      """SELECT doc_id,
+        |  CAST(8000 + (doc_id % 3) * 4000 AS INT) AS sample_rate,
+        |  CAST(1 + doc_id % 2 AS INT) AS channels,
+        |  CAST(16 AS INT) AS bits,
+        |  CAST(800 + (doc_id % 5) * 160 AS BIGINT) AS n_frames,
+        |  CAST((800 + (doc_id % 5) * 160) * 1000
+        |       // (8000 + (doc_id % 3) * 4000) AS BIGINT) AS duration_ms,
+        |  CAST(1000 + (doc_id % 7) * 500 AS INT) AS peak,
+        |  CAST(1000 + (doc_id % 7) * 500 AS DOUBLE) AS rms,
+        |  CAST((800 + (doc_id % 5) * 160) // 8 - 1 AS BIGINT) AS zero_crossings
+        |FROM documents ORDER BY doc_id""") { (s, dir) =>
+      val mkWav = udf { (id: Long) =>
+        val rate = (8000 + (id % 3) * 4000).toInt
+        val channels = (1 + id % 2).toInt
+        val amp = (1000 + (id % 7) * 500).toShort
+        val nFrames = (800 + (id % 5) * 160).toInt
+        val samples = new Array[Short](nFrames * channels)
+        var i = 0
+        while (i < nFrames) {
+          val v: Short = if ((i / 8) % 2 == 0) amp else (-amp).toShort
+          var c = 0
+          while (c < channels) { samples(i * channels + c) = v; c += 1 }
+          i += 1
+        }
+        AudioCodec.encodeWavPcm16(rate, channels, samples,
+          extraChunk = id % 2 == 0)
+      }
+      val media = Tables(s, dir).documents
+        .select(col("doc_id"), mkWav(col("doc_id")).as("payload"))
+      Multimodal.audioClipStats(media)
+        .select(col("doc_id"), col("sample_rate"), col("channels"),
+          col("bits"), col("n_frames"), col("duration_ms"), col("peak"),
+          col("rms"), col("zero_crossings"))
         .orderBy(col("doc_id"))
     }
   )
