@@ -40,7 +40,12 @@ object Bench {
     graft.queries.Registry.byName.get("q03_join_revenue_by_nation")
       .foreach(q => checksum(q.fn(spark, sfDir)))
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // dev loop: SPARK_GRAFT_BENCH_ONLY=q01,t23 restricts the timed set
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val picked = only.fold(SparkEntry.queries)(w =>
+      SparkEntry.queries.filter(kv => w(kv._1)))
+    val results = picked.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { checksum(fn(spark, sfDir)) } catch { case _: Throwable => () }
       name -> (System.nanoTime() - t0) / 1e9

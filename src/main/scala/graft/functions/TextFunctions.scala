@@ -25,11 +25,11 @@ object TextFunctions {
   /** Whitespace tokens of the normalized text (empty text → empty array,
     * not [""]).
     */
-  def tokens(c: Column): Column = {
-    val norm = normalizeText(c)
-    when(norm === "", array().cast(ArrayType(StringType)))
-      .otherwise(split(norm, " "))
-  }
+  def tokens(c: Column): Column =
+    // native single-pass twin of split(normalizeText(c)) — identical
+    // output (t03's oracle proves the kernel against string_split), one
+    // fused pass instead of two regex rewrites + a split
+    graft.plans.NativeFunctions.normTokens(c)
 
   def tokenCount(c: Column): Column = size(tokens(c))
 
@@ -73,23 +73,12 @@ object TextFunctions {
     * because it is engine-portable (bit-identical in any SQL engine with
     * md5 — the DuckDB oracle reproduces it), unlike engine-internal hashes.
     */
-  def winnowingFingerprint(c: Column, k: Int = 3, w: Int = 4): Column = {
-    // same binding discipline as wordNgrams: the k-gram hash array is
-    // computed ONCE per row (bound as the lambda variable hs); putting the
-    // expression tree inside the window transform would re-hash every
-    // k-gram for every window position — O(n²) md5 calls per document
-    val hashes = transform(wordNgrams(c, k),
-      g => conv(substring(md5(g), 1, 8), 16, 10).cast(LongType))
-    element_at(transform(array(hashes), hs => {
-      val nWin = size(hs) - (w - 1)
-      val wins =
-        when(size(hs) === 0, array().cast(ArrayType(LongType)))
-          .when(nWin < 1, array(array_min(hs)))
-          .otherwise(transform(sequence(lit(1), nWin),
-            i => array_min(slice(hs, i, lit(w)))))
-      array_sort(array_distinct(wins))
-    }), 1)
-  }
+  def winnowingFingerprint(c: Column, k: Int = 3, w: Int = 4): Column =
+    // fused native kernel (normalize → byte-range md5 k-gram hashes →
+    // O(n) monotonic-deque window minima → sorted distinct); same
+    // semantics and oracle hash-parity as the former transform/slice/
+    // md5/conv column pipeline, without its O(n·w) slice allocations
+    graft.plans.NativeFunctions.winnowFp(c, k, w)
 
   // ---- quality scoring: cheap, deterministic per-document features
 
@@ -111,11 +100,17 @@ object TextFunctions {
     * stopword family of quality heuristics.
     */
   def qualityScore(c: Column): Column = {
-    val nTok = tokenCount(c).cast(DoubleType)
-    val stopRatio = stopwordCount(c).cast(DoubleType) / greatest(nTok, lit(1.0))
-    val lenOk = when(nTok >= 5 && nTok <= 100000, lit(1.0)).otherwise(lit(0.0))
-    // weights: presence of stopwords and alphabetic content signal prose
-    lenOk * (lit(0.5) * stopRatio + lit(0.5) * alphaRatio(c))
+    // token array bound ONCE (the tokenCount + stopwordCount spelling
+    // evaluates the normalize kernel twice per row)
+    val sw = array(DefaultStopwords.map(lit): _*)
+    element_at(transform(array(tokens(c)), ts => {
+      val nTok = size(ts).cast(DoubleType)
+      val stopRatio = size(filter(ts, t => array_contains(sw, t)))
+        .cast(DoubleType) / greatest(nTok, lit(1.0))
+      val lenOk = when(nTok >= 5 && nTok <= 100000, lit(1.0)).otherwise(lit(0.0))
+      // weights: presence of stopwords and alphabetic content signal prose
+      lenOk * (lit(0.5) * stopRatio + lit(0.5) * alphaRatio(c))
+    }), 1)
   }
 
   // ---- PII scrubbing (C4-style corpus hygiene): regex redaction of

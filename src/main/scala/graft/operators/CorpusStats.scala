@@ -1,8 +1,8 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Encoders, Row}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DoubleType
+import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType}
 
 /** Corpus-level term statistics for training-data curation: TF-IDF (the
   * classic tf·ln(N/df) weighting) over any tokenized text column.
@@ -51,26 +51,81 @@ object CorpusStats {
     */
   def perplexityScore(docs: DataFrame, idCol: String, textCol: String,
                       n: Int = 3): DataFrame = {
-    require(n >= 1, s"n must be >= 1, got $n")
-    graft.plans.NativeFunctions.register(docs.sparkSession)
+    require(n >= 1 && n <= 4,
+      s"model vocabulary is alphabet-bounded (<= 37^n) only for n <= 4, got $n")
+    val spark = docs.sparkSession
+    graft.plans.NativeFunctions.register(spark)
     val norm = graft.plans.NativeFunctions.normText(col(textCol))
-    // pinned: the exploded gram stream feeds BOTH the model count and the
-    // scoring join — without it the normalize+explode pass runs twice
-    val grams = org.apache.spark.sql.graftinternal.Rematerialize(docs
-      .select(col(idCol), norm.as("__norm"))
+    // model: ONE pass building per-partition count maps bounded by the
+    // alphabet, not the corpus (normText emits [a-z0-9 ] → <= 37^n grams,
+    // 50k for n=3) — one hash update per gram instead of an exploded row
+    // per gram through the agg pipeline — then a tiny (parts × vocab)
+    // shuffle and a bounded collect+broadcast, which is what makes
+    // CCNet-style models broadcastable at any corpus size.
+    val normed = docs.select(norm.as("__norm"))
       .filter(length(col("__norm")) >= n)
-      .select(col(idCol), explode(transform(
-        sequence(lit(1), length(col("__norm")) - (n - 1)),
-        i => col("__norm").substr(i, lit(n)))).as("__g")))
-    val counts = grams.groupBy(col("__g")).agg(count(lit(1)).as("__c"))
-    val totals = counts.agg(sum(col("__c")).as("__n"), count(lit(1)).as("__v"))
-    grams.join(broadcast(counts), Seq("__g"), "left")
-      .crossJoin(broadcast(totals))
-      .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_grams"),
-        round(avg(-log(
-          (coalesce(col("__c"), lit(0L)) + 1).cast(DoubleType) /
-            (col("__n") + col("__v")).cast(DoubleType))), 4).as("nll"))
+    val countSchema = StructType(Seq(
+      StructField("__g", org.apache.spark.sql.types.StringType, false),
+      StructField("__c", LongType, false)))
+    val counts = normed.mapPartitions { rows =>
+      val m = new java.util.HashMap[String, Array[Long]]()
+      rows.foreach { r =>
+        val nm = r.getString(0)
+        val g = nm.length - (n - 1)
+        var i = 0
+        while (i < g) {
+          val key = nm.substring(i, i + n)
+          val slot = m.get(key)
+          if (slot == null) m.put(key, Array(1L)) else slot(0) += 1L
+          i += 1
+        }
+      }
+      import scala.jdk.CollectionConverters._
+      m.entrySet().iterator().asScala.map(e => Row(e.getKey, e.getValue()(0)))
+    }(Encoders.row(countSchema))
+      .groupBy(col("__g")).agg(sum(col("__c")).as("__c"))
+      .collect()
+    var total = 0L
+    val model = new java.util.HashMap[String, java.lang.Long](counts.length * 2)
+    counts.foreach { r =>
+      val c = r.getLong(1); total += c; model.put(r.getString(0), c)
+    }
+    val denom = (total + counts.length).toDouble
+    val bc = spark.sparkContext.broadcast(model)
+    // score: map-ONLY second pass against the broadcast model — no second
+    // gram stream, no join, no checkpoint, no shuffle (the former
+    // rematerialize+join+groupBy plan shuffled every gram row; this
+    // recomputes the normalize in-kernel and scores per doc in place)
+    val in = docs.select(col(idCol), col(textCol))
+    val outSchema = StructType(Seq(in.schema.head,
+      StructField("n_grams", LongType, nullable = false),
+      StructField("nll", DoubleType, nullable = true)))
+    in.mapPartitions { rows =>
+      val m = bc.value
+      rows.flatMap { r =>
+        val txt = if (r.isNullAt(1)) null else r.getString(1)
+        val nm =
+          if (txt == null) ""
+          else graft.plans.VecKernels.normText(
+            org.apache.spark.unsafe.types.UTF8String.fromString(txt)).toString
+        if (nm.length < n) Iterator.empty
+        else {
+          val g = nm.length - (n - 1)
+          var s = 0.0
+          var i = 0
+          while (i < g) {
+            val c = m.getOrDefault(nm.substring(i, i + n), 0L)
+            s += -math.log((c + 1).toDouble / denom)
+            i += 1
+          }
+          // same rounding path as Spark's round(): shortest-repr
+          // BigDecimal, HALF_UP
+          val nll = BigDecimal(s / g)
+            .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+          Iterator.single(Row(r.get(0), g.toLong, nll))
+        }
+      }
+    }(Encoders.row(outSchema))
   }
 
   /** Corpus vocabulary report: per-term document frequency, collection

@@ -29,6 +29,7 @@ object Decontaminate {
   def overlapReport(corpus: DataFrame, corpusId: String, corpusText: String,
                     evalSet: DataFrame, evalId: String, evalText: String,
                     k: Int = 3, w: Int = 4, minShared: Int = 2): DataFrame = {
+    graft.plans.NativeFunctions.register(corpus.sparkSession)
     val cF = corpus.select(col(corpusId),
       explode(TextFunctions.winnowingFingerprint(col(corpusText), k, w)).as("fp"))
     val eF = evalSet

@@ -403,18 +403,20 @@ object Dedup {
                      k: Int = 5): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     graft.plans.NativeFunctions.register(df.sparkSession)
+    // ONE fused gram pass (normalize → byte-range md5 per k-gram kernel,
+    // empty array below k tokens) and ONE shuffle: the duplicate test is
+    // a whole-partition count window over the gram hash — the former
+    // groupBy + semi-join-back shape paid a second gram computation and
+    // a second full-gram-table shuffle for the same answer
     val grams = df
-      .select(col(idCol),
-        graft.plans.NativeFunctions.normTokens(col(textCol)).as("__toks"))
-      .filter(size(col("__toks")) >= k)
-      .select(col(idCol), posexplode(expr(
-        s"transform(sequence(0, size(__toks) - $k), " +
-          s"i -> md5(array_join(slice(__toks, i + 1, $k), ' ')))"))
+      .select(col(idCol), posexplode(
+        graft.plans.NativeFunctions.gramMd5(col(textCol), k))
         .as(Seq("pos", "__gh")))
-    val dupGrams = grams.groupBy(col("__gh"))
-      .agg(count(lit(1)).as("__c")).filter(col("__c") > 1)
-      .select(col("__gh"))
-    val hits = grams.join(dupGrams, Seq("__gh"), "left_semi")
+    val byGram = org.apache.spark.sql.expressions.Window.partitionBy(col("__gh"))
+    val hits = grams
+      .withColumn("__c", count(lit(1)).over(byGram))
+      .filter(col("__c") > 1)
+      .drop("__c")
     val byDoc = org.apache.spark.sql.expressions.Window
       .partitionBy(col(idCol)).orderBy(col("pos"))
     hits

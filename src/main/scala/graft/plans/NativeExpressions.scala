@@ -328,6 +328,134 @@ object VecKernels {
       .setScale(scale, java.math.RoundingMode.HALF_EVEN)
       .doubleValue()
 
+  private val md5Local = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** Token start offsets of single-space-normalized bytes: starts(i) is
+    * the byte offset of token i, starts(n) = len + 1 (so token i spans
+    * `[starts(i), starts(i+1) - 1)` and a k-gram joined by ' ' IS the
+    * byte range `[starts(i), starts(i+k) - 1)`).
+    */
+  private def tokenStarts(bytes: Array[Byte]): Array[Int] = {
+    var nTok = 1
+    var i = 0
+    while (i < bytes.length) { if (bytes(i) == ' ') nTok += 1; i += 1 }
+    val starts = new Array[Int](nTok + 1)
+    var t = 1
+    i = 0
+    while (i < bytes.length) {
+      if (bytes(i) == ' ') { starts(t) = i + 1; t += 1 }
+      i += 1
+    }
+    starts(nTok) = bytes.length + 1
+    starts
+  }
+
+  private val HexDigits = "0123456789abcdef".toCharArray
+
+  /** md5 hex (lowercase, same as Spark's and DuckDB's `md5()`) of every
+    * word k-gram of the normalized text, in position order — ONE fused
+    * pass (normalize → byte-range digests), no per-gram slice/join
+    * expression trees. Empty when the doc has fewer than k tokens.
+    */
+  def gramMd5(s: org.apache.spark.unsafe.types.UTF8String, k: Int)
+      : org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val nm = normText(s)
+    val bytes = nm.getBytes
+    if (bytes.isEmpty) return new GenericArrayData(Array.empty[AnyRef])
+    val starts = tokenStarts(bytes)
+    val nTok = starts.length - 1
+    val nG = nTok - (k - 1)
+    if (nG < 1) return new GenericArrayData(Array.empty[AnyRef])
+    val md = md5Local.get()
+    val out = new Array[AnyRef](nG)
+    var i = 0
+    while (i < nG) {
+      val from = starts(i)
+      val until = starts(i + k) - 1
+      md.reset()
+      md.update(bytes, from, until - from)
+      val d = md.digest()
+      val hex = new Array[Byte](32)
+      var j = 0
+      while (j < 16) {
+        hex(2 * j) = HexDigits((d(j) >> 4) & 0xF).toByte
+        hex(2 * j + 1) = HexDigits(d(j) & 0xF).toByte
+        j += 1
+      }
+      out(i) = org.apache.spark.unsafe.types.UTF8String.fromBytes(hex)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Winnowing fingerprint (MOSS scheme), one fused kernel replacing the
+    * transform/slice/md5/conv column pipeline (same semantics, hash-
+    * parity with the DuckDB oracle): normalize → word k-grams → first 4
+    * md5 bytes as the gram hash (== the portable
+    * `conv(substring(md5(g),1,8),16,10)`) → O(n) monotonic-deque window
+    * minima → sorted distinct. Normalized text is single-space ASCII, so
+    * every k-gram IS a byte range of it — md5 runs over slices of one
+    * byte array, zero per-gram string construction.
+    */
+  def winnowFp(s: org.apache.spark.unsafe.types.UTF8String, k: Int, w: Int)
+      : org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val nm = normText(s)
+    val bytes = nm.getBytes
+    if (bytes.isEmpty) return new GenericArrayData(Array.emptyLongArray)
+    val starts = tokenStarts(bytes)
+    val nTok = starts.length - 1
+    var i = 0
+    val nG = nTok - (k - 1)
+    if (nG < 1) return new GenericArrayData(Array.emptyLongArray)
+    val md = md5Local.get()
+    val hs = new Array[Long](nG)
+    i = 0
+    while (i < nG) {
+      val from = starts(i)
+      val until = starts(i + k) - 1 // strip trailing separator
+      md.reset()
+      md.update(bytes, from, until - from)
+      val d = md.digest()
+      hs(i) = ((d(0) & 0xFFL) << 24) | ((d(1) & 0xFFL) << 16) |
+        ((d(2) & 0xFFL) << 8) | (d(3) & 0xFFL)
+      i += 1
+    }
+    val nWin = nG - (w - 1)
+    val mins =
+      if (nWin < 1) {
+        var m = hs(0); i = 1
+        while (i < nG) { if (hs(i) < m) m = hs(i); i += 1 }
+        Array(m)
+      } else {
+        // monotonic deque of indices: O(n) total
+        val out = new Array[Long](nWin)
+        val dq = new Array[Int](nG)
+        var head = 0; var tail = 0 // [head, tail)
+        i = 0
+        while (i < nG) {
+          while (tail > head && hs(dq(tail - 1)) >= hs(i)) tail -= 1
+          dq(tail) = i; tail += 1
+          if (dq(head) <= i - w) head += 1
+          if (i >= w - 1) out(i - (w - 1)) = hs(dq(head))
+          i += 1
+        }
+        out
+      }
+    java.util.Arrays.sort(mins)
+    var o = 0
+    i = 0
+    while (i < mins.length) {
+      if (o == 0 || mins(i) != mins(o - 1)) { mins(o) = mins(i); o += 1 }
+      i += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(mins, o))
+  }
+
   /** IEEE-754 bits remapped so the LONG order matches the DOUBLE order
     * (positive doubles unchanged, negatives lower-63-bit-flipped) — lets
     * double sort keys ride long-keyed machinery like [[graft.operators
@@ -610,6 +738,30 @@ case class RoundHalfEvenExact(child: Expression, scale: Int)
   override def prettyName: String = "graft_round_even"
 }
 
+case class WinnowFingerprint(child: Expression, k: Int, w: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
+  override protected def nullSafeEval(v: Any): Any =
+    VecKernels.winnowFp(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], k, w)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.VecKernels.winnowFp($c, $k, $w)")
+  override protected def withNewChildInternal(c: Expression): WinnowFingerprint =
+    copy(child = c)
+  override def prettyName: String = "graft_winnow_fp"
+}
+
+case class GramMd5(child: Expression, k: Int) extends UnaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.ArrayType(
+    org.apache.spark.sql.types.StringType, containsNull = false)
+  override protected def nullSafeEval(v: Any): Any =
+    VecKernels.gramMd5(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.VecKernels.gramMd5($c, $k)")
+  override protected def withNewChildInternal(c: Expression): GramMd5 =
+    copy(child = c)
+  override def prettyName: String = "graft_gram_md5"
+}
+
 case class SortableDoubleBits(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
   override protected def nullSafeEval(v: Any): Any =
@@ -693,6 +845,15 @@ object NativeFunctions {
       e => NormTokens(e.head), "built-in")
     reg.createOrReplaceTempFunction("graft_double_bits",
       e => SortableDoubleBits(e.head), "built-in")
+    reg.createOrReplaceTempFunction("graft_gram_md5", {
+      case Seq(v, Literal(k: Int, IntegerType)) => GramMd5(v, k)
+      case e => GramMd5(e.head, 5)
+    }, "built-in")
+    reg.createOrReplaceTempFunction("graft_winnow_fp", {
+      case Seq(v, Literal(k: Int, IntegerType), Literal(w: Int, IntegerType)) =>
+        WinnowFingerprint(v, k, w)
+      case e => WinnowFingerprint(e.head, 3, 4)
+    }, "built-in")
     reg.createOrReplaceTempFunction("graft_round_even", {
       case Seq(v, Literal(s: Int, IntegerType)) => RoundHalfEvenExact(v, s)
       case e => RoundHalfEvenExact(e.head, 2)
@@ -729,6 +890,12 @@ object NativeFunctions {
 
   def doubleBits(c: Column): Column =
     org.apache.spark.sql.functions.call_function("graft_double_bits", c)
+  def gramMd5(c: Column, k: Int): Column =
+    org.apache.spark.sql.functions.call_function("graft_gram_md5", c,
+      org.apache.spark.sql.functions.lit(k))
+  def winnowFp(c: Column, k: Int, w: Int): Column =
+    org.apache.spark.sql.functions.call_function("graft_winnow_fp", c,
+      org.apache.spark.sql.functions.lit(k), org.apache.spark.sql.functions.lit(w))
   def roundEven(c: Column, scale: Int = 2): Column =
     org.apache.spark.sql.functions.call_function("graft_round_even", c,
       org.apache.spark.sql.functions.lit(scale))
