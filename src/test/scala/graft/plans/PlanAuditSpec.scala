@@ -99,11 +99,14 @@ class PlanAuditSpec extends SparkSpec {
       "topK buffers must merge map-side:\n" + plan)
   }
 
-  test("t15: dup-gram count partial-aggregates; island window is per-document") {
+  test("t15: single fused gram pass, one gram shuffle; island window is per-document") {
     val plan = formatted(q("t15_dup_spans"))
-    // the occurs-more-than-once groupBy on the gram hash must combine
-    // map-side (partial + final HashAggregate pair), not ship every gram
-    assert(count(plan, "HashAggregate") >= 2, plan)
+    // the gram-md5 kernel must run ONCE — the groupBy + semi-join-back
+    // shape recomputed the whole gram table for the join side
+    assert(count(plan, "graft_gram_md5") == 1, plan)
+    // duplicate detection is a count window partitioned by the gram hash
+    // (one shuffle), never a re-join of the gram table
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("BroadcastHashJoin"), plan)
     // the span merge windows must be partitioned by doc_id — a global
     // window here would funnel every duplicated position into one reducer
     val windows = plan.linesIterator
@@ -112,6 +115,17 @@ class PlanAuditSpec extends SparkSpec {
     assert(windows.nonEmpty, plan)
     assert(windows.contains("doc_id"),
       "island-merge window not partitioned by doc_id:\n" + windows)
+  }
+
+  test("t23: perplexity scoring is a map-only pass (model broadcast, no join/agg/shuffle)") {
+    val plan = formatted(q("t23_perplexity"))
+    // the model collect happens at build time against the bounded gram
+    // vocabulary; the SCORING plan must be scan → mapPartitions → sort,
+    // with no join and no aggregate — every former gram-stream shuffle
+    // is gone
+    assert(!plan.contains("Join"), plan)
+    assert(!plan.contains("HashAggregate"), plan)
+    assert(plan.contains("MapPartitions"), plan)
   }
 
   test("q59: correlated EXISTS rewrites to one semi join, no per-row subquery") {
