@@ -308,6 +308,32 @@ object ChRegistry {
     macros.createFunction("bar", Seq("x", "mn", "mx", "w"),
       "repeat('█', greatest(0, cast(round((x - mn) / (mx - mn) * w) as int)))",
       orReplace = true)
+    // geo family: haversine great-circle distance in meters (R=6371000;
+    // CH's geoDistance uses an ellipsoid correction — we document the
+    // spherical delta and keep one formula for both names, recomputable
+    // in any engine with asin/radians)
+    val haversine =
+      "2 * 6371000.0d * asin(sqrt(pow(sin(radians(lat2 - lat1) / 2), 2) + " +
+        "cos(radians(lat1)) * cos(radians(lat2)) * " +
+        "pow(sin(radians(lon2 - lon1) / 2), 2)))"
+    macros.createFunction("greatCircleDistance",
+      Seq("lon1", "lat1", "lon2", "lat2"), haversine, orReplace = true)
+    macros.createFunction("geoDistance",
+      Seq("lon1", "lat1", "lon2", "lat2"), haversine, orReplace = true)
+    macros.createFunction("greatCircleAngle",
+      Seq("lon1", "lat1", "lon2", "lat2"),
+      "degrees(2 * asin(sqrt(pow(sin(radians(lat2 - lat1) / 2), 2) + " +
+        "cos(radians(lat1)) * cos(radians(lat2)) * " +
+        "pow(sin(radians(lon2 - lon1) / 2), 2))))", orReplace = true)
+    // single-ellipse form of pointInEllipses (the variadic CH form folds)
+    macros.createFunction("pointInEllipse",
+      Seq("x", "y", "x0", "y0", "a", "b"),
+      "cast(pow(x - x0, 2) / pow(a, 2) + pow(y - y0, 2) / pow(b, 2) <= 1.0d as int)",
+      orReplace = true)
+    // pointInPolygon(x, y, xs, ys) — CH passes tuples; the dialect takes
+    // parallel coordinate arrays. Even-odd ray casting, native kernel.
+    f("pointInPolygon")(e => Cast(graft.plans.PointInPolygon(e(0), e(1), e(2), e(3)),
+      IntegerType))
     macros.createFunction("splitByChar", Seq("sep", "s"),
       "split(s, concat('\\\\Q', sep, '\\\\E'))", orReplace = true)
     macros.createFunction("splitByString", Seq("sep", "s"),

@@ -115,4 +115,65 @@ object StatAggregates {
     require(n >= 1, s"uniqUpTo needs N >= 1, got $n")
     udaf(new UniqUpToAggregator(n), Encoders.STRING).apply(c.cast(StringType))
   }
+
+  // ---- -ForEach combinators (element-wise across rows) ---------------
+
+  /** Element-wise sums and per-position row counts; arrays of differing
+    * lengths align on position (CH -ForEach semantics: result length =
+    * max input length, absent positions contribute nothing).
+    */
+  final case class ForEachState(sums: Array[Double], counts: Array[Long])
+
+  class ForEachAggregator(avg: Boolean)
+      extends Aggregator[Seq[Double], ForEachState, Seq[Double]] {
+    override def zero: ForEachState =
+      ForEachState(Array.emptyDoubleArray, Array.emptyLongArray)
+    private def grown(b: ForEachState, n: Int): ForEachState =
+      if (b.sums.length >= n) b
+      else ForEachState(java.util.Arrays.copyOf(b.sums, n),
+        java.util.Arrays.copyOf(b.counts, n))
+    override def reduce(b0: ForEachState, xs: Seq[Double]): ForEachState = {
+      if (xs == null) return b0
+      val b = grown(b0, xs.length)
+      var i = 0
+      while (i < xs.length) { b.sums(i) += xs(i); b.counts(i) += 1; i += 1 }
+      b
+    }
+    override def merge(b1: ForEachState, b2: ForEachState): ForEachState = {
+      val (small, big0) = if (b1.sums.length <= b2.sums.length) (b1, b2)
+        else (b2, b1)
+      val big = grown(big0, small.sums.length)
+      var i = 0
+      while (i < small.sums.length) {
+        big.sums(i) += small.sums(i); big.counts(i) += small.counts(i)
+        i += 1
+      }
+      big
+    }
+    override def finish(b: ForEachState): Seq[Double] =
+      if (!avg) b.sums.toSeq
+      else b.sums.indices.map(i => b.sums(i) / b.counts(i))
+    override def bufferEncoder = Encoders.product[ForEachState]
+    override def outputEncoder = org.apache.spark.sql.catalyst.encoders
+      .ExpressionEncoder[Seq[Double]]()
+  }
+
+  private def forEachEnc = org.apache.spark.sql.catalyst.encoders
+    .ExpressionEncoder[Seq[Double]]()
+
+  /** sumForEach(arr): element-wise sum across the group's arrays — the
+    * vector-accumulation combinator (embedding centroids fall out of
+    * [[avgForEach]]). Partial-aggregatable, O(dim) state per group.
+    * Array elements must be non-null.
+    */
+  def sumForEach(c: Column): Column =
+    udaf(new ForEachAggregator(avg = false), forEachEnc)
+      .apply(c.cast("array<double>"))
+
+  /** avgForEach(arr): element-wise mean (per-position row counts, so
+    * ragged lengths average over the rows that HAVE the position).
+    */
+  def avgForEach(c: Column): Column =
+    udaf(new ForEachAggregator(avg = true), forEachEnc)
+      .apply(c.cast("array<double>"))
 }

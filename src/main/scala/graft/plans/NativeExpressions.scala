@@ -456,6 +456,24 @@ object VecKernels {
     new GenericArrayData(java.util.Arrays.copyOf(mins, o))
   }
 
+  /** Even-odd ray casting; vertices as parallel double arrays. */
+  def pointInPolygon(px: Double, py: Double,
+                     xs: ArrayData, ys: ArrayData): Boolean = {
+    val n = math.min(xs.numElements(), ys.numElements())
+    var inside = false
+    var j = n - 1
+    var i = 0
+    while (i < n) {
+      val xi = xs.getDouble(i); val yi = ys.getDouble(i)
+      val xj = xs.getDouble(j); val yj = ys.getDouble(j)
+      if ((yi > py) != (yj > py) &&
+        px < (xj - xi) * (py - yi) / (yj - yi) + xi) inside = !inside
+      j = i
+      i += 1
+    }
+    inside
+  }
+
   /** IEEE-754 bits remapped so the LONG order matches the DOUBLE order
     * (positive doubles unchanged, negatives lower-63-bit-flipped) — lets
     * double sort keys ride long-keyed machinery like [[graft.operators
@@ -748,6 +766,30 @@ case class WinnowFingerprint(child: Expression, k: Int, w: Int)
   override protected def withNewChildInternal(c: Expression): WinnowFingerprint =
     copy(child = c)
   override def prettyName: String = "graft_winnow_fp"
+}
+
+/** Even-odd ray-casting point-in-polygon over parallel coordinate
+  * arrays (boundary behavior follows the standard crossing rule).
+  */
+case class PointInPolygon(px: Expression, py: Expression,
+                          xs: Expression, ys: Expression)
+    extends QuaternaryExpression {
+  override def first: Expression = px
+  override def second: Expression = py
+  override def third: Expression = xs
+  override def fourth: Expression = ys
+  override def dataType: DataType = org.apache.spark.sql.types.BooleanType
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(a: Any, b: Any, c: Any, d: Any): Any =
+    VecKernels.pointInPolygon(a.asInstanceOf[Double], b.asInstanceOf[Double],
+      c.asInstanceOf[ArrayData], d.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b, c, d) =>
+      s"graft.plans.VecKernels.pointInPolygon($a, $b, $c, $d)")
+  override protected def withNewChildrenInternal(
+      a: Expression, b: Expression, c: Expression, d: Expression): PointInPolygon =
+    copy(px = a, py = b, xs = c, ys = d)
+  override def prettyName: String = "graft_point_in_polygon"
 }
 
 case class GramMd5(child: Expression, k: Int) extends UnaryExpression {

@@ -908,6 +908,62 @@ object MiscQueries {
           |  transform(event_type, array('click', 'view'), array('c', 'v'), '?') AS tr,
           |  roundToExp2(user_id + 1) AS r2
           |FROM w ORDER BY user_id, event_type""".stripMargin)
+    },
+
+    // ---- -ForEach combinators (SURVEY §2.4): element-wise sum/mean
+    // across the group's arrays — label centroids over the embeddings
+    // table (the vector-accumulation shape an embedding pipeline needs).
+    // O(dim) partial-aggregated state; oracle recomputes per-position
+    // via unnest + subscripts.
+    Q("q74_foreach_combinators",
+      """WITH u AS (SELECT label, unnest(embedding) AS v,
+        |                  generate_subscripts(embedding, 1) AS i
+        |           FROM embeddings),
+        |s AS (SELECT label, i, round(sum(v), 4) AS sv, round(avg(v), 4) AS av
+        |      FROM u GROUP BY label, i),
+        |l AS (SELECT label, list(sv ORDER BY i) AS sum_fe,
+        |             list(av ORDER BY i) AS avg_fe FROM s GROUP BY label),
+        |n AS (SELECT label, count(*) AS n_vecs FROM embeddings GROUP BY label)
+        |SELECT label, n.n_vecs, l.sum_fe, l.avg_fe
+        |FROM l JOIN n USING (label) ORDER BY label""") { (s, dir) =>
+      import graft.functions.StatAggregates.{avgForEach, sumForEach}
+      Tables(s, dir).embeddings
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n_vecs"),
+          transform(sumForEach(col("embedding")), x => round(x, 4)).as("sum_fe"),
+          transform(avgForEach(col("embedding")), x => round(x, 4)).as("avg_fe"))
+        .orderBy(col("label"))
+    },
+
+    // ---- geo family (SURVEY §2.8): haversine great-circle distance /
+    // angle over synthetic supplier coordinates, checked against the
+    // same spherical formula in DuckDB (pointInPolygon's ray casting is
+    // spec-asserted — no portable SQL spelling). round(1): doubles agree
+    // to ~1e-8 m, the boundary risk is nil.
+    Q("q75_geo",
+      """WITH s AS (SELECT s_suppkey,
+        |    (s_suppkey * 7919) % 36000 / 100.0 - 180.0 AS lon,
+        |    (s_suppkey * 104729) % 18000 / 100.0 - 90.0 AS lat
+        |  FROM supplier)
+        |SELECT s_suppkey, round(lon, 2) AS lon2, round(lat, 2) AS lat2,
+        |  round(2 * 6371000.0 * asin(sqrt(pow(sin(radians(55.75 - lat) / 2), 2) +
+        |    cos(radians(lat)) * cos(radians(55.75)) *
+        |    pow(sin(radians(37.62 - lon) / 2), 2))), 1) AS dist_m,
+        |  round(degrees(2 * asin(sqrt(pow(sin(radians(55.75 - lat) / 2), 2) +
+        |    cos(radians(lat)) * cos(radians(55.75)) *
+        |    pow(sin(radians(37.62 - lon) / 2), 2)))), 4) AS angle_deg
+        |FROM s ORDER BY s_suppkey""") { (s, dir) =>
+      graft.functions.ChRegistry.registerAll(s)
+      Tables(s, dir).supplier.createOrReplaceTempView("q75_supplier")
+      s.sql(
+        """WITH s AS (SELECT s_suppkey,
+          |    (s_suppkey * 7919) % 36000 / 100.0d - 180.0d AS lon,
+          |    (s_suppkey * 104729) % 18000 / 100.0d - 90.0d AS lat
+          |  FROM q75_supplier)
+          |SELECT s_suppkey, round(lon, 2) AS lon2, round(lat, 2) AS lat2,
+          |  round(greatCircleDistance(lon, lat, 37.62d, 55.75d), 1) AS dist_m,
+          |  round(greatCircleAngle(lon, lat, 37.62d, 55.75d), 4) AS angle_deg
+          |FROM s ORDER BY s_suppkey""".stripMargin)
     }
   )
 }

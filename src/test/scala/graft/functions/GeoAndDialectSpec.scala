@@ -1,0 +1,62 @@
+package graft.functions
+
+import graft.SparkSpec
+
+class GeoAndDialectSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def one(sql: String): org.apache.spark.sql.Row = {
+    ChRegistry.registerAll(spark)
+    spark.sql(sql).head()
+  }
+
+  test("greatCircleDistance: known city pair within 0.5% of the published value") {
+    // Moscow (37.62, 55.75) to Saint Petersburg (30.31, 59.94) ~ 634 km
+    val d = one(
+      "SELECT greatCircleDistance(37.62d, 55.75d, 30.31d, 59.94d)").getDouble(0)
+    assert(math.abs(d - 634000) < 634000 * 0.005, s"got $d")
+    // zero distance to self; angle of antipodes is 180
+    assert(one("SELECT greatCircleDistance(10d, 10d, 10d, 10d)").getDouble(0) == 0.0)
+    val a = one("SELECT greatCircleAngle(0d, 0d, 180d, 0d)").getDouble(0)
+    assert(math.abs(a - 180.0) < 1e-9, s"got $a")
+  }
+
+  test("pointInPolygon: convex, concave, and outside cases") {
+    ChRegistry.registerAll(spark)
+    def pip(px: Double, py: Double, xs: Seq[Double], ys: Seq[Double]): Int = {
+      val xsS = xs.mkString("array(", "d,", "d)")
+      val ysS = ys.mkString("array(", "d,", "d)")
+      spark.sql(s"SELECT pointInPolygon(${px}d, ${py}d, $xsS, $ysS)")
+        .head().getInt(0)
+    }
+    val sqX = Seq(0.0, 4.0, 4.0, 0.0)
+    val sqY = Seq(0.0, 0.0, 4.0, 4.0)
+    assert(pip(2, 2, sqX, sqY) == 1)
+    assert(pip(5, 2, sqX, sqY) == 0)
+    assert(pip(-1, -1, sqX, sqY) == 0)
+    // concave "C" shape: (6,1)-(6,5) notch cut into the right side
+    val cX = Seq(0.0, 6.0, 6.0, 2.0, 2.0, 6.0, 6.0, 0.0)
+    val cY = Seq(0.0, 0.0, 1.0, 1.0, 5.0, 5.0, 6.0, 6.0)
+    assert(pip(1, 3, cX, cY) == 1)  // inside the spine
+    assert(pip(4, 3, cX, cY) == 0)  // inside the notch (outside polygon)
+    assert(pip(4, 0.5, cX, cY) == 1) // bottom arm
+  }
+
+  test("pointInEllipse and bit/ip dialect spot checks") {
+    assert(one("SELECT pointInEllipse(1d, 0d, 0d, 0d, 2d, 1d)").getInt(0) == 1)
+    assert(one("SELECT pointInEllipse(3d, 0d, 0d, 0d, 2d, 1d)").getInt(0) == 0)
+    assert(one("SELECT IPv4NumToString(3232235777)").getString(0) == "192.168.1.1")
+    assert(one("SELECT IPv4StringToNum('192.168.1.1')").getLong(0) == 3232235777L)
+    assert(one("SELECT isIPv4String('999.1.1.1')").getInt(0) == 0)
+    assert(one("SELECT isIPv4String('255.255.255.255')").getInt(0) == 1)
+    assert(one("SELECT bitTest(5, 2)").getInt(0) == 1)
+    assert(one("SELECT roundToExp2(1000)").getLong(0) == 512L)
+    assert(one("SELECT roundToExp2(0)").getLong(0) == 0L)
+    assert(one("SELECT roundToExp2(1024)").getLong(0) == 1024L)
+    assert(one("SELECT transform('x', array('a','b'), array('1','2'), '?')")
+      .getString(0) == "?")
+    assert(one("SELECT transform(array(1, 2), x -> x + 1)")
+      .getSeq[Int](0) == Seq(2, 3))
+    assert(one("SELECT bar(5d, 0d, 10d, 10)").getString(0).length == 5)
+  }
+}

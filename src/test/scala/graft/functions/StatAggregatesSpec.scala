@@ -46,6 +46,28 @@ class StatAggregatesSpec extends SparkSpec {
     assert(got == 6L)
   }
 
+  test("sumForEach/avgForEach align ragged arrays by position across merges") {
+    val df = Seq(
+      ("g", Seq(1.0, 2.0, 3.0)),
+      ("g", Seq(10.0, 20.0)),
+      ("g", Seq(100.0))
+    ).toDF("g", "arr").repartition(3)
+    val got = df.groupBy($"g").agg(
+      StatAggregates.sumForEach($"arr").as("s"),
+      StatAggregates.avgForEach($"arr").as("a"))
+      .as[(String, Seq[Double], Seq[Double])].head()
+    assert(got._2 == Seq(111.0, 22.0, 3.0))
+    assert(got._3 == Seq(37.0, 11.0, 3.0)) // per-position row counts 3,2,1
+  }
+
+  test("sumForEach skips null arrays") {
+    val df = Seq(Some(Seq(1.0, 1.0)), None, Some(Seq(2.0, 2.0)))
+      .toDF("arr")
+    val got = df.agg(StatAggregates.sumForEach($"arr"))
+      .as[Seq[Double]].head()
+    assert(got == Seq(3.0, 3.0))
+  }
+
   test("kurtPop is non-excess (uniform two-point distribution has kurtosis 1)") {
     // x in {0,1} equally likely: m4/sigma^4 = 1 exactly
     val df = Seq.fill(50)(0.0).++(Seq.fill(50)(1.0)).toDF("x")
