@@ -110,6 +110,12 @@ object ChRegistry {
     f("avgIf")(e => Average(If(e(1), e(0), Literal.create(null, NullType))))
     f("minIf")(e => Min(If(e(1), e(0), Literal.create(null, NullType))))
     f("maxIf")(e => Max(If(e(1), e(0), Literal.create(null, NullType))))
+    // simpleLinearRegression(x, y) fits y = k*x + b → (k, b) tuple; the
+    // struct carries two single-pass regr aggregates (SQL allows a struct
+    // of aggregates in an agg position)
+    f("simpleLinearRegression")(e => CreateNamedStruct(Seq(
+      Literal("k"), RegrSlope(e(1), e(0)).toAggregateExpression(),
+      Literal("b"), RegrIntercept(e(1), e(0)).toAggregateExpression())))
     // quantiles — ClickHouse's parametric call form quantile(0.5)(x) is
     // not Spark-parsable, so the dialect uses quantile(x, level)
     f("median")(e => new Percentile(e.head, Literal(0.5d)))

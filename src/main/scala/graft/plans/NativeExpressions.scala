@@ -456,6 +456,32 @@ object VecKernels {
     new GenericArrayData(java.util.Arrays.copyOf(mins, o))
   }
 
+  /** Feature hashing (the "hashing trick"): token array → dense
+    * `dim`-bucket count vector, bucket = first-4-md5-bytes(token) % dim
+    * — the same engine-portable hash family as the winnowing/split
+    * operators, so any SQL engine reproduces the exact featurization.
+    * One pass, O(dim) output regardless of vocabulary.
+    */
+  def hashingTf(tokens: ArrayData, dim: Int)
+      : org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val counts = new Array[Long](dim)
+    val md = md5Local.get()
+    val n = tokens.numElements()
+    var i = 0
+    while (i < n) {
+      if (!tokens.isNullAt(i)) {
+        md.reset()
+        md.update(tokens.getUTF8String(i).getBytes)
+        val d = md.digest()
+        val h = ((d(0) & 0xFFL) << 24) | ((d(1) & 0xFFL) << 16) |
+          ((d(2) & 0xFFL) << 8) | (d(3) & 0xFFL)
+        counts((h % dim).toInt) += 1
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(counts)
+  }
+
   /** Even-odd ray casting; vertices as parallel double arrays. */
   def pointInPolygon(px: Double, py: Double,
                      xs: ArrayData, ys: ArrayData): Boolean = {
@@ -804,6 +830,18 @@ case class GramMd5(child: Expression, k: Int) extends UnaryExpression {
   override def prettyName: String = "graft_gram_md5"
 }
 
+case class HashingTf(child: Expression, dim: Int) extends UnaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.ArrayType(
+    LongType, containsNull = false)
+  override protected def nullSafeEval(v: Any): Any =
+    VecKernels.hashingTf(v.asInstanceOf[ArrayData], dim)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.VecKernels.hashingTf($c, $dim)")
+  override protected def withNewChildInternal(c: Expression): HashingTf =
+    copy(child = c)
+  override def prettyName: String = "graft_hashing_tf"
+}
+
 case class SortableDoubleBits(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
   override protected def nullSafeEval(v: Any): Any =
@@ -887,6 +925,10 @@ object NativeFunctions {
       e => NormTokens(e.head), "built-in")
     reg.createOrReplaceTempFunction("graft_double_bits",
       e => SortableDoubleBits(e.head), "built-in")
+    reg.createOrReplaceTempFunction("graft_hashing_tf", {
+      case Seq(v, Literal(dim: Int, IntegerType)) => HashingTf(v, dim)
+      case e => HashingTf(e.head, 64)
+    }, "built-in")
     reg.createOrReplaceTempFunction("graft_gram_md5", {
       case Seq(v, Literal(k: Int, IntegerType)) => GramMd5(v, k)
       case e => GramMd5(e.head, 5)
@@ -932,6 +974,9 @@ object NativeFunctions {
 
   def doubleBits(c: Column): Column =
     org.apache.spark.sql.functions.call_function("graft_double_bits", c)
+  def hashingTf(c: Column, dim: Int): Column =
+    org.apache.spark.sql.functions.call_function("graft_hashing_tf", c,
+      org.apache.spark.sql.functions.lit(dim))
   def gramMd5(c: Column, k: Int): Column =
     org.apache.spark.sql.functions.call_function("graft_gram_md5", c,
       org.apache.spark.sql.functions.lit(k))

@@ -964,6 +964,31 @@ object MiscQueries {
           |  round(greatCircleDistance(lon, lat, 37.62d, 55.75d), 1) AS dist_m,
           |  round(greatCircleAngle(lon, lat, 37.62d, 55.75d), 4) AS angle_deg
           |FROM s ORDER BY s_suppkey""".stripMargin)
+    },
+
+    // ---- regression aggregate family (CH simpleLinearRegression and
+    // the SQL-standard regr_* it decomposes into — both engines carry
+    // the natives; single-pass co-moment partial aggregation).
+    // simpleLinearRegression(x, y) fits y = slope*x + intercept.
+    Q("q76_regression_agg",
+      """SELECT l_returnflag,
+        |  CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n,
+        |  round(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+        |  round(regr_intercept(l_extendedprice, l_quantity), 4) AS intercept,
+        |  round(regr_r2(l_extendedprice, l_quantity), 4) AS r2,
+        |  round(regr_avgx(l_extendedprice, l_quantity), 4) AS avg_x,
+        |  round(regr_avgy(l_extendedprice, l_quantity), 4) AS avg_y
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""") { (s, dir) =>
+      Tables(s, dir).lineitem
+        .groupBy(col("l_returnflag"))
+        .agg(
+          regr_count(col("l_extendedprice"), col("l_quantity")).as("n"),
+          round(regr_slope(col("l_extendedprice"), col("l_quantity")), 4).as("slope"),
+          round(regr_intercept(col("l_extendedprice"), col("l_quantity")), 4).as("intercept"),
+          round(regr_r2(col("l_extendedprice"), col("l_quantity")), 4).as("r2"),
+          round(regr_avgx(col("l_extendedprice"), col("l_quantity")), 4).as("avg_x"),
+          round(regr_avgy(col("l_extendedprice"), col("l_quantity")), 4).as("avg_y"))
+        .orderBy(col("l_returnflag"))
     }
   )
 }

@@ -832,6 +832,35 @@ object PipelineQueries {
         .orderBy(col("term"))
     },
 
+    // ---- feature hashing (the hashing trick): token array → dense
+    // 32-bucket count vector via the portable md5-prefix hash — the
+    // classic cheap featurization for shallow quality/topic models.
+    // One kernel pass per doc, O(dim) output regardless of vocabulary;
+    // the oracle rebuilds the dense vector per bucket.
+    Q("t26_hashing_tf",
+      s"""WITH t AS (SELECT doc_id, ${toksSql(normSql)} AS toks
+         |           FROM documents WHERE $normSql <> ''),
+         |u AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+         |b AS (SELECT doc_id,
+         |        CAST(concat('0x', substr(md5(tok), 1, 8)) AS BIGINT) % 32 AS bkt
+         |      FROM u),
+         |c AS (SELECT doc_id, bkt, count(*) AS c FROM b GROUP BY 1, 2),
+         |g AS (SELECT doc_id, r.i FROM (SELECT DISTINCT doc_id FROM t)
+         |      CROSS JOIN range(0, 32) AS r(i)),
+         |d AS (SELECT g.doc_id, g.i, COALESCE(c.c, 0) AS c FROM g
+         |      LEFT JOIN c ON c.doc_id = g.doc_id AND c.bkt = g.i)
+         |SELECT doc_id, list(c ORDER BY i) AS tf
+         |FROM d GROUP BY doc_id ORDER BY doc_id""") { (s, dir) =>
+      graft.plans.NativeFunctions.register(s)
+      Tables(s, dir).documents
+        .select(col("doc_id"),
+          graft.plans.NativeFunctions.normTokens(col("text")).as("__toks"))
+        .filter(size(col("__toks")) > 0)
+        .select(col("doc_id"),
+          graft.plans.NativeFunctions.hashingTf(col("__toks"), 32).as("tf"))
+        .orderBy(col("doc_id"))
+    },
+
     // ---- HTML text extraction (web-crawl curation step 1): documents
     // are wrapped in deterministic markup (script/style/comments/tags/
     // entities), then the extractor strips markup and decodes entities.

@@ -42,6 +42,38 @@ class GeoAndDialectSpec extends SparkSpec {
     assert(pip(4, 0.5, cX, cY) == 1) // bottom arm
   }
 
+  test("simpleLinearRegression recovers an exact linear fit") {
+    ChRegistry.registerAll(spark)
+    Seq((1.0, 3.0), (2.0, 5.0), (3.0, 7.0), (4.0, 9.0)).toDF("x", "y")
+      .createOrReplaceTempView("t_slr")
+    val r = spark.sql(
+      "SELECT simpleLinearRegression(x, y) AS f FROM t_slr").head()
+      .getStruct(0)
+    assert(math.abs(r.getDouble(0) - 2.0) < 1e-12) // k
+    assert(math.abs(r.getDouble(1) - 1.0) < 1e-12) // b
+  }
+
+  test("hashingTf: counts sum to token count, deterministic, null-safe") {
+    graft.plans.NativeFunctions.register(spark)
+    val df = Seq(
+      (1L, Seq("a", "b", "a", "c")),
+      (2L, Seq[String]()),
+      (3L, Seq("a", null, "a"))
+    ).toDF("id", "toks")
+    val got = df.select($"id",
+      graft.plans.NativeFunctions.hashingTf($"toks", 8).as("tf"))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(got(1L).sum == 4 && got(1L).length == 8)
+    assert(got(2L).sum == 0)
+    assert(got(3L).sum == 2) // null token skipped
+    // same token always lands in the same bucket
+    val b1 = got(1L).zipWithIndex.filter(_._1 > 0).map(_._2).toSet
+    val again = df.repartition(3).select($"id",
+      graft.plans.NativeFunctions.hashingTf($"toks", 8).as("tf"))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(again(1L) == got(1L) && b1.nonEmpty)
+  }
+
   test("pointInEllipse and bit/ip dialect spot checks") {
     assert(one("SELECT pointInEllipse(1d, 0d, 0d, 0d, 2d, 1d)").getInt(0) == 1)
     assert(one("SELECT pointInEllipse(3d, 0d, 0d, 0d, 2d, 1d)").getInt(0) == 0)
