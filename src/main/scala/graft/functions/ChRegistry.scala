@@ -340,6 +340,9 @@ object ChRegistry {
     // parallel coordinate arrays. Even-odd ray casting, native kernel.
     f("pointInPolygon")(e => Cast(graft.plans.PointInPolygon(e(0), e(1), e(2), e(3)),
       IntegerType))
+    // arrayAUC(scores, labels): rank-sum AUC with tie-averaged ranks
+    f("arrayAUC")(e => graft.plans.ArrayAuc(
+      Cast(e(0), ArrayType(DoubleType)), Cast(e(1), ArrayType(IntegerType))))
     macros.createFunction("splitByChar", Seq("sep", "s"),
       "split(s, concat('\\\\Q', sep, '\\\\E'))", orReplace = true)
     macros.createFunction("splitByString", Seq("sep", "s"),

@@ -176,4 +176,72 @@ object StatAggregates {
   def avgForEach(c: Column): Column =
     udaf(new ForEachAggregator(avg = true), forEachEnc)
       .apply(c.cast("array<double>"))
+
+  // ---- categorical association: cramersV / contingency ---------------
+
+  type PairCounts = mutable.HashMap[(String, String), Long]
+
+  /** Contingency-table state (category-pair -> count; state is bounded
+    * by category-pair cardinality, same as ClickHouse's); finish folds
+    * the chi-square statistic. `bias` false → Cramér's V, true →
+    * Pearson's contingency coefficient C = sqrt(chi2 / (chi2 + n)).
+    */
+  class AssociationAggregator(contingencyC: Boolean)
+      extends Aggregator[(String, String), PairCounts, Double] {
+    override def zero: PairCounts = mutable.HashMap.empty
+    override def reduce(b: PairCounts, v: (String, String)): PairCounts = {
+      if (v._1 != null && v._2 != null)
+        b.update(v, b.getOrElse(v, 0L) + 1L)
+      b
+    }
+    override def merge(b1: PairCounts, b2: PairCounts): PairCounts = {
+      val (big, small) = if (b1.size >= b2.size) (b1, b2) else (b2, b1)
+      small.foreach { case (k, c) => big.update(k, big.getOrElse(k, 0L) + c) }
+      big
+    }
+    override def finish(b: PairCounts): Double = {
+      if (b.isEmpty) return 0.0
+      val rowM = mutable.HashMap.empty[String, Long]
+      val colM = mutable.HashMap.empty[String, Long]
+      var n = 0L
+      b.foreach { case ((a, c), o) =>
+        rowM.update(a, rowM.getOrElse(a, 0L) + o)
+        colM.update(c, colM.getOrElse(c, 0L) + o)
+        n += o
+      }
+      // chi-square over the FULL r×c table: observed cells directly;
+      // every absent cell contributes (0-e)^2/e = e, and the e's over all
+      // cells sum to n — so the absent-cell mass is n - sum(e_observed)
+      var chi2 = 0.0
+      var eObs = 0.0
+      b.foreach { case ((a, c), o) =>
+        val e = rowM(a).toDouble * colM(c).toDouble / n
+        val d = o - e
+        chi2 += d * d / e
+        eObs += e
+      }
+      chi2 += n - eObs
+      if (contingencyC) math.sqrt(chi2 / (chi2 + n))
+      else {
+        val k = math.min(rowM.size, colM.size) - 1
+        if (k <= 0) 0.0 else math.sqrt(chi2 / n / k)
+      }
+    }
+    override def bufferEncoder = Encoders.kryo[PairCounts]
+    override def outputEncoder = Encoders.scalaDouble
+  }
+
+  private def pairEnc = Encoders.tuple(Encoders.STRING, Encoders.STRING)
+
+  /** cramersV(a, b): association strength in [0, 1] between two
+    * categorical columns (chi-square normalized); NULL pairs skipped.
+    */
+  def cramersV(a: Column, b: Column): Column =
+    udaf(new AssociationAggregator(contingencyC = false), pairEnc)
+      .apply(a.cast(StringType), b.cast(StringType))
+
+  /** Pearson's contingency coefficient over the same state. */
+  def contingency(a: Column, b: Column): Column =
+    udaf(new AssociationAggregator(contingencyC = true), pairEnc)
+      .apply(a.cast(StringType), b.cast(StringType))
 }

@@ -482,6 +482,35 @@ object VecKernels {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(counts)
   }
 
+  /** arrayAUC: area under the ROC curve of one (scores, labels) pair via
+    * the rank-sum (Mann-Whitney U) formula with average ranks for tied
+    * scores. NaN when either class is absent (CH behavior).
+    */
+  def arrayAuc(scores: ArrayData, labels: ArrayData): Double = {
+    val n = math.min(scores.numElements(), labels.numElements())
+    if (n == 0) return Double.NaN
+    val sc = Array.tabulate(n)(scores.getDouble)
+    val lb = Array.tabulate(n)(labels.getInt)
+    val order = Array.range(0, n).sortBy(sc(_))
+    var i = 0
+    var sumPos = 0.0
+    var p = 0L
+    var ng = 0L
+    while (i < n) {
+      var j = i
+      while (j < n && sc(order(j)) == sc(order(i))) j += 1
+      val avgRank = (i + 1 + j) / 2.0
+      var k = i
+      while (k < j) {
+        if (lb(order(k)) != 0) { sumPos += avgRank; p += 1 } else ng += 1
+        k += 1
+      }
+      i = j
+    }
+    if (p == 0L || ng == 0L) Double.NaN
+    else (sumPos - p * (p + 1) / 2.0) / (p.toDouble * ng)
+  }
+
   /** Even-odd ray casting; vertices as parallel double arrays. */
   def pointInPolygon(px: Double, py: Double,
                      xs: ArrayData, ys: ArrayData): Boolean = {
@@ -828,6 +857,18 @@ case class GramMd5(child: Expression, k: Int) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): GramMd5 =
     copy(child = c)
   override def prettyName: String = "graft_gram_md5"
+}
+
+case class ArrayAuc(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    VecKernels.arrayAuc(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.plans.VecKernels.arrayAuc($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): ArrayAuc =
+    copy(left = l, right = r)
+  override def prettyName: String = "graft_array_auc"
 }
 
 case class HashingTf(child: Expression, dim: Int) extends UnaryExpression {

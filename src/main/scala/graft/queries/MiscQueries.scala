@@ -989,6 +989,35 @@ object MiscQueries {
           round(regr_avgx(col("l_extendedprice"), col("l_quantity")), 4).as("avg_x"),
           round(regr_avgy(col("l_extendedprice"), col("l_quantity")), 4).as("avg_y"))
         .orderBy(col("l_returnflag"))
+    },
+
+    // ---- categorical association (CH cramersV / contingency): one
+    // contingency-state aggregate; the oracle refolds chi-square from
+    // the margins in SQL. State is bounded by category-pair cardinality.
+    Q("q77_association",
+      """WITH c AS (SELECT event_type AS a, CAST(user_id % 5 AS VARCHAR) AS b,
+        |                  count(*) AS o
+        |           FROM events GROUP BY 1, 2),
+        |r AS (SELECT a, sum(o) AS ra FROM c GROUP BY a),
+        |k AS (SELECT b, sum(o) AS cb FROM c GROUP BY b),
+        |t AS (SELECT sum(o) AS n FROM c),
+        |x0 AS (SELECT sum(pow(c.o - r.ra * k.cb / t.n, 2)
+        |                  / (r.ra * k.cb / t.n)) AS chi2o,
+        |              sum(r.ra * k.cb / t.n) AS eo
+        |       FROM c JOIN r USING (a) JOIN k USING (b) CROSS JOIN t),
+        |x AS (SELECT x0.chi2o + (t.n - x0.eo) AS chi2 FROM x0 CROSS JOIN t),
+        |d AS (SELECT (SELECT count(*) FROM r) AS nr,
+        |             (SELECT count(*) FROM k) AS nc)
+        |SELECT round(sqrt(x.chi2 / t.n / (least(d.nr, d.nc) - 1)), 4) AS cramers_v,
+        |       round(sqrt(x.chi2 / (x.chi2 + t.n)), 4) AS contingency_c
+        |FROM x CROSS JOIN t CROSS JOIN d""") { (s, dir) =>
+      import graft.functions.StatAggregates.{contingency, cramersV}
+      Tables(s, dir).events
+        .select(col("event_type"),
+          pmod(col("user_id"), lit(5)).cast(StringType).as("b"))
+        .agg(
+          round(cramersV(col("event_type"), col("b")), 4).as("cramers_v"),
+          round(contingency(col("event_type"), col("b")), 4).as("contingency_c"))
     }
   )
 }

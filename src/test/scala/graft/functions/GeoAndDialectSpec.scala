@@ -74,6 +74,33 @@ class GeoAndDialectSpec extends SparkSpec {
     assert(again(1L) == got(1L) && b1.nonEmpty)
   }
 
+  test("arrayAUC: classic example, ties, degenerate classes") {
+    val auc = one(
+      "SELECT arrayAUC(array(0.1d, 0.4d, 0.35d, 0.8d), array(0, 0, 1, 1))")
+      .getDouble(0)
+    assert(math.abs(auc - 0.75) < 1e-12, s"got $auc")
+    // perfect ranking → 1.0; inverted → 0.0; all-tied scores → 0.5
+    assert(one("SELECT arrayAUC(array(0.1d, 0.9d), array(0, 1))").getDouble(0) == 1.0)
+    assert(one("SELECT arrayAUC(array(0.9d, 0.1d), array(0, 1))").getDouble(0) == 0.0)
+    assert(one("SELECT arrayAUC(array(0.5d, 0.5d), array(0, 1))").getDouble(0) == 0.5)
+    assert(one("SELECT arrayAUC(array(0.5d), array(1))").getDouble(0).isNaN)
+  }
+
+  test("cramersV: perfect association is 1, independence near 0") {
+    ChRegistry.registerAll(spark)
+    import graft.functions.StatAggregates.cramersV
+    // perfectly dependent: b == a
+    val dep = (0 until 100).map(i => (s"c${i % 4}", s"c${i % 4}"))
+      .toDF("a", "b").repartition(5)
+    val v1 = dep.agg(cramersV($"a", $"b")).as[Double].head()
+    assert(math.abs(v1 - 1.0) < 1e-12, s"got $v1")
+    // independent uniform grid: chi2 = 0 exactly
+    val ind = (for (i <- 0 until 4; j <- 0 until 5; _ <- 0 until 3)
+      yield (s"a$i", s"b$j")).toDF("a", "b").repartition(7)
+    val v0 = ind.agg(cramersV($"a", $"b")).as[Double].head()
+    assert(math.abs(v0) < 1e-9, s"got $v0")
+  }
+
   test("pointInEllipse and bit/ip dialect spot checks") {
     assert(one("SELECT pointInEllipse(1d, 0d, 0d, 0d, 2d, 1d)").getInt(0) == 1)
     assert(one("SELECT pointInEllipse(3d, 0d, 0d, 0d, 2d, 1d)").getInt(0) == 0)
