@@ -5,7 +5,7 @@ import scala.collection.mutable
 import org.apache.spark.sql.{Column, Encoders}
 import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.StringType
+import org.apache.spark.sql.types.{DoubleType, StringType}
 
 /** ClickHouse's statistical aggregate family (SURVEY §2.4; the reference
   * exercises them ad hoc in lecture SQL): `skewPop`, `kurtPop`,
@@ -244,4 +244,65 @@ object StatAggregates {
   def contingency(a: Column, b: Column): Column =
     udaf(new AssociationAggregator(contingencyC = true), pairEnc)
       .apply(a.cast(StringType), b.cast(StringType))
+
+  // ---- histogram(N): adaptive streaming histogram ---------------------
+
+  /** One (center, weight) bin. */
+  final case class HBin(c: Double, w: Double)
+
+  /** ClickHouse `histogram(N)(x)`: the streaming adaptive histogram
+    * (Ben-Haim & Tom-Tov) — keep sorted (center, weight) bins, insert
+    * each value as a weight-1 bin, merge the CLOSEST adjacent pair
+    * whenever capacity overflows (weighted-mean center). Bin centers are
+    * data-dependent (rows-only by nature, like CH's); totals and bounds
+    * are exact. Mergeable — concat + re-compact — so partial aggregation
+    * applies.
+    */
+  class HistogramAggregator(nBins: Int)
+      extends Aggregator[Double, Seq[HBin], Seq[HBin]] {
+    require(nBins >= 1, s"histogram needs >= 1 bin, got $nBins")
+    private def compact(sorted: List[HBin]): List[HBin] = {
+      // lossless pre-pass: adjacent equal centers coalesce regardless of
+      // capacity (duplicate values must not occupy two bins)
+      var bins = sorted.foldRight(List.empty[HBin]) {
+        case (a, h :: t) if a.c == h.c => HBin(a.c, a.w + h.w) :: t
+        case (a, acc) => a :: acc
+      }
+      while (bins.length > nBins) {
+        // find index of the closest adjacent pair
+        var best = 0
+        var bestGap = Double.MaxValue
+        var i = 0
+        var cur = bins
+        while (cur.tail.nonEmpty) {
+          val gap = cur.tail.head.c - cur.head.c
+          if (gap < bestGap) { bestGap = gap; best = i }
+          cur = cur.tail
+          i += 1
+        }
+        val (pre, rest) = bins.splitAt(best)
+        val a :: b :: post = rest: @unchecked
+        val w = a.w + b.w
+        bins = pre ::: (HBin((a.c * a.w + b.c * b.w) / w, w) :: post)
+      }
+      bins
+    }
+    override def zero: Seq[HBin] = Nil
+    override def reduce(b: Seq[HBin], v: Double): Seq[HBin] = {
+      val (lt, ge) = b.partition(_.c < v)
+      compact(lt.toList ::: (HBin(v, 1.0) :: ge.toList))
+    }
+    override def merge(b1: Seq[HBin], b2: Seq[HBin]): Seq[HBin] =
+      compact((b1 ++ b2).sortBy(_.c).toList)
+    override def finish(b: Seq[HBin]): Seq[HBin] = b
+    override def bufferEncoder = org.apache.spark.sql.catalyst.encoders
+      .ExpressionEncoder[Seq[HBin]]()
+    override def outputEncoder = org.apache.spark.sql.catalyst.encoders
+      .ExpressionEncoder[Seq[HBin]]()
+  }
+
+  /** histogram(N)(x) — adaptive bins as (center, weight) structs. */
+  def histogramAgg(c: Column, nBins: Int): Column =
+    udaf(new HistogramAggregator(nBins), Encoders.scalaDouble)
+      .apply(c.cast(DoubleType))
 }

@@ -587,9 +587,16 @@ object Dedup {
     // memory (~16 bytes/edge).
     def tryLocalFinish(): Unit =
       if (!done && sig._1 > 0 && sig._1 <= localFinishThreshold) {
-        val local = edges.select(col("u"), col("v")).collect()
-          .map(r => (r.getLong(0), r.getLong(1)))
-        val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+        // primitive-specialized LongMap: the boxed-HashMap spelling costs
+        // seconds of pure boxing at millions of find() calls
+        val rows = edges.select(col("u"), col("v")).collect()
+        val us = new Array[Long](rows.length)
+        val vs = new Array[Long](rows.length)
+        var ri = 0
+        while (ri < rows.length) {
+          us(ri) = rows(ri).getLong(0); vs(ri) = rows(ri).getLong(1); ri += 1
+        }
+        val parent = scala.collection.mutable.LongMap.empty[Long]
         def find(x: Long): Long = {
           var r = x
           while (parent.getOrElse(r, r) != r) r = parent(r)
@@ -597,18 +604,25 @@ object Dedup {
           while (parent.getOrElse(c, c) != c) { val nxt = parent(c); parent(c) = r; c = nxt }
           r
         }
-        local.foreach { case (a, b) =>
-          val (ra, rb) = (find(a), find(b))
+        ri = 0
+        while (ri < us.length) {
+          val ra = find(us(ri)); val rb = find(vs(ri))
           if (ra != rb) { // smaller root wins -> labels stay component minima
             if (ra < rb) parent(rb) = ra else parent(ra) = rb
           }
+          ri += 1
         }
-        val stars = local.iterator
-          .flatMap { case (a, b) => Iterator(a, b) }
-          .toSet[Long].iterator
-          .map(id => (id, find(id)))
-          .filter { case (id, r) => id != r }
-          .toSeq
+        val seen = scala.collection.mutable.LongMap.empty[Unit]
+        val starBuf = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+        def emit(id: Long): Unit =
+          if (!seen.contains(id)) {
+            seen.update(id, ())
+            val r = find(id)
+            if (id != r) starBuf += ((id, r))
+          }
+        ri = 0
+        while (ri < us.length) { emit(us(ri)); emit(vs(ri)); ri += 1 }
+        val stars = starBuf.toSeq
         edges = pairs.sparkSession.createDataFrame(stars).toDF("u", "v")
         done = true
       }

@@ -1018,6 +1018,81 @@ object MiscQueries {
         .agg(
           round(cramersV(col("event_type"), col("b")), 4).as("cramers_v"),
           round(contingency(col("event_type"), col("b")), 4).as("contingency_c"))
+    },
+
+    // ---- deltaSum (CH): sum of positive increments along the ordered
+    // series — counter-reset-tolerant rate accumulation. Spark spelling:
+    // lag window per key; the order is explicit (CH's depends on
+    // insertion order, which MergeTree sorting pins the same way).
+    Q("q78_delta_sum",
+      """WITH o AS (SELECT user_id, value,
+        |    lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pv
+        |  FROM events),
+        |d AS (SELECT user_id,
+        |    CASE WHEN pv IS NULL OR value <= pv THEN 0.0 ELSE value - pv END AS inc
+        |  FROM o)
+        |SELECT user_id, round(CAST(sum(inc) AS DOUBLE), 4) AS delta_sum
+        |FROM d GROUP BY user_id ORDER BY user_id""") { (s, dir) =>
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      Tables(s, dir).events
+        .withColumn("pv", lag(col("value"), 1).over(w))
+        .withColumn("inc",
+          when(col("pv").isNull || col("value") <= col("pv"), lit(0.0))
+            .otherwise(col("value") - col("pv")))
+        .groupBy(col("user_id"))
+        .agg(round(sum(col("inc")).cast(DoubleType), 4).as("delta_sum"))
+        .orderBy(col("user_id"))
+    },
+
+    // ---- maxIntersections (CH): the maximum number of concurrently
+    // open intervals — a ±1 sweep with a running sum (ends at tick t
+    // close BEFORE starts at t open, CH's half-open convention). Session
+    // concurrency over synthetic [ts, ts+300s) windows per event.
+    Q("q79_max_intersections",
+      """WITH iv AS (SELECT event_type,
+        |    CAST(epoch(ts) AS BIGINT) AS s,
+        |    CAST(epoch(ts) AS BIGINT) + 300 AS e
+        |  FROM events),
+        |pts AS (SELECT event_type, s AS t, 1 AS d FROM iv
+        |        UNION ALL SELECT event_type, e AS t, -1 AS d FROM iv),
+        |r AS (SELECT event_type,
+        |    sum(d) OVER (PARTITION BY event_type ORDER BY t, d
+        |                 ROWS UNBOUNDED PRECEDING) AS open
+        |  FROM pts)
+        |SELECT event_type, CAST(max(open) AS BIGINT) AS max_concurrent
+        |FROM r GROUP BY event_type ORDER BY event_type""") { (s, dir) =>
+      val iv = Tables(s, dir).events
+        .select(col("event_type"),
+          unix_timestamp(col("ts")).as("st"),
+          (unix_timestamp(col("ts")) + 300).as("en"))
+      val pts = iv.select(col("event_type"), col("st").as("t"), lit(1).as("d"))
+        .unionByName(iv.select(col("event_type"), col("en").as("t"),
+          lit(-1).as("d")))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("t"), col("d"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      pts.withColumn("open", sum(col("d")).over(w))
+        .groupBy(col("event_type"))
+        .agg(max(col("open")).cast(LongType).as("max_concurrent"))
+        .orderBy(col("event_type"))
+    },
+
+    // ---- histogram: deterministic width_bucket spelling (CH's
+    // histogram(N) is adaptive — engine-internal bin centers — and is
+    // spec-only; the fixed-width bucketing is the oracle-able twin).
+    Q("q80_width_bucket_histogram",
+      """SELECT l_returnflag,
+        |  CAST(CASE WHEN l_quantity < 0 THEN 0
+        |            WHEN l_quantity >= 50 THEN 11
+        |            ELSE floor(l_quantity / 5) + 1 END AS INT) AS bucket,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY 1, 2 ORDER BY l_returnflag, bucket""") { (s, dir) =>
+      Tables(s, dir).lineitem
+        .groupBy(col("l_returnflag"),
+          width_bucket(col("l_quantity"), lit(0.0), lit(50.0), lit(10))
+            .cast(IntegerType).as("bucket"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag"), col("bucket"))
     }
   )
 }

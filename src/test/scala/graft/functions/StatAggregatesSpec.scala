@@ -68,6 +68,22 @@ class StatAggregatesSpec extends SparkSpec {
     assert(got == Seq(3.0, 3.0))
   }
 
+  test("histogram(N): bounded bins, exact total weight, ordered centers, merge-stable") {
+    import StatAggregates.HBin
+    val xs = (0 until 1000).map(i => (i * 37 % 100).toDouble)
+    val df = spark.createDataset(xs).toDF("x").repartition(9)
+    val bins = df.agg(StatAggregates.histogramAgg($"x", 8))
+      .as[Seq[HBin]].head()
+    assert(bins.length <= 8 && bins.nonEmpty)
+    assert(math.abs(bins.map(_.w).sum - 1000.0) < 1e-9)
+    assert(bins.map(_.c) == bins.map(_.c).sorted)
+    assert(bins.head.c >= 0.0 && bins.last.c <= 99.0)
+    // small exact case: <= N distinct values are reproduced exactly
+    val exact = Seq(1.0, 1.0, 5.0, 9.0).toDF("x")
+      .agg(StatAggregates.histogramAgg($"x", 8)).as[Seq[HBin]].head()
+    assert(exact == Seq(HBin(1.0, 2.0), HBin(5.0, 1.0), HBin(9.0, 1.0)))
+  }
+
   test("kurtPop is non-excess (uniform two-point distribution has kurtosis 1)") {
     // x in {0,1} equally likely: m4/sigma^4 = 1 exactly
     val df = Seq.fill(50)(0.0).++(Seq.fill(50)(1.0)).toDF("x")
