@@ -31,6 +31,10 @@ object SparkEntry {
     *    recall spec depends on engine-internal bucket hashing.
     *    (d04 got the verified-output oracle treatment in round 2 because
     *    its LSH recall on this corpus is provably 1.0; these cannot.)
+    *  - t27_bpe_tokenize: a learned BPE merge table is an iterative
+    *    frequency-driven fit with no SQL spelling; determinism, the
+    *    decode identity, and known-corpus merge behavior are
+    *    spec-asserted instead (BpeTokenizerSpec).
     */
   def oracleSql: Map[String, String] =
     graft.queries.Registry.all.flatMap(q => q.oracle.map(q.name -> _)).toMap

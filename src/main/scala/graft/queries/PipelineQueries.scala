@@ -5,7 +5,7 @@ import org.apache.spark.sql.types._
 
 import graft.tables.Tables
 import graft.functions.TextFunctions
-import graft.operators.{CorpusStats, DatasetMix, DatasetSplit, Decontaminate, Dedup, InvertedIndex, Packing, Sampling, SimilaritySearch}
+import graft.operators.{BpeTokenizer, CorpusStats, DatasetMix, DatasetSplit, Decontaminate, Dedup, InvertedIndex, Packing, Sampling, SimilaritySearch}
 import graft.multimodal.{AudioCodec, ImageCodec, Multimodal}
 
 /** Training-data-pipeline operators (builder-prompt mandate): dedup
@@ -858,6 +858,23 @@ object PipelineQueries {
         .filter(size(col("__toks")) > 0)
         .select(col("doc_id"),
           graft.plans.NativeFunctions.hashingTf(col("__toks"), 32).as("tf"))
+        .orderBy(col("doc_id"))
+    },
+
+    // ---- REAL learned BPE tokenizer: merge table fit on a bounded
+    // hash-ordered sample (driver state = sample × vocab cap, the IVF
+    // sampled-fit shape), broadcast ranks, map-only greedy encode.
+    // rows-only: BPE's iterative merge learning has no SQL spelling —
+    // determinism + decode-identity + known-merge behavior are
+    // spec-asserted (BpeTokenizerSpec).
+    Q.noOracle("t27_bpe_tokenize") { (s, dir) =>
+      val docs = Tables(s, dir).documents
+      val merges = BpeTokenizer.fit(docs, "doc_id", "text",
+        numMerges = 100, sampleN = 200)
+      BpeTokenizer.encodeStats(docs, "doc_id", "text", merges)
+        .withColumn("compression",
+          round(col("n_bpe_tokens").cast(DoubleType) /
+            greatest(col("n_words"), lit(1L)).cast(DoubleType), 4))
         .orderBy(col("doc_id"))
     },
 
