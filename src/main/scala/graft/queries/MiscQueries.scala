@@ -1051,8 +1051,8 @@ object MiscQueries {
     // concurrency over synthetic [ts, ts+300s) windows per event.
     Q("q79_max_intersections",
       """WITH iv AS (SELECT event_type,
-        |    CAST(epoch(ts) AS BIGINT) AS s,
-        |    CAST(epoch(ts) AS BIGINT) + 300 AS e
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS s,
+        |    CAST(floor(epoch(ts)) AS BIGINT) + 300 AS e
         |  FROM events),
         |pts AS (SELECT event_type, s AS t, 1 AS d FROM iv
         |        UNION ALL SELECT event_type, e AS t, -1 AS d FROM iv),
@@ -1093,6 +1093,47 @@ object MiscQueries {
             .cast(IntegerType).as("bucket"))
         .agg(count(lit(1)).as("n"))
         .orderBy(col("l_returnflag"), col("bucket"))
+    },
+
+    // ---- intervalLengthSum (CH): total length covered by the UNION of
+    // intervals — overlaps merged by the gaps-and-islands pattern
+    // (island break when start clears every earlier end), per key.
+    Q("q81_interval_length_sum",
+      """WITH iv AS (SELECT event_type,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS s,
+        |    CAST(floor(epoch(ts)) AS BIGINT) + 300 AS e
+        |  FROM events),
+        |w AS (SELECT event_type, s, e,
+        |    max(e) OVER (PARTITION BY event_type ORDER BY s, e
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      AS pmax FROM iv),
+        |g AS (SELECT event_type, s, e,
+        |    CASE WHEN pmax IS NULL OR s > pmax THEN 1 ELSE 0 END AS brk FROM w),
+        |i AS (SELECT event_type, s, e,
+        |    sum(brk) OVER (PARTITION BY event_type ORDER BY s, e
+        |                   ROWS UNBOUNDED PRECEDING) AS island FROM g),
+        |m AS (SELECT event_type, island, max(e) - min(s) AS len
+        |      FROM i GROUP BY 1, 2)
+        |SELECT event_type, CAST(sum(len) AS BIGINT) AS covered_seconds,
+        |  CAST(count(*) AS BIGINT) AS n_islands
+        |FROM m GROUP BY 1 ORDER BY 1""") { (s, dir) =>
+      val iv = Tables(s, dir).events
+        .select(col("event_type"),
+          unix_timestamp(col("ts")).as("st"),
+          (unix_timestamp(col("ts")) + 300).as("en"))
+      val byKey = Window.partitionBy(col("event_type")).orderBy(col("st"), col("en"))
+      val prevMax = byKey.rowsBetween(Window.unboundedPreceding, -1)
+      val run = byKey.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      iv.withColumn("pmax", max(col("en")).over(prevMax))
+        .withColumn("brk",
+          when(col("pmax").isNull || col("st") > col("pmax"), 1).otherwise(0))
+        .withColumn("island", sum(col("brk")).over(run))
+        .groupBy(col("event_type"), col("island"))
+        .agg((max(col("en")) - min(col("st"))).as("len"))
+        .groupBy(col("event_type"))
+        .agg(sum(col("len")).cast(LongType).as("covered_seconds"),
+          count(lit(1)).cast(LongType).as("n_islands"))
+        .orderBy(col("event_type"))
     }
   )
 }
