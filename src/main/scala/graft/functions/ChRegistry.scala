@@ -312,7 +312,7 @@ object ChRegistry {
     // bar(x, min, max, width): full-block approximation of CH's chart
     // (CH draws eighth-blocks; we round to whole blocks)
     macros.createFunction("bar", Seq("x", "mn", "mx", "w"),
-      "repeat('█', greatest(0, cast(round((x - mn) / (mx - mn) * w) as int)))",
+      "repeat('█', least(cast(w as int), greatest(0, cast(round((x - mn) / (mx - mn) * w) as int))))",
       orReplace = true)
     // geo family: haversine great-circle distance in meters (R=6371000;
     // CH's geoDistance uses an ellipsoid correction — we document the

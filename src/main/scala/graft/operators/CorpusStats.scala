@@ -91,17 +91,21 @@ object CorpusStats {
       val c = r.getLong(1); total += c; model.put(r.getString(0), c)
     }
     val denom = (total + counts.length).toDouble
-    val bc = spark.sparkContext.broadcast(model)
-    // score: map-ONLY second pass against the broadcast model — no second
-    // gram stream, no join, no checkpoint, no shuffle (the former
+    // score: map-ONLY second pass against the model — no second gram
+    // stream, no join, no checkpoint, no shuffle (the former
     // rematerialize+join+groupBy plan shuffled every gram row; this
-    // recomputes the normalize in-kernel and scores per doc in place)
+    // recomputes the normalize in-kernel and scores per doc in place).
+    // The model ships via CLOSURE capture, not sc.broadcast: Spark's
+    // task-binary broadcast distributes it once per stage anyway, and
+    // its lifetime then tracks the query plan (an explicit broadcast has
+    // no destroy point from a lazily-returned DataFrame and accumulates
+    // across calls).
     val in = docs.select(col(idCol), col(textCol))
     val outSchema = StructType(Seq(in.schema.head,
       StructField("n_grams", LongType, nullable = false),
       StructField("nll", DoubleType, nullable = true)))
     in.mapPartitions { rows =>
-      val m = bc.value
+      val m = model
       rows.flatMap { r =>
         val txt = if (r.isNullAt(1)) null else r.getString(1)
         val nm =

@@ -391,13 +391,17 @@ object Dedup {
     * (always >= k).
     *
     * Scale shape — this replaces the single-machine suffix array with
-    * pure shuffle-parallel steps: gram extraction is map-side (O(doc
-    * tokens) windows per doc); "occurs more than once" is one partial-
-    * aggregated groupBy on the gram hash (full-cardinality key — the
-    * hottest group is the corpus's single most-repeated k-gram); the
-    * position recovery is a semi-join on the same hash; the island merge
-    * is a per-document window (bounded by doc length). Nothing is
-    * O(corpus²) and no step funnels through one reducer.
+    * pure shuffle-parallel steps: gram extraction is ONE fused map-side
+    * kernel pass (`graft_gram_md5` — byte-range digests over normalized
+    * text, positions implicit); "occurs more than once" is a count
+    * window partitioned by the gram hash — ONE shuffle of the gram
+    * table, carrying positions along, where a groupBy + semi-join-back
+    * would recompute every gram and shuffle the table twice (the
+    * hottest window partition is the corpus's single most-repeated
+    * k-gram — bounded by its true duplicate count); the island merge is
+    * a per-document window (bounded by doc length). Nothing is
+    * O(corpus²) and no step funnels through one reducer. Plan-asserted
+    * in PlanAuditSpec.
     */
   def duplicateSpans(df: DataFrame, idCol: String, textCol: String,
                      k: Int = 5): DataFrame = {

@@ -151,6 +151,14 @@ object Sampling {
     * function of (salt, key, weight), so the oracle recomputes it.
     * `weight` must be > 0 (a non-positive weight makes E non-positive
     * and the row sorts ahead of every real candidate).
+    *
+    * Cross-engine caveat: ln() is only ~1-ulp-accurate and differs
+    * between libms, so two E values within an ulp of each other could in
+    * principle order differently in another engine; for a selection of n
+    * from N rows the probability that such a near-tie straddles the
+    * cutoff is ~N·2⁻⁵², negligible at any realistic scale (and unlike
+    * value comparisons, no rounding can absorb it — noted rather than
+    * worked around).
     */
   def weightedOrder(key: Column, weight: Column, salt: String): Column =
     -log((hashOrder(key, salt).cast(DoubleType) + lit(0.5)) /

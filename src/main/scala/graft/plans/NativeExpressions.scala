@@ -1013,60 +1013,72 @@ object NativeFunctions {
       e => BloomFilterMightContain(e(0), new XxHash64(Seq(e(1)))), "built-in")
   }
 
+  /** Column wrappers resolve through the session function registry, so a
+    * vanilla SparkSession (not built by GraftSession.create) would fail
+    * analysis with UNRESOLVED_ROUTINE. Self-register on the active
+    * session at Column-construction time — registration is idempotent
+    * and driver-side only, so the cost is a few map upserts per built
+    * query.
+    */
+  private def cf(name: String, args: Column*): Column = {
+    SparkSession.getActiveSession.foreach(register)
+    org.apache.spark.sql.functions.call_function(name, args: _*)
+  }
+
   def doubleBits(c: Column): Column =
-    org.apache.spark.sql.functions.call_function("graft_double_bits", c)
+    cf("graft_double_bits", c)
   def hashingTf(c: Column, dim: Int): Column =
-    org.apache.spark.sql.functions.call_function("graft_hashing_tf", c,
+    cf("graft_hashing_tf", c,
       org.apache.spark.sql.functions.lit(dim))
   def gramMd5(c: Column, k: Int): Column =
-    org.apache.spark.sql.functions.call_function("graft_gram_md5", c,
+    cf("graft_gram_md5", c,
       org.apache.spark.sql.functions.lit(k))
   def winnowFp(c: Column, k: Int, w: Int): Column =
-    org.apache.spark.sql.functions.call_function("graft_winnow_fp", c,
+    cf("graft_winnow_fp", c,
       org.apache.spark.sql.functions.lit(k), org.apache.spark.sql.functions.lit(w))
   def roundEven(c: Column, scale: Int = 2): Column =
-    org.apache.spark.sql.functions.call_function("graft_round_even", c,
+    cf("graft_round_even", c,
       org.apache.spark.sql.functions.lit(scale))
   def simhash64(c: Column): Column =
-    org.apache.spark.sql.functions.call_function("graft_simhash64", c)
+    cf("graft_simhash64", c)
   def cosine(a: Column, b: Column): Column =
-    org.apache.spark.sql.functions.call_function("graft_cosine", a, b)
+    cf("graft_cosine", a, b)
   def langId(tokens: Column): Column =
-    org.apache.spark.sql.functions.call_function("graft_lang_id", tokens)
+    cf("graft_lang_id", tokens)
   def normText(c: Column): Column =
-    org.apache.spark.sql.functions.call_function("graft_norm_text", c)
+    cf("graft_norm_text", c)
   def normTokens(c: Column): Column =
-    org.apache.spark.sql.functions.call_function("graft_norm_tokens", c)
+    cf("graft_norm_tokens", c)
   def nfcNormalize(c: Column): Column =
-    org.apache.spark.sql.functions.call_function("graft_nfc", c)
+    cf("graft_nfc", c)
   def minhashSig(tokens: Column, n: Int, k: Int): Column =
-    org.apache.spark.sql.functions.call_function("graft_minhash_sig", tokens,
+    cf("graft_minhash_sig", tokens,
       org.apache.spark.sql.functions.lit(n), org.apache.spark.sql.functions.lit(k))
   def shingles(c: Column, n: Int): Column =
-    org.apache.spark.sql.functions.call_function("graft_shingles", c,
+    cf("graft_shingles", c,
       org.apache.spark.sql.functions.lit(n))
   def shingleHashes(c: Column, n: Int): Column =
-    org.apache.spark.sql.functions.call_function("graft_shingle_hashes", c,
+    cf("graft_shingle_hashes", c,
       org.apache.spark.sql.functions.lit(n))
   def jaccardSorted(a: Column, b: Column): Column =
-    org.apache.spark.sql.functions.call_function("graft_jaccard_sorted", a, b)
+    cf("graft_jaccard_sorted", a, b)
   def lshBucket(c: Column, bits: Int, seed: Int = 0): Column =
-    org.apache.spark.sql.functions.call_function("graft_lsh_bucket", c,
+    cf("graft_lsh_bucket", c,
       org.apache.spark.sql.functions.lit(bits),
       org.apache.spark.sql.functions.lit(seed))
   def pqEncode(c: Column, codebook: Array[Float], m: Int, ksub: Int): Column =
-    org.apache.spark.sql.functions.call_function("graft_pq_encode", c,
+    cf("graft_pq_encode", c,
       org.apache.spark.sql.functions.typedlit(codebook.toSeq),
       org.apache.spark.sql.functions.lit(m),
       org.apache.spark.sql.functions.lit(ksub))
   def pqAdc(codes: Column, lutDot: Column, lutSq: Column, qNorm: Column): Column =
-    org.apache.spark.sql.functions.call_function("graft_pq_adc",
+    cf("graft_pq_adc",
       codes, lutDot, lutSq, qNorm)
   def bloomAgg(key: Column, expectedItems: Long, numBits: Long): Column =
-    org.apache.spark.sql.functions.call_function("graft_bloom_agg", key,
+    cf("graft_bloom_agg", key,
       org.apache.spark.sql.functions.lit(expectedItems),
       org.apache.spark.sql.functions.lit(numBits))
   def bloomMightContain(bloom: Column, key: Column): Column =
-    org.apache.spark.sql.functions.call_function("graft_bloom_might_contain",
+    cf("graft_bloom_might_contain",
       bloom, key)
 }

@@ -842,11 +842,13 @@ object MiscQueries {
         |LEFT JOIN x ON x.ea = ca.event_type AND x.eb = cb.event_type
         |ORDER BY et_a, et_b""") { (s, dir) =>
       import graft.functions.BitmapAggregates._
+      // no cache: the 5-row state table recomputes once per self-join
+      // side, which is cheaper than pinning blocks for the rest of a
+      // 100+-query session (cache() here has no unpersist point)
       val st = Tables(s, dir).events
         .groupBy(col("event_type"))
         .agg(groupBitmapState(col("user_id")).as("bm"),
           groupBitmap(col("user_id")).as("card"))
-        .cache()
       val a = st.select(col("event_type").as("et_a"), col("bm").as("bma"),
         col("card").as("card_a"))
       val b = st.select(col("event_type").as("et_b"), col("bm").as("bmb"),
