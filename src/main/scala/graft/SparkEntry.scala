@@ -22,7 +22,7 @@ object SparkEntry {
     * Rows-only by design, with the reason each cannot be oracled:
     *  - q14_uniq_approx: HyperLogLog estimate — value depends on the
     *    engine's own hash/sketch internals (exact twin q13 IS oracled).
-    *  - q26b_state_merge_approx: same — HLL -State/-Merge partial sketches
+    *  - q26b_uniq_state_merge: same — HLL -State/-Merge partial sketches
     *    (exact fixed-point twin q26 IS oracled).
     *  - d05_dedup_simhash: simhash candidate set ≠ exhaustive jaccard set
     *    (pigeonhole blocking only guarantees recall to hamming ≤ 3;
@@ -31,6 +31,9 @@ object SparkEntry {
     *    recall spec depends on engine-internal bucket hashing.
     *    (d04 got the verified-output oracle treatment in round 2 because
     *    its LSH recall on this corpus is provably 1.0; these cannot.)
+    *  - d10_ann_ivf / d12_ann_ivfpq: same — probe/ADC rankings depend on
+    *    the engine-internal k-means cells and PQ codebooks; recall and
+    *    partition-pruning are spec- and plan-asserted instead.
     *  - t27_bpe_tokenize: a learned BPE merge table is an iterative
     *    frequency-driven fit with no SQL spelling; determinism, the
     *    decode identity, and known-corpus merge behavior are
