@@ -38,6 +38,10 @@ object SparkEntry {
     *    frequency-driven fit with no SQL spelling; determinism, the
     *    decode identity, and known-corpus merge behavior are
     *    spec-asserted instead (BpeTokenizerSpec).
+    *  - t28_quality_classifier: an iterative logistic-regression fit has
+    *    no SQL spelling; ranking quality (AUC on planted junk),
+    *    determinism, and feature parity are spec-asserted
+    *    (QualityClassifierSpec).
     */
   def oracleSql: Map[String, String] =
     graft.queries.Registry.all.flatMap(q => q.oracle.map(q.name -> _)).toMap

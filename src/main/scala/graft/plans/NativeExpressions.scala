@@ -470,16 +470,34 @@ object VecKernels {
     var i = 0
     while (i < n) {
       if (!tokens.isNullAt(i)) {
-        md.reset()
-        md.update(tokens.getUTF8String(i).getBytes)
-        val d = md.digest()
-        val h = ((d(0) & 0xFFL) << 24) | ((d(1) & 0xFFL) << 16) |
-          ((d(2) & 0xFFL) << 8) | (d(3) & 0xFFL)
-        counts((h % dim).toInt) += 1
+        addTfBucket(counts, md, tokens.getUTF8String(i).getBytes, dim)
       }
       i += 1
     }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(counts)
+  }
+
+  @inline private def addTfBucket(counts: Array[Long],
+                                  md: java.security.MessageDigest,
+                                  bytes: Array[Byte], dim: Int): Unit = {
+    md.reset()
+    md.update(bytes)
+    val d = md.digest()
+    val h = ((d(0) & 0xFFL) << 24) | ((d(1) & 0xFFL) << 16) |
+      ((d(2) & 0xFFL) << 8) | (d(3) & 0xFFL)
+    counts((h % dim).toInt) += 1
+  }
+
+  /** The same featurization over plain strings (for driver-side fits and
+    * udf-side scoring that must agree bit-for-bit with [[hashingTf]]).
+    */
+  def hashingTfStrings(tokens: Iterator[String], dim: Int): Array[Long] = {
+    val counts = new Array[Long](dim)
+    val md = md5Local.get()
+    tokens.foreach { t =>
+      if (t != null) addTfBucket(counts, md, t.getBytes("UTF-8"), dim)
+    }
+    counts
   }
 
   /** arrayAUC: area under the ROC curve of one (scores, labels) pair via

@@ -5,7 +5,7 @@ import org.apache.spark.sql.types._
 
 import graft.tables.Tables
 import graft.functions.TextFunctions
-import graft.operators.{BpeTokenizer, CorpusStats, DatasetMix, DatasetSplit, Decontaminate, Dedup, InvertedIndex, Packing, Sampling, SimilaritySearch}
+import graft.operators.{BpeTokenizer, CorpusStats, DatasetMix, DatasetSplit, Decontaminate, Dedup, InvertedIndex, Packing, QualityClassifier, Sampling, SimilaritySearch}
 import graft.multimodal.{AudioCodec, ImageCodec, Multimodal}
 
 /** Training-data-pipeline operators (builder-prompt mandate): dedup
@@ -875,6 +875,25 @@ object PipelineQueries {
         .withColumn("compression",
           round(col("n_bpe_tokens").cast(DoubleType) /
             greatest(col("n_words"), lit(1L)).cast(DoubleType), 4))
+        .orderBy(col("doc_id"))
+    },
+
+    // ---- model-based quality filtering (the CCNet/fastText-classifier
+    // stage): distill the cheap heuristic gate into a logistic model
+    // over hashing-trick features — sampled driver fit, closure-shipped
+    // weights, map-only scoring. rows-only: an iterative GD fit has no
+    // SQL spelling; ranking quality (AUC > 0.9 on planted junk),
+    // determinism, and feature parity are spec-asserted
+    // (QualityClassifierSpec).
+    Q.noOracle("t28_quality_classifier") { (s, dir) =>
+      val docs = Tables(s, dir).documents
+      val heur = graft.functions.TextFunctions.qualityScore(col("text")) >= 0.35
+      val model = QualityClassifier.fit(docs, "doc_id", "text",
+        heur.cast("int"), dim = 128, sampleN = 300, epochs = 200)
+      docs.select(col("doc_id"),
+          heur.cast("int").as("label_heur"),
+          round(QualityClassifier.scoreColumn(col("text"), model), 4)
+            .as("model_score"))
         .orderBy(col("doc_id"))
     },
 
