@@ -42,6 +42,9 @@ object SparkEntry {
     *    no SQL spelling; ranking quality (AUC on planted junk),
     *    determinism, and feature parity are spec-asserted
     *    (QualityClassifierSpec).
+    *  - t29_embedding_clusters: k-means centroids are engine-internal;
+    *    planted-cluster purity and partition-invariant determinism are
+    *    spec-asserted (SimilaritySpec).
     */
   def oracleSql: Map[String, String] =
     graft.queries.Registry.all.flatMap(q => q.oracle.map(q.name -> _)).toMap

@@ -142,6 +142,33 @@ object SimilaritySearch {
     else collectVecs(corpus.select(col(vecCol)).limit(maxTrain))
   }
 
+  /** Topic/cluster bucketing of an embedding corpus (the data-mixing and
+    * analysis sibling of the IVF index): centroids fit with the SAME
+    * bounded seeded Lloyd sample as IVF, then every vector assigned
+    * map-side to its best-cosine centroid — one pass, broadcast-sized
+    * centroid literals, no shuffle. Output: input columns + `cluster`
+    * (1-based) + `cos_to_center`.
+    */
+  def embeddingClusters(corpus: DataFrame, idCol: String, vecCol: String,
+                        k: Int, maxTrain: Int = 20000): DataFrame = {
+    NativeFunctions.register(corpus.sparkSession)
+    // partition-INDEPENDENT training sample (hash-first ids, id-ordered):
+    // cluster ids must be a pure function of the data, unlike IVF's cell
+    // ids where df.sample's per-partition seeding is fine (cells are
+    // internal to the index)
+    val train = collectVecs(Sampling.stratifiedExactN(
+        corpus.select(col(idCol), col(vecCol)), lit(1), col(idCol),
+        n = maxTrain, salt = "emc")
+      .orderBy(col(idCol)).select(col(vecCol)))
+    val centers = lloyd(train, k)
+    corpus
+      .withColumn("__cs", cosToCenters(centers)(col(vecCol)))
+      .withColumn("__best", expr(s"element_at($rankedCells, 1)"))
+      .withColumn("cluster", col("__best.i"))
+      .withColumn("cos_to_center", col("__best.c"))
+      .drop("__cs", "__best")
+  }
+
   /** K-means cell centers fit on a bounded, seeded sample — NOT the full
     * corpus.
     */

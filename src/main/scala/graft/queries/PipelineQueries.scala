@@ -885,6 +885,19 @@ object PipelineQueries {
     // SQL spelling; ranking quality (AUC > 0.9 on planted junk),
     // determinism, and feature parity are spec-asserted
     // (QualityClassifierSpec).
+    // ---- embedding k-means clustering (topic bucketing for mixing /
+    // corpus analysis): bounded seeded Lloyd fit + map-side best-cosine
+    // assignment. rows-only: centroids are engine-internal (planted-
+    // cluster recovery, purity and determinism are spec-asserted).
+    Q.noOracle("t29_embedding_clusters") { (s, dir) =>
+      SimilaritySearch.embeddingClusters(
+          Tables(s, dir).embeddings, "vec_id", "embedding", k = 10)
+        .groupBy(col("cluster"))
+        .agg(count(lit(1)).as("n_vecs"),
+          round(avg(col("cos_to_center")), 4).as("avg_cos"))
+        .orderBy(col("cluster"))
+    },
+
     Q.noOracle("t28_quality_classifier") { (s, dir) =>
       val docs = Tables(s, dir).documents
       val heur = graft.functions.TextFunctions.qualityScore(col("text")) >= 0.35

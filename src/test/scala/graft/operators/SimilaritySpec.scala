@@ -136,4 +136,34 @@ class SimilaritySpec extends SparkSpec {
       .as[Double].head()
     assert(math.abs(got - expected) < 1e-9)
   }
+
+  test("embeddingClusters recovers well-separated planted clusters with purity 1.0") {
+    // 3 orthogonal-ish directions, 40 vectors each with small jitter
+    val rnd = new scala.util.Random(9)
+    val bases = Seq(
+      Array(10f, 0f, 0f, 0f), Array(0f, 10f, 0f, 0f), Array(0f, 0f, 10f, 0f))
+    val rows = for (b <- bases.indices; i <- 0 until 40) yield {
+      val v = bases(b).map(x => x + rnd.nextFloat() * 0.5f)
+      (b.toLong * 40 + i, v.toSeq, b)
+    }
+    val df = rows.toDF("vec_id", "embedding", "truth")
+      .select($"vec_id", $"embedding".cast("array<float>"), $"truth")
+    val out = SimilaritySearch.embeddingClusters(df, "vec_id", "embedding",
+        k = 3, maxTrain = 1000)
+      .select($"truth", $"cluster", $"cos_to_center")
+      .as[(Int, Int, Double)].collect()
+    // every truth group maps to exactly one cluster id (purity 1.0)
+    val mapping = out.groupBy(_._1).view.mapValues(_.map(_._2).distinct).toMap
+    assert(mapping.values.forall(_.length == 1), s"split clusters: $mapping")
+    assert(mapping.values.flatten.toSet.size == 3, s"merged clusters: $mapping")
+    out.foreach { case (_, _, c) => assert(c > 0.99, s"weak assignment $c") }
+    // determinism across partitioning
+    val again = SimilaritySearch.embeddingClusters(df.repartition(7),
+        "vec_id", "embedding", k = 3, maxTrain = 1000)
+      .select($"vec_id", $"cluster").as[(Long, Int)].collect().toMap
+    val firstMap = SimilaritySearch.embeddingClusters(df, "vec_id",
+        "embedding", k = 3, maxTrain = 1000)
+      .select($"vec_id", $"cluster").as[(Long, Int)].collect().toMap
+    assert(again == firstMap)
+  }
 }
