@@ -921,7 +921,8 @@ object MiscQueries {
       """WITH u AS (SELECT label, unnest(embedding) AS v,
         |                  generate_subscripts(embedding, 1) AS i
         |           FROM embeddings),
-        |s AS (SELECT label, i, round(sum(v), 4) AS sv, round(avg(v), 4) AS av
+        |s AS (SELECT label, i, round(sum(v), 4) + 0.0 AS sv,
+        |             round(avg(v), 4) + 0.0 AS av
         |      FROM u GROUP BY label, i),
         |l AS (SELECT label, list(sv ORDER BY i) AS sum_fe,
         |             list(av ORDER BY i) AS avg_fe FROM s GROUP BY label),
@@ -932,8 +933,12 @@ object MiscQueries {
       Tables(s, dir).embeddings
         .groupBy(col("label"))
         .agg(count(lit(1)).as("n_vecs"),
-          transform(sumForEach(col("embedding")), x => round(x, 4)).as("sum_fe"),
-          transform(avgForEach(col("embedding")), x => round(x, 4)).as("avg_fe"))
+          // + 0.0 canonicalizes -0.0 (engines disagree on the signed
+          // zero a rounded tiny-negative mean produces)
+          transform(sumForEach(col("embedding")), x => round(x, 4) + lit(0.0))
+            .as("sum_fe"),
+          transform(avgForEach(col("embedding")), x => round(x, 4) + lit(0.0))
+            .as("avg_fe"))
         .orderBy(col("label"))
     },
 
@@ -1105,10 +1110,11 @@ object MiscQueries {
         |    CAST(floor(epoch(ts)) AS BIGINT) AS s,
         |    CAST(floor(epoch(ts)) AS BIGINT) + 300 AS e
         |  FROM events),
+        |ivd AS (SELECT DISTINCT event_type, s, e FROM iv),
         |w AS (SELECT event_type, s, e,
         |    max(e) OVER (PARTITION BY event_type ORDER BY s, e
         |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
-        |      AS pmax FROM iv),
+        |      AS pmax FROM ivd),
         |g AS (SELECT event_type, s, e,
         |    CASE WHEN pmax IS NULL OR s > pmax THEN 1 ELSE 0 END AS brk FROM w),
         |i AS (SELECT event_type, s, e,
@@ -1119,10 +1125,14 @@ object MiscQueries {
         |SELECT event_type, CAST(sum(len) AS BIGINT) AS covered_seconds,
         |  CAST(count(*) AS BIGINT) AS n_islands
         |FROM m GROUP BY 1 ORDER BY 1""") { (s, dir) =>
+      // duplicate intervals are redundant for union coverage AND make
+      // ROWS-frame windows tie-order-sensitive (observed nondeterminism
+      // in DuckDB's parallel windows at sf1) — dedup BOTH sides first
       val iv = Tables(s, dir).events
         .select(col("event_type"),
           unix_timestamp(col("ts")).as("st"),
           (unix_timestamp(col("ts")) + 300).as("en"))
+        .distinct()
       val byKey = Window.partitionBy(col("event_type")).orderBy(col("st"), col("en"))
       val prevMax = byKey.rowsBetween(Window.unboundedPreceding, -1)
       val run = byKey.rowsBetween(Window.unboundedPreceding, Window.currentRow)
