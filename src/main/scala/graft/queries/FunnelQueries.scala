@@ -61,8 +61,8 @@ object FunnelQueries {
         |      FROM events WHERE event_type = 'purchase' AND value > 100
         |      GROUP BY user_id)
         |SELECT u.user_id,
-        |  [coalesce(w1, 0), least(coalesce(w1, 0), coalesce(w2, 0)),
-        |   least(coalesce(w1, 0), coalesce(w3, 0))] AS r
+        |  array_to_string([coalesce(w1, 0), least(coalesce(w1, 0), coalesce(w2, 0)),
+        |   least(coalesce(w1, 0), coalesce(w3, 0))], ',') AS r
         |FROM u LEFT JOIN f ON f.user_id = u.user_id
         |ORDER BY u.user_id""") { (s, dir) =>
       val hv = col("event_type") === "purchase" && col("value") > 100
@@ -73,7 +73,11 @@ object FunnelQueries {
         .agg(Funnels.retention(Seq(
           week("2024-01-01", "2024-01-08"),
           week("2024-01-08", "2024-01-15"),
-          week("2024-01-15", "2024-01-22"))).as("r"))
+          week("2024-01-15", "2024-01-22"))).as("r0"))
+        // driver compat: the comparator sorts rows in pandas, which cannot
+        // sort ndarray cells — declare the retention array serialized
+        .select(col("user_id"),
+          concat_ws(",", col("r0").cast("array<string>")).as("r"))
         .orderBy(col("user_id"))
     },
 

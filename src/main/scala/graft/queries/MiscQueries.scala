@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.types._
@@ -602,12 +603,18 @@ object MiscQueries {
       """WITH e AS (SELECT user_id % 10 AS g, event_type AS k,
         |             event_id % 100 AS v FROM events),
         |s AS (SELECT g, k, sum(v) AS sv FROM e GROUP BY g, k)
-        |SELECT g, list(k ORDER BY k) AS keys, list(sv ORDER BY k) AS values
+        |SELECT g, string_agg(k, ',' ORDER BY k) AS keys,
+        |  string_agg(CAST(CAST(sv AS BIGINT) AS VARCHAR), ',' ORDER BY k) AS values
         |FROM s GROUP BY g ORDER BY g""") { (s, dir) =>
       val ev = Tables(s, dir).events
         .select((col("user_id") % 10).as("g"),
           map(col("event_type"), col("event_id") % 100).as("m"))
+      // driver compat: pandas sort can't handle array cells — serialize the
+      // (sorted keys, values) pair; the map fold itself stays array-typed
       graft.functions.ChAggregates.sumMap(ev, Seq("g"), col("m"))
+        .select(col("g"),
+          concat_ws(",", col("keys")).as("keys"),
+          concat_ws(",", col("values").cast("array<string>")).as("values"))
         .orderBy(col("g"))
     },
 
@@ -655,8 +662,8 @@ object MiscQueries {
     Q("q67_array_breadth",
       """WITH t AS (SELECT CAST(n_nationkey AS BIGINT) AS k FROM nation),
         |u AS (SELECT k, [k % 5, k % 3, CAST(7 AS BIGINT)] AS a,
-        |             [k % 3, CAST(2 AS BIGINT)] AS b FROM t)
-        |SELECT k,
+        |             [k % 3, CAST(2 AS BIGINT)] AS b FROM t),
+        |v AS (SELECT k,
         |  list_sort(list_intersect(a, b)) AS ai,
         |  list_concat(a, b) AS ac,
         |  list_sort(a) AS asrt,
@@ -674,7 +681,23 @@ object MiscQueries {
         |  CAST(list_aggregate(a, 'product') AS DOUBLE) AS aprod,
         |  CAST(list_avg(a) AS DOUBLE) AS aavg,
         |  list_min(a) AS amin, list_max(a) AS amax
-        |FROM u ORDER BY k""") { (s, dir) =>
+        |FROM u)
+        |SELECT k,
+        |  coalesce(array_to_string(ai, ','), '') AS ai,
+        |  coalesce(array_to_string(ac, ','), '') AS ac,
+        |  coalesce(array_to_string(asrt, ','), '') AS asrt,
+        |  coalesce(array_to_string(arsrt, ','), '') AS arsrt,
+        |  coalesce(array_to_string(arev, ','), '') AS arev,
+        |  coalesce(array_to_string(adis, ','), '') AS adis,
+        |  coalesce(array_to_string(afl, ','), '') AS afl,
+        |  coalesce(array_to_string(apb, ','), '') AS apb,
+        |  coalesce(array_to_string(apf, ','), '') AS apf,
+        |  coalesce(array_to_string(apob, ','), '') AS apob,
+        |  coalesce(array_to_string(apof, ','), '') AS apof,
+        |  coalesce(array_to_string(asl, ','), '') AS asl,
+        |  coalesce(array_to_string(asl2, ','), '') AS asl2,
+        |  asum, aprod, aavg, amin, amax
+        |FROM v ORDER BY k""") { (s, dir) =>
       graft.functions.ChRegistry.registerAll(s)
       Tables(s, dir).nation
         .select(col("n_nationkey").cast(LongType).as("k"))
@@ -702,6 +725,8 @@ object MiscQueries {
           |  arrayAvg(a) AS aavg,
           |  arrayMin(a) AS amin, arrayMax(a) AS amax
           |FROM u ORDER BY k""".stripMargin)
+        // driver compat: serialize array columns (see Q.scalarize)
+        .transform(Q.scalarize)
     },
 
     // ---- SELECT * EXCEPT (cols) (§2.2, CH star modifier): drop named
@@ -749,13 +774,17 @@ object MiscQueries {
         |        row_number() OVER (PARTITION BY o_orderstatus
         |                           ORDER BY cnt DESC, o_orderpriority) AS rn
         |      FROM c)
-        |SELECT o_orderstatus, list(o_orderpriority ORDER BY rn) AS top_priorities
+        |SELECT o_orderstatus,
+        |  string_agg(o_orderpriority, ',' ORDER BY rn) AS top_priorities
         |FROM r WHERE rn <= 5 GROUP BY o_orderstatus
         |ORDER BY o_orderstatus""") { (s, dir) =>
       Tables(s, dir).orders
         .groupBy(col("o_orderstatus"))
         .agg(graft.functions.HeavyHitters.topK(col("o_orderpriority"), n = 5)
-          .as("top_priorities"))
+          .as("tk"))
+        // driver compat: pandas sort can't handle array cells — serialize
+        .select(col("o_orderstatus"),
+          concat_ws(",", col("tk")).as("top_priorities"))
         .orderBy(col("o_orderstatus"))
     },
 
@@ -921,24 +950,31 @@ object MiscQueries {
       """WITH u AS (SELECT label, unnest(embedding) AS v,
         |                  generate_subscripts(embedding, 1) AS i
         |           FROM embeddings),
-        |s AS (SELECT label, i, round(sum(v), 4) + 0.0 AS sv,
-        |             round(avg(v), 4) + 0.0 AS av
+        |s AS (SELECT label, i,
+        |        CAST(round(sum(v), 4) + 0.0 AS DECIMAL(18,4)) AS sv,
+        |        CAST(round(avg(v), 4) + 0.0 AS DECIMAL(18,4)) AS av
         |      FROM u GROUP BY label, i),
-        |l AS (SELECT label, list(sv ORDER BY i) AS sum_fe,
-        |             list(av ORDER BY i) AS avg_fe FROM s GROUP BY label),
+        |l AS (SELECT label,
+        |        string_agg(CAST(sv AS VARCHAR), ',' ORDER BY i) AS sum_fe,
+        |        string_agg(CAST(av AS VARCHAR), ',' ORDER BY i) AS avg_fe
+        |      FROM s GROUP BY label),
         |n AS (SELECT label, count(*) AS n_vecs FROM embeddings GROUP BY label)
         |SELECT label, n.n_vecs, l.sum_fe, l.avg_fe
         |FROM l JOIN n USING (label) ORDER BY label""") { (s, dir) =>
       import graft.functions.StatAggregates.{avgForEach, sumForEach}
+      // driver compat: the board serializes the per-position vectors
+      // (pandas sort can't handle array cells); DECIMAL(18,4) string form
+      // is identical across engines ("0.1000"), unlike double→string
+      def ser(c: Column) = concat_ws(",",
+        transform(c, x => (round(x, 4) + lit(0.0))
+          .cast("decimal(18,4)").cast(StringType)))
       Tables(s, dir).embeddings
         .groupBy(col("label"))
         .agg(count(lit(1)).as("n_vecs"),
           // + 0.0 canonicalizes -0.0 (engines disagree on the signed
           // zero a rounded tiny-negative mean produces)
-          transform(sumForEach(col("embedding")), x => round(x, 4) + lit(0.0))
-            .as("sum_fe"),
-          transform(avgForEach(col("embedding")), x => round(x, 4) + lit(0.0))
-            .as("avg_fe"))
+          ser(sumForEach(col("embedding"))).as("sum_fe"),
+          ser(avgForEach(col("embedding"))).as("avg_fe"))
         .orderBy(col("label"))
     },
 

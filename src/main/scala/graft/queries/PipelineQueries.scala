@@ -624,8 +624,8 @@ object PipelineQueries {
          |  FROM documents)
          |SELECT source,
          |  count(*) AS n_docs,
-         |  sum(CASE WHEN hits = 0 THEN 1 ELSE 0 END) AS n_kept,
-         |  sum(hits) AS total_hits
+         |  CAST(sum(CASE WHEN hits = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         |  CAST(sum(hits) AS BIGINT) AS total_hits
          |FROM b GROUP BY source ORDER BY source""") { (s, dir) =>
       val hits = TextFunctions.blocklistHits(col("text"),
         Seq("slow", "vector", "spam"))
@@ -712,7 +712,8 @@ object PipelineQueries {
          |SELECT CASE WHEN bucket < 9000 THEN 'train'
          |            WHEN bucket < 9500 THEN 'val'
          |            ELSE 'test' END AS split,
-         |  lang, count(*) AS n_docs, sum(n_tokens) AS total_tokens
+         |  lang, count(*) AS n_docs,
+         |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens
          |FROM s GROUP BY 1, 2 ORDER BY split, lang""") { (s, dir) =>
       graft.plans.NativeFunctions.register(s)
       val toks = graft.plans.NativeFunctions.normTokens(col("text"))
@@ -823,12 +824,16 @@ object PipelineQueries {
     Q("t25_inverted_index",
       """WITH t AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS term
         |           FROM documents)
-        |SELECT term, CAST(0 AS BIGINT) AS shard, count(*) AS df_shard,
-        |  list_sort(list(doc_id)) AS postings
+        |SELECT term, CAST(0 AS BIGINT) AS shard,
+        |  CAST(count(*) AS BIGINT) AS df_shard,
+        |  string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings
         |FROM t GROUP BY term HAVING count(*) >= 50 ORDER BY term""") { (s, dir) =>
+      // driver compat: postings stay array-typed in the index itself;
+      // the board's declared output serializes them (pandas sort)
       InvertedIndex.build(
           Tables(s, dir).documents,
           col("doc_id"), split(col("text"), " "), minDfShard = 50L)
+        .transform(Q.scalarize)
         .orderBy(col("term"))
     },
 
@@ -849,15 +854,19 @@ object PipelineQueries {
          |      CROSS JOIN range(0, 32) AS r(i)),
          |d AS (SELECT g.doc_id, g.i, COALESCE(c.c, 0) AS c FROM g
          |      LEFT JOIN c ON c.doc_id = g.doc_id AND c.bkt = g.i)
-         |SELECT doc_id, list(c ORDER BY i) AS tf
+         |SELECT doc_id, string_agg(CAST(c AS VARCHAR), ',' ORDER BY i) AS tf
          |FROM d GROUP BY doc_id ORDER BY doc_id""") { (s, dir) =>
       graft.plans.NativeFunctions.register(s)
+      // driver compat: the tf vector is serialized in the declared output
+      // (pandas sort can't handle array cells); hashingTf itself stays
+      // array-typed for downstream model use
       Tables(s, dir).documents
         .select(col("doc_id"),
           graft.plans.NativeFunctions.normTokens(col("text")).as("__toks"))
         .filter(size(col("__toks")) > 0)
         .select(col("doc_id"),
-          graft.plans.NativeFunctions.hashingTf(col("__toks"), 32).as("tf"))
+          concat_ws(",", graft.plans.NativeFunctions.hashingTf(col("__toks"), 32)
+            .cast("array<string>")).as("tf"))
         .orderBy(col("doc_id"))
     },
 
