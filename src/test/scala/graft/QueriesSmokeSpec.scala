@@ -1,5 +1,7 @@
 package graft
 
+import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
+
 import graft.queries.Registry
 
 /** Every registry query runs at sf0.001 and yields a well-formed result.
@@ -11,6 +13,18 @@ class QueriesSmokeSpec extends SparkSpec {
     test(s"${q.name} runs") {
       val df = q.fn(spark, sfDir)
       assert(df.columns.nonEmpty)
+      // Driver compat: the driver's comparator sorts result rows in pandas
+      // (sort_values), which raises on array/map/struct cells. Every
+      // DECLARED board output must be scalar-only — operators keep their
+      // array-typed APIs; boards serialize (Q.scalarize / concat_ws).
+      val nonScalar = df.schema.fields.collect {
+        case f if f.dataType.isInstanceOf[ArrayType] ||
+          f.dataType.isInstanceOf[MapType] ||
+          f.dataType.isInstanceOf[StructType] => s"${f.name}: ${f.dataType.sql}"
+      }
+      assert(nonScalar.isEmpty,
+        s"${q.name} emits non-scalar driver-visible columns: " +
+          nonScalar.mkString(", "))
       assert(df.count() >= 0)
     }
   }
