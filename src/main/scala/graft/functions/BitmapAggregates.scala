@@ -111,18 +111,23 @@ object BitmapAggregates {
 
   // ---- aggregates ----------------------------------------------------
 
-  class BitmapStateAggregator extends Aggregator[Long, Buf, Array[Byte]] {
+  class BitmapStateAggregator
+      extends Aggregator[java.lang.Long, Buf, Array[Byte]] {
     override def zero: Buf = mutable.HashMap.empty
-    override def reduce(b: Buf, v: Long): Buf = add(b, v)
+    // NULLs are skipped (boxed input encoder — a primitive Long encoder
+    // would AssertNotNull and fail the query on the first NULL)
+    override def reduce(b: Buf, v: java.lang.Long): Buf =
+      if (v == null) b else add(b, v.longValue())
     override def merge(b1: Buf, b2: Buf): Buf = orInto(b1, b2)
     override def finish(b: Buf): Array[Byte] = serialize(b)
     override def bufferEncoder = Encoders.kryo[Buf]
     override def outputEncoder = Encoders.BINARY
   }
 
-  class BitmapCardAggregator extends Aggregator[Long, Buf, Long] {
+  class BitmapCardAggregator extends Aggregator[java.lang.Long, Buf, Long] {
     override def zero: Buf = mutable.HashMap.empty
-    override def reduce(b: Buf, v: Long): Buf = add(b, v)
+    override def reduce(b: Buf, v: java.lang.Long): Buf =
+      if (v == null) b else add(b, v.longValue())
     override def merge(b1: Buf, b2: Buf): Buf = orInto(b1, b2)
     override def finish(b: Buf): Long = b.valuesIterator.map(_.size.toLong).sum
     override def bufferEncoder = Encoders.kryo[Buf]
@@ -144,11 +149,11 @@ object BitmapAggregates {
 
   /** groupBitmapState(x): persistable bitmap of the group's values. */
   def groupBitmapState(c: Column): Column =
-    udaf(new BitmapStateAggregator, Encoders.scalaLong).apply(c.cast("long"))
+    udaf(new BitmapStateAggregator, Encoders.LONG).apply(c.cast("long"))
 
   /** groupBitmap(x): distinct count via the bitmap (exact). */
   def groupBitmap(c: Column): Column =
-    udaf(new BitmapCardAggregator, Encoders.scalaLong).apply(c.cast("long"))
+    udaf(new BitmapCardAggregator, Encoders.LONG).apply(c.cast("long"))
 
   /** bitmapMergeState over a binary state column. */
   def groupBitmapMergeState(c: Column): Column =

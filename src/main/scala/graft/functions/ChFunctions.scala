@@ -136,7 +136,10 @@ object ChFunctions {
   def has(arr: Column, x: Column): Column = array_contains(arr, x)
   def arrayMapCh(arr: Column, f: Column => Column): Column = transform(arr, f)
   def arrayFilterCh(arr: Column, f: Column => Column): Column = filter(arr, f)
-  def arrayEnumerate(arr: Column): Column = sequence(lit(1), size(arr))
+  def arrayEnumerate(arr: Column): Column =
+    // sequence(1, 0) runs DESCENDING ([1, 0]); CH's enumerate of [] is []
+    when(size(arr) > 0, sequence(lit(1), size(arr)))
+      .otherwise(array().cast("array<int>"))
 
   // ---- type casts (lectures/lecture_07.md:519-522)
 

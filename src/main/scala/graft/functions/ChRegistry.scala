@@ -214,8 +214,16 @@ object ChRegistry {
     // (no arrayCount: the analyzer requires a HigherOrderFunction at the
     // registered root when lambda args are present — size(arrayFilter(..))
     // composes fine as separate calls)
-    f("arrayEnumerate")(e =>
-      new Sequence(Literal(1), Size(e.head)))  // 1..len, lecture_06.md:15
+    f("arrayEnumerate")(e => {
+      // 1..len, lecture_06.md:15 — guarded: sequence(1, 0) runs
+      // DESCENDING ([1, 0]), but CH's enumerate of [] is []
+      val size = Size(e.head)
+      If(GreaterThan(size, Literal(0)),
+        new Sequence(Literal(1), size),
+        Literal.create(Array.empty[Int],
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.IntegerType, containsNull = false)))
+    })
     f("indexOf")(e => ArrayPosition(e(0), e(1)))
     // array manipulation family (lectures/lecture_06.md) — native
     // collection expressions; CH's n-ary arrayIntersect/arrayConcat fold

@@ -259,7 +259,7 @@ object StatAggregates {
     * applies.
     */
   class HistogramAggregator(nBins: Int)
-      extends Aggregator[Double, Seq[HBin], Seq[HBin]] {
+      extends Aggregator[java.lang.Double, Seq[HBin], Seq[HBin]] {
     require(nBins >= 1, s"histogram needs >= 1 bin, got $nBins")
     private def compact(sorted: List[HBin]): List[HBin] = {
       // lossless pre-pass: adjacent equal centers coalesce regardless of
@@ -288,9 +288,12 @@ object StatAggregates {
       bins
     }
     override def zero: Seq[HBin] = Nil
-    override def reduce(b: Seq[HBin], v: Double): Seq[HBin] = {
-      val (lt, ge) = b.partition(_.c < v)
-      compact(lt.toList ::: (HBin(v, 1.0) :: ge.toList))
+    override def reduce(b: Seq[HBin], v: java.lang.Double): Seq[HBin] = {
+      // NULLs are skipped (a primitive input encoder would AssertNotNull)
+      if (v == null) return b
+      val d = v.doubleValue()
+      val (lt, ge) = b.partition(_.c < d)
+      compact(lt.toList ::: (HBin(d, 1.0) :: ge.toList))
     }
     override def merge(b1: Seq[HBin], b2: Seq[HBin]): Seq[HBin] =
       compact((b1 ++ b2).sortBy(_.c).toList)
@@ -301,8 +304,10 @@ object StatAggregates {
       .ExpressionEncoder[Seq[HBin]]()
   }
 
-  /** histogram(N)(x) — adaptive bins as (center, weight) structs. */
+  /** histogram(N)(x) — adaptive bins as (center, weight) structs.
+    * NULLs are skipped (boxed input encoder), matching CH/DuckDB.
+    */
   def histogramAgg(c: Column, nBins: Int): Column =
-    udaf(new HistogramAggregator(nBins), Encoders.scalaDouble)
+    udaf(new HistogramAggregator(nBins), Encoders.DOUBLE)
       .apply(c.cast(DoubleType))
 }

@@ -203,10 +203,15 @@ object StateSketches {
     if (bc.count == 0) ac else if (ac.count == 0) bc else ac.merge(bc)
   }
 
-  /** quantileState(x): build a mergeable rank summary per group. */
-  object QuantState extends Aggregator[Double, QuantileSummaries, Array[Byte]] {
+  /** quantileState(x): build a mergeable rank summary per group. NULLs are
+    * skipped (boxed input encoder — a primitive Double encoder would hit
+    * AssertNotNull and fail the query on the first NULL).
+    */
+  object QuantState
+      extends Aggregator[java.lang.Double, QuantileSummaries, Array[Byte]] {
     def zero: QuantileSummaries = emptyQ
-    def reduce(b: QuantileSummaries, v: Double): QuantileSummaries = b.insert(v)
+    def reduce(b: QuantileSummaries, v: java.lang.Double): QuantileSummaries =
+      if (v == null) b else b.insert(v)
     def merge(a: QuantileSummaries, b: QuantileSummaries): QuantileSummaries =
       mergeQ(a, b)
     def finish(b: QuantileSummaries): Array[Byte] = packQ(b)
@@ -236,7 +241,9 @@ object StateSketches {
   def sumLongState(c: Column): Column = udaf(SumLongState).apply(c)
   def uniqState(c: Column): Column = udaf(UniqState).apply(c)
   def uniqMerge(c: Column): Column = udaf(UniqMerge).apply(c)
-  def quantileState(c: Column): Column = udaf(QuantState).apply(c)
+  def quantileState(c: Column): Column =
+    udaf(QuantState, Encoders.DOUBLE)
+      .apply(c.cast(org.apache.spark.sql.types.DoubleType))
   def quantileMerge(q: Double)(c: Column): Column =
     udaf(new QuantMerge(q)).apply(c)
 }

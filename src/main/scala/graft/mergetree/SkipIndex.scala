@@ -26,7 +26,12 @@ object SkipIndex {
 
   private def sidecar(path: String, name: String) = s"$path/_skipidx_$name"
 
-  /** bloom_filter index: per-file bloom over exact `col` values. */
+  /** bloom_filter index: per-file bloom over exact `col` values. Values
+    * are hashed in their canonical STRING form (as [[buildSet]] stores
+    * them) so a probe value of any numeric width matches the indexed
+    * column — hashing native types would let an IntegerType column
+    * probed with a Scala Long prune files that DO contain the value.
+    */
   def buildBloom(spark: SparkSession, path: String, column: String,
                  name: String, expectedPerFile: Long = 100000L,
                  fpp: Double = 0.01): Unit = {
@@ -34,7 +39,8 @@ object SkipIndex {
     val bits = BloomPrune.optimalNumBits(expectedPerFile, fpp)
     spark.read.parquet(path)
       .groupBy(input_file_name().as("file"))
-      .agg(NativeFunctions.bloomAgg(col(column), expectedPerFile, bits).as("bloom"))
+      .agg(NativeFunctions.bloomAgg(col(column).cast("string"),
+        expectedPerFile, bits).as("bloom"))
       .coalesce(1)
       .write.mode("overwrite").parquet(sidecar(path, name))
   }
@@ -130,11 +136,12 @@ object SkipIndex {
   /** Files a bloom-family index (bloom_filter / tokenbf) cannot rule out
     * for `value`. The sidecar is one row per data file, so the membership
     * test runs on the driver over collected blobs; the hash matches the
-    * build side by construction (same XxHash64 expression, same seed).
+    * build side by construction (same XxHash64 expression, same seed,
+    * both sides in canonical string form — see [[buildBloom]]).
     */
   def filesBloomMightContain(spark: SparkSession, path: String, name: String,
                              value: Any): Seq[String] = {
-    val hash = xxhash(value)
+    val hash = xxhash(String.valueOf(value))
     filesWithSummary(spark, path, name, "bloom",
         _.getAs[Array[Byte]](1)).collect {
       case (f, None) => f

@@ -588,17 +588,24 @@ object Dedup {
     // and emit the star edges directly — including BEFORE round 1 when
     // the input is already small. Same hybrid GraphX/GraphFrames use; at
     // ANY corpus scale the threshold is an absolute bound on driver
-    // memory (~16 bytes/edge).
+    // memory: the tuple encoder streams primitive pairs (~2×8 bytes of
+    // payload per edge in the arrays below, vs ~100+ bytes per collected
+    // Row), so even the 5M-edge override stays ~80 MB of array data —
+    // far from spark.driver.maxResultSize pressure.
     def tryLocalFinish(): Unit =
       if (!done && sig._1 > 0 && sig._1 <= localFinishThreshold) {
         // primitive-specialized LongMap: the boxed-HashMap spelling costs
         // seconds of pure boxing at millions of find() calls
-        val rows = edges.select(col("u"), col("v")).collect()
-        val us = new Array[Long](rows.length)
-        val vs = new Array[Long](rows.length)
+        val pairs: Array[(Long, Long)] = edges.select(col("u"), col("v"))
+          .as(org.apache.spark.sql.Encoders.tuple(
+            org.apache.spark.sql.Encoders.scalaLong,
+            org.apache.spark.sql.Encoders.scalaLong))
+          .collect()
+        val us = new Array[Long](pairs.length)
+        val vs = new Array[Long](pairs.length)
         var ri = 0
-        while (ri < rows.length) {
-          us(ri) = rows(ri).getLong(0); vs(ri) = rows(ri).getLong(1); ri += 1
+        while (ri < pairs.length) {
+          us(ri) = pairs(ri)._1; vs(ri) = pairs(ri)._2; ri += 1
         }
         val parent = scala.collection.mutable.LongMap.empty[Long]
         def find(x: Long): Long = {
@@ -627,7 +634,7 @@ object Dedup {
         ri = 0
         while (ri < us.length) { emit(us(ri)); emit(vs(ri)); ri += 1 }
         val stars = starBuf.toSeq
-        edges = pairs.sparkSession.createDataFrame(stars).toDF("u", "v")
+        edges = edges.sparkSession.createDataFrame(stars).toDF("u", "v")
         done = true
       }
     tryLocalFinish()

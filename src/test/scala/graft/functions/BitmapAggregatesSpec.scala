@@ -73,4 +73,10 @@ class BitmapAggregatesSpec extends SparkSpec {
       .as[Long].head()
     assert(merged == 100L)
   }
+
+  test("groupBitmap skips NULL inputs (CH/DuckDB aggregate semantics)") {
+    val got = Seq(Some(1L), None, Some(2L), Some(1L), None).toDF("v")
+      .agg(groupBitmap($"v")).as[Long].head()
+    assert(got == 2L, s"got $got")
+  }
 }

@@ -84,6 +84,13 @@ class StatAggregatesSpec extends SparkSpec {
     assert(exact == Seq(HBin(1.0, 2.0), HBin(5.0, 1.0), HBin(9.0, 1.0)))
   }
 
+  test("histogram(N) skips NULL inputs (CH/DuckDB aggregate semantics)") {
+    import StatAggregates.HBin
+    val got = Seq(Some(1.0), None, Some(1.0), None, Some(5.0)).toDF("x")
+      .agg(StatAggregates.histogramAgg($"x", 8)).as[Seq[HBin]].head()
+    assert(got == Seq(HBin(1.0, 2.0), HBin(5.0, 1.0)))
+  }
+
   test("kurtPop is non-excess (uniform two-point distribution has kurtosis 1)") {
     // x in {0,1} equally likely: m4/sigma^4 = 1 exactly
     val df = Seq.fill(50)(0.0).++(Seq.fill(50)(1.0)).toDF("x")

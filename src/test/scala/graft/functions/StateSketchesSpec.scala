@@ -67,4 +67,11 @@ class StateSketchesSpec extends SparkSpec {
       .agg(quantileMerge(0.5)($"st")).as[Double].head()
     assert(empty.isNaN)
   }
+
+  test("quantileState skips NULL inputs (CH/DuckDB aggregate semantics)") {
+    val got = Seq(Some(1.0), None, Some(2.0), None, Some(3.0)).toDF("v")
+      .agg(quantileState($"v").as("st"))
+      .agg(quantileMerge(0.5)($"st")).as[Double].head()
+    assert(got == 2.0, s"got $got")
+  }
 }

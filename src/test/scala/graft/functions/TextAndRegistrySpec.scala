@@ -112,6 +112,15 @@ class TextAndRegistrySpec extends SparkSpec {
     assert(a.getBoolean(2))
     assert(a.getSeq[Int](3) == Seq(1, 2, 3))
     assert(a.getLong(4) == 2L)
+    // CH's enumerate of [] is [] — unguarded sequence(1, 0) would run
+    // DESCENDING and yield [1, 0]
+    val en = spark.sql(
+      "SELECT arrayEnumerate(array_remove(array(1), 1)) AS e").collect().head
+    assert(en.getSeq[Int](0) == Seq.empty)
+    val enF = spark.range(1)
+      .select(graft.functions.ChFunctions.arrayEnumerate(
+        array_remove(array(lit(1)), 1)).as("e")).collect().head
+    assert(enF.getSeq[Int](0) == Seq.empty)
   }
 
   test("shingleHashes + jaccardSorted match the string-set jaccard exactly") {

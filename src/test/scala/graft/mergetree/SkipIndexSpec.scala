@@ -32,6 +32,25 @@ class SkipIndexSpec extends SparkSpec {
     assert(pruned.toSeq == full.toSeq && full.nonEmpty)
   }
 
+  test("bloom probe is width-agnostic: IntegerType column probed with Long/Int/String never falsely prunes") {
+    val dir = Files.createTempDirectory("graft_skip").toString + "/t"
+    (0 until 800).map(i => (i, i % 100)).toDF("id", "num")
+      .repartitionByRange(8, $"id").write.parquet(dir)
+    SkipIndex.buildBloom(spark, dir, "num", "bf_num", expectedPerFile = 1000)
+    // both sides hash the canonical string form, so the probe's Scala
+    // numeric width must not matter — a native-type hash would prune
+    // EVERY file here (silent row loss)
+    for (probe <- Seq[Any](42L, 42, "42")) {
+      val survivors = SkipIndex.filesBloomMightContain(spark, dir, "bf_num", probe)
+      val full = spark.read.parquet(dir).filter($"num" === 42)
+        .select("id").as[Long].collect().sorted
+      val pruned = SkipIndex.readPruned(spark, dir, survivors)
+        .filter($"num" === 42).select("id").as[Long].collect().sorted
+      assert(full.nonEmpty && pruned.toSeq == full.toSeq,
+        s"probe $probe (${probe.getClass.getSimpleName}) lost rows")
+    }
+  }
+
   test("tokenbf index: token probe prunes to the planting file") {
     val dir = Files.createTempDirectory("graft_skip").toString + "/t"
     table(dir)
