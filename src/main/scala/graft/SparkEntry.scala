@@ -48,4 +48,12 @@ object SparkEntry {
     */
   def oracleSql: Map[String, String] =
     graft.queries.Registry.all.flatMap(q => q.oracle.map(q.name -> _)).toMap
+
+  /** Oracle SQL with the `{SF_DIR}` placeholder resolved to the scale
+    * factor directory actually being verified — for oracles that must
+    * name a parquet file literally (q62's `parquet_metadata`), so the
+    * board stays SF-portable. Verify/DevVerify dump THIS form.
+    */
+  def oracleSqlFor(sfDir: String): Map[String, String] =
+    oracleSql.map { case (k, v) => k -> v.replace("{SF_DIR}", sfDir) }
 }

@@ -123,15 +123,16 @@ object MergeTreeQueries {
     // per-column value counts, compressed/uncompressed bytes and codec from
     // parquet FOOTERS, read on the executors. The oracle is DuckDB's
     // parquet_metadata() over the SAME file — byte-for-byte footer parity
-    // across engines. The path is the driver's correctness-gate dir
-    // (sf0.01); oracle_check at other SFs must --skip this row.
+    // across engines. `{SF_DIR}` is resolved by Verify/DevVerify to the
+    // dir being verified (SparkEntry.oracleSqlFor), so the row is
+    // SF-portable.
     Q("q62_parts_columns",
       """SELECT path_in_schema AS column,
         |  CAST(sum(num_values) AS BIGINT) AS n_values,
         |  CAST(sum(total_compressed_size) AS BIGINT) AS compressed_bytes,
         |  CAST(sum(total_uncompressed_size) AS BIGINT) AS uncompressed_bytes,
         |  any_value(compression) AS codec
-        |FROM parquet_metadata('/root/testdata/sf0.01/lineitem.parquet')
+        |FROM parquet_metadata('{SF_DIR}/lineitem.parquet')
         |GROUP BY 1 ORDER BY 1""") { (s, dir) =>
       graft.mergetree.SystemTables.columns(s, s"$dir/lineitem.parquet")
         .select(col("column"), col("n_values"),
