@@ -19,17 +19,40 @@ case class FunnelEvent(t: Long, m: Int)
   */
 case class EvBuf(var n: Int, var ts: Array[Long], var ms: Array[Int])
 
+object EventSeqAggregator {
+  /** Hard bound on MATCHING events buffered per key (~4.2M events =
+    * ~50 MB of primitive arrays). The 100 TB failure mode for
+    * event-buffer aggregates is a hot key growing state without bound;
+    * past this the aggregate fails crisply with a pre-filter hint
+    * instead of slowly strangling an executor — the same guardrail
+    * ClickHouse's sequence states apply (its sequenceMatch/windowFunnel
+    * states cap buffered events and error beyond the limit).
+    */
+  val MaxEventsPerKey: Int = 1 << 22
+}
+
 abstract class EventSeqAggregator[OUT](nConds: Int)
     extends Aggregator[FunnelEvent, EvBuf, OUT] {
   require(nConds >= 1 && nConds <= 32, "1..32 conditions")
+
+  /** Overridable per-key event bound (tests shrink it; see companion). */
+  protected def maxEvents: Int = EventSeqAggregator.MaxEventsPerKey
+
+  private def overflow(n: Long): Nothing =
+    throw new IllegalStateException(
+      s"sequence aggregate buffered $n matching events for one key " +
+        s"(limit $maxEvents, ~${maxEvents.toLong * 12 / (1 << 20)} MB); " +
+        "pre-filter the events (time range or tighter conditions) or " +
+        "split the key before aggregating")
 
   final override def zero: EvBuf =
     EvBuf(0, Array.emptyLongArray, Array.emptyIntArray)
 
   final override def reduce(b: EvBuf, e: FunnelEvent): EvBuf = {
     if (e.m == 0) return b // matches no condition: never relevant
+    if (b.n >= maxEvents) overflow(b.n.toLong + 1)
     if (b.n == b.ts.length) {
-      val cap = math.max(8, b.ts.length * 2)
+      val cap = math.max(8, math.min(b.ts.length * 2, maxEvents))
       b.ts = java.util.Arrays.copyOf(b.ts, cap)
       b.ms = java.util.Arrays.copyOf(b.ms, cap)
     }
@@ -41,6 +64,7 @@ abstract class EventSeqAggregator[OUT](nConds: Int)
     if (b.n == 0) return a
     if (a.n == 0) return b
     val n = a.n + b.n
+    if (n > maxEvents) overflow(n.toLong)
     val ts = java.util.Arrays.copyOf(a.ts, n)
     val ms = java.util.Arrays.copyOf(a.ms, n)
     System.arraycopy(b.ts, 0, ts, a.n, b.n)
