@@ -1,0 +1,26 @@
+#!/usr/bin/env bash
+# sf1 stress gate: 10x the driver's sf0.1 data, full board + heavy-row
+# invariants. Leaves ZERO unchecked rows: every registry query either
+# hash-matches the DuckDB oracle at sf1, is a documented rows-only row,
+# or (d03/d04/d09 — DuckDB-infeasible quadratic/recursive oracles) is
+# covered by the independent invariant checks in Sf1InvariantsSpec.
+set -euo pipefail
+cd "$(dirname "$0")/.."
+
+SF1=${SF1:-/tmp/graft_sf1}
+OUT=${OUT:-/tmp/graft_verify_sf1}
+export SPARK_GRAFT_CPUS=${SPARK_GRAFT_CPUS:-32}
+
+echo "== generating sf1 data at $SF1"
+python3 scripts/gen_sf1.py /root/testdata/sf0.1 "$SF1"
+
+echo "== full board at sf1"
+rm -rf "$OUT"
+sbt -batch "runMain graft.Verify $SF1 $OUT" 2>&1 | grep -E '\[verify\].*failed' || true
+
+echo "== DuckDB oracle compare (heavy dedup rows excluded, covered below)"
+python3 scripts/oracle_check.py "$SF1" "$OUT" \
+  --skip=d03_ngram_jaccard,d04_dedup_minhash,d09_dedup_clusters
+
+echo "== independent invariant checks for d03/d04/d09"
+SPARK_GRAFT_SF1_DIR="$SF1" sbt -batch 'testOnly graft.Sf1InvariantsSpec'

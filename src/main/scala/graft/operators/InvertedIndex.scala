@@ -49,4 +49,43 @@ object InvertedIndex {
     index.join(broadcast(queryTerms.toDF("term")), "term")
       .select(col("term"), explode(col("postings")).as("doc_id"))
   }
+
+  /** BM25 ranked retrieval (Robertson/Okapi, the Lucene idf variant:
+    * `ln(1 + (N - df + 0.5)/(df + 0.5))`): score every document
+    * containing at least one query term. Output: `(doc_id, score)`.
+    *
+    * Scale shape: the query-term filter runs INSIDE the token array
+    * (`filter` before `explode`), so the exploded stream carries only
+    * query-term hits — corpus-sized rows never shuffle. One (doc_id,
+    * term) partial-aggregating shuffle computes tf; df is |query| rows
+    * and joins back by broadcast; corpus size and mean length are a
+    * single bounded scalar aggregate. No per-term reducer funnels:
+    * a stop-word query term costs its hit count, spread across the
+    * doc-keyed shuffle.
+    */
+  def bm25Rank(docs: DataFrame, id: Column, terms: Column,
+               queryTerms: Seq[String], k1: Double = 1.2,
+               b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty, "bm25Rank needs at least one query term")
+    val base = docs.select(id.cast("long").as("doc_id"), terms.as("toks"))
+      .select(col("doc_id"), col("toks"),
+        size(col("toks")).cast("double").as("dl"))
+    // one scalar row: corpus size + mean doc length (closure-shipped)
+    val stats = base.agg(count(lit(1)), avg(col("dl"))).head()
+    val n = stats.getLong(0).toDouble
+    val avgdl = stats.getDouble(1)
+    val q = lit(queryTerms.toArray)
+    val tf = base
+      .select(col("doc_id"), col("dl"),
+        explode(filter(col("toks"), t => array_contains(q, t))).as("term"))
+      .groupBy(col("doc_id"), col("dl"), col("term"))
+      .agg(count(lit(1)).cast("double").as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).cast("double").as("df"))
+    tf.join(broadcast(df), "term")
+      .withColumn("idf",
+        log(lit(1.0) + (lit(n) - col("df") + 0.5) / (col("df") + 0.5)))
+      .withColumn("contrib", col("idf") * col("tf") * lit(k1 + 1) /
+        (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / avgdl)))
+      .groupBy(col("doc_id")).agg(sum(col("contrib")).as("score"))
+  }
 }

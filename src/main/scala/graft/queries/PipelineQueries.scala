@@ -919,6 +919,33 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     },
 
+    // ---- BM25 ranked retrieval (Robertson/Okapi, Lucene idf variant)
+    // over the normalized token stream — the scoring sibling of the t25
+    // inverted index and t05 tf-idf. The oracle spells the identical
+    // arithmetic in DuckDB (same literal constants, same association);
+    // round(.,4) absorbs libm ln ULP differences.
+    Q("t30_bm25",
+      s"""WITH t AS (SELECT doc_id, ${toksSql(normSql)} AS toks,
+         |  CASE WHEN $normSql = '' THEN 0 ELSE len(${toksSql(normSql)}) END AS dl
+         |  FROM documents),
+         |s AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl FROM t),
+         |h AS (SELECT doc_id, dl, unnest(toks) AS term FROM t),
+         |tf AS (SELECT doc_id, dl, term, CAST(count(*) AS DOUBLE) AS tf FROM h
+         |       WHERE term IN ('hash', 'merge', 'vector') GROUP BY 1, 2, 3),
+         |df AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
+         |sc AS (SELECT tf.doc_id,
+         |         sum(ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5)) * tf.tf * (1.2 + 1) /
+         |             (tf.tf + 1.2 * (1 - 0.75 + 0.75 * tf.dl / s.avgdl))) AS score
+         |       FROM tf JOIN df USING (term) CROSS JOIN s GROUP BY 1)
+         |SELECT doc_id, round(score, 4) AS score4 FROM sc ORDER BY doc_id""") { (s, dir) =>
+      graft.plans.NativeFunctions.register(s)
+      InvertedIndex.bm25Rank(Tables(s, dir).documents, col("doc_id"),
+          graft.plans.NativeFunctions.normTokens(col("text")),
+          Seq("hash", "merge", "vector"))
+        .select(col("doc_id"), round(col("score"), 4).as("score4"))
+        .orderBy(col("doc_id"))
+    },
+
     // ---- HTML text extraction (web-crawl curation step 1): documents
     // are wrapped in deterministic markup (script/style/comments/tags/
     // entities), then the extractor strips markup and decodes entities.

@@ -46,4 +46,37 @@ class InvertedIndexSpec extends SparkSpec {
       .as[(String, Long)].collect().toSet
     assert(hits == Set(("cat", 0L), ("cat", 2L), ("cat", 65536L), ("ran", 2L)))
   }
+
+  test("bm25Rank matches a hand-computed reference and ranks sanely") {
+    // 4 docs, query {cat}: df(cat)=3, N=4; shorter matching docs score
+    // higher (length normalization), non-matching docs are absent
+    val scores = InvertedIndex.bm25Rank(docs, $"doc_id",
+        split($"text", " "), Seq("cat"))
+      .as[(Long, Double)].collect().toMap
+    assert(scores.keySet == Set(0L, 2L, 65536L)) // doc 1 has no 'cat'
+    // hand recompute: idf = ln(1 + (4-3+0.5)/(3+0.5)); tf=1; dl=3; avgdl=3.25
+    val idf = math.log(1 + (4.0 - 3 + 0.5) / (3 + 0.5))
+    val expect = idf * 1 * 2.2 / (1 + 1.2 * (0.25 + 0.75 * 3 / 3.25))
+    assert(math.abs(scores(0L) - expect) < 1e-12)
+    assert(scores(0L) == scores(2L) && scores(2L) == scores(65536L)) // same dl/tf
+    // multi-term: doc 1's double 'sat' outscores single-'sat' doc 0
+    val satScores = InvertedIndex.bm25Rank(docs, $"doc_id",
+        split($"text", " "), Seq("sat", "ran"))
+      .as[(Long, Double)].collect().toMap
+    assert(satScores(1L) > satScores(0L))
+    assert(satScores(2L) > 0) // 'ran' rare term still scores
+  }
+
+  test("bm25Rank plan: corpus rows never shuffle — hits are filtered inside the array before explode") {
+    val plan = InvertedIndex.bm25Rank(docs, $"doc_id",
+      split($"text", " "), Seq("cat")).queryExecution.optimizedPlan.toString
+    // the generate (explode) input must already be the filtered array
+    assert(plan.contains("array_contains") || plan.contains("filter("),
+      s"query-term filter missing from plan:\n$plan")
+    // df joins back via broadcast, not a shuffled join
+    val phys = InvertedIndex.bm25Rank(docs, $"doc_id",
+      split($"text", " "), Seq("cat")).queryExecution.executedPlan.toString
+    assert(phys.contains("BroadcastHashJoin") || phys.contains("BroadcastExchange"),
+      s"df join is not broadcast:\n$phys")
+  }
 }
