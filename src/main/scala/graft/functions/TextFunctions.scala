@@ -113,6 +113,61 @@ object TextFunctions {
     }), 1)
   }
 
+  /** The Gopher rule stopword list (Rae et al. 2021, Appendix A): a doc
+    * must contain at least two of these to look like running prose.
+    */
+  val GopherStopwords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** Gopher-style quality-rule metrics (Rae et al. 2021, Appendix A) as
+    * ONE struct column — token array bound once (same trick as
+    * [[qualityScore]]), every field a scalar the caller projects out:
+    * word count, mean word length, symbol-to-word ratio (# and ...),
+    * bullet-start and ellipsis-end line fractions, alphabetic-word
+    * fraction, distinct-stopword count, and the composed `keep` flag
+    * (all rules pass). Thresholds are the published ones: 50..100000
+    * words, mean length 3..10, symbols <= 0.1, bullets <= 0.9, ellipsis
+    * <= 0.3, alpha-words >= 0.8, >= 2 stopwords.
+    */
+  def gopherMetrics(text: Column): Column = {
+    val sw = array(GopherStopwords.map(lit): _*)
+    val lines = split(text, "\n")
+    val nLines = greatest(size(lines), lit(1)).cast(DoubleType)
+    val hashCnt = (length(text) - length(translate(text, "#", "")))
+      .cast(DoubleType)
+    val ellCnt = ((length(text) -
+      length(regexp_replace(text, "\\.\\.\\.", ""))) / lit(3.0))
+    val bulletLines = size(filter(lines, l =>
+      ltrim(l).startsWith("-") || ltrim(l).startsWith("*") ||
+        ltrim(l).startsWith("•"))).cast(DoubleType)
+    val ellLines = size(filter(lines, l =>
+      rtrim(l).endsWith("...") || rtrim(l).endsWith("…"))).cast(DoubleType)
+    element_at(transform(array(tokens(text)), ts => {
+      val n = size(ts)
+      val nD = n.cast(DoubleType)
+      val meanLen = when(n > 0,
+        aggregate(ts, lit(0L), (a, x) => a + length(x)).cast(DoubleType) / nD)
+        .otherwise(lit(0.0))
+      val alphaFrac = when(n > 0,
+        size(filter(ts, t => t.rlike("[a-z]"))).cast(DoubleType) / nD)
+        .otherwise(lit(0.0))
+      val symbolRatio = when(n > 0, (hashCnt + ellCnt) / nD).otherwise(lit(0.0))
+      val bulletFrac = bulletLines / nLines
+      val ellipsisFrac = ellLines / nLines
+      val stopDistinct = size(array_intersect(ts, sw))
+      val keep = (n >= 50) && (n <= 100000) &&
+        (meanLen >= 3.0) && (meanLen <= 10.0) &&
+        (symbolRatio <= 0.1) && (bulletFrac <= 0.9) &&
+        (ellipsisFrac <= 0.3) && (alphaFrac >= 0.8) && (stopDistinct >= 2)
+      struct(
+        n.cast("long").as("n_words"), meanLen.as("mean_word_len"),
+        symbolRatio.as("symbol_ratio"), bulletFrac.as("bullet_frac"),
+        ellipsisFrac.as("ellipsis_frac"), alphaFrac.as("alpha_frac"),
+        stopDistinct.cast("long").as("stop_distinct"),
+        keep.cast("int").as("keep"))
+    }), 1)
+  }
+
   // ---- PII scrubbing (C4-style corpus hygiene): regex redaction of
   // emails / phone numbers / IPv4 addresses. Patterns restricted to
   // syntax shared by Java regex and RE2 (\b, \d, bounded repeats) so a

@@ -320,6 +320,25 @@ object Dedup {
   def dropNearDups(df: DataFrame, idCol: String, pairs: DataFrame): DataFrame =
     df.join(pairs.select(col("b").as(idCol)).distinct(), Seq(idCol), "left_anti")
 
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup via
+    * cluster-then-prune — k-means over the embeddings (bounded
+    * deterministic sample fit, map-side assignment), then exact-cosine
+    * near-dup pairs WITHIN each cluster, dropping the higher id of every
+    * pair. Clustering makes the quadratic step per-cluster instead of
+    * corpus-wide: with k sized so clusters stay bounded (the paper uses
+    * ~100k docs/cluster at corpus scale), no join side exceeds a cluster.
+    * Output: the surviving rows of `corpus` plus their `cluster` id.
+    */
+  def semDedup(corpus: DataFrame, idCol: String, vecCol: String, k: Int,
+               minCosine: Double, maxTrain: Int = 20000): DataFrame = {
+    val clustered = SimilaritySearch
+      .embeddingClusters(corpus, idCol, vecCol, k, maxTrain)
+      .drop("cos_to_center")
+    val pairs = embeddingNearDupPairs(clustered, idCol, vecCol,
+      col("cluster"), minCosine)
+    dropNearDups(clustered, idCol, pairs)
+  }
+
   // ---------- segment-level dedup (C4-style line/paragraph dedup:
   // every distinct line is kept exactly once across the whole corpus)
 

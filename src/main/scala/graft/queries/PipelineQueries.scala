@@ -907,6 +907,22 @@ object PipelineQueries {
         .orderBy(col("cluster"))
     },
 
+    // ---- SemDeDup (Abbas et al. 2023): semantic dedup via k-means
+    // cluster-then-prune — exact cosine only within clusters, drop the
+    // higher id of each near-dup pair. rows-only: the k-means fit has no
+    // SQL spelling; the prune contract (survivors have no within-cluster
+    // pair >= threshold, every dropped row names a surviving lower-id
+    // twin, partition invariance) is spec-asserted (DedupSpec).
+    Q.noOracle("t32_sem_dedup") { (s, dir) =>
+      // 0.45 sits just under the testdata's top pairwise cosines (~0.51),
+      // so the prune actually fires on the driver corpus; production
+      // SemDeDup uses ~0.95+ on real embedding spaces
+      Dedup.semDedup(Tables(s, dir).embeddings, "vec_id", "embedding",
+          k = 8, minCosine = 0.45)
+        .select(col("vec_id"), col("cluster"))
+        .orderBy(col("vec_id"))
+    },
+
     Q.noOracle("t28_quality_classifier") { (s, dir) =>
       val docs = Tables(s, dir).documents
       val heur = graft.functions.TextFunctions.qualityScore(col("text")) >= 0.35
@@ -943,6 +959,65 @@ object PipelineQueries {
           graft.plans.NativeFunctions.normTokens(col("text")),
           Seq("hash", "merge", "vector"))
         .select(col("doc_id"), round(col("score"), 4).as("score4"))
+        .orderBy(col("doc_id"))
+    },
+
+    // ---- Gopher quality rules (Rae et al. 2021, Appendix A): word
+    // count, mean word length, symbol-to-word ratio, bullet/ellipsis
+    // line fractions, alphabetic-word fraction, stopword presence, and
+    // the composed keep flag. The keep decision compares UNROUNDED
+    // doubles on both sides — identical arithmetic, so thresholds agree
+    // exactly; displayed ratios round to 4dp.
+    Q("t31_gopher_rules",
+      s"""WITH b AS (SELECT doc_id, text,
+         |  CASE WHEN $normSql = '' THEN CAST([] AS VARCHAR[])
+         |       ELSE ${toksSql(normSql)} END AS toks,
+         |  string_split(text, chr(10)) AS lines
+         |  FROM documents),
+         |m AS (SELECT doc_id, len(toks) AS n_words,
+         |  CASE WHEN len(toks) > 0 THEN
+         |    CAST(list_sum(list_transform(toks, x -> LENGTH(x))) AS DOUBLE) / len(toks)
+         |  ELSE 0.0 END AS mean_word_len,
+         |  CASE WHEN len(toks) > 0 THEN
+         |    (CAST(LENGTH(text) - LENGTH(replace(text, '#', '')) AS DOUBLE) +
+         |     (LENGTH(text) - LENGTH(regexp_replace(text, '\\.\\.\\.', '', 'g'))) / 3.0)
+         |    / len(toks)
+         |  ELSE 0.0 END AS symbol_ratio,
+         |  CAST(len(list_filter(lines, l -> ltrim(l) LIKE '-%' OR
+         |    ltrim(l) LIKE '*%' OR ltrim(l) LIKE '•%')) AS DOUBLE)
+         |    / greatest(len(lines), 1) AS bullet_frac,
+         |  CAST(len(list_filter(lines, l -> rtrim(l) LIKE '%...' OR
+         |    rtrim(l) LIKE '%…')) AS DOUBLE)
+         |    / greatest(len(lines), 1) AS ellipsis_frac,
+         |  CASE WHEN len(toks) > 0 THEN
+         |    CAST(len(list_filter(toks, x -> regexp_matches(x, '[a-z]'))) AS DOUBLE) / len(toks)
+         |  ELSE 0.0 END AS alpha_frac,
+         |  len(list_intersect(toks,
+         |    ['the', 'be', 'to', 'of', 'and', 'that', 'have', 'with'])) AS stop_distinct
+         |  FROM b)
+         |SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+         |  round(mean_word_len, 4) AS mean_wlen4,
+         |  round(symbol_ratio, 4) AS symbol_ratio4,
+         |  round(bullet_frac, 4) AS bullet_frac4,
+         |  round(ellipsis_frac, 4) AS ellipsis_frac4,
+         |  round(alpha_frac, 4) AS alpha_frac4,
+         |  CAST(stop_distinct AS BIGINT) AS stop_distinct,
+         |  CAST(n_words BETWEEN 50 AND 100000 AND mean_word_len BETWEEN 3 AND 10
+         |   AND symbol_ratio <= 0.1 AND bullet_frac <= 0.9
+         |   AND ellipsis_frac <= 0.3 AND alpha_frac >= 0.8
+         |   AND stop_distinct >= 2 AS INT) AS keep
+         |FROM m ORDER BY doc_id""") { (s, dir) =>
+      val m = TextFunctions.gopherMetrics(col("text"))
+      Tables(s, dir).documents
+        .select(col("doc_id"), m.as("m"))
+        .select(col("doc_id"), col("m.n_words").as("n_words"),
+          round(col("m.mean_word_len"), 4).as("mean_wlen4"),
+          round(col("m.symbol_ratio"), 4).as("symbol_ratio4"),
+          round(col("m.bullet_frac"), 4).as("bullet_frac4"),
+          round(col("m.ellipsis_frac"), 4).as("ellipsis_frac4"),
+          round(col("m.alpha_frac"), 4).as("alpha_frac4"),
+          col("m.stop_distinct").as("stop_distinct"),
+          col("m.keep").as("keep"))
         .orderBy(col("doc_id"))
     },
 

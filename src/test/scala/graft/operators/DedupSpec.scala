@@ -220,4 +220,46 @@ class DedupSpec extends SparkSpec {
     val got = df.select(Dedup.chunkText($"text", 3, "\n")).as[String].head()
     assert(got == "a b c\nd e f\ng")
   }
+
+  test("semDedup prunes within-cluster near-identical twins and is partition-invariant") {
+    val rnd = new scala.util.Random(11)
+    def unit(dim: Int): Array[Float] = {
+      val v = Array.fill(dim)(rnd.nextGaussian().toFloat)
+      val n = math.sqrt(v.map(x => x * x.toDouble).sum).toFloat
+      v.map(_ / n)
+    }
+    // 3 well-separated topic centers; per topic: 30 spread-out members
+    // plus 5 planted near-identical twins of the first members
+    val centers = (0 until 3).map(_ => unit(32))
+    def member(c: Array[Float], noise: Float): Array[Float] = {
+      val v = c.zip(unit(32)).map { case (x, e) => x + noise * e }
+      val n = math.sqrt(v.map(x => x * x.toDouble).sum).toFloat
+      v.map(_ / n)
+    }
+    val rows = centers.zipWithIndex.flatMap { case (c, t) =>
+      val members = (0 until 30).map(i =>
+        (t * 1000L + i, member(c, 0.45f)))
+      val twins = members.take(5).map { case (id, v) =>
+        (id + 500L, member(v, 0.01f))
+      }
+      members ++ twins
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Dedup.semDedup(d, "vec_id", "embedding", k = 3, minCosine = 0.95)
+    val kept = run(df)
+    val keptIds = kept.select($"vec_id").as[Long].collect().toSet
+    // every planted twin (higher id of its pair) is gone, its base kept
+    for (t <- 0 until 3; i <- 0 until 5) {
+      assert(!keptIds.contains(t * 1000L + i + 500L), s"twin $t/$i survived")
+      assert(keptIds.contains(t * 1000L + i), s"base $t/$i was dropped")
+    }
+    // survivors contain no within-cluster pair at/above the threshold
+    val leftoverPairs = Dedup.embeddingNearDupPairs(kept, "vec_id",
+      "embedding", $"cluster", minCosine = 0.95).count()
+    assert(leftoverPairs == 0L)
+    // deterministic under repartition (fit is partition-independent)
+    val again = run(df.repartition(7)).select($"vec_id").as[Long].collect().toSet
+    assert(again == keptIds)
+  }
 }
