@@ -45,6 +45,10 @@ object SparkEntry {
     *  - t29_embedding_clusters: k-means centroids are engine-internal;
     *    planted-cluster purity and partition-invariant determinism are
     *    spec-asserted (SimilaritySpec).
+    *  - t32_sem_dedup: the cluster-then-prune keep set depends on the
+    *    engine-internal k-means partition; the prune contract (planted
+    *    twins dropped, no surviving within-cluster pair at threshold,
+    *    partition invariance) is spec-asserted (DedupSpec).
     */
   def oracleSql: Map[String, String] =
     graft.queries.Registry.all.flatMap(q => q.oracle.map(q.name -> _)).toMap

@@ -133,6 +133,21 @@ object ChFunctions {
   // ---- array / higher-order (lectures/lecture_06.md:14-41)
 
   def arrayStringConcat(c: Column, sep: String): Column = array_join(c, sep)
+  /** groupArrayMovingSum(n)(x) / groupArrayMovingAvg(n)(x): CH returns
+    * the per-group ARRAY of n-row moving aggregates in insertion order.
+    * Spark spelling: a ROWS-frame window over the caller's explicit sort
+    * key (MergeTree sort order pins CH's "insertion order" the same
+    * way), one value per row — callers that want the CH array shape
+    * `collect_list` over the same order.
+    */
+  def movingSum(x: Column, n: Int,
+                w: org.apache.spark.sql.expressions.WindowSpec): Column =
+    sum(x).over(w.rowsBetween(-(n - 1L), 0L))
+
+  def movingAvg(x: Column, n: Int,
+                w: org.apache.spark.sql.expressions.WindowSpec): Column =
+    avg(x).over(w.rowsBetween(-(n - 1L), 0L))
+
   def has(arr: Column, x: Column): Column = array_contains(arr, x)
   def arrayMapCh(arr: Column, f: Column => Column): Column = transform(arr, f)
   def arrayFilterCh(arr: Column, f: Column => Column): Column = filter(arr, f)

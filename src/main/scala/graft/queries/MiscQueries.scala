@@ -1088,6 +1088,46 @@ object MiscQueries {
         .orderBy(col("user_id"))
     },
 
+    // ---- groupArrayMovingSum / groupArrayMovingAvg (CH): per-key array
+    // of 3-row moving aggregates along the ordered series, serialized
+    // with the q74 DECIMAL(18,4) pattern (identical string form across
+    // engines, -0.0 canonicalized). The window itself is a plain Spark
+    // ROWS frame — one pass, no per-key state beyond the frame.
+    Q("q82_moving_aggregates",
+      """WITH o AS (SELECT user_id, value, ts, event_id,
+        |    sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS ms,
+        |    avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS ma
+        |  FROM events),
+        |s AS (SELECT user_id, ts, event_id,
+        |    CAST(round(ms, 4) + 0.0 AS DECIMAL(18,4)) AS ms4,
+        |    CAST(round(ma, 4) + 0.0 AS DECIMAL(18,4)) AS ma4
+        |  FROM o)
+        |SELECT user_id,
+        |  string_agg(CAST(ms4 AS VARCHAR), ',' ORDER BY ts, event_id) AS moving_sums,
+        |  string_agg(CAST(ma4 AS VARCHAR), ',' ORDER BY ts, event_id) AS moving_avgs
+        |FROM s GROUP BY user_id ORDER BY user_id""") { (s, dir) =>
+      import graft.functions.ChFunctions.{movingAvg, movingSum}
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      def dec(c: Column) =
+        (round(c, 4) + lit(0.0)).cast("decimal(18,4)").cast(StringType)
+      Tables(s, dir).events
+        .select(col("user_id"), col("ts"), col("event_id"),
+          dec(movingSum(col("value"), 3, w)).as("ms4"),
+          dec(movingAvg(col("value"), 3, w)).as("ma4"))
+        .groupBy(col("user_id"))
+        .agg(
+          concat_ws(",", sort_array(collect_list(
+            struct(col("ts"), col("event_id"), col("ms4")))).getField("ms4"))
+            .as("moving_sums"),
+          concat_ws(",", sort_array(collect_list(
+            struct(col("ts"), col("event_id"), col("ma4")))).getField("ma4"))
+            .as("moving_avgs"))
+        .orderBy(col("user_id"))
+    },
+
     // ---- maxIntersections (CH): the maximum number of concurrently
     // open intervals — a ±1 sweep with a running sum (ends at tick t
     // close BEFORE starts at t open, CH's half-open convention). Session
