@@ -361,4 +361,33 @@ object Funnels {
     udaf(new SequenceCountAggregator(pattern, conds.length),
       Encoders.product[FunnelEvent]).apply(t, m)
   }
+
+  /** sequenceNextNode('forward', 'first_match')(order, event, cond1..n):
+    * per key, the event VALUE right after the first CONSECUTIVE run of
+    * events matching cond1..condN in the explicit `order` (CH's
+    * insertion order, pinned by sort keys as elsewhere). NULL when the
+    * chain ends the stream; keys with no chain emit no row.
+    *
+    * Spark spelling — no custom aggregate: cond_i is checked on the
+    * i-th lead inside ONE ordered window, the first match is a
+    * partition-min over the same partitioning (Exchange reused, so the
+    * whole operator is a single shuffle on the key).
+    */
+  def sequenceNextNode(df: org.apache.spark.sql.DataFrame, keyCol: String,
+                       order: Seq[Column], event: Column,
+                       conds: Seq[Column]): org.apache.spark.sql.DataFrame = {
+    require(conds.nonEmpty, "sequenceNextNode needs at least one condition")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol)).orderBy(order: _*)
+    val chainOk = conds.zipWithIndex.map { case (c, i) =>
+      if (i == 0) c else lead(c, i).over(w)
+    }.reduce(_ && _)
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy(col(keyCol))
+    df.withColumn("__rn", row_number().over(w))
+      .withColumn("__nxt", lead(event, conds.length).over(w))
+      .withColumn("__ok", chainOk)
+      .withColumn("__rn0", min(when(col("__ok"), col("__rn"))).over(wAll))
+      .filter(col("__rn") === col("__rn0"))
+      .select(col(keyCol), col("__nxt").as("next_node"))
+  }
 }

@@ -124,6 +124,29 @@ object FunnelQueries {
           col("event_type") === "signup",
           col("event_type") === "purchase")).as("n"))
         .orderBy(col("user_id"))
+    },
+
+    // ---- sequenceNextNode (CH, forward/first_match): per user, the
+    // event right after the first consecutive view→click run in (ts,
+    // event_id) order. One ordered window + a partition-min over the
+    // same key — a single shuffle. NULL next_node (chain ends the
+    // stream) is a real output value both engines agree on.
+    Q("q83_sequence_next_node",
+      """WITH o AS (SELECT user_id, event_type,
+        |    row_number() OVER w AS rn,
+        |    lead(event_type, 2) OVER w AS nxt,
+        |    (event_type = 'view' AND lead(event_type, 1) OVER w = 'click') AS ok
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |f AS (SELECT user_id, rn, nxt,
+        |    min(CASE WHEN ok THEN rn END) OVER (PARTITION BY user_id) AS rn0
+        |  FROM o)
+        |SELECT user_id, nxt AS next_node FROM f WHERE rn = rn0
+        |ORDER BY user_id""") { (s, dir) =>
+      Funnels.sequenceNextNode(Tables(s, dir).events, "user_id",
+          Seq(col("ts"), col("event_id")), col("event_type"),
+          Seq(col("event_type") === "view", col("event_type") === "click"))
+        .orderBy(col("user_id"))
     }
   )
 }

@@ -121,4 +121,22 @@ class FunnelsSpec extends SparkSpec {
       .as[(Long, Int)].collect().toMap
     assert(got == Map(1L -> 2))
   }
+
+  test("sequenceNextNode: first consecutive match wins, end-of-stream is NULL, no-match keys emit no row") {
+    val df = Seq(
+      // uid 1: A B X A B C — first A,B run at t=0, next node X
+      (1L, 0L, "A"), (1L, 1L, "B"), (1L, 2L, "X"),
+      (1L, 3L, "A"), (1L, 4L, "B"), (1L, 5L, "C"),
+      // uid 2: chain at the very end — next node NULL
+      (2L, 0L, "X"), (2L, 1L, "A"), (2L, 2L, "B"),
+      // uid 3: A and B exist but never consecutively — no row
+      (3L, 0L, "A"), (3L, 1L, "X"), (3L, 2L, "B"),
+      // uid 4: interleaved order pins by (t): B A B → run at t=1
+      (4L, 2L, "B"), (4L, 1L, "A"), (4L, 0L, "B"), (4L, 3L, "Z"))
+      .toDF("uid", "t", "e")
+    val got = Funnels.sequenceNextNode(df, "uid", Seq($"t"), $"e",
+        Seq($"e" === "A", $"e" === "B"))
+      .as[(Long, Option[String])].collect().toMap
+    assert(got == Map(1L -> Some("X"), 2L -> None, 4L -> Some("Z")))
+  }
 }
