@@ -61,9 +61,14 @@ object StateSketches {
 
   final case class LongBuf(var v: Long)
 
-  object SumLongState extends Aggregator[Long, LongBuf, Long] {
+  object SumLongState extends Aggregator[java.lang.Long, LongBuf, Long] {
     def zero: LongBuf = LongBuf(0L)
-    def reduce(b: LongBuf, x: Long): LongBuf = { b.v += x; b }
+    // NULLs are skipped (boxed input encoder — a primitive Long encoder
+    // would AssertNotNull and fail the query on the first NULL), the
+    // same sum(NULL) semantics as CH/SQL
+    def reduce(b: LongBuf, x: java.lang.Long): LongBuf = {
+      if (x != null) b.v += x.longValue(); b
+    }
     def merge(a: LongBuf, b: LongBuf): LongBuf = { a.v += b.v; a }
     def finish(b: LongBuf): Long = b.v
     def bufferEncoder: Encoder[LongBuf] = Encoders.product[LongBuf]
@@ -238,7 +243,8 @@ object StateSketches {
 
   def avgState(c: Column): Column = udaf(AvgCentsState).apply(c)
   def avgMerge(c: Column): Column = udaf(AvgCentsMerge).apply(c)
-  def sumLongState(c: Column): Column = udaf(SumLongState).apply(c)
+  def sumLongState(c: Column): Column =
+    udaf(SumLongState, Encoders.LONG).apply(c.cast("long"))
   def uniqState(c: Column): Column = udaf(UniqState).apply(c)
   def uniqMerge(c: Column): Column = udaf(UniqMerge).apply(c)
   def quantileState(c: Column): Column =

@@ -74,4 +74,10 @@ class StateSketchesSpec extends SparkSpec {
       .agg(quantileMerge(0.5)($"st")).as[Double].head()
     assert(got == 2.0, s"got $got")
   }
+
+  test("sumLongState skips NULL inputs (CH/DuckDB aggregate semantics)") {
+    val got = Seq(Some(5L), None, Some(7L), None).toDF("v")
+      .agg(StateSketches.sumLongState($"v").as("s")).as[Long].head()
+    assert(got == 12L)
+  }
 }
