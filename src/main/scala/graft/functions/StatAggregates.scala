@@ -310,4 +310,41 @@ object StatAggregates {
   def histogramAgg(c: Column, nBins: Int): Column =
     udaf(new HistogramAggregator(nBins), Encoders.DOUBLE)
       .apply(c.cast(DoubleType))
+
+  // ---------- two-sample t-tests (CH welchTTest / studentTTest): pure
+  // compositions of native partial-aggregatable moments — one codegen'd
+  // pass, no custom state. Rows where `group` is true form sample 1,
+  // false sample 2; NULL x / NULL group rows are skipped (conditional
+  // aggregate semantics). Output: struct(t, df).
+
+  /** welchTTest(x, group): unequal-variance t statistic with
+    * Welch–Satterthwaite degrees of freedom.
+    */
+  def welchTTest(x: Column, group: Column): Column = {
+    val xd = x.cast(DoubleType)
+    val x1 = when(group, xd)
+    val x2 = when(!group, xd)
+    val n1 = count(x1).cast(DoubleType)
+    val n2 = count(x2).cast(DoubleType)
+    val se1 = var_samp(x1) / n1
+    val se2 = var_samp(x2) / n2
+    val se = se1 + se2
+    val t = (avg(x1) - avg(x2)) / sqrt(se)
+    val df = (se * se) /
+      (se1 * se1 / (n1 - 1.0) + se2 * se2 / (n2 - 1.0))
+    struct(t.as("t"), df.as("df"))
+  }
+
+  /** studentTTest(x, group): pooled-variance t statistic, df = n1+n2-2. */
+  def studentTTest(x: Column, group: Column): Column = {
+    val xd = x.cast(DoubleType)
+    val x1 = when(group, xd)
+    val x2 = when(!group, xd)
+    val n1 = count(x1).cast(DoubleType)
+    val n2 = count(x2).cast(DoubleType)
+    val sp2 = ((n1 - 1.0) * var_samp(x1) + (n2 - 1.0) * var_samp(x2)) /
+      (n1 + n2 - 2.0)
+    val t = (avg(x1) - avg(x2)) / sqrt(sp2 * (lit(1.0) / n1 + lit(1.0) / n2))
+    struct(t.as("t"), (n1 + n2 - 2.0).as("df"))
+  }
 }

@@ -1009,6 +1009,46 @@ object MiscQueries {
           |FROM s ORDER BY s_suppkey""".stripMargin)
     },
 
+    // ---- two-sample t-tests (CH welchTTest / studentTTest): value
+    // distributions of click vs view events per user-id bucket, both
+    // tests composed from native conditional moments in one codegen'd
+    // pass — no custom state. The oracle spells the identical formulas;
+    // round(.,4) absorbs variance-algorithm ULP differences.
+    Q("q84_t_tests",
+      """WITH e AS (SELECT user_id % 10 AS bucket, value,
+        |    event_type = 'click' AS g
+        |  FROM events WHERE event_type IN ('click', 'view')),
+        |m AS (SELECT bucket,
+        |    CAST(count(CASE WHEN g THEN value END) AS DOUBLE) AS n1,
+        |    CAST(count(CASE WHEN NOT g THEN value END) AS DOUBLE) AS n2,
+        |    avg(CASE WHEN g THEN value END) AS m1,
+        |    avg(CASE WHEN NOT g THEN value END) AS m2,
+        |    var_samp(CASE WHEN g THEN value END) AS v1,
+        |    var_samp(CASE WHEN NOT g THEN value END) AS v2
+        |  FROM e GROUP BY bucket)
+        |SELECT bucket,
+        |  round((m1 - m2) / sqrt(v1 / n1 + v2 / n2), 4) AS t_welch4,
+        |  round((v1 / n1 + v2 / n2) * (v1 / n1 + v2 / n2) /
+        |    (v1 / n1 * (v1 / n1) / (n1 - 1.0) + v2 / n2 * (v2 / n2) / (n2 - 1.0)), 4)
+        |    AS df_welch4,
+        |  round((m1 - m2) / sqrt(((n1 - 1.0) * v1 + (n2 - 1.0) * v2) / (n1 + n2 - 2.0)
+        |    * (1.0 / n1 + 1.0 / n2)), 4) AS t_student4,
+        |  CAST(n1 + n2 - 2.0 AS BIGINT) AS df_student
+        |FROM m ORDER BY bucket""") { (s, dir) =>
+      import graft.functions.StatAggregates.{studentTTest, welchTTest}
+      Tables(s, dir).events
+        .filter(col("event_type").isin("click", "view"))
+        .groupBy(pmod(col("user_id"), lit(10)).as("bucket"))
+        .agg(welchTTest(col("value"), col("event_type") === "click").as("w"),
+          studentTTest(col("value"), col("event_type") === "click").as("st"))
+        .select(col("bucket"),
+          round(col("w.t"), 4).as("t_welch4"),
+          round(col("w.df"), 4).as("df_welch4"),
+          round(col("st.t"), 4).as("t_student4"),
+          col("st.df").cast(LongType).as("df_student"))
+        .orderBy(col("bucket"))
+    },
+
     // ---- regression aggregate family (CH simpleLinearRegression and
     // the SQL-standard regr_* it decomposes into — both engines carry
     // the natives; single-pass co-moment partial aggregation).

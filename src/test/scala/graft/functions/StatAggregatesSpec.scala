@@ -99,4 +99,20 @@ class StatAggregatesSpec extends SparkSpec {
     val s = df.agg(StatAggregates.skewPop($"x")).as[Double].head()
     assert(math.abs(s) < 1e-9, s"got $s")
   }
+
+  test("welch/student t-tests match hand-computed reference values") {
+    // sample1 = [1,2,3,4] (m=2.5, v=5/3), sample2 = [2,4,6,8] (m=5, v=20/3)
+    // welch: t = -2.5/sqrt(25/12) = -1.7321, df (Welch–Satterthwaite) = 4.4118
+    // student: sp2 = 25/6, t = -1.7321, df = 6
+    val df = (Seq(1.0, 2.0, 3.0, 4.0).map((_, true)) ++
+      Seq(2.0, 4.0, 6.0, 8.0).map((_, false))).toDF("x", "g")
+    val r = df.agg(StatAggregates.welchTTest($"x", $"g").as("w"),
+        StatAggregates.studentTTest($"x", $"g").as("s"))
+      .select(round($"w.t", 4), round($"w.df", 4), round($"s.t", 4), $"s.df")
+      .head()
+    assert(r.getDouble(0) == -1.7321, s"welch t ${r.getDouble(0)}")
+    assert(r.getDouble(1) == 4.4118, s"welch df ${r.getDouble(1)}")
+    assert(r.getDouble(2) == -1.7321, s"student t ${r.getDouble(2)}")
+    assert(r.getDouble(3) == 6.0, s"student df ${r.getDouble(3)}")
+  }
 }
