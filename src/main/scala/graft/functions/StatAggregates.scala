@@ -335,6 +335,41 @@ object StatAggregates {
     struct(t.as("t"), df.as("df"))
   }
 
+  /** mannWhitneyUTest(x, group) per `key`: rank-sum U statistics with
+    * average ranks for ties and the tie-corrected normal-approximation
+    * z. One ordered window per key + one aggregation on the SAME key
+    * (Exchange reused — a single shuffle). All rank arithmetic is exact
+    * in doubles (average ranks are multiples of 0.5, tie counts are
+    * integers), so both engines compute identical values before any
+    * rounding. Output: (key, u1, u2, z).
+    */
+  def mannWhitneyU(df: org.apache.spark.sql.DataFrame, key: Column,
+                   x: Column, g: Column): org.apache.spark.sql.DataFrame = {
+    val ranked = df.select(key.as("key"), x.as("__x"), g.as("__g"))
+      .withColumn("__rmin", rank().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("key")).orderBy(col("__x"))))
+      .withColumn("__t", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("key"), col("__x"))).cast(DoubleType))
+    ranked.groupBy(col("key"))
+      .agg(
+        sum(when(col("__g"), 1).otherwise(0)).cast(DoubleType).as("__n1"),
+        sum(when(!col("__g"), 1).otherwise(0)).cast(DoubleType).as("__n2"),
+        sum(when(col("__g"), col("__rmin") + (col("__t") - 1.0) / 2.0)).as("__r1"),
+        // per-row (t²-1) sums to Σ over distinct values of (t³ - t)
+        sum(col("__t") * col("__t") - 1.0).as("__ts"))
+      .withColumn("u1", col("__r1") - col("__n1") * (col("__n1") + 1.0) / 2.0)
+      .withColumn("u2", col("__n1") * col("__n2") - col("u1"))
+      .withColumn("__n", col("__n1") + col("__n2"))
+      .withColumn("z",
+        (col("u1") - col("__n1") * col("__n2") / 2.0) /
+          sqrt(col("__n1") * col("__n2") / 12.0 *
+            ((col("__n") + 1.0) -
+              col("__ts") / (col("__n") * (col("__n") - 1.0)))))
+      .select(col("key"), col("u1"), col("u2"), col("z"))
+  }
+
   /** studentTTest(x, group): pooled-variance t statistic, df = n1+n2-2. */
   def studentTTest(x: Column, group: Column): Column = {
     val xd = x.cast(DoubleType)

@@ -1049,6 +1049,45 @@ object MiscQueries {
         .orderBy(col("bucket"))
     },
 
+    // ---- mannWhitneyUTest (CH): rank-sum U with average ranks for
+    // ties + tie-corrected z, click vs view values per user bucket. One
+    // ordered window + one aggregation on the same key (single
+    // shuffle). Rank arithmetic is exact in doubles (avg ranks are
+    // halves, tie counts integers), so u1/u2 match unrounded.
+    Q("q85_mann_whitney",
+      """WITH e AS (SELECT user_id % 10 AS bucket, value,
+        |    event_type = 'click' AS g
+        |  FROM events WHERE event_type IN ('click', 'view')),
+        |r AS (SELECT bucket, g,
+        |    rank() OVER (PARTITION BY bucket ORDER BY value) AS rmin,
+        |    CAST(count(*) OVER (PARTITION BY bucket, value) AS DOUBLE) AS t
+        |  FROM e),
+        |m AS (SELECT bucket,
+        |    CAST(sum(CASE WHEN g THEN 1 ELSE 0 END) AS DOUBLE) AS n1,
+        |    CAST(sum(CASE WHEN NOT g THEN 1 ELSE 0 END) AS DOUBLE) AS n2,
+        |    sum(CASE WHEN g THEN rmin + (t - 1.0) / 2.0 END) AS r1,
+        |    sum(t * t - 1.0) AS ts
+        |  FROM r GROUP BY bucket),
+        |u AS (SELECT bucket, n1, n2, n1 + n2 AS n, ts,
+        |    r1 - n1 * (n1 + 1.0) / 2.0 AS u1
+        |  FROM m)
+        |SELECT bucket, round(u1, 1) AS u1_1,
+        |  round(n1 * n2 - u1, 1) AS u2_1,
+        |  round((u1 - n1 * n2 / 2.0) /
+        |    sqrt(n1 * n2 / 12.0 * ((n + 1.0) - ts / (n * (n - 1.0)))), 4) AS z4
+        |FROM u ORDER BY bucket""") { (s, dir) =>
+      import graft.functions.StatAggregates.mannWhitneyU
+      val e = Tables(s, dir).events
+        .filter(col("event_type").isin("click", "view"))
+      mannWhitneyU(e, pmod(col("user_id"), lit(10)),
+          col("value"), col("event_type") === "click")
+        .select(col("key").as("bucket"),
+          round(col("u1"), 1).as("u1_1"),
+          round(col("u2"), 1).as("u2_1"),
+          round(col("z"), 4).as("z4"))
+        .orderBy(col("bucket"))
+    },
+
     // ---- regression aggregate family (CH simpleLinearRegression and
     // the SQL-standard regr_* it decomposes into — both engines carry
     // the natives; single-pass co-moment partial aggregation).

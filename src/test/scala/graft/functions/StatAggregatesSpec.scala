@@ -115,4 +115,21 @@ class StatAggregatesSpec extends SparkSpec {
     assert(r.getDouble(2) == -1.7321, s"student t ${r.getDouble(2)}")
     assert(r.getDouble(3) == 6.0, s"student df ${r.getDouble(3)}")
   }
+
+  test("mannWhitneyU matches hand-computed U and tie-corrected z") {
+    // no ties: x1={1,2,4}, x2={3,5} -> R1=7, U1=1, U2=5, z=-2/sqrt(3)
+    val a = (Seq(1.0, 2.0, 4.0).map((_, true)) ++ Seq(3.0, 5.0).map((_, false)))
+      .map { case (v, g) => (0L, v, g) }
+    // ties: x1={1,2,2}, x2={2,3} -> avg rank of 2 is 3, U1=1, U2=5,
+    // tie sum 24 -> sigma^2 = 2.4, z = -2/sqrt(2.4)
+    val b = (Seq(1.0, 2.0, 2.0).map((_, true)) ++ Seq(2.0, 3.0).map((_, false)))
+      .map { case (v, g) => (1L, v, g) }
+    val df = (a ++ b).toDF("k", "x", "g")
+    val got = StatAggregates.mannWhitneyU(df, $"k", $"x", $"g")
+      .select($"key", $"u1", $"u2", round($"z", 4))
+      .as[(Long, Double, Double, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got(0L) == ((1.0, 5.0, -1.1547)), s"no-tie case ${got(0L)}")
+    assert(got(1L) == ((1.0, 5.0, -1.291)), s"tie case ${got(1L)}")
+  }
 }
