@@ -325,15 +325,31 @@ object Dedup {
     * deterministic sample fit, map-side assignment), then exact-cosine
     * near-dup pairs WITHIN each cluster, dropping the higher id of every
     * pair. Clustering makes the quadratic step per-cluster instead of
-    * corpus-wide: with k sized so clusters stay bounded (the paper uses
-    * ~100k docs/cluster at corpus scale), no join side exceeds a cluster.
+    * corpus-wide — but ONLY if k scales with the corpus: a fixed k means
+    * clusters grow linearly and the within-cluster join quadratically
+    * (measured: 108 s at a 30×-duplicated stress corpus with k=8).
+    * `targetClusterSize > 0` therefore derives k = ceil(n / target) from
+    * one count, the paper's fixed-cluster-SIZE regime; pass k directly
+    * only when the corpus size is known and bounded.
     * Output: the surviving rows of `corpus` plus their `cluster` id.
     */
   def semDedup(corpus: DataFrame, idCol: String, vecCol: String, k: Int,
-               minCosine: Double, maxTrain: Int = 20000): DataFrame = {
+               minCosine: Double, maxTrain: Int = 20000,
+               targetClusterSize: Int = 0): DataFrame = {
+    val kEff =
+      if (targetClusterSize <= 0) k
+      else math.max(k,
+        ((corpus.count() + targetClusterSize - 1) / targetClusterSize).toInt)
+    // checkpoint the assignment: it appears on BOTH sides of the pair
+    // self-join and again under the anti-join, and its plan embeds k
+    // center-literal cosine expressions — without truncation the
+    // optimizer re-analyzes that giant tree per branch (measured 544 s
+    // vs 21 s at the 30× stress corpus, k=120). Same discipline as the
+    // minhash candidate checkpoint above.
     val clustered = SimilaritySearch
-      .embeddingClusters(corpus, idCol, vecCol, k, maxTrain)
+      .embeddingClusters(corpus, idCol, vecCol, kEff, maxTrain)
       .drop("cos_to_center")
+      .localCheckpoint()
     val pairs = embeddingNearDupPairs(clustered, idCol, vecCol,
       col("cluster"), minCosine)
     dropNearDups(clustered, idCol, pairs)

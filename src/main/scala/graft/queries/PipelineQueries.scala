@@ -916,9 +916,11 @@ object PipelineQueries {
     Q.noOracle("t32_sem_dedup") { (s, dir) =>
       // 0.45 sits just under the testdata's top pairwise cosines (~0.51),
       // so the prune actually fires on the driver corpus; production
-      // SemDeDup uses ~0.95+ on real embedding spaces
+      // SemDeDup uses ~0.95+ on real embedding spaces. k scales with the
+      // corpus (fixed ~500-vector clusters) so the within-cluster
+      // quadratic stays bounded at any SF.
       Dedup.semDedup(Tables(s, dir).embeddings, "vec_id", "embedding",
-          k = 8, minCosine = 0.45)
+          k = 8, minCosine = 0.45, targetClusterSize = 500)
         .select(col("vec_id"), col("cluster"))
         .orderBy(col("vec_id"))
     },
