@@ -370,6 +370,34 @@ object StatAggregates {
       .select(col("key"), col("u1"), col("u2"), col("z"))
   }
 
+  /** kolmogorovSmirnovTest(x, group) per `key`: the two-sample KS D
+    * statistic — max ECDF gap, with ties handled by evaluating both
+    * ECDFs at tie-group ends (max of the running counts within each
+    * distinct value). Running counts are exact integers and the ECDF
+    * quotients divide exact doubles, so both engines agree unrounded.
+    * One ordered window + two aggregations, all on the same key prefix.
+    * Output: (key, n1, n2, d).
+    */
+  def kolmogorovSmirnov(df: org.apache.spark.sql.DataFrame, key: Column,
+                        x: Column, g: Column): org.apache.spark.sql.DataFrame = {
+    val wCum = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("key")).orderBy(col("__x"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val wKey = org.apache.spark.sql.expressions.Window.partitionBy(col("key"))
+    df.select(key.as("key"), x.as("__x"), g.as("__g"))
+      .withColumn("__c1",
+        sum(when(col("__g"), 1).otherwise(0)).over(wCum).cast(DoubleType))
+      .withColumn("__c2",
+        sum(when(!col("__g"), 1).otherwise(0)).over(wCum).cast(DoubleType))
+      .groupBy(col("key"), col("__x"))
+      .agg(max(col("__c1")).as("__c1"), max(col("__c2")).as("__c2"))
+      .withColumn("__n1", max(col("__c1")).over(wKey))
+      .withColumn("__n2", max(col("__c2")).over(wKey))
+      .groupBy(col("key"))
+      .agg(max(col("__n1")).as("n1"), max(col("__n2")).as("n2"),
+        max(abs(col("__c1") / col("__n1") - col("__c2") / col("__n2"))).as("d"))
+  }
+
   /** studentTTest(x, group): pooled-variance t statistic, df = n1+n2-2. */
   def studentTTest(x: Column, group: Column): Column = {
     val xd = x.cast(DoubleType)

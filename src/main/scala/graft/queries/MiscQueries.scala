@@ -1088,6 +1088,40 @@ object MiscQueries {
         .orderBy(col("bucket"))
     },
 
+    // ---- kolmogorovSmirnovTest (CH): two-sample KS D — max ECDF gap
+    // with ties evaluated at tie-group ends. Running counts are exact
+    // integers, quotients divide exact doubles, so D matches unrounded;
+    // window + both aggregations share one key prefix (single shuffle).
+    Q("q86_kolmogorov_smirnov",
+      """WITH e AS (SELECT user_id % 10 AS bucket, value,
+        |    event_type = 'click' AS g
+        |  FROM events WHERE event_type IN ('click', 'view')),
+        |r AS (SELECT bucket, value,
+        |    CAST(sum(CASE WHEN g THEN 1 ELSE 0 END) OVER
+        |      (PARTITION BY bucket ORDER BY value ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS c1,
+        |    CAST(sum(CASE WHEN NOT g THEN 1 ELSE 0 END) OVER
+        |      (PARTITION BY bucket ORDER BY value ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS c2
+        |  FROM e),
+        |v AS (SELECT bucket, value, max(c1) AS c1, max(c2) AS c2
+        |  FROM r GROUP BY bucket, value),
+        |w AS (SELECT bucket, c1, c2,
+        |    max(c1) OVER (PARTITION BY bucket) AS n1,
+        |    max(c2) OVER (PARTITION BY bucket) AS n2
+        |  FROM v)
+        |SELECT bucket, CAST(max(n1) AS BIGINT) AS n1, CAST(max(n2) AS BIGINT) AS n2,
+        |  round(max(abs(c1 / n1 - c2 / n2)), 4) AS d4
+        |FROM w GROUP BY bucket ORDER BY bucket""") { (s, dir) =>
+      import graft.functions.StatAggregates.kolmogorovSmirnov
+      val e = Tables(s, dir).events
+        .filter(col("event_type").isin("click", "view"))
+      kolmogorovSmirnov(e, pmod(col("user_id"), lit(10)),
+          col("value"), col("event_type") === "click")
+        .select(col("key").as("bucket"),
+          col("n1").cast(LongType).as("n1"), col("n2").cast(LongType).as("n2"),
+          round(col("d"), 4).as("d4"))
+        .orderBy(col("bucket"))
+    },
+
     // ---- regression aggregate family (CH simpleLinearRegression and
     // the SQL-standard regr_* it decomposes into — both engines carry
     // the natives; single-pass co-moment partial aggregation).

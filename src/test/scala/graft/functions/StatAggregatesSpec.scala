@@ -132,4 +132,21 @@ class StatAggregatesSpec extends SparkSpec {
     assert(got(0L) == ((1.0, 5.0, -1.1547)), s"no-tie case ${got(0L)}")
     assert(got(1L) == ((1.0, 5.0, -1.291)), s"tie case ${got(1L)}")
   }
+
+  test("kolmogorovSmirnov matches hand-computed D with and without ties") {
+    // x1={1,2,3}, x2={2.5,4}: ECDF gaps at 1:1/3, 2:2/3, 2.5:2/3-1/2=1/6,
+    // 3:1-1/2=1/2, 4:0 -> D = 2/3
+    val a = (Seq(1.0, 2.0, 3.0).map((_, true)) ++ Seq(2.5, 4.0).map((_, false)))
+      .map { case (v, g) => (0L, v, g) }
+    // tie across samples: x1={1,2}, x2={2,3} -> at 2 both ECDFs jump
+    // together (1, 1/2) -> D = 1/2 (at value 1), not 1
+    val b = (Seq(1.0, 2.0).map((_, true)) ++ Seq(2.0, 3.0).map((_, false)))
+      .map { case (v, g) => (1L, v, g) }
+    val got = StatAggregates.kolmogorovSmirnov(
+        (a ++ b).toDF("k", "x", "g"), $"k", $"x", $"g")
+      .select($"key", round($"d", 4))
+      .as[(Long, Double)].collect().toMap
+    assert(got(0L) == 0.6667, s"no-tie D ${got(0L)}")
+    assert(got(1L) == 0.5, s"tie D ${got(1L)}")
+  }
 }
