@@ -398,6 +398,25 @@ object StatAggregates {
         max(abs(col("__c1") / col("__n1") - col("__c2") / col("__n2"))).as("d"))
   }
 
+  /** exponentialMovingAverage(halfLife)(v, t) per `key`: time-decayed
+    * average — Σ v·2^((t−t_max)/hl) / Σ 2^((t−t_max)/hl). The t_max
+    * shift cancels algebraically in the ratio but keeps the exponents
+    * ≤ 0 so nothing overflows at epoch-second timestamps; it comes from
+    * a partition window on the SAME key as the final aggregation (one
+    * shuffle). Output: (key, ema).
+    */
+  def exponentialMovingAverage(df: org.apache.spark.sql.DataFrame,
+                               key: Column, v: Column, t: Column,
+                               halfLife: Double): org.apache.spark.sql.DataFrame = {
+    val wKey = org.apache.spark.sql.expressions.Window.partitionBy(col("key"))
+    df.select(key.as("key"), v.cast(DoubleType).as("__v"),
+        t.cast(DoubleType).as("__t"))
+      .withColumn("__w",
+        pow(lit(2.0), (col("__t") - max(col("__t")).over(wKey)) / halfLife))
+      .groupBy(col("key"))
+      .agg((sum(col("__v") * col("__w")) / sum(col("__w"))).as("ema"))
+  }
+
   /** studentTTest(x, group): pooled-variance t statistic, df = n1+n2-2. */
   def studentTTest(x: Column, group: Column): Column = {
     val xd = x.cast(DoubleType)

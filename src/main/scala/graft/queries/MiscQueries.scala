@@ -1088,6 +1088,25 @@ object MiscQueries {
         .orderBy(col("bucket"))
     },
 
+    // ---- exponentialMovingAverage (CH): time-decayed mean of event
+    // values per user with a 1-hour half-life. The t_max shift (same-key
+    // partition window, one shuffle) keeps exponents <= 0; identical
+    // formula both engines, round(.,4) absorbs pow/sum-order ULPs.
+    Q("q87_exponential_moving_average",
+      """WITH e AS (SELECT user_id, value,
+        |    CAST(floor(epoch(ts)) AS DOUBLE) AS t FROM events),
+        |m AS (SELECT user_id, value, t,
+        |    pow(2.0, (t - max(t) OVER (PARTITION BY user_id)) / 3600.0) AS w
+        |  FROM e)
+        |SELECT user_id, round(sum(value * w) / sum(w), 4) AS ema4
+        |FROM m GROUP BY user_id ORDER BY user_id""") { (s, dir) =>
+      import graft.functions.StatAggregates.exponentialMovingAverage
+      exponentialMovingAverage(Tables(s, dir).events, col("user_id"),
+          col("value"), unix_timestamp(col("ts")), halfLife = 3600.0)
+        .select(col("key").as("user_id"), round(col("ema"), 4).as("ema4"))
+        .orderBy(col("user_id"))
+    },
+
     // ---- kolmogorovSmirnovTest (CH): two-sample KS D — max ECDF gap
     // with ties evaluated at tie-group ends. Running counts are exact
     // integers, quotients divide exact doubles, so D matches unrounded;

@@ -149,4 +149,21 @@ class StatAggregatesSpec extends SparkSpec {
     assert(got(0L) == 0.6667, s"no-tie D ${got(0L)}")
     assert(got(1L) == 0.5, s"tie D ${got(1L)}")
   }
+
+  test("exponentialMovingAverage: constant series is exact, small half-life weights the latest") {
+    val df = Seq(
+      (0L, 5.0, 0L), (0L, 5.0, 100L), (0L, 5.0, 200L),   // constant -> 5
+      (1L, 0.0, 0L), (1L, 10.0, 1000L))                   // hl=1: latest dominates
+      .toDF("k", "v", "t")
+    val got = StatAggregates.exponentialMovingAverage(df, $"k", $"v", $"t", 1.0)
+      .as[(Long, Double)].collect().toMap
+    assert(got(0L) == 5.0)
+    assert(math.abs(got(1L) - 10.0) < 1e-6, s"got ${got(1L)}")
+    // hand-check a two-point decay at hl=100: w = {2^-1, 1}
+    val two = StatAggregates.exponentialMovingAverage(
+        Seq((0L, 2.0, 0L), (0L, 4.0, 100L)).toDF("k", "v", "t"),
+        $"k", $"v", $"t", 100.0)
+      .as[(Long, Double)].collect().head._2
+    assert(math.abs(two - (2.0 * 0.5 + 4.0) / 1.5) < 1e-12, s"got $two")
+  }
 }
