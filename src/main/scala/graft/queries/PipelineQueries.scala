@@ -20,8 +20,9 @@ import graft.multimodal.{AudioCodec, ImageCodec, Multimodal}
   */
 object PipelineQueries {
 
-  private val normSql =
-    "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))"
+  private def normSqlOf(c: String) =
+    s"trim(regexp_replace(regexp_replace(lower($c), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))"
+  private val normSql = normSqlOf("text")
   private def toksSql(norm: String) = s"string_split($norm, ' ')"
 
   /** d03's banded jaccard pairs, reused by the clustering query d09.
@@ -1133,6 +1134,54 @@ object PipelineQueries {
         .select(col("doc_id"), col("chunk_id"), col("start_tok"),
           col("n_toks"), md5(col("chunk")).as("chunk_md5"))
         .orderBy(col("doc_id"), col("chunk_id"))
+    },
+
+    // ---- retrieval pipeline (composed): overlap-chunk every document
+    // (t22's chunker), score chunks with BM25 (t30's scorer over the
+    // CHUNK corpus — chunk-level df/avgdl), return the global top-20
+    // chunks. Ranking sorts the ROUNDED score + ids, so the boundary
+    // row is deterministic even where raw scores differ in ULPs.
+    Q("t33_retrieval_pipeline",
+      s"""WITH t0 AS (SELECT doc_id,
+         |    string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ') AS wtoks
+         |  FROM documents WHERE trim(text) <> ''),
+         |n AS (SELECT doc_id, wtoks, len(wtoks) AS n,
+         |    CASE WHEN len(wtoks) <= 48 THEN 1
+         |         ELSE CAST(ceil((len(wtoks) - 48) / 40.0) AS INT) + 1 END AS nc
+         |  FROM t0),
+         |c AS (SELECT doc_id, CAST(k AS INT) AS chunk_id,
+         |    array_to_string(wtoks[(k * 40 + 1):(k * 40 + 48)], ' ') AS chunk
+         |  FROM (SELECT doc_id, wtoks, nc, unnest(range(0, nc)) AS k FROM n)),
+         |t AS (SELECT doc_id, chunk_id, ${toksSql(normSqlOf("chunk"))} AS toks,
+         |    CASE WHEN ${normSqlOf("chunk")} = '' THEN 0
+         |         ELSE len(${toksSql(normSqlOf("chunk"))}) END AS dl
+         |  FROM c),
+         |s AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl FROM t),
+         |h AS (SELECT doc_id, chunk_id, dl, unnest(toks) AS term FROM t),
+         |tf AS (SELECT doc_id, chunk_id, dl, term, CAST(count(*) AS DOUBLE) AS tf
+         |       FROM h WHERE term IN ('hash', 'merge', 'vector')
+         |       GROUP BY 1, 2, 3, 4),
+         |df AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
+         |sc AS (SELECT tf.doc_id, tf.chunk_id,
+         |         sum(ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5)) * tf.tf * (1.2 + 1) /
+         |             (tf.tf + 1.2 * (1 - 0.75 + 0.75 * tf.dl / s.avgdl))) AS score
+         |       FROM tf JOIN df USING (term) CROSS JOIN s GROUP BY 1, 2)
+         |SELECT doc_id, chunk_id, round(score, 4) AS score4 FROM sc
+         |ORDER BY score4 DESC, doc_id, chunk_id LIMIT 20""") { (s, dir) =>
+      graft.plans.NativeFunctions.register(s)
+      val chunks = Packing.chunkByTokens(
+          Tables(s, dir).documents.filter(trim(col("text")) =!= ""),
+          "doc_id", "text", maxTokens = 48, overlap = 8)
+        .withColumn("cid", col("doc_id") * 10000 + col("chunk_id"))
+      InvertedIndex.bm25Rank(chunks, col("cid"),
+          graft.plans.NativeFunctions.normTokens(col("chunk")),
+          Seq("hash", "merge", "vector"))
+        .select((col("doc_id") / 10000).cast(LongType).as("doc"),
+          pmod(col("doc_id"), lit(10000)).cast(IntegerType).as("chunk_id"),
+          round(col("score"), 4).as("score4"))
+        .withColumnRenamed("doc", "doc_id")
+        .orderBy(col("score4").desc, col("doc_id"), col("chunk_id"))
+        .limit(20)
     },
 
     // ---- char-trigram LM perplexity scoring (CCNet-style quality
