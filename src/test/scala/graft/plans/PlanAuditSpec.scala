@@ -205,4 +205,29 @@ class PlanAuditSpec extends SparkSpec {
     assert(count(plan, "Join") == count(formatted(
       inc.join(history, Seq("__fp"), "left_anti")), "Join"), plan)
   }
+
+  test("q84-q87 statistical tests: windows and aggregations share one key shuffle") {
+    // each row claims a single hash shuffle — every window/groupBy keys
+    // on the same prefix, so only the final orderBy adds a (range)
+    // exchange on top of it
+    for (name <- Seq("q84_t_tests", "q85_mann_whitney",
+        "q86_kolmogorov_smirnov", "q87_exponential_moving_average")) {
+      val plan = formatted(q(name))
+      assert(count(plan, "Exchange (") <= 2,
+        s"$name should shuffle once (plus the output sort):\n$plan")
+      assert(count(plan, "SortMergeJoin") + count(plan, "ShuffledHashJoin") == 0,
+        s"$name must not join:\n$plan")
+    }
+  }
+
+  test("t33 retrieval: corpus rows never shuffle before the chunk-level tf aggregation") {
+    val plan = formatted(q("t33_retrieval_pipeline"))
+    // query-term hits are filtered inside the token array pre-explode,
+    // df joins back by broadcast — no shuffled join anywhere
+    assert(count(plan, "SortMergeJoin") + count(plan, "ShuffledHashJoin") == 0,
+      s"df join must broadcast:\n$plan")
+    assert(count(plan, "BroadcastHashJoin") >= 1, plan)
+    // top-k is a TakeOrderedAndProject, not a global sort
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
 }
