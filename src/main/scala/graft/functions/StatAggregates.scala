@@ -245,6 +245,56 @@ object StatAggregates {
     udaf(new AssociationAggregator(contingencyC = true), pairEnc)
       .apply(a.cast(StringType), b.cast(StringType))
 
+  /** theilsU(a, b): the uncertainty coefficient U(a|b) =
+    * (H(A) − H(A|B)) / H(A) — how much knowing `b` reduces the entropy
+    * of `a`, in [0, 1]; asymmetric, unlike cramersV. Same PairCounts
+    * state as the chi-square family; the finish iterates cells in
+    * sorted key order so the double sums are deterministic.
+    */
+  class TheilsUAggregator
+      extends Aggregator[(String, String), PairCounts, Double] {
+    override def zero: PairCounts = mutable.HashMap.empty
+    override def reduce(b: PairCounts, v: (String, String)): PairCounts = {
+      if (v._1 != null && v._2 != null)
+        b.update(v, b.getOrElse(v, 0L) + 1L)
+      b
+    }
+    override def merge(b1: PairCounts, b2: PairCounts): PairCounts = {
+      val (big, small) = if (b1.size >= b2.size) (b1, b2) else (b2, b1)
+      small.foreach { case (k, c) => big.update(k, big.getOrElse(k, 0L) + c) }
+      big
+    }
+    override def finish(b: PairCounts): Double = {
+      if (b.isEmpty) return 0.0
+      val rowM = mutable.HashMap.empty[String, Long]
+      val colM = mutable.HashMap.empty[String, Long]
+      var n = 0L
+      b.foreach { case ((a, c), o) =>
+        rowM.update(a, rowM.getOrElse(a, 0L) + o)
+        colM.update(c, colM.getOrElse(c, 0L) + o)
+        n += o
+      }
+      val nD = n.toDouble
+      var hA = 0.0
+      rowM.toSeq.sortBy(_._1).foreach { case (_, na) =>
+        val p = na / nD
+        hA -= p * math.log(p)
+      }
+      if (hA == 0.0) return 1.0 // a is constant: fully determined
+      var hAB = 0.0
+      b.toSeq.sortBy(_._1).foreach { case ((_, c), o) =>
+        hAB -= (o / nD) * math.log(o.toDouble / colM(c))
+      }
+      (hA - hAB) / hA
+    }
+    override def bufferEncoder = Encoders.kryo[PairCounts]
+    override def outputEncoder = Encoders.scalaDouble
+  }
+
+  def theilsU(a: Column, b: Column): Column =
+    udaf(new TheilsUAggregator, pairEnc)
+      .apply(a.cast(StringType), b.cast(StringType))
+
   // ---- histogram(N): adaptive streaming histogram ---------------------
 
   /** One (center, weight) bin. */

@@ -1169,6 +1169,34 @@ object MiscQueries {
     // ---- categorical association (CH cramersV / contingency): one
     // contingency-state aggregate; the oracle refolds chi-square from
     // the margins in SQL. State is bounded by category-pair cardinality.
+    // ---- theilsU (CH): asymmetric uncertainty coefficient — how much
+    // knowing one categorical column reduces the entropy of the other,
+    // both directions. Same PairCounts state as the q77 chi-square
+    // family; sorted-key finish keeps the double sums deterministic.
+    Q("q88_theils_u",
+      """WITH c AS (SELECT event_type AS a, CAST(user_id % 5 AS VARCHAR) AS b,
+        |                  count(*) AS o
+        |           FROM events GROUP BY 1, 2),
+        |r AS (SELECT a, sum(o) AS na FROM c GROUP BY a),
+        |k AS (SELECT b, sum(o) AS nb FROM c GROUP BY b),
+        |t AS (SELECT sum(o) AS n FROM c),
+        |ha AS (SELECT -sum((na / t.n) * ln(na / t.n)) AS h FROM r CROSS JOIN t),
+        |hb AS (SELECT -sum((nb / t.n) * ln(nb / t.n)) AS h FROM k CROSS JOIN t),
+        |hab AS (SELECT -sum((c.o / t.n) * ln(c.o / k.nb)) AS h
+        |        FROM c JOIN k USING (b) CROSS JOIN t),
+        |hba AS (SELECT -sum((c.o / t.n) * ln(c.o / r.na)) AS h
+        |        FROM c JOIN r USING (a) CROSS JOIN t)
+        |SELECT round((ha.h - hab.h) / ha.h, 4) AS u_a_b,
+        |       round((hb.h - hba.h) / hb.h, 4) AS u_b_a
+        |FROM ha CROSS JOIN hb CROSS JOIN hab CROSS JOIN hba""") { (s, dir) =>
+      import graft.functions.StatAggregates.theilsU
+      Tables(s, dir).events
+        .select(col("event_type").as("a"),
+          pmod(col("user_id"), lit(5)).cast(StringType).as("b"))
+        .agg(round(theilsU(col("a"), col("b")), 4).as("u_a_b"),
+          round(theilsU(col("b"), col("a")), 4).as("u_b_a"))
+    },
+
     Q("q77_association",
       """WITH c AS (SELECT event_type AS a, CAST(user_id % 5 AS VARCHAR) AS b,
         |                  count(*) AS o

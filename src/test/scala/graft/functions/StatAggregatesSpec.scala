@@ -150,6 +150,19 @@ class StatAggregatesSpec extends SparkSpec {
     assert(got(1L) == 0.5, s"tie D ${got(1L)}")
   }
 
+  test("theilsU: determined = 1, independent = 0, asymmetric in between") {
+    // a = f(b): U(a|b) = 1; uniform independence: U = 0
+    val det = Seq(("x", "1"), ("y", "2"), ("x", "1"), ("y", "2")).toDF("a", "b")
+    assert(det.agg(StatAggregates.theilsU($"a", $"b")).as[Double].head() == 1.0)
+    val ind = (for (a <- Seq("x", "y"); b <- Seq("1", "2")) yield (a, b)).toDF("a", "b")
+    assert(math.abs(ind.agg(StatAggregates.theilsU($"a", $"b")).as[Double].head()) < 1e-12)
+    // b determines a but not vice versa: U(a|b)=1, U(b|a)<1
+    val asym = Seq(("x", "1"), ("x", "2"), ("y", "3"), ("y", "4")).toDF("a", "b")
+    val uab = asym.agg(StatAggregates.theilsU($"a", $"b")).as[Double].head()
+    val uba = asym.agg(StatAggregates.theilsU($"b", $"a")).as[Double].head()
+    assert(uab == 1.0 && uba > 0.0 && uba < 1.0, s"got $uab / $uba")
+  }
+
   test("exponentialMovingAverage: constant series is exact, small half-life weights the latest") {
     val df = Seq(
       (0L, 5.0, 0L), (0L, 5.0, 100L), (0L, 5.0, 200L),   // constant -> 5
