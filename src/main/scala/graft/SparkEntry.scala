@@ -49,6 +49,9 @@ object SparkEntry {
     *    engine-internal k-means partition; the prune contract (planted
     *    twins dropped, no surviving within-cluster pair at threshold,
     *    partition invariance) is spec-asserted (DedupSpec).
+    *  - q89_lttb: LTTB's greedy bucket selection has no SQL spelling;
+    *    endpoint/subset/monotonicity/spike-retention invariants are
+    *    spec-asserted (StatAggregatesSpec).
     */
   def oracleSql: Map[String, String] =
     graft.queries.Registry.all.flatMap(q => q.oracle.map(q.name -> _)).toMap

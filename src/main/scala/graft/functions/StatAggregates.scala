@@ -295,6 +295,59 @@ object StatAggregates {
     udaf(new TheilsUAggregator, pairEnc)
       .apply(a.cast(StringType), b.cast(StringType))
 
+  // ---- largestTriangleThreeBuckets (CH lttb) --------------------------
+
+  /** LTTB downsampling (Steinarsson 2013, the algorithm CH's
+    * `largestTriangleThreeBuckets` implements): keep `n` of the series'
+    * points — endpoints fixed, each middle bucket contributing the point
+    * with the largest triangle area against the previously selected
+    * point and the next bucket's centroid. Pure function over one key's
+    * SORTED series; callers aggregate with `sort_array(collect_list(
+    * struct(x, y)))` per key (per-key series must be driver-reasonable —
+    * the same per-key-bounded contract as the funnel buffers).
+    */
+  def lttb(points: Seq[(Double, Double)], n: Int): Seq[(Double, Double)] = {
+    require(n >= 2, "lttb needs n >= 2")
+    val m = points.length
+    if (m <= n) return points
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Double, Double)]
+    out += points.head
+    // m-2 interior points into n-2 equal buckets
+    val every = (m - 2).toDouble / (n - 2)
+    var a = 0 // index of the previously SELECTED point
+    var i = 0
+    while (i < n - 2) {
+      val bStart = (i * every).toInt + 1
+      val bEnd = math.min(((i + 1) * every).toInt + 1, m - 1)
+      val cStart = bEnd
+      val cEnd = math.min(((i + 2) * every).toInt + 1, m)
+      // centroid of the NEXT bucket (the last "bucket" is the endpoint)
+      var cx = 0.0; var cy = 0.0
+      val cLen = math.max(cEnd - cStart, 1)
+      var j = cStart
+      while (j < cStart + cLen) {
+        val p = points(math.min(j, m - 1)); cx += p._1; cy += p._2; j += 1
+      }
+      cx /= cLen; cy /= cLen
+      val pa = points(a)
+      var best = bStart
+      var bestArea = -1.0
+      j = bStart
+      while (j < bEnd) {
+        val p = points(j)
+        val area = math.abs((pa._1 - cx) * (p._2 - pa._2) -
+          (pa._1 - p._1) * (cy - pa._2)) * 0.5
+        if (area > bestArea) { bestArea = area; best = j }
+        j += 1
+      }
+      out += points(best)
+      a = best
+      i += 1
+    }
+    out += points.last
+    out.toSeq
+  }
+
   // ---- histogram(N): adaptive streaming histogram ---------------------
 
   /** One (center, weight) bin. */

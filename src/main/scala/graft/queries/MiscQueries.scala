@@ -1169,6 +1169,68 @@ object MiscQueries {
     // ---- categorical association (CH cramersV / contingency): one
     // contingency-state aggregate; the oracle refolds chi-square from
     // the margins in SQL. State is bounded by category-pair cardinality.
+    // ---- largestTriangleThreeBuckets (CH): LTTB downsampling of each
+    // user's (ts, value) series to 10 visually-representative points.
+    // rows-only: the greedy bucket selection has no SQL spelling;
+    // endpoint/monotonicity/subset/spike-retention invariants are
+    // spec-asserted (StatAggregatesSpec). The per-key series rides a
+    // sorted collect_list — same per-key-bounded contract as the
+    // funnel buffers; selection itself is a cold-path scalar UDF over
+    // one already-aggregated array per key.
+    Q.noOracle("q89_lttb") { (s, dir) =>
+      val ser = udf((pts: Seq[org.apache.spark.sql.Row]) => {
+        val series = pts.map(r => (r.getDouble(0), r.getDouble(1)))
+        graft.functions.StatAggregates.lttb(series, 10)
+          .map { case (x, y) => f"$x%.0f:$y%.4f" }.mkString(",")
+      })
+      Tables(s, dir).events
+        .select(col("user_id"),
+          unix_timestamp(col("ts")).cast(DoubleType).as("t"),
+          col("value"))
+        .groupBy(col("user_id"))
+        .agg(ser(sort_array(collect_list(struct(col("t"), col("value")))))
+          .as("series10"))
+        .orderBy(col("user_id"))
+    },
+
+    // ---- sparkbar (CH): unicode sparkline of each event type's
+    // hour-of-day activity — dense 24-slot grid (missing hours = 0),
+    // level = floor(c·7/max) into the 8 block glyphs. All-integer level
+    // arithmetic (exact products, identical floors), so the strings are
+    // byte-identical across engines.
+    Q("q90_sparkbar",
+      """WITH c AS (SELECT event_type, CAST(date_part('hour', ts) AS INT) AS h,
+        |                  CAST(count(*) AS BIGINT) AS c
+        |           FROM events GROUP BY 1, 2),
+        |g AS (SELECT t.event_type, CAST(r.range AS INT) AS h,
+        |             coalesce(c.c, 0) AS c
+        |      FROM (SELECT DISTINCT event_type FROM events) t
+        |      CROSS JOIN range(0, 24) r
+        |      LEFT JOIN c ON c.event_type = t.event_type AND c.h = r.range),
+        |m AS (SELECT event_type, h, c, max(c) OVER (PARTITION BY event_type) AS mx
+        |      FROM g),
+        |ch AS (SELECT event_type, h,
+        |    ['▁','▂','▃','▄','▅','▆','▇','█'][CAST(floor(c * 7.0 / mx) AS INT) + 1] AS gl
+        |  FROM m)
+        |SELECT event_type, string_agg(gl, '' ORDER BY h) AS bar
+        |FROM ch GROUP BY event_type ORDER BY event_type""") { (s, dir) =>
+      val blocks = array("▁▂▃▄▅▆▇█".toCharArray.map(ch => lit(ch.toString)): _*)
+      val counts = Tables(s, dir).events
+        .groupBy(col("event_type"), hour(col("ts")).cast(IntegerType).as("h"))
+        .agg(count(lit(1)).as("c"))
+      val grid = Tables(s, dir).events.select(col("event_type")).distinct()
+        .select(col("event_type"), explode(sequence(lit(0), lit(23))).as("h"))
+      val w = Window.partitionBy(col("event_type"))
+      grid.join(counts, Seq("event_type", "h"), "left")
+        .withColumn("c", coalesce(col("c"), lit(0L)))
+        .withColumn("gl", element_at(blocks,
+          floor(col("c") * 7.0 / max(col("c")).over(w)).cast(IntegerType) + 1))
+        .groupBy(col("event_type"))
+        .agg(concat_ws("", sort_array(collect_list(
+          struct(col("h"), col("gl")))).getField("gl")).as("bar"))
+        .orderBy(col("event_type"))
+    },
+
     // ---- theilsU (CH): asymmetric uncertainty coefficient — how much
     // knowing one categorical column reduces the entropy of the other,
     // both directions. Same PairCounts state as the q77 chi-square

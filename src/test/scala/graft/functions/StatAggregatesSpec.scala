@@ -150,6 +150,21 @@ class StatAggregatesSpec extends SparkSpec {
     assert(got(1L) == 0.5, s"tie D ${got(1L)}")
   }
 
+  test("lttb: endpoints kept, subset of input, x-monotonic, spikes survive") {
+    val rnd = new scala.util.Random(5)
+    val flat = (0 until 200).map(i => (i.toDouble, 1.0 + rnd.nextGaussian() * 0.01))
+    // plant a huge spike mid-series: any sane downsample must keep it
+    val pts = flat.updated(117, (117.0, 50.0))
+    val out = StatAggregates.lttb(pts, 12)
+    assert(out.length == 12)
+    assert(out.head == pts.head && out.last == pts.last)
+    assert(out.toSet.subsetOf(pts.toSet))
+    assert(out.map(_._1) == out.map(_._1).sorted, "x must stay monotonic")
+    assert(out.contains((117.0, 50.0)), "the spike must be selected")
+    // short series pass through untouched
+    assert(StatAggregates.lttb(pts.take(5), 12) == pts.take(5))
+  }
+
   test("theilsU: determined = 1, independent = 0, asymmetric in between") {
     // a = f(b): U(a|b) = 1; uniform independence: U = 0
     val det = Seq(("x", "1"), ("y", "2"), ("x", "1"), ("y", "2")).toDF("a", "b")
