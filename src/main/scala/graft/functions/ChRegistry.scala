@@ -214,6 +214,12 @@ object ChRegistry {
     // (no arrayCount: the analyzer requires a HigherOrderFunction at the
     // registered root when lambda args are present — size(arrayFilter(..))
     // composes fine as separate calls)
+    // running array transforms — native one-pass codegen kernels, not
+    // the O(n²) slice-and-aggregate higher-order spelling
+    f("arrayCumSum")(e =>
+      graft.plans.ArrayCumSum(Cast(e.head, ArrayType(DoubleType))))
+    f("arrayDifference")(e =>
+      graft.plans.ArrayDifference(Cast(e.head, ArrayType(DoubleType))))
     f("arrayEnumerate")(e => {
       // 1..len, lecture_06.md:15 — guarded: sequence(1, 0) runs
       // DESCENDING ([1, 0]), but CH's enumerate of [] is []

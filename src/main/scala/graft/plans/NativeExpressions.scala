@@ -42,6 +42,37 @@ object VecKernels {
     sig
   }
 
+  /** Running sum of a double array in one pass (CH arrayCumSum). NULL
+    * elements contribute 0 — the wrapper documents the contract.
+    */
+  def cumSumD(a: ArrayData): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val n = a.numElements()
+    val out = new Array[Double](n)
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      if (!a.isNullAt(i)) acc += a.getDouble(i)
+      out(i) = acc
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  /** Adjacent differences, first element 0 (CH arrayDifference). */
+  def arrDiffD(a: ArrayData): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val n = a.numElements()
+    val out = new Array[Double](n)
+    var prev = 0.0
+    var i = 0
+    while (i < n) {
+      val v = if (a.isNullAt(i)) 0.0 else a.getDouble(i)
+      out(i) = if (i == 0) 0.0 else v - prev
+      prev = v
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
   /** Cosine similarity of two float vectors, accumulated in double. */
   def cosineF(a: ArrayData, b: ArrayData): Double = {
     val n = math.min(a.numElements(), b.numElements())
@@ -912,6 +943,36 @@ case class SortableDoubleBits(child: Expression) extends UnaryExpression {
   override def prettyName: String = "graft_double_bits"
 }
 
+/** CH arrayCumSum over array<double> — one codegen'd pass, no O(n²)
+  * slice-and-sum higher-order spelling. NULL elements contribute 0.
+  */
+case class ArrayCumSum(child: Expression) extends UnaryExpression {
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.DoubleType,
+      containsNull = false)
+  override protected def nullSafeEval(v: Any): Any =
+    VecKernels.cumSumD(v.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.VecKernels.cumSumD($c)")
+  override protected def withNewChildInternal(c: Expression): ArrayCumSum =
+    copy(child = c)
+  override def prettyName: String = "graft_array_cum_sum"
+}
+
+/** CH arrayDifference over array<double> — first element 0. */
+case class ArrayDifference(child: Expression) extends UnaryExpression {
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.DoubleType,
+      containsNull = false)
+  override protected def nullSafeEval(v: Any): Any =
+    VecKernels.arrDiffD(v.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.VecKernels.arrDiffD($c)")
+  override protected def withNewChildInternal(c: Expression): ArrayDifference =
+    copy(child = c)
+  override def prettyName: String = "graft_array_difference"
+}
+
 case class Shingles(child: Expression, n: Int) extends UnaryExpression {
   override def dataType: DataType =
     org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.StringType)
@@ -956,6 +1017,10 @@ object NativeFunctions {
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction("graft_simhash64",
       e => SimHash64(e.head), "built-in")
+    reg.createOrReplaceTempFunction("graft_array_cum_sum",
+      e => ArrayCumSum(e.head), "built-in")
+    reg.createOrReplaceTempFunction("graft_array_difference",
+      e => ArrayDifference(e.head), "built-in")
     reg.createOrReplaceTempFunction("graft_cosine",
       e => CosineSimilarity(e(0), e(1)), "built-in")
     reg.createOrReplaceTempFunction("graft_lsh_bucket", {
@@ -1059,6 +1124,10 @@ object NativeFunctions {
       org.apache.spark.sql.functions.lit(scale))
   def simhash64(c: Column): Column =
     cf("graft_simhash64", c)
+  def arrayCumSum(c: Column): Column =
+    cf("graft_array_cum_sum", c.cast("array<double>"))
+  def arrayDifference(c: Column): Column =
+    cf("graft_array_difference", c.cast("array<double>"))
   def cosine(a: Column, b: Column): Column =
     cf("graft_cosine", a, b)
   def langId(tokens: Column): Column =

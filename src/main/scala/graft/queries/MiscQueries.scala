@@ -1231,6 +1231,40 @@ object MiscQueries {
         .orderBy(col("event_type"))
     },
 
+    // ---- arrayCumSum / arrayDifference (CH): running transforms over
+    // per-order sorted quantity arrays — native one-pass codegen
+    // kernels (the higher-order slice-and-aggregate spelling is O(n²)
+    // per row). Both engines scan the identical sorted sequence, so the
+    // doubles match exactly; DECIMAL(18,4) strings for the driver.
+    Q("q91_array_running",
+      """WITH g AS (SELECT l_orderkey,
+        |    list_sort(list(CAST(l_quantity AS DOUBLE))) AS qs
+        |  FROM lineitem WHERE l_orderkey % 500 = 0 GROUP BY 1),
+        |c AS (SELECT l_orderkey,
+        |    [list_sum(qs[1:i]) for i in range(1, len(qs) + 1)] AS cs,
+        |    [CASE WHEN i = 1 THEN 0.0 ELSE qs[i] - qs[i - 1] END
+        |     for i in range(1, len(qs) + 1)] AS df
+        |  FROM g)
+        |SELECT l_orderkey,
+        |  array_to_string(list_transform(cs,
+        |    x -> CAST(CAST(round(x, 4) + 0.0 AS DECIMAL(18,4)) AS VARCHAR)), ',') AS cumsum,
+        |  array_to_string(list_transform(df,
+        |    x -> CAST(CAST(round(x, 4) + 0.0 AS DECIMAL(18,4)) AS VARCHAR)), ',') AS diffs
+        |FROM c ORDER BY l_orderkey""") { (s, dir) =>
+      graft.plans.NativeFunctions.register(s)
+      def dec(c: Column) = concat_ws(",",
+        transform(c, x => (round(x, 4) + lit(0.0))
+          .cast("decimal(18,4)").cast(StringType)))
+      Tables(s, dir).lineitem
+        .filter(pmod(col("l_orderkey"), lit(500)) === 0)
+        .groupBy(col("l_orderkey"))
+        .agg(sort_array(collect_list(col("l_quantity").cast(DoubleType))).as("qs"))
+        .select(col("l_orderkey"),
+          dec(graft.plans.NativeFunctions.arrayCumSum(col("qs"))).as("cumsum"),
+          dec(graft.plans.NativeFunctions.arrayDifference(col("qs"))).as("diffs"))
+        .orderBy(col("l_orderkey"))
+    },
+
     // ---- theilsU (CH): asymmetric uncertainty coefficient — how much
     // knowing one categorical column reduces the entropy of the other,
     // both directions. Same PairCounts state as the q77 chi-square

@@ -121,6 +121,15 @@ class TextAndRegistrySpec extends SparkSpec {
       .select(graft.functions.ChFunctions.arrayEnumerate(
         array_remove(array(lit(1)), 1)).as("e")).collect().head
     assert(enF.getSeq[Int](0) == Seq.empty)
+    // running array transforms: native one-pass kernels behind CH names
+    val run = spark.sql(
+      """SELECT arrayCumSum(array(1, 2, 3)) AS cs,
+        |       arrayDifference(array(5.0, 2.0, 7.0)) AS df,
+        |       arrayCumSum(array()) AS e
+        |""".stripMargin).collect().head
+    assert(run.getSeq[Double](0) == Seq(1.0, 3.0, 6.0))
+    assert(run.getSeq[Double](1) == Seq(0.0, -3.0, 5.0))
+    assert(run.getSeq[Double](2) == Seq.empty)
   }
 
   test("shingleHashes + jaccardSorted match the string-set jaccard exactly") {
