@@ -58,12 +58,28 @@ object ChAggregates {
     * (group × map key), so the work spreads at any scale.
     */
   def sumMap(df: org.apache.spark.sql.DataFrame, groupCols: Seq[String],
-             mapCol: Column): org.apache.spark.sql.DataFrame = {
-    import org.apache.spark.sql.functions.{col, explode, sort_array, collect_list, struct, sum}
+             mapCol: Column): org.apache.spark.sql.DataFrame =
+    foldMap(df, groupCols, mapCol, org.apache.spark.sql.functions.sum)
+
+  /** minMap / maxMap (CH): key-wise min/max of map values per group, same
+    * (sorted keys, values) output shape and same two full-cardinality
+    * shuffles as [[sumMap]].
+    */
+  def minMap(df: org.apache.spark.sql.DataFrame, groupCols: Seq[String],
+             mapCol: Column): org.apache.spark.sql.DataFrame =
+    foldMap(df, groupCols, mapCol, org.apache.spark.sql.functions.min)
+
+  def maxMap(df: org.apache.spark.sql.DataFrame, groupCols: Seq[String],
+             mapCol: Column): org.apache.spark.sql.DataFrame =
+    foldMap(df, groupCols, mapCol, org.apache.spark.sql.functions.max)
+
+  private def foldMap(df: org.apache.spark.sql.DataFrame, groupCols: Seq[String],
+                      mapCol: Column, combine: Column => Column): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.{col, explode, sort_array, collect_list, struct}
     val g = groupCols.map(col)
     df.select(g :+ explode(mapCol).as(Seq("__k", "__v")): _*)
       .groupBy(g :+ col("__k"): _*)
-      .agg(sum(col("__v")).as("__s"))
+      .agg(combine(col("__v")).as("__s"))
       .groupBy(g: _*)
       .agg(sort_array(collect_list(struct(col("__k"), col("__s")))).as("__e"))
       .select(g :+ col("__e.__k").as("keys") :+ col("__e.__s").as("values"): _*)

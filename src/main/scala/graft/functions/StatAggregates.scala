@@ -532,4 +532,89 @@ object StatAggregates {
     val t = (avg(x1) - avg(x2)) / sqrt(sp2 * (lit(1.0) / n1 + lit(1.0) / n2))
     struct(t.as("t"), (n1 + n2 - 2.0).as("df"))
   }
+
+  /** meanZTest(popVarX, popVarY)(x, group): two-sample z statistic with
+    * KNOWN population variances — z = (mean1 − mean2) / sqrt(v1/n1 + v2/n2).
+    * Same conditional-moment composition as the t-tests: one codegen'd
+    * pass, no custom state.
+    */
+  def meanZTest(x: Column, group: Column,
+                popVarX: Double, popVarY: Double): Column = {
+    val xd = x.cast(DoubleType)
+    val x1 = when(group, xd)
+    val x2 = when(!group, xd)
+    val n1 = count(x1).cast(DoubleType)
+    val n2 = count(x2).cast(DoubleType)
+    (avg(x1) - avg(x2)) / sqrt(lit(popVarX) / n1 + lit(popVarY) / n2)
+  }
+
+  /** avgWeighted(x, w) (CH): Σ x·w / Σ w, skipping rows where either side
+    * is NULL (CH aggregate-argument semantics). Pure native moments.
+    */
+  def avgWeighted(x: Column, w: Column): Column = {
+    val ok = x.isNotNull && w.isNotNull
+    val xd = when(ok, x.cast(DoubleType))
+    val wd = when(ok, w.cast(DoubleType))
+    sum(xd * wd) / sum(wd)
+  }
+
+  /** boundingRatio(x, y) (CH): slope of the chord between the series
+    * endpoints ordered by x — (y at max x − y at min x)/(max x − min x).
+    * Native min/max/min_by/max_by, single pass.
+    */
+  def boundingRatio(x: Column, y: Column): Column = {
+    val xd = x.cast(DoubleType)
+    val yd = y.cast(DoubleType)
+    (max_by(yd, xd) - min_by(yd, xd)) / (max(xd) - min(xd))
+  }
+
+  /** rankCorr(x, y) per `key` (CH rankCorr): Spearman rank correlation —
+    * Pearson `corr` over average ranks (ties get the mean of their rank
+    * range, CH's convention). Ranks come from two ordered windows on the
+    * SAME partition key as the final aggregation, so the plan is one
+    * shuffle + two in-partition sorts; parallelism is per-key, exactly
+    * like [[mannWhitneyU]]. Average ranks are multiples of 0.5 and exact
+    * in doubles; only the final correlation quotient needs rounding.
+    * Output: (key, rank_corr).
+    */
+  def rankCorr(df: org.apache.spark.sql.DataFrame, key: Column,
+               x: Column, y: Column): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def avgRank(v: String): Column =
+      rank().over(Window.partitionBy(col("key")).orderBy(col(v))) +
+        (count(lit(1)).over(Window.partitionBy(col("key"), col(v)))
+          .cast(DoubleType) - 1.0) / 2.0
+    df.select(key.as("key"), x.cast(DoubleType).as("__x"),
+        y.cast(DoubleType).as("__y"))
+      .withColumn("__rx", avgRank("__x"))
+      .withColumn("__ry", avgRank("__y"))
+      .groupBy(col("key"))
+      .agg(corr(col("__rx"), col("__ry")).as("rank_corr"))
+  }
+
+  /** categoricalInformationValue(cat, tag) (CH): per-category information
+    * value of a binary tag — (g_i/G − b_i/B) · ln((g_i/G)/(b_i/B)), with
+    * zero cells contributing 0 (guarded identically in the oracle; CH
+    * emits non-finite values there, which no cross-engine hash can
+    * carry). Two key-wise aggregations — (cat) counts then a broadcast of
+    * the two scalar totals — so the plan is one data-sized shuffle.
+    * Output: (cat, iv) rows, CH's array flattened to its indexed rows.
+    */
+  def categoricalInformationValue(df: org.apache.spark.sql.DataFrame,
+                                  cat: Column, tag: Column): org.apache.spark.sql.DataFrame = {
+    val counts = df.select(cat.as("cat"), tag.cast("boolean").as("__t"))
+      .groupBy(col("cat"))
+      .agg(sum(when(col("__t"), 1L).otherwise(0L)).as("__g"),
+        sum(when(!col("__t"), 1L).otherwise(0L)).as("__b"))
+    val totals = counts.agg(sum(col("__g")).as("__gt"), sum(col("__b")).as("__bt"))
+    counts.crossJoin(broadcast(totals))
+      .withColumn("iv",
+        when(col("__g") > 0 && col("__b") > 0,
+          (col("__g").cast(DoubleType) / col("__gt") -
+            col("__b").cast(DoubleType) / col("__bt")) *
+            log((col("__g").cast(DoubleType) / col("__gt")) /
+              (col("__b").cast(DoubleType) / col("__bt"))))
+          .otherwise(lit(0.0)))
+      .select(col("cat"), col("iv"))
+  }
 }

@@ -1265,6 +1265,118 @@ object MiscQueries {
         .orderBy(col("l_orderkey"))
     },
 
+    // ---- rankCorr (CH): Spearman rank correlation per bucket — Pearson
+    // corr over average ranks (ties take their rank-range mean, CH's
+    // convention). One shuffle on the bucket + two in-partition sorts;
+    // average ranks are exact in doubles, round(4) absorbs the final
+    // corr quotient's co-moment-association ULPs.
+    Q("q92_rank_corr",
+      """WITH e AS (SELECT user_id % 10 AS bucket, CAST(value AS DOUBLE) AS x,
+        |    CAST(event_id % 1000 AS DOUBLE) AS y FROM events),
+        |r AS (SELECT bucket,
+        |    rank() OVER (PARTITION BY bucket ORDER BY x)
+        |      + (CAST(count(*) OVER (PARTITION BY bucket, x) AS DOUBLE) - 1.0) / 2.0 AS rx,
+        |    rank() OVER (PARTITION BY bucket ORDER BY y)
+        |      + (CAST(count(*) OVER (PARTITION BY bucket, y) AS DOUBLE) - 1.0) / 2.0 AS ry
+        |  FROM e)
+        |SELECT bucket, round(corr(rx, ry), 4) AS rank_corr
+        |FROM r GROUP BY bucket ORDER BY bucket""") { (s, dir) =>
+      import graft.functions.StatAggregates.rankCorr
+      rankCorr(Tables(s, dir).events,
+          pmod(col("user_id"), lit(10)), col("value"),
+          pmod(col("event_id"), lit(1000)))
+        .select(col("key").as("bucket"),
+          round(col("rank_corr"), 4).as("rank_corr"))
+        .orderBy(col("bucket"))
+    },
+
+    // ---- avgWeighted / boundingRatio / meanZTest (CH): weighted mean
+    // over exact integer products, endpoint chord slope on a tie-free x
+    // (event_id is unique — arg extremes are deterministic), and the
+    // known-variance two-sample z. One codegen'd aggregation pass.
+    Q("q93_weighted_moments",
+      """WITH e AS (SELECT user_id % 5 AS bucket, event_id, value, event_type,
+        |    CAST(event_id % 100 AS DOUBLE) AS wx,
+        |    CAST(user_id % 7 + 1 AS DOUBLE) AS ww FROM events),
+        |a AS (SELECT bucket,
+        |    sum(wx * ww) / sum(ww) AS aw,
+        |    (arg_max(value, event_id) - arg_min(value, event_id))
+        |      / (CAST(max(event_id) AS DOUBLE) - min(event_id)) AS br,
+        |    avg(CASE WHEN event_type = 'click' THEN value END) AS m1,
+        |    avg(CASE WHEN event_type = 'view' THEN value END) AS m2,
+        |    count(CASE WHEN event_type = 'click' THEN value END) AS n1,
+        |    count(CASE WHEN event_type = 'view' THEN value END) AS n2
+        |  FROM e GROUP BY bucket)
+        |SELECT bucket, round(aw, 4) AS avg_weighted,
+        |  round(br, 4) + 0.0 AS bounding_ratio,
+        |  round((m1 - m2) / sqrt(1.0 / n1 + 4.0 / n2), 4) AS z
+        |FROM a ORDER BY bucket""") { (s, dir) =>
+      import graft.functions.StatAggregates.{avgWeighted, boundingRatio, meanZTest}
+      Tables(s, dir).events
+        .select(pmod(col("user_id"), lit(5)).as("bucket"),
+          col("event_id"), col("value"), col("event_type"),
+          pmod(col("event_id"), lit(100)).cast(DoubleType).as("wx"),
+          (pmod(col("user_id"), lit(7)) + 1).cast(DoubleType).as("ww"))
+        .groupBy(col("bucket"))
+        .agg(
+          round(avgWeighted(col("wx"), col("ww")), 4).as("avg_weighted"),
+          (round(boundingRatio(col("event_id"), col("value")), 4) + lit(0.0))
+            .as("bounding_ratio"),
+          round(meanZTest(
+            when(col("event_type").isin("click", "view"), col("value")),
+            col("event_type") === "click", 1.0, 4.0), 4).as("z"))
+        .orderBy(col("bucket"))
+    },
+
+    // ---- minMap / maxMap (CH): key-wise map-value extremes per group,
+    // q65's SummingMergeTree fold shape with min/max combiners; the two
+    // folds join on the (10-row) group key, broadcast-sized.
+    Q("q94_min_max_map",
+      """WITH e AS (SELECT user_id % 10 AS g, event_type AS k,
+        |             event_id % 100 AS v FROM events),
+        |s AS (SELECT g, k, min(v) AS mn, max(v) AS mx FROM e GROUP BY g, k)
+        |SELECT g, string_agg(k, ',' ORDER BY k) AS keys,
+        |  string_agg(CAST(CAST(mn AS BIGINT) AS VARCHAR), ',' ORDER BY k) AS min_values,
+        |  string_agg(CAST(CAST(mx AS BIGINT) AS VARCHAR), ',' ORDER BY k) AS max_values
+        |FROM s GROUP BY g ORDER BY g""") { (s, dir) =>
+      val ev = Tables(s, dir).events
+        .select((col("user_id") % 10).as("g"),
+          map(col("event_type"), col("event_id") % 100).as("m"))
+      val mn = graft.functions.ChAggregates.minMap(ev, Seq("g"), col("m"))
+        .select(col("g"), col("keys"),
+          concat_ws(",", col("values").cast("array<string>")).as("min_values"))
+      val mx = graft.functions.ChAggregates.maxMap(ev, Seq("g"), col("m"))
+        .select(col("g"),
+          concat_ws(",", col("values").cast("array<string>")).as("max_values"))
+      mn.join(mx, "g")
+        .select(col("g"), concat_ws(",", col("keys")).as("keys"),
+          col("min_values"), col("max_values"))
+        .orderBy(col("g"))
+    },
+
+    // ---- categoricalInformationValue (CH): per-category IV of a binary
+    // tag, zero cells guarded to 0 identically on both sides (CH emits
+    // non-finite there — uncomparable across engines). (cat) counts +
+    // a broadcast of the two scalar totals: one data-sized shuffle.
+    Q("q95_categorical_iv",
+      """WITH c AS (SELECT event_type AS cat,
+        |    sum(CASE WHEN event_id % length(event_type) = 0 THEN 1 ELSE 0 END) AS g,
+        |    sum(CASE WHEN event_id % length(event_type) = 0 THEN 0 ELSE 1 END) AS b
+        |  FROM events GROUP BY 1),
+        |t AS (SELECT CAST(sum(g) AS BIGINT) AS gt, CAST(sum(b) AS BIGINT) AS bt FROM c)
+        |SELECT cat, round(CASE WHEN c.g > 0 AND c.b > 0
+        |    THEN (CAST(c.g AS DOUBLE) / t.gt - CAST(c.b AS DOUBLE) / t.bt)
+        |      * ln((CAST(c.g AS DOUBLE) / t.gt) / (CAST(c.b AS DOUBLE) / t.bt))
+        |    ELSE 0.0 END, 4) AS iv
+        |FROM c CROSS JOIN t ORDER BY cat""") { (s, dir) =>
+      import graft.functions.StatAggregates.categoricalInformationValue
+      categoricalInformationValue(Tables(s, dir).events,
+          col("event_type"),
+          pmod(col("event_id"), length(col("event_type"))) === 0)
+        .select(col("cat"), round(col("iv"), 4).as("iv"))
+        .orderBy(col("cat"))
+    },
+
     // ---- theilsU (CH): asymmetric uncertainty coefficient — how much
     // knowing one categorical column reduces the entropy of the other,
     // both directions. Same PairCounts state as the q77 chi-square

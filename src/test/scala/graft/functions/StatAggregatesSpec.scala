@@ -194,4 +194,64 @@ class StatAggregatesSpec extends SparkSpec {
       .as[(Long, Double)].collect().head._2
     assert(math.abs(two - (2.0 * 0.5 + 4.0) / 1.5) < 1e-12, s"got $two")
   }
+
+  test("rankCorr: monotone = 1, reversed = -1, hand case with ties") {
+    val mono = (1 to 6).map(i => (0L, i.toDouble, (i * i).toDouble)) ++
+      (1 to 6).map(i => (1L, i.toDouble, -i * 3.0)) ++
+      // x=[1,2,3,4], y=[1,3,2,4]: ranks are the values, corr = 0.8
+      Seq((2L, 1.0, 1.0), (2L, 2.0, 3.0), (2L, 3.0, 2.0), (2L, 4.0, 4.0)) ++
+      // ties both sides: rx=ry=[1,2.5,2.5,4] -> 1.0
+      Seq((3L, 1.0, 10.0), (3L, 2.0, 20.0), (3L, 2.0, 20.0), (3L, 3.0, 40.0))
+    val got = StatAggregates.rankCorr(mono.toDF("k", "x", "y"), $"k", $"x", $"y")
+      .select($"key", round($"rank_corr", 4)).as[(Long, Double)].collect().toMap
+    assert(got(0L) == 1.0 && got(1L) == -1.0, s"got $got")
+    assert(got(2L) == 0.8, s"hand case ${got(2L)}")
+    assert(got(3L) == 1.0, s"tie case ${got(3L)}")
+  }
+
+  test("avgWeighted skips rows where either side is NULL") {
+    val df = Seq((Some(1.0), Some(1.0)), (Some(2.0), Some(3.0)),
+      (None, Some(5.0)), (Some(9.0), None)).toDF("x", "w")
+    val got = df.agg(StatAggregates.avgWeighted($"x", $"w")).as[Double].head()
+    assert(got == 7.0 / 4.0, s"got $got")
+  }
+
+  test("boundingRatio is the chord slope between the x-extremes") {
+    val df = Seq((0.0, 10.0), (5.0, 0.0), (10.0, 30.0)).toDF("x", "y")
+    assert(df.agg(StatAggregates.boundingRatio($"x", $"y")).as[Double].head() == 2.0)
+  }
+
+  test("meanZTest matches the hand-computed known-variance z") {
+    // means 2.5 vs 5, v1=1 v2=4, n=4 each: z = -2.5/sqrt(0.25+1)
+    val df = (Seq(1.0, 2.0, 3.0, 4.0).map((_, true)) ++
+      Seq(2.0, 4.0, 6.0, 8.0).map((_, false))).toDF("x", "g")
+    val z = df.agg(round(StatAggregates.meanZTest($"x", $"g", 1.0, 4.0), 4))
+      .as[Double].head()
+    assert(z == -2.2361, s"got $z")
+  }
+
+  test("minMap/maxMap fold map values key-wise with sorted keys") {
+    val df = Seq((0L, Map("a" -> 1L)), (0L, Map("a" -> 5L, "b" -> 3L)),
+      (1L, Map("b" -> 2L))).toDF("g", "m")
+    val mn = ChAggregates.minMap(df, Seq("g"), $"m")
+      .as[(Long, Seq[String], Seq[Long])].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    val mx = ChAggregates.maxMap(df, Seq("g"), $"m")
+      .as[(Long, Seq[String], Seq[Long])].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(mn(0L) == ((Seq("a", "b"), Seq(1L, 3L))), s"min ${mn(0L)}")
+    assert(mx(0L) == ((Seq("a", "b"), Seq(5L, 3L))), s"max ${mx(0L)}")
+    assert(mn(1L) == ((Seq("b"), Seq(2L))) && mx(1L) == ((Seq("b"), Seq(2L))))
+  }
+
+  test("categoricalInformationValue: hand case, zero cells contribute 0") {
+    val rows = Seq.fill(2)(("A", true)) ++ Seq(("A", false)) ++
+      Seq(("B", true)) ++ Seq.fill(2)(("B", false)) ++ Seq.fill(3)(("C", true))
+    val got = StatAggregates.categoricalInformationValue(
+        rows.toDF("c", "t"), $"c", $"t")
+      .select($"cat", round($"iv", 4)).as[(String, Double)].collect().toMap
+    // G=6, B=3: A = (2/6-1/3)ln(1) = 0... recompute: gA=2,bA=1 -> equal rates
+    // -> 0; B: (1/6-2/3)ln(1/4) = 0.6931; C: zero bad cell -> 0
+    assert(got("A") == 0.0, s"A ${got("A")}")
+    assert(got("B") == 0.6931, s"B ${got("B")}")
+    assert(got("C") == 0.0, s"C ${got("C")}")
+  }
 }

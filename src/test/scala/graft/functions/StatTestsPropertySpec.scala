@@ -121,4 +121,41 @@ class StatTestsPropertySpec extends SparkSpec {
       assert(math.abs(gdf - dfree) < 1e-6, s"case $k: df $gdf != naive $dfree")
     }
   }
+
+  private def naiveSpearman(xs: Seq[Double], ys: Seq[Double]): Double = {
+    def avgRanks(v: Seq[Double]): Seq[Double] = {
+      val sorted = v.sorted
+      // average rank of a value = mean of its 1-based positions in sort order
+      val byValue = sorted.zipWithIndex.groupBy(_._1)
+        .map { case (x, ps) => x -> (ps.map(_._2 + 1).sum.toDouble / ps.size) }
+      v.map(byValue)
+    }
+    val (rx, ry) = (avgRanks(xs), avgRanks(ys))
+    val n = xs.length
+    val (mx, my) = (rx.sum / n, ry.sum / n)
+    val cov = rx.zip(ry).map { case (a, b) => (a - mx) * (b - my) }.sum
+    val sx = math.sqrt(rx.map(a => (a - mx) * (a - mx)).sum)
+    val sy = math.sqrt(ry.map(b => (b - my) * (b - my)).sum)
+    cov / (sx * sy)
+  }
+
+  test("rankCorr equals naive Spearman on 30 random tied datasets") {
+    val cases = (0 until 30).map { i =>
+      val n = 8 + rnd.nextInt(60)
+      // second column partially follows the first so corr spans the range
+      val xs = Seq.fill(n)(rnd.nextInt(12) / 2.0)
+      val ys = xs.map(x => x * (if (rnd.nextBoolean()) 1 else -1) +
+        rnd.nextInt(6) / 2.0)
+      (i.toLong, xs, ys)
+    }
+    val df = cases.flatMap { case (k, xs, ys) =>
+      xs.zip(ys).map { case (x, y) => (k, x, y) }
+    }.toDF("k", "x", "y")
+    val got = StatAggregates.rankCorr(df, $"k", $"x", $"y")
+      .select($"key", $"rank_corr").as[(Long, Double)].collect().toMap
+    cases.foreach { case (k, xs, ys) =>
+      val ref = naiveSpearman(xs, ys)
+      assert(math.abs(got(k) - ref) < 1e-9, s"case $k: ${got(k)} != naive $ref")
+    }
+  }
 }
