@@ -1184,6 +1184,83 @@ object PipelineQueries {
         .limit(20)
     },
 
+    // ---- DSIR importance weights (Xie et al. 2023): log-likelihood
+    // ratio of an add-one-smoothed target unigram model (lang='en' docs)
+    // over the raw-pool model, shared top-V vocabulary with a
+    // deterministic (count desc, token asc) cutoff. Per-token weights
+    // are identical exact-integer arithmetic in both engines; only the
+    // per-doc double sum needs round(4) (t30's precedent).
+    Q("t34_dsir_weights",
+      s"""WITH t AS (SELECT doc_id, lang,
+         |    CASE WHEN $normSql = '' THEN CAST([] AS VARCHAR[])
+         |         ELSE ${toksSql(normSql)} END AS toks FROM documents),
+         |h AS (SELECT doc_id, lang = 'en' AS tgt, unnest(toks) AS tok FROM t),
+         |c AS (SELECT tok, CAST(count(*) AS BIGINT) AS cr,
+         |        CAST(sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS BIGINT) AS ct
+         |      FROM h GROUP BY tok),
+         |v AS (SELECT tok, cr, ct FROM c ORDER BY cr DESC, tok LIMIT 400),
+         |s AS (SELECT CAST(sum(cr) AS DOUBLE) AS nr, CAST(sum(ct) AS DOUBLE) AS nt,
+         |        CAST(count(*) AS DOUBLE) AS vn FROM v),
+         |m AS (SELECT tok, ln((ct + 1.0) / (s.nt + s.vn))
+         |        - ln((cr + 1.0) / (s.nr + s.vn)) AS w
+         |      FROM v CROSS JOIN s),
+         |sc AS (SELECT h.doc_id, sum(m.w) AS llr FROM h JOIN m USING (tok)
+         |       GROUP BY 1)
+         |SELECT t.doc_id,
+         |  CAST(len(t.toks) AS BIGINT) AS n_toks,
+         |  round(coalesce(sc.llr, 0.0), 4) + 0.0 AS llr4
+         |FROM t LEFT JOIN sc USING (doc_id) ORDER BY t.doc_id""") { (s, dir) =>
+      val docs = Tables(s, dir).documents
+      val toks = graft.plans.NativeFunctions.normTokens(col("text"))
+      graft.operators.Dsir.importanceWeights(docs, col("doc_id"), toks,
+          col("lang") === "en", vocabSize = 400)
+        .join(docs.select(col("doc_id").as("id"),
+          size(graft.plans.NativeFunctions.normTokens(col("text")))
+            .cast(LongType).as("n_toks")), "id")
+        .select(col("id").as("doc_id"), col("n_toks"),
+          (round(col("llr"), 4) + lit(0.0)).as("llr4"))
+        .orderBy(col("doc_id"))
+    },
+
+    // ---- incremental exact dedup as a driver-verified row (the op's
+    // replay/bloom semantics are spec'd in DedupSpec; this row pins the
+    // VALUES): batch1 (doc_id < 250) seeds the store, batch2 adds the
+    // rest plus planted duplicates (same text, doc_id + 10000) of every
+    // doc_id % 7 == 0 doc — copies of batch1 docs must fall to the store
+    // anti-join, copies of batch2 docs to in-batch keep-first. The store
+    // is wiped up front so every run replays the same two increments;
+    // bloom routing is ON to exercise the scale path (correctness never
+    // depends on it).
+    Q("t35_incremental_dedup",
+      """WITH b1 AS (SELECT DISTINCT text FROM documents WHERE doc_id < 250),
+        |p AS (SELECT doc_id + 10000 AS doc_id, text FROM documents
+        |      WHERE doc_id % 7 = 0),
+        |b2 AS (SELECT doc_id, text FROM documents WHERE doc_id >= 250
+        |       UNION ALL SELECT doc_id, text FROM p),
+        |k AS (SELECT doc_id, text,
+        |        min(doc_id) OVER (PARTITION BY text) AS first_id FROM b2)
+        |SELECT k.doc_id, CAST(length(k.text) AS BIGINT) AS n_chars
+        |FROM k LEFT JOIN b1 ON k.text = b1.text
+        |WHERE b1.text IS NULL AND k.doc_id = first_id
+        |ORDER BY k.doc_id""") { (s, dir) =>
+      val docs = Tables(s, dir).documents.select(col("doc_id"), col("text"))
+      val store = System.getProperty("java.io.tmpdir") + "/graft_incr_" +
+        Integer.toHexString(dir.hashCode)
+      val p = new org.apache.hadoop.fs.Path(store)
+      val fs = p.getFileSystem(s.sessionState.newHadoopConf())
+      if (fs.exists(p)) fs.delete(p, true)
+      Dedup.incrementalExactDedup(docs.filter(col("doc_id") < 250),
+        "doc_id", "text", store, "b1", bloomExpectedItems = 2000)
+      Dedup.incrementalExactDedup(
+          docs.filter(col("doc_id") >= 250).unionByName(
+            docs.filter(pmod(col("doc_id"), lit(7)) === 0)
+              .select((col("doc_id") + 10000).as("doc_id"), col("text"))),
+          "doc_id", "text", store, "b2", bloomExpectedItems = 2000)
+        .select(col("doc_id"),
+          length(col("text")).cast(LongType).as("n_chars"))
+        .orderBy(col("doc_id"))
+    },
+
     // ---- char-trigram LM perplexity scoring (CCNet-style quality
     // filter): add-one-smoothed trigram model trained ON the corpus,
     // each doc scored by mean -ln p(gram). Model size is bounded by the
