@@ -30,7 +30,10 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // local[32] with an 8g ceiling GC-thrashed the bench tail (same query
+  // subset: 78s at 8g -> 14s at 24g); the box has 128 GiB, so give the
+  // single-JVM "cluster" a real executor-sized heap.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
 )
 
 // one shared SparkSession across suites
