@@ -1,0 +1,161 @@
+package graft.chsql
+
+/** Minimal SQL lexer for the ClickHouse dialect layer: splits a script
+  * into statements and a statement into tokens, respecting
+  * single-quoted strings ('' escape), backtick identifiers, `--` and
+  * `/* */` comments. The rewriter works on this token stream — naive
+  * regex rewrites would corrupt literals like 'FROM FINAL'.
+  */
+object ChLexer {
+
+  final case class Token(text: String, isString: Boolean = false) {
+    def upper: String = text.toUpperCase
+    def is(s: String): Boolean = !isString && text.equalsIgnoreCase(s)
+    def isIdent: Boolean = !isString && text.nonEmpty &&
+      (Character.isLetter(text.charAt(0)) || text.charAt(0) == '_' ||
+        text.charAt(0) == '`')
+  }
+
+  /** Strips comments and splits on top-level semicolons. */
+  def statements(script: String): Seq[String] = {
+    val cleaned = stripComments(script)
+    ChTypes.splitTopLevel(cleaned, ';').map(_.trim)
+      .filter(_.nonEmpty)
+  }
+
+  def stripComments(s: String): String = {
+    val out = new StringBuilder
+    var i = 0
+    var inStr = false
+    var inTick = false
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (inStr) {
+        out += c
+        if (c == '\'') {
+          if (i + 1 < s.length && s.charAt(i + 1) == '\'') { out += '\''; i += 1 }
+          else inStr = false
+        }
+        i += 1
+      } else if (inTick) {
+        out += c
+        if (c == '`') inTick = false
+        i += 1
+      } else if (c == '\'') { inStr = true; out += c; i += 1 }
+      else if (c == '`') { inTick = true; out += c; i += 1 }
+      else if (c == '-' && i + 1 < s.length && s.charAt(i + 1) == '-') {
+        while (i < s.length && s.charAt(i) != '\n') i += 1
+      } else if (c == '/' && i + 1 < s.length && s.charAt(i + 1) == '*') {
+        i += 2
+        while (i + 1 < s.length && !(s.charAt(i) == '*' && s.charAt(i + 1) == '/')) i += 1
+        i += 2
+      } else { out += c; i += 1 }
+    }
+    out.result()
+  }
+
+  private val punct = Set('(', ')', ',', ';')
+
+  /** Tokenizes a comment-free statement. Operators are kept as single
+    * tokens where the rewriter cares (`\\G` tails, `==`); identifiers
+    * keep qualified dots (`db.table`, `system.parts`) as ONE token so
+    * catalog rewriting is a token map.
+    */
+  def tokenize(sql: String): Vector[Token] = {
+    val out = Vector.newBuilder[Token]
+    var i = 0
+    val n = sql.length
+    while (i < n) {
+      val c = sql.charAt(i)
+      if (Character.isWhitespace(c)) i += 1
+      else if (c == '\'') {
+        val sb = new StringBuilder("'")
+        i += 1
+        var done = false
+        while (i < n && !done) {
+          val ch = sql.charAt(i)
+          sb += ch
+          if (ch == '\'') {
+            if (i + 1 < n && sql.charAt(i + 1) == '\'') { sb += '\''; i += 1 }
+            else done = true
+          }
+          i += 1
+        }
+        out += Token(sb.result(), isString = true)
+      } else if (c == '`') {
+        val j = sql.indexOf('`', i + 1)
+        val end = if (j < 0) n - 1 else j
+        // qualified `db`.`table` — keep gluing dots below
+        var text = sql.substring(i, end + 1)
+        i = end + 1
+        while (i < n && sql.charAt(i) == '.') {
+          val rest = readIdentPart(sql, i + 1)
+          text += "." + rest
+          i += 1 + rest.length
+        }
+        out += Token(text)
+      } else if (Character.isLetter(c) || c == '_') {
+        var j = i
+        while (j < n && (Character.isLetterOrDigit(sql.charAt(j)) ||
+          sql.charAt(j) == '_')) j += 1
+        var text = sql.substring(i, j)
+        i = j
+        // glue qualified names into one token: db.table, a.b.c
+        while (i < n && sql.charAt(i) == '.' && i + 1 < n &&
+          (Character.isLetter(sql.charAt(i + 1)) || sql.charAt(i + 1) == '_' ||
+            sql.charAt(i + 1) == '`')) {
+          val rest = readIdentPart(sql, i + 1)
+          text += "." + rest
+          i += 1 + rest.length
+        }
+        out += Token(text)
+      } else if (Character.isDigit(c)) {
+        var j = i
+        while (j < n && (Character.isLetterOrDigit(sql.charAt(j)) ||
+          sql.charAt(j) == '.')) j += 1
+        out += Token(sql.substring(i, j))
+        i = j
+      } else if (punct(c)) { out += Token(c.toString); i += 1 }
+      else {
+        // operator run: ==, <=, >=, !=, ||, ->, \G
+        var j = i + 1
+        while (j < n && !Character.isLetterOrDigit(sql.charAt(j)) &&
+          !Character.isWhitespace(sql.charAt(j)) && !punct(sql.charAt(j)) &&
+          sql.charAt(j) != '\'' && sql.charAt(j) != '`' &&
+          sql.charAt(j) != '_') j += 1
+        out += Token(sql.substring(i, j))
+        i = j
+      }
+    }
+    out.result()
+  }
+
+  private def readIdentPart(sql: String, start: Int): String = {
+    if (start < sql.length && sql.charAt(start) == '`') {
+      val j = sql.indexOf('`', start + 1)
+      sql.substring(start, if (j < 0) sql.length else j + 1)
+    } else {
+      var j = start
+      while (j < sql.length && (Character.isLetterOrDigit(sql.charAt(j)) ||
+        sql.charAt(j) == '_')) j += 1
+      sql.substring(start, j)
+    }
+  }
+
+  /** Renders tokens back to SQL text with spacing that Spark's parser
+    * accepts (space-separated except around punctuation).
+    */
+  def render(tokens: Seq[Token]): String = {
+    val sb = new StringBuilder
+    tokens.foreach { t =>
+      if (sb.nonEmpty) {
+        val last = sb.charAt(sb.length - 1)
+        val first = t.text.charAt(0)
+        if (last != '(' && first != ')' && first != ',')
+          sb += ' '
+      }
+      sb ++= t.text
+    }
+    sb.result()
+  }
+}

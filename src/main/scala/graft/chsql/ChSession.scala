@@ -1,0 +1,730 @@
+package graft.chsql
+
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.mergetree.FoldViews
+import graft.operators.LimitBy
+
+import scala.collection.mutable
+
+/** A stateful ClickHouse-SQL interpreter over Spark: runs the reference
+  * repo's scripts — DDL (homeworks/scripts/hw02.sql), MV cascades
+  * (clusters/ch_and_kafka/db/init.sql), and the lecture SELECT dialect —
+  * against DataFrames.
+  *
+  * Semantics map, not a storage engine port: tables are block-append
+  * DataFrames (a MergeTree part ≈ an inserted block), FINAL routes
+  * through [[graft.mergetree.FoldViews]], materialized views are insert
+  * triggers over each block (the reference's MV contract), and SELECT
+  * text goes through [[ChSqlRewrite]] into Spark SQL with the ClickHouse
+  * function dialect registered natively (ChRegistry — zero UDF overhead).
+  *
+  * Engines: the MergeTree family folds by its declared keys;
+  * Null discards rows but fires MVs (lectures/lecture_13.md:376);
+  * Kafka tables hold no rows — [[ingest]] simulates a consumed batch,
+  * firing attached MVs exactly like the reference's consumer;
+  * Distributed(cluster, db, t) reads/writes its local table;
+  * Buffer(db, t) forwards to its target; Memory/Set/Join/Log append.
+  */
+object ChSession {
+
+  sealed trait Engine
+  object Engine {
+    final case class MergeTree(kind: String, keys: Seq[String],
+        version: Option[String], sign: Option[String],
+        sumCols: Seq[String], sampleBy: Option[String]) extends Engine
+    case object Null extends Engine
+    case object Kafka extends Engine
+    case object Memory extends Engine
+    final case class Distributed(db: String, table: String) extends Engine
+    final case class Buffer(db: String, table: String) extends Engine
+  }
+
+  final case class ColumnDef(name: String, dataType: DataType,
+      nullable: Boolean, default: Option[String], materialized: Option[String])
+
+  final class ChTable(val db: String, val name: String,
+      val columns: Seq[ColumnDef], val engine: Engine) {
+    val blocks = mutable.ArrayBuffer.empty[DataFrame]
+    var nextSeq = 0L
+    def schema: StructType = StructType(columns.map(c =>
+      StructField(c.name, c.dataType, c.nullable)))
+  }
+
+  final case class ChMv(db: String, name: String,
+      sourceDb: String, sourceTable: String,
+      selectSql: String, targetDb: String, targetTable: String)
+}
+
+final class ChSession(val spark: SparkSession) {
+  import ChSession._
+
+  graft.functions.ChRegistry.registerAll(spark)
+  graft.plans.NativeFunctions.register(spark)
+
+  // ------------------------------------------------------------ state
+
+  private val tables = mutable.LinkedHashMap.empty[(String, String), ChTable]
+  private val mvs = mutable.ArrayBuffer.empty[ChMv]
+  private val databases = mutable.Set("default")
+  var currentDb = "default"
+
+  // ------------------------------------------------------------ public
+
+  /** Runs a whole script; returns the result of each statement that
+    * produces one (SELECT/SHOW/DESCRIBE).
+    */
+  def execute(script: String): Seq[DataFrame] =
+    ChLexer.statements(script).flatMap(executeStatement)
+
+  /** Runs one ClickHouse SELECT and returns the DataFrame. */
+  def sql(query: String): DataFrame =
+    runSelect(query, Map.empty)
+
+  /** Simulates a consumed Kafka batch (or any out-of-band arrival) on
+    * `table`: rows land (unless ENGINE=Null/Kafka) and attached MVs fire.
+    */
+  def ingest(tableRef: String, block: DataFrame): Unit =
+    insertBlock(parseRef(tableRef), block, castByPosition = false)
+
+  /** The read view of a table (no FINAL fold). */
+  def table(tableRef: String): DataFrame = tableDf(lookup(parseRef(tableRef)))
+
+  // ------------------------------------------------------ statements
+
+  private def executeStatement(stmtRaw: String): Option[DataFrame] = {
+    val stmt = stmtRaw.trim
+    val toks = ChLexer.tokenize(stmt)
+    if (toks.isEmpty) return None
+    val head = toks.head.upper
+    head match {
+      case "SELECT" | "WITH" => Some(runSelect(stmt, Map.empty))
+      case "CREATE" | "ATTACH" => runCreate(stmt, toks); None
+      case "DROP" => runDrop(toks); None
+      case "USE" => currentDb = strip(toks(1).text); None
+      case "INSERT" => runInsert(stmt, toks); None
+      case "TRUNCATE" =>
+        val ref = parseRef(strip(toks.last.text))
+        lookup(ref).blocks.clear(); None
+      case "OPTIMIZE" => runOptimize(toks); None
+      case "ALTER" => runAlter(stmt, toks); None
+      case "RENAME" => // RENAME TABLE a TO b
+        val a = parseRef(strip(toks(2).text)); val b = parseRef(strip(toks(4).text))
+        val t = tables.remove(a).getOrElse(fail(s"no table ${a._1}.${a._2}"))
+        val nt = new ChTable(b._1, b._2, t.columns, t.engine)
+        nt.blocks ++= t.blocks
+        nt.nextSeq = t.nextSeq
+        tables(b) = nt
+        None
+      case "SHOW" =>
+        if (toks(1).is("DATABASES"))
+          Some(spark.createDataFrame(
+            databases.toSeq.sorted.map(Row(_)).asJavaList,
+            StructType(Seq(StructField("name", StringType)))))
+        else {
+          val db = if (toks.length > 3 && toks(2).is("FROM")) strip(toks(3).text)
+            else currentDb
+          Some(spark.createDataFrame(
+            tables.keys.filter(_._1 == db).map(k => Row(k._2)).toSeq.asJavaList,
+            StructType(Seq(StructField("name", StringType)))))
+        }
+      case "DESCRIBE" | "DESC" =>
+        val ref = parseRef(strip(toks.last.text))
+        val t = lookup(ref)
+        Some(spark.createDataFrame(
+          t.columns.map(c => Row(c.name, c.dataType.simpleString)).asJavaList,
+          StructType(Seq(StructField("name", StringType),
+            StructField("type", StringType)))))
+      case "SET" | "SYSTEM" | "GRANT" | "REVOKE" | "KILL" => None // no-op
+      case other => fail(s"unsupported statement: $other ...")
+    }
+  }
+
+  private implicit class SeqRowOps(rows: Seq[Row]) {
+    def asJavaList: java.util.List[Row] = {
+      val l = new java.util.ArrayList[Row](rows.length)
+      rows.foreach(l.add)
+      l
+    }
+  }
+
+  // ------------------------------------------------------ CREATE
+
+  private def runCreate(stmt: String, toksIn: Vector[ChLexer.Token]): Unit = {
+    // strip ON CLUSTER <x> anywhere
+    var toks = toksIn
+    val oc = toks.indexWhere(_.is("ON"))
+    if (oc > 0 && oc + 1 < toks.length && toks(oc + 1).is("CLUSTER"))
+      toks = toks.take(oc) ++ toks.drop(oc + 3)
+    var i = 1
+    var orReplace = false
+    if (toks(i).is("OR") && toks(i + 1).is("REPLACE")) { orReplace = true; i += 2 }
+    val isMv = toks(i).is("MATERIALIZED")
+    if (isMv) i += 1
+    val kind = toks(i).upper // DATABASE | TABLE | VIEW
+    i += 1
+    var ifNotExists = false
+    if (toks(i).is("IF")) { ifNotExists = true; i += 3 } // IF NOT EXISTS
+    val nameTok = strip(toks(i).text)
+    i += 1
+
+    if (kind == "DATABASE") { databases += nameTok; return }
+
+    val (db, name) = parseRef(nameTok)
+    if (tables.contains((db, name))) {
+      if (ifNotExists) return
+      if (!orReplace) fail(s"table $db.$name already exists")
+      tables.remove((db, name))
+    }
+
+    if (isMv || kind == "VIEW") {
+      // CREATE [MATERIALIZED] VIEW name [TO tgt] [ENGINE..] [POPULATE] AS SELECT
+      val asAt = indexOfTopLevel(toks, "AS")
+      require(asAt > 0, s"CREATE VIEW without AS SELECT: $stmt")
+      val selectSql = ChLexer.render(toks.drop(asAt + 1))
+      if (!isMv) {
+        // plain view = a table-valued macro: store as a zero-column MV-less
+        // table whose read path runs the SELECT
+        viewDefs((db, name)) = selectSql
+        return
+      }
+      val toAt = toks.indexWhere(_.is("TO"))
+      val (tdb, tname) =
+        if (toAt > 0 && toAt < asAt) parseRef(strip(toks(toAt + 1).text))
+        else {
+          // MV with its own ENGINE: implicit inner table named after the MV
+          val cd = inferColumnsFromSelect(selectSql)
+          val inner = new ChTable(db, name, cd, parseEngineClause(toks, asAt))
+          tables((db, name)) = inner
+          (db, name)
+        }
+      val src = findSourceTable(selectSql).getOrElse(
+        fail(s"MV $db.$name: cannot find source table in: $selectSql"))
+      mvs += ChMv(db, name, src._1, src._2, selectSql, tdb, tname)
+      if (toks.exists(_.is("POPULATE"))) {
+        val res = runSelect(selectSql, Map.empty)
+        insertBlock((tdb, tname), res, castByPosition = true)
+      }
+      return
+    }
+
+    // CREATE TABLE
+    // AS SELECT (CTAS) or AS other_table (schema copy)?
+    val parenAt = toks.indexWhere(_.text == "(")
+    val engineAt = indexOfTopLevel(toks, "ENGINE")
+    val asAt = indexOfTopLevel(toks, "AS")
+    if (parenAt < 0 || (asAt > 0 && asAt < parenAt)) {
+      if (asAt > 0 && toks(asAt + 1).is("SELECT")) {
+        val res = runSelect(ChLexer.render(toks.drop(asAt + 1)), Map.empty)
+        val cols = res.schema.fields.map(f =>
+          ColumnDef(f.name, f.dataType, f.nullable, None, None)).toSeq
+        val t = new ChTable(db, name, cols, parseEngineClause(toks, toks.length))
+        tables((db, name)) = t
+        insertBlock((db, name), res, castByPosition = false)
+      } else if (asAt > 0) {
+        val srcT = lookup(parseRef(strip(toks(asAt + 1).text)))
+        tables((db, name)) = new ChTable(db, name, srcT.columns,
+          parseEngineClause(toks, toks.length) match {
+            case Engine.Memory => srcT.engine // AS t with no ENGINE: copy
+            case e => e
+          })
+      } else fail(s"CREATE TABLE without columns or AS: $stmt")
+      return
+    }
+    val parenClose = matchParenTok(toks, parenAt)
+    val colsSql = ChLexer.render(toks.slice(parenAt + 1, parenClose))
+    // CTAS with both schema and AS SELECT is rare; handle columns form
+    val columns = ChTypes.splitTopLevel(colsSql).flatMap(parseColumnDef)
+    val engine = parseEngineClause(toks, parenClose)
+    tables((db, name)) = new ChTable(db, name, columns, engine)
+    if (asAt > parenClose && asAt > 0 && asAt + 1 < toks.length &&
+      toks(asAt + 1).is("SELECT")) {
+      val res = runSelect(ChLexer.render(toks.drop(asAt + 1)), Map.empty)
+      insertBlock((db, name), res, castByPosition = true)
+    }
+  }
+
+  private val viewDefs = mutable.Map.empty[(String, String), String]
+
+  private def parseColumnDef(defSql: String): Option[ColumnDef] = {
+    val toks = ChLexer.tokenize(defSql)
+    if (toks.isEmpty) return None
+    val head = toks.head
+    if (head.is("INDEX") || head.is("CONSTRAINT") || head.is("PROJECTION"))
+      return None // skip-index / constraint defs: not a column
+    val name = strip(head.text)
+    // type = tokens until a column-option keyword
+    val optionKw = Set("DEFAULT", "MATERIALIZED", "ALIAS", "CODEC", "TTL",
+      "COMMENT", "EPHEMERAL")
+    var i = 1
+    val typeSb = new StringBuilder
+    while (i < toks.length && !optionKw(toks(i).upper)) {
+      typeSb ++= toks(i).text; i += 1
+    }
+    val parsed = ChTypes.parse(typeSb.result())
+    var default: Option[String] = None
+    var materializedE: Option[String] = None
+    while (i < toks.length) {
+      val kw = toks(i).upper
+      var j = i + 1
+      while (j < toks.length && !optionKw(toks(j).upper)) j += 1
+      val body = ChLexer.render(toks.slice(i + 1, j))
+      kw match {
+        case "DEFAULT" => default = Some(body)
+        case "MATERIALIZED" | "ALIAS" => materializedE = Some(body)
+        case _ => // CODEC/TTL/COMMENT: storage hints — dropped
+      }
+      i = j
+    }
+    Some(ColumnDef(name, parsed.dataType, parsed.nullable, default,
+      materializedE))
+  }
+
+  private def parseEngineClause(toks: Vector[ChLexer.Token],
+                                from: Int): Engine = {
+    val at = toks.indexWhere(_.is("ENGINE"), from)
+    val realAt = if (at < 0) toks.indexWhere(_.is("ENGINE")) else at
+    if (realAt < 0) return Engine.Memory
+    var i = realAt + 1
+    if (toks(i).text == "=") i += 1
+    val ename = toks(i).text
+    val args: Seq[String] =
+      if (i + 1 < toks.length && toks(i + 1).text == "(") {
+        val close = matchParenTok(toks, i + 1)
+        ChTypes.splitTopLevel(ChLexer.render(toks.slice(i + 2, close)))
+      } else Seq.empty
+    val lower = ename.toLowerCase
+    def clauseExpr(kw1: String, kw2: String): Option[Seq[String]] = {
+      var k = toks.indexWhere(t => t.is(kw1), realAt)
+      while (k > 0 && (k + 1 >= toks.length || !toks(k + 1).is(kw2)))
+        k = toks.indexWhere(t => t.is(kw1), k + 1)
+      if (k < 0) None
+      else {
+        var j = k + 2
+        val stops = Set("ORDER", "PARTITION", "PRIMARY", "SAMPLE", "TTL",
+          "SETTINGS", "COMMENT", "AS")
+        if (toks(j).text == "(") {
+          val close = matchParenTok(toks, j)
+          Some(ChTypes.splitTopLevel(ChLexer.render(toks.slice(j + 1, close))))
+        } else {
+          val sb = Vector.newBuilder[ChLexer.Token]
+          while (j < toks.length && !stops(toks(j).upper)) { sb += toks(j); j += 1 }
+          Some(ChTypes.splitTopLevel(ChLexer.render(sb.result())))
+        }
+      }
+    }
+    val orderKeys = clauseExpr("ORDER", "BY")
+      .orElse(clauseExpr("PRIMARY", "KEY"))
+      .getOrElse(Seq.empty)
+      .filterNot(_.equalsIgnoreCase("tuple()"))
+    val sampleBy = clauseExpr("SAMPLE", "BY").flatMap(_.headOption)
+
+    def stripQ(s: String): String = s.stripPrefix("'").stripSuffix("'")
+    // Replicated* wrappers: first two args are zk path + replica name
+    val (family, fargs) =
+      if (lower.startsWith("replicated"))
+        (lower.stripPrefix("replicated"), args.drop(2))
+      else (lower, args)
+    family match {
+      case "mergetree" | "graphitemergetree" =>
+        Engine.MergeTree("plain", orderKeys, None, None, Nil, sampleBy)
+      case "replacingmergetree" =>
+        Engine.MergeTree("replacing", orderKeys, fargs.headOption, None, Nil,
+          sampleBy)
+      case "summingmergetree" =>
+        Engine.MergeTree("summing", orderKeys, None, None, fargs, sampleBy)
+      case "collapsingmergetree" =>
+        Engine.MergeTree("collapsing", orderKeys, None, fargs.headOption, Nil,
+          sampleBy)
+      case "versionedcollapsingmergetree" =>
+        Engine.MergeTree("vcollapsing", orderKeys,
+          fargs.lift(1), fargs.headOption, Nil, sampleBy)
+      case "aggregatingmergetree" =>
+        Engine.MergeTree("aggregating", orderKeys, None, None, Nil, sampleBy)
+      case "null" => Engine.Null
+      case "kafka" => Engine.Kafka
+      case "distributed" =>
+        Engine.Distributed(stripQ(fargs(1)), stripQ(fargs(2)))
+      case "buffer" => Engine.Buffer(stripQ(fargs(0)), stripQ(fargs(1)))
+      case _ => Engine.Memory // Memory/Set/Join/Log/TinyLog/URL/File/...
+    }
+  }
+
+  private def inferColumnsFromSelect(selectSql: String): Seq[ColumnDef] =
+    runSelect(selectSql, Map.empty).limit(0).schema.fields.map(f =>
+      ColumnDef(f.name, f.dataType, f.nullable, None, None)).toSeq
+
+  private def findSourceTable(selectSql: String): Option[(String, String)] = {
+    val toks = ChLexer.tokenize(selectSql)
+    val fromAt = toks.indexWhere(_.is("FROM"))
+    if (fromAt < 0 || fromAt + 1 >= toks.length) None
+    else {
+      val t = toks(fromAt + 1)
+      if (t.isIdent) Some(parseRef(strip(t.text))) else None
+    }
+  }
+
+  // ------------------------------------------------------ DROP / ALTER
+
+  private def runDrop(toks: Vector[ChLexer.Token]): Unit = {
+    val what = toks(1).upper
+    var i = 2
+    if (i < toks.length && toks(i).is("IF")) i += 2 // IF EXISTS
+    val name = strip(toks(i).text)
+    what match {
+      case "DATABASE" =>
+        databases -= name
+        tables.keys.filter(_._1 == name).toSeq.foreach(tables.remove)
+        mvs.filterInPlace(m => m.db != name)
+      case "TABLE" | "VIEW" | "DICTIONARY" =>
+        val ref = parseRef(name)
+        tables.remove(ref)
+        viewDefs.remove(ref)
+        mvs.filterInPlace(m => (m.db, m.name) != ref)
+      case other => fail(s"unsupported DROP $other")
+    }
+  }
+
+  private def runOptimize(toks: Vector[ChLexer.Token]): Unit = {
+    val ref = parseRef(strip(toks(2).text))
+    val t = lookup(ref)
+    val folded =
+      if (toks.exists(_.is("DEDUPLICATE"))) tableDf(t).dropDuplicates()
+      else finalDf(t)
+    t.blocks.clear()
+    t.blocks += folded.withColumn("__graft_seq", lit(0L))
+  }
+
+  private def runAlter(stmt: String, toks: Vector[ChLexer.Token]): Unit = {
+    val ref = parseRef(strip(toks(2).text))
+    val t = lookup(ref)
+    val op = toks(3).upper
+    op match {
+      case "DELETE" => // ALTER TABLE t DELETE WHERE pred
+        val whereAt = toks.indexWhere(_.is("WHERE"))
+        val pred = ChLexer.render(toks.drop(whereAt + 1))
+        val kept = tableDf(t).filter(s"NOT ($pred)")
+        t.blocks.clear(); t.blocks += kept.withColumn("__graft_seq", lit(0L))
+      case "UPDATE" => // ALTER TABLE t UPDATE a = e1, b = e2 WHERE pred
+        val whereAt = indexOfTopLevel(toks, "WHERE")
+        val assigns = ChTypes.splitTopLevel(
+          ChLexer.render(toks.slice(4, whereAt)))
+        val pred = ChLexer.render(toks.drop(whereAt + 1))
+        var df = tableDf(t)
+        assigns.foreach { a =>
+          val eq = a.indexOf('=')
+          val c = a.substring(0, eq).trim
+          val e = a.substring(eq + 1).trim
+          df = df.withColumn(c,
+            when(expr(pred), expr(e)).otherwise(col(c)))
+        }
+        t.blocks.clear(); t.blocks += df.withColumn("__graft_seq", lit(0L))
+      case "ADD" => // ALTER TABLE t ADD COLUMN name Type [DEFAULT e]
+        val cd = parseColumnDef(ChLexer.render(toks.drop(5))).get
+        val withCol = tableDf(t).withColumn(cd.name,
+          cd.default.map(expr).getOrElse(typeZero(cd.dataType)).cast(cd.dataType))
+        val nt = new ChTable(t.db, t.name, t.columns :+ cd, t.engine)
+        nt.blocks += withCol.withColumn("__graft_seq", lit(0L))
+        tables(ref) = nt
+      case "DROP" => // ALTER TABLE t DROP COLUMN name
+        val cname = strip(toks(5).text)
+        val nt = new ChTable(t.db, t.name,
+          t.columns.filterNot(_.name == cname), t.engine)
+        nt.blocks += tableDf(t).drop(cname).withColumn("__graft_seq", lit(0L))
+        tables(ref) = nt
+      case other => fail(s"unsupported ALTER $other")
+    }
+  }
+
+  // ------------------------------------------------------ INSERT
+
+  private def runInsert(stmt: String, toks: Vector[ChLexer.Token]): Unit = {
+    // INSERT INTO [TABLE] [db.]t [(cols)] VALUES ... | SELECT ... | FORMAT
+    var i = 2
+    if (toks(i).is("TABLE")) i += 1
+    val ref = parseRef(strip(toks(i).text))
+    i += 1
+    var colList: Option[Seq[String]] = None
+    if (i < toks.length && toks(i).text == "(") {
+      val close = matchParenTok(toks, i)
+      colList = Some(toks.slice(i + 1, close).filter(_.text != ",")
+        .map(t => strip(t.text)))
+      i = close + 1
+    }
+    val t = lookup(ref)
+    if (i >= toks.length) fail(s"INSERT without data: $stmt")
+    val block: DataFrame =
+      if (toks(i).is("VALUES")) {
+        val valuesSql = ChLexer.render(toks.drop(i + 1))
+        val raw = spark.sql(s"SELECT * FROM VALUES $valuesSql")
+        val names = colList.getOrElse(t.columns.map(_.name))
+        raw.toDF(names: _*)
+      } else if (toks(i).is("SELECT") || toks(i).is("WITH") ||
+        toks(i).text == "(") {
+        val res = runSelect(ChLexer.render(toks.drop(i)), Map.empty)
+        colList match {
+          case Some(names) => res.toDF(names: _*)
+          case None => res.toDF(t.columns.filter(_.materialized.isEmpty)
+            .map(_.name).take(res.columns.length): _*)
+        }
+      } else if (toks(i).is("FORMAT")) {
+        fail("INSERT ... FORMAT with inline payload is not supported — " +
+          "use ingest(table, df)")
+      } else fail(s"unsupported INSERT form: $stmt")
+    insertBlock(ref, block, castByPosition = true)
+  }
+
+  /** Core insert path: schema-align the block, store it (engine
+    * permitting), fire attached MVs on the BLOCK (the CH MV contract:
+    * triggers see the inserted block, never the whole table).
+    */
+  private def insertBlock(ref: (String, String), blockIn: DataFrame,
+                          castByPosition: Boolean): Unit = {
+    val t = lookup(ref)
+    val block = alignToSchema(t, blockIn)
+    t.engine match {
+      case Engine.Null | Engine.Kafka => // rows discarded, MVs still fire
+      case Engine.Distributed(db, tbl) =>
+        return insertBlock((db, tbl), block, castByPosition = false)
+      case Engine.Buffer(db, tbl) =>
+        return insertBlock((db, tbl), block, castByPosition = false)
+      case _ =>
+        val seq = t.nextSeq
+        t.nextSeq += 1
+        // a summing/replacing MergeTree part is written MERGED: the fold
+        // applies within each inserted block immediately
+        // (lecture_07.md:448-465 — one block of 10 id=1 rows lands as a
+        // single summed row; FINAL only merges ACROSS parts). Collapsing
+        // engines do NOT net out inside a part — ClickHouse keeps the
+        // unpaired -1/+1 rows so later parts can cancel them
+        // (lecture_07.md:680-736).
+        val perBlockFold = t.engine match {
+          case m: Engine.MergeTree => m.kind == "summing" || m.kind == "replacing"
+          case _ => false
+        }
+        val stored =
+          if (perBlockFold)
+            fold(block.withColumn("__graft_seq", monotonically_increasing_id()), t)
+          else block
+        t.blocks += stored.withColumn("__graft_seq", lit(seq))
+    }
+    // fire MVs bound to this source, binding the source name to the block.
+    // Extra block columns beyond the declared schema stay visible — they
+    // are the Kafka virtual columns (_topic/_offset/_timestamp_ms/
+    // _partition) the reference's raw-capture MV selects
+    // (clusters/ch_and_kafka/db/init.sql:36-44).
+    if (mvs.exists(m => (m.sourceDb, m.sourceTable) == ref)) {
+      val mvBlock = alignToSchema(t, blockIn, keepExtras = true)
+      mvs.filter(m => (m.sourceDb, m.sourceTable) == ref).foreach { m =>
+        val res = runSelect(m.selectSql, Map(ref -> mvBlock))
+        insertBlock((m.targetDb, m.targetTable), res, castByPosition = true)
+      }
+    }
+  }
+
+  /** Missing columns get DEFAULT expr or the ClickHouse type-zero;
+    * MATERIALIZED columns always recompute; present columns cast to the
+    * declared type.
+    */
+  private def alignToSchema(t: ChTable, block: DataFrame,
+                            keepExtras: Boolean = false): DataFrame = {
+    if (t.columns.isEmpty) return block
+    val present = block.columns.map(c => c.toLowerCase -> c).toMap
+    val cols = t.columns.map { c =>
+      val src = present.get(c.name.toLowerCase)
+      val e: Column = c.materialized match {
+        case Some(m) => expr(m)
+        case None => src match {
+          case Some(s) => col(s)
+          case None => c.default.map(expr).getOrElse(
+            if (c.nullable) lit(null) else typeZero(c.dataType))
+        }
+      }
+      e.cast(c.dataType).as(c.name)
+    }
+    val declared = t.columns.map(_.name.toLowerCase).toSet
+    val extras =
+      if (keepExtras) block.columns.filterNot(c => declared(c.toLowerCase))
+        .map(col).toSeq
+      else Seq.empty
+    block.select(cols ++ extras: _*)
+  }
+
+  private def typeZero(dt: DataType): Column = dt match {
+    case _: IntegerType | _: LongType | _: FloatType | _: DoubleType |
+         _: DecimalType => lit(0)
+    case _: StringType => lit("")
+    case _: BooleanType => lit(false)
+    case _: DateType => lit("1970-01-01").cast(DateType)
+    case _: TimestampType => lit(0).cast(TimestampType)
+    case ArrayType(et, _) => array().cast(dt)
+    case _ => lit(null)
+  }
+
+  // ------------------------------------------------------ SELECT
+
+  private def runSelect(query: String,
+                        overrides: Map[(String, String), DataFrame]): DataFrame = {
+    val resolver = new ChSqlRewrite.Resolver {
+      def resolve(ident: String): Option[ChSqlRewrite.ResolvedTable] = {
+        val ref = parseRef(strip(ident))
+        overrides.get(ref) match {
+          case Some(block) =>
+            val v = viewName(ref) + "__block"
+            dropSeq(block).createOrReplaceTempView(v)
+            return Some(ChSqlRewrite.ResolvedTable(v))
+          case None =>
+        }
+        viewDefs.get(ref) match {
+          case Some(viewSql) =>
+            val v = viewName(ref) + "__view"
+            runSelect(viewSql, overrides).createOrReplaceTempView(v)
+            return Some(ChSqlRewrite.ResolvedTable(v))
+          case None =>
+        }
+        tables.get(ref).map { t =>
+          val base = viewName(ref)
+          tableDf(t).createOrReplaceTempView(base)
+          val fin = base + "__final"
+          finalDf(t).createOrReplaceTempView(fin)
+          ChSqlRewrite.ResolvedTable(base, Some(fin), sampleKey(t))
+        }
+      }
+    }
+    val rw = ChSqlRewrite.rewrite(query, resolver)
+    var df = spark.sql(rw.sql)
+    rw.limitBy.foreach { lb =>
+      val order = lb.orderSql match {
+        case Some(o) => ChTypes.splitTopLevel(o).map(parseOrderCol)
+        case None => lb.keys.map(k => expr(k).asc)
+      }
+      df = LimitBy.limitBy(df, lb.n.toInt, lb.keys.map(expr), order,
+        lb.offset.toInt)
+      // LIMIT BY preserves the query's ORDER BY in ClickHouse; the
+      // row_number shuffle above does not — re-establish it so a final
+      // LIMIT cuts the same rows
+      lb.orderSql.foreach { o =>
+        df = df.orderBy(ChTypes.splitTopLevel(o).map(parseOrderCol): _*)
+      }
+    }
+    rw.finalLimit.foreach { case (off, n) =>
+      df = (if (off > 0) df.offset(off.toInt) else df).limit(n.toInt)
+    }
+    df
+  }
+
+  private def parseOrderCol(s: String): Column = {
+    val up = s.trim.toUpperCase
+    if (up.endsWith(" DESC")) expr(s.trim.dropRight(5)).desc
+    else if (up.endsWith(" ASC")) expr(s.trim.dropRight(4)).asc
+    else expr(s.trim).asc
+  }
+
+  private def sampleKey(t: ChTable): Option[String] = t.engine match {
+    case m: Engine.MergeTree => m.sampleBy
+    case _ => None
+  }
+
+  private def tableDf(t: ChTable): DataFrame = {
+    t.engine match {
+      case Engine.Distributed(db, tbl) => return tableDf(lookup((db, tbl)))
+      case Engine.Buffer(db, tbl) => return tableDf(lookup((db, tbl)))
+      case _ =>
+    }
+    if (t.blocks.isEmpty)
+      spark.createDataFrame(new java.util.ArrayList[Row](), t.schema)
+    else dropSeq(t.blocks.reduce(_ unionByName _))
+  }
+
+  private def dropSeq(df: DataFrame): DataFrame =
+    if (df.columns.contains("__graft_seq")) df.drop("__graft_seq") else df
+
+  /** The FINAL fold for the table's MergeTree flavor (cross-part). */
+  private def finalDf(t: ChTable): DataFrame = {
+    val raw =
+      if (t.blocks.isEmpty)
+        spark.createDataFrame(new java.util.ArrayList[Row](),
+          t.schema.add("__graft_seq", LongType))
+      else t.blocks.reduce(_ unionByName _)
+    dropSeq(fold(raw, t)).select(t.columns.map(c => col(c.name)): _*)
+  }
+
+  /** One engine fold over rows carrying a `__graft_seq` order column
+    * (within-block row ids at insert time, block numbers at FINAL time).
+    */
+  private def fold(raw: DataFrame, t: ChTable): DataFrame = {
+    val keys = t.engine match {
+      case m: Engine.MergeTree => m.keys.filter(raw.columns.contains(_))
+      case _ => Nil
+    }
+    t.engine match {
+      case m: Engine.MergeTree if keys.nonEmpty => m.kind match {
+        case "replacing" =>
+          val ver = m.version.map(col).getOrElse(col("__graft_seq"))
+          FoldViews.replacingFinal(raw, keys,
+            struct(ver, col("__graft_seq")))
+        case "summing" =>
+          val sums = if (m.sumCols.nonEmpty) m.sumCols
+            else t.columns.collect {
+              case c if !keys.contains(c.name) &&
+                c.dataType.isInstanceOf[NumericType] => c.name
+            }
+          FoldViews.summingFinal(dropSeq(raw), keys, sums)
+            .withColumn("__graft_seq", lit(0L))
+        case "collapsing" =>
+          FoldViews.collapsingFinal(raw, keys, m.sign.get, col("__graft_seq"))
+        case "vcollapsing" =>
+          FoldViews.versionedCollapsingFinal(raw, keys, m.sign.get,
+            m.version.get, col("__graft_seq"))
+        case _ => raw // plain / aggregating: no fold
+      }
+      case _ => raw
+    }
+  }
+
+  // ------------------------------------------------------ helpers
+
+  private def viewName(ref: (String, String)): String =
+    s"chs_${ref._1}__${ref._2}".replaceAll("[^A-Za-z0-9_]", "_")
+
+  private def parseRef(ident: String): (String, String) = {
+    val s = strip(ident)
+    val dot = s.indexOf('.')
+    if (dot > 0) (s.substring(0, dot), s.substring(dot + 1))
+    else (currentDb, s)
+  }
+
+  private def lookup(ref: (String, String)): ChTable =
+    tables.getOrElse(ref, tables.getOrElse(("default", ref._2),
+      fail(s"no such table: ${ref._1}.${ref._2}")))
+
+  private def strip(s: String): String = s.replace("`", "")
+
+  private def indexOfTopLevel(toks: Vector[ChLexer.Token], kw: String): Int = {
+    var depth = 0
+    var i = 0
+    while (i < toks.length) {
+      if (toks(i).text == "(") depth += 1
+      else if (toks(i).text == ")") depth -= 1
+      else if (depth == 0 && toks(i).is(kw)) return i
+      i += 1
+    }
+    -1
+  }
+
+  private def matchParenTok(toks: Vector[ChLexer.Token], open: Int): Int = {
+    var depth = 0
+    var i = open
+    while (i < toks.length) {
+      if (toks(i).text == "(") depth += 1
+      else if (toks(i).text == ")") { depth -= 1; if (depth == 0) return i }
+      i += 1
+    }
+    toks.length - 1
+  }
+
+  private def fail(msg: String): Nothing =
+    throw new IllegalArgumentException(s"ChSession: $msg")
+}

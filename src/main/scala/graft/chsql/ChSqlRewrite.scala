@@ -1,0 +1,427 @@
+package graft.chsql
+
+import ChLexer.Token
+
+/** Token-level ClickHouse-SELECT → Spark-SQL rewriter. Pure text in,
+  * text + post-ops out; the stateful parts (catalog names, FINAL fold
+  * views, SAMPLE BY keys) come in through [[Resolver]].
+  *
+  * Handled dialect (all observed in the reference's lectures/homeworks):
+  * `PREWHERE` (merged into WHERE), `FROM t FINAL` (fold view routing),
+  * `SAMPLE f` (deterministic hash filter over the declared sample key),
+  * `ANY LEFT|INNER JOIN ... USING` (right side deduped per key),
+  * `GLOBAL` (dropped — one engine, no distributed IN), `IN table`
+  * (wrapped subquery), `numbers(N)` (range), `LIMIT n BY k` (post-op),
+  * trailing `FORMAT X` / `SETTINGS ...` / `INTO OUTFILE` / `\G`
+  * (dropped). ClickHouse function NAMES need no rewriting — the whole
+  * dialect is registered natively on the session (ChRegistry).
+  */
+object ChSqlRewrite {
+
+  /** What the session knows about one referenced table. */
+  final case class ResolvedTable(
+      viewName: String,
+      finalViewName: Option[String] = None,
+      sampleKeySql: Option[String] = None)
+
+  trait Resolver {
+    /** Maps a (possibly db-qualified) identifier to a registered view. */
+    def resolve(ident: String): Option[ResolvedTable]
+  }
+
+  object NoTables extends Resolver {
+    def resolve(ident: String): Option[ResolvedTable] = None
+  }
+
+  final case class LimitByOp(n: Long, offset: Long, keys: Seq[String],
+                             orderSql: Option[String])
+
+  final case class Rewritten(sql: String, limitBy: Option[LimitByOp],
+                             finalLimit: Option[(Long, Long)])
+
+  private val clauseStarters = Set("WHERE", "GROUP", "ORDER", "LIMIT",
+    "HAVING", "SETTINGS", "UNION", "INTERSECT", "EXCEPT", "WINDOW",
+    "QUALIFY", "FORMAT", "INTO")
+
+  def rewrite(sql: String, resolver: Resolver): Rewritten = {
+    var toks = ChLexer.tokenize(sql)
+    toks = stripTail(toks)
+    toks = fixCountStar(toks)
+    toks = dropGlobal(toks)
+    toks = rewriteNumbers(toks)
+    toks = rewriteAnyJoin(toks)
+    toks = rewritePrewhere(toks)
+    val (afterLimitBy, limitBy, finalLimit) = extractLimitBy(toks)
+    toks = afterLimitBy
+    toks = rewriteFromClauses(toks, resolver)
+    toks = rewriteInTable(toks, resolver)
+    toks = mapIdentifiers(toks, resolver)
+    Rewritten(ChLexer.render(toks), limitBy, finalLimit)
+  }
+
+  // ---- trailing FORMAT X / INTO OUTFILE '...' / \G / SETTINGS k=v ----
+  private def stripTail(toks: Vector[Token]): Vector[Token] = {
+    var t = toks
+    if (t.nonEmpty && t.last.text == "\\G") t = t.dropRight(1)
+    // top-level FORMAT <ident> at the very end
+    depthIndexOfLast(t, "FORMAT") match {
+      case i if i >= 0 && i == t.length - 2 => t = t.take(i)
+      case _ =>
+    }
+    // top-level INTO OUTFILE '...' [FORMAT x]
+    depthIndexOfLast(t, "INTO") match {
+      case i if i >= 0 && i + 1 < t.length && t(i + 1).is("OUTFILE") =>
+        t = t.take(i)
+      case _ =>
+    }
+    // top-level trailing SETTINGS k = v, ...
+    depthIndexOfLast(t, "SETTINGS") match {
+      case i if i >= 0 && settingsToEnd(t, i) => t = t.take(i)
+      case _ =>
+    }
+    t
+  }
+
+  private def settingsToEnd(t: Vector[Token], i: Int): Boolean = {
+    // SETTINGS is a statement tail iff only ident = literal [, ...] follow
+    var j = i + 1
+    while (j < t.length) {
+      if (t(j).isString || t(j).text == "," || t(j).text == "=" ||
+        t(j).isIdent || t(j).text.nonEmpty &&
+        (Character.isDigit(t(j).text.charAt(0)) || t(j).text == ".")) j += 1
+      else return false
+    }
+    true
+  }
+
+  private def depthIndexOfLast(t: Vector[Token], kw: String): Int = {
+    var depth = 0
+    var found = -1
+    var i = 0
+    while (i < t.length) {
+      val tok = t(i)
+      if (tok.text == "(") depth += 1
+      else if (tok.text == ")") depth -= 1
+      else if (depth == 0 && tok.is(kw)) found = i
+      i += 1
+    }
+    found
+  }
+
+  // ---- ClickHouse's zero-arg count() → count(*) ----
+  private def fixCountStar(toks: Vector[Token]): Vector[Token] = {
+    val out = Vector.newBuilder[Token]
+    var i = 0
+    while (i < toks.length) {
+      if (toks(i).is("count") && i + 2 < toks.length &&
+        toks(i + 1).text == "(" && toks(i + 2).text == ")") {
+        out += toks(i) += toks(i + 1) += Token("*") += toks(i + 2)
+        i += 3
+      } else { out += toks(i); i += 1 }
+    }
+    out.result()
+  }
+
+  // ---- GLOBAL JOIN / GLOBAL IN → plain (single engine) ----
+  private def dropGlobal(toks: Vector[Token]): Vector[Token] =
+    toks.filterNot(_.is("GLOBAL"))
+
+  // ---- numbers(N) → (SELECT id AS number FROM range(N)) ----
+  private def rewriteNumbers(toks: Vector[Token]): Vector[Token] = {
+    val out = Vector.newBuilder[Token]
+    var i = 0
+    while (i < toks.length) {
+      if (toks(i).is("numbers") && i + 1 < toks.length &&
+        toks(i + 1).text == "(" && prevSuggestsTable(toks, i)) {
+        val close = matchParen(toks, i + 1)
+        val args = toks.slice(i + 2, close)
+        out ++= ChLexer.tokenize("(SELECT id AS number FROM range(")
+        out ++= args
+        out ++= ChLexer.tokenize("))")
+        i = close + 1
+      } else { out += toks(i); i += 1 }
+    }
+    out.result()
+  }
+
+  private def prevSuggestsTable(toks: Vector[Token], i: Int): Boolean =
+    i == 0 || toks(i - 1).is("FROM") || toks(i - 1).is("JOIN") ||
+      toks(i - 1).text == ","
+
+  private def matchParen(toks: Vector[Token], open: Int): Int = {
+    var depth = 0
+    var i = open
+    while (i < toks.length) {
+      if (toks(i).text == "(") depth += 1
+      else if (toks(i).text == ")") { depth -= 1; if (depth == 0) return i }
+      i += 1
+    }
+    toks.length - 1
+  }
+
+  // ---- ANY [LEFT|INNER] JOIN t USING (k,...) → dedup the right side ----
+  private def rewriteAnyJoin(toks: Vector[Token]): Vector[Token] = {
+    val i = toks.indexWhere(t => t.is("ANY"))
+    if (i < 0) return toks
+    val joinKinds = Set("LEFT", "INNER", "RIGHT", "JOIN")
+    if (i + 1 >= toks.length || !joinKinds(toks(i + 1).upper)) return toks
+    // locate: ANY <kind>* JOIN <table|(subquery)> [AS alias] USING (keys)
+    var j = i + 1
+    while (j < toks.length && !toks(j).is("JOIN")) j += 1
+    var t0 = j + 1 // right-side table ref
+    val (rightEnd, rightSql) =
+      if (toks(t0).text == "(") {
+        val close = matchParen(toks, t0)
+        (close, ChLexer.render(toks.slice(t0, close + 1)))
+      } else (t0, toks(t0).text)
+    var k = rightEnd + 1
+    val aliasToks = Vector.newBuilder[Token]
+    while (k < toks.length && !toks(k).is("USING") && !toks(k).is("ON")) {
+      aliasToks += toks(k); k += 1
+    }
+    if (k >= toks.length || !toks(k).is("USING")) return toks // ON form: pass through without dedup
+    val usingOpen = if (toks(k + 1).text == "(") k + 1 else k
+    val usingClose = if (toks(k + 1).text == "(") matchParen(toks, k + 1) else k + 1
+    val keys = toks.slice(usingOpen + 1, usingClose).filter(_.text != ",")
+      .map(_.text)
+    val keyList = keys.mkString(", ")
+    val dedup = s"(SELECT * EXCEPT (__rn) FROM (SELECT *, row_number() " +
+      s"OVER (PARTITION BY $keyList ORDER BY $keyList) AS __rn FROM " +
+      s"$rightSql) WHERE __rn = 1)"
+    val rebuilt = toks.take(i) ++ toks.slice(i + 1, t0) ++
+      ChLexer.tokenize(dedup) ++ aliasToks.result() ++ toks.slice(k, toks.length)
+    rewriteAnyJoin(rebuilt) // handle further ANY joins
+  }
+
+  // ---- PREWHERE p [WHERE w] → WHERE (p) AND (w) ----
+  private def rewritePrewhere(toks: Vector[Token]): Vector[Token] = {
+    var depth = 0
+    var i = 0
+    while (i < toks.length) {
+      val t = toks(i)
+      if (t.text == "(") depth += 1
+      else if (t.text == ")") depth -= 1
+      else if (t.is("PREWHERE")) {
+        val d = depth
+        // find this block's WHERE / clause boundary at depth d
+        var j = i + 1
+        var dd = d
+        var whereAt = -1
+        var boundary = toks.length
+        var done = false
+        while (j < toks.length && !done) {
+          val tj = toks(j)
+          if (tj.text == "(") dd += 1
+          else if (tj.text == ")") { dd -= 1; if (dd < d) { boundary = j; done = true } }
+          else if (dd == d && tj.is("WHERE")) { whereAt = j; done = true }
+          else if (dd == d && clauseStarters(tj.upper) && !tj.is("WHERE")) {
+            boundary = j; done = true
+          }
+          j += 1
+        }
+        if (whereAt >= 0) {
+          // PREWHERE p WHERE w → WHERE (p) AND (w)  [w's extent ends at
+          // the next same-depth clause starter or depth drop]
+          var k = whereAt + 1
+          dd = d
+          var wEnd = toks.length
+          var stop = false
+          while (k < toks.length && !stop) {
+            val tk = toks(k)
+            if (tk.text == "(") dd += 1
+            else if (tk.text == ")") { dd -= 1; if (dd < d) { wEnd = k; stop = true } }
+            else if (dd == d && clauseStarters(tk.upper)) { wEnd = k; stop = true }
+            k += 1
+          }
+          val pred = toks.slice(i + 1, whereAt)
+          val wPred = toks.slice(whereAt + 1, wEnd)
+          val merged = toks.take(i) ++
+            ChLexer.tokenize("WHERE (") ++ pred ++ ChLexer.tokenize(") AND (") ++
+            wPred ++ ChLexer.tokenize(")") ++ toks.slice(wEnd, toks.length)
+          return rewritePrewhere(merged)
+        } else {
+          val merged = toks.updated(i, Token("WHERE"))
+          return rewritePrewhere(merged)
+        }
+      }
+      i += 1
+    }
+    toks
+  }
+
+  // ---- LIMIT n BY k / final LIMIT extraction (top level only) ----
+  private def extractLimitBy(toks: Vector[Token])
+      : (Vector[Token], Option[LimitByOp], Option[(Long, Long)]) = {
+    var depth = 0
+    var i = 0
+    while (i < toks.length) {
+      val t = toks(i)
+      if (t.text == "(") depth += 1
+      else if (t.text == ")") depth -= 1
+      else if (depth == 0 && t.is("LIMIT")) {
+        // forms: LIMIT n BY k | LIMIT o, n BY k | LIMIT n | LIMIT n OFFSET o
+        var j = i + 1
+        while (j < toks.length && (toks(j).text == "," ||
+          (toks(j).text.nonEmpty && Character.isDigit(toks(j).text.charAt(0)))))
+          j += 1
+        val byAt = if (j < toks.length && toks(j).is("BY")) j else -1
+        if (byAt > 0) {
+          val nums = toks.slice(i + 1, byAt).map(_.text).filter(_ != ",")
+          val (off, n) =
+            if (nums.length == 2) (nums(0).toLong, nums(1).toLong)
+            else (0L, nums(0).toLong)
+          // keys run to the next top-level clause starter (LIMIT/ORDER...)
+          var k = byAt + 1
+          var dd = 0
+          while (k < toks.length &&
+            !(dd == 0 && clauseStarters(toks(k).upper))) {
+            if (toks(k).text == "(") dd += 1
+            else if (toks(k).text == ")") dd -= 1
+            k += 1
+          }
+          val keys = ChTypes.splitTopLevel(
+            ChLexer.render(toks.slice(byAt + 1, k)))
+          // ORDER BY before the LIMIT BY drives which rows survive
+          val orderSql = topLevelOrderBy(toks)
+          val rest = toks.take(i) ++ toks.slice(k, toks.length)
+          // a remaining top-level LIMIT applies AFTER the group
+          // truncation (ClickHouse clause order) → pull it out too
+          val (rest2, finalLimit) = extractFinalLimit(rest)
+          return (rest2, Some(LimitByOp(n, off, keys, orderSql)), finalLimit)
+        }
+      }
+      i += 1
+    }
+    (toks, None, None)
+  }
+
+  private def extractFinalLimit(toks: Vector[Token])
+      : (Vector[Token], Option[(Long, Long)]) = {
+    var depth = 0
+    var i = 0
+    while (i < toks.length) {
+      if (toks(i).text == "(") depth += 1
+      else if (toks(i).text == ")") depth -= 1
+      else if (depth == 0 && toks(i).is("LIMIT")) {
+        val nums = toks.slice(i + 1, toks.length)
+        val texts = nums.map(_.text)
+        val (off, n) =
+          if (texts.length >= 3 && texts(1) == ",") (texts(0).toLong, texts(2).toLong)
+          else if (texts.length >= 3 && nums(1).is("OFFSET")) (texts(2).toLong, texts(0).toLong)
+          else (0L, texts(0).toLong)
+        return (toks.take(i), Some((off, n)))
+      }
+      i += 1
+    }
+    (toks, None)
+  }
+
+  private def topLevelOrderBy(toks: Vector[Token]): Option[String] = {
+    var depth = 0
+    var i = 0
+    while (i < toks.length) {
+      if (toks(i).text == "(") depth += 1
+      else if (toks(i).text == ")") depth -= 1
+      else if (depth == 0 && toks(i).is("ORDER") && i + 1 < toks.length &&
+        toks(i + 1).is("BY")) {
+        var k = i + 2
+        var dd = 0
+        while (k < toks.length &&
+          !(dd == 0 && clauseStarters(toks(k).upper))) {
+          if (toks(k).text == "(") dd += 1
+          else if (toks(k).text == ")") dd -= 1
+          k += 1
+        }
+        return Some(ChLexer.render(toks.slice(i + 2, k)))
+      }
+      i += 1
+    }
+    None
+  }
+
+  // ---- FROM t [FINAL] [SAMPLE f] routing ----
+  private def rewriteFromClauses(toks: Vector[Token],
+                                 resolver: Resolver): Vector[Token] = {
+    val out = Vector.newBuilder[Token]
+    var i = 0
+    while (i < toks.length) {
+      val t = toks(i)
+      val isRef = (t.is("FROM") || t.is("JOIN")) && i + 1 < toks.length &&
+        toks(i + 1).isIdent && resolver.resolve(strip(toks(i + 1).text)).isDefined
+      if (isRef) {
+        val ident = strip(toks(i + 1).text)
+        val rt = resolver.resolve(ident).get
+        // optional alias tokens before FINAL/SAMPLE
+        var j = i + 2
+        var useFinal = false
+        var sampleArg: Option[String] = None
+        var guard = true
+        while (guard && j < toks.length) {
+          if (toks(j).is("FINAL")) { useFinal = true; j += 1 }
+          else if (toks(j).is("SAMPLE") && j + 1 < toks.length) {
+            // SAMPLE 0.1 | SAMPLE 1/10
+            if (j + 3 < toks.length && toks(j + 2).text == "/" ) {
+              sampleArg = Some(toks(j + 1).text + "/" + toks(j + 3).text)
+              j += 4
+            } else { sampleArg = Some(toks(j + 1).text); j += 2 }
+          } else guard = false
+        }
+        val baseView = if (useFinal) rt.finalViewName.getOrElse(rt.viewName)
+          else rt.viewName
+        val ref = sampleArg match {
+          case Some(arg) =>
+            val frac = parseFraction(arg)
+            val key = rt.sampleKeySql.getOrElse(throw new IllegalArgumentException(
+              s"SAMPLE on $ident: table has no SAMPLE BY key"))
+            val cut = math.round(frac * 1000000L)
+            s"(SELECT * FROM $baseView WHERE pmod(abs(xxhash64($key)), 1000000) < $cut)"
+          case None => baseView
+        }
+        out += t
+        out ++= ChLexer.tokenize(ref)
+        i = j
+      } else { out += t; i += 1 }
+    }
+    out.result()
+  }
+
+  private def parseFraction(arg: String): Double =
+    if (arg.contains("/")) {
+      val p = arg.split("/")
+      p(0).toDouble / p(1).toDouble
+    } else {
+      val v = arg.toDouble
+      require(v > 0 && v <= 1, s"SAMPLE $arg: only fractional samples supported")
+      v
+    }
+
+  private def strip(ident: String): String = ident.replace("`", "")
+
+  // ---- IN known_table → IN (SELECT * FROM view) ----
+  private def rewriteInTable(toks: Vector[Token],
+                             resolver: Resolver): Vector[Token] = {
+    val out = Vector.newBuilder[Token]
+    var i = 0
+    while (i < toks.length) {
+      val t = toks(i)
+      if (t.is("IN") && i + 1 < toks.length && toks(i + 1).isIdent &&
+        (i + 2 >= toks.length || toks(i + 2).text != "(") &&
+        resolver.resolve(strip(toks(i + 1).text)).isDefined) {
+        val view = resolver.resolve(strip(toks(i + 1).text)).get.viewName
+        out += t
+        out ++= ChLexer.tokenize(s"(SELECT * FROM $view)")
+        i += 2
+      } else { out += t; i += 1 }
+    }
+    out.result()
+  }
+
+  // ---- remaining known identifiers (db.table) → view names ----
+  private def mapIdentifiers(toks: Vector[Token],
+                             resolver: Resolver): Vector[Token] =
+    toks.map { t =>
+      if (t.isIdent && t.text.contains("."))
+        resolver.resolve(strip(t.text)).map(r => Token(r.viewName)).getOrElse(t)
+      else t
+    }
+}

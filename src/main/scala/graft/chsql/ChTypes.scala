@@ -1,0 +1,116 @@
+package graft.chsql
+
+import org.apache.spark.sql.types._
+
+/** ClickHouse type-name → Spark `DataType` mapping for the SQL dialect
+  * layer (reference DDL: homeworks/scripts/hw02.sql:2-21,
+  * clusters/ch_and_kafka/db/init.sql:11-53).
+  *
+  * Widths widen where Spark has no unsigned twin: UInt8/16 → Int,
+  * UInt32/Int64 → Long, UInt64 → Long (the reference uses UInt64 for
+  * offsets/timestamps that fit comfortably in a signed long).
+  * `Nullable(T)` unwraps to (T, nullable=true); everything else is
+  * non-nullable, matching ClickHouse's default-NOT-NULL columns.
+  * `LowCardinality(T)` is a storage hint, not a type — it unwraps to T
+  * (Spark's dictionary encoding in parquet covers the same ground).
+  * `Enum8/16('a'=1,...)` reads as the string label, which is what
+  * ClickHouse SELECTs return.
+  */
+object ChTypes {
+
+  final case class Parsed(dataType: DataType, nullable: Boolean)
+
+  def parse(chType: String): Parsed = {
+    val t = chType.trim
+    val lower = t.toLowerCase
+    if (lower.startsWith("nullable(") && t.endsWith(")"))
+      Parsed(parse(t.substring("nullable(".length, t.length - 1)).dataType,
+        nullable = true)
+    else if (lower.startsWith("lowcardinality(") && t.endsWith(")"))
+      parse(t.substring("lowcardinality(".length, t.length - 1))
+    else if (lower.startsWith("array(") && t.endsWith(")")) {
+      val inner = parse(t.substring("array(".length, t.length - 1))
+      Parsed(ArrayType(inner.dataType, inner.nullable), nullable = false)
+    } else if (lower.startsWith("map(") && t.endsWith(")")) {
+      val inner = splitTopLevel(t.substring("map(".length, t.length - 1))
+      require(inner.length == 2, s"Map needs two type args: $t")
+      val v = parse(inner(1))
+      Parsed(MapType(parse(inner.head).dataType, v.dataType, v.nullable),
+        nullable = false)
+    } else if (lower.startsWith("tuple(") && t.endsWith(")")) {
+      val inner = splitTopLevel(t.substring("tuple(".length, t.length - 1))
+      val fields = inner.zipWithIndex.map { case (ft, i) =>
+        // named tuple element: "name Type"; positional: "Type"
+        val parts = ft.trim.split("\\s+", 2)
+        if (parts.length == 2 && !parts(0).contains("(")) {
+          val p = parse(parts(1))
+          StructField(parts(0), p.dataType, p.nullable)
+        } else {
+          val p = parse(ft)
+          StructField(s"_${i + 1}", p.dataType, p.nullable)
+        }
+      }
+      Parsed(StructType(fields), nullable = false)
+    } else if (lower.startsWith("enum") && t.contains("(")) {
+      Parsed(StringType, nullable = false)
+    } else if (lower.startsWith("decimal")) {
+      // Decimal(p, s) | Decimal32(s)/64/128 with implied precision
+      val args = t.substring(t.indexOf('(') + 1, t.lastIndexOf(')'))
+        .split(",").map(_.trim.toInt)
+      val (p, s) =
+        if (lower.startsWith("decimal32")) (9, args(0))
+        else if (lower.startsWith("decimal64")) (18, args(0))
+        else if (lower.startsWith("decimal128")) (38, args(0))
+        else (args(0), args(1))
+      Parsed(DecimalType(p, s), nullable = false)
+    } else if (lower.startsWith("datetime64")) {
+      Parsed(TimestampType, nullable = false)
+    } else if (lower.startsWith("fixedstring")) {
+      Parsed(StringType, nullable = false)
+    } else if (lower.startsWith("aggregatefunction") ||
+               lower.startsWith("simpleaggregatefunction")) {
+      // persisted -State columns travel as binary sketches in our engine
+      Parsed(BinaryType, nullable = false)
+    } else {
+      val dt = lower match {
+        case "uint8" | "uint16" | "int8" | "int16" | "int32" => IntegerType
+        case "uint32" | "uint64" | "int64" | "int128" | "uint128" => LongType
+        case "float32" | "float" => FloatType
+        case "float64" | "double" => DoubleType
+        case "string" | "uuid" | "ipv4" | "ipv6" | "json" => StringType
+        case "date" | "date32" => DateType
+        case "datetime" => TimestampType
+        case "bool" | "boolean" => BooleanType
+        case other => throw new IllegalArgumentException(
+          s"unsupported ClickHouse type: $other")
+      }
+      Parsed(dt, nullable = false)
+    }
+  }
+
+  /** Splits "a, b(c, d), e" on top-level commas only. */
+  def splitTopLevel(s: String, sep: Char = ','): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    val cur = new StringBuilder
+    var depth = 0
+    var inStr = false
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (inStr) {
+        cur += c
+        if (c == '\'' && (i + 1 >= s.length || s.charAt(i + 1) != '\'')) inStr = false
+        else if (c == '\'') { cur += s.charAt(i + 1); i += 1 }
+      } else c match {
+        case '\'' => inStr = true; cur += c
+        case '(' | '[' => depth += 1; cur += c
+        case ')' | ']' => depth -= 1; cur += c
+        case `sep` if depth == 0 => out += cur.result(); cur.clear()
+        case _ => cur += c
+      }
+      i += 1
+    }
+    if (cur.nonEmpty) out += cur.result()
+    out.result().map(_.trim).filter(_.nonEmpty)
+  }
+}

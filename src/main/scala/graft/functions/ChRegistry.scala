@@ -73,6 +73,8 @@ object ChRegistry {
     f("fromUnixTimestamp")(e => SecondsToTimestamp(e.head))
     // now()/today()/yesterday() (lectures/lecture_04.md, lecture_21.md usage)
     f("now")(_ => CurrentTimestamp())
+    // now64([precision]) — sub-second precision is a display concern here
+    f("now64")(_ => CurrentTimestamp())
     f("today")(_ => CurrentDate())
     f("yesterday")(_ => DateSub(CurrentDate(), Literal(1)))
 

@@ -1,0 +1,114 @@
+package graft.queries
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.chsql.ChSession
+import graft.tables.Tables
+
+/** The ClickHouse-SQL dialect layer (graft.chsql), driver-verified: each
+  * query here is CLICKHOUSE SQL TEXT executed through [[ChSession]] —
+  * PREWHERE, zero-arg count(), LIMIT BY, FINAL, Null-engine MV cascades —
+  * with a plain-ANSI DuckDB oracle over the same parquet tables.
+  */
+object ChSqlQueries {
+
+  private def withTable(ch: ChSession, name: String, ddlCols: String,
+                        df: DataFrame, engine: String): Unit = {
+    ch.execute(s"CREATE TABLE $name ($ddlCols) ENGINE = $engine")
+    ch.ingest(name, df)
+  }
+
+  def all: Seq[Q] = Seq(
+
+    // ---- PREWHERE + zero-arg count() + FORMAT tail, verbatim CH text
+    Q("q96_chsql_prewhere",
+      """SELECT c_mktsegment, count(*) AS n,
+        |  min(c_custkey) AS min_key, max(c_custkey) AS max_key
+        |FROM customer WHERE c_acctbal > 0
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""") { (s, dir) =>
+      val ch = new ChSession(s)
+      withTable(ch, "customer",
+        "c_custkey Int64, c_mktsegment String, c_acctbal Float64",
+        Tables(s, dir).customer
+          .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal")),
+        "Memory")
+      ch.sql(
+        """SELECT c_mktsegment, count() AS n,
+          |  min(c_custkey) AS min_key, max(c_custkey) AS max_key
+          |FROM customer PREWHERE c_acctbal > 0
+          |GROUP BY c_mktsegment ORDER BY c_mktsegment
+          |FORMAT JSONEachRow""".stripMargin)
+    },
+
+    // ---- LIMIT n BY key with a final LIMIT, order preserved (CH clause
+    // order: ORDER BY → LIMIT BY → LIMIT)
+    Q("q97_chsql_limit_by",
+      """SELECT c_mktsegment, c_custkey, c_acctbal FROM (
+        |  SELECT c_mktsegment, c_custkey, c_acctbal,
+        |    row_number() OVER (PARTITION BY c_mktsegment
+        |      ORDER BY c_acctbal DESC, c_custkey) AS rn
+        |  FROM customer) t WHERE rn <= 3
+        |ORDER BY c_acctbal DESC, c_custkey LIMIT 9""") { (s, dir) =>
+      val ch = new ChSession(s)
+      withTable(ch, "customer",
+        "c_custkey Int64, c_mktsegment String, c_acctbal Float64",
+        Tables(s, dir).customer
+          .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal")),
+        "Memory")
+      ch.sql(
+        """SELECT c_mktsegment, c_custkey, c_acctbal FROM customer
+          |ORDER BY c_acctbal DESC, c_custkey
+          |LIMIT 3 BY c_mktsegment LIMIT 9""".stripMargin)
+    },
+
+    // ---- ReplacingMergeTree FINAL through SQL text: a second inserted
+    // part overrides every 10th order; FINAL folds parts by ORDER BY key
+    // with the later part winning (money through DECIMAL for engine-
+    // independent sums)
+    Q("q98_chsql_replacing_final",
+      """SELECT count(*) AS n, CAST(sum(CAST(
+        |    CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice * 2
+        |         ELSE o_totalprice END AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders""") { (s, dir) =>
+      val ch = new ChSession(s)
+      val orders = Tables(s, dir).orders
+        .select(col("o_orderkey"), col("o_totalprice"))
+      ch.execute("CREATE TABLE ord (o_orderkey Int64, o_totalprice Float64) " +
+        "ENGINE = ReplacingMergeTree ORDER BY o_orderkey")
+      ch.ingest("ord", orders)
+      ch.ingest("ord", orders.filter(pmod(col("o_orderkey"), lit(10)) === 0)
+        .select(col("o_orderkey"), (col("o_totalprice") * 2).as("o_totalprice")))
+      ch.sql(
+        """SELECT count() AS n,
+          |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+          |FROM ord FINAL""".stripMargin)
+    },
+
+    // ---- Null-engine source firing an MV into a SummingMergeTree: three
+    // ingested chunks land as three parts; FINAL folds them to the global
+    // aggregate (the reference's ingest topology, lecture_13)
+    Q("q99_chsql_mv_cascade",
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,3))) AS DOUBLE) AS sv
+        |FROM events GROUP BY event_type ORDER BY event_type""") { (s, dir) =>
+      val ch = new ChSession(s)
+      ch.execute(
+        """CREATE TABLE ev_src (event_id Int64, event_type String, value Float64) ENGINE = Null;
+          |CREATE TABLE ev_agg (event_type String, n Int64, sv Decimal(18, 3))
+          |  ENGINE = SummingMergeTree ORDER BY event_type;
+          |CREATE MATERIALIZED VIEW ev_mv TO ev_agg AS
+          |  SELECT event_type, count() AS n,
+          |    sum(CAST(value AS Decimal(18, 3))) AS sv
+          |  FROM ev_src GROUP BY event_type;""".stripMargin)
+      val ev = Tables(s, dir).events
+        .select(col("event_id"), col("event_type"), col("value"))
+      (0 until 3).foreach(i =>
+        ch.ingest("ev_src", ev.filter(pmod(col("event_id"), lit(3)) === i)))
+      ch.sql(
+        """SELECT event_type, n, CAST(sv AS DOUBLE) AS sv
+          |FROM ev_agg FINAL ORDER BY event_type""".stripMargin)
+        .select(col("event_type"), col("n"), col("sv"))
+    }
+  )
+}

@@ -6,7 +6,7 @@ package graft.queries
 object Registry {
   def all: Seq[Q] =
     CoreQueries.all ++ MergeTreeQueries.all ++ MiscQueries.all ++
-      FunnelQueries.all ++ PipelineQueries.all
+      FunnelQueries.all ++ PipelineQueries.all ++ ChSqlQueries.all
 
   def byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }

@@ -1,0 +1,276 @@
+package graft.chsql
+
+import graft.SparkSpec
+import org.apache.spark.sql.Row
+
+/** The ClickHouse-SQL layer, exercised with the reference repo's own
+  * statements: lecture_07's MergeTree-family demos (expected outputs
+  * transcribed from the lecture's result blocks), hw02's DDL, and the
+  * ch_and_kafka init.sql MV cascade.
+  */
+class ChSqlSpec extends SparkSpec {
+
+  private def ch = new ChSession(spark)
+
+  // --------------------------------------------------------- lexer
+
+  test("lexer: statements split on ; outside strings, comments stripped") {
+    val stmts = ChLexer.statements(
+      "SELECT 'a;b' AS x; -- c1 ; SELECT nope\n" +
+        "/* multi ;\n line */ SELECT 2;;")
+    assert(stmts == Seq("SELECT 'a;b' AS x", "SELECT 2"))
+  }
+
+  test("lexer: qualified identifiers glue into one token") {
+    val toks = ChLexer.tokenize("SELECT a FROM raw.sensor_data_raw")
+    assert(toks.map(_.text).contains("raw.sensor_data_raw"))
+  }
+
+  // --------------------------------------------------------- types
+
+  test("ChTypes: the hw02 column palette") {
+    import org.apache.spark.sql.types._
+    assert(ChTypes.parse("UInt32").dataType == LongType)
+    assert(ChTypes.parse("DateTime").dataType == TimestampType)
+    assert(ChTypes.parse("Nullable(Float64)") ==
+      ChTypes.Parsed(DoubleType, nullable = true))
+    assert(ChTypes.parse("UInt8").dataType == IntegerType)
+    assert(ChTypes.parse("Float32").dataType == FloatType)
+    assert(ChTypes.parse("Enum('CSH' = 1, 'CRE' = 2)").dataType == StringType)
+    assert(ChTypes.parse("LowCardinality(String)").dataType == StringType)
+    assert(ChTypes.parse("DateTime64(3)").dataType == TimestampType)
+    assert(ChTypes.parse("Array(Nullable(String))") ==
+      ChTypes.Parsed(ArrayType(StringType, containsNull = true), nullable = false))
+    assert(ChTypes.parse("Decimal(18, 4)").dataType == DecimalType(18, 4))
+    assert(ChTypes.parse("Map(String, UInt64)").dataType ==
+      MapType(StringType, LongType, valueContainsNull = false))
+  }
+
+  // --------------------------------------------------------- rewriter
+
+  private val noTables = ChSqlRewrite.NoTables
+
+  test("rewrite: PREWHERE merges into WHERE") {
+    val r = ChSqlRewrite.rewrite(
+      "SELECT a FROM t PREWHERE b > 1 WHERE c < 2 ORDER BY a", noTables)
+    assert(r.sql.contains("WHERE (b > 1) AND (c < 2)"))
+    assert(!r.sql.toUpperCase.contains("PREWHERE"))
+  }
+
+  test("rewrite: bare PREWHERE becomes WHERE") {
+    val r = ChSqlRewrite.rewrite("SELECT a FROM t PREWHERE b = 1", noTables)
+    assert(r.sql.matches("(?i).*WHERE b = 1.*"))
+  }
+
+  test("rewrite: FORMAT / SETTINGS / \\G tails are dropped") {
+    val r = ChSqlRewrite.rewrite(
+      "SELECT a FROM t SETTINGS max_threads = 4 FORMAT JSONEachRow", noTables)
+    assert(!r.sql.toUpperCase.contains("SETTINGS"))
+    assert(!r.sql.toUpperCase.contains("FORMAT"))
+  }
+
+  test("rewrite: numbers(N) becomes a range subquery") {
+    val r = ChSqlRewrite.rewrite(
+      "SELECT number FROM numbers(10)", noTables)
+    val df = spark.sql(r.sql)
+    assert(df.count() == 10)
+    assert(df.columns.toSeq == Seq("number"))
+  }
+
+  test("rewrite: LIMIT n BY keys is extracted with the final LIMIT") {
+    val r = ChSqlRewrite.rewrite(
+      "SELECT a, b FROM t ORDER BY b DESC LIMIT 2 BY a LIMIT 3", noTables)
+    assert(r.limitBy.contains(ChSqlRewrite.LimitByOp(2, 0, Seq("a"),
+      Some("b DESC"))))
+    assert(r.finalLimit.contains((0L, 3L)))
+    assert(!r.sql.toUpperCase.contains("LIMIT"))
+  }
+
+  test("rewrite: GLOBAL is dropped, IN table wraps known tables") {
+    val resolver = new ChSqlRewrite.Resolver {
+      def resolve(id: String) =
+        if (id == "st") Some(ChSqlRewrite.ResolvedTable("v_st")) else None
+    }
+    val r = ChSqlRewrite.rewrite(
+      "SELECT a FROM x WHERE a GLOBAL IN st", resolver)
+    assert(r.sql.contains("IN (SELECT * FROM v_st)"))
+    assert(!r.sql.toUpperCase.contains("GLOBAL"))
+  }
+
+  // --------------------------------------------------------- lecture_07
+
+  test("lecture_07 SummingMergeTree: per-part sums, FINAL merges parts") {
+    val s = ch
+    s.execute(
+      """CREATE TABLE summing_tbl (id UInt32, val UInt32, val2 UInt32)
+        |ENGINE = SummingMergeTree(val) ORDER BY (id);
+        |INSERT INTO summing_tbl SELECT 1, (number + 1) * 10, number from numbers(10);
+        |INSERT INTO summing_tbl SELECT 1, 100, 5;""".stripMargin)
+    // lecture_07.md:452-464: two parts → (1,550,0) and (1,100,5)
+    val noFinal = s.sql("SELECT * FROM summing_tbl ORDER BY val")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(noFinal.toSet == Set((1L, 100L, 5L), (1L, 550L, 0L)))
+    // lecture_07.md:465-478: FINAL → (1,650,0)
+    val fin = s.sql("SELECT * FROM summing_tbl FINAL")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(fin.toSeq == Seq((1L, 650L, 0L)))
+  }
+
+  test("lecture_07 ReplacingMergeTree: last-in-block wins, FINAL dedups") {
+    val s = ch
+    s.execute(
+      """CREATE TABLE replacing_tbl (id UInt32, val UInt32)
+        |ENGINE = ReplacingMergeTree ORDER BY (id);
+        |INSERT INTO replacing_tbl SELECT 1, (number + 1) * 10 from numbers(3);
+        |INSERT INTO replacing_tbl SELECT 2, (number + 1) * 100 from numbers(3);
+        |INSERT INTO replacing_tbl SELECT 1, 100;
+        |INSERT INTO replacing_tbl SELECT 2, 100;""".stripMargin)
+    // per-block fold keeps the last row of each inserted block → 4 rows
+    assert(s.sql("SELECT count() AS c FROM replacing_tbl").collect()
+      .head.getLong(0) == 4L)
+    // FINAL: latest part wins per id
+    val fin = s.sql("SELECT * FROM replacing_tbl FINAL ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(fin.toSeq == Seq((1L, 100L), (2L, 100L)))
+  }
+
+  test("lecture_07 ReplacingMergeTree(version): highest version survives") {
+    val s = ch
+    s.execute(
+      """CREATE TABLE replacing_mt_v (id UInt32, val UInt32, version Int32)
+        |ENGINE = ReplacingMergeTree(version) ORDER BY (id);
+        |INSERT INTO replacing_mt_v SELECT 1, (number + 1) * 10, number * (-1) from numbers(3);
+        |INSERT INTO replacing_mt_v SELECT 1, 100, 1;""".stripMargin)
+    // within the first block version 0 (row 1, val 10) is the max
+    val fin = s.sql("SELECT * FROM replacing_mt_v FINAL")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(fin.toSeq == Seq((1L, 100L, 1)))
+  }
+
+  test("lecture_07 CollapsingMergeTree: sign pairs cancel under FINAL") {
+    val s = ch
+    s.execute(
+      """CREATE TABLE table_collapsing (id UInt32, amount UInt32, sign Int8)
+        |ENGINE = CollapsingMergeTree(sign) ORDER BY id;
+        |INSERT INTO table_collapsing VALUES (1, 10, 1);
+        |INSERT INTO table_collapsing VALUES (1, 10, -1), (1, 20, 1);
+        |INSERT INTO table_collapsing VALUES (2, 30, 1);""".stripMargin)
+    val fin = s.sql("SELECT id, amount FROM table_collapsing FINAL ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(fin.toSeq == Seq((1L, 20L), (2L, 30L)))
+  }
+
+  test("ANY LEFT JOIN ... USING picks one right-side row per key") {
+    val s = ch
+    s.execute(
+      """CREATE TABLE main_data (desc_id UInt32, v UInt32) ENGINE = Memory;
+        |CREATE TABLE desc_data (desc_id UInt32, d String) ENGINE = Memory;
+        |INSERT INTO main_data VALUES (1, 10), (2, 20);
+        |INSERT INTO desc_data VALUES (1, 'a'), (1, 'b'), (2, 'c');""".stripMargin)
+    val out = s.sql(
+      "SELECT * FROM main_data ANY LEFT JOIN desc_data USING (desc_id) ORDER BY desc_id")
+    assert(out.count() == 2) // not 3: the duplicate desc_id=1 row is deduped
+  }
+
+  test("SAMPLE uses the declared sample key deterministically") {
+    val s = ch
+    s.execute(
+      """CREATE TABLE ev (event_id UInt64, v UInt64)
+        |ENGINE = MergeTree ORDER BY event_id SAMPLE BY event_id;""".stripMargin)
+    s.ingest("ev", spark.range(1000).selectExpr("id AS event_id", "id AS v"))
+    val a = s.sql("SELECT count() AS c FROM ev SAMPLE 0.1").collect().head.getLong(0)
+    val b = s.sql("SELECT count() AS c FROM ev SAMPLE 1/10").collect().head.getLong(0)
+    assert(a == b) // same fraction, same key → same deterministic subset
+    assert(a > 0 && a < 500)
+  }
+
+  test("LIMIT n BY key end-to-end (group-wise truncation)") {
+    val s = ch
+    s.execute(
+      """CREATE TABLE lb (k UInt32, v UInt32) ENGINE = Memory;
+        |INSERT INTO lb VALUES (1,5),(1,4),(1,3),(2,9),(2,8);""".stripMargin)
+    val out = s.sql("SELECT k, v FROM lb ORDER BY v DESC LIMIT 2 BY k")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out == Set((1L, 5L), (1L, 4L), (2L, 9L), (2L, 8L)))
+  }
+
+  // --------------------------------------------------------- hw02 DDL
+
+  test("hw02.sql: the trips DDL parses and accepts inserts") {
+    val s = ch
+    val ddl = java.nio.file.Files.readString(
+      java.nio.file.Path.of("/root/reference/homeworks/scripts/hw02.sql"))
+    // first two statements: DROP + CREATE (the INSERT needs egress → skip)
+    ChLexer.statements(ddl).take(2).foreach(st => s.execute(st))
+    s.execute("INSERT INTO trips (trip_id, pickup_datetime, passenger_count, " +
+      "total_amount, payment_type, pickup_ntaname) VALUES " +
+      "(1, '2024-01-01 10:00:00', 2, 15.5, 'CSH', 'Midtown'), " +
+      "(2, '2024-01-01 11:00:00', 1, 8.25, 'CRE', 'Harlem')")
+    val out = s.sql(
+      "SELECT payment_type, count() AS n, round(avg(total_amount), 2) AS avg_amt " +
+        "FROM trips GROUP BY payment_type ORDER BY payment_type")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(out.toSeq == Seq(("CRE", 1L, 8.25), ("CSH", 1L, 15.5)))
+    // missing columns took ClickHouse type-zero defaults
+    val zeroed = s.sql("SELECT sum(trip_distance) AS d FROM trips")
+      .collect().head.getDouble(0)
+    assert(zeroed == 0.0)
+  }
+
+  // --------------------------------------------------------- init.sql
+
+  test("ch_and_kafka init.sql: the full MV cascade runs on ingest") {
+    val s = ch
+    val script = java.nio.file.Files.readString(
+      java.nio.file.Path.of("/root/reference/clusters/ch_and_kafka/db/init.sql"))
+    s.execute(script)
+    // simulate the Kafka consumer delivering one batch into streams.sensor_data
+    import spark.implicits._
+    val batch = Seq(
+      ("""{"sensor_id": 7, "temperature": 21.5, "humidity": 40.25, "timestamp": 1700000000}""",
+        "sensor_data", 0L, new java.sql.Timestamp(1700000000000L), 0),
+      ("""{"sensor_id": 8, "temperature": -3.0, "humidity": 80.5, "timestamp": 1700000001}""",
+        "sensor_data", 1L, new java.sql.Timestamp(1700000001000L), 0))
+      .toDF("message", "_topic", "_offset", "_timestamp_ms", "_partition")
+    s.ingest("streams.sensor_data", batch)
+    // raw MV captured the block with its metadata
+    assert(s.sql("SELECT count() AS c FROM raw.sensor_data_raw")
+      .collect().head.getLong(0) == 2L)
+    // parsed MV extracted typed fields via JSONExtract*
+    val parsed = s.sql(
+      "SELECT sensor_id, temperature, humidity, timestamp FROM parsed.sensor_data ORDER BY sensor_id")
+      .collect().map(r => (r.getLong(0), r.getFloat(1), r.getFloat(2), r.getLong(3)))
+    assert(parsed.toSeq == Seq(
+      (7L, 21.5f, 40.25f, 1700000000L),
+      (8L, -3.0f, 80.5f, 1700000001L)))
+  }
+
+  // --------------------------------------------------------- misc ops
+
+  test("OPTIMIZE FINAL materializes the fold; ALTER DELETE/UPDATE mutate") {
+    val s = ch
+    s.execute(
+      """CREATE TABLE m (id UInt32, v UInt32)
+        |ENGINE = ReplacingMergeTree ORDER BY id;
+        |INSERT INTO m VALUES (1, 10);
+        |INSERT INTO m VALUES (1, 20), (2, 5);
+        |OPTIMIZE TABLE m FINAL;""".stripMargin)
+    assert(s.sql("SELECT count() AS c FROM m").collect().head.getLong(0) == 2L)
+    s.execute("ALTER TABLE m UPDATE v = v + 1 WHERE id = 2")
+    s.execute("ALTER TABLE m DELETE WHERE id = 1")
+    val out = s.sql("SELECT id, v FROM m").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.toSeq == Seq((2L, 6L)))
+  }
+
+  test("Null engine discards rows but fires MVs") {
+    val s = ch
+    s.execute(
+      """CREATE TABLE src (v UInt32) ENGINE = Null;
+        |CREATE TABLE agg (v UInt32) ENGINE = Memory;
+        |CREATE MATERIALIZED VIEW mv1 TO agg AS SELECT v * 2 AS v FROM src;
+        |INSERT INTO src VALUES (1), (2), (3);""".stripMargin)
+    assert(s.sql("SELECT count() AS c FROM src").collect().head.getLong(0) == 0L)
+    assert(s.sql("SELECT sum(v) AS s FROM agg").collect().head.getLong(0) == 12L)
+  }
+}
