@@ -40,7 +40,10 @@ object ChSession {
     case object Memory extends Engine
     final case class Distributed(db: String, table: String) extends Engine
     final case class Buffer(db: String, table: String) extends Engine
+    final case class Join(keys: Seq[String]) extends Engine
   }
+
+  final case class DictDef(sourceDb: String, sourceTable: String, pk: String)
 
   final case class ColumnDef(name: String, dataType: DataType,
       nullable: Boolean, default: Option[String], materialized: Option[String])
@@ -68,6 +71,7 @@ final class ChSession(val spark: SparkSession) {
 
   private val tables = mutable.LinkedHashMap.empty[(String, String), ChTable]
   private val mvs = mutable.ArrayBuffer.empty[ChMv]
+  private val dicts = mutable.Map.empty[(String, String), DictDef]
   private val databases = mutable.Set("default")
   var currentDb = "default"
 
@@ -171,6 +175,33 @@ final class ChSession(val spark: SparkSession) {
     i += 1
 
     if (kind == "DATABASE") { databases += nameTok; return }
+
+    if (kind == "DICTIONARY") {
+      // CREATE DICTIONARY name (cols) PRIMARY KEY k
+      //   SOURCE(CLICKHOUSE(... TABLE 'x' [DB 'y'] ...)) LAYOUT(...) ...
+      val (ddb, dname) = parseRef(nameTok)
+      val pkAt = toks.indexWhere(t => t.is("PRIMARY"))
+      require(pkAt > 0, s"CREATE DICTIONARY without PRIMARY KEY: $stmt")
+      val pk = strip(toks(pkAt + 2).text)
+      val srcAt = toks.indexWhere(t => t.is("SOURCE"))
+      var srcTable = ""
+      var srcDb = currentDb
+      if (srcAt > 0) {
+        val close = matchParenTok(toks, srcAt + 1)
+        var j = srcAt
+        while (j < close) {
+          if (toks(j).is("TABLE")) srcTable = strip(
+            toks(j + 1).text.stripPrefix("'").stripSuffix("'"))
+          if (toks(j).is("DB")) srcDb = strip(
+            toks(j + 1).text.stripPrefix("'").stripSuffix("'"))
+          j += 1
+        }
+      }
+      require(srcTable.nonEmpty,
+        s"CREATE DICTIONARY $dname: only SOURCE(CLICKHOUSE(TABLE ...)) is supported")
+      dicts((ddb, dname)) = DictDef(srcDb, srcTable, pk)
+      return
+    }
 
     val (db, name) = parseRef(nameTok)
     if (tables.contains((db, name))) {
@@ -348,7 +379,8 @@ final class ChSession(val spark: SparkSession) {
       case "distributed" =>
         Engine.Distributed(stripQ(fargs(1)), stripQ(fargs(2)))
       case "buffer" => Engine.Buffer(stripQ(fargs(0)), stripQ(fargs(1)))
-      case _ => Engine.Memory // Memory/Set/Join/Log/TinyLog/URL/File/...
+      case "join" => Engine.Join(fargs.drop(2)) // Join(ANY, LEFT, k...)
+      case _ => Engine.Memory // Memory/Set/Log/TinyLog/URL/File/...
     }
   }
 
@@ -382,6 +414,7 @@ final class ChSession(val spark: SparkSession) {
         val ref = parseRef(name)
         tables.remove(ref)
         viewDefs.remove(ref)
+        dicts.remove(ref)
         mvs.filterInPlace(m => (m.db, m.name) != ref)
       case other => fail(s"unsupported DROP $other")
     }
@@ -569,6 +602,14 @@ final class ChSession(val spark: SparkSession) {
                         overrides: Map[(String, String), DataFrame]): DataFrame = {
     val resolver = new ChSqlRewrite.Resolver {
       def resolve(ident: String): Option[ChSqlRewrite.ResolvedTable] = {
+        if (ident.toLowerCase.startsWith("system.")) {
+          val sys = systemTable(ident.toLowerCase.stripPrefix("system."))
+          return sys.map { df =>
+            val v = "chs_system__" + ident.toLowerCase.stripPrefix("system.")
+            df.createOrReplaceTempView(v)
+            ChSqlRewrite.ResolvedTable(v)
+          }
+        }
         val ref = parseRef(strip(ident))
         overrides.get(ref) match {
           case Some(block) =>
@@ -592,6 +633,22 @@ final class ChSession(val spark: SparkSession) {
           ChSqlRewrite.ResolvedTable(base, Some(fin), sampleKey(t))
         }
       }
+
+      override def resolveDict(name: String): Option[(String, String)] = {
+        val ref = parseRef(strip(name))
+        dicts.get(ref).orElse(dicts.get(("default", ref._2))) match {
+          case Some(d) =>
+            resolve(s"${d.sourceDb}.${d.sourceTable}").map(rt =>
+              (rt.viewName, d.pk))
+          case None =>
+            // joinGet target: an ENGINE=Join table keyed by its join cols
+            tables.get(ref).collect {
+              case t if t.engine.isInstanceOf[Engine.Join] =>
+                resolve(name).map(rt =>
+                  (rt.viewName, t.engine.asInstanceOf[Engine.Join].keys.head))
+            }.flatten
+        }
+      }
     }
     val rw = ChSqlRewrite.rewrite(query, resolver)
     var df = spark.sql(rw.sql)
@@ -608,6 +665,22 @@ final class ChSession(val spark: SparkSession) {
       lb.orderSql.foreach { o =>
         df = df.orderBy(ChTypes.splitTopLevel(o).map(parseOrderCol): _*)
       }
+    }
+    rw.fill.foreach { f =>
+      import org.apache.spark.sql.types.{DateType, NumericType}
+      val axisType = df.schema(f.axis).dataType
+      val defaults = df.schema.fields.filter(_.name != f.axis).collect {
+        case sf if sf.dataType.isInstanceOf[NumericType] =>
+          sf.name -> lit(0).cast(sf.dataType)
+      }.toSeq
+      df = axisType match {
+        case DateType => graft.operators.WithFill.fillDates(df, f.axis,
+          defaults, f.step.map(_.toInt).getOrElse(1))
+        case _: NumericType => graft.operators.WithFill.fillLongs(df, f.axis,
+          defaults, f.step.map(_.toLong).getOrElse(1L))
+        case other => fail(s"WITH FILL on unsupported axis type $other")
+      }
+      df = df.orderBy(col(f.axis))
     }
     rw.finalLimit.foreach { case (off, n) =>
       df = (if (off > 0) df.offset(off.toInt) else df).limit(n.toInt)
@@ -682,6 +755,68 @@ final class ChSession(val spark: SparkSession) {
       }
       case _ => raw
     }
+  }
+
+  // ------------------------------------------------------ system.*
+
+  /** The reference leans on `system.parts` / `system.tables` /
+    * `system.databases` / `system.columns` for introspection (39 uses of
+    * system.parts across the lectures); synthesized here from session
+    * state — one "part" per inserted block.
+    */
+  private def systemTable(name: String): Option[DataFrame] = {
+    def df(schema: StructType, rows: Seq[Row]): DataFrame =
+      spark.createDataFrame(rows.asJavaList, schema)
+    def s(n: String) = StructField(n, StringType)
+    def l(n: String) = StructField(n, LongType)
+    name match {
+      case "databases" =>
+        Some(df(StructType(Seq(s("name"))),
+          databases.toSeq.sorted.map(Row(_))))
+      case "tables" =>
+        Some(df(StructType(Seq(s("database"), s("name"), s("engine"),
+          l("total_rows"))),
+          tables.values.toSeq.map(t =>
+            Row(t.db, t.name, engineName(t.engine),
+              t.blocks.map(_.count()).sum))))
+      case "columns" =>
+        Some(df(StructType(Seq(s("database"), s("table"), s("name"),
+          s("type"), l("position"))),
+          tables.values.toSeq.flatMap(t => t.columns.zipWithIndex.map {
+            case (c, i) => Row(t.db, t.name, c.name,
+              c.dataType.simpleString, (i + 1).toLong)
+          })))
+      case "parts" =>
+        Some(df(StructType(Seq(s("database"), s("table"), s("name"),
+          s("partition"), l("rows"), StructField("active", IntegerType),
+          s("disk_name"), s("path"))),
+          tables.values.toSeq.flatMap(t => t.blocks.zipWithIndex.map {
+            case (b, i) => Row(t.db, t.name, s"all_${i}_${i}_0", "tuple()",
+              b.count(), 1, "default", s"/store/${t.db}/${t.name}/all_${i}_${i}_0/")
+          })))
+      case "one" =>
+        Some(df(StructType(Seq(StructField("dummy", IntegerType))),
+          Seq(Row(0))))
+      case _ => None
+    }
+  }
+
+  private def engineName(e: Engine): String = e match {
+    case m: Engine.MergeTree => m.kind match {
+      case "plain" => "MergeTree"
+      case "replacing" => "ReplacingMergeTree"
+      case "summing" => "SummingMergeTree"
+      case "collapsing" => "CollapsingMergeTree"
+      case "vcollapsing" => "VersionedCollapsingMergeTree"
+      case "aggregating" => "AggregatingMergeTree"
+      case k => k
+    }
+    case Engine.Null => "Null"
+    case Engine.Kafka => "Kafka"
+    case _: Engine.Distributed => "Distributed"
+    case _: Engine.Buffer => "Buffer"
+    case _: Engine.Join => "Join"
+    case Engine.Memory => "Memory"
   }
 
   // ------------------------------------------------------ helpers

@@ -27,6 +27,12 @@ object ChSqlRewrite {
   trait Resolver {
     /** Maps a (possibly db-qualified) identifier to a registered view. */
     def resolve(ident: String): Option[ResolvedTable]
+
+    /** Maps a dictionary (or ENGINE=Join table) name to its backing view
+      * and key column — dictGet/joinGet lower to correlated scalar
+      * subqueries against it (Catalyst rewrites those into joins).
+      */
+    def resolveDict(name: String): Option[(String, String)] = None
   }
 
   object NoTables extends Resolver {
@@ -36,8 +42,12 @@ object ChSqlRewrite {
   final case class LimitByOp(n: Long, offset: Long, keys: Seq[String],
                              orderSql: Option[String])
 
+  final case class FillOp(axis: String, from: Option[String],
+                          to: Option[String], step: Option[String])
+
   final case class Rewritten(sql: String, limitBy: Option[LimitByOp],
-                             finalLimit: Option[(Long, Long)])
+                             finalLimit: Option[(Long, Long)],
+                             fill: Option[FillOp] = None)
 
   private val clauseStarters = Set("WHERE", "GROUP", "ORDER", "LIMIT",
     "HAVING", "SETTINGS", "UNION", "INTERSECT", "EXCEPT", "WINDOW",
@@ -49,14 +59,119 @@ object ChSqlRewrite {
     toks = fixCountStar(toks)
     toks = dropGlobal(toks)
     toks = rewriteNumbers(toks)
+    toks = rewriteArrayJoinClause(toks)
+    toks = toks.map(t => if (t.is("arrayJoin")) Token("explode") else t)
+    toks = rewriteDictGet(toks, resolver)
     toks = rewriteAnyJoin(toks)
     toks = rewritePrewhere(toks)
+    val (afterFill, fill) = extractWithFill(toks)
+    toks = afterFill
     val (afterLimitBy, limitBy, finalLimit) = extractLimitBy(toks)
     toks = afterLimitBy
     toks = rewriteFromClauses(toks, resolver)
     toks = rewriteInTable(toks, resolver)
     toks = mapIdentifiers(toks, resolver)
-    Rewritten(ChLexer.render(toks), limitBy, finalLimit)
+    Rewritten(ChLexer.render(toks), limitBy, finalLimit, fill)
+  }
+
+  // ---- [LEFT] ARRAY JOIN expr AS alias → LATERAL VIEW explode ----
+  private def rewriteArrayJoinClause(toks: Vector[Token]): Vector[Token] = {
+    var i = 0
+    while (i < toks.length - 1) {
+      if (toks(i).is("ARRAY") && toks(i + 1).is("JOIN")) {
+        val left = i > 0 && toks(i - 1).is("LEFT")
+        val start = if (left) i - 1 else i
+        // expr runs to AS at the same depth
+        var j = i + 2
+        var dd = 0
+        while (j < toks.length && !(dd == 0 && toks(j).is("AS"))) {
+          if (toks(j).text == "(") dd += 1
+          else if (toks(j).text == ")") dd -= 1
+          j += 1
+        }
+        if (j >= toks.length - 1) return toks // no AS alias: leave as-is
+        val exprSql = ChLexer.render(toks.slice(i + 2, j))
+        val alias = toks(j + 1).text
+        val lateral = s"LATERAL VIEW ${if (left) "OUTER " else ""}" +
+          s"explode($exprSql) __aj_$alias AS $alias"
+        val rebuilt = toks.take(start) ++ ChLexer.tokenize(lateral) ++
+          toks.drop(j + 2)
+        return rewriteArrayJoinClause(rebuilt)
+      }
+      i += 1
+    }
+    toks
+  }
+
+  // ---- dictGet family / joinGet → correlated scalar subqueries ----
+  private val dictFns = Set("DICTGET", "DICTGETORDEFAULT", "DICTGETORNULL",
+    "JOINGET")
+
+  private def rewriteDictGet(toks: Vector[Token],
+                             resolver: Resolver): Vector[Token] = {
+    var i = 0
+    while (i < toks.length - 1) {
+      if (dictFns(toks(i).upper) && toks(i + 1).text == "(") {
+        val close = matchParen(toks, i + 1)
+        val args = ChTypes.splitTopLevel(
+          ChLexer.render(toks.slice(i + 2, close)))
+        val fn = toks(i).upper
+        val dictName = args.head.trim.stripPrefix("'").stripSuffix("'")
+        resolver.resolveDict(dictName) match {
+          case Some((view, pk)) =>
+            val attr = args(1).trim.stripPrefix("'").stripSuffix("'")
+            val key = args(2)
+            // min() collapses duplicates deterministically (ANY semantics).
+            // The pk is renamed to a reserved name INSIDE the subquery so
+            // an outer key column with the same name as the pk still
+            // resolves to the outer scope (joinGet('jt','v',k) with pk=k).
+            val sub = s"(SELECT min(__d_attr) FROM (SELECT $pk AS __d_pk, " +
+              s"$attr AS __d_attr FROM $view) WHERE __d_pk = ($key))"
+            val repl = fn match {
+              case "DICTGETORDEFAULT" => s"coalesce($sub, ${args(3)})"
+              case _ => sub
+            }
+            val rebuilt = toks.take(i) ++ ChLexer.tokenize(repl) ++
+              toks.drop(close + 1)
+            return rewriteDictGet(rebuilt, resolver)
+          case None => // unknown dictionary: leave the call in place
+        }
+      }
+      i += 1
+    }
+    toks
+  }
+
+  // ---- ORDER BY x WITH FILL [FROM a] [TO b] [STEP s] ----
+  private def extractWithFill(toks: Vector[Token])
+      : (Vector[Token], Option[FillOp]) = {
+    var depth = 0
+    var i = 0
+    while (i < toks.length - 1) {
+      if (toks(i).text == "(") depth += 1
+      else if (toks(i).text == ")") depth -= 1
+      else if (depth == 0 && toks(i).is("WITH") && toks(i + 1).is("FILL")) {
+        // the axis is the ORDER BY expression immediately before WITH
+        var a = i - 1
+        if (a >= 0 && (toks(a).is("ASC") || toks(a).is("DESC"))) a -= 1
+        val axis = toks(a).text
+        var j = i + 2
+        var from: Option[String] = None
+        var to: Option[String] = None
+        var step: Option[String] = None
+        var go = true
+        while (go && j + 1 < toks.length) {
+          if (toks(j).is("FROM")) { from = Some(toks(j + 1).text); j += 2 }
+          else if (toks(j).is("TO")) { to = Some(toks(j + 1).text); j += 2 }
+          else if (toks(j).is("STEP")) { step = Some(toks(j + 1).text); j += 2 }
+          else go = false
+        }
+        return (toks.take(i) ++ toks.drop(j),
+          Some(FillOp(axis, from, to, step)))
+      }
+      i += 1
+    }
+    (toks, None)
   }
 
   // ---- trailing FORMAT X / INTO OUTFILE '...' / \G / SETTINGS k=v ----

@@ -85,6 +85,29 @@ object ChSqlQueries {
           |FROM ord FINAL""".stripMargin)
     },
 
+    // ---- CREATE DICTIONARY + dictGet through SQL text (the reference's
+    // enrichment idiom, lecture_12): lowered to a correlated scalar
+    // subquery that Catalyst rewrites into a join
+    Q("q100_chsql_dictget",
+      """SELECT n.n_name AS nation, r.r_name AS region
+        |FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+        |ORDER BY nation""") { (s, dir) =>
+      val ch = new ChSession(s)
+      withTable(ch, "nation", "n_nationkey Int64, n_name String, n_regionkey Int64",
+        Tables(s, dir).nation
+          .select(col("n_nationkey"), col("n_name"), col("n_regionkey")), "Memory")
+      withTable(ch, "region", "r_regionkey Int64, r_name String",
+        Tables(s, dir).region.select(col("r_regionkey"), col("r_name")), "Memory")
+      ch.execute(
+        """CREATE DICTIONARY region_dict (r_regionkey Int64, r_name String)
+          |PRIMARY KEY r_regionkey
+          |SOURCE(CLICKHOUSE(TABLE 'region')) LAYOUT(HASHED()) LIFETIME(300)""".stripMargin)
+      ch.sql(
+        """SELECT n_name AS nation,
+          |  dictGet('region_dict', 'r_name', n_regionkey) AS region
+          |FROM nation ORDER BY nation""".stripMargin)
+    },
+
     // ---- Null-engine source firing an MV into a SummingMergeTree: three
     // ingested chunks land as three parts; FINAL folds them to the global
     // aggregate (the reference's ingest topology, lecture_13)

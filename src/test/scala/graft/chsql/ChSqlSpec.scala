@@ -263,6 +263,82 @@ class ChSqlSpec extends SparkSpec {
     assert(out.toSeq == Seq((2L, 6L)))
   }
 
+  test("CREATE DICTIONARY + dictGet enriches rows (lecture_12's MV idiom)") {
+    val s = ch
+    s.execute(
+      """CREATE TABLE users (id UInt64, username String) ENGINE = Memory;
+        |INSERT INTO users VALUES (1, 'alice'), (2, 'bob');
+        |CREATE DICTIONARY users_dict (id UInt64, username String)
+        |  PRIMARY KEY id
+        |  SOURCE(CLICKHOUSE(HOST 'localhost' PORT 9000 USER 'default'
+        |    TABLE 'users' PASSWORD '' DB 'default'))
+        |  LAYOUT(HASHED()) LIFETIME(MIN 0 MAX 10);
+        |CREATE TABLE posts (post_id UInt64, owner UInt64) ENGINE = Memory;
+        |INSERT INTO posts VALUES (10, 2), (11, 1), (12, 9);""".stripMargin)
+    val out = s.sql(
+      """SELECT post_id, dictGet('users_dict', 'username', owner) AS author,
+        |  dictGetOrDefault('users_dict', 'username', owner, 'unknown') AS author_d
+        |FROM posts ORDER BY post_id""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    assert(out.toSeq == Seq((10L, "bob", "bob"), (11L, "alice", "alice"),
+      (12L, null, "unknown")))
+  }
+
+  test("joinGet reads an ENGINE=Join table by its key") {
+    val s = ch
+    s.execute(
+      """CREATE TABLE jt (k UInt64, v String) ENGINE = Join(ANY, LEFT, k);
+        |INSERT INTO jt VALUES (1, 'one'), (2, 'two');
+        |CREATE TABLE f (k UInt64) ENGINE = Memory;
+        |INSERT INTO f VALUES (1), (2), (3);""".stripMargin)
+    val out = s.sql("SELECT k, joinGet('jt', 'v', k) AS v FROM f ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(out.toSeq == Seq((1L, "one"), (2L, "two"), (3L, null)))
+  }
+
+  test("arrayJoin function and ARRAY JOIN clause explode rows") {
+    val s = ch
+    s.execute(
+      """CREATE TABLE av (id UInt32, xs Array(UInt32)) ENGINE = Memory;
+        |INSERT INTO av VALUES (1, array(10, 20)), (2, array(30));""".stripMargin)
+    val fn = s.sql("SELECT id, arrayJoin(xs) AS x FROM av ORDER BY id, x")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(fn.toSeq == Seq((1L, 10L), (1L, 20L), (2L, 30L)))
+    val clause = s.sql("SELECT id, x FROM av ARRAY JOIN xs AS x ORDER BY id, x")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(clause.toSeq == fn.toSeq)
+  }
+
+  test("ORDER BY ... WITH FILL STEP densifies the axis (hw14 idiom)") {
+    val s = ch
+    s.execute(
+      """CREATE TABLE met (t UInt64, v UInt64) ENGINE = Memory;
+        |INSERT INTO met VALUES (1, 5), (4, 7);""".stripMargin)
+    val out = s.sql("SELECT t, sum(v) AS sv FROM met GROUP BY t ORDER BY t WITH FILL STEP 1")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.toSeq == Seq((1L, 5L), (2L, 0L), (3L, 0L), (4L, 7L)))
+  }
+
+  test("system.tables / system.parts / system.databases introspection") {
+    val s = ch
+    s.execute(
+      """CREATE DATABASE mydb;
+        |CREATE TABLE mydb.mt (id UInt32) ENGINE = ReplacingMergeTree ORDER BY id;
+        |INSERT INTO mydb.mt VALUES (1);
+        |INSERT INTO mydb.mt VALUES (2);""".stripMargin)
+    val t = s.sql("SELECT database, name, engine, total_rows FROM system.tables " +
+      "WHERE database = 'mydb'").collect()
+    assert(t.length == 1 &&
+      t.head.getString(2) == "ReplacingMergeTree" && t.head.getLong(3) == 2L)
+    // one part per inserted block, like the lectures' part inspection
+    val parts = s.sql("SELECT name, table, rows FROM system.parts " +
+      "WHERE table = 'mt' ORDER BY name").collect()
+    assert(parts.map(_.getString(0)).toSeq == Seq("all_0_0_0", "all_1_1_0"))
+    assert(parts.map(_.getLong(2)).sum == 2L)
+    assert(s.sql("SELECT count() AS c FROM system.databases WHERE name = 'mydb'")
+      .collect().head.getLong(0) == 1L)
+  }
+
   test("Null engine discards rows but fires MVs") {
     val s = ch
     s.execute(
