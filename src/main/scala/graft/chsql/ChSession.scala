@@ -634,6 +634,10 @@ final class ChSession(val spark: SparkSession) {
         }
       }
 
+      override def resolveTableFunction(fn: String,
+                                        args: Seq[String]): Option[String] =
+        materializeTableFunction(fn, args)
+
       override def resolveDict(name: String): Option[(String, String)] = {
         val ref = parseRef(strip(name))
         dicts.get(ref).orElse(dicts.get(("default", ref._2))) match {
@@ -744,8 +748,11 @@ final class ChSession(val spark: SparkSession) {
               case c if !keys.contains(c.name) &&
                 c.dataType.isInstanceOf[NumericType] => c.name
             }
-          FoldViews.summingFinal(dropSeq(raw), keys, sums)
-            .withColumn("__graft_seq", lit(0L))
+          // no non-key numeric columns: the fold degenerates to dedup
+          val folded =
+            if (sums.isEmpty) dropSeq(raw).dropDuplicates(keys)
+            else FoldViews.summingFinal(dropSeq(raw), keys, sums)
+          folded.withColumn("__graft_seq", lit(0L))
         case "collapsing" =>
           FoldViews.collapsingFinal(raw, keys, m.sign.get, col("__graft_seq"))
         case "vcollapsing" =>
@@ -755,6 +762,76 @@ final class ChSession(val spark: SparkSession) {
       }
       case _ => raw
     }
+  }
+
+  // ------------------------------------------------ table functions
+
+  private var tfCounter = 0
+
+  /** `s3('url', 'TabSeparatedWithNames' [, 'a UInt32, b String'])` and
+    * friends (hw02.sql's ingest path): scheme-agnostic — the reader
+    * fetches each brace-glob-expanded URL in its own executor task
+    * (Formats.urlCsvWithNames), or reads a local path. The optional
+    * structure string casts columns through the CH type palette.
+    */
+  private def materializeTableFunction(fn: String,
+                                       args: Seq[String]): Option[String] = {
+    def unq(s: String): String = s.trim.stripPrefix("'").stripSuffix("'")
+    if (args.isEmpty) return None
+    val path = unq(args.head)
+    // CH arg orders: url(url, format[, structure]); s3(url[, key, secret],
+    // format[, structure]) — detect the format arg by name
+    val known = Set("tabseparatedwithnames", "tsvwithnames", "csvwithnames",
+      "parquet", "tabseparated", "tsv", "csv", "jsoneachrow")
+    val rest = args.tail.map(unq)
+    val fmtAt = rest.indexWhere(a => known(a.toLowerCase))
+    val fmt = if (fmtAt >= 0) rest(fmtAt).toLowerCase else "parquet"
+    val structure = rest.drop(fmtAt + 1).headOption.filter(_.contains(" "))
+    val schema = structure.map { s =>
+      StructType(ChTypes.splitTopLevel(s).map { c =>
+        val p = c.trim.split("\\s+", 2)
+        val parsed = ChTypes.parse(p(1))
+        StructField(p(0), parsed.dataType, parsed.nullable)
+      })
+    }
+    val isRemote = path.contains("://")
+    val df = fmt match {
+      case "tabseparatedwithnames" | "tsvwithnames" =>
+        if (isRemote) graft.sources.Formats.urlTsvWithNames(spark, path, schema)
+        else graft.sources.Formats.tsvWithNames(spark, path, schema)
+      case "csvwithnames" =>
+        if (isRemote) graft.sources.Formats.urlCsvWithNames(spark, path,
+          schema = schema)
+        else graft.sources.Formats.csvWithNames(spark, path, schema)
+      case "parquet" => spark.read.parquet(path)
+      case other => fail(s"table function $fn: unsupported FORMAT $other")
+    }
+    tfCounter += 1
+    val v = s"chs_tf_$tfCounter"
+    df.createOrReplaceTempView(v)
+    Some(v)
+  }
+
+  /** Attaches a Structured Stream to a table (the reference's Kafka
+    * topology run for real): every micro-batch lands via the insert path,
+    * firing the table's MVs — the streaming twin of [[ingest]].
+    */
+  def attachStream(tableRef: String,
+                   stream: DataFrame,
+                   checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    val ref = parseRef(tableRef)
+    lookup(ref) // validate the target exists
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (block: DataFrame, _: Long) =>
+        // foreachBatch hands a DataFrame rooted in a CLONED micro-batch
+        // session; re-root it onto this ChSession's session (the RDD is
+        // session-independent) so the insert path's temp views resolve
+        val rooted = spark.createDataFrame(block.rdd, block.schema).persist()
+        try insertBlock(ref, rooted, castByPosition = false)
+        finally ()
+      }
+      .start()
   }
 
   // ------------------------------------------------------ system.*

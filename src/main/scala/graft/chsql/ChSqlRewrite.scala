@@ -33,6 +33,12 @@ object ChSqlRewrite {
       * subqueries against it (Catalyst rewrites those into joins).
       */
     def resolveDict(name: String): Option[(String, String)] = None
+
+    /** Materializes a table function (`s3(...)`, `url(...)`, `file(...)`)
+      * into a registered view; returns the view name.
+      */
+    def resolveTableFunction(fn: String, args: Seq[String]): Option[String] =
+      None
   }
 
   object NoTables extends Resolver {
@@ -59,6 +65,7 @@ object ChSqlRewrite {
     toks = fixCountStar(toks)
     toks = dropGlobal(toks)
     toks = rewriteNumbers(toks)
+    toks = rewriteTableFunctions(toks, resolver)
     toks = rewriteArrayJoinClause(toks)
     toks = toks.map(t => if (t.is("arrayJoin")) Token("explode") else t)
     toks = rewriteDictGet(toks, resolver)
@@ -72,6 +79,30 @@ object ChSqlRewrite {
     toks = rewriteInTable(toks, resolver)
     toks = mapIdentifiers(toks, resolver)
     Rewritten(ChLexer.render(toks), limitBy, finalLimit, fill)
+  }
+
+  // ---- FROM s3(...)/url(...)/file(...)/gcs(...) → materialized views ----
+  private val tableFns = Set("S3", "URL", "FILE", "GCS")
+
+  private def rewriteTableFunctions(toks: Vector[Token],
+                                    resolver: Resolver): Vector[Token] = {
+    var i = 0
+    while (i < toks.length - 1) {
+      if (tableFns(toks(i).upper) && i + 1 < toks.length &&
+        toks(i + 1).text == "(" && prevSuggestsTable(toks, i)) {
+        val close = matchParen(toks, i + 1)
+        val args = ChTypes.splitTopLevel(
+          ChLexer.render(toks.slice(i + 2, close)))
+        resolver.resolveTableFunction(toks(i).text.toLowerCase, args) match {
+          case Some(view) =>
+            val rebuilt = toks.take(i) ++ ChLexer.tokenize(view) ++
+              toks.drop(close + 1)
+            return rewriteTableFunctions(rebuilt, resolver)
+          case None => i = close + 1
+        }
+      } else i += 1
+    }
+    toks
   }
 
   // ---- [LEFT] ARRAY JOIN expr AS alias → LATERAL VIEW explode ----

@@ -339,6 +339,71 @@ class ChSqlSpec extends SparkSpec {
       .collect().head.getLong(0) == 1L)
   }
 
+  test("hw02's INSERT ... SELECT FROM s3(url, TSVWithNames) over real HTTP") {
+    import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
+    val files = Map(
+      "/trips_0.tsv" -> "trip_id\ttotal_amount\n1\t10.5\n2\t4.25\n",
+      "/trips_1.tsv" -> "trip_id\ttotal_amount\n3\t7.0\n")
+    val server = HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    files.foreach { case (p, body) =>
+      server.createContext(p, new HttpHandler {
+        override def handle(x: HttpExchange): Unit = {
+          val b = body.getBytes("UTF-8")
+          x.sendResponseHeaders(200, b.length)
+          x.getResponseBody.write(b)
+          x.close()
+        }
+      })
+    }
+    server.start()
+    try {
+      val port = server.getAddress.getPort
+      val s = ch
+      s.execute(
+        """CREATE TABLE trips2 (trip_id UInt32, total_amount Float32)
+          |ENGINE = MergeTree ORDER BY trip_id""".stripMargin)
+      // the hw02.sql ingest shape with the dataset URL swapped for loopback
+      s.execute(
+        s"""INSERT INTO trips2 SELECT trip_id, total_amount FROM s3(
+           |  'http://127.0.0.1:$port/trips_{0..1}.tsv',
+           |  'TabSeparatedWithNames',
+           |  'trip_id UInt32, total_amount Float32')""".stripMargin)
+      val out = s.sql(
+        "SELECT count() AS n, round(sum(total_amount), 2) AS total FROM trips2")
+        .collect().head
+      assert(out.getLong(0) == 3L && out.getDouble(1) == 21.75)
+    } finally server.stop(0)
+  }
+
+  test("attachStream: a real micro-batch stream drives the MV cascade") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions.col
+    val s = ch
+    s.execute(
+      """CREATE TABLE raw_in (k UInt64, v UInt64) ENGINE = Null;
+        |CREATE TABLE agg_out (k UInt64, v UInt64)
+        |  ENGINE = SummingMergeTree ORDER BY k;
+        |CREATE MATERIALIZED VIEW dmv TO agg_out AS
+        |  SELECT k, v * 2 AS v FROM raw_in;""".stripMargin)
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[(Long, Long)]
+    val ckpt = java.nio.file.Files.createTempDirectory("chs_stream").toString
+    val q = s.attachStream("raw_in",
+      mem.toDF.select(col("_1").as("k"), col("_2").as("v")), ckpt)
+    try {
+      mem.addData((1L, 10L), (2L, 20L))
+      q.processAllAvailable()
+      mem.addData((1L, 5L))
+      q.processAllAvailable()
+      // two micro-batches → two parts; FINAL folds to the running totals
+      val got = s.sql("SELECT k, v FROM agg_out FINAL ORDER BY k").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      assert(got.toSeq == Seq((1L, 30L), (2L, 40L)))
+    } finally q.stop()
+  }
+
   test("Null engine discards rows but fires MVs") {
     val s = ch
     s.execute(
