@@ -680,8 +680,28 @@ final class ChSession(val spark: SparkSession) {
       df = axisType match {
         case DateType => graft.operators.WithFill.fillDates(df, f.axis,
           defaults, f.step.map(_.toInt).getOrElse(1))
-        case _: NumericType => graft.operators.WithFill.fillLongs(df, f.axis,
-          defaults, f.step.map(_.toLong).getOrElse(1L))
+        case _: NumericType if f.from.isEmpty && f.to.isEmpty =>
+          graft.operators.WithFill.fillLongs(df, f.axis, defaults,
+            f.step.map(_.toLong).getOrElse(1L))
+        case _: NumericType =>
+          // explicit bounds: FROM inclusive, TO exclusive (CH semantics);
+          // data bounds fill whichever side is unspecified. Same plan-only
+          // shape as WithFill — a 1-row aggregate cross-joined into a
+          // sequence, never a driver-side collect.
+          val step = f.step.map(_.toLong).getOrElse(1L)
+          val lo = f.from.map(v => lit(v.toLong))
+          val hi = f.to.map(v => lit(v.toLong - 1L))
+          val axis = df
+            .agg(min(col(f.axis)).as("__mn"), max(col(f.axis)).as("__mx"))
+            .select(explode(sequence(
+              coalesce((lo.toSeq :+ col("__mn")): _*).cast("long"),
+              coalesce((hi.toSeq :+ col("__mx")): _*).cast("long"),
+              lit(step))).as(f.axis))
+          val joined = axis.join(
+            df.withColumn(f.axis, col(f.axis).cast("long")), Seq(f.axis), "left")
+          defaults.foldLeft(joined) { case (acc, (name, d)) =>
+            acc.withColumn(name, coalesce(col(name), d))
+          }
         case other => fail(s"WITH FILL on unsupported axis type $other")
       }
       df = df.orderBy(col(f.axis))

@@ -319,6 +319,34 @@ class ChSqlSpec extends SparkSpec {
     assert(out.toSeq == Seq((1L, 5L), (2L, 0L), (3L, 0L), (4L, 7L)))
   }
 
+  test("WITH FILL FROM/TO bounds (FROM inclusive, TO exclusive)") {
+    val s = ch
+    s.execute(
+      """CREATE TABLE met2 (t UInt64, v UInt64) ENGINE = Memory;
+        |INSERT INTO met2 VALUES (3, 5), (5, 7);""".stripMargin)
+    val out = s.sql(
+      "SELECT t, sum(v) AS sv FROM met2 GROUP BY t ORDER BY t WITH FILL FROM 1 TO 7 STEP 2")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // axis 1,3,5 (7 excluded); data points at 3 and 5 survive
+    assert(out.toSeq == Seq((1L, 0L), (3L, 5L), (5L, 7L)))
+  }
+
+  test("dictGet lowers to a join, not a per-row lookup (plan audit)") {
+    val s = ch
+    s.execute(
+      """CREATE TABLE dusers (id UInt64, name String) ENGINE = Memory;
+        |INSERT INTO dusers VALUES (1, 'a');
+        |CREATE DICTIONARY dd (id UInt64, name String) PRIMARY KEY id
+        |  SOURCE(CLICKHOUSE(TABLE 'dusers')) LAYOUT(FLAT()) LIFETIME(1);
+        |CREATE TABLE dfacts (fid UInt64, uid UInt64) ENGINE = Memory;
+        |INSERT INTO dfacts VALUES (10, 1);""".stripMargin)
+    val df = s.sql("SELECT fid, dictGet('dd', 'name', uid) AS n FROM dfacts")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("Join"),
+      s"expected the scalar subquery rewritten into a join:\n$plan")
+    assert(df.collect().map(_.getString(1)).toSeq == Seq("a"))
+  }
+
   test("system.tables / system.parts / system.databases introspection") {
     val s = ch
     s.execute(
