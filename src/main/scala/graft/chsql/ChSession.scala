@@ -141,6 +141,13 @@ final class ChSession(val spark: SparkSession) {
           t.columns.map(c => Row(c.name, c.dataType.simpleString)).asJavaList,
           StructType(Seq(StructField("name", StringType),
             StructField("type", StringType)))))
+      case "EXPLAIN" =>
+        val body = ChLexer.render(toks.drop(1))
+        val planned = runSelect(body, Map.empty)
+        Some(spark.createDataFrame(
+          planned.queryExecution.executedPlan.toString.linesIterator
+            .map(Row(_)).toSeq.asJavaList,
+          StructType(Seq(StructField("explain", StringType)))))
       case "SET" | "SYSTEM" | "GRANT" | "REVOKE" | "KILL" => None // no-op
       case other => fail(s"unsupported statement: $other ...")
     }
@@ -798,6 +805,23 @@ final class ChSession(val spark: SparkSession) {
                                        args: Seq[String]): Option[String] = {
     def unq(s: String): String = s.trim.stripPrefix("'").stripSuffix("'")
     if (args.isEmpty) return None
+    if (fn == "merge") {
+      // merge(db, 'regex') — union of matching tables, tagged with the
+      // _table virtual column (lectures/lecture_08 ENGINE=Merge twin)
+      val (mdb, regex) =
+        if (args.length >= 2) (unq(args.head), unq(args(1)))
+        else (currentDb, unq(args.head))
+      val pat = regex.r
+      val matching = tables.values.toSeq
+        .filter(t => t.db == mdb && pat.findFirstIn(t.name).isDefined)
+      if (matching.isEmpty) fail(s"merge($mdb, '$regex'): no matching tables")
+      val df = matching.map(t => tableDf(t).withColumn("_table", lit(t.name)))
+        .reduce(_ unionByName _)
+      tfCounter += 1
+      val v = s"chs_tf_$tfCounter"
+      df.createOrReplaceTempView(v)
+      return Some(v)
+    }
     val path = unq(args.head)
     // CH arg orders: url(url, format[, structure]); s3(url[, key, secret],
     // format[, structure]) — detect the format arg by name

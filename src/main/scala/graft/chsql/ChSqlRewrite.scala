@@ -82,7 +82,7 @@ object ChSqlRewrite {
   }
 
   // ---- FROM s3(...)/url(...)/file(...)/gcs(...) → materialized views ----
-  private val tableFns = Set("S3", "URL", "FILE", "GCS")
+  private val tableFns = Set("S3", "URL", "FILE", "GCS", "MERGE")
 
   private def rewriteTableFunctions(toks: Vector[Token],
                                     resolver: Resolver): Vector[Token] = {

@@ -432,6 +432,30 @@ class ChSqlSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("merge(db, regex) unions matching tables with _table (lecture_08)") {
+    val s = ch
+    s.execute(
+      """CREATE TABLE log_a (v UInt32) ENGINE = Memory;
+        |CREATE TABLE log_b (v UInt32) ENGINE = Memory;
+        |CREATE TABLE other (v UInt32) ENGINE = Memory;
+        |INSERT INTO log_a VALUES (1);
+        |INSERT INTO log_b VALUES (2), (3);
+        |INSERT INTO other VALUES (99);""".stripMargin)
+    val out = s.sql(
+      "SELECT _table, sum(v) AS sv FROM merge(default, '^log_') " +
+        "GROUP BY _table ORDER BY _table")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(out.toSeq == Seq(("log_a", 1L), ("log_b", 5L)))
+  }
+
+  test("EXPLAIN returns the physical plan") {
+    val s = ch
+    s.execute("CREATE TABLE ex (v UInt32) ENGINE = Memory; " +
+      "INSERT INTO ex VALUES (1)")
+    val res = s.execute("EXPLAIN SELECT v FROM ex WHERE v > 0")
+    assert(res.nonEmpty && res.head.collect().nonEmpty)
+  }
+
   test("Null engine discards rows but fires MVs") {
     val s = ch
     s.execute(
