@@ -49,7 +49,8 @@ object ChSession {
       nullable: Boolean, default: Option[String], materialized: Option[String])
 
   final class ChTable(val db: String, val name: String,
-      val columns: Seq[ColumnDef], val engine: Engine) {
+      val columns: Seq[ColumnDef], val engine: Engine,
+      val path: Option[String] = None) {
     val blocks = mutable.ArrayBuffer.empty[DataFrame]
     var nextSeq = 0L
     def schema: StructType = StructType(columns.map(c =>
@@ -61,7 +62,16 @@ object ChSession {
       selectSql: String, targetDb: String, targetTable: String)
 }
 
-final class ChSession(val spark: SparkSession) {
+/** @param storageDir when set, storable tables write each inserted block
+  *   as a parquet append under `storageDir/db/table/` instead of holding
+  *   lineage DataFrames in memory. This is the sustained-ingest mode: a
+  *   streaming MV cascade appending thousands of micro-batches keeps
+  *   bounded plans (every read is a fresh parquet scan) and survives the
+  *   driver — the production shape at 100 TB, where a table IS a parquet
+  *   directory and a "part" IS an appended file set.
+  */
+final class ChSession(val spark: SparkSession,
+                      storageDir: Option[String] = None) {
   import ChSession._
 
   graft.functions.ChRegistry.registerAll(spark)
@@ -111,14 +121,18 @@ final class ChSession(val spark: SparkSession) {
       case "INSERT" => runInsert(stmt, toks); None
       case "TRUNCATE" =>
         val ref = parseRef(strip(toks.last.text))
-        lookup(ref).blocks.clear(); None
+        val t = lookup(ref)
+        t.blocks.clear()
+        t.path.foreach(deleteDir)
+        None
       case "OPTIMIZE" => runOptimize(toks); None
       case "ALTER" => runAlter(stmt, toks); None
       case "RENAME" => // RENAME TABLE a TO b
         val a = parseRef(strip(toks(2).text)); val b = parseRef(strip(toks(4).text))
         val t = tables.remove(a).getOrElse(fail(s"no table ${a._1}.${a._2}"))
-        val nt = new ChTable(b._1, b._2, t.columns, t.engine)
-        nt.blocks ++= t.blocks
+        val nt = mkTable(b._1, b._2, t.columns, t.engine)
+        if (nt.path.isDefined) replaceContents(nt, tableDf(t))
+        else nt.blocks ++= t.blocks
         nt.nextSeq = t.nextSeq
         tables(b) = nt
         None
@@ -234,7 +248,7 @@ final class ChSession(val spark: SparkSession) {
         else {
           // MV with its own ENGINE: implicit inner table named after the MV
           val cd = inferColumnsFromSelect(selectSql)
-          val inner = new ChTable(db, name, cd, parseEngineClause(toks, asAt))
+          val inner = mkTable(db, name, cd, parseEngineClause(toks, asAt))
           tables((db, name)) = inner
           (db, name)
         }
@@ -258,12 +272,12 @@ final class ChSession(val spark: SparkSession) {
         val res = runSelect(ChLexer.render(toks.drop(asAt + 1)), Map.empty)
         val cols = res.schema.fields.map(f =>
           ColumnDef(f.name, f.dataType, f.nullable, None, None)).toSeq
-        val t = new ChTable(db, name, cols, parseEngineClause(toks, toks.length))
+        val t = mkTable(db, name, cols, parseEngineClause(toks, toks.length))
         tables((db, name)) = t
         insertBlock((db, name), res, castByPosition = false)
       } else if (asAt > 0) {
         val srcT = lookup(parseRef(strip(toks(asAt + 1).text)))
-        tables((db, name)) = new ChTable(db, name, srcT.columns,
+        tables((db, name)) = mkTable(db, name, srcT.columns,
           parseEngineClause(toks, toks.length) match {
             case Engine.Memory => srcT.engine // AS t with no ENGINE: copy
             case e => e
@@ -276,7 +290,7 @@ final class ChSession(val spark: SparkSession) {
     // CTAS with both schema and AS SELECT is rare; handle columns form
     val columns = ChTypes.splitTopLevel(colsSql).flatMap(parseColumnDef)
     val engine = parseEngineClause(toks, parenClose)
-    tables((db, name)) = new ChTable(db, name, columns, engine)
+    tables((db, name)) = mkTable(db, name, columns, engine)
     if (asAt > parenClose && asAt > 0 && asAt + 1 < toks.length &&
       toks(asAt + 1).is("SELECT")) {
       val res = runSelect(ChLexer.render(toks.drop(asAt + 1)), Map.empty)
@@ -433,8 +447,7 @@ final class ChSession(val spark: SparkSession) {
     val folded =
       if (toks.exists(_.is("DEDUPLICATE"))) tableDf(t).dropDuplicates()
       else finalDf(t)
-    t.blocks.clear()
-    t.blocks += folded.withColumn("__graft_seq", lit(0L))
+    replaceContents(t, folded)
   }
 
   private def runAlter(stmt: String, toks: Vector[ChLexer.Token]): Unit = {
@@ -446,7 +459,7 @@ final class ChSession(val spark: SparkSession) {
         val whereAt = toks.indexWhere(_.is("WHERE"))
         val pred = ChLexer.render(toks.drop(whereAt + 1))
         val kept = tableDf(t).filter(s"NOT ($pred)")
-        t.blocks.clear(); t.blocks += kept.withColumn("__graft_seq", lit(0L))
+        replaceContents(t, kept)
       case "UPDATE" => // ALTER TABLE t UPDATE a = e1, b = e2 WHERE pred
         val whereAt = indexOfTopLevel(toks, "WHERE")
         val assigns = ChTypes.splitTopLevel(
@@ -460,19 +473,24 @@ final class ChSession(val spark: SparkSession) {
           df = df.withColumn(c,
             when(expr(pred), expr(e)).otherwise(col(c)))
         }
-        t.blocks.clear(); t.blocks += df.withColumn("__graft_seq", lit(0L))
+        replaceContents(t, df)
       case "ADD" => // ALTER TABLE t ADD COLUMN name Type [DEFAULT e]
         val cd = parseColumnDef(ChLexer.render(toks.drop(5))).get
         val withCol = tableDf(t).withColumn(cd.name,
           cd.default.map(expr).getOrElse(typeZero(cd.dataType)).cast(cd.dataType))
-        val nt = new ChTable(t.db, t.name, t.columns :+ cd, t.engine)
-        nt.blocks += withCol.withColumn("__graft_seq", lit(0L))
+        val withColMat =
+          if (t.path.isDefined) withCol.localCheckpoint() else withCol
+        val nt = mkTable(t.db, t.name, t.columns :+ cd, t.engine)
+        replaceContents(nt, withColMat)
         tables(ref) = nt
       case "DROP" => // ALTER TABLE t DROP COLUMN name
         val cname = strip(toks(5).text)
-        val nt = new ChTable(t.db, t.name,
+        val droppedMat =
+          if (t.path.isDefined) tableDf(t).drop(cname).localCheckpoint()
+          else tableDf(t).drop(cname)
+        val nt = mkTable(t.db, t.name,
           t.columns.filterNot(_.name == cname), t.engine)
-        nt.blocks += tableDf(t).drop(cname).withColumn("__graft_seq", lit(0L))
+        replaceContents(nt, droppedMat)
         tables(ref) = nt
       case other => fail(s"unsupported ALTER $other")
     }
@@ -548,7 +566,12 @@ final class ChSession(val spark: SparkSession) {
           if (perBlockFold)
             fold(block.withColumn("__graft_seq", monotonically_increasing_id()), t)
           else block
-        t.blocks += stored.withColumn("__graft_seq", lit(seq))
+        val sealed_ = stored.withColumn("__graft_seq", lit(seq))
+        t.path match {
+          case Some(p) => sealed_.write
+            .mode(org.apache.spark.sql.SaveMode.Append).parquet(p)
+          case None => t.blocks += sealed_
+        }
     }
     // fire MVs bound to this source, binding the source name to the block.
     // Extra block columns beyond the declared schema stay visible — they
@@ -737,23 +760,28 @@ final class ChSession(val spark: SparkSession) {
       case Engine.Buffer(db, tbl) => return tableDf(lookup((db, tbl)))
       case _ =>
     }
-    if (t.blocks.isEmpty)
-      spark.createDataFrame(new java.util.ArrayList[Row](), t.schema)
-    else dropSeq(t.blocks.reduce(_ unionByName _))
+    dropSeq(rawDf(t))
+  }
+
+  /** All stored rows WITH the `__graft_seq` part-order column. */
+  private def rawDf(t: ChTable): DataFrame = t.path match {
+    case Some(p) if pathExists(p) => spark.read.parquet(p)
+    case Some(_) =>
+      spark.createDataFrame(new java.util.ArrayList[Row](),
+        t.schema.add("__graft_seq", LongType))
+    case None =>
+      if (t.blocks.isEmpty)
+        spark.createDataFrame(new java.util.ArrayList[Row](),
+          t.schema.add("__graft_seq", LongType))
+      else t.blocks.reduce(_ unionByName _)
   }
 
   private def dropSeq(df: DataFrame): DataFrame =
     if (df.columns.contains("__graft_seq")) df.drop("__graft_seq") else df
 
   /** The FINAL fold for the table's MergeTree flavor (cross-part). */
-  private def finalDf(t: ChTable): DataFrame = {
-    val raw =
-      if (t.blocks.isEmpty)
-        spark.createDataFrame(new java.util.ArrayList[Row](),
-          t.schema.add("__graft_seq", LongType))
-      else t.blocks.reduce(_ unionByName _)
-    dropSeq(fold(raw, t)).select(t.columns.map(c => col(c.name)): _*)
-  }
+  private def finalDf(t: ChTable): DataFrame =
+    dropSeq(fold(rawDf(t), t)).select(t.columns.map(c => col(c.name)): _*)
 
   /** One engine fold over rows carrying a `__graft_seq` order column
     * (within-block row ids at insert time, block numbers at FINAL time).
@@ -911,10 +939,21 @@ final class ChSession(val spark: SparkSession) {
         Some(df(StructType(Seq(s("database"), s("table"), s("name"),
           s("partition"), l("rows"), StructField("active", IntegerType),
           s("disk_name"), s("path"))),
-          tables.values.toSeq.flatMap(t => t.blocks.zipWithIndex.map {
-            case (b, i) => Row(t.db, t.name, s"all_${i}_${i}_0", "tuple()",
-              b.count(), 1, "default", s"/store/${t.db}/${t.name}/all_${i}_${i}_0/")
-          })))
+          tables.values.toSeq.flatMap { t =>
+            val partRows: Seq[(Long, Long)] = t.path match {
+              case Some(_) => rawDf(t)
+                .groupBy(col("__graft_seq")).count()
+                .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+                .sortBy(_._1)
+              case None => t.blocks.zipWithIndex
+                .map { case (b, i) => (i.toLong, b.count()) }.toSeq
+            }
+            partRows.map { case (i, n) =>
+              Row(t.db, t.name, s"all_${i}_${i}_0", "tuple()", n, 1,
+                "default",
+                t.path.getOrElse(s"/store/${t.db}/${t.name}") + s"/all_${i}_${i}_0/")
+            }
+          }))
       case "one" =>
         Some(df(StructType(Seq(StructField("dummy", IntegerType))),
           Seq(Row(0))))
@@ -941,6 +980,49 @@ final class ChSession(val spark: SparkSession) {
   }
 
   // ------------------------------------------------------ helpers
+
+  /** Storable engines get a parquet directory when storageDir is set. */
+  private def storable(e: Engine): Boolean = e match {
+    case Engine.Null | Engine.Kafka | _: Engine.Distributed |
+         _: Engine.Buffer => false
+    case _ => true
+  }
+
+  private def mkTable(db: String, name: String, cols: Seq[ColumnDef],
+                      engine: Engine): ChTable = {
+    val p = storageDir.filter(_ => storable(engine)).map(d => s"$d/$db/$name")
+    p.foreach(deleteDir) // a fresh CREATE owns the directory
+    new ChTable(db, name, cols, engine, p)
+  }
+
+  private def pathExists(p: String): Boolean = {
+    val hp = new org.apache.hadoop.fs.Path(p)
+    hp.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(hp)
+  }
+
+  private def deleteDir(p: String): Unit = {
+    val hp = new org.apache.hadoop.fs.Path(p)
+    hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(hp, true)
+    ()
+  }
+
+  /** Replaces a table's full contents (OPTIMIZE/ALTER/RENAME): parquet
+    * mode materializes first (localCheckpoint) so the overwrite never
+    * reads the directory it is replacing.
+    */
+  private def replaceContents(t: ChTable, df: DataFrame): Unit = {
+    val seqd = (if (df.columns.contains("__graft_seq")) df
+      else df.withColumn("__graft_seq", lit(0L)))
+    t.path match {
+      case Some(p) =>
+        seqd.localCheckpoint()
+          .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(p)
+      case None =>
+        t.blocks.clear()
+        t.blocks += seqd
+    }
+  }
 
   private def viewName(ref: (String, String)): String =
     s"chs_${ref._1}__${ref._2}".replaceAll("[^A-Za-z0-9_]", "_")

@@ -456,6 +456,31 @@ class ChSqlSpec extends SparkSpec {
     assert(res.nonEmpty && res.head.collect().nonEmpty)
   }
 
+  test("parquet storage mode: blocks land as appended parts on disk") {
+    val dir = java.nio.file.Files.createTempDirectory("chs_store").toString
+    val s = new ChSession(spark, storageDir = Some(dir))
+    s.execute(
+      """CREATE TABLE st (id UInt32, v UInt32)
+        |ENGINE = SummingMergeTree ORDER BY id;
+        |INSERT INTO st VALUES (1, 10), (1, 5);
+        |INSERT INTO st VALUES (1, 7), (2, 2);""".stripMargin)
+    // the table IS a parquet directory now
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Path.of(dir, "default", "st")))
+    // two parts (per-block folded at insert), FINAL folds across them
+    val parts = s.sql("SELECT rows FROM system.parts WHERE table = 'st'")
+      .collect().map(_.getLong(0)).sorted
+    assert(parts.toSeq == Seq(1L, 2L))
+    val fin = s.sql("SELECT id, v FROM st FINAL ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(fin.toSeq == Seq((1L, 22L), (2L, 2L)))
+    // OPTIMIZE FINAL compacts the directory to the folded contents
+    s.execute("OPTIMIZE TABLE st FINAL")
+    assert(s.sql("SELECT count() AS c FROM st").collect().head.getLong(0) == 2L)
+    s.execute("ALTER TABLE st DELETE WHERE id = 1")
+    assert(s.sql("SELECT count() AS c FROM st").collect().head.getLong(0) == 1L)
+  }
+
   test("Null engine discards rows but fires MVs") {
     val s = ch
     s.execute(
