@@ -481,6 +481,56 @@ class ChSqlSpec extends SparkSpec {
     assert(s.sql("SELECT count() AS c FROM st").collect().head.getLong(0) == 1L)
   }
 
+  test("lecture_09 Join-engine demo verbatim: ANY INNER JOIN + joinGet") {
+    val s = ch
+    // lectures/lecture_09.md:237-271, statements run as written (minus the
+    // deliberately-erroring ANY LEFT JOIN the lecture shows failing)
+    s.execute(
+      """drop table if exists main_data;
+        |drop table if exists desc_data;
+        |CREATE TABLE main_data
+        |(
+        |    id UInt32,
+        |    desc_id UInt32
+        |)
+        |ENGINE = TinyLog;
+        |CREATE TABLE desc_data (
+        |    desc_id UInt32,
+        |    desc String
+        |)
+        |engine = Join(ANY, INNER , desc_id);
+        |INSERT INTO main_data VALUES (1,10), (2,20), (3,30);
+        |INSERT INTO desc_data VALUES (10, 'mysql'),(20, 'pg'),(30, 'ch');""".stripMargin)
+    val j = s.sql("SELECT * FROM main_data ANY INNER JOIN desc_data USING (desc_id)")
+    assert(j.count() == 3)
+    val jg = s.sql(
+      """SELECT id, joinGet(desc_data, 'desc', toUInt32(desc_id)) as description
+        |FROM main_data""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    assert(jg.toSeq == Seq((1L, "mysql"), (2L, "pg"), (3L, "ch")))
+  }
+
+  test("lecture_09 Set-engine demo: val IN SX prefilters the fact scan") {
+    val s = ch
+    // lectures/lecture_09.md:445-480 with numbers(30M) scaled 10x down —
+    // the expected count is unchanged (val = number*10 < 30000 → 3000)
+    s.execute(
+      """drop table if exists SX;
+        |drop table if exists MX;
+        |drop table if exists HL;
+        |CREATE TABLE SX ( hbx UInt32 ) ENGINE = Set SETTINGS persistent=1;
+        |CREATE TABLE MX ( hbx UInt32 ) ENGINE = Memory;
+        |INSERT INTO MX SELECT number from numbers(30000);
+        |INSERT INTO SX SELECT number from numbers(30000);
+        |CREATE TABLE HL (id UInt32, val UInt32)
+        |ENGINE = MergeTree ORDER BY (val);
+        |INSERT INTO HL SELECT number, number * 10 from numbers(3000000);""".stripMargin)
+    assert(s.sql("SELECT COUNT(*) AS c FROM MX").collect().head.getLong(0) == 30000L)
+    val c = s.sql("SELECT count(*) AS c FROM HL WHERE val IN SX")
+      .collect().head.getLong(0)
+    assert(c == 3000L) // the lecture's captured output (lecture_09.md:474)
+  }
+
   test("Null engine discards rows but fires MVs") {
     val s = ch
     s.execute(
