@@ -60,6 +60,16 @@ object ChSession {
   final case class ChMv(db: String, name: String,
       sourceDb: String, sourceTable: String,
       selectSql: String, targetDb: String, targetTable: String)
+
+  /** Re-opens a parquet-backed session directory: replays the canonical
+    * DDL journal (`_catalog.sql`) written by the previous session, so
+    * every table/MV/dictionary comes back attached to its existing data.
+    */
+  def attach(spark: SparkSession, storageDir: String): ChSession = {
+    val s = new ChSession(spark, Some(storageDir))
+    s.attachExisting()
+    s
+  }
 }
 
 /** @param storageDir when set, storable tables write each inserted block
@@ -131,10 +141,13 @@ final class ChSession(val spark: SparkSession,
         val a = parseRef(strip(toks(2).text)); val b = parseRef(strip(toks(4).text))
         val t = tables.remove(a).getOrElse(fail(s"no table ${a._1}.${a._2}"))
         val nt = mkTable(b._1, b._2, t.columns, t.engine)
-        if (nt.path.isDefined) replaceContents(nt, tableDf(t))
-        else nt.blocks ++= t.blocks
+        if (nt.path.isDefined) {
+          replaceContents(nt, tableDf(t).localCheckpoint())
+          t.path.foreach(deleteDir) // the old directory moves, not forks
+        } else nt.blocks ++= t.blocks
         nt.nextSeq = t.nextSeq
         tables(b) = nt
+        journalCatalog()
         None
       case "SHOW" =>
         if (toks(1).is("DATABASES"))
@@ -195,7 +208,7 @@ final class ChSession(val spark: SparkSession,
     val nameTok = strip(toks(i).text)
     i += 1
 
-    if (kind == "DATABASE") { databases += nameTok; return }
+    if (kind == "DATABASE") { databases += nameTok; journalCatalog(); return }
 
     if (kind == "DICTIONARY") {
       // CREATE DICTIONARY name (cols) PRIMARY KEY k
@@ -221,6 +234,7 @@ final class ChSession(val spark: SparkSession,
       require(srcTable.nonEmpty,
         s"CREATE DICTIONARY $dname: only SOURCE(CLICKHOUSE(TABLE ...)) is supported")
       dicts((ddb, dname)) = DictDef(srcDb, srcTable, pk)
+      journalCatalog()
       return
     }
 
@@ -259,6 +273,7 @@ final class ChSession(val spark: SparkSession,
         val res = runSelect(selectSql, Map.empty)
         insertBlock((tdb, tname), res, castByPosition = true)
       }
+      journalCatalog()
       return
     }
 
@@ -283,6 +298,7 @@ final class ChSession(val spark: SparkSession,
             case e => e
           })
       } else fail(s"CREATE TABLE without columns or AS: $stmt")
+      journalCatalog()
       return
     }
     val parenClose = matchParenTok(toks, parenAt)
@@ -296,6 +312,7 @@ final class ChSession(val spark: SparkSession,
       val res = runSelect(ChLexer.render(toks.drop(asAt + 1)), Map.empty)
       insertBlock((db, name), res, castByPosition = true)
     }
+    journalCatalog()
   }
 
   private val viewDefs = mutable.Map.empty[(String, String), String]
@@ -439,6 +456,7 @@ final class ChSession(val spark: SparkSession,
         mvs.filterInPlace(m => (m.db, m.name) != ref)
       case other => fail(s"unsupported DROP $other")
     }
+    journalCatalog()
   }
 
   private def runOptimize(toks: Vector[ChLexer.Token]): Unit = {
@@ -549,6 +567,10 @@ final class ChSession(val spark: SparkSession,
       case Engine.Buffer(db, tbl) =>
         return insertBlock((db, tbl), block, castByPosition = false)
       case _ =>
+        // an attached table resumes its part numbering from disk
+        if (t.nextSeq == 0L && t.path.exists(pathExists))
+          t.nextSeq = rawDf(t).agg(max(col("__graft_seq")))
+            .collect().head.getLong(0) + 1L
         val seq = t.nextSeq
         t.nextSeq += 1
         // a summing/replacing MergeTree part is written MERGED: the fold
@@ -981,6 +1003,109 @@ final class ChSession(val spark: SparkSession,
 
   // ------------------------------------------------------ helpers
 
+  // ------------------------------------------------ catalog durability
+
+  private var attaching = false
+
+  private def catalogFile: Option[org.apache.hadoop.fs.Path] =
+    storageDir.map(d => new org.apache.hadoop.fs.Path(d, "_catalog.sql"))
+
+  /** Rewrites the canonical DDL journal after every DDL statement: a
+    * normalized CREATE per database/table/MV/dictionary in creation
+    * order. Replaying it reconstructs the catalog exactly, with no
+    * dependence on the original statement history (RENAMEs, DROPs and
+    * re-CREATEs are already collapsed into current state).
+    */
+  private def journalCatalog(): Unit = {
+    if (attaching) return
+    catalogFile.foreach { p =>
+      val sb = new StringBuilder
+      databases.toSeq.sorted.filterNot(_ == "default").foreach(d =>
+        sb ++= s"CREATE DATABASE IF NOT EXISTS $d;\n")
+      tables.values.foreach { t =>
+        val cols = t.columns.map { c =>
+          val extra = c.materialized.map(" MATERIALIZED " + _)
+            .orElse(c.default.map(" DEFAULT " + _)).getOrElse("")
+          s"`${c.name}` ${chTypeName(c.dataType, c.nullable)}$extra"
+        }.mkString(", ")
+        sb ++= s"CREATE TABLE ${t.db}.${t.name} ($cols) ENGINE = " +
+          s"${engineDdl(t.engine)};\n"
+      }
+      dicts.foreach { case ((ddb, dname), d) =>
+        sb ++= s"CREATE DICTIONARY $ddb.$dname (`${d.pk}` Int64) " +
+          s"PRIMARY KEY ${d.pk} SOURCE(CLICKHOUSE(TABLE '${d.sourceTable}' " +
+          s"DB '${d.sourceDb}')) LAYOUT(HASHED()) LIFETIME(300);\n"
+      }
+      mvs.foreach { m =>
+        sb ++= s"CREATE MATERIALIZED VIEW ${m.db}.${m.name} TO " +
+          s"${m.targetDb}.${m.targetTable} AS ${m.selectSql};\n"
+      }
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val out = fs.create(p, true)
+      try out.write(sb.result().getBytes("UTF-8")) finally out.close()
+    }
+  }
+
+  private[chsql] def attachExisting(): Unit =
+    catalogFile.foreach { p =>
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) {
+        val in = fs.open(p)
+        val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+          finally in.close()
+        attaching = true
+        try execute(text) finally attaching = false
+      }
+    }
+
+  /** Spark type → canonical ClickHouse type name (the journal's spelling;
+    * round-trips through [[ChTypes.parse]]).
+    */
+  private def chTypeName(dt: DataType, nullable: Boolean): String = {
+    val base = dt match {
+      case LongType => "Int64"
+      case IntegerType => "Int32"
+      case FloatType => "Float32"
+      case DoubleType => "Float64"
+      case StringType => "String"
+      case BooleanType => "Bool"
+      case DateType => "Date"
+      case TimestampType => "DateTime"
+      case d: DecimalType => s"Decimal(${d.precision}, ${d.scale})"
+      case ArrayType(e, n) => s"Array(${chTypeName(e, n)})"
+      case MapType(k, v, n) =>
+        s"Map(${chTypeName(k, nullable = false)}, ${chTypeName(v, n)})"
+      case _: BinaryType => "String"
+      case other => fail(s"cannot journal type $other")
+    }
+    if (nullable && !dt.isInstanceOf[ArrayType] && !dt.isInstanceOf[MapType])
+      s"Nullable($base)"
+    else base
+  }
+
+  private def engineDdl(e: Engine): String = e match {
+    case m: Engine.MergeTree =>
+      val name = engineName(e)
+      val args = m.kind match {
+        case "replacing" => m.version.toSeq
+        case "summing" => m.sumCols
+        case "collapsing" => m.sign.toSeq
+        case "vcollapsing" => m.sign.toSeq ++ m.version.toSeq
+        case _ => Nil
+      }
+      val argStr = if (args.isEmpty) "" else args.mkString("(", ", ", ")")
+      val order = if (m.keys.isEmpty) " ORDER BY tuple()"
+        else m.keys.mkString(" ORDER BY (", ", ", ")")
+      val sample = m.sampleBy.map(" SAMPLE BY " + _).getOrElse("")
+      s"$name$argStr$order$sample"
+    case Engine.Null => "Null"
+    case Engine.Kafka => "Kafka"
+    case Engine.Distributed(db, t) => s"Distributed('cluster', '$db', '$t')"
+    case Engine.Buffer(db, t) => s"Buffer('$db', '$t')"
+    case Engine.Join(keys) => s"Join(ANY, LEFT, ${keys.mkString(", ")})"
+    case Engine.Memory => "Memory"
+  }
+
   /** Storable engines get a parquet directory when storageDir is set. */
   private def storable(e: Engine): Boolean = e match {
     case Engine.Null | Engine.Kafka | _: Engine.Distributed |
@@ -991,7 +1116,7 @@ final class ChSession(val spark: SparkSession,
   private def mkTable(db: String, name: String, cols: Seq[ColumnDef],
                       engine: Engine): ChTable = {
     val p = storageDir.filter(_ => storable(engine)).map(d => s"$d/$db/$name")
-    p.foreach(deleteDir) // a fresh CREATE owns the directory
+    if (!attaching) p.foreach(deleteDir) // a fresh CREATE owns the directory
     new ChTable(db, name, cols, engine, p)
   }
 

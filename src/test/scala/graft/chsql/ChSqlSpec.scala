@@ -531,6 +531,33 @@ class ChSqlSpec extends SparkSpec {
     assert(c == 3000L) // the lecture's captured output (lecture_09.md:474)
   }
 
+  test("attach: a new session re-opens the catalog and keeps appending") {
+    val dir = java.nio.file.Files.createTempDirectory("chs_attach").toString
+    val s1 = new ChSession(spark, storageDir = Some(dir))
+    s1.execute(
+      """CREATE DATABASE metrics;
+        |CREATE TABLE metrics.raw (k UInt32, v UInt32) ENGINE = Null;
+        |CREATE TABLE metrics.agg (k UInt32, v UInt32)
+        |  ENGINE = SummingMergeTree ORDER BY k;
+        |CREATE MATERIALIZED VIEW metrics.mv TO metrics.agg AS
+        |  SELECT k, v FROM metrics.raw;
+        |INSERT INTO metrics.raw VALUES (1, 10), (2, 20);""".stripMargin)
+    // a SECOND session attaches to the same directory: catalog replayed,
+    // data visible, MV still fires, part numbering resumes
+    val s2 = ChSession.attach(spark, dir)
+    assert(s2.sql("SELECT count() AS c FROM metrics.agg")
+      .collect().head.getLong(0) == 2L)
+    s2.execute("INSERT INTO metrics.raw VALUES (1, 5)")
+    val out = s2.sql("SELECT k, v FROM metrics.agg FINAL ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.toSeq == Seq((1L, 15L), (2L, 20L)))
+    // parts: one per insert, numbered across sessions
+    val parts = s2.sql(
+      "SELECT name FROM system.parts WHERE table = 'agg' ORDER BY name")
+      .collect().map(_.getString(0))
+    assert(parts.toSeq == Seq("all_0_0_0", "all_1_1_0"))
+  }
+
   test("Null engine discards rows but fires MVs") {
     val s = ch
     s.execute(
