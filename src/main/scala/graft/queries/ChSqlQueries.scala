@@ -108,6 +108,57 @@ object ChSqlQueries {
           |FROM nation ORDER BY nation""".stripMargin)
     },
 
+    // ---- arrayJoin through SQL text (explode semantics vs unnest)
+    Q("q101_chsql_arrayjoin",
+      """SELECT n_name, unnest(string_split(n_name, 'A')) AS part
+        |FROM nation ORDER BY n_name, part""") { (s, dir) =>
+      val ch = new ChSession(s)
+      withTable(ch, "nation", "n_nationkey Int64, n_name String",
+        Tables(s, dir).nation.select(col("n_nationkey"), col("n_name")),
+        "Memory")
+      ch.sql(
+        """SELECT n_name, arrayJoin(splitByChar('A', n_name)) AS part
+          |FROM nation ORDER BY n_name, part""".stripMargin)
+    },
+
+    // ---- WITH FILL through SQL text: sparse integer axis densified with
+    // zero-defaulted gap rows (the hw14 monitoring idiom)
+    Q("q102_chsql_withfill",
+      """WITH b AS (SELECT event_id AS t, count(*) AS n FROM events
+        |  WHERE event_id % 7 = 0 AND event_id < 500 GROUP BY event_id),
+        |g AS (SELECT unnest(range((SELECT min(t) FROM b),
+        |                          (SELECT max(t) FROM b) + 1)) AS t)
+        |SELECT g.t, CAST(coalesce(b.n, 0) AS BIGINT) AS n
+        |FROM g LEFT JOIN b USING (t) ORDER BY t""") { (s, dir) =>
+      val ch = new ChSession(s)
+      withTable(ch, "ev", "event_id Int64",
+        Tables(s, dir).events.select(col("event_id")), "Memory")
+      ch.sql(
+        """SELECT event_id AS t, count() AS n FROM ev
+          |WHERE event_id % 7 = 0 AND event_id < 500
+          |GROUP BY t ORDER BY t WITH FILL STEP 1""".stripMargin)
+    },
+
+    // ---- merge(db, regex) through SQL text: two catalog tables unioned
+    // with the _table virtual column
+    Q("q103_chsql_merge",
+      """SELECT t._table, count(*) AS n, min(t.o_orderkey) AS min_k
+        |FROM (
+        |  SELECT 'orders_a' AS _table, o_orderkey FROM orders WHERE o_orderkey % 2 = 0
+        |  UNION ALL
+        |  SELECT 'orders_b' AS _table, o_orderkey FROM orders WHERE o_orderkey % 2 = 1
+        |) t GROUP BY t._table ORDER BY t._table""") { (s, dir) =>
+      val ch = new ChSession(s)
+      val orders = Tables(s, dir).orders.select(col("o_orderkey"))
+      withTable(ch, "orders_a", "o_orderkey Int64",
+        orders.filter(pmod(col("o_orderkey"), lit(2)) === 0), "Memory")
+      withTable(ch, "orders_b", "o_orderkey Int64",
+        orders.filter(pmod(col("o_orderkey"), lit(2)) === 1), "Memory")
+      ch.sql(
+        """SELECT _table, count() AS n, min(o_orderkey) AS min_k
+          |FROM merge(default, '^orders_') GROUP BY _table ORDER BY _table""".stripMargin)
+    },
+
     // ---- Null-engine source firing an MV into a SummingMergeTree: three
     // ingested chunks land as three parts; FINAL folds them to the global
     // aggregate (the reference's ingest topology, lecture_13)
