@@ -501,15 +501,25 @@ object ChSqlRewrite {
         var j = i + 2
         var useFinal = false
         var sampleArg: Option[String] = None
+        var offsetArg: Option[String] = None
+        def fracAt(k: Int): (String, Int) =
+          if (k + 2 < toks.length && toks(k + 1).text == "/")
+            (toks(k).text + "/" + toks(k + 2).text, k + 3)
+          else (toks(k).text, k + 1)
         var guard = true
         while (guard && j < toks.length) {
           if (toks(j).is("FINAL")) { useFinal = true; j += 1 }
           else if (toks(j).is("SAMPLE") && j + 1 < toks.length) {
-            // SAMPLE 0.1 | SAMPLE 1/10
-            if (j + 3 < toks.length && toks(j + 2).text == "/" ) {
-              sampleArg = Some(toks(j + 1).text + "/" + toks(j + 3).text)
-              j += 4
-            } else { sampleArg = Some(toks(j + 1).text); j += 2 }
+            // SAMPLE 0.1 | SAMPLE 1/10 [OFFSET 4/10] — the reference's
+            // replica-splitting idiom (lectures: SAMPLE 1/N OFFSET (N-1)/N)
+            val (arg, next) = fracAt(j + 1)
+            sampleArg = Some(arg)
+            j = next
+            if (j < toks.length && toks(j).is("OFFSET") && j + 1 < toks.length) {
+              val (off, next2) = fracAt(j + 1)
+              offsetArg = Some(off)
+              j = next2
+            }
           } else guard = false
         }
         val baseView = if (useFinal) rt.finalViewName.getOrElse(rt.viewName)
@@ -517,10 +527,13 @@ object ChSqlRewrite {
         val ref = sampleArg match {
           case Some(arg) =>
             val frac = parseFraction(arg)
+            val off = offsetArg.map(parseFraction).getOrElse(0.0)
             val key = rt.sampleKeySql.getOrElse(throw new IllegalArgumentException(
               s"SAMPLE on $ident: table has no SAMPLE BY key"))
-            val cut = math.round(frac * 1000000L)
-            s"(SELECT * FROM $baseView WHERE pmod(abs(xxhash64($key)), 1000000) < $cut)"
+            val lo = math.round(off * 1000000L)
+            val hi = math.round((off + frac) * 1000000L)
+            s"(SELECT * FROM $baseView WHERE pmod(abs(xxhash64($key)), 1000000) " +
+              s">= $lo AND pmod(abs(xxhash64($key)), 1000000) < $hi)"
           case None => baseView
         }
         out += t

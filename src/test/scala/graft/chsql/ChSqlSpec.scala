@@ -182,6 +182,13 @@ class ChSqlSpec extends SparkSpec {
     val b = s.sql("SELECT count() AS c FROM ev SAMPLE 1/10").collect().head.getLong(0)
     assert(a == b) // same fraction, same key → same deterministic subset
     assert(a > 0 && a < 500)
+    // the replica-splitting idiom: SAMPLE 1/N OFFSET k/N slices are
+    // disjoint and together cover the table exactly once
+    val slices = (0 until 4).map(k =>
+      s.sql(s"SELECT count() AS c FROM ev SAMPLE 1/4 OFFSET $k/4")
+        .collect().head.getLong(0))
+    assert(slices.sum == 1000L)
+    assert(slices.forall(_ > 0))
   }
 
   test("LIMIT n BY key end-to-end (group-wise truncation)") {
