@@ -16,9 +16,12 @@ object ChLexer {
         text.charAt(0) == '`')
   }
 
-  /** Strips comments and splits on top-level semicolons. */
+  /** Strips comments and splits on top-level semicolons. The client-style
+    * `\G` terminator (vertical output) also ends a statement — the
+    * lectures use it constantly, often with no following `;`.
+    */
   def statements(script: String): Seq[String] = {
-    val cleaned = stripComments(script)
+    val cleaned = stripComments(script).replace("\\G", ";")
     ChTypes.splitTopLevel(cleaned, ';').map(_.trim)
       .filter(_.nonEmpty)
   }

@@ -855,6 +855,15 @@ final class ChSession(val spark: SparkSession,
                                        args: Seq[String]): Option[String] = {
     def unq(s: String): String = s.trim.stripPrefix("'").stripSuffix("'")
     if (args.isEmpty) return None
+    if (Set("remote", "remotesecure", "cluster", "clusterallreplicas")(fn)) {
+      // remote('addrs', db.table) | remote('addrs', db, table[, creds]):
+      // one engine here — the "remote" table IS the local table
+      val ident =
+        if (args.length >= 3 && !args(2).trim.startsWith("'"))
+          unq(args(1)) + "." + unq(args(2))
+        else unq(args(1))
+      return registerBaseView(ident)
+    }
     if (fn == "merge") {
       // merge(db, 'regex') — union of matching tables, tagged with the
       // _table virtual column (lectures/lecture_08 ENGINE=Merge twin)
@@ -904,6 +913,26 @@ final class ChSession(val spark: SparkSession,
     val v = s"chs_tf_$tfCounter"
     df.createOrReplaceTempView(v)
     Some(v)
+  }
+
+  /** Registers a base read view for an identifier (tables and system.*),
+    * used by table functions that name a table indirectly (remote()).
+    */
+  private def registerBaseView(ident: String): Option[String] = {
+    if (ident.toLowerCase.startsWith("system.")) {
+      val name = ident.toLowerCase.stripPrefix("system.")
+      return systemTable(name).map { df =>
+        val v = "chs_system__" + name
+        df.createOrReplaceTempView(v)
+        v
+      }
+    }
+    val ref = parseRef(strip(ident))
+    tables.get(ref).map { t =>
+      val v = viewName(ref)
+      tableDf(t).createOrReplaceTempView(v)
+      v
+    }
   }
 
   /** Attaches a Structured Stream to a table (the reference's Kafka

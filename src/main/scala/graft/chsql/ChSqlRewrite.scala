@@ -62,6 +62,7 @@ object ChSqlRewrite {
   def rewrite(sql: String, resolver: Resolver): Rewritten = {
     var toks = ChLexer.tokenize(sql)
     toks = stripTail(toks)
+    toks = rewriteArrayLiterals(toks)
     toks = fixCountStar(toks)
     toks = dropGlobal(toks)
     toks = rewriteNumbers(toks)
@@ -82,7 +83,8 @@ object ChSqlRewrite {
   }
 
   // ---- FROM s3(...)/url(...)/file(...)/gcs(...) → materialized views ----
-  private val tableFns = Set("S3", "URL", "FILE", "GCS", "MERGE")
+  private val tableFns = Set("S3", "URL", "FILE", "GCS", "MERGE",
+    "REMOTE", "REMOTESECURE", "CLUSTER", "CLUSTERALLREPLICAS")
 
   private def rewriteTableFunctions(toks: Vector[Token],
                                     resolver: Resolver): Vector[Token] = {
@@ -254,6 +256,41 @@ object ChSqlRewrite {
     found
   }
 
+  // ---- ClickHouse [..] array literals → array(..) ----
+  // `[` starts a LITERAL when what precedes it cannot be a value
+  // (start-of-expression positions); after an identifier/`)`/`]` it is a
+  // SUBSCRIPT (arr[1], map['k']) — Spark parses those natively.
+  private val literalStarters = Set("SELECT", "WHERE", "AND", "OR", "NOT",
+    "IN", "BY", "ON", "WHEN", "THEN", "ELSE", "CASE", "HAVING", "AS",
+    "UNION", "ALL", "DISTINCT", "RETURN", "SETTINGS")
+
+  private def rewriteArrayLiterals(toks: Vector[Token]): Vector[Token] = {
+    val out = Vector.newBuilder[Token]
+    val stack = scala.collection.mutable.Stack[Boolean]() // true = literal
+    var prev: Option[Token] = None
+    toks.foreach { t =>
+      t.text match {
+        case "[" =>
+          val literal = prev match {
+            case None => true
+            case Some(p) =>
+              p.text == "(" || p.text == "," ||
+                (!p.isString && literalStarters(p.upper)) ||
+                (!p.isIdent && !p.isString && p.text != ")" && p.text != "]")
+          }
+          stack.push(literal)
+          // two tokens so later passes' paren-depth accounting stays balanced
+          if (literal) { out += Token("array"); out += Token("(") }
+          else out += t
+        case "]" if stack.nonEmpty =>
+          out += (if (stack.pop()) Token(")") else t)
+        case _ => out += t
+      }
+      prev = Some(t)
+    }
+    out.result()
+  }
+
   // ---- ClickHouse's zero-arg count() → count(*) ----
   private def fixCountStar(toks: Vector[Token]): Vector[Token] = {
     val out = Vector.newBuilder[Token]
@@ -325,7 +362,10 @@ object ChSqlRewrite {
     while (k < toks.length && !toks(k).is("USING") && !toks(k).is("ON")) {
       aliasToks += toks(k); k += 1
     }
-    if (k >= toks.length || !toks(k).is("USING")) return toks // ON form: pass through without dedup
+    if (k >= toks.length || !toks(k).is("USING"))
+      // ON form: no portable key list to dedup on — degrade to a plain
+      // join (drop the ANY modifier) and keep rewriting the rest
+      return rewriteAnyJoin(toks.take(i) ++ toks.drop(i + 1))
     val usingOpen = if (toks(k + 1).text == "(") k + 1 else k
     val usingClose = if (toks(k + 1).text == "(") matchParen(toks, k + 1) else k + 1
     val keys = toks.slice(usingOpen + 1, usingClose).filter(_.text != ",")

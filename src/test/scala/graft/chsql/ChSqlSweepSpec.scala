@@ -1,0 +1,67 @@
+package graft.chsql
+
+import graft.SparkSpec
+
+/** Corpus sweep: every SELECT statement inside a ```sql fence across the
+  * reference's lectures and homeworks goes through the dialect rewriter
+  * and Spark's SQL parser (syntax only — most statements reference demo
+  * tables that exist only inside their lecture's session). The assertion
+  * pins a floor on dialect acceptance so regressions in the rewriter
+  * surface immediately.
+  */
+class ChSqlSweepSpec extends SparkSpec {
+
+  private def sqlBlocks(text: String): Seq[String] = {
+    val fence = "(?s)```sql(.*?)```".r
+    fence.findAllMatchIn(text).map(_.group(1)).toSeq
+  }
+
+  test("reference corpus sweep: SELECT dialect acceptance") {
+    val root = java.nio.file.Path.of("/root/reference")
+    val mds = java.nio.file.Files.walk(root).iterator().asScala
+      .filter(p => p.toString.endsWith(".md") || p.toString.endsWith(".sql"))
+      .toSeq
+    val statements = mds.flatMap { p =>
+      val text = java.nio.file.Files.readString(p)
+      val blocks =
+        if (p.toString.endsWith(".sql")) Seq(text) else sqlBlocks(text)
+      blocks.flatMap(b => scala.util.Try(ChLexer.statements(b))
+        .getOrElse(Nil))
+    }.filter { st =>
+      val up = st.trim.toUpperCase
+      (up.startsWith("SELECT") || up.startsWith("WITH ")) &&
+        !up.contains("{") // parameterized {id:UInt8} forms are out of scope
+    }.distinct
+    assert(statements.size > 150, s"sweep found only ${statements.size} statements")
+
+    val resolver = new ChSqlRewrite.Resolver {
+      // every referenced name resolves — the sweep tests SYNTAX, not catalogs
+      def resolve(id: String) =
+        Some(ChSqlRewrite.ResolvedTable("sweep_t", Some("sweep_t"), Some("k")))
+      override def resolveDict(name: String) = Some(("sweep_t", "k"))
+    }
+    val parser = spark.sessionState.sqlParser
+    val results = statements.map { st =>
+      val ok = scala.util.Try {
+        val rw = ChSqlRewrite.rewrite(st, resolver)
+        parser.parsePlan(rw.sql)
+      }.isSuccess
+      (st, ok)
+    }
+    val pass = results.count(_._2)
+    val rate = pass.toDouble / results.size
+    info(f"dialect sweep: $pass/${results.size} (${rate * 100}%.1f%%) " +
+      "reference SELECT statements rewrite to parseable Spark SQL")
+    results.filterNot(_._2).take(5).foreach { case (st, _) =>
+      info("MISS: " + st.replaceAll("\\s+", " ").take(120))
+    }
+    assert(rate >= 0.90, f"dialect acceptance regressed: ${rate * 100}%.1f%%")
+  }
+
+  private implicit class IterOps[A](it: java.util.Iterator[A]) {
+    def asScala: Iterator[A] = new Iterator[A] {
+      def hasNext: Boolean = it.hasNext
+      def next(): A = it.next()
+    }
+  }
+}
