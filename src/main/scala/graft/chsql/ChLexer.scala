@@ -21,10 +21,17 @@ object ChLexer {
     * lectures use it constantly, often with no following `;`.
     */
   def statements(script: String): Seq[String] = {
-    val cleaned = stripComments(script).replace("\\G", ";")
+    val cleaned = stripComments(normalizeQuotes(script)).replace("\\G", ";")
     ChTypes.splitTopLevel(cleaned, ';').map(_.trim)
       .filter(_.nonEmpty)
   }
+
+  /** Slide decks smart-quote their SQL (‘2024-01-01’); normalize to
+    * plain quotes before lexing.
+    */
+  def normalizeQuotes(s: String): String =
+    s.replace('‘', '\'').replace('’', '\'')
+      .replace('“', '"').replace('”', '"')
 
   def stripComments(s: String): String = {
     val out = new StringBuilder
@@ -57,14 +64,15 @@ object ChLexer {
     out.result()
   }
 
-  private val punct = Set('(', ')', ',', ';')
+  private val punct = Set('(', ')', ',', ';', '[', ']')
 
   /** Tokenizes a comment-free statement. Operators are kept as single
     * tokens where the rewriter cares (`\\G` tails, `==`); identifiers
     * keep qualified dots (`db.table`, `system.parts`) as ONE token so
     * catalog rewriting is a token map.
     */
-  def tokenize(sql: String): Vector[Token] = {
+  def tokenize(sqlRaw: String): Vector[Token] = {
+    val sql = normalizeQuotes(sqlRaw)
     val out = Vector.newBuilder[Token]
     var i = 0
     val n = sql.length
