@@ -150,6 +150,73 @@ object Dedup {
 
   // ---------- MinHash + LSH (shingle → minhash → band → bucket-join)
 
+  /** Incremental NEAR-dup filter — [[incrementalExactDedup]]'s sibling for
+    * the curation pipeline's fuzzy stage, and the per-micro-batch body of
+    * a streaming dedup (`foreachBatch` over an ingest stream).
+    *
+    * Semantics: a document is DROPPED when any of its MinHash band
+    * buckets was already seen — by an earlier increment (the persisted
+    * bucket store) or by a smaller-id document of the same increment
+    * (bucket-claim: `min(id)` owns each bucket, resolving chains in one
+    * pass). ALL of the increment's buckets are stored, kept and dropped
+    * alike, so anything near-dup to anything EVER SEEN stays dropped —
+    * the curation contract, where the store is the memory of the corpus.
+    *
+    * Idempotent like the exact sibling: the store partitions by
+    * `increment=<id>` and history reads exclude the current id, so a
+    * crashed increment re-runs to the identical survivor set. Scale
+    * shape: signature is the map-only native kernel; the only shuffle is
+    * one hash-partition of (band, bucket) keys; history arrives as a
+    * semi-join that AQE can broadcast while the store is small.
+    */
+  def incrementalNearDedup(newDocs: DataFrame, idCol: String,
+                           textCol: String, storePath: String,
+                           incrementId: String,
+                           nGram: Int = 3, numHashes: Int = 64,
+                           bands: Int = 16,
+                           outputPath: Option[String] = None): DataFrame = {
+    val spark = newDocs.sparkSession
+    val rows = numHashes / bands
+    val sigs = minhashSignatures(newDocs, idCol, textCol, nGram, numHashes)
+    val bandCols = (0 until bands).map { j =>
+      struct(lit(j).as("band"),
+        hash(slice(col("sig"), j * rows + 1, rows)).as("bh"))
+    }
+    val buckets = sigs
+      .select(col(idCol), explode(array(bandCols: _*)).as("b"))
+      .select(col(idCol), col("b.band").as("band"), col("b.bh").as("bh"))
+    val hPath = new org.apache.hadoop.fs.Path(storePath)
+    val storeExists = hPath
+      .getFileSystem(spark.sessionState.newHadoopConf()).exists(hPath)
+    val history =
+      if (!storeExists) None
+      else Some(spark.read.parquet(storePath)
+        .filter(col("increment").cast("string") =!= incrementId)
+        .select(col("band"), col("bh")))
+    // in-batch: the smallest id in each bucket owns it
+    val owned = buckets.withColumn("__own",
+      min(col(idCol)).over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("band"), col("bh"))))
+    val inBatchDup = owned.filter(col(idCol) =!= col("__own"))
+      .select(col(idCol)).distinct()
+    val histDup = history.fold(
+      spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+        buckets.select(col(idCol)).schema)) { h =>
+      buckets.join(h, Seq("band", "bh"), "left_semi")
+        .select(col(idCol)).distinct()
+    }
+    val dupIds = pinned(inBatchDup.unionByName(histDup).distinct())
+    val kept = newDocs.join(dupIds, Seq(idCol), "left_anti")
+    outputPath.foreach { out =>
+      kept.write.mode("overwrite").parquet(s"$out/increment=$incrementId")
+    }
+    buckets.select(col("band"), col("bh")).distinct()
+      .write.mode("overwrite")
+      .parquet(s"$storePath/increment=$incrementId")
+    kept
+  }
+
   /** Per-document MinHash signature as one `sig: array<long>` column,
     * computed by the single-pass native kernel — no shingle explode, no
     * k-column aggregation, NO SHUFFLE: the signature stage is a pure map

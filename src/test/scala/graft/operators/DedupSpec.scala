@@ -83,6 +83,48 @@ class DedupSpec extends SparkSpec {
       .select("fingerprint").distinct().count() == 3)
   }
 
+  test("incrementalNearDedup drops near-dups within and across increments") {
+    val root = java.nio.file.Files.createTempDirectory("graft_near").toString
+    val store = s"$root/buckets"
+    val base = "the quick brown fox jumps over the lazy dog again and again " +
+      "while the rain in spain stays mainly on the plain every single day"
+    val batch1 = Seq(
+      (1L, base),
+      (2L, base.replace("lazy", "sleepy")), // near-dup of 1 → bucket-claimed
+      (3L, "completely unrelated content about distributed query engines " +
+        "and columnar storage formats with vectorized execution pipelines")
+    ).toDF("doc_id", "text")
+    val kept1 = Dedup.incrementalNearDedup(batch1, "doc_id", "text", store,
+        incrementId = "b1")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept1 == Set(1L, 3L))
+    val batch2 = Seq(
+      (10L, base.replace("quick", "rapid")), // near-dup of increment 1 → store hit
+      (11L, "a genuinely novel paragraph describing materialized views " +
+        "and incremental maintenance of aggregates under inserts")
+    ).toDF("doc_id", "text")
+    val kept2 = Dedup.incrementalNearDedup(batch2, "doc_id", "text", store,
+        incrementId = "b2")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept2 == Set(11L))
+    // replaying an increment is idempotent (own store partition excluded)
+    val replay = Dedup.incrementalNearDedup(batch2, "doc_id", "text", store,
+        incrementId = "b2")
+      .select("doc_id").as[Long].collect().toSet
+    assert(replay == Set(11L))
+    // dropped documents' buckets are stored too: a near-dup of DROPPED
+    // doc 2 (not of kept doc 1) must still be dropped by increment 3
+    val batch3 = Seq(
+      (20L, base.replace("lazy", "sleepy").replace("rain", "snow")),
+      (21L, "another unrelated text on broadcast joins and shuffle " +
+        "partitioning strategies for skewed aggregation workloads")
+    ).toDF("doc_id", "text")
+    val kept3 = Dedup.incrementalNearDedup(batch3, "doc_id", "text", store,
+        incrementId = "b3")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept3 == Set(21L))
+  }
+
   test("duplicateSpans merges overlapping windows and finds intra-doc repeats") {
     val d = Seq(
       (1L, "alpha beta gamma delta epsilon zeta eta theta"),
