@@ -272,6 +272,28 @@ object PipelineQueries {
     // ---- segment-level (C4-style line) dedup: every distinct 10-word
     // chunk kept exactly once corpus-wide (smallest (doc_id, pos) wins),
     // documents reassembled from their surviving chunks
+    // ---- incremental near-dup filtering: the corpus arrives in three
+    // increments; each dedups against the persisted bucket store built by
+    // the previous ones (the streaming/curation ingest shape). Rows-only
+    // BY DESIGN like d05/d08: the band-bucket hash is engine-internal.
+    // Claim semantics, store retention and replay idempotency are
+    // spec-verified (DedupSpec, StreamingDedupSpec).
+    Q.noOracle("d13_incremental_near_dedup") { (s, dir) =>
+      val store = System.getProperty("java.io.tmpdir") + "/graft_neardup_" +
+        Integer.toHexString(dir.hashCode)
+      val fs = new org.apache.hadoop.fs.Path(store)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(store), true)
+      val docs = Tables(s, dir).documents.select(col("doc_id"), col("text"))
+      val kept = (0 until 3).map { i =>
+        Dedup.incrementalNearDedup(
+          docs.filter(pmod(col("doc_id"), lit(3)) === i),
+          "doc_id", "text", store, incrementId = s"inc$i")
+          .select(col("doc_id"))
+      }.reduce(_ unionByName _)
+      kept.orderBy(col("doc_id"))
+    },
+
     Q("d11_segment_dedup",
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
          |seg AS (SELECT doc_id, i AS pos, array_to_string(w[i*10+1 : i*10+10], ' ') AS para
