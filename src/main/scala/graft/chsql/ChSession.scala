@@ -150,7 +150,12 @@ final class ChSession(val spark: SparkSession,
         journalCatalog()
         None
       case "SHOW" =>
-        if (toks(1).is("DATABASES"))
+        if (toks(1).is("CREATE")) { // SHOW CREATE TABLE [db.]t
+          val t = lookup(parseRef(strip(toks.last.text)))
+          Some(spark.createDataFrame(
+            Seq(Row(createTableDdl(t))).asJavaList,
+            StructType(Seq(StructField("statement", StringType)))))
+        } else if (toks(1).is("DATABASES"))
           Some(spark.createDataFrame(
             databases.toSeq.sorted.map(Row(_)).asJavaList,
             StructType(Seq(StructField("name", StringType)))))
@@ -1051,15 +1056,7 @@ final class ChSession(val spark: SparkSession,
       val sb = new StringBuilder
       databases.toSeq.sorted.filterNot(_ == "default").foreach(d =>
         sb ++= s"CREATE DATABASE IF NOT EXISTS $d;\n")
-      tables.values.foreach { t =>
-        val cols = t.columns.map { c =>
-          val extra = c.materialized.map(" MATERIALIZED " + _)
-            .orElse(c.default.map(" DEFAULT " + _)).getOrElse("")
-          s"`${c.name}` ${chTypeName(c.dataType, c.nullable)}$extra"
-        }.mkString(", ")
-        sb ++= s"CREATE TABLE ${t.db}.${t.name} ($cols) ENGINE = " +
-          s"${engineDdl(t.engine)};\n"
-      }
+      tables.values.foreach(t => sb ++= createTableDdl(t) + ";\n")
       dicts.foreach { case ((ddb, dname), d) =>
         sb ++= s"CREATE DICTIONARY $ddb.$dname (`${d.pk}` Int64) " +
           s"PRIMARY KEY ${d.pk} SOURCE(CLICKHOUSE(TABLE '${d.sourceTable}' " +
@@ -1086,6 +1083,18 @@ final class ChSession(val spark: SparkSession,
         try execute(text) finally attaching = false
       }
     }
+
+  /** Canonical CREATE TABLE text for a table — the journal's spelling and
+    * SHOW CREATE TABLE's output (round-trips through the DDL parser).
+    */
+  private def createTableDdl(t: ChTable): String = {
+    val cols = t.columns.map { c =>
+      val extra = c.materialized.map(" MATERIALIZED " + _)
+        .orElse(c.default.map(" DEFAULT " + _)).getOrElse("")
+      s"`${c.name}` ${chTypeName(c.dataType, c.nullable)}$extra"
+    }.mkString(", ")
+    s"CREATE TABLE ${t.db}.${t.name} ($cols) ENGINE = ${engineDdl(t.engine)}"
+  }
 
   /** Spark type → canonical ClickHouse type name (the journal's spelling;
     * round-trips through [[ChTypes.parse]]).

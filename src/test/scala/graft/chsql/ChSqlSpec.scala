@@ -455,6 +455,22 @@ class ChSqlSpec extends SparkSpec {
     assert(out.toSeq == Seq(("log_a", 1L), ("log_b", 5L)))
   }
 
+  test("SHOW CREATE TABLE round-trips through the DDL parser") {
+    val s = ch
+    s.execute("CREATE TABLE sct (id UInt64, v Nullable(Float64), " +
+      "s String DEFAULT 'x') ENGINE = ReplacingMergeTree ORDER BY id")
+    val ddl = s.execute("SHOW CREATE TABLE sct").head
+      .collect().head.getString(0)
+    assert(ddl.contains("ReplacingMergeTree") && ddl.contains("Nullable(Float64)")
+      && ddl.contains("DEFAULT 'x'"))
+    // the emitted DDL is itself valid input
+    val s2 = ch
+    s2.execute(ddl.replace("default.sct", "default.sct2"))
+    s2.execute("INSERT INTO sct2 (id) VALUES (1)")
+    val row = s2.sql("SELECT id, v, s FROM sct2").collect().head
+    assert(row.getLong(0) == 1L && row.isNullAt(1) && row.getString(2) == "x")
+  }
+
   test("EXPLAIN returns the physical plan") {
     val s = ch
     s.execute("CREATE TABLE ex (v UInt32) ENGINE = Memory; " +
