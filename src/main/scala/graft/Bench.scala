@@ -66,24 +66,37 @@ object Bench {
       resetState()
       dt
     }
+    // Locale-pinned formatting: the default locale may use a comma
+    // decimal separator, which would corrupt the JSON line.
+    def fmt(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", v)
     // Outliers get ONE re-measure and report the min: a single JIT/GC
     // stall otherwise lands on a random query and dominates its number.
     // Steady-state cost is what a cluster deployment would see.
     val remeasureAbove = 2.5
     val results = picked.toSeq.sortBy(_._1).map { case (name, fn) =>
       val dt = timeOne(name, fn)
-      name -> (if (dt > remeasureAbove) math.min(dt, timeOne(name, fn)) else dt)
+      val best = if (dt > remeasureAbove) math.min(dt, timeOne(name, fn)) else dt
+      // One `name,seconds` line per query as it completes: any bounded
+      // tail of the process output keeps per-query data even when the
+      // final JSON line is longer than the tail window.
+      println(s"$name,${fmt(best)}")
+      name -> best
     }
-    // 3-decimal seconds keep the one-line JSON short enough to survive
-    // consumers that only keep a bounded tail of the process output.
-    def fmt(v: Double): String = "%.3f".format(v)
     val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val errs =
       if (failed.isEmpty) ""
       else failed.map("\"" + _ + "\"").mkString(""","errors":[""", ",", "]")
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs$errs,"sf":"$sfDir"}""")
+    val json = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs$errs,"sf":"$sfDir"}"""
+    // Lossless artifact: the full JSON is also written to a file so the
+    // round comparison never depends on stdout-capture windows.
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_local.json")
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get(outFile),
+      (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case e: java.io.IOException => System.err.println(s"bench: could not write $outFile: $e") }
+    println(json)
     spark.stop()
   }
 }

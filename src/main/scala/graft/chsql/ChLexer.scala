@@ -21,37 +21,39 @@ object ChLexer {
     * lectures use it constantly, often with no following `;`.
     */
   def statements(script: String): Seq[String] = {
-    val cleaned = stripComments(normalizeQuotes(script)).replace("\\G", ";")
+    val cleaned = cleanScript(script)
     ChTypes.splitTopLevel(cleaned, ';').map(_.trim)
       .filter(_.nonEmpty)
   }
 
-  /** Slide decks smart-quote their SQL (‘2024-01-01’); normalize to
-    * plain quotes before lexing.
+  /** One literal-aware pass over the raw script: strips comments,
+    * normalizes slide-deck smart quotes (‘2024-01-01’ → '2024-01-01'),
+    * and turns the client-style `\G` terminator into `;` — all WITHOUT
+    * touching the inside of single-quoted string literals, so a literal
+    * 'C:\Games' or 'don’t' survives intact.
     */
-  def normalizeQuotes(s: String): String =
-    s.replace('‘', '\'').replace('’', '\'')
-      .replace('“', '"').replace('”', '"')
-
-  def stripComments(s: String): String = {
+  def cleanScript(s: String): String = {
     val out = new StringBuilder
     var i = 0
-    var inStr = false
+    var strCloser: Char = 0 // 0 = not in a string; else the expected closer
     var inTick = false
     while (i < s.length) {
       val c = s.charAt(i)
-      if (inStr) {
-        out += c
-        if (c == '\'') {
-          if (i + 1 < s.length && s.charAt(i + 1) == '\'') { out += '\''; i += 1 }
-          else inStr = false
-        }
-        i += 1
+      if (strCloser != 0) {
+        if (c == strCloser) {
+          // '' escape only applies to plain-quoted strings
+          if (c == '\'' && i + 1 < s.length && s.charAt(i + 1) == '\'') {
+            out ++= "''"; i += 2
+          } else { out += '\''; strCloser = 0; i += 1 }
+        } else { out += c; i += 1 }
       } else if (inTick) {
         out += c
         if (c == '`') inTick = false
         i += 1
-      } else if (c == '\'') { inStr = true; out += c; i += 1 }
+      } else if (c == '\'') { strCloser = '\''; out += '\''; i += 1 }
+      // slide decks open literals with ‘ or even a bare ’ — both close on ’
+      else if (c == '‘' || c == '’') { strCloser = '’'; out += '\''; i += 1 }
+      else if (c == '“' || c == '”') { out += '"'; i += 1 }
       else if (c == '`') { inTick = true; out += c; i += 1 }
       else if (c == '-' && i + 1 < s.length && s.charAt(i + 1) == '-') {
         while (i < s.length && s.charAt(i) != '\n') i += 1
@@ -59,6 +61,8 @@ object ChLexer {
         i += 2
         while (i + 1 < s.length && !(s.charAt(i) == '*' && s.charAt(i + 1) == '/')) i += 1
         i += 2
+      } else if (c == '\\' && i + 1 < s.length && s.charAt(i + 1) == 'G') {
+        out += ';'; i += 2
       } else { out += c; i += 1 }
     }
     out.result()
@@ -72,28 +76,33 @@ object ChLexer {
     * catalog rewriting is a token map.
     */
   def tokenize(sqlRaw: String): Vector[Token] = {
-    val sql = normalizeQuotes(sqlRaw)
+    val sql = sqlRaw
     val out = Vector.newBuilder[Token]
     var i = 0
     val n = sql.length
     while (i < n) {
       val c = sql.charAt(i)
       if (Character.isWhitespace(c)) i += 1
-      else if (c == '\'') {
+      else if (c == '\'' || c == '‘' || c == '’') {
+        // ‘…’ (or ’…’) = slide-deck smart quoting; normalize the
+        // DELIMITERS to plain quotes but keep the literal body verbatim
+        val closer = if (c == '\'') '\'' else '’'
         val sb = new StringBuilder("'")
         i += 1
         var done = false
         while (i < n && !done) {
           val ch = sql.charAt(i)
-          sb += ch
-          if (ch == '\'') {
-            if (i + 1 < n && sql.charAt(i + 1) == '\'') { sb += '\''; i += 1 }
-            else done = true
-          }
+          if (ch == closer) {
+            if (closer == '\'' && i + 1 < n && sql.charAt(i + 1) == '\'') {
+              sb ++= "''"; i += 1
+            } else { sb += '\''; done = true }
+          } else sb += ch
           i += 1
         }
+        if (!done) sb += '\'' // unterminated literal: close it
         out += Token(sb.result(), isString = true)
-      } else if (c == '`') {
+      } else if (c == '“' || c == '”') { out += Token("\""); i += 1 }
+      else if (c == '`') {
         val j = sql.indexOf('`', i + 1)
         val end = if (j < 0) n - 1 else j
         // qualified `db`.`table` — keep gluing dots below

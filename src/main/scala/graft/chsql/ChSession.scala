@@ -246,8 +246,14 @@ final class ChSession(val spark: SparkSession,
     val (db, name) = parseRef(nameTok)
     if (tables.contains((db, name))) {
       if (ifNotExists) return
-      if (!orReplace) fail(s"table $db.$name already exists")
-      tables.remove((db, name))
+      // During catalog replay an implicit-inner MV arrives as two journal
+      // statements: `CREATE TABLE db.name …` (its inner table) followed by
+      // `CREATE MATERIALIZED VIEW db.name TO db.name …` — the second must
+      // bind the MV onto the just-attached inner table, not collide with it.
+      val mvInnerReattach = isMv && attaching &&
+        !mvs.exists(m => (m.db, m.name) == ((db, name)))
+      if (!orReplace && !mvInnerReattach) fail(s"table $db.$name already exists")
+      if (!mvInnerReattach) tables.remove((db, name))
     }
 
     if (isMv || kind == "VIEW") {
@@ -259,6 +265,7 @@ final class ChSession(val spark: SparkSession,
         // plain view = a table-valued macro: store as a zero-column MV-less
         // table whose read path runs the SELECT
         viewDefs((db, name)) = selectSql
+        journalCatalog()
         return
       }
       val toAt = toks.indexWhere(_.is("TO"))
@@ -561,9 +568,28 @@ final class ChSession(val spark: SparkSession,
     * permitting), fire attached MVs on the BLOCK (the CH MV contract:
     * triggers see the inserted block, never the whole table).
     */
-  private def insertBlock(ref: (String, String), blockIn: DataFrame,
+  private def insertBlock(ref: (String, String), blockIn0: DataFrame,
                           castByPosition: Boolean): Unit = {
     val t = lookup(ref)
+    // ClickHouse aligns CTAS / INSERT SELECT blocks by POSITION:
+    // `CREATE TABLE t (a UInt32) … AS SELECT number …` lands the selected
+    // data in `a`, not a DEFAULT-filled zero. When every block column
+    // already matches a declared name (the MV-cascade contract aligns by
+    // name) keep the names; otherwise rename positionally onto the
+    // insertable (non-MATERIALIZED) columns, failing loudly on overflow.
+    val blockIn = {
+      val declared = t.columns.map(_.name.toLowerCase).toSet
+      if (!castByPosition || t.columns.isEmpty ||
+        blockIn0.columns.forall(c => declared(c.toLowerCase))) blockIn0
+      else {
+        val insertable = t.columns.filter(_.materialized.isEmpty).map(_.name)
+        if (blockIn0.columns.length > insertable.length)
+          fail(s"insert into ${t.db}.${t.name}: block has " +
+            s"${blockIn0.columns.length} columns but only " +
+            s"${insertable.length} are insertable")
+        blockIn0.toDF(insertable.take(blockIn0.columns.length): _*)
+      }
+    }
     val block = alignToSchema(t, blockIn)
     t.engine match {
       case Engine.Null | Engine.Kafka => // rows discarded, MVs still fire
@@ -957,7 +983,7 @@ final class ChSession(val spark: SparkSession,
         // session-independent) so the insert path's temp views resolve
         val rooted = spark.createDataFrame(block.rdd, block.schema).persist()
         try insertBlock(ref, rooted, castByPosition = false)
-        finally ()
+        finally { rooted.unpersist(); () }
       }
       .start()
   }
@@ -1061,6 +1087,9 @@ final class ChSession(val spark: SparkSession,
         sb ++= s"CREATE DICTIONARY $ddb.$dname (`${d.pk}` Int64) " +
           s"PRIMARY KEY ${d.pk} SOURCE(CLICKHOUSE(TABLE '${d.sourceTable}' " +
           s"DB '${d.sourceDb}')) LAYOUT(HASHED()) LIFETIME(300);\n"
+      }
+      viewDefs.foreach { case ((vdb, vname), viewSql) =>
+        sb ++= s"CREATE VIEW $vdb.$vname AS $viewSql;\n"
       }
       mvs.foreach { m =>
         sb ++= s"CREATE MATERIALIZED VIEW ${m.db}.${m.name} TO " +

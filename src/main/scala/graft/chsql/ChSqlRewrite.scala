@@ -371,9 +371,13 @@ object ChSqlRewrite {
     val keys = toks.slice(usingOpen + 1, usingClose).filter(_.text != ",")
       .map(_.text)
     val keyList = keys.mkString(", ")
-    val dedup = s"(SELECT * EXCEPT (__rn) FROM (SELECT *, row_number() " +
-      s"OVER (PARTITION BY $keyList ORDER BY $keyList) AS __rn FROM " +
-      s"$rightSql) WHERE __rn = 1)"
+    // ClickHouse ANY keeps "some" row per key; we must keep the SAME row
+    // on every run (Joins.leftAny's reproducibility contract), so order
+    // the dedup window by a stable hash of the whole row — identical
+    // rows tie, but then every pick renders identical output.
+    val dedup = s"(SELECT * EXCEPT (__rn, __h) FROM (SELECT *, row_number() " +
+      s"OVER (PARTITION BY $keyList ORDER BY __h) AS __rn FROM " +
+      s"(SELECT *, xxhash64(struct(*)) AS __h FROM $rightSql)) WHERE __rn = 1)"
     val rebuilt = toks.take(i) ++ toks.slice(i + 1, t0) ++
       ChLexer.tokenize(dedup) ++ aliasToks.result() ++ toks.slice(k, toks.length)
     rewriteAnyJoin(rebuilt) // handle further ANY joins

@@ -26,6 +26,22 @@ class ChSqlSpec extends SparkSpec {
     assert(toks.map(_.text).contains("raw.sensor_data_raw"))
   }
 
+  test("lexer: \\G and smart quotes never touch string literal bodies") {
+    // \G inside a literal must NOT split the statement
+    val stmts = ChLexer.statements("SELECT 'C:\\Games' AS p\\G SELECT 2;")
+    assert(stmts == Seq("SELECT 'C:\\Games' AS p", "SELECT 2"))
+    // a typographic apostrophe INSIDE a plain-quoted literal survives
+    val apos = ChLexer.statements("SELECT 'don’t' AS q;")
+    assert(apos == Seq("SELECT 'don’t' AS q"))
+    // smart-quoted DELIMITERS normalize (slide-deck SQL), ’…’ included
+    assert(ChLexer.statements("SELECT ‘a‘’b’ AS x;").head.contains("'"))
+    assert(ChLexer.statements("SELECT ’2024-01-01’ AS d;") ==
+      Seq("SELECT '2024-01-01' AS d"))
+    // tokenize keeps the normalized literal as ONE string token
+    val t = ChLexer.tokenize("SELECT ‘v 1’ AS x")
+    assert(t.exists(tok => tok.isString && tok.text == "'v 1'"))
+  }
+
   // --------------------------------------------------------- types
 
   test("ChTypes: the hw02 column palette") {
@@ -170,6 +186,21 @@ class ChSqlSpec extends SparkSpec {
     val out = s.sql(
       "SELECT * FROM main_data ANY LEFT JOIN desc_data USING (desc_id) ORDER BY desc_id")
     assert(out.count() == 2) // not 3: the duplicate desc_id=1 row is deduped
+    // reproducibility: ClickHouse ANY keeps "some" row; our rewrite must
+    // keep the SAME row on every run (stable-hash dedup order). Replaying
+    // the script with the duplicate-key rows inserted in the OPPOSITE
+    // order must still produce byte-identical output.
+    val s2 = ch
+    s2.execute(
+      """CREATE TABLE main_data (desc_id UInt32, v UInt32) ENGINE = Memory;
+        |CREATE TABLE desc_data (desc_id UInt32, d String) ENGINE = Memory;
+        |INSERT INTO main_data VALUES (1, 10), (2, 20);
+        |INSERT INTO desc_data VALUES (2, 'c'), (1, 'b'), (1, 'a');""".stripMargin)
+    def render(sess: ChSession): String = sess.sql(
+      "SELECT * FROM main_data ANY LEFT JOIN desc_data USING (desc_id) ORDER BY desc_id")
+      .collect().map(_.toString).mkString("\n")
+    assert(render(s) == render(s2), "ANY JOIN survivor depends on insert order")
+    assert((1 to 3).map(_ => render(s)).distinct.size == 1)
   }
 
   test("SAMPLE uses the declared sample key deterministically") {
@@ -579,6 +610,39 @@ class ChSqlSpec extends SparkSpec {
       "SELECT name FROM system.parts WHERE table = 'agg' ORDER BY name")
       .collect().map(_.getString(0))
     assert(parts.toSeq == Seq("all_0_0_0", "all_1_1_0"))
+  }
+
+  test("attach: implicit-inner MVs and plain views replay from the journal") {
+    val dir = java.nio.file.Files.createTempDirectory("chs_attach2").toString
+    val s1 = new ChSession(spark, storageDir = Some(dir))
+    s1.execute(
+      """CREATE TABLE base (k UInt32, v UInt32) ENGINE = MergeTree ORDER BY k;
+        |CREATE MATERIALIZED VIEW sums ENGINE = SummingMergeTree ORDER BY k
+        |  AS SELECT k, v FROM base;
+        |CREATE VIEW doubled AS SELECT k, v * 2 AS v2 FROM base;
+        |INSERT INTO base VALUES (1, 10), (1, 5), (2, 7);""".stripMargin)
+    // a second session must replay: the MV's implicit inner table (journal
+    // emits CREATE TABLE sums + CREATE MV sums TO sums), and the plain view
+    val s2 = ChSession.attach(spark, dir)
+    s2.execute("INSERT INTO base VALUES (2, 3)")
+    val mvOut = s2.sql("SELECT k, sum(v) AS s FROM sums GROUP BY k ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(mvOut.toSeq == Seq((1L, 15L), (2L, 10L))) // MV still fires post-attach
+    val viewOut = s2.sql("SELECT sum(v2) AS s FROM doubled")
+      .collect().head.getLong(0)
+    assert(viewOut == 50L) // (10+5+7+3)*2 — the view survived the attach
+  }
+
+  test("CTAS with explicit schema lands selected data positionally") {
+    val s = ch
+    s.execute(
+      """CREATE TABLE pos (a UInt32, b String) ENGINE = Memory
+        |  AS SELECT number, concat('r', toString(number)) FROM numbers(3);""".stripMargin)
+    val out = s.sql("SELECT a, b FROM pos ORDER BY a")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    // the selected columns (named `number`, `concat(...)`) must fill a and
+    // b by POSITION — not silently turn into DEFAULT zeros
+    assert(out.toSeq == Seq((0L, "r0"), (1L, "r1"), (2L, "r2")))
   }
 
   test("Null engine discards rows but fires MVs") {
