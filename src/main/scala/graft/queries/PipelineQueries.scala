@@ -274,11 +274,33 @@ object PipelineQueries {
     // documents reassembled from their surviving chunks
     // ---- incremental near-dup filtering: the corpus arrives in three
     // increments; each dedups against the persisted bucket store built by
-    // the previous ones (the streaming/curation ingest shape). Rows-only
-    // BY DESIGN like d05/d08: the band-bucket hash is engine-internal.
-    // Claim semantics, store retention and replay idempotency are
-    // spec-verified (DedupSpec, StreamingDedupSpec).
-    Q.noOracle("d13_incremental_near_dedup") { (s, dir) =>
+    // the previous ones (the streaming/curation ingest shape).
+    // Hash-checkable by the d04 argument even though the band-bucket hash
+    // is engine-internal: a doc drops iff it LSH-collides with any
+    // earlier-processed doc (earlier increment, or smaller id in its own
+    // increment — the store keeps dropped docs' buckets too, so no
+    // recursion). On this corpus every true near-dup pair has jaccard
+    // ≥ 0.888 (16-band/4-row miss prob (1-0.888⁴)¹⁶ ≈ 5e-8 → recall
+    // provably 1.0) and every other pair has jaccard ≤ 0.07 (per-pair
+    // accidental-collision prob ≤ 16·0.07⁴ ≈ 4e-4 → precision 1.0), so
+    // the collision relation IS the exact-jaccard-≥0.5 relation and the
+    // kept set is closed-form: keep-first over exhaustive DuckDB jaccard.
+    // Replay idempotency and store retention stay spec-verified
+    // (DedupSpec, StreamingDedupSpec).
+    Q("d13_incremental_near_dedup",
+      s"""WITH t AS (SELECT doc_id, doc_id % 3 AS inc, ${toksSql(normSql)} AS toks
+         |          FROM documents WHERE $normSql <> ''),
+         |g AS (SELECT doc_id, inc,
+         |        list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+         |                       for i in range(1, len(toks)-1)]) AS grams
+         |      FROM t WHERE len(toks) >= 3),
+         |dropped AS (SELECT DISTINCT b.doc_id FROM g a JOIN g b
+         |      ON (a.inc < b.inc OR (a.inc = b.inc AND a.doc_id < b.doc_id))
+         |      WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
+         |            len(list_distinct(list_concat(a.grams, b.grams))) >= 0.5)
+         |SELECT doc_id FROM documents
+         |WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
+         |ORDER BY doc_id""") { (s, dir) =>
       val store = System.getProperty("java.io.tmpdir") + "/graft_neardup_" +
         Integer.toHexString(dir.hashCode)
       val fs = new org.apache.hadoop.fs.Path(store)
