@@ -174,7 +174,8 @@ object Dedup {
                            incrementId: String,
                            nGram: Int = 3, numHashes: Int = 64,
                            bands: Int = 16,
-                           outputPath: Option[String] = None): DataFrame = {
+                           outputPath: Option[String] = None,
+                           bloomExpectedItems: Long = 0L): DataFrame = {
     val spark = newDocs.sparkSession
     val rows = numHashes / bands
     val sigs = minhashSignatures(newDocs, idCol, textCol, nGram, numHashes)
@@ -200,21 +201,65 @@ object Dedup {
           .partitionBy(col("band"), col("bh"))))
     val inBatchDup = owned.filter(col(idCol) =!= col("__own"))
       .select(col(idCol)).distinct()
+    // BLOOM ROUTING, same contract as [[incrementalExactDedup]]: a blob
+    // over the store's (band, bh) keys routes definitely-new buckets past
+    // the history semi-join MAP-SIDE — the join input shrinks from "every
+    // bucket of the increment" to the near-dup tail plus the fpp, and the
+    // store scan is gated by the might_contain predicate. Correctness
+    // never depends on the filter; the semi-join decides every routed row.
+    val bloomPath = s"$storePath/_bloom.bin"
+    val existingBloom =
+      if (bloomExpectedItems > 0) BloomPrune.read(spark, bloomPath) else None
+    def bucketKey: Column = struct(col("band"), col("bh"))
     val histDup = history.fold(
       spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
         buckets.select(col(idCol)).schema)) { h =>
-      buckets.join(h, Seq("band", "bh"), "left_semi")
-        .select(col(idCol)).distinct()
+      nearDupHistProbe(buckets, h, existingBloom.map(_._1), idCol)
     }
     val dupIds = pinned(inBatchDup.unionByName(histDup).distinct())
     val kept = newDocs.join(dupIds, Seq(idCol), "left_anti")
     outputPath.foreach { out =>
       kept.write.mode("overwrite").parquet(s"$out/increment=$incrementId")
     }
-    buckets.select(col("band"), col("bh")).distinct()
-      .write.mode("overwrite")
+    val storeBuckets = pinned(buckets.select(col("band"), col("bh")).distinct())
+    // bloom before store partition, like the exact sibling: a crash
+    // between the two leaves the blob OVER-covering (extra rows routed
+    // through the exact join), never under-covering (missed duplicates)
+    if (bloomExpectedItems > 0) {
+      val (items, bits) = existingBloom
+        .map(e => (e._2, e._3))
+        .getOrElse((bloomExpectedItems,
+          BloomPrune.optimalNumBits(bloomExpectedItems, 0.01)))
+      // first build with a pre-existing store backfills history's keys
+      val toIndex = existingBloom match {
+        case Some(_) => storeBuckets
+        case None => history.fold(storeBuckets)(h => storeBuckets.unionByName(h))
+      }
+      Option(BloomPrune.build(toIndex, bucketKey, items, bits)).foreach { b =>
+        val merged = existingBloom.map(e => BloomPrune.merge(e._1, b)).getOrElse(b)
+        BloomPrune.write(spark, bloomPath, merged, items, bits)
+      }
+    }
+    storeBuckets.write.mode("overwrite")
       .parquet(s"$storePath/increment=$incrementId")
     kept
+  }
+
+  /** [[incrementalNearDedup]]'s history probe, factored out so the plan
+    * shape is auditable: with a blob the store semi-join's probe side is
+    * gated MAP-SIDE by the bloom predicate — definitely-new (band, bh)
+    * pairs never enter the join.
+    */
+  private[operators] def nearDupHistProbe(buckets: DataFrame, history: DataFrame,
+                                          blob: Option[Array[Byte]],
+                                          idCol: String): DataFrame = {
+    val probe = blob match {
+      case Some(b) =>
+        buckets.filter(BloomPrune.mightContain(b, struct(col("band"), col("bh"))))
+      case None => buckets
+    }
+    probe.join(history, Seq("band", "bh"), "left_semi")
+      .select(col(idCol)).distinct()
   }
 
   /** Per-document MinHash signature as one `sig: array<long>` column,

@@ -308,9 +308,15 @@ object PipelineQueries {
       fs.delete(new org.apache.hadoop.fs.Path(store), true)
       val docs = Tables(s, dir).documents.select(col("doc_id"), col("text"))
       val kept = (0 until 3).map { i =>
+        // bloom routing on (the scale path): each increment's history
+        // probe is gated map-side by the persisted (band, bh) blob. Sized
+        // for ~60k docs × 16 bands; beyond that the fpp degrades
+        // gracefully (more rows routed through the exact semi-join, same
+        // answer).
         Dedup.incrementalNearDedup(
           docs.filter(pmod(col("doc_id"), lit(3)) === i),
-          "doc_id", "text", store, incrementId = s"inc$i")
+          "doc_id", "text", store, incrementId = s"inc$i",
+          bloomExpectedItems = 1000000L)
           .select(col("doc_id"))
       }.reduce(_ unionByName _)
       kept.orderBy(col("doc_id"))

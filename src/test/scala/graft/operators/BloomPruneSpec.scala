@@ -79,6 +79,57 @@ class BloomPruneSpec extends SparkSpec {
     assert(b2r.toSeq == b2.toSeq)
   }
 
+  test("near-dup incremental dedup: bloom parity, retention, gated probe plan") {
+    // id-stamped tokens: distinct docs share ZERO shingles (jaccard 0,
+    // never collide); `tail` is a one-token edit of `base` (jaccard
+    // 17/19 ≈ 0.9, 16-band miss prob ~5e-8 — and the hashes are
+    // deterministic, so the survivor set is FIXED for these texts)
+    def base(s: Long) = (0 until 20).map(t => s"w${t}_$s").mkString(" ")
+    def tail(s: Long) = base(s).split(" ").dropRight(1).mkString(" ") + " zz"
+    def docs(ids: Range, text: Map[Long, String] = Map.empty) =
+      ids.map(i => (i.toLong, text.getOrElse(i.toLong, base(i.toLong))))
+        .toDF("doc_id", "text")
+    val storeA = Files.createTempDirectory("graft_bloom_nd").toString + "/store"
+    val storeB = Files.createTempDirectory("graft_bloom_nd").toString + "/store"
+    val inc1 = docs(0 until 40, Map(7L -> tail(5))) // 7 near-dups 5 in-batch
+    // 50 exact-dups kept history doc 5; 51 exact-dups DROPPED history doc
+    // 7 — covered because the store keeps dropped docs' buckets too
+    val inc2 = docs(40 until 80, Map(50L -> base(5), 51L -> tail(5)))
+    def run(store: String, inc: org.apache.spark.sql.DataFrame, id: String,
+            bloom: Long): Seq[Long] =
+      Dedup.incrementalNearDedup(inc, "doc_id", "text", store, id,
+          bloomExpectedItems = bloom)
+        .select("doc_id").as[Long].collect().sorted.toSeq
+    val a1 = run(storeA, inc1, "i1", 0L); val b1 = run(storeB, inc1, "i1", 4096L)
+    val a2 = run(storeA, inc2, "i2", 0L); val b2 = run(storeB, inc2, "i2", 4096L)
+    assert(b1 == a1 && b2 == a2, "bloom routing changed the survivor set")
+    assert(!b1.contains(7L) && b1.contains(5L))
+    assert(!b2.contains(50L) && !b2.contains(51L) && b2.size == 38)
+    // replay the routed increment: identical survivors (idempotence)
+    assert(run(storeB, inc2, "i2", 4096L) == b2)
+    // the blob covers every (band, bh) key in the store — no false negatives
+    val Some((blob, _, _)) = BloomPrune.read(spark, s"$storeB/_bloom.bin")
+    val storeKeys = spark.read.parquet(storeB).select(col("band"), col("bh"))
+    assert(storeKeys.filter(!BloomPrune.mightContain(blob,
+      struct(col("band"), col("bh")))).count() == 0)
+    // plan audit: the history semi-join's PROBE side is gated by the
+    // bloom predicate (filter sits below the join, map-side)
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter => LFilter, Join => LJoin}
+    // non-local inputs (range + the real parquet store) so the optimizer
+    // cannot constant-fold the join away before we inspect it
+    val bk = spark.range(100).selectExpr("id AS doc_id",
+      "CAST(id % 16 AS int) AS band", "CAST(id * 7 AS int) AS bh")
+    val hist = spark.read.parquet(storeB).select(col("band"), col("bh"))
+    val probe = Dedup.nearDupHistProbe(bk, hist, Some(blob), "doc_id")
+    val join = probe.queryExecution.optimizedPlan.collectFirst { case j: LJoin => j }
+    assert(join.isDefined, "no join in probe plan")
+    val gated = join.get.left.collectFirst {
+      case f: LFilter if f.condition.toString.toLowerCase.contains("might_contain") => f
+    }
+    assert(gated.isDefined, "store semi-join probe not gated by might_contain:\n" +
+      probe.queryExecution.optimizedPlan)
+  }
+
   test("bloom enabled on a PRE-EXISTING store backfills history keys") {
     val store = Files.createTempDirectory("graft_bloom_bf").toString + "/store"
     val inc1 = (0 until 30).map(i => (i.toLong, s"t$i")).toDF("doc_id", "text")
