@@ -6,6 +6,7 @@ import org.apache.spark.sql.types._
 
 import graft.mergetree.FoldViews
 import graft.operators.LimitBy
+import graft.sources.Formats
 
 import scala.collection.mutable
 
@@ -557,11 +558,51 @@ final class ChSession(val spark: SparkSession,
           case None => res.toDF(t.columns.filter(_.materialized.isEmpty)
             .map(_.name).take(res.columns.length): _*)
         }
+      } else if (toks(i).is("FROM") && i + 1 < toks.length &&
+        toks(i + 1).is("INFILE")) {
+        // INSERT INTO t FROM INFILE 'path' [FORMAT CSVWithNames] — the SQL
+        // spelling of the CLI load (homeworks/hw03.md:114-117)
+        val path = strip(toks(i + 2).text.stripPrefix("'").stripSuffix("'"))
+        val fmtAt = toks.indexWhere(_.is("FORMAT"), i + 3)
+        val fmt = if (fmtAt > 0) toks(fmtAt + 1).text else "CSVWithNames"
+        return insertFileBlock(ref, path, fmt)
       } else if (toks(i).is("FORMAT")) {
-        fail("INSERT ... FORMAT with inline payload is not supported — " +
-          "use ingest(table, df)")
+        fail("INSERT ... FORMAT with an inline payload is not supported — " +
+          "use insertFromFile(table, path, format) / INSERT ... FROM INFILE " +
+          "(the CLI `< file` idiom) or ingest(table, df)")
       } else fail(s"unsupported INSERT form: $stmt")
     insertBlock(ref, block, castByPosition = true)
+  }
+
+  /** The reference's CLI load idiom `clickhouse-client --query "INSERT
+    * INTO t FORMAT CSVWithNames" < file` (homeworks/hw03.md:114-117), as
+    * an API: read `path` in the named FORMAT and land it through the
+    * normal insert path (schema align, engine fold, MV cascade).
+    */
+  def insertFromFile(tableRef: String, path: String,
+                     format: String = "CSVWithNames"): Unit =
+    insertFileBlock(parseRef(strip(tableRef)), path, format)
+
+  private def insertFileBlock(ref: (String, String), path: String,
+                              format: String): Unit = {
+    val t = lookup(ref)
+    val insertable = t.columns.filter(_.materialized.isEmpty)
+    val positional = StructType(insertable.map(c =>
+      StructField(c.name, c.dataType, nullable = true)))
+    // *WithNames / JSON / Parquet formats align BY NAME (ClickHouse reads
+    // the header — input_format_with_names_use_header default); headerless
+    // CSV/TSV are positional, so the declared schema names the columns
+    val block = format.toLowerCase match {
+      case "csvwithnames" => Formats.csvWithNames(spark, path)
+      case "tsvwithnames" | "tabseparatedwithnames" =>
+        Formats.tsvWithNames(spark, path)
+      case "csv" => spark.read.schema(positional).csv(path)
+      case "tsv" | "tabseparated" => Formats.tsv(spark, path, positional)
+      case "jsoneachrow" => Formats.jsonEachRow(spark, path)
+      case "parquet" => Formats.parquet(spark, path)
+      case other => fail(s"INSERT FROM INFILE: unsupported FORMAT $other")
+    }
+    insertBlock(ref, block, castByPosition = false)
   }
 
   /** Core insert path: schema-align the block, store it (engine

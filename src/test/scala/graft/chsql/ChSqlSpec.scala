@@ -645,6 +645,49 @@ class ChSqlSpec extends SparkSpec {
     assert(out.toSeq == Seq((0L, "r0"), (1L, "r1"), (2L, "r2")))
   }
 
+  test("hw03's CLI load replays: INSERT ... FORMAT CSVWithNames from a file") {
+    val s = ch
+    // the hw03 dish DDL verbatim (homeworks/hw03.md:42-53)
+    s.execute(
+      """CREATE TABLE dish
+        |(
+        |    id UInt32,
+        |    name String,
+        |    description String,
+        |    menus_appeared UInt32,
+        |    times_appeared Int32,
+        |    first_appeared UInt16,
+        |    last_appeared UInt16,
+        |    lowest_price Decimal64(3),
+        |    highest_price Decimal64(3)
+        |) ENGINE = MergeTree ORDER BY id;""".stripMargin)
+    // a Dish.csv-shaped file; header order deliberately differs from the
+    // DDL to prove *WithNames aligns by NAME, not position
+    val dir = java.nio.file.Files.createTempDirectory("chs_infile")
+    val csv = dir.resolve("Dish.csv")
+    java.nio.file.Files.writeString(csv,
+      """name,id,description,menus_appeared,times_appeared,first_appeared,last_appeared,lowest_price,highest_price
+        |Consomme printaniere royal,1,,8,8,1897,1927,0.2,0.4
+        |Chicken gumbo,2,,111,117,1895,1960,0.1,0.8
+        |Tomato aux croutons,3,,14,14,1893,1917,0.25,0.4
+        |""".stripMargin)
+    s.insertFromFile("dish", csv.toString, "CSVWithNames")
+    val out = s.sql("SELECT id, name, lowest_price FROM dish ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDecimal(2).toPlainString))
+    assert(out.toSeq == Seq(
+      (1L, "Consomme printaniere royal", "0.200"),
+      (2L, "Chicken gumbo", "0.100"),
+      (3L, "Tomato aux croutons", "0.250")))
+    // the SQL spelling lands through the same path and appends a new part
+    val csv2 = dir.resolve("Dish2.csv")
+    java.nio.file.Files.writeString(csv2,
+      """id,name,description,menus_appeared,times_appeared,first_appeared,last_appeared,lowest_price,highest_price
+        |4,Clam broth (cup),7,7,7,1896,1903,0.1,0.35
+        |""".stripMargin)
+    s.execute(s"INSERT INTO dish FROM INFILE '$csv2' FORMAT CSVWithNames")
+    assert(s.sql("SELECT count() AS c FROM dish").collect().head.getLong(0) == 4L)
+  }
+
   test("Null engine discards rows but fires MVs") {
     val s = ch
     s.execute(
