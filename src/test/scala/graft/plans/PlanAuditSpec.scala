@@ -220,6 +220,29 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("t35: exactly two store round-trips (one per increment) plus one bloom blob") {
+    // t35's cost is DESIGNED to be the two parquet store writes — the
+    // store IS the memory of the corpus. Pin that shape: after a full
+    // run the store holds exactly increment=b1, increment=b2 and the
+    // blob; nothing writes twice, nothing else lands.
+    q("t35_incremental_dedup").collect()
+    val store = new java.io.File(System.getProperty("java.io.tmpdir") +
+      "/graft_incr_" + Integer.toHexString(sfDir.hashCode))
+    val entries = store.listFiles().map(_.getName)
+      .filterNot(n => n.startsWith("_") || n.startsWith(".")).sorted
+    assert(entries.toSeq == Seq("increment=b1", "increment=b2"),
+      s"unexpected store layout: ${store.listFiles().map(_.getName).toSeq}")
+    assert(new java.io.File(store, "_bloom.bin").exists(),
+      "bloom blob missing from the store")
+    // and each increment partition committed cleanly (no abandoned
+    // _temporary attempt dirs — i.e. one successful write per increment)
+    for (inc <- entries) {
+      val files = new java.io.File(store, inc).listFiles().map(_.getName)
+      assert(!files.contains("_temporary"), s"uncommitted attempt dir in $inc")
+      assert(files.contains("_SUCCESS"), s"no commit marker in $inc")
+    }
+  }
+
   test("t33 retrieval: corpus rows never shuffle before the chunk-level tf aggregation") {
     val plan = formatted(q("t33_retrieval_pipeline"))
     // query-term hits are filtered inside the token array pre-explode,
