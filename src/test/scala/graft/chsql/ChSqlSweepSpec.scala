@@ -56,6 +56,46 @@ class ChSqlSweepSpec extends SparkSpec {
       info("MISS: " + st.replaceAll("\\s+", " ").take(120))
     }
     assert(rate >= 0.90, f"dialect acceptance regressed: ${rate * 100}%.1f%%")
+
+    // EXECUTED subset: the parse sweep proves syntax; this REPLAYS each
+    // reference file as a script — a fresh session per file, statements
+    // executed in order, so each lecture's own CREATE/INSERT fixtures
+    // build the state its SELECTs read. Counted: SELECTs that produce
+    // output end-to-end. Skipped up front: network table functions (no
+    // egress), 7-digit-row numbers() perf demos (CI time; the 3M-row
+    // Set/Join demos run verbatim in ChSqlSpec), parameterized {p:T}
+    // forms (out of scope). SELECTs over infra this sandbox lacks
+    // (system.replicas, cluster state) fail resolution and don't count.
+    val external = "(?i)\\b(url|s3|remote|clusterallreplicas|cluster|postgresql|jdbc|odbc|mysql|file)\\s*\\(".r
+    val bigNumbers = "(?i)numbers(_mt)?\\s*\\(\\s*\\d{7,}".r
+    var executedSelects = 0
+    var totalSelects = 0
+    mds.foreach { p =>
+      val text = java.nio.file.Files.readString(p)
+      val blocks =
+        if (p.toString.endsWith(".sql")) Seq(text) else sqlBlocks(text)
+      val stmts = blocks.flatMap(b => scala.util.Try(ChLexer.statements(b))
+        .getOrElse(Nil))
+      if (stmts.nonEmpty) {
+        val session = new ChSession(spark)
+        stmts.foreach { st =>
+          val up = st.trim.toUpperCase
+          val skip = up.contains("{") || external.findFirstIn(st).isDefined ||
+            bigNumbers.findFirstIn(st).isDefined
+          if (!skip) {
+            if (up.startsWith("SELECT") || up.startsWith("WITH ")) {
+              totalSelects += 1
+              if (scala.util.Try(session.sql(st).limit(10).collect()).isSuccess)
+                executedSelects += 1
+            } else scala.util.Try(
+              session.execute(st).foreach(_.limit(1).collect()))
+          }
+        }
+      }
+    }
+    info(s"executed subset: $executedSelects/$totalSelects corpus SELECTs " +
+      "ran end-to-end against their own files' fixtures")
+    assert(executedSelects >= 60, s"executed subset shrank: $executedSelects")
   }
 
   private implicit class IterOps[A](it: java.util.Iterator[A]) {
