@@ -181,7 +181,17 @@ final class ChSession(val spark: SparkSession,
           planned.queryExecution.executedPlan.toString.linesIterator
             .map(Row(_)).toSeq.asJavaList,
           StructType(Seq(StructField("explain", StringType)))))
-      case "SET" | "SYSTEM" | "GRANT" | "REVOKE" | "KILL" => None // no-op
+      case "SET" =>
+        // SET k = v[, k2 = v2] — recorded so system.settings reflects the
+        // session's changed settings (the values steer nothing here; the
+        // reference scripts SET formats/timeouts that do not apply)
+        ChTypes.splitTopLevel(ChLexer.render(toks.drop(1))).foreach { a =>
+          val eq = a.indexOf('=')
+          if (eq > 0) sessionSettings(a.substring(0, eq).trim) =
+            a.substring(eq + 1).trim.stripPrefix("'").stripSuffix("'")
+        }
+        None
+      case "SYSTEM" | "GRANT" | "REVOKE" | "KILL" => None // no-op
       case other => fail(s"unsupported statement: $other ...")
     }
   }
@@ -491,6 +501,7 @@ final class ChSession(val spark: SparkSession,
         val pred = ChLexer.render(toks.drop(whereAt + 1))
         val kept = tableDf(t).filter(s"NOT ($pred)")
         replaceContents(t, kept)
+        logMutation(ref, ChLexer.render(toks.drop(3)))
       case "UPDATE" => // ALTER TABLE t UPDATE a = e1, b = e2 WHERE pred
         val whereAt = indexOfTopLevel(toks, "WHERE")
         val assigns = ChTypes.splitTopLevel(
@@ -505,6 +516,7 @@ final class ChSession(val spark: SparkSession,
             when(expr(pred), expr(e)).otherwise(col(c)))
         }
         replaceContents(t, df)
+        logMutation(ref, ChLexer.render(toks.drop(3)))
       case "ADD" => // ALTER TABLE t ADD COLUMN name Type [DEFAULT e]
         val cd = parseColumnDef(ChLexer.render(toks.drop(5))).get
         val withCol = tableDf(t).withColumn(cd.name,
@@ -1047,10 +1059,13 @@ final class ChSession(val spark: SparkSession,
           databases.toSeq.sorted.map(Row(_))))
       case "tables" =>
         Some(df(StructType(Seq(s("database"), s("name"), s("engine"),
-          l("total_rows"))),
+          l("total_rows"), s("uuid"),
+          StructField("data_paths", ArrayType(StringType)),
+          s("create_table_query"))),
           tables.values.toSeq.map(t =>
             Row(t.db, t.name, engineName(t.engine),
-              t.blocks.map(_.count()).sum))))
+              t.blocks.map(_.count()).sum, tableUuid(t),
+              t.path.toSeq, createTableDdl(t)))))
       case "columns" =>
         Some(df(StructType(Seq(s("database"), s("table"), s("name"),
           s("type"), l("position"))),
@@ -1061,7 +1076,8 @@ final class ChSession(val spark: SparkSession,
       case "parts" =>
         Some(df(StructType(Seq(s("database"), s("table"), s("name"),
           s("partition"), l("rows"), StructField("active", IntegerType),
-          s("disk_name"), s("path"))),
+          s("disk_name"), s("path"), l("bytes_on_disk"), s("partition_id"),
+          StructField("level", IntegerType), l("marks"))),
           tables.values.toSeq.flatMap { t =>
             val partRows: Seq[(Long, Long)] = t.path match {
               case Some(_) => rawDf(t)
@@ -1071,18 +1087,95 @@ final class ChSession(val spark: SparkSession,
               case None => t.blocks.zipWithIndex
                 .map { case (b, i) => (i.toLong, b.count()) }.toSeq
             }
+            // bytes_on_disk: real storage size apportioned by row share
+            // for parquet-backed tables; a schema-width estimate for
+            // in-memory blocks (documented approximation — no codec here)
+            val totalRows = math.max(1L, partRows.map(_._2).sum)
+            val rowWidth = math.max(8L,
+              t.columns.map(_.dataType.defaultSize.toLong).sum)
+            val totalBytes = t.path.map(dirBytes)
+              .filter(_ > 0L).getOrElse(totalRows * rowWidth)
             partRows.map { case (i, n) =>
               Row(t.db, t.name, s"all_${i}_${i}_0", "tuple()", n, 1,
                 "default",
-                t.path.getOrElse(s"/store/${t.db}/${t.name}") + s"/all_${i}_${i}_0/")
+                t.path.getOrElse(s"/store/${t.db}/${t.name}") + s"/all_${i}_${i}_0/",
+                math.max(1L, totalBytes * n / totalRows), "all", 0,
+                n / 8192L + 1L)
             }
           }))
+      case "mutations" =>
+        Some(df(StructType(Seq(s("database"), s("table"), s("mutation_id"),
+          s("command"), StructField("is_done", IntegerType))),
+          mutationLog.toSeq.map(m => Row(m._1, m._2, m._3, m._4, 1))))
+      case "settings" =>
+        // curated defaults the lectures inspect, overlaid with this
+        // session's SET statements
+        val defaults = Seq(
+          "max_threads" -> spark.sparkContext.defaultParallelism.toString,
+          "max_memory_usage" -> "10000000000",
+          "max_insert_block_size" -> "1048449",
+          "input_format_null_as_default" -> "1",
+          "join_use_nulls" -> "0",
+          "async_insert" -> "0")
+        val merged = (defaults.toMap ++ sessionSettings).toSeq.sortBy(_._1)
+        Some(df(StructType(Seq(s("name"), s("value"),
+          StructField("changed", IntegerType))),
+          merged.map { case (k, v) =>
+            Row(k, v, if (sessionSettings.contains(k)) 1 else 0) }))
+      case "merge_tree_settings" =>
+        val defaults = Seq(
+          "index_granularity" -> "8192",
+          "min_insert_block_size_rows" -> "1048449",
+          "parts_to_delay_insert" -> "1000",
+          "parts_to_throw_insert" -> "3000",
+          "max_parts_in_total" -> "100000")
+        Some(df(StructType(Seq(s("name"), s("value"))),
+          defaults.map { case (k, v) => Row(k, v) }))
+      case "disks" =>
+        val root = new java.io.File(
+          storageDir.getOrElse(System.getProperty("java.io.tmpdir")))
+        Some(df(StructType(Seq(s("name"), s("path"), l("free_space"),
+          l("total_space"), s("type"))),
+          Seq(Row("default", root.getAbsolutePath + "/",
+            root.getFreeSpace, root.getTotalSpace, "local"))))
+      case "storage_policies" =>
+        Some(df(StructType(Seq(s("policy_name"), s("volume_name"),
+          StructField("disks", ArrayType(StringType)))),
+          Seq(Row("default", "default", Seq("default")))))
       case "one" =>
         Some(df(StructType(Seq(StructField("dummy", IntegerType))),
           Seq(Row(0))))
       case _ => None
     }
   }
+
+  /** Deterministic UUID for system.tables, derived from the table's
+    * qualified name (ClickHouse assigns one at CREATE; ours is stable
+    * across sessions instead of random).
+    */
+  private def tableUuid(t: ChTable): String = {
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"${t.db}.${t.name}".getBytes("UTF-8"))
+    f"${h(0)}%02x${h(1)}%02x${h(2)}%02x${h(3)}%02x-${h(4)}%02x${h(5)}%02x-" +
+      f"${h(6)}%02x${h(7)}%02x-${h(8)}%02x${h(9)}%02x-" +
+      f"${h(10)}%02x${h(11)}%02x${h(12)}%02x${h(13)}%02x${h(14)}%02x${h(15)}%02x"
+  }
+
+  private def dirBytes(path: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) 0L
+    else fs.getContentSummary(p).getLength
+  }
+
+  private val mutationLog =
+    mutable.Buffer.empty[(String, String, String, String)]
+
+  private def logMutation(ref: (String, String), command: String): Unit =
+    mutationLog += ((ref._1, ref._2,
+      s"mutation_${mutationLog.size}.txt", command))
+
+  private val sessionSettings = mutable.Map.empty[String, String]
 
   private def engineName(e: Engine): String = e match {
     case m: Engine.MergeTree => m.kind match {

@@ -688,6 +688,43 @@ class ChSqlSpec extends SparkSpec {
     assert(s.sql("SELECT count() AS c FROM dish").collect().head.getLong(0) == 4L)
   }
 
+  test("system breadth: mutations, settings, disks, richer tables/parts") {
+    val s = ch
+    s.execute(
+      """CREATE TABLE mt (id UInt32, v UInt32) ENGINE = MergeTree ORDER BY id;
+        |INSERT INTO mt VALUES (1, 10), (2, 20), (3, 30);
+        |ALTER TABLE mt UPDATE v = 99 WHERE id = 2;
+        |ALTER TABLE mt DELETE WHERE id = 3;
+        |SET max_threads = 4;""".stripMargin)
+    // mutations: the two ALTERs logged, both done
+    val muts = s.sql(
+      "SELECT table, command, is_done FROM system.mutations ORDER BY mutation_id")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2)))
+    assert(muts.length == 2 && muts.forall(_._3 == 1))
+    assert(muts(0)._2.toUpperCase.startsWith("UPDATE"))
+    assert(muts(1)._2.toUpperCase.startsWith("DELETE"))
+    // settings: the SET overlays the default and flags changed=1
+    val mt = s.sql(
+      "SELECT value, changed FROM system.settings WHERE name = 'max_threads'")
+      .collect().head
+    assert(mt.getString(0) == "4" && mt.getInt(1) == 1)
+    assert(s.sql("SELECT name, value FROM system.merge_tree_settings " +
+      "WHERE name LIKE '%insert%'").count() >= 2) // the lecture_20 probe
+    // disks: one local default disk with real capacity numbers
+    val disk = s.sql("SELECT name, free_space, total_space FROM system.disks")
+      .collect().head
+    assert(disk.getString(0) == "default" && disk.getLong(2) > 0)
+    // tables: uuid is stable, create_table_query round-trips
+    val tbl = s.sql("SELECT uuid, create_table_query FROM system.tables " +
+      "WHERE name = 'mt'").collect().head
+    assert(tbl.getString(0).matches("[0-9a-f-]{36}"))
+    assert(tbl.getString(1).startsWith("CREATE TABLE"))
+    // parts: bytes_on_disk positive, marks granule-derived
+    val part = s.sql("SELECT bytes_on_disk, marks FROM system.parts " +
+      "WHERE table = 'mt'").collect().head
+    assert(part.getLong(0) > 0 && part.getLong(1) >= 1)
+  }
+
   test("Null engine discards rows but fires MVs") {
     val s = ch
     s.execute(
