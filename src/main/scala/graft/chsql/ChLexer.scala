@@ -22,8 +22,41 @@ object ChLexer {
     */
   def statements(script: String): Seq[String] = {
     val cleaned = cleanScript(script)
-    ChTypes.splitTopLevel(cleaned, ';').map(_.trim)
-      .filter(_.nonEmpty)
+    ChTypes.splitTopLevel(cleaned, ';').flatMap(splitUnterminated)
+      .map(_.trim).filter(_.nonEmpty)
+  }
+
+  /** Slides sometimes butt two statements together with no terminator
+    * ("SELECT … GROUP BY id OPTIMIZE TABLE t"). SHOW and OPTIMIZE can
+    * never appear MID-statement at paren depth 0, so a conservative
+    * second pass splits before them; other statement starters (SELECT,
+    * CREATE, …) legitimately nest and are left alone.
+    */
+  private def splitUnterminated(stmt: String): Seq[String] = {
+    var depth = 0; var inStr = false; var inTick = false
+    var i = 0
+    val cuts = List.newBuilder[Int]
+    while (i < stmt.length) {
+      val c = stmt.charAt(i)
+      if (inStr) { if (c == '\'') inStr = false }
+      else if (inTick) { if (c == '`') inTick = false }
+      else c match {
+        case '\'' => inStr = true
+        case '`' => inTick = true
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case _ =>
+          if (depth == 0 && i > 0 && Character.isWhitespace(stmt.charAt(i - 1))) {
+            val up = stmt.substring(i, math.min(stmt.length, i + 9)).toUpperCase
+            if (up.startsWith("SHOW ") || up.startsWith("OPTIMIZE ")) cuts += i
+          }
+      }
+      i += 1
+    }
+    val idx = cuts.result()
+    if (idx.isEmpty) Seq(stmt)
+    else (0 :: idx).zip(idx :+ stmt.length)
+      .map { case (a, b) => stmt.substring(a, b) }
   }
 
   /** One literal-aware pass over the raw script: strips comments,

@@ -55,7 +55,7 @@ class ChSqlSweepSpec extends SparkSpec {
     results.filterNot(_._2).take(5).foreach { case (st, _) =>
       info("MISS: " + st.replaceAll("\\s+", " ").take(120))
     }
-    assert(rate >= 0.90, f"dialect acceptance regressed: ${rate * 100}%.1f%%")
+    assert(rate >= 0.92, f"dialect acceptance regressed: ${rate * 100}%.1f%%")
 
     // EXECUTED subset: the parse sweep proves syntax; this REPLAYS each
     // reference file as a script — a fresh session per file, statements
@@ -95,7 +95,7 @@ class ChSqlSweepSpec extends SparkSpec {
     }
     info(s"executed subset: $executedSelects/$totalSelects corpus SELECTs " +
       "ran end-to-end against their own files' fixtures")
-    assert(executedSelects >= 60, s"executed subset shrank: $executedSelects")
+    assert(executedSelects >= 100, s"executed subset shrank: $executedSelects")
   }
 
   private implicit class IterOps[A](it: java.util.Iterator[A]) {
