@@ -2,7 +2,7 @@
 # sf1 stress gate: 10x the driver's sf0.1 data, full board + heavy-row
 # invariants. Leaves ZERO unchecked rows: every registry query either
 # hash-matches the DuckDB oracle at sf1, is a documented rows-only row,
-# or (d03/d04/d09 — DuckDB-infeasible quadratic/recursive oracles) is
+# or (d03/d04/d09/d13 — DuckDB-infeasible quadratic/recursive oracles) is
 # covered by the independent invariant checks in Sf1InvariantsSpec.
 set -euo pipefail
 cd "$(dirname "$0")/.."
@@ -20,7 +20,7 @@ sbt -batch "runMain graft.Verify $SF1 $OUT" 2>&1 | grep -E '\[verify\].*failed' 
 
 echo "== DuckDB oracle compare (heavy dedup rows excluded, covered below)"
 python3 scripts/oracle_check.py "$SF1" "$OUT" \
-  --skip=d03_ngram_jaccard,d04_dedup_minhash,d09_dedup_clusters
+  --skip=d03_ngram_jaccard,d04_dedup_minhash,d09_dedup_clusters,d13_incremental_near_dedup
 
-echo "== independent invariant checks for d03/d04/d09"
+echo "== independent invariant checks for d03/d04/d09/d13"
 SPARK_GRAFT_SF1_DIR="$SF1" sbt -batch 'testOnly graft.Sf1InvariantsSpec'
