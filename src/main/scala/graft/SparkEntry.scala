@@ -49,9 +49,10 @@ object SparkEntry {
     *    engine-internal k-means partition; the prune contract (planted
     *    twins dropped, no surviving within-cluster pair at threshold,
     *    partition invariance) is spec-asserted (DedupSpec).
-    *  - q89_lttb: LTTB's greedy bucket selection has no SQL spelling;
-    *    endpoint/subset/monotonicity/spike-retention invariants are
-    *    spec-asserted (StatAggregatesSpec).
+    *  (q89_lttb and d13_incremental_near_dedup left this list in round 6:
+    *  LTTB's greedy selection is deterministic and oracles as a recursive
+    *  CTE; d13's collision relation coincides with exact jaccard on this
+    *  corpus — see their registry entries.)
     */
   def oracleSql: Map[String, String] =
     graft.queries.Registry.all.flatMap(q => q.oracle.map(q.name -> _)).toMap

@@ -1171,13 +1171,63 @@ object MiscQueries {
     // the margins in SQL. State is bounded by category-pair cardinality.
     // ---- largestTriangleThreeBuckets (CH): LTTB downsampling of each
     // user's (ts, value) series to 10 visually-representative points.
-    // rows-only: the greedy bucket selection has no SQL spelling;
-    // endpoint/monotonicity/subset/spike-retention invariants are
-    // spec-asserted (StatAggregatesSpec). The per-key series rides a
-    // sorted collect_list — same per-key-bounded contract as the
-    // funnel buffers; selection itself is a cold-path scalar UDF over
-    // one already-aggregated array per key.
-    Q.noOracle("q89_lttb") { (s, dir) =>
+    // Hash-checkable since r6: LTTB is a DETERMINISTIC greedy — only the
+    // per-bucket argmax depends on the previous selection, so the oracle
+    // precomputes buckets/centroids set-wise and walks the selection
+    // chain with a recursive CTE (argmax via row_number in the recursive
+    // term, ties to the lowest index like the engine's strict `>`).
+    // Integer bucket edges use floor() — DuckDB CAST(x AS INT) rounds
+    // where Scala .toInt truncates. Endpoint/monotonicity/subset/
+    // spike-retention invariants stay spec-asserted (StatAggregatesSpec).
+    // The per-key series rides a sorted collect_list — same
+    // per-key-bounded contract as the funnel buffers; selection itself is
+    // a cold-path scalar UDF over one already-aggregated array per key.
+    Q("q89_lttb",
+      """WITH RECURSIVE
+        |raw AS (SELECT user_id, CAST(floor(epoch(ts)) AS DOUBLE) AS t, value AS v FROM events),
+        |pts AS (SELECT user_id,
+        |          row_number() OVER (PARTITION BY user_id ORDER BY t, v) - 1 AS idx,
+        |          t, v, count(*) OVER (PARTITION BY user_id) AS m
+        |        FROM raw),
+        |params AS (SELECT DISTINCT user_id, m, (m - 2) / 8.0 AS every FROM pts WHERE m > 10),
+        |buck AS (SELECT p.user_id, p.m, g.k,
+        |           CAST(floor(g.k * p.every) AS INT) + 1 AS bstart,
+        |           LEAST(CAST(floor((g.k + 1) * p.every) AS INT) + 1, p.m - 1) AS bend,
+        |           LEAST(CAST(floor((g.k + 1) * p.every) AS INT) + 1, p.m - 1) AS cstart,
+        |           LEAST(CAST(floor((g.k + 2) * p.every) AS INT) + 1, p.m) AS cend
+        |         FROM params p, generate_series(0, 7) g(k)),
+        |centroid AS (SELECT b.user_id, b.k,
+        |               sum(p.t ORDER BY p.idx) / GREATEST(b.cend - b.cstart, 1) AS cx,
+        |               sum(p.v ORDER BY p.idx) / GREATEST(b.cend - b.cstart, 1) AS cy
+        |             FROM buck b JOIN pts p ON p.user_id = b.user_id
+        |               AND p.idx >= b.cstart AND p.idx < b.cstart + GREATEST(b.cend - b.cstart, 1)
+        |             GROUP BY b.user_id, b.k, b.cend, b.cstart),
+        |cand AS (SELECT b.user_id, b.k, p.idx, p.t, p.v, ct.cx, ct.cy
+        |         FROM buck b
+        |         JOIN pts p ON p.user_id = b.user_id AND p.idx >= b.bstart AND p.idx < b.bend
+        |         JOIN centroid ct ON ct.user_id = b.user_id AND ct.k = b.k),
+        |rec AS (
+        |  SELECT user_id, 0 AS k, 0 AS sel_idx, t AS sel_t, v AS sel_v
+        |  FROM pts WHERE idx = 0 AND m > 10
+        |  UNION ALL
+        |  SELECT user_id, k + 1, idx, t, v FROM (
+        |    SELECT c.user_id, r.k, c.idx, c.t, c.v,
+        |      row_number() OVER (PARTITION BY c.user_id ORDER BY
+        |        abs((r.sel_t - c.cx) * (c.v - r.sel_v) - (r.sel_t - c.t) * (c.cy - r.sel_v)) DESC,
+        |        c.idx ASC) AS rn
+        |    FROM rec r JOIN cand c ON c.user_id = r.user_id AND c.k = r.k
+        |    WHERE r.k < 8
+        |  ) WHERE rn = 1
+        |),
+        |selected AS (
+        |  SELECT user_id, sel_idx AS idx, sel_t AS t, sel_v AS v FROM rec
+        |  UNION ALL
+        |  SELECT user_id, idx, t, v FROM pts WHERE m > 10 AND idx = m - 1
+        |  UNION ALL
+        |  SELECT user_id, idx, t, v FROM pts WHERE m <= 10
+        |)
+        |SELECT user_id, string_agg(printf('%.0f:%.4f', t, v), ',' ORDER BY idx) AS series10
+        |FROM selected GROUP BY user_id ORDER BY user_id""") { (s, dir) =>
       val ser = udf((pts: Seq[org.apache.spark.sql.Row]) => {
         val series = pts.map(r => (r.getDouble(0), r.getDouble(1)))
         graft.functions.StatAggregates.lttb(series, 10)
