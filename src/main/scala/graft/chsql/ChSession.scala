@@ -106,7 +106,29 @@ final class ChSession(val spark: SparkSession,
 
   /** Runs one ClickHouse SELECT and returns the DataFrame. */
   def sql(query: String): DataFrame =
-    runSelect(query, Map.empty)
+    runSelect(bindParams(query), Map.empty)
+
+  /** Runs one parameterized SELECT: `{name:Type}` placeholders bind from
+    * `params` (the CLI `--param_name` / HTTP `param_name=` surface,
+    * lecture_03.md:265-307), falling back to session `SET param_name`
+    * values.
+    */
+  def sql(query: String, params: Map[String, String]): DataFrame =
+    runSelect(bindParams(query, params), Map.empty)
+
+  /** `{name:Type}` → typed literal; explicit params win over session
+    * `SET param_x = …` bindings. No-op for placeholder-free statements.
+    */
+  private def bindParams(stmt: String,
+                         params: Map[String, String] = Map.empty): String =
+    if (!stmt.contains('{')) stmt
+    else if (ChParams.placeholders(stmt).isEmpty) stmt
+    else {
+      val session = sessionSettings.collect {
+        case (k, v) if k.startsWith("param_") => k.stripPrefix("param_") -> v
+      }.toMap
+      ChParams.substitute(stmt, session ++ params)
+    }
 
   /** Simulates a consumed Kafka batch (or any out-of-band arrival) on
     * `table`: rows land (unless ENGINE=Null/Kafka) and attached MVs fire.
@@ -120,7 +142,7 @@ final class ChSession(val spark: SparkSession,
   // ------------------------------------------------------ statements
 
   private def executeStatement(stmtRaw: String): Option[DataFrame] = {
-    val stmt = stmtRaw.trim
+    val stmt = bindParams(stmtRaw.trim)
     val toks = ChLexer.tokenize(stmt)
     if (toks.isEmpty) return None
     val head = toks.head.upper
@@ -579,9 +601,24 @@ final class ChSession(val spark: SparkSession,
         val fmt = if (fmtAt > 0) toks(fmtAt + 1).text else "CSVWithNames"
         return insertFileBlock(ref, path, fmt)
       } else if (toks(i).is("FORMAT")) {
-        fail("INSERT ... FORMAT with an inline payload is not supported — " +
-          "use insertFromFile(table, path, format) / INSERT ... FROM INFILE " +
-          "(the CLI `< file` idiom) or ingest(table, df)")
+        // INSERT INTO t FORMAT <fmt>\n<payload> — the client inline-data
+        // idiom (lecture_03.md:196-203 `INSERT INTO … FORMAT Values
+        // (…)`, homeworks/hw17.md Kafka JSONEachRow probes). Everything
+        // after the format name in the RAW statement text is DATA, not
+        // SQL: recover it with a literal-aware scan (the token stream
+        // would have mangled it).
+        val fmt = toks(i + 1).text
+        val fmtAt = indexOfWordOutsideLiterals(stmt, "FORMAT")
+        if (fmtAt < 0) fail(s"unsupported INSERT form: $stmt")
+        val afterKw = stmt.indexOf(fmt, fmtAt + "FORMAT".length) match {
+          case -1 => fail(s"unsupported INSERT form: $stmt")
+          case p => p + fmt.length
+        }
+        val payload = stmt.substring(afterKw)
+        if (payload.trim.isEmpty)
+          fail("INSERT ... FORMAT without data — inline payload expected " +
+            "(or use INSERT ... FROM INFILE 'path' for the `< file` idiom)")
+        return insertInlineBlock(ref, colList, payload, fmt)
       } else fail(s"unsupported INSERT form: $stmt")
     insertBlock(ref, block, castByPosition = true)
   }
@@ -613,6 +650,84 @@ final class ChSession(val spark: SparkSession,
       case "jsoneachrow" => Formats.jsonEachRow(spark, path)
       case "parquet" => Formats.parquet(spark, path)
       case other => fail(s"INSERT FROM INFILE: unsupported FORMAT $other")
+    }
+    insertBlock(ref, block, castByPosition = false)
+  }
+
+  /** First offset of keyword `word` in `s` at word boundaries, skipping
+    * single-quoted literals and backtick identifiers; -1 if absent.
+    */
+  private def indexOfWordOutsideLiterals(s: String, word: String): Int = {
+    var i = 0; var inStr = false; var inTick = false
+    val n = s.length; val w = word.length
+    while (i < n) {
+      val c = s.charAt(i)
+      if (inStr) { if (c == '\'') inStr = false; i += 1 }
+      else if (inTick) { if (c == '`') inTick = false; i += 1 }
+      else if (c == '\'') { inStr = true; i += 1 }
+      else if (c == '`') { inTick = true; i += 1 }
+      else if (s.regionMatches(true, i, word, 0, w) &&
+        (i == 0 || !Character.isLetterOrDigit(s.charAt(i - 1))) &&
+        (i + w >= n || !Character.isLetterOrDigit(s.charAt(i + w)))) return i
+      else i += 1
+    }
+    -1
+  }
+
+  /** Inline `INSERT … FORMAT <fmt>` payload: parse the raw data text in
+    * the named format and land it through the normal insert path
+    * (schema align, engine fold, MV cascade). Headerless CSV/TSV/Values
+    * align by POSITION onto the column list (or the insertable columns);
+    * *WithNames / JSONEachRow align by NAME — the same contract as
+    * [[insertFileBlock]]. Caveat (documented): the script statement
+    * splitter cuts on top-level `;`, so payload FIELDS containing a bare
+    * `;` need the FROM INFILE form instead.
+    */
+  private def insertInlineBlock(ref: (String, String),
+                                colList: Option[Seq[String]],
+                                payload: String, format: String): Unit = {
+    val t = lookup(ref)
+    val insertable = t.columns.filter(_.materialized.isEmpty)
+    val posNames = colList.getOrElse(insertable.map(_.name))
+    val positional = StructType(posNames.map { n =>
+      val dt = t.columns.find(_.name.equalsIgnoreCase(n))
+        .map(_.dataType).getOrElse(StringType)
+      StructField(n, dt, nullable = true)
+    })
+    def lines = {
+      implicit val enc = org.apache.spark.sql.Encoders.STRING
+      spark.createDataset(
+        payload.linesIterator.map(_.trim).filter(_.nonEmpty).toSeq)
+    }
+    val block = format.toLowerCase match {
+      case "values" =>
+        val raw = spark.sql(s"SELECT * FROM VALUES ${payload.trim}")
+        raw.toDF(posNames.take(raw.columns.length): _*)
+      case "csv" => spark.read.schema(positional).csv(lines)
+      case "csvwithnames" =>
+        spark.read.option("header", "true").csv(lines)
+      case "tsv" | "tabseparated" =>
+        spark.read.schema(positional).option("sep", "\t").csv(lines)
+      case "tsvwithnames" | "tabseparatedwithnames" =>
+        spark.read.option("header", "true").option("sep", "\t").csv(lines)
+      case "jsoneachrow" =>
+        // a JSON object omitting a field yields NULL from the reader; a
+        // ClickHouse non-Nullable column takes its DEFAULT / type zero
+        // instead (input_format_defaults_for_omitted_fields)
+        val raw = spark.read.json(lines)
+        val present = raw.columns.map(c => c.toLowerCase -> c).toMap
+        t.columns.foldLeft(raw) { (df, c) =>
+          present.get(c.name.toLowerCase) match {
+            case Some(src) if !c.nullable =>
+              df.withColumn(src, coalesce(col(src),
+                c.default.map(expr).getOrElse(typeZero(c.dataType))
+                  .cast(c.dataType)))
+            case _ => df
+          }
+        }
+      case other => fail(s"INSERT ... FORMAT $other: unsupported inline " +
+        "payload format (Values, CSV[WithNames], TSV[WithNames], " +
+        "JSONEachRow)")
     }
     insertBlock(ref, block, castByPosition = false)
   }

@@ -688,6 +688,81 @@ class ChSqlSpec extends SparkSpec {
     assert(s.sql("SELECT count() AS c FROM dish").collect().head.getLong(0) == 4L)
   }
 
+  test("INSERT ... FORMAT with an inline payload: Values, CSV[WithNames], JSONEachRow") {
+    val s = ch
+    s.execute(
+      """CREATE TABLE ev (id UInt32, name String, score Float64)
+        |ENGINE = MergeTree ORDER BY id""".stripMargin)
+    // client inline-data idiom (lecture_03.md:196-203)
+    s.execute("INSERT INTO ev FORMAT Values (1, 'a', 1.5), (2, 'b', 2.5)")
+    // headerless CSV aligns by POSITION onto the declared columns
+    s.execute(
+      """INSERT INTO ev FORMAT CSV
+        |3,c,3.5
+        |4,d,4.5""".stripMargin)
+    // *WithNames aligns by NAME — header order differs from the DDL
+    s.execute(
+      """INSERT INTO ev FORMAT CSVWithNames
+        |name,score,id
+        |e,5.5,5""".stripMargin)
+    // JSONEachRow aligns by name too; missing cols take the type zero
+    s.execute(
+      """INSERT INTO ev FORMAT JSONEachRow
+        |{"id": 6, "name": "f", "score": 6.5}
+        |{"id": 7, "name": "g"}""".stripMargin)
+    val out = s.sql("SELECT id, name, score FROM ev ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    assert(out.toSeq == Seq((1L, "a", 1.5), (2L, "b", 2.5), (3L, "c", 3.5),
+      (4L, "d", 4.5), (5L, "e", 5.5), (6L, "f", 6.5), (7L, "g", 0.0)))
+    // a column list narrows the positional target set
+    s.execute(
+      """INSERT INTO ev (id, name) FORMAT CSV
+        |8,h""".stripMargin)
+    assert(s.sql("SELECT score FROM ev WHERE id = 8").collect()
+      .head.getDouble(0) == 0.0)
+    // the payload lands as a BLOCK: attached MVs fire on it
+    s.execute(
+      """CREATE TABLE ev_sum (name String, total Float64)
+        |ENGINE = SummingMergeTree ORDER BY name;
+        |CREATE MATERIALIZED VIEW ev_mv TO ev_sum AS
+        |  SELECT name, sum(score) AS total FROM ev GROUP BY name;
+        |INSERT INTO ev FORMAT Values (9, 'z', 1.0), (10, 'z', 2.0)""".stripMargin)
+    assert(s.sql("SELECT total FROM ev_sum WHERE name = 'z'").collect()
+      .head.getDouble(0) == 3.0)
+  }
+
+  test("parameterized queries: {name:Type} binds from params / SET param_") {
+    val s = ch
+    s.execute(
+      """CREATE TABLE pq (id UInt32, name String) ENGINE = MergeTree ORDER BY id;
+        |INSERT INTO pq VALUES (1, 'a'), (2, 'b'), (3, 'it''s')""".stripMargin)
+    // explicit params (the CLI --param_id surface, lecture_03.md:265-307)
+    assert(s.sql("SELECT name FROM pq WHERE id = {id:UInt8}",
+      Map("id" -> "2")).collect().head.getString(0) == "b")
+    // typed: a UInt8 param compares numerically, a String param as text
+    assert(s.sql("SELECT count() AS c FROM pq WHERE id > {id:UInt8}",
+      Map("id" -> "1")).collect().head.getLong(0) == 2L)
+    assert(s.sql("SELECT id FROM pq WHERE name = {n:String}",
+      Map("n" -> "it's")).collect().head.getLong(0) == 3L)
+    // session bindings via SET param_x; explicit params win
+    s.execute("SET param_id = 3")
+    assert(s.sql("SELECT name FROM pq WHERE id = {id:UInt8}")
+      .collect().head.getString(0) == "it's")
+    assert(s.sql("SELECT name FROM pq WHERE id = {id:UInt8}",
+      Map("id" -> "1")).collect().head.getString(0) == "a")
+    // Identifier splices a name; statements without a binding fail loudly
+    assert(s.sql("SELECT max({c:Identifier}) AS m FROM pq",
+      Map("c" -> "id")).collect().head.getLong(0) == 3L)
+    val err = intercept[IllegalArgumentException] {
+      s.sql("SELECT {missing:UInt8}")
+    }
+    assert(err.getMessage.contains("missing"))
+    // literal-protected: {} inside strings (DDL macros, format strings)
+    // are NOT parameters
+    assert(s.sql("SELECT '{not:AParam}' AS x").collect()
+      .head.getString(0) == "{not:AParam}")
+  }
+
   test("system breadth: mutations, settings, disks, richer tables/parts") {
     val s = ch
     s.execute(

@@ -29,8 +29,7 @@ class ChSqlSweepSpec extends SparkSpec {
         .getOrElse(Nil))
     }.filter { st =>
       val up = st.trim.toUpperCase
-      (up.startsWith("SELECT") || up.startsWith("WITH ")) &&
-        !up.contains("{") // parameterized {id:UInt8} forms are out of scope
+      up.startsWith("SELECT") || up.startsWith("WITH ")
     }.distinct
     assert(statements.size > 150, s"sweep found only ${statements.size} statements")
 
@@ -41,9 +40,24 @@ class ChSqlSweepSpec extends SparkSpec {
       override def resolveDict(name: String) = Some(("sweep_t", "k"))
     }
     val parser = spark.sessionState.sqlParser
+    // parameterized {name:Type} forms (round 6: in scope — ChParams)
+    // sweep with a synthetic binding per declared type
+    def sweepValue(chType: String): String = {
+      val lower = chType.toLowerCase
+      if (lower == "identifier") "sweep_t"
+      else if (lower.startsWith("array(")) "[1]"
+      else if (lower.contains("date")) "2024-01-01"
+      else if (lower.contains("string") || lower.contains("uuid")) "x"
+      else "1"
+    }
     val results = statements.map { st =>
       val ok = scala.util.Try {
-        val rw = ChSqlRewrite.rewrite(st, resolver)
+        val bound = ChParams.placeholders(st) match {
+          case ps if ps.nonEmpty => ChParams.substitute(st,
+            ps.map(p => p.name -> sweepValue(p.chType)).toMap)
+          case _ => st
+        }
+        val rw = ChSqlRewrite.rewrite(bound, resolver)
         parser.parsePlan(rw.sql)
       }.isSuccess
       (st, ok)
