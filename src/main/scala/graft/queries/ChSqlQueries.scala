@@ -159,6 +159,65 @@ object ChSqlQueries {
           |FROM merge(default, '^orders_') GROUP BY _table ORDER BY _table""".stripMargin)
     },
 
+    // ---- parameterized query through CH text: {name:Type} placeholders
+    // bound from an explicit param map and from SET param_x session
+    // bindings (the CLI --param_x / HTTP param_x= surface, lecture_03)
+    Q("q104_chsql_params",
+      """SELECT c_mktsegment, count(*) AS n,
+        |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS bal
+        |FROM customer
+        |WHERE c_acctbal > 1000.0 AND c_mktsegment <> 'MACHINERY'
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""") { (s, dir) =>
+      val ch = new ChSession(s)
+      withTable(ch, "customer",
+        "c_custkey Int64, c_mktsegment String, c_acctbal Float64",
+        Tables(s, dir).customer
+          .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal")),
+        "Memory")
+      ch.execute("SET param_minbal = 1000.0")
+      ch.sql(
+        """SELECT c_mktsegment, count() AS n,
+          |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS bal
+          |FROM customer
+          |WHERE c_acctbal > {minbal:Float64} AND c_mktsegment != {skip:String}
+          |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+        Map("skip" -> "MACHINERY"))
+    },
+
+    // ---- inline INSERT ... FORMAT payload through CH text: a priority
+    // weight table lands from literal CSVWithNames data, then weights an
+    // orders aggregate (the client inline-data idiom, lecture_03)
+    Q("q105_chsql_inline_insert",
+      """WITH w(prio, weight) AS (VALUES ('1-URGENT', 4.0), ('2-HIGH', 2.0),
+        |  ('3-MEDIUM', 1.0), ('4-NOT SPECIFIED', 0.5), ('5-LOW', 0.25))
+        |SELECT o.o_orderpriority AS prio, count(*) AS n,
+        |  CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) * ANY_VALUE(w.weight)
+        |    AS DOUBLE) AS weighted
+        |FROM orders o JOIN w ON w.prio = o.o_orderpriority
+        |GROUP BY o.o_orderpriority ORDER BY prio""") { (s, dir) =>
+      val ch = new ChSession(s)
+      withTable(ch, "orders", "o_orderkey Int64, o_orderpriority String, " +
+        "o_totalprice Float64",
+        Tables(s, dir).orders
+          .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice")),
+        "Memory")
+      ch.execute(
+        """CREATE TABLE prio_w (prio String, weight Float64) ENGINE = Memory;
+          |INSERT INTO prio_w FORMAT CSVWithNames
+          |prio,weight
+          |1-URGENT,4.0
+          |2-HIGH,2.0
+          |3-MEDIUM,1.0
+          |4-NOT SPECIFIED,0.5
+          |5-LOW,0.25""".stripMargin)
+      ch.sql(
+        """SELECT o.o_orderpriority AS prio, count() AS n,
+          |  CAST(CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+          |    * any(w.weight) AS DOUBLE) AS weighted
+          |FROM orders o JOIN prio_w w ON w.prio = o.o_orderpriority
+          |GROUP BY o.o_orderpriority ORDER BY prio""".stripMargin)
+    },
+
     // ---- Null-engine source firing an MV into a SummingMergeTree: three
     // ingested chunks land as three parts; FINAL folds them to the global
     // aggregate (the reference's ingest topology, lecture_13)
