@@ -27,14 +27,34 @@ object ChLexer {
   }
 
   /** Slides sometimes butt two statements together with no terminator
-    * ("SELECT … GROUP BY id OPTIMIZE TABLE t"). SHOW and OPTIMIZE can
-    * never appear MID-statement at paren depth 0, so a conservative
-    * second pass splits before them; other statement starters (SELECT,
-    * CREATE, …) legitimately nest and are left alone.
+    * ("SELECT … GROUP BY id OPTIMIZE TABLE t", "… LIMIT 10 SELECT …").
+    * SHOW, OPTIMIZE and ALTER can never appear MID-statement at paren
+    * depth 0, so a conservative second pass splits before them. A
+    * top-level SELECT inside a SELECT/WITH statement is legal only right
+    * after a set-op keyword (UNION [ALL|DISTINCT] / EXCEPT / INTERSECT),
+    * so any other bare SELECT is a butted second statement; inside
+    * CREATE/INSERT statements (`… AS SELECT`, `INSERT INTO t SELECT`)
+    * SELECT is legitimate and left alone.
     */
   private def splitUnterminated(stmt: String): Seq[String] = {
     var depth = 0; var inStr = false; var inTick = false
     var i = 0
+    var segStart = 0
+    def headIsSelect(from: Int): Boolean = {
+      var j = from
+      while (j < stmt.length && Character.isWhitespace(stmt.charAt(j))) j += 1
+      val up = stmt.substring(j, math.min(stmt.length, j + 7)).toUpperCase
+      up.startsWith("SELECT") || up.startsWith("WITH")
+    }
+    def prevWord(before: Int): String = {
+      var j = before - 1
+      while (j >= 0 && Character.isWhitespace(stmt.charAt(j))) j -= 1
+      val end = j + 1
+      while (j >= 0 && (Character.isLetterOrDigit(stmt.charAt(j)) ||
+        stmt.charAt(j) == '_')) j -= 1
+      stmt.substring(j + 1, end).toUpperCase
+    }
+    val setOps = Set("UNION", "ALL", "DISTINCT", "EXCEPT", "INTERSECT")
     val cuts = List.newBuilder[Int]
     while (i < stmt.length) {
       val c = stmt.charAt(i)
@@ -47,8 +67,14 @@ object ChLexer {
         case ')' => depth -= 1
         case _ =>
           if (depth == 0 && i > 0 && Character.isWhitespace(stmt.charAt(i - 1))) {
-            val up = stmt.substring(i, math.min(stmt.length, i + 9)).toUpperCase
-            if (up.startsWith("SHOW ") || up.startsWith("OPTIMIZE ")) cuts += i
+            def kwAt(kw: String): Boolean =
+              stmt.regionMatches(true, i, kw, 0, kw.length) &&
+                (i + kw.length >= stmt.length ||
+                  Character.isWhitespace(stmt.charAt(i + kw.length)))
+            if (kwAt("SHOW") || kwAt("OPTIMIZE") || kwAt("ALTER")) {
+              cuts += i; segStart = i
+            } else if (kwAt("SELECT") && headIsSelect(segStart) &&
+              !setOps(prevWord(i))) { cuts += i; segStart = i }
           }
       }
       i += 1

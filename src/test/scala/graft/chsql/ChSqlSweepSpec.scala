@@ -29,7 +29,11 @@ class ChSqlSweepSpec extends SparkSpec {
         .getOrElse(Nil))
     }.filter { st =>
       val up = st.trim.toUpperCase
-      up.startsWith("SELECT") || up.startsWith("WITH ")
+      (up.startsWith("SELECT") || up.startsWith("WITH ")) &&
+        // dbt/Jinja template text ({{ref(...)}}, {% if %}) from the
+        // orchestration lectures is not ClickHouse SQL until dbt renders
+        // it — out of the dialect's scope (SURVEY §2.14)
+        !st.contains("{{") && !st.contains("{%")
     }.distinct
     assert(statements.size > 150, s"sweep found only ${statements.size} statements")
 
@@ -38,6 +42,10 @@ class ChSqlSweepSpec extends SparkSpec {
       def resolve(id: String) =
         Some(ChSqlRewrite.ResolvedTable("sweep_t", Some("sweep_t"), Some("k")))
       override def resolveDict(name: String) = Some(("sweep_t", "k"))
+      // remote()/cluster()/s3()/url()/... lower to a resolved view, the
+      // same shape ChSession.materializeTableFunction produces
+      override def resolveTableFunction(fn: String, args: Seq[String]) =
+        Some("sweep_t")
     }
     val parser = spark.sessionState.sqlParser
     // parameterized {name:Type} forms (round 6: in scope — ChParams)
@@ -69,7 +77,7 @@ class ChSqlSweepSpec extends SparkSpec {
     results.filterNot(_._2).take(5).foreach { case (st, _) =>
       info("MISS: " + st.replaceAll("\\s+", " ").take(120))
     }
-    assert(rate >= 0.92, f"dialect acceptance regressed: ${rate * 100}%.1f%%")
+    assert(rate >= 0.95, f"dialect acceptance regressed: ${rate * 100}%.1f%%")
 
     // EXECUTED subset: the parse sweep proves syntax; this REPLAYS each
     // reference file as a script — a fresh session per file, statements
@@ -109,7 +117,7 @@ class ChSqlSweepSpec extends SparkSpec {
     }
     info(s"executed subset: $executedSelects/$totalSelects corpus SELECTs " +
       "ran end-to-end against their own files' fixtures")
-    assert(executedSelects >= 100, s"executed subset shrank: $executedSelects")
+    assert(executedSelects >= 120, s"executed subset shrank: $executedSelects")
   }
 
   private implicit class IterOps[A](it: java.util.Iterator[A]) {
