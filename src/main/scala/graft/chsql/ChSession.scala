@@ -102,11 +102,12 @@ final class ChSession(val spark: SparkSession,
     * produces one (SELECT/SHOW/DESCRIBE).
     */
   def execute(script: String): Seq[DataFrame] =
-    ChLexer.statements(script).flatMap(executeStatement)
+    ChLexer.statements(script)
+      .flatMap(st => logged(st)(executeStatement(st)))
 
   /** Runs one ClickHouse SELECT and returns the DataFrame. */
   def sql(query: String): DataFrame =
-    runSelect(bindParams(query), Map.empty)
+    logged(query)(runSelect(bindParams(query), Map.empty))
 
   /** Runs one parameterized SELECT: `{name:Type}` placeholders bind from
     * `params` (the CLI `--param_name` / HTTP `param_name=` surface,
@@ -114,7 +115,7 @@ final class ChSession(val spark: SparkSession,
     * values.
     */
   def sql(query: String, params: Map[String, String]): DataFrame =
-    runSelect(bindParams(query, params), Map.empty)
+    logged(query)(runSelect(bindParams(query, params), Map.empty))
 
   /** `{name:Type}` → typed literal; explicit params win over session
     * `SET param_x = …` bindings. No-op for placeholder-free statements.
@@ -173,7 +174,9 @@ final class ChSession(val spark: SparkSession,
         journalCatalog()
         None
       case "SHOW" =>
-        if (toks(1).is("CREATE")) { // SHOW CREATE TABLE [db.]t
+        if (toks(1).is("PROCESSLIST")) // ≡ SELECT * FROM system.processes
+          systemTable("processes")
+        else if (toks(1).is("CREATE")) { // SHOW CREATE TABLE [db.]t
           val t = lookup(parseRef(strip(toks.last.text)))
           Some(spark.createDataFrame(
             Seq(Row(createTableDdl(t))).asJavaList,
@@ -1260,8 +1263,96 @@ final class ChSession(val spark: SparkSession,
       case "one" =>
         Some(df(StructType(Seq(StructField("dummy", IntegerType))),
           Seq(Row(0))))
+      case "query_log" =>
+        // the lecture_20/21 monitoring surface. Honest-value contract:
+        // query text, timestamps, duration and exception are MEASURED at
+        // statement dispatch; read_rows/read_bytes/memory_usage are 0
+        // (plans execute lazily in Spark — per-query IO isn't known at
+        // dispatch) and ProfileEvents carries the measured duration as
+        // UserTimeMicroseconds so the lectures' map-subscript queries run.
+        Some(df(StructType(Seq(s("type"), StructField("event_date", DateType),
+          StructField("event_time", TimestampType),
+          StructField("query_start_time", TimestampType),
+          l("query_duration_ms"), s("query"), s("query_id"),
+          s("initial_query_id"), l("read_rows"), l("read_bytes"),
+          l("written_rows"), l("memory_usage"), s("exception"),
+          StructField("exception_code", IntegerType), s("user"),
+          StructField("ProfileEvents", MapType(StringType, LongType)))),
+          queryLog.toSeq.map { q =>
+            val start = new java.sql.Timestamp(q.startMs)
+            Row(q.eventType, new java.sql.Date(q.startMs), start, start,
+              q.durationMs, q.query, q.id, q.id, 0L, 0L, 0L, 0L,
+              q.exception.getOrElse(""),
+              if (q.exception.isDefined) 1 else 0, "default",
+              Map("UserTimeMicroseconds" -> q.durationMs * 1000L,
+                "SystemTimeMicroseconds" -> 0L))
+          }))
+      case "metrics" =>
+        val parts = tables.values.map(t => t.blocks.length.toLong).sum
+        val rt = Runtime.getRuntime
+        Some(df(StructType(Seq(s("metric"), l("value"), s("description"))),
+          Seq(
+            Row("Query", 0L, "Number of executing queries"),
+            Row("Merge", 0L, "Number of executing background merges"),
+            Row("PartsActive", parts,
+              "Active data parts across session tables"),
+            Row("MemoryTracking", rt.totalMemory() - rt.freeMemory(),
+              "Memory allocated by the engine JVM"))))
+      case "events" =>
+        Some(df(StructType(Seq(s("event"), l("value"), s("description"))),
+          Seq(
+            Row("Query", queryLog.length.toLong,
+              "Queries dispatched this session"),
+            Row("SelectQuery", selectCount, "SELECT statements dispatched"),
+            Row("InsertQuery", insertCount, "INSERT statements dispatched"),
+            Row("FailedQuery",
+              queryLog.count(_.exception.isDefined).toLong,
+              "Statements that raised"))))
+      case "merges" =>
+        // OPTIMIZE is synchronous here — no background merges ever run
+        Some(df(StructType(Seq(s("database"), s("table"), l("elapsed"),
+          StructField("progress", DoubleType), l("rows_read"))),
+          Seq.empty))
+      case "processes" =>
+        Some(df(StructType(Seq(s("query_id"), s("user"), s("query"),
+          StructField("elapsed", DoubleType))), Seq.empty))
       case _ => None
     }
+  }
+
+  private final case class LoggedQuery(id: String, query: String,
+      eventType: String, startMs: Long, durationMs: Long,
+      exception: Option[String])
+
+  // bounded: the monitoring demos need recent history, not an unbounded
+  // driver-side buffer under sustained ingest
+  private val queryLogCap = 10000
+  private val queryLog = mutable.Buffer.empty[LoggedQuery]
+  private var queryCounter = 0L
+  private var selectCount = 0L
+  private var insertCount = 0L
+
+  /** Times a statement dispatch into system.query_log (QueryFinish /
+    * ExceptionWhileProcessing, the two types the lectures filter on).
+    */
+  private def logged[T](stmt: String)(body: => T): T = {
+    val up = stmt.trim.takeWhile(!_.isWhitespace).toUpperCase
+    if (up == "SELECT" || up == "WITH") selectCount += 1
+    if (up == "INSERT") insertCount += 1
+    queryCounter += 1
+    val id = s"graft-$queryCounter"
+    val t0 = System.currentTimeMillis()
+    def record(err: Option[String]): Unit = {
+      // inline INSERT payloads can be arbitrarily large — log a bounded
+      // prefix (ClickHouse: log_queries_cut_to_length)
+      queryLog += LoggedQuery(id, stmt.take(10000),
+        if (err.isDefined) "ExceptionWhileProcessing" else "QueryFinish",
+        t0, System.currentTimeMillis() - t0, err)
+      if (queryLog.length > queryLogCap)
+        queryLog.remove(0, queryLog.length - queryLogCap)
+    }
+    try { val r = body; record(None); r }
+    catch { case e: Throwable => record(Some(String.valueOf(e.getMessage))); throw e }
   }
 
   /** Deterministic UUID for system.tables, derived from the table's

@@ -763,6 +763,51 @@ class ChSqlSpec extends SparkSpec {
       .head.getString(0) == "{not:AParam}")
   }
 
+  test("monitoring surface: query_log, metrics, events (lecture_20 shapes)") {
+    val s = ch
+    s.execute(
+      """CREATE TABLE m (id UInt32) ENGINE = MergeTree ORDER BY id;
+        |INSERT INTO m VALUES (1), (2), (3);
+        |SELECT count() FROM m""".stripMargin)
+    intercept[Exception] { s.sql("SELECT boom FROM no_such_table") }
+    // the 10-slowest-queries idiom (lecture_20.md:629-654) runs verbatim:
+    // duration measured, ProfileEvents subscripted, memory formatted
+    val slow = s.sql(
+      """SELECT type, event_time, query_duration_ms,
+        |  formatReadableSize(memory_usage) AS memory,
+        |  ProfileEvents['UserTimeMicroseconds'] AS userCPU
+        |FROM system.query_log
+        |ORDER BY query_duration_ms DESC LIMIT 10""".stripMargin).collect()
+    assert(slow.nonEmpty && slow.length <= 10)
+    // exception queries are typed and carry the message
+    val errs = s.sql(
+      """SELECT query, exception FROM system.query_log
+        |WHERE type = 'ExceptionWhileProcessing'""".stripMargin).collect()
+    assert(errs.exists(_.getString(0).contains("no_such_table")))
+    // durations are measured (the INSERT did real work), queries recorded
+    val q = s.sql(
+      "SELECT count() AS n FROM system.query_log WHERE query LIKE 'INSERT%'")
+      .collect().head.getLong(0)
+    assert(q == 1L)
+    // events counters move with the dispatch mix
+    val ev = s.sql(
+      "SELECT event, value FROM system.events").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(ev("InsertQuery") == 1L && ev("SelectQuery") >= 2L &&
+      ev("FailedQuery") >= 1L)
+    // metrics: active parts reflect the session catalog
+    val parts = s.sql(
+      "SELECT value FROM system.metrics WHERE metric = 'PartsActive'")
+      .collect().head.getLong(0)
+    assert(parts >= 1L)
+    // merges/processes resolve with their schemas (synchronous engine:
+    // both empty)
+    assert(s.sql("SELECT count() AS c FROM system.merges")
+      .collect().head.getLong(0) == 0L)
+    assert(s.sql("SELECT count() AS c FROM system.processes")
+      .collect().head.getLong(0) == 0L)
+  }
+
   test("system breadth: mutations, settings, disks, richer tables/parts") {
     val s = ch
     s.execute(
