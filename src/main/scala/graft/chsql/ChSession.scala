@@ -51,8 +51,18 @@ object ChSession {
 
   final class ChTable(val db: String, val name: String,
       val columns: Seq[ColumnDef], val engine: Engine,
-      val path: Option[String] = None) {
+      val path: Option[String] = None,
+      val partitionBy: Option[String] = None) {
     val blocks = mutable.ArrayBuffer.empty[DataFrame]
+    // DETACHed partitions parked for re-ATTACH (value → rows)
+    val detached = mutable.Map.empty[String, DataFrame]
+    // table-level TTL expression (a row expires once the value is past);
+    // enforced at merge time like the reference — OPTIMIZE drops expired
+    // rows (lecture_14.md:217-242)
+    var ttl: Option[String] = None
+    // ADD PROJECTION defs by name; materialized ones also register with
+    // the transparent Catalyst router (ProjectionRouting)
+    val projections = mutable.Map.empty[String, graft.mergetree.ProjectionDef]
     var nextSeq = 0L
     def schema: StructType = StructType(columns.map(c =>
       StructField(c.name, c.dataType, c.nullable)))
@@ -164,7 +174,7 @@ final class ChSession(val spark: SparkSession,
       case "RENAME" => // RENAME TABLE a TO b
         val a = parseRef(strip(toks(2).text)); val b = parseRef(strip(toks(4).text))
         val t = tables.remove(a).getOrElse(fail(s"no table ${a._1}.${a._2}"))
-        val nt = mkTable(b._1, b._2, t.columns, t.engine)
+        val nt = mkTable(b._1, b._2, t.columns, t.engine, t.partitionBy)
         if (nt.path.isDefined) {
           replaceContents(nt, tableDf(t).localCheckpoint())
           t.path.foreach(deleteDir) // the old directory moves, not forks
@@ -310,7 +320,8 @@ final class ChSession(val spark: SparkSession,
         else {
           // MV with its own ENGINE: implicit inner table named after the MV
           val cd = inferColumnsFromSelect(selectSql)
-          val inner = mkTable(db, name, cd, parseEngineClause(toks, asAt))
+          val inner = mkTable(db, name, cd, parseEngineClause(toks, asAt),
+            partitionClause(toks, 0, asAt))
           tables((db, name)) = inner
           (db, name)
         }
@@ -335,7 +346,8 @@ final class ChSession(val spark: SparkSession,
         val res = runSelect(ChLexer.render(toks.drop(asAt + 1)), Map.empty)
         val cols = res.schema.fields.map(f =>
           ColumnDef(f.name, f.dataType, f.nullable, None, None)).toSeq
-        val t = mkTable(db, name, cols, parseEngineClause(toks, toks.length))
+        val t = mkTable(db, name, cols, parseEngineClause(toks, toks.length),
+          partitionClause(toks, 0, asAt))
         tables((db, name)) = t
         insertBlock((db, name), res, castByPosition = false)
       } else if (asAt > 0) {
@@ -344,7 +356,7 @@ final class ChSession(val spark: SparkSession,
           parseEngineClause(toks, toks.length) match {
             case Engine.Memory => srcT.engine // AS t with no ENGINE: copy
             case e => e
-          })
+          }, partitionClause(toks, 0, asAt).orElse(srcT.partitionBy))
       } else fail(s"CREATE TABLE without columns or AS: $stmt")
       journalCatalog()
       return
@@ -354,7 +366,11 @@ final class ChSession(val spark: SparkSession,
     // CTAS with both schema and AS SELECT is rare; handle columns form
     val columns = ChTypes.splitTopLevel(colsSql).flatMap(parseColumnDef)
     val engine = parseEngineClause(toks, parenClose)
-    tables((db, name)) = mkTable(db, name, columns, engine)
+    val ddlEnd = if (asAt > parenClose) asAt else toks.length
+    val created = mkTable(db, name, columns, engine,
+      partitionClause(toks, parenClose, ddlEnd))
+    created.ttl = ttlClause(toks, parenClose, ddlEnd)
+    tables((db, name)) = created
     if (asAt > parenClose && asAt > 0 && asAt + 1 < toks.length &&
       toks(asAt + 1).is("SELECT")) {
       val res = runSelect(ChLexer.render(toks.drop(asAt + 1)), Map.empty)
@@ -397,6 +413,59 @@ final class ChSession(val spark: SparkSession,
     }
     Some(ColumnDef(name, parsed.dataType, parsed.nullable, default,
       materializedE))
+  }
+
+  /** Table-level `TTL expr` between `from` and `until` (outside the
+    * column parens, so column-level TTL hints never match).
+    */
+  private def ttlClause(toks: Vector[ChLexer.Token], from: Int,
+                        until: Int): Option[String] = {
+    val bounded = toks.take(until)
+    val k = bounded.indexWhere(_.is("TTL"), math.max(from, 0))
+    if (k < 0) return None
+    var j = k + 1
+    val stops = Set("SETTINGS", "COMMENT", "AS", "ORDER", "PARTITION",
+      "PRIMARY", "SAMPLE", "ENGINE")
+    val sb = Vector.newBuilder[ChLexer.Token]
+    var depth = 0
+    while (j < bounded.length && (depth > 0 || !stops(bounded(j).upper))) {
+      if (bounded(j).text == "(") depth += 1
+      else if (bounded(j).text == ")") depth -= 1
+      sb += bounded(j); j += 1
+    }
+    val rendered = ChLexer.render(sb.result())
+    if (rendered.isEmpty) None else Some(rendered)
+  }
+
+  /** Table-level `PARTITION BY expr` between token `from` and `until`
+    * (bounded so a CTAS SELECT body's window `OVER (PARTITION BY …)` is
+    * never mistaken for the table clause — those sit past `until`).
+    */
+  private def partitionClause(toks: Vector[ChLexer.Token], from: Int,
+                              until: Int): Option[String] = {
+    val bounded = toks.take(until)
+    var k = bounded.indexWhere(_.is("PARTITION"), math.max(from, 0))
+    while (k >= 0 && (k + 1 >= bounded.length || !bounded(k + 1).is("BY")))
+      k = bounded.indexWhere(_.is("PARTITION"), k + 1)
+    if (k < 0) return None
+    var j = k + 2
+    val stops = Set("ORDER", "PRIMARY", "SAMPLE", "TTL", "SETTINGS",
+      "COMMENT", "AS", "ENGINE")
+    val sb = Vector.newBuilder[ChLexer.Token]
+    var depth = 0
+    while (j < bounded.length && (depth > 0 || !stops(bounded(j).upper))) {
+      if (bounded(j).text == "(") depth += 1
+      else if (bounded(j).text == ")") depth -= 1
+      sb += bounded(j); j += 1
+    }
+    val rendered = ChLexer.render(sb.result())
+    // PARTITION BY tuple() = the unpartitioned default
+    if (rendered.isEmpty || rendered.equalsIgnoreCase("tuple()")) None
+    // `PARTITION BY (a, b)` tuple wrapper strips; a call like
+    // `toYYYYMM(d)` keeps its own parens
+    else if (rendered.startsWith("("))
+      Some(rendered.stripPrefix("(").stripSuffix(")").trim)
+    else Some(rendered)
   }
 
   private def parseEngineClause(toks: Vector[ChLexer.Token],
@@ -513,7 +582,13 @@ final class ChSession(val spark: SparkSession,
     val folded =
       if (toks.exists(_.is("DEDUPLICATE"))) tableDf(t).dropDuplicates()
       else finalDf(t)
-    replaceContents(t, folded)
+    // TTL is enforced at merge time (lecture_14.md:217-242): a forced
+    // merge drops rows whose TTL timestamp has passed
+    val kept = t.ttl match {
+      case Some(e) => folded.filter(expr(s"($e) > now()"))
+      case None => folded
+    }
+    replaceContents(t, kept)
   }
 
   private def runAlter(stmt: String, toks: Vector[ChLexer.Token]): Unit = {
@@ -542,13 +617,88 @@ final class ChSession(val spark: SparkSession,
         }
         replaceContents(t, df)
         logMutation(ref, ChLexer.render(toks.drop(3)))
+      case "DROP" | "DETACH" if toks.length > 4 && toks(4).is("PARTITION") =>
+        // ALTER TABLE t DROP|DETACH PARTITION v — the reference's cheap
+        // bulk-delete unit (lecture_16.md:131-139, hw03.md:228-283).
+        // DETACH parks the rows for a later ATTACH; DROP discards.
+        val v = partitionValueText(toks.drop(5))
+        requirePartitioned(t)
+        if (op == "DETACH") {
+          val parked = rawDf(t)
+            .filter(col("__graft_partition") === lit(v)).localCheckpoint()
+          t.detached(v) = parked
+        }
+        t.path match {
+          case Some(p) =>
+            // hive layout: dropping a partition IS a directory delete
+            val dir = s"$p/__graft_partition=$v"
+            if (pathExists(dir)) deleteDir(dir)
+            else replaceContents(t,
+              rawDf(t).filter(col("__graft_partition") =!= lit(v)))
+          case None =>
+            t.blocks.indices.foreach { i =>
+              t.blocks(i) = t.blocks(i)
+                .filter(col("__graft_partition") =!= lit(v))
+            }
+        }
+        logMutation(ref, ChLexer.render(toks.drop(3)))
+      case "ATTACH" if toks.length > 4 && toks(4).is("PARTITION") =>
+        // ALTER TABLE t ATTACH PARTITION v — re-attach a DETACHed one
+        val v = partitionValueText(toks.drop(5))
+        requirePartitioned(t)
+        val parked = t.detached.remove(v).getOrElse(
+          fail(s"no detached partition $v on ${t.db}.${t.name}"))
+        t.path match {
+          case Some(p) =>
+            val w = parked.write.mode(org.apache.spark.sql.SaveMode.Append)
+            w.partitionBy("__graft_partition").parquet(p)
+          case None => t.blocks += parked
+        }
+        logMutation(ref, ChLexer.render(toks.drop(3)))
+      case "ADD" if toks.length > 4 && toks(4).is("PROJECTION") =>
+        // ALTER TABLE t ADD PROJECTION [IF NOT EXISTS] p (SELECT … GROUP
+        // BY …) — homeworks/hw08.md:38-49. The def is parsed now;
+        // MATERIALIZE builds the pre-aggregate and arms the router.
+        val nameAt = if (toks(5).is("IF")) 8 else 5
+        val pname = strip(toks(nameAt).text)
+        val open = toks.indexWhere(_.text == "(", nameAt)
+        val close = matchParenTok(toks, open)
+        t.projections(pname) = parseProjectionDef(t, pname,
+          toks.slice(open + 1, close))
+        logMutation(ref, ChLexer.render(toks.drop(3)))
+      case "MATERIALIZE" if toks.length > 4 && toks(4).is("PROJECTION") =>
+        val pname = strip(toks(5).text)
+        val p = t.projections.getOrElse(pname,
+          fail(s"no projection $pname on ${t.db}.${t.name}"))
+        materializeProjection(t, p)
+        logMutation(ref, ChLexer.render(toks.drop(3)))
+      case "DROP" | "CLEAR" if toks.length > 4 && toks(4).is("PROJECTION") =>
+        val nameAt = if (toks(5).is("IF")) 7 else 5
+        val pname = strip(toks(nameAt).text)
+        t.projections.remove(pname).foreach { p =>
+          t.path.foreach(bp =>
+            graft.plans.ProjectionRouting.unregister(bp))
+          deleteDir(p.path)
+        }
+        logMutation(ref, ChLexer.render(toks.drop(3)))
+      case "MODIFY" if toks.length > 4 && toks(4).is("TTL") =>
+        // ALTER TABLE t MODIFY TTL expr (hw11.md:197)
+        t.ttl = Some(ChLexer.render(toks.drop(5)))
+        journalCatalog()
+        logMutation(ref, ChLexer.render(toks.drop(3)))
+      case "MATERIALIZE" if toks.length > 4 && toks(4).is("TTL") =>
+        // apply the TTL to existing rows NOW (lecture_14's re-evaluation)
+        t.ttl.foreach(e =>
+          replaceContents(t, tableDf(t).filter(expr(s"($e) > now()"))))
+        logMutation(ref, ChLexer.render(toks.drop(3)))
       case "ADD" => // ALTER TABLE t ADD COLUMN name Type [DEFAULT e]
         val cd = parseColumnDef(ChLexer.render(toks.drop(5))).get
         val withCol = tableDf(t).withColumn(cd.name,
           cd.default.map(expr).getOrElse(typeZero(cd.dataType)).cast(cd.dataType))
         val withColMat =
           if (t.path.isDefined) withCol.localCheckpoint() else withCol
-        val nt = mkTable(t.db, t.name, t.columns :+ cd, t.engine)
+        val nt = mkTable(t.db, t.name, t.columns :+ cd, t.engine,
+          t.partitionBy)
         replaceContents(nt, withColMat)
         tables(ref) = nt
       case "DROP" => // ALTER TABLE t DROP COLUMN name
@@ -557,7 +707,7 @@ final class ChSession(val spark: SparkSession,
           if (t.path.isDefined) tableDf(t).drop(cname).localCheckpoint()
           else tableDf(t).drop(cname)
         val nt = mkTable(t.db, t.name,
-          t.columns.filterNot(_.name == cname), t.engine)
+          t.columns.filterNot(_.name == cname), t.engine, t.partitionBy)
         replaceContents(nt, droppedMat)
         tables(ref) = nt
       case other => fail(s"unsupported ALTER $other")
@@ -786,16 +936,34 @@ final class ChSession(val spark: SparkSession,
           case m: Engine.MergeTree => m.kind == "summing" || m.kind == "replacing"
           case _ => false
         }
+        // PARTITION BY: the partition value is stamped BEFORE any fold,
+        // because parts of different partitions never merge — the fold
+        // keys extend with it (lecture_04.md:90-102: the partition is the
+        // merge boundary)
+        val withPart = t.partitionBy match {
+          case Some(pb) => block.withColumn("__graft_partition",
+            partitionExpr(pb))
+          case None => block
+        }
         val stored =
           if (perBlockFold)
-            fold(block.withColumn("__graft_seq", monotonically_increasing_id()), t)
-          else block
+            fold(withPart.withColumn("__graft_seq", monotonically_increasing_id()), t)
+          else withPart
         val sealed_ = stored.withColumn("__graft_seq", lit(seq))
         t.path match {
-          case Some(p) => sealed_.write
-            .mode(org.apache.spark.sql.SaveMode.Append).parquet(p)
+          case Some(p) =>
+            val w = sealed_.write.mode(org.apache.spark.sql.SaveMode.Append)
+            // hive-style partition directories: the reference's cheap
+            // bulk-delete / pruning unit maps to directory layout
+            if (t.partitionBy.isDefined) w.partitionBy("__graft_partition").parquet(p)
+            else w.parquet(p)
           case None => t.blocks += sealed_
         }
+        // projection maintenance: the reference materializes the
+        // projection for every new part (lecture_13.md:243-255); this
+        // engine re-materializes on insert — same read-side contract
+        t.projections.values.foreach(p =>
+          if (pathExists(p.path)) materializeProjection(t, p))
     }
     // fire MVs bound to this source, binding the source name to the block.
     // Extra block columns beyond the declared schema stay visible — they
@@ -987,21 +1155,36 @@ final class ChSession(val spark: SparkSession,
     dropSeq(rawDf(t))
   }
 
-  /** All stored rows WITH the `__graft_seq` part-order column. */
-  private def rawDf(t: ChTable): DataFrame = t.path match {
-    case Some(p) if pathExists(p) => spark.read.parquet(p)
-    case Some(_) =>
-      spark.createDataFrame(new java.util.ArrayList[Row](),
-        t.schema.add("__graft_seq", LongType))
-    case None =>
-      if (t.blocks.isEmpty)
-        spark.createDataFrame(new java.util.ArrayList[Row](),
-          t.schema.add("__graft_seq", LongType))
-      else t.blocks.reduce(_ unionByName _)
+  /** All stored rows WITH the `__graft_seq` part-order column (and the
+    * `__graft_partition` value column for partitioned tables).
+    */
+  private def rawDf(t: ChTable): DataFrame = {
+    def emptySchema = {
+      val base = t.schema.add("__graft_seq", LongType)
+      if (t.partitionBy.isDefined) base.add("__graft_partition", StringType)
+      else base
+    }
+    t.path match {
+      case Some(p) if pathExists(p) =>
+        val df = spark.read.parquet(p)
+        // hive directory names type-infer on read; pin the declared string
+        if (t.partitionBy.isDefined && df.columns.contains("__graft_partition"))
+          df.withColumn("__graft_partition",
+            col("__graft_partition").cast(StringType))
+        else df
+      case Some(_) =>
+        spark.createDataFrame(new java.util.ArrayList[Row](), emptySchema)
+      case None =>
+        if (t.blocks.isEmpty)
+          spark.createDataFrame(new java.util.ArrayList[Row](), emptySchema)
+        else t.blocks.reduce(_ unionByName _)
+    }
   }
 
   private def dropSeq(df: DataFrame): DataFrame =
-    if (df.columns.contains("__graft_seq")) df.drop("__graft_seq") else df
+    Seq("__graft_seq", "__graft_partition").foldLeft(df) { (d, c) =>
+      if (d.columns.contains(c)) d.drop(c) else d
+    }
 
   /** The FINAL fold for the table's MergeTree flavor (cross-part). */
   private def finalDf(t: ChTable): DataFrame =
@@ -1011,10 +1194,17 @@ final class ChSession(val spark: SparkSession,
     * (within-block row ids at insert time, block numbers at FINAL time).
     */
   private def fold(raw: DataFrame, t: ChTable): DataFrame = {
-    val keys = t.engine match {
+    // parts of different partitions never merge, so every fold is scoped
+    // by the partition value (ReplacingMT keeps one row per key PER
+    // PARTITION, not globally — lecture_04.md:90-102)
+    val partKey =
+      if (raw.columns.contains("__graft_partition")) Seq("__graft_partition")
+      else Nil
+    val engineKeys = t.engine match {
       case m: Engine.MergeTree => m.keys.filter(raw.columns.contains(_))
       case _ => Nil
     }
+    val keys = if (engineKeys.nonEmpty) engineKeys ++ partKey else Nil
     t.engine match {
       case m: Engine.MergeTree if keys.nonEmpty => m.kind match {
         case "replacing" =>
@@ -1027,10 +1217,13 @@ final class ChSession(val spark: SparkSession,
               case c if !keys.contains(c.name) &&
                 c.dataType.isInstanceOf[NumericType] => c.name
             }
-          // no non-key numeric columns: the fold degenerates to dedup
+          // no non-key numeric columns: the fold degenerates to dedup.
+          // Only the seq column leaves here — the partition value column
+          // must survive the fold (it IS one of the keys).
+          val noSeq = raw.drop("__graft_seq")
           val folded =
-            if (sums.isEmpty) dropSeq(raw).dropDuplicates(keys)
-            else FoldViews.summingFinal(dropSeq(raw), keys, sums)
+            if (sums.isEmpty) noSeq.dropDuplicates(keys)
+            else FoldViews.summingFinal(noSeq, keys, sums)
           folded.withColumn("__graft_seq", lit(0L))
         case "collapsing" =>
           FoldViews.collapsingFinal(raw, keys, m.sign.get, col("__graft_seq"))
@@ -1197,27 +1390,44 @@ final class ChSession(val spark: SparkSession,
           s("disk_name"), s("path"), l("bytes_on_disk"), s("partition_id"),
           StructField("level", IntegerType), l("marks"))),
           tables.values.toSeq.flatMap { t =>
-            val partRows: Seq[(Long, Long)] = t.path match {
-              case Some(_) => rawDf(t)
-                .groupBy(col("__graft_seq")).count()
-                .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
-                .sortBy(_._1)
+            // one part per (insert, partition value): an inserted block
+            // splits into one part per partition it touches, like the
+            // reference (lecture_07.md:128-135)
+            def partsOf(d: DataFrame, seq: Long): Seq[(Long, String, Long)] =
+              if (t.partitionBy.isDefined && d.columns.contains("__graft_partition"))
+                d.groupBy(col("__graft_partition")).count().collect()
+                  .map(r => (seq, Option(r.getString(0)).getOrElse("tuple()"),
+                    r.getLong(1))).toSeq
+              else Seq((seq, "tuple()", d.count()))
+            val partRows: Seq[(Long, String, Long)] = (t.path match {
+              case Some(_) =>
+                val r = rawDf(t)
+                if (t.partitionBy.isDefined)
+                  r.groupBy(col("__graft_seq"), col("__graft_partition"))
+                    .count().collect()
+                    .map(x => (x.getLong(0),
+                      Option(x.getString(1)).getOrElse("tuple()"),
+                      x.getLong(2))).toSeq
+                else r.groupBy(col("__graft_seq")).count().collect()
+                  .map(x => (x.getLong(0), "tuple()", x.getLong(1))).toSeq
               case None => t.blocks.zipWithIndex
-                .map { case (b, i) => (i.toLong, b.count()) }.toSeq
-            }
+                .flatMap { case (b, i) => partsOf(b, i.toLong) }.toSeq
+            }).sortBy(x => (x._1, x._2))
             // bytes_on_disk: real storage size apportioned by row share
             // for parquet-backed tables; a schema-width estimate for
             // in-memory blocks (documented approximation — no codec here)
-            val totalRows = math.max(1L, partRows.map(_._2).sum)
+            val totalRows = math.max(1L, partRows.map(_._3).sum)
             val rowWidth = math.max(8L,
               t.columns.map(_.dataType.defaultSize.toLong).sum)
             val totalBytes = t.path.map(dirBytes)
               .filter(_ > 0L).getOrElse(totalRows * rowWidth)
-            partRows.map { case (i, n) =>
-              Row(t.db, t.name, s"all_${i}_${i}_0", "tuple()", n, 1,
+            partRows.map { case (i, pv, n) =>
+              val pid = if (pv == "tuple()") "all" else pv
+              val pname = s"${pid}_${i}_${i}_0"
+              Row(t.db, t.name, pname, pv, n, 1,
                 "default",
-                t.path.getOrElse(s"/store/${t.db}/${t.name}") + s"/all_${i}_${i}_0/",
-                math.max(1L, totalBytes * n / totalRows), "all", 0,
+                t.path.getOrElse(s"/store/${t.db}/${t.name}") + s"/$pname/",
+                math.max(1L, totalBytes * n / totalRows), pid, 0,
                 n / 8192L + 1L)
             }
           }))
@@ -1308,6 +1518,15 @@ final class ChSession(val spark: SparkSession,
             Row("FailedQuery",
               queryLog.count(_.exception.isDefined).toLong,
               "Statements that raised"))))
+      case "projection_parts" =>
+        Some(df(StructType(Seq(s("database"), s("table"), s("name"),
+          l("rows"), StructField("active", IntegerType))),
+          tables.values.toSeq.flatMap(t =>
+            t.projections.values.toSeq.sortBy(_.name).collect {
+              case p if pathExists(p.path) =>
+                Row(t.db, t.name, p.name,
+                  spark.read.parquet(p.path).count(), 1)
+            })))
       case "merges" =>
         // OPTIMIZE is synchronous here — no background merges ever run
         Some(df(StructType(Seq(s("database"), s("table"), l("elapsed"),
@@ -1462,7 +1681,9 @@ final class ChSession(val spark: SparkSession,
         .orElse(c.default.map(" DEFAULT " + _)).getOrElse("")
       s"`${c.name}` ${chTypeName(c.dataType, c.nullable)}$extra"
     }.mkString(", ")
-    s"CREATE TABLE ${t.db}.${t.name} ($cols) ENGINE = ${engineDdl(t.engine)}"
+    s"CREATE TABLE ${t.db}.${t.name} ($cols) ENGINE = ${engineDdl(t.engine)}" +
+      t.partitionBy.map(" PARTITION BY " + _).getOrElse("") +
+      t.ttl.map(" TTL " + _).getOrElse("")
   }
 
   /** Spark type → canonical ClickHouse type name (the journal's spelling;
@@ -1521,10 +1742,11 @@ final class ChSession(val spark: SparkSession,
   }
 
   private def mkTable(db: String, name: String, cols: Seq[ColumnDef],
-                      engine: Engine): ChTable = {
+                      engine: Engine,
+                      partitionBy: Option[String] = None): ChTable = {
     val p = storageDir.filter(_ => storable(engine)).map(d => s"$d/$db/$name")
     if (!attaching) p.foreach(deleteDir) // a fresh CREATE owns the directory
-    new ChTable(db, name, cols, engine, p)
+    new ChTable(db, name, cols, engine, p, partitionBy)
   }
 
   private def pathExists(p: String): Boolean = {
@@ -1544,12 +1766,22 @@ final class ChSession(val spark: SparkSession,
     * reads the directory it is replacing.
     */
   private def replaceContents(t: ChTable, df: DataFrame): Unit = {
-    val seqd = (if (df.columns.contains("__graft_seq")) df
+    val seqd0 = (if (df.columns.contains("__graft_seq")) df
       else df.withColumn("__graft_seq", lit(0L)))
+    // a rewrite of a partitioned table re-derives the partition value
+    // (callers pass user-facing frames with internals dropped)
+    val seqd = t.partitionBy match {
+      case Some(pb) if !seqd0.columns.contains("__graft_partition") =>
+        seqd0.withColumn("__graft_partition", partitionExpr(pb))
+      case _ => seqd0
+    }
     t.path match {
       case Some(p) =>
-        seqd.localCheckpoint()
-          .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(p)
+        val w = seqd.localCheckpoint()
+          .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        if (t.partitionBy.isDefined)
+          w.partitionBy("__graft_partition").parquet(p)
+        else w.parquet(p)
       case None =>
         t.blocks.clear()
         t.blocks += seqd
@@ -1571,6 +1803,93 @@ final class ChSession(val spark: SparkSession,
       fail(s"no such table: ${ref._1}.${ref._2}")))
 
   private def strip(s: String): String = s.replace("`", "")
+
+  /** The literal partition value of an ALTER ... PARTITION clause —
+    * `202406`, `'2024-06-01'`, or a tuple form `(202406)`.
+    */
+  private def partitionValueText(toks: Vector[ChLexer.Token]): String = {
+    val r = ChLexer.render(toks).trim
+    r.stripPrefix("(").stripSuffix(")").trim
+      .stripPrefix("'").stripSuffix("'")
+  }
+
+  /** Parses a projection body `SELECT items GROUP BY keys` into the
+    * engine's [[graft.mergetree.ProjectionDef]] (homeworks/hw08.md:40-48:
+    * `SELECT user_id, sum(quantity * price), count() GROUP BY user_id`).
+    * Recognized re-aggregable items: count()/count(*), count(c), sum(c),
+    * sum(expr), min/max/avg(c), uniq(c) (stored as an HLL sketch).
+    */
+  private def parseProjectionDef(t: ChTable, pname: String,
+                                 body: Vector[ChLexer.Token])
+      : graft.mergetree.ProjectionDef = {
+    require(body.nonEmpty && body.head.is("SELECT"),
+      s"projection $pname: body must be SELECT ... GROUP BY ...")
+    val gbAt = body.indexWhere(_.is("GROUP"))
+    require(gbAt > 0 && gbAt + 1 < body.length && body(gbAt + 1).is("BY"),
+      s"projection $pname: GROUP BY required")
+    val groupCols = ChTypes.splitTopLevel(
+      ChLexer.render(body.slice(gbAt + 2, body.length))).map(strip)
+    val items = ChTypes.splitTopLevel(
+      ChLexer.render(body.slice(1, gbAt)))
+    var sumCols = Vector.empty[String]
+    var sumExprs = Map.empty[String, String]
+    var minCols = Vector.empty[String]; var maxCols = Vector.empty[String]
+    var avgCols = Vector.empty[String]; var uniqCols = Vector.empty[String]
+    var countCols = Vector.empty[String]
+    val call = "(?i)^(count|sum|min|max|avg|uniq|uniqExact)\\s*\\((.*)\\)$".r
+    items.map(_.trim).zipWithIndex.foreach { case (item, idx) =>
+      item match {
+        case call(fn, argRaw) =>
+          val arg = argRaw.trim
+          val bareCol = arg.nonEmpty &&
+            arg.forall(ch => Character.isLetterOrDigit(ch) || ch == '_')
+          fn.toLowerCase match {
+            case "count" if arg.isEmpty || arg == "*" => // row count: always stored
+            case "count" if bareCol => countCols :+= arg
+            case "sum" if bareCol => sumCols :+= arg
+            case "sum" => sumExprs += (s"e$idx" -> arg)
+            case "min" if bareCol => minCols :+= arg
+            case "max" if bareCol => maxCols :+= arg
+            case "avg" if bareCol => avgCols :+= arg
+            case "uniq" | "uniqexact" if bareCol => uniqCols :+= arg
+            case other => fail(s"projection $pname: unsupported item " +
+              s"$other($arg) — re-aggregable count/sum/min/max/avg/uniq only")
+          }
+        case ident if groupCols.contains(strip(ident)) => // grouping key
+        case other => fail(s"projection $pname: unsupported item '$other'")
+      }
+    }
+    val path = t.path.map(p => s"${p}__proj_$pname").getOrElse(
+      fail(s"projection $pname: projections need a parquet-backed session " +
+        "(new ChSession(spark, storageDir=...)) — the transparent router " +
+        "keys on the base table's scan path"))
+    graft.mergetree.ProjectionDef(pname, groupCols, sumCols, path,
+      sumExprs, minCols, maxCols, avgCols, uniqCols, countCols)
+  }
+
+  /** Builds (or rebuilds) the pre-aggregate and arms the router. Insert
+    * maintenance here is a full re-materialize per insert — correct, and
+    * fine at demo scale; the 100 TB shape is per-part partials merged at
+    * read (the reference materializes per part too, lecture_13.md:243).
+    */
+  private def materializeProjection(t: ChTable, p: graft.mergetree.ProjectionDef): Unit = {
+    graft.mergetree.Projections.materialize(tableDf(t), p)
+    t.path.foreach(bp => graft.plans.ProjectionRouting.register(bp, p))
+  }
+
+  /** The partition-value column for a PARTITION BY clause; a tuple
+    * `(a, b)` renders as the dash-joined composite value.
+    */
+  private def partitionExpr(pb: String): Column = {
+    val parts = ChTypes.splitTopLevel(pb)
+    if (parts.length == 1) expr(pb).cast(StringType)
+    else concat_ws("-", parts.map(e => expr(e).cast(StringType)): _*)
+  }
+
+  private def requirePartitioned(t: ChTable): Unit =
+    if (t.partitionBy.isEmpty)
+      fail(s"${t.db}.${t.name} has no PARTITION BY — partition operations " +
+        "need a partitioned table")
 
   private def indexOfTopLevel(toks: Vector[ChLexer.Token], kw: String): Int = {
     var depth = 0

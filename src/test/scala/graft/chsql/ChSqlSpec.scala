@@ -763,6 +763,151 @@ class ChSqlSpec extends SparkSpec {
       .head.getString(0) == "{not:AParam}")
   }
 
+  test("PARTITION BY: per-partition parts, partition-scoped FINAL, DROP/DETACH/ATTACH") {
+    val s = ch
+    s.execute(
+      """CREATE TABLE pt (id UInt32, d Date, v UInt32)
+        |ENGINE = ReplacingMergeTree ORDER BY id
+        |PARTITION BY toYYYYMM(d);
+        |INSERT INTO pt VALUES (1, '2024-05-10', 10), (1, '2024-06-10', 20), (2, '2024-06-11', 30)""".stripMargin)
+    // one inserted block splits into one part per partition value
+    val parts = s.sql(
+      """SELECT partition, rows FROM system.parts
+        |WHERE table = 'pt' ORDER BY partition""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(parts.toSeq == Seq(("202405", 1L), ("202406", 2L)))
+    // FINAL folds per PARTITION: id=1 exists in both months and survives
+    // twice (parts of different partitions never merge)
+    assert(s.sql("SELECT count() AS c FROM pt FINAL").collect()
+      .head.getLong(0) == 3L)
+    // the same key twice in ONE partition folds to the later row
+    s.execute("INSERT INTO pt VALUES (2, '2024-06-12', 99)")
+    val v2 = s.sql(
+      "SELECT v FROM pt FINAL WHERE id = 2 ORDER BY v").collect()
+    assert(v2.map(_.getLong(0)).toSeq == Seq(99L))
+    // DETACH parks a partition; ATTACH brings it back; DROP discards
+    s.execute("ALTER TABLE pt DETACH PARTITION 202405")
+    assert(s.sql("SELECT count() AS c FROM pt").collect()
+      .head.getLong(0) == 3L)
+    s.execute("ALTER TABLE pt ATTACH PARTITION 202405")
+    assert(s.sql("SELECT count() AS c FROM pt").collect()
+      .head.getLong(0) == 4L)
+    s.execute("ALTER TABLE pt DROP PARTITION 202406")
+    val left = s.sql("SELECT id, v FROM pt ORDER BY id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(left.toSeq == Seq((1L, 10L)))
+    // partition ops appear in the mutation log
+    assert(s.sql(
+      """SELECT count() AS c FROM system.mutations
+        |WHERE command LIKE '%PARTITION%'""".stripMargin)
+      .collect().head.getLong(0) >= 3L)
+  }
+
+  test("PARTITION BY parquet-backed: hive layout, directory-delete DROP, journal replay") {
+    val dir = java.nio.file.Files.createTempDirectory("chs_part").toString
+    val s = new ChSession(spark, Some(dir))
+    s.execute(
+      """CREATE TABLE pt (id UInt32, m UInt32, v UInt32)
+        |ENGINE = MergeTree ORDER BY id PARTITION BY m;
+        |INSERT INTO pt VALUES (1, 1, 10), (2, 1, 20), (3, 2, 30);
+        |INSERT INTO pt VALUES (4, 2, 40)""".stripMargin)
+    // hive-style partition directories on disk
+    val root = new java.io.File(s"$dir/default/pt")
+    val dirs = root.listFiles().filter(_.isDirectory).map(_.getName).sorted
+    assert(dirs.toSeq == Seq("__graft_partition=1", "__graft_partition=2"))
+    // three parts: each insert splits per partition value it touches
+    assert(s.sql("SELECT count() AS c FROM system.parts WHERE table = 'pt'")
+      .collect().head.getLong(0) == 3L)
+    // DROP PARTITION deletes the directory (cheap bulk delete)
+    s.execute("ALTER TABLE pt DROP PARTITION 2")
+    assert(!new java.io.File(root, "__graft_partition=2").exists())
+    assert(s.sql("SELECT count() AS c FROM pt").collect()
+      .head.getLong(0) == 2L)
+    // the journal carries PARTITION BY: a new session re-attaches with
+    // partition ops still working
+    val s2 = ChSession.attach(spark, dir)
+    s2.execute("INSERT INTO pt VALUES (5, 3, 50)")
+    assert(s2.sql("SELECT count() AS c FROM pt").collect()
+      .head.getLong(0) == 3L)
+    s2.execute("ALTER TABLE pt DROP PARTITION 1")
+    assert(s2.sql("SELECT sum(v) AS sv FROM pt").collect()
+      .head.getLong(0) == 50L)
+  }
+
+  test("table TTL: declared or MODIFYed, shown by SHOW CREATE, enforced at merge") {
+    val s = ch
+    // declared at CREATE (the hw09 shape: keep the last 7 days)
+    s.execute(
+      """CREATE TABLE tt (id UInt32, created_at Date)
+        |ENGINE = MergeTree ORDER BY id
+        |TTL created_at + INTERVAL 7 DAY;
+        |INSERT INTO tt VALUES (1, '2000-01-01');
+        |INSERT INTO tt VALUES (2, today())""".stripMargin)
+    // SHOW CREATE TABLE carries the TTL (hw09's deliverable)
+    val ddl = s.execute("SHOW CREATE TABLE tt").head.collect().head.getString(0)
+    assert(ddl.contains("TTL created_at + INTERVAL 7 DAY"))
+    // rows survive until a merge — then the expired one drops
+    assert(s.sql("SELECT count() AS c FROM tt").collect().head.getLong(0) == 2L)
+    s.execute("OPTIMIZE TABLE tt FINAL")
+    val left = s.sql("SELECT id FROM tt").collect().map(_.getLong(0))
+    assert(left.toSeq == Seq(2L))
+    // MODIFY TTL + MATERIALIZE TTL (hw11.md:197): tighten and apply now
+    s.execute("INSERT INTO tt VALUES (3, '2001-01-01')")
+    s.execute("ALTER TABLE tt MODIFY TTL created_at + INTERVAL 1 DAY")
+    s.execute("ALTER TABLE tt MATERIALIZE TTL")
+    assert(s.sql("SELECT id FROM tt").collect().map(_.getLong(0)).toSeq
+      == Seq(2L))
+    assert(s.execute("SHOW CREATE TABLE tt").head.collect().head.getString(0)
+      .contains("TTL created_at + INTERVAL 1 DAY"))
+  }
+
+  test("projections through CH text: hw08 flow, transparent routing, insert maintenance") {
+    val dir = java.nio.file.Files.createTempDirectory("chs_proj").toString
+    val s = new ChSession(spark, Some(dir))
+    graft.plans.ProjectionRouting.clear()
+    // hw08.md:40-48 shape with deterministic data
+    s.execute(
+      """CREATE TABLE sales (id UInt32, product_id UInt32, quantity UInt32,
+        |  price Float64) ENGINE = MergeTree ORDER BY id;
+        |INSERT INTO sales SELECT number AS id, number % 3 AS product_id,
+        |  1 + number % 4 AS quantity, 2.0 AS price FROM numbers(100);
+        |ALTER TABLE sales DROP PROJECTION IF EXISTS sales_product_agg_proj;
+        |ALTER TABLE sales ADD PROJECTION sales_product_agg_proj (
+        |  SELECT product_id, sum(quantity), sum(quantity * price)
+        |  GROUP BY product_id);
+        |ALTER TABLE sales MATERIALIZE PROJECTION sales_product_agg_proj""".stripMargin)
+    // the projection pre-aggregate exists and is introspectable
+    val pp = s.sql(
+      "SELECT name, rows FROM system.projection_parts WHERE table = 'sales'")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(pp.toSeq == Seq(("sales_product_agg_proj", 3L)))
+    // a covered aggregate ROUTES: the physical plan reads the projection
+    // parquet, not the fact table
+    val routed = s.sql(
+      """SELECT product_id, sum(quantity) AS tq,
+        |  sum(quantity * price) AS ts
+        |FROM sales GROUP BY product_id ORDER BY product_id""".stripMargin)
+    assert(routed.queryExecution.executedPlan.toString.contains("__proj_"))
+    val got = routed.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // independent recompute: ids 0..99, product = id % 3, qty = 1 + id % 4
+    val expect = (0 until 100).map(i => (i % 3, 1 + i % 4))
+      .groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (p, xs) =>
+        (p.toLong, xs.map(_._2).sum.toLong, xs.map(_._2 * 2.0).sum) }
+    assert(got.toSeq == expect)
+    // insert maintenance: new rows reflected through the routed path
+    s.execute("INSERT INTO sales VALUES (100, 0, 10, 2.0)")
+    assert(s.sql(
+      "SELECT sum(quantity) AS tq FROM sales WHERE product_id = 0 GROUP BY product_id")
+      .collect().head.getLong(0) == expect.head._2 + 10L)
+    // DROP PROJECTION disarms routing
+    s.execute("ALTER TABLE sales DROP PROJECTION sales_product_agg_proj")
+    val unrouted = s.sql(
+      "SELECT product_id, sum(quantity) AS tq FROM sales GROUP BY product_id")
+    assert(!unrouted.queryExecution.executedPlan.toString.contains("__proj_"))
+  }
+
   test("monitoring surface: query_log, metrics, events (lecture_20 shapes)") {
     val s = ch
     s.execute(
