@@ -36,6 +36,9 @@ object ProjectionRouting {
 
   def register(basePath: String, p: ProjectionDef): Unit =
     registered.put(normalize(basePath), p)
+  def unregister(basePath: String): Unit = {
+    registered.remove(normalize(basePath)); ()
+  }
   def clear(): Unit = { registered.clear(); planCache.clear() }
 
   private[plans] def normalize(p: String): String =

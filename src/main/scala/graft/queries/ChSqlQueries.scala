@@ -218,6 +218,58 @@ object ChSqlQueries {
           |GROUP BY o.o_orderpriority ORDER BY prio""".stripMargin)
     },
 
+    // ---- PARTITION BY through CH text: orders partitioned by order
+    // year; one partition DROPped (the reference's cheap bulk delete);
+    // FINAL folds per partition. Oracle: the same aggregate with the
+    // dropped year excluded.
+    Q("q106_chsql_partitions",
+      """SELECT CAST(year(o_orderdate) AS BIGINT) AS yr, count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders WHERE year(o_orderdate) <> 1994
+        |GROUP BY yr ORDER BY yr""") { (s, dir) =>
+      val ch = new ChSession(s)
+      ch.execute(
+        """CREATE TABLE ord (o_orderkey Int64, o_orderdate Date,
+          |  o_totalprice Float64)
+          |ENGINE = MergeTree ORDER BY o_orderkey
+          |PARTITION BY toYear(o_orderdate)""".stripMargin)
+      ch.ingest("ord", Tables(s, dir).orders
+        .select(col("o_orderkey"), col("o_orderdate").cast("date"),
+          col("o_totalprice")))
+      ch.execute("ALTER TABLE ord DROP PARTITION 1994")
+      ch.sql(
+        """SELECT CAST(toYear(o_orderdate) AS BIGINT) AS yr, count() AS n,
+          |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+          |FROM ord GROUP BY yr ORDER BY yr""".stripMargin)
+    },
+
+    // ---- projections through CH text (hw08): ADD + MATERIALIZE, then a
+    // covered aggregate transparently routes to the pre-aggregate (the
+    // Catalyst ProjectionRewrite rule — plan shape asserted in ChSqlSpec;
+    // here the ROUTED values hash-match the oracle's full-scan aggregate).
+    // Money summed as integer cents so the routed partial re-aggregation
+    // is exact.
+    Q("q107_chsql_projection",
+      """SELECT o_orderpriority AS prio, count(*) AS n,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+        |FROM orders GROUP BY prio ORDER BY prio""") { (s, dir) =>
+      val store = java.nio.file.Files.createTempDirectory("graft_projq").toString
+      val ch = new ChSession(s, Some(store))
+      ch.execute(
+        """CREATE TABLE ord (prio String, cents Int64)
+          |ENGINE = MergeTree ORDER BY prio""".stripMargin)
+      ch.ingest("ord", Tables(s, dir).orders.select(
+        col("o_orderpriority").as("prio"),
+        round(col("o_totalprice") * 100, 0).cast("long").as("cents")))
+      ch.execute(
+        """ALTER TABLE ord ADD PROJECTION by_prio (
+          |  SELECT prio, count(), sum(cents) GROUP BY prio);
+          |ALTER TABLE ord MATERIALIZE PROJECTION by_prio""".stripMargin)
+      ch.sql(
+        """SELECT prio, count() AS n, sum(cents) AS cents
+          |FROM ord GROUP BY prio ORDER BY prio""".stripMargin)
+    },
+
     // ---- Null-engine source firing an MV into a SummingMergeTree: three
     // ingested chunks land as three parts; FINAL folds them to the global
     // aggregate (the reference's ingest topology, lecture_13)
