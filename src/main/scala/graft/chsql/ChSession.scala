@@ -210,7 +210,16 @@ final class ChSession(val spark: SparkSession,
           StructType(Seq(StructField("name", StringType),
             StructField("type", StringType)))))
       case "EXPLAIN" =>
-        val body = ChLexer.render(toks.drop(1))
+        // tolerate CH explain kinds/options — `EXPLAIN indexes = 1 SELECT
+        // …` (lecture_07.md:198-230), SYNTAX/PIPELINE/AST/ESTIMATE — the
+        // body starts at the first SELECT/WITH; output is the Spark
+        // physical plan (scan pruning appears as PushedFilters /
+        // PartitionFilters in place of the reference's index report)
+        var bodyAt = 1
+        while (bodyAt < toks.length && !toks(bodyAt).is("SELECT") &&
+          !toks(bodyAt).is("WITH")) bodyAt += 1
+        if (bodyAt >= toks.length) fail("EXPLAIN without a SELECT body")
+        val body = ChLexer.render(toks.drop(bodyAt))
         val planned = runSelect(body, Map.empty)
         Some(spark.createDataFrame(
           planned.queryExecution.executedPlan.toString.linesIterator
@@ -560,14 +569,25 @@ final class ChSession(val spark: SparkSession,
     var i = 2
     if (i < toks.length && toks(i).is("IF")) i += 2 // IF EXISTS
     val name = strip(toks(i).text)
+    // a dropped table's projections must disarm the transparent router
+    // and lose their pre-aggregate files — otherwise a recreated table at
+    // the same path would route to STALE aggregates
+    def dropProjections(t: ChTable): Unit = {
+      if (t.projections.nonEmpty) {
+        t.path.foreach(graft.plans.ProjectionRouting.unregister)
+        t.projections.values.foreach(p => deleteDir(p.path))
+        t.projections.clear()
+      }
+    }
     what match {
       case "DATABASE" =>
         databases -= name
-        tables.keys.filter(_._1 == name).toSeq.foreach(tables.remove)
+        tables.keys.filter(_._1 == name).toSeq
+          .foreach(k => tables.remove(k).foreach(dropProjections))
         mvs.filterInPlace(m => m.db != name)
       case "TABLE" | "VIEW" | "DICTIONARY" =>
         val ref = parseRef(name)
-        tables.remove(ref)
+        tables.remove(ref).foreach(dropProjections)
         viewDefs.remove(ref)
         dicts.remove(ref)
         mvs.filterInPlace(m => (m.db, m.name) != ref)
@@ -1745,7 +1765,11 @@ final class ChSession(val spark: SparkSession,
                       engine: Engine,
                       partitionBy: Option[String] = None): ChTable = {
     val p = storageDir.filter(_ => storable(engine)).map(d => s"$d/$db/$name")
-    if (!attaching) p.foreach(deleteDir) // a fresh CREATE owns the directory
+    if (!attaching) p.foreach { pp =>
+      deleteDir(pp) // a fresh CREATE owns the directory
+      // and must not inherit a predecessor's armed projection routing
+      graft.plans.ProjectionRouting.unregister(pp)
+    }
     new ChTable(db, name, cols, engine, p, partitionBy)
   }
 

@@ -834,6 +834,18 @@ class ChSqlSpec extends SparkSpec {
       .head.getLong(0) == 50L)
   }
 
+  test("EXPLAIN tolerates CH kinds and options (indexes = 1, SYNTAX)") {
+    val s = ch
+    s.execute(
+      """CREATE TABLE ex (id UInt32) ENGINE = MergeTree ORDER BY id;
+        |INSERT INTO ex VALUES (1), (2)""".stripMargin)
+    // lecture_07.md:198-230 runs `explain indexes = 1 select ...`
+    val out = s.execute("EXPLAIN indexes = 1 SELECT id FROM ex WHERE id = 1")
+    assert(out.head.collect().nonEmpty)
+    val syn = s.execute("EXPLAIN SYNTAX SELECT count() FROM ex")
+    assert(syn.head.collect().nonEmpty)
+  }
+
   test("table TTL: declared or MODIFYed, shown by SHOW CREATE, enforced at merge") {
     val s = ch
     // declared at CREATE (the hw09 shape: keep the last 7 days)
@@ -906,6 +918,22 @@ class ChSqlSpec extends SparkSpec {
     val unrouted = s.sql(
       "SELECT product_id, sum(quantity) AS tq FROM sales GROUP BY product_id")
     assert(!unrouted.queryExecution.executedPlan.toString.contains("__proj_"))
+    // stale-routing regression: re-arm, DROP TABLE, recreate at the same
+    // path with different data — the fresh table must NOT route to the
+    // old pre-aggregate
+    s.execute(
+      """ALTER TABLE sales ADD PROJECTION sales_product_agg_proj (
+        |  SELECT product_id, sum(quantity) GROUP BY product_id);
+        |ALTER TABLE sales MATERIALIZE PROJECTION sales_product_agg_proj;
+        |DROP TABLE sales;
+        |CREATE TABLE sales (id UInt32, product_id UInt32, quantity UInt32,
+        |  price Float64) ENGINE = MergeTree ORDER BY id;
+        |INSERT INTO sales VALUES (0, 7, 5, 1.0)""".stripMargin)
+    val fresh = s.sql(
+      "SELECT product_id, sum(quantity) AS tq FROM sales GROUP BY product_id")
+    assert(!fresh.queryExecution.executedPlan.toString.contains("__proj_"))
+    assert(fresh.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      == Seq((7L, 5L)))
   }
 
   test("monitoring surface: query_log, metrics, events (lecture_20 shapes)") {
