@@ -37,14 +37,16 @@ object ChLexer {
     * SELECT is legitimate and left alone.
     */
   private def splitUnterminated(stmt: String): Seq[String] = {
-    var depth = 0; var inStr = false; var inTick = false
+    var depth = 0; var inStr = false; var inTick = false; var inDq = false
     var i = 0
     var segStart = 0
+    // SELECT-headed only: a WITH statement's MAIN SELECT legitimately
+    // appears at top level after the CTE list (`WITH x AS (…) SELECT`,
+    // `WITH 10 AS n SELECT n`), so WITH-headed segments are never cut
     def headIsSelect(from: Int): Boolean = {
       var j = from
       while (j < stmt.length && Character.isWhitespace(stmt.charAt(j))) j += 1
-      val up = stmt.substring(j, math.min(stmt.length, j + 7)).toUpperCase
-      up.startsWith("SELECT") || up.startsWith("WITH")
+      stmt.regionMatches(true, j, "SELECT", 0, 6)
     }
     def prevWord(before: Int): String = {
       var j = before - 1
@@ -60,9 +62,11 @@ object ChLexer {
       val c = stmt.charAt(i)
       if (inStr) { if (c == '\'') inStr = false }
       else if (inTick) { if (c == '`') inTick = false }
+      else if (inDq) { if (c == '"') inDq = false }
       else c match {
         case '\'' => inStr = true
         case '`' => inTick = true
+        case '"' => inDq = true
         case '(' => depth += 1
         case ')' => depth -= 1
         case _ =>
@@ -103,13 +107,19 @@ object ChLexer {
           // '' escape only applies to plain-quoted strings
           if (c == '\'' && i + 1 < s.length && s.charAt(i + 1) == '\'') {
             out ++= "''"; i += 2
-          } else { out += '\''; strCloser = 0; i += 1 }
+          } else {
+            out += (if (strCloser == '"') '"' else '\'')
+            strCloser = 0; i += 1
+          }
         } else { out += c; i += 1 }
       } else if (inTick) {
         out += c
         if (c == '`') inTick = false
         i += 1
       } else if (c == '\'') { strCloser = '\''; out += '\''; i += 1 }
+      // double-quoted regions (SQL identifiers; JSON payload strings in
+      // inline INSERT ... FORMAT data) are literal-protected too
+      else if (c == '"') { strCloser = '"'; out += '"'; i += 1 }
       // slide decks open literals with ‘ or even a bare ’ — both close on ’
       else if (c == '‘' || c == '’') { strCloser = '’'; out += '\''; i += 1 }
       else if (c == '“' || c == '”') { out += '"'; i += 1 }

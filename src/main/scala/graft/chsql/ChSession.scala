@@ -174,7 +174,8 @@ final class ChSession(val spark: SparkSession,
       case "RENAME" => // RENAME TABLE a TO b
         val a = parseRef(strip(toks(2).text)); val b = parseRef(strip(toks(4).text))
         val t = tables.remove(a).getOrElse(fail(s"no table ${a._1}.${a._2}"))
-        val nt = mkTable(b._1, b._2, t.columns, t.engine, t.partitionBy)
+        val nt = carryTableState(t,
+          mkTable(b._1, b._2, t.columns, t.engine, t.partitionBy))
         if (nt.path.isDefined) {
           replaceContents(nt, tableDf(t).localCheckpoint())
           t.path.foreach(deleteDir) // the old directory moves, not forks
@@ -652,8 +653,18 @@ final class ChSession(val spark: SparkSession,
           case Some(p) =>
             // hive layout: dropping a partition IS a directory delete
             val dir = s"$p/__graft_partition=$v"
-            if (pathExists(dir)) deleteDir(dir)
-            else replaceContents(t,
+            if (pathExists(dir)) {
+              deleteDir(dir)
+              // dropping the LAST partition must not leave a root dir
+              // with no parquet under it — that read would throw instead
+              // of returning an empty table
+              val hp = new org.apache.hadoop.fs.Path(p)
+              val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+              val anyLeft = fs.listStatus(hp).exists(st =>
+                st.isDirectory &&
+                  st.getPath.getName.startsWith("__graft_partition="))
+              if (!anyLeft) deleteDir(p)
+            } else replaceContents(t,
               rawDf(t).filter(col("__graft_partition") =!= lit(v)))
           case None =>
             t.blocks.indices.foreach { i =>
@@ -693,12 +704,23 @@ final class ChSession(val spark: SparkSession,
         materializeProjection(t, p)
         logMutation(ref, ChLexer.render(toks.drop(3)))
       case "DROP" | "CLEAR" if toks.length > 4 && toks(4).is("PROJECTION") =>
+        // DROP removes the definition; CLEAR only deletes the built
+        // files and keeps the metadata so MATERIALIZE can rebuild it
+        // (the ClickHouse contract, lecture_13.md:187-314)
         val nameAt = if (toks(5).is("IF")) 7 else 5
         val pname = strip(toks(nameAt).text)
-        t.projections.remove(pname).foreach { p =>
-          t.path.foreach(bp =>
-            graft.plans.ProjectionRouting.unregister(bp))
+        val removed =
+          if (op == "DROP") t.projections.remove(pname)
+          else t.projections.get(pname)
+        removed.foreach { p =>
+          t.path.foreach(graft.plans.ProjectionRouting.unregister)
           deleteDir(p.path)
+          // the router holds one slot per base path — if ANOTHER
+          // materialized projection survives, re-arm it instead of
+          // silently falling back to full scans
+          t.path.foreach(bp => t.projections.values
+            .find(o => o.name != pname && pathExists(o.path))
+            .foreach(o => graft.plans.ProjectionRouting.register(bp, o)))
         }
         logMutation(ref, ChLexer.render(toks.drop(3)))
       case "MODIFY" if toks.length > 4 && toks(4).is("TTL") =>
@@ -717,8 +739,8 @@ final class ChSession(val spark: SparkSession,
           cd.default.map(expr).getOrElse(typeZero(cd.dataType)).cast(cd.dataType))
         val withColMat =
           if (t.path.isDefined) withCol.localCheckpoint() else withCol
-        val nt = mkTable(t.db, t.name, t.columns :+ cd, t.engine,
-          t.partitionBy)
+        val nt = carryTableState(t, mkTable(t.db, t.name,
+          t.columns :+ cd, t.engine, t.partitionBy))
         replaceContents(nt, withColMat)
         tables(ref) = nt
       case "DROP" => // ALTER TABLE t DROP COLUMN name
@@ -726,8 +748,8 @@ final class ChSession(val spark: SparkSession,
         val droppedMat =
           if (t.path.isDefined) tableDf(t).drop(cname).localCheckpoint()
           else tableDf(t).drop(cname)
-        val nt = mkTable(t.db, t.name,
-          t.columns.filterNot(_.name == cname), t.engine, t.partitionBy)
+        val nt = carryTableState(t, mkTable(t.db, t.name,
+          t.columns.filterNot(_.name == cname), t.engine, t.partitionBy))
         replaceContents(nt, droppedMat)
         tables(ref) = nt
       case other => fail(s"unsupported ALTER $other")
@@ -852,9 +874,12 @@ final class ChSession(val spark: SparkSession,
     * (schema align, engine fold, MV cascade). Headerless CSV/TSV/Values
     * align by POSITION onto the column list (or the insertable columns);
     * *WithNames / JSONEachRow align by NAME — the same contract as
-    * [[insertFileBlock]]. Caveat (documented): the script statement
-    * splitter cuts on top-level `;`, so payload FIELDS containing a bare
-    * `;` need the FROM INFILE form instead.
+    * [[insertFileBlock]]. Caveats (documented): the statement pipeline
+    * sees the payload as script text, so fields containing a bare `;`,
+    * an unquoted `--` (comment-stripped), or a line starting with a
+    * statement keyword can be mangled — single- and double-quoted
+    * payload content (JSON strings, quoted CSV) is literal-protected by
+    * the lexer; anything beyond that should use the FROM INFILE form.
     */
   private def insertInlineBlock(ref: (String, String),
                                 colList: Option[Seq[String]],
@@ -1765,11 +1790,11 @@ final class ChSession(val spark: SparkSession,
                       engine: Engine,
                       partitionBy: Option[String] = None): ChTable = {
     val p = storageDir.filter(_ => storable(engine)).map(d => s"$d/$db/$name")
-    if (!attaching) p.foreach { pp =>
-      deleteDir(pp) // a fresh CREATE owns the directory
-      // and must not inherit a predecessor's armed projection routing
-      graft.plans.ProjectionRouting.unregister(pp)
-    }
+    if (!attaching) p.foreach(deleteDir) // a fresh CREATE owns the directory
+    // never inherit a predecessor's armed projection routing — the
+    // journal does not restore projection defs, so an attached session
+    // (or a recreated table) must start unrouted (same-JVM global router)
+    p.foreach(graft.plans.ProjectionRouting.unregister)
     new ChTable(db, name, cols, engine, p, partitionBy)
   }
 
@@ -1829,12 +1854,15 @@ final class ChSession(val spark: SparkSession,
   private def strip(s: String): String = s.replace("`", "")
 
   /** The literal partition value of an ALTER ... PARTITION clause —
-    * `202406`, `'2024-06-01'`, or a tuple form `(202406)`.
+    * `202406`, `'2024-06-01'`, or a tuple `(1, 'x')`. Tuples join with
+    * `-`, matching how [[partitionExpr]] stamps composite values.
     */
   private def partitionValueText(toks: Vector[ChLexer.Token]): String = {
     val r = ChLexer.render(toks).trim
-    r.stripPrefix("(").stripSuffix(")").trim
-      .stripPrefix("'").stripSuffix("'")
+    val body = r.stripPrefix("(").stripSuffix(")").trim
+    ChTypes.splitTopLevel(body)
+      .map(_.trim.stripPrefix("'").stripSuffix("'"))
+      .mkString("-")
   }
 
   /** Parses a projection body `SELECT items GROUP BY keys` into the
@@ -1908,6 +1936,23 @@ final class ChSession(val spark: SparkSession,
     val parts = ChTypes.splitTopLevel(pb)
     if (parts.length == 1) expr(pb).cast(StringType)
     else concat_ws("-", parts.map(e => expr(e).cast(StringType)): _*)
+  }
+
+  /** An ALTER COLUMN / RENAME rebuilds the ChTable — the replacement must
+    * keep the original's TTL, detached partitions, and (same-path only)
+    * its projections, re-arming the router for materialized ones; a
+    * RENAME moves the storage path, so pre-aggregates referencing the
+    * old path are dropped cleanly instead.
+    */
+  private def carryTableState(from: ChTable, to: ChTable): ChTable = {
+    to.ttl = from.ttl
+    to.detached ++= from.detached
+    if (from.path == to.path) {
+      to.projections ++= from.projections
+      to.path.foreach(bp => to.projections.values.foreach(p =>
+        if (pathExists(p.path)) graft.plans.ProjectionRouting.register(bp, p)))
+    } else from.projections.values.foreach(p => deleteDir(p.path))
+    to
   }
 
   private def requirePartitioned(t: ChTable): Unit =

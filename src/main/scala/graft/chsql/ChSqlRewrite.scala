@@ -62,6 +62,7 @@ object ChSqlRewrite {
   def rewrite(sql: String, resolver: Resolver): Rewritten = {
     var toks = ChLexer.tokenize(sql)
     toks = stripTail(toks)
+    toks = rewriteScalarWith(toks)
     toks = rewriteArrayLiterals(toks)
     toks = fixCountStar(toks)
     toks = dropGlobal(toks)
@@ -303,6 +304,42 @@ object ChSqlRewrite {
       } else { out += toks(i); i += 1 }
     }
     out.result()
+  }
+
+  // ---- ClickHouse scalar WITH: `WITH expr AS name SELECT …` binds a
+  // constant, not a subquery (homeworks/hw11.md:38). Spark has no scalar
+  // CTE, so each name inlines as a parenthesized copy of its expression.
+  // The standard `WITH name AS (subquery)` form (ident-then-paren) is
+  // left untouched; a mixed list bails out conservatively. ----
+  private def rewriteScalarWith(toks: Vector[Token]): Vector[Token] = {
+    if (toks.isEmpty || !toks.head.is("WITH")) return toks
+    var i = 1
+    val bindings = Vector.newBuilder[(String, Vector[Token])]
+    var done = false
+    while (!done) {
+      var depth = 0; var j = i
+      while (j < toks.length && !(depth == 0 && toks(j).is("AS"))) {
+        if (toks(j).text == "(") depth += 1
+        else if (toks(j).text == ")") depth -= 1
+        j += 1
+      }
+      if (j >= toks.length - 1) return toks
+      val nameAt = j + 1
+      // `x AS (` = a standard CTE — not the scalar form
+      if (nameAt + 1 < toks.length && toks(nameAt + 1).text == "(") return toks
+      if (!toks(nameAt).isIdent) return toks
+      bindings += toks(nameAt).text -> toks.slice(i, j)
+      i = nameAt + 1
+      if (i < toks.length && toks(i).text == ",") i += 1
+      else done = true
+    }
+    if (i >= toks.length || !toks(i).is("SELECT")) return toks
+    val bound = bindings.result().toMap
+    toks.drop(i).flatMap { t =>
+      if (t.isIdent && bound.contains(t.text))
+        (Token("(") +: bound(t.text)) :+ Token(")")
+      else Vector(t)
+    }
   }
 
   // ---- GLOBAL JOIN / GLOBAL IN → plain (single engine) ----

@@ -834,6 +834,73 @@ class ChSqlSpec extends SparkSpec {
       .head.getLong(0) == 50L)
   }
 
+  test("review regressions: WITH via execute, CLEAR PROJECTION, composite/last partitions, ALTER keeps TTL, guarded payloads") {
+    val s = ch
+    // WITH-headed statements must NOT split at their main SELECT
+    val cte = s.execute(
+      "WITH x AS (SELECT 42 AS v) SELECT v FROM x")
+    assert(cte.map(_.collect().head.getInt(0)).toSeq == Seq(42))
+    // ClickHouse scalar WITH binds a constant (hw11.md:38) — each use
+    // inlines; the JSON-dictionary idiom runs verbatim
+    assert(s.sql("WITH 10 AS n SELECT n + 1 AS m").collect()
+      .head.getInt(0) == 11)
+    assert(s.sql(
+      """WITH '{"1": "login", "2": "logout"}' AS activity_type_cte
+        |SELECT JSONExtractString(activity_type_cte, '2') AS t""".stripMargin)
+      .collect().head.getString(0) == "logout")
+    // composite PARTITION BY tuple: ALTER value text matches the stamp
+    s.execute(
+      """CREATE TABLE cp (a UInt32, b String, v UInt32)
+        |ENGINE = MergeTree ORDER BY a PARTITION BY (a, b);
+        |INSERT INTO cp VALUES (1, 'x', 10), (1, 'y', 20), (2, 'x', 30)""".stripMargin)
+    s.execute("ALTER TABLE cp DROP PARTITION (1, 'x')")
+    assert(s.sql("SELECT sum(v) AS sv FROM cp").collect().head.getLong(0) == 50L)
+    // dropping the LAST partition leaves a readable empty table
+    // (parquet-backed: the root dir must not survive with no data files)
+    val dir = java.nio.file.Files.createTempDirectory("chs_lastpart").toString
+    val sp = new ChSession(spark, Some(dir))
+    sp.execute(
+      """CREATE TABLE lp (id UInt32, m UInt32) ENGINE = MergeTree
+        |ORDER BY id PARTITION BY m;
+        |INSERT INTO lp VALUES (1, 7)""".stripMargin)
+    sp.execute("ALTER TABLE lp DROP PARTITION 7")
+    assert(sp.sql("SELECT count() AS c FROM lp").collect().head.getLong(0) == 0L)
+    // ALTER ADD COLUMN keeps the table TTL (and SHOW CREATE still shows it)
+    s.execute(
+      """CREATE TABLE keep (id UInt32, d Date) ENGINE = MergeTree ORDER BY id
+        |TTL d + INTERVAL 7 DAY;
+        |ALTER TABLE keep ADD COLUMN note String""".stripMargin)
+    assert(s.execute("SHOW CREATE TABLE keep").head.collect().head
+      .getString(0).contains("TTL d + INTERVAL 7 DAY"))
+    // JSON payload strings with '--' and statement keywords survive
+    s.execute(
+      """CREATE TABLE jp (id UInt32, note String) ENGINE = Memory;
+        |INSERT INTO jp FORMAT JSONEachRow
+        |{"id": 1, "note": "please ALTER this -- not a comment"}""".stripMargin)
+    assert(s.sql("SELECT note FROM jp").collect().head.getString(0)
+      == "please ALTER this -- not a comment")
+  }
+
+  test("CLEAR PROJECTION keeps the definition; MATERIALIZE rebuilds it") {
+    val dir = java.nio.file.Files.createTempDirectory("chs_clearproj").toString
+    val s = new ChSession(spark, Some(dir))
+    graft.plans.ProjectionRouting.clear()
+    s.execute(
+      """CREATE TABLE cpj (k UInt32, v UInt32) ENGINE = MergeTree ORDER BY k;
+        |INSERT INTO cpj VALUES (1, 10), (1, 20), (2, 30);
+        |ALTER TABLE cpj ADD PROJECTION pj (SELECT k, sum(v) GROUP BY k);
+        |ALTER TABLE cpj MATERIALIZE PROJECTION pj;
+        |ALTER TABLE cpj CLEAR PROJECTION pj""".stripMargin)
+    // cleared: files gone, def kept — MATERIALIZE rebuilds
+    assert(s.sql("SELECT count() AS c FROM system.projection_parts")
+      .collect().head.getLong(0) == 0L)
+    s.execute("ALTER TABLE cpj MATERIALIZE PROJECTION pj")
+    val routed = s.sql("SELECT k, sum(v) AS sv FROM cpj GROUP BY k ORDER BY k")
+    assert(routed.queryExecution.executedPlan.toString.contains("__proj_"))
+    assert(routed.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      == Seq((1L, 30L), (2L, 30L)))
+  }
+
   test("EXPLAIN tolerates CH kinds and options (indexes = 1, SYNTAX)") {
     val s = ch
     s.execute(
