@@ -1572,6 +1572,29 @@ final class ChSession(val spark: SparkSession,
                 Row(t.db, t.name, p.name,
                   spark.read.parquet(p.path).count(), 1)
             })))
+      case "replicas" =>
+        // replication belongs to Spark's cluster manager (SURVEY §2.14);
+        // the table resolves with the reference's columns and is empty —
+        // the honest answer from a single-engine deployment
+        Some(df(StructType(Seq(s("database"), s("table"), s("engine"),
+          StructField("is_leader", IntegerType),
+          StructField("is_readonly", IntegerType),
+          l("absolute_delay"), l("queue_size"))), Seq.empty))
+      case "replication_queue" =>
+        Some(df(StructType(Seq(s("database"), s("table"), s("replica_name"),
+          s("node_name"), s("type"), s("merge_type"), s("last_exception"),
+          StructField("last_attempt_time", TimestampType),
+          StructField("is_currently_executing", IntegerType))), Seq.empty))
+      case "clusters" =>
+        Some(df(StructType(Seq(s("cluster"), StructField("shard_num", IntegerType),
+          StructField("replica_num", IntegerType), s("host_name"),
+          StructField("port", IntegerType),
+          StructField("is_local", IntegerType))),
+          Seq(Row("default", 1, 1, "localhost", 9000, 1))))
+      case "macros" =>
+        Some(df(StructType(Seq(StructField("macro", StringType),
+          s("substitution"))),
+          Seq(Row("replica", "replica_1"), Row("shard", "shard_1"))))
       case "merges" =>
         // OPTIMIZE is synchronous here — no background merges ever run
         Some(df(StructType(Seq(s("database"), s("table"), l("elapsed"),

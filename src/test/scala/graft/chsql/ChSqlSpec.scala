@@ -1046,6 +1046,20 @@ class ChSqlSpec extends SparkSpec {
       .collect().head.getLong(0) == 0L)
     assert(s.sql("SELECT count() AS c FROM system.processes")
       .collect().head.getLong(0) == 0L)
+    // replication infra tables resolve with the reference's columns and
+    // are empty (single-engine deployment); lecture_20's queries run
+    assert(s.sql(
+      """SELECT table, replica_name, node_name, merge_type
+        |FROM system.replication_queue
+        |WHERE last_exception is not null
+        |  and last_attempt_time > now() - interval 1 hour""".stripMargin)
+      .collect().isEmpty)
+    assert(s.sql("SELECT count() AS c FROM system.replicas")
+      .collect().head.getLong(0) == 0L)
+    assert(s.sql("SELECT cluster, host_name FROM system.clusters")
+      .collect().head.getString(0) == "default")
+    assert(s.sql("SELECT substitution FROM system.macros WHERE macro = 'replica'")
+      .collect().head.getString(0) == "replica_1")
   }
 
   test("system breadth: mutations, settings, disks, richer tables/parts") {
