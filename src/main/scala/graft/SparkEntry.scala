@@ -27,6 +27,9 @@ object SparkEntry {
     *  - d05_dedup_simhash: simhash candidate set ≠ exhaustive jaccard set
     *    (pigeonhole blocking only guarantees recall to hamming ≤ 3;
     *    evaluated and documented at the query). Spec-checked invariants.
+    *    The signature kernel itself IS hash-oracled via its exact-dup
+    *    companion d05b_simhash_exact_groups (multiset equality ⟹ equal
+    *    signature is deterministic, so that grouping has a closed form).
     *  - d08_ann_lsh: approximate top-k — ranking beyond the planted-twin
     *    recall spec depends on engine-internal bucket hashing.
     *    (d04 got the verified-output oracle treatment in round 2 because

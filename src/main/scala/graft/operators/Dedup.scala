@@ -376,6 +376,39 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Exact-duplicate groups found through the SimHash signature: equal
+    * token MULTISETS always produce equal 64-bit signatures (the per-bit
+    * vote sums coincide — recall 1.0 by construction, no probabilistic
+    * caveat), so grouping on the signature finds every exact-dup group;
+    * an md5 over the sorted token list is folded into the group key to
+    * resolve the rare signature tie between different multisets (e.g. a
+    * doc that is a scaled repetition of another's vote pattern), making
+    * the grouping relation exactly token-multiset equality. This is the
+    * hash-oracled companion of [[simhashNearDupPairs]]: it pins the
+    * signature kernel end-to-end against an engine-independent oracle,
+    * while hamming-distance ranking stays spec-checked.
+    *
+    * Scale shape: map-side signature + md5 (both codegen'd), ONE shuffle
+    * keyed on the full-cardinality (sig, md5) pair, partial-aggregatable
+    * min/count; members lists are bounded by duplicate-group size.
+    */
+  def simhashExactDupGroups(df: DataFrame, idCol: String,
+                            textCol: String): DataFrame = {
+    NativeFunctions.register(df.sparkSession)
+    val toks = NativeFunctions.normTokens(col(textCol))
+    df.filter(NativeFunctions.normText(col(textCol)) =!= "")
+      .select(col(idCol),
+        NativeFunctions.simhash64(toks).as("sig"),
+        md5(concat_ws(" ", sort_array(toks))).as("mkey"))
+      .groupBy(col("sig"), col("mkey"))
+      .agg(min(col(idCol)).as("keeper"),
+        count(lit(1)).as("dup_count"),
+        concat_ws(",",
+          sort_array(collect_list(col(idCol)))).as("members"))
+      .filter(col("dup_count") > 1)
+      .select(col("keeper"), col("dup_count"), col("members"))
+  }
+
   // ---------- embedding-cosine near-dup
 
   /** Near-dup pairs by embedding cosine within a blocking column (e.g. a

@@ -175,6 +175,44 @@ object PipelineQueries {
         .orderBy(col("a"), col("b"))
     },
 
+    // ---- SimHash exact-dup groups — the hash-ORACLED companion of d05.
+    // Equal token multisets always produce equal signatures (the vote
+    // sums coincide), so signature grouping has recall 1.0 by
+    // construction; an md5 over the sorted token list inside the group
+    // key resolves signature ties between different multisets, making
+    // the grouping relation exactly token-multiset equality — which
+    // DuckDB computes independently via a sorted-token-list group key.
+    // Hamming-distance ranking (the approximate part) stays with d05.
+    // The corpus has no exact dups (d01), so the query plants WORD-ORDER
+    // PERMUTED copies (doc_id+10000, tokens reversed): a different string
+    // — md5 string-dedup would miss it — but the same multiset, which is
+    // precisely the equivalence SimHash votes over. The oracle plants the
+    // copies with the original text: its sorted-token key is permutation
+    // invariant, so both spellings define the same ground truth.
+    Q("d05b_simhash_exact_groups",
+      s"""WITH corpus AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 10000 AS doc_id, text FROM documents
+         |  WHERE doc_id < 50),
+         |t AS (SELECT doc_id,
+         |        array_to_string(list_sort(${toksSql(normSql)}), ' ') AS mkey
+         |      FROM corpus WHERE $normSql <> ''),
+         |g AS (SELECT mkey, min(doc_id) AS keeper,
+         |        count(*) AS dup_count,
+         |        string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)
+         |          AS members
+         |      FROM t GROUP BY mkey)
+         |SELECT keeper, dup_count, members FROM g
+         |WHERE dup_count > 1 ORDER BY keeper""") { (s, dir) =>
+      val docs = Tables(s, dir).documents.select(col("doc_id"), col("text"))
+      val copies = docs.filter(col("doc_id") < 50)
+        .select((col("doc_id") + 10000).as("doc_id"),
+          concat_ws(" ", reverse(split(col("text"), " "))).as("text"))
+      Dedup.simhashExactDupGroups(docs.unionByName(copies), "doc_id", "text")
+        .orderBy(col("keeper"))
+    },
+
     // ---- embedding-cosine near-dup pairs within label blocks
     Q("d06_embedding_near_dup",
       """SELECT a.vec_id AS a, b.vec_id AS b,

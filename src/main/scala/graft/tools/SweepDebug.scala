@@ -1,0 +1,72 @@
+package graft.tools
+
+import graft.chsql.{ChLexer, ChSession}
+
+/** Dev tool: replay every reference file's statements in order (the
+  * ChSqlSweepSpec executed-subset loop) and dump each SELECT that fails
+  * to execute, with its error, to /tmp/sweep_fails.txt — so the misses
+  * can be triaged into (a) rewriter/feature gaps worth closing and
+  * (b) genuinely out-of-scope statements (cross-file state, infra).
+  */
+object SweepDebug {
+  def main(args: Array[String]): Unit = {
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[8]")
+      .appName("graft-sweep-debug")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val root = java.nio.file.Path.of("/root/reference")
+    val it = java.nio.file.Files.walk(root).iterator()
+    val mds = scala.collection.mutable.ArrayBuffer[java.nio.file.Path]()
+    while (it.hasNext) {
+      val p = it.next()
+      if (p.toString.endsWith(".md") || p.toString.endsWith(".sql")) mds += p
+    }
+    val fence = "(?s)```sql(.*?)```".r
+    val external = "(?i)\\b(url|s3|remote|clusterallreplicas|cluster|postgresql|jdbc|odbc|mysql|file)\\s*\\(".r
+    val bigNumbers = "(?i)numbers(_mt)?\\s*\\(\\s*\\d{7,}".r
+
+    val out = new StringBuilder
+    var executed = 0
+    var total = 0
+    mds.foreach { p =>
+      val text = java.nio.file.Files.readString(p)
+      val blocks =
+        if (p.toString.endsWith(".sql")) Seq(text)
+        else fence.findAllMatchIn(text).map(_.group(1)).toSeq
+      val stmts = blocks.flatMap(b =>
+        scala.util.Try(ChLexer.statements(b)).getOrElse(Nil))
+      if (stmts.nonEmpty) {
+        val session = new ChSession(spark)
+        stmts.foreach { st =>
+          val up = st.trim.toUpperCase
+          val skip = up.contains("{") || external.findFirstIn(st).isDefined ||
+            bigNumbers.findFirstIn(st).isDefined
+          if (!skip) {
+            if (up.startsWith("SELECT") || up.startsWith("WITH ")) {
+              total += 1
+              scala.util.Try(session.sql(st).limit(10).collect()) match {
+                case scala.util.Success(_) => executed += 1
+                case scala.util.Failure(e) =>
+                  val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
+                    .replaceAll("\\s+", " ").take(220)
+                  out.append(s"FILE ${root.relativize(p)}\n")
+                  out.append("STMT " + st.replaceAll("\\s+", " ").take(300) + "\n")
+                  out.append("ERR  " + msg + "\n\n")
+              }
+            } else scala.util.Try(
+              session.execute(st).foreach(_.limit(1).collect()))
+          }
+        }
+      }
+    }
+    out.append(s"\nTOTAL executed $executed / $total\n")
+    java.nio.file.Files.writeString(
+      java.nio.file.Path.of("/tmp/sweep_fails.txt"), out.toString)
+    println(s"executed $executed / $total — details in /tmp/sweep_fails.txt")
+    spark.stop()
+  }
+}

@@ -37,6 +37,34 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists(p => (p._1, p._2) == ((4L, 5L))))
   }
 
+  test("simhashExactDupGroups groups token-multiset equals: permutations " +
+      "join, near-dups and repetition-scaled docs do not") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "Epsilon delta GAMMA beta alpha"), // permutation + case of 1
+      (3L, "alpha beta gamma delta epsilon zeta"), // near-dup, NOT equal
+      (4L, "spam ham"),
+      (5L, "spam ham spam ham"), // scaled repetition: same vote SIGNS as
+      // 4 (equal simhash) but a different multiset — the md5 component
+      // of the group key must keep them apart
+      (6L, "")
+    ).toDF("doc_id", "text")
+    val rows = Dedup.simhashExactDupGroups(corpus, "doc_id", "text")
+      .orderBy("keeper").collect()
+    assert(rows.map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      .toSeq == Seq((1L, 2L, "1,2")))
+    // and the premise of the md5 tie-break really holds: 4 and 5 DO
+    // share a signature
+    import graft.plans.NativeFunctions
+    NativeFunctions.register(spark)
+    val sigs = Seq((4L, "spam ham"), (5L, "spam ham spam ham"))
+      .toDF("doc_id", "text")
+      .select(NativeFunctions.simhash64(
+        NativeFunctions.normTokens($"text")).as("sig"))
+      .as[Long].collect()
+    assert(sigs(0) == sigs(1))
+  }
+
   test("dropNearDups removes the higher id of each pair") {
     val pairs = Seq((1L, 2L)).toDF("a", "b")
     val kept = Dedup.dropNearDups(docs, "doc_id", pairs).select("doc_id")
