@@ -97,6 +97,7 @@ final class ChSession(val spark: SparkSession,
 
   graft.functions.ChRegistry.registerAll(spark)
   graft.plans.NativeFunctions.register(spark)
+  graft.functions.StateSqlRegistry.register(spark)
 
   // ------------------------------------------------------------ state
 
@@ -1065,8 +1066,15 @@ final class ChSession(val spark: SparkSession,
 
   // ------------------------------------------------------ SELECT
 
+  private val virtualColRe =
+    "(?i)(^|[^\\w])(_part|_partition_id|_shard_num)([^\\w]|$)".r
+
   private def runSelect(query: String,
                         overrides: Map[(String, String), DataFrame]): DataFrame = {
+    // MergeTree virtual columns are attached to the base view only when
+    // the statement references them — ClickHouse hides them from `*`
+    // (lecture_07.md:582-597's manual-dedup idiom reads _part explicitly)
+    val wantsVirtual = virtualColRe.findFirstIn(query).isDefined
     val resolver = new ChSqlRewrite.Resolver {
       def resolve(ident: String): Option[ChSqlRewrite.ResolvedTable] = {
         if (ident.toLowerCase.startsWith("system.")) {
@@ -1094,10 +1102,23 @@ final class ChSession(val spark: SparkSession,
         }
         tables.get(ref).map { t =>
           val base = viewName(ref)
-          tableDf(t).createOrReplaceTempView(base)
+          val df = if (wantsVirtual) virtualDf(t) else tableDf(t)
+          df.createOrReplaceTempView(base)
           val fin = base + "__final"
           finalDf(t).createOrReplaceTempView(fin)
           ChSqlRewrite.ResolvedTable(base, Some(fin), sampleKey(t))
+        }.orElse {
+          // SELECT from an MV reads its target table — ClickHouse
+          // resolves the TO-target (or implicit inner) storage
+          // (lectures/lecture_09.md:753-763: `SELECT * FROM my_mv`)
+          mvs.find(m => (m.db, m.name) == ref)
+            .flatMap(m => resolve(s"${m.targetDb}.${m.targetTable}"))
+        }.orElse {
+          // after `USE system`, unqualified names hit the introspection
+          // surface (lecture_12.md browses settings tables that way)
+          if (ref._1 == "system" && !ident.toLowerCase.startsWith("system."))
+            resolve(s"system.${ref._2}")
+          else None
         }
       }
 
@@ -1198,6 +1219,29 @@ final class ChSession(val spark: SparkSession,
       case _ =>
     }
     dropSeq(rawDf(t))
+  }
+
+  /** [[tableDf]] plus the MergeTree virtual columns the reference reads
+    * (`lecture_07.md:582-597`, `homeworks/hw10.md:74-89`): `_part` in the
+    * same `<partition>_<seq>_<seq>_0` spelling as system.parts (the seq
+    * IS the part number — one part per insert block), `_partition_id`,
+    * and `_shard_num` (literal 1 — one engine, no shards).
+    */
+  private def virtualDf(t: ChTable): DataFrame = {
+    t.engine match {
+      case Engine.Distributed(db, tbl) => return virtualDf(lookup((db, tbl)))
+      case Engine.Buffer(db, tbl) => return virtualDf(lookup((db, tbl)))
+      case _ =>
+    }
+    val raw = rawDf(t)
+    val pid =
+      if (raw.columns.contains("__graft_partition")) col("__graft_partition")
+      else lit("all")
+    dropSeq(raw
+      .withColumn("_part", concat_ws("_", pid, col("__graft_seq"),
+        col("__graft_seq"), lit(0)))
+      .withColumn("_partition_id", pid.cast(StringType))
+      .withColumn("_shard_num", lit(1)))
   }
 
   /** All stored rows WITH the `__graft_seq` part-order column (and the
@@ -1372,6 +1416,10 @@ final class ChSession(val spark: SparkSession,
       val v = viewName(ref)
       tableDf(t).createOrReplaceTempView(v)
       v
+    }.orElse {
+      // MV by name → its target storage (same contract as runSelect)
+      mvs.find(m => (m.db, m.name) == ref).flatMap(m =>
+        registerBaseView(s"${m.targetDb}.${m.targetTable}"))
     }
   }
 

@@ -66,6 +66,7 @@ object ChSqlRewrite {
     toks = rewriteArrayLiterals(toks)
     toks = fixCountStar(toks)
     toks = dropGlobal(toks)
+    toks = castStateFnArgs(toks)
     toks = rewriteNumbers(toks)
     toks = rewriteTableFunctions(toks, resolver)
     toks = rewriteArrayJoinClause(toks)
@@ -232,6 +233,13 @@ object ChSqlRewrite {
   }
 
   private def settingsToEnd(t: Vector[Token], i: Int): Boolean = {
+    // `settings` can also be a TABLE (`USE system; SELECT * FROM
+    // settings`) — a tail needs a preceding clause body and at least one
+    // `ident = literal` assignment after the keyword
+    if (i > 0 && (t(i - 1).is("FROM") || t(i - 1).text == ","))
+      return false
+    if (i + 1 >= t.length || !t.drop(i + 1).exists(_.text == "="))
+      return false
     // SETTINGS is a statement tail iff only ident = literal [, ...] follow
     var j = i + 1
     while (j < t.length) {
@@ -343,6 +351,61 @@ object ChSqlRewrite {
   }
 
   // ---- GLOBAL JOIN / GLOBAL IN → plain (single engine) ----
+  /** Wraps the arguments of the SQL `-State` routines in the CASTs their
+    * aggregator input encoders expect (uniqState → STRING, avgState →
+    * DOUBLE, …), so ClickHouse-typed expressions (`toUInt64(x)`, Int8
+    * signs, Nullable ints) land on them unchanged —
+    * [[graft.functions.StateSqlRegistry.argCasts]] is the contract.
+    */
+  private def castStateFnArgs(toks: Vector[Token]): Vector[Token] = {
+    val out = Vector.newBuilder[Token]
+    var i = 0
+    while (i < toks.length) {
+      val t = toks(i)
+      val casts =
+        if (t.isIdent)
+          graft.functions.StateSqlRegistry.argCasts.get(t.text.toLowerCase)
+        else None
+      if (casts.isDefined && i + 1 < toks.length && toks(i + 1).text == "(") {
+        val close = matchParen(toks, i + 1)
+        // split the argument tokens at depth-0 commas (inner, recursively
+        // processed so nested state calls are wrapped too)
+        val inner = castStateFnArgs(toks.slice(i + 2, close))
+        val args = Vector.newBuilder[Vector[Token]]
+        var depth = 0; var start = 0; var j = 0
+        while (j < inner.length) {
+          inner(j).text match {
+            case "(" | "[" => depth += 1
+            case ")" | "]" => depth -= 1
+            case "," if depth == 0 =>
+              args += inner.slice(start, j); start = j + 1
+            case _ =>
+          }
+          j += 1
+        }
+        if (inner.nonEmpty) args += inner.slice(start, inner.length)
+        out += t += Token("(")
+        val argList = args.result()
+        argList.zipWithIndex.foreach { case (arg, k) =>
+          if (k > 0) out += Token(",")
+          casts.get.lift(k) match {
+            case Some(tp) =>
+              out += Token("CAST") += Token("(")
+              arg.foreach(out += _)
+              out += Token("AS") += Token(tp) += Token(")")
+            case None => arg.foreach(out += _)
+          }
+        }
+        out += Token(")")
+        i = close + 1
+      } else {
+        out += t
+        i += 1
+      }
+    }
+    out.result()
+  }
+
   private def dropGlobal(toks: Vector[Token]): Vector[Token] =
     toks.filterNot(_.is("GLOBAL"))
 

@@ -25,11 +25,11 @@ object StateSketches {
 
   final case class AvgBuf(var cents: Long, var cnt: Long)
 
-  private def packAvg(b: AvgBuf): Array[Byte] = {
+  private[functions] def packAvg(b: AvgBuf): Array[Byte] = {
     val bb = ByteBuffer.allocate(16)
     bb.putLong(b.cents); bb.putLong(b.cnt); bb.array()
   }
-  private def unpackAvg(a: Array[Byte]): AvgBuf = {
+  private[functions] def unpackAvg(a: Array[Byte]): AvgBuf = {
     val bb = ByteBuffer.wrap(a)
     AvgBuf(bb.getLong(), bb.getLong())
   }

@@ -232,6 +232,121 @@ class ChSqlSpec extends SparkSpec {
     assert(out == Set((1L, 5L), (1L, 4L), (2L, 9L), (2L, 8L)))
   }
 
+  test("lecture_07 AggregatingMergeTree: -State inserts through TEXT, " +
+      "-Merge / finalizeAggregation reads (lecture_07.md:495-546)") {
+    val s = ch
+    // the lecture's aggr_tbl DDL verbatim
+    s.execute("""CREATE TABLE aggr_tbl
+      |(
+      |    id UInt64,
+      |    val_uniq AggregateFunction(uniq, UInt64),
+      |    val_max AggregateFunction(maxIf, String, UInt8),
+      |    val_avg AggregateFunction(avg, UInt64)
+      |)
+      |ENGINE=AggregatingMergeTree
+      |ORDER BY id""".stripMargin)
+    // the lecture inserts rand()-derived values; a deterministic range
+    // makes the merged reads exactly checkable: rnd = 0..9
+    s.execute("""INSERT INTO aggr_tbl
+      |SELECT 1,
+      |uniqState(toUInt64(rnd)),
+      |maxIfState(toString(rnd), rnd % 2 = 0),
+      |avgState(toUInt64(rnd))
+      |FROM (SELECT number as rnd from numbers(10))""".stripMargin)
+    // states stored as-is: one part row, binary state columns
+    val raw = s.sql("select * from aggr_tbl").collect()
+    assert(raw.length == 1 && raw.head.get(1).isInstanceOf[Array[Byte]])
+    // finalizeAggregation: the per-part state, runtime-dispatched
+    val fin = s.sql("""select
+      |    finalizeAggregation(val_uniq) AS u,
+      |    finalizeAggregation(val_avg) AS a,
+      |    finalizeAggregation(val_max) AS m
+      |from aggr_tbl""".stripMargin).collect().head
+    assert(fin.getString(0) == "10")
+    assert(fin.getString(1) == "4.5")
+    assert(fin.getString(2) == "8") // max over even rnd strings 0,2,4,6,8
+    // second part with a shifted range: merge folds ACROSS parts
+    s.execute("""INSERT INTO aggr_tbl
+      |SELECT 1,
+      |uniqState(toUInt64(rnd)),
+      |maxIfState(toString(rnd), rnd % 2 = 0),
+      |avgState(toUInt64(rnd))
+      |FROM (SELECT number + 5 as rnd from numbers(10))""".stripMargin)
+    val merged = s.sql("""select
+      |uniqMerge(val_uniq) AS u,
+      |avgMerge(val_avg) AS a,
+      |maxIfMerge(val_max) AS m
+      |from aggr_tbl""".stripMargin).collect().head
+    assert(merged.getLong(0) == 15L) // 0..14 distinct across both parts
+    assert(merged.getDouble(1) == 7.0) // mean of 0..9 and 5..14 together
+    assert(merged.getString(2) == "8") // "8" still the string max
+  }
+
+  test("lecture_13 MV with uniqState into AggregatingMergeTree target " +
+      "(lecture_13.md:55-90)") {
+    val s = ch
+    s.execute("create table t1 (a String, b String) Engine=MergeTree order by a")
+    // the type-discovery probe executes (CH prints AggregateFunction(...))
+    assert(s.sql("select toTypeName(uniqState(a)) from t1").columns.length == 1)
+    s.execute("create table t2 (a String, b AggregateFunction(uniq, String)) " +
+      "Engine=AggregatingMergeTree order by a")
+    s.execute("create materialized view t1_to_t2 TO t2 as " +
+      "select a, uniqState(b) from t1 group by a")
+    s.execute("insert into t1 values ('project1', 'user1')")
+    s.execute("insert into t1 values ('project1', 'user2')")
+    s.execute("insert into t1 values ('project1', 'user3')")
+    assert(s.sql("select * from t1").count() == 3)
+    // three per-block states in t2, merged on read: 3 distinct users
+    val out = s.sql("select a, uniqMerge(b) AS u from t2 group by a")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(out.toSeq == Seq(("project1", 3L)))
+  }
+
+  test("lecture_07 virtual columns: _part/_partition_id drive the manual " +
+      "ReplacingMT dedup idiom (lecture_07.md:581-609)") {
+    val s = ch
+    s.execute("CREATE TABLE replacing_tbl (id UInt32, val String) " +
+      "ENGINE=ReplacingMergeTree ORDER BY id")
+    s.execute("INSERT INTO replacing_tbl VALUES (1, 'v1'), (2, 'x')")
+    s.execute("INSERT INTO replacing_tbl VALUES (1, 'v2')")
+    // the lecture's manual-dedup spelling, verbatim shape
+    val out = s.sql("select * from ( SELECT id, val, _part, _partition_id, " +
+      "row_number() over (partition by id order by _partition_id desc, " +
+      "_part desc) as lvl FROM replacing_tbl order by lvl asc ) T " +
+      "WHERE T.lvl = 1 ORDER BY id").collect()
+    assert(out.map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq ==
+      Seq((1L, "v2", "all_1_1_0"), (2L, "x", "all_0_0_0")))
+    // `*` does NOT leak the virtual columns when none are referenced
+    assert(s.sql("select * from replacing_tbl").columns.toSeq ==
+      Seq("id", "val"))
+  }
+
+  test("lecture_09 MV read: SELECT from a TO-target MV reads the target " +
+      "(lecture_09.md:747-763)") {
+    val s = ch
+    s.execute("CREATE TABLE source_tbl (num UInt64) ENGINE=MergeTree ORDER BY num")
+    s.execute("CREATE TABLE mem_target (num UInt64, fld UInt64) " +
+      "ENGINE = SummingMergeTree ORDER BY (num)")
+    s.execute("CREATE MATERIALIZED VIEW my_mv TO mem_target AS " +
+      "SELECT num, num + 10 as fld FROM source_tbl")
+    assert(s.sql("SELECT * FROM my_mv").count() == 0) // lecture: 0 rows
+    s.execute("INSERT INTO source_tbl SELECT intDiv(number,2) FROM numbers(10)")
+    // lecture: 5 rows (the inserted block folds by num at part write)
+    val rows = s.sql("SELECT * FROM my_mv ORDER BY num")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.toSeq == Seq((0L, 20L), (1L, 22L), (2L, 24L), (3L, 26L),
+      (4L, 28L)))
+  }
+
+  test("USE system: unqualified introspection reads (lecture_12 idiom)") {
+    val s = ch
+    s.execute("USE system")
+    assert(s.sql("SELECT name, value FROM merge_tree_settings").count() > 0)
+    // `settings` here is a TABLE, not a statement tail
+    assert(s.sql("select * from settings").columns.contains("value"))
+    s.execute("USE default")
+  }
+
   // --------------------------------------------------------- hw02 DDL
 
   test("hw02.sql: the trips DDL parses and accepts inserts") {
