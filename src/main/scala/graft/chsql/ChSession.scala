@@ -49,6 +49,15 @@ object ChSession {
   final case class ColumnDef(name: String, dataType: DataType,
       nullable: Boolean, default: Option[String], materialized: Option[String])
 
+  /** A data-skipping index declaration (`INDEX name expr TYPE t(args)
+    * GRANULARITY n`, lecture_08.md:109-276). The dialect layer records
+    * the metadata — DDL round-trip, system.data_skipping_indices,
+    * MATERIALIZE/DROP/CLEAR lifecycle; actual advisory file pruning is
+    * the engine's [[graft.mergetree.SkipIndex]] (q69).
+    */
+  final case class SkipIndexDef(name: String, exprSql: String,
+      typeSql: String, granularity: Int)
+
   final class ChTable(val db: String, val name: String,
       val columns: Seq[ColumnDef], val engine: Engine,
       val path: Option[String] = None,
@@ -63,6 +72,8 @@ object ChSession {
     // ADD PROJECTION defs by name; materialized ones also register with
     // the transparent Catalyst router (ProjectionRouting)
     val projections = mutable.Map.empty[String, graft.mergetree.ProjectionDef]
+    // data-skipping index declarations by name (lecture_08)
+    val skipIndexes = mutable.LinkedHashMap.empty[String, SkipIndexDef]
     var nextSeq = 0L
     def schema: StructType = StructType(columns.map(c =>
       StructField(c.name, c.dataType, c.nullable)))
@@ -105,6 +116,8 @@ final class ChSession(val spark: SparkSession,
   private val mvs = mutable.ArrayBuffer.empty[ChMv]
   private val dicts = mutable.Map.empty[(String, String), DictDef]
   private val databases = mutable.Set("default")
+  // SQL lambda UDFs created through CH text (CREATE FUNCTION, §2.9)
+  private val udfs = new graft.functions.ChUdfs(spark)
   var currentDb = "default"
 
   // ------------------------------------------------------------ public
@@ -238,6 +251,8 @@ final class ChSession(val spark: SparkSession,
         }
         None
       case "SYSTEM" | "GRANT" | "REVOKE" | "KILL" => None // no-op
+      case "BACKUP" => Some(runBackup(toks))
+      case "RESTORE" => Some(runRestore(toks))
       case other => fail(s"unsupported statement: $other ...")
     }
   }
@@ -271,6 +286,29 @@ final class ChSession(val spark: SparkSession,
     i += 1
 
     if (kind == "DATABASE") { databases += nameTok; journalCatalog(); return }
+
+    if (kind == "FUNCTION") {
+      // CREATE FUNCTION name AS (params...) -> body — the SQL lambda UDF
+      // (lecture_06.md:102-119, homeworks/hw04.md:78-103); inlined as an
+      // expression macro by ChUdfs so Catalyst optimizes through it
+      val asAt = toks.indexWhere(_.is("AS"), i - 1)
+      require(asAt > 0, s"CREATE FUNCTION without AS: $stmt")
+      var j = asAt + 1
+      val params: Seq[String] =
+        if (toks(j).text == "(") {
+          val close = matchParenTok(toks, j)
+          val ps = toks.slice(j + 1, close).filter(_.text != ",")
+            .map(t => strip(t.text))
+          j = close + 1
+          ps
+        } else { val p = Seq(strip(toks(j).text)); j += 1; p }
+      require(j < toks.length && toks(j).text == "->",
+        s"CREATE FUNCTION without ->: $stmt")
+      val bodySql = ChLexer.render(toks.drop(j + 1))
+      udfs.createFunction(nameTok, params, bodySql, orReplace = orReplace)
+      journalCatalog()
+      return
+    }
 
     if (kind == "DICTIONARY") {
       // CREATE DICTIONARY name (cols) PRIMARY KEY k
@@ -362,12 +400,30 @@ final class ChSession(val spark: SparkSession,
         tables((db, name)) = t
         insertBlock((db, name), res, castByPosition = false)
       } else if (asAt > 0) {
-        val srcT = lookup(parseRef(strip(toks(asAt + 1).text)))
-        tables((db, name)) = mkTable(db, name, srcT.columns,
-          parseEngineClause(toks, toks.length) match {
-            case Engine.Memory => srcT.engine // AS t with no ENGINE: copy
-            case e => e
-          }, partitionClause(toks, 0, asAt).orElse(srcT.partitionBy))
+        val srcIdent = strip(toks(asAt + 1).text)
+        val srcRef = parseRef(srcIdent)
+        val srcSys =
+          if (srcIdent.toLowerCase.startsWith("system.") &&
+            !tables.contains(srcRef))
+            systemTable(srcIdent.toLowerCase.stripPrefix("system."))
+          else None
+        srcSys match {
+          case Some(sdf) =>
+            // CREATE TABLE x AS system.y — clone the introspection
+            // table's SCHEMA into an empty user table
+            // (lecture_16.md:230)
+            val cols = sdf.schema.fields.toSeq.map(f =>
+              ColumnDef(f.name, f.dataType, f.nullable, None, None))
+            tables((db, name)) = mkTable(db, name, cols,
+              parseEngineClause(toks, toks.length), None)
+          case None =>
+            val srcT = lookup(srcRef)
+            tables((db, name)) = mkTable(db, name, srcT.columns,
+              parseEngineClause(toks, toks.length) match {
+                case Engine.Memory => srcT.engine // AS t with no ENGINE: copy
+                case e => e
+              }, partitionClause(toks, 0, asAt).orElse(srcT.partitionBy))
+        }
       } else fail(s"CREATE TABLE without columns or AS: $stmt")
       journalCatalog()
       return
@@ -375,12 +431,15 @@ final class ChSession(val spark: SparkSession,
     val parenClose = matchParenTok(toks, parenAt)
     val colsSql = ChLexer.render(toks.slice(parenAt + 1, parenClose))
     // CTAS with both schema and AS SELECT is rare; handle columns form
-    val columns = ChTypes.splitTopLevel(colsSql).flatMap(parseColumnDef)
+    val defs = ChTypes.splitTopLevel(colsSql)
+    val columns = defs.flatMap(parseColumnDef)
     val engine = parseEngineClause(toks, parenClose)
     val ddlEnd = if (asAt > parenClose) asAt else toks.length
     val created = mkTable(db, name, columns, engine,
       partitionClause(toks, parenClose, ddlEnd))
     created.ttl = ttlClause(toks, parenClose, ddlEnd)
+    defs.flatMap(parseSkipIndex).foreach(ix =>
+      created.skipIndexes(ix.name) = ix)
     tables((db, name)) = created
     if (asAt > parenClose && asAt > 0 && asAt + 1 < toks.length &&
       toks(asAt + 1).is("SELECT")) {
@@ -391,6 +450,31 @@ final class ChSession(val spark: SparkSession,
   }
 
   private val viewDefs = mutable.Map.empty[(String, String), String]
+
+  /** `INDEX [IF NOT EXISTS] name expr TYPE type(args) [GRANULARITY n]` —
+    * shared by the DDL column list and ALTER … ADD INDEX.
+    */
+  private def parseSkipIndex(defSql: String): Option[SkipIndexDef] = {
+    val toks = ChLexer.tokenize(defSql)
+    if (toks.isEmpty || !toks.head.is("INDEX")) return None
+    var j = 1
+    if (j < toks.length && toks(j).is("IF")) j += 3
+    if (j >= toks.length) return None
+    val iname = strip(toks(j).text); j += 1
+    val typeAt = toks.indexWhere(_.is("TYPE"), j)
+    if (typeAt < 0) return None
+    val granAt = toks.indexWhere(_.is("GRANULARITY"), typeAt)
+    val typeEnd = if (granAt > 0) granAt else toks.length
+    // render() separates every token; tighten the call spelling so the
+    // stored metadata reads like the DDL (`tokenbf_v1(1024, …)`)
+    def tight(ts: Vector[ChLexer.Token]): String =
+      ChLexer.render(ts).replace(" (", "(")
+    Some(SkipIndexDef(iname,
+      tight(toks.slice(j, typeAt)),
+      tight(toks.slice(typeAt + 1, typeEnd)),
+      if (granAt > 0 && granAt + 1 < toks.length)
+        toks(granAt + 1).text.toInt else 1))
+  }
 
   private def parseColumnDef(defSql: String): Option[ColumnDef] = {
     val toks = ChLexer.tokenize(defSql)
@@ -593,6 +677,8 @@ final class ChSession(val spark: SparkSession,
         viewDefs.remove(ref)
         dicts.remove(ref)
         mvs.filterInPlace(m => (m.db, m.name) != ref)
+      case "FUNCTION" =>
+        udfs.dropFunction(name)
       case other => fail(s"unsupported DROP $other")
     }
     journalCatalog()
@@ -733,6 +819,29 @@ final class ChSession(val spark: SparkSession,
         // apply the TTL to existing rows NOW (lecture_14's re-evaluation)
         t.ttl.foreach(e =>
           replaceContents(t, tableDf(t).filter(expr(s"($e) > now()"))))
+        logMutation(ref, ChLexer.render(toks.drop(3)))
+      case "ADD" if toks.length > 4 && toks(4).is("INDEX") =>
+        // ALTER TABLE t ADD INDEX [IF NOT EXISTS] name expr TYPE
+        // type(args) [GRANULARITY n] (lecture_08.md:109-159)
+        val idx = parseSkipIndex(ChLexer.render(toks.drop(4))).getOrElse(
+          fail(s"unparseable ADD INDEX: $stmt"))
+        t.skipIndexes(idx.name) = idx
+        journalCatalog()
+        logMutation(ref, ChLexer.render(toks.drop(3)))
+      case "MATERIALIZE" if toks.length > 4 && toks(4).is("INDEX") =>
+        // index collection is immediate here (reads are exact); the
+        // mutation row is what the lecture inspects (lecture_08.md:127-136)
+        val iname = strip(toks(5).text)
+        require(t.skipIndexes.contains(iname),
+          s"no index $iname on ${t.db}.${t.name}")
+        logMutation(ref, ChLexer.render(toks.drop(3)))
+      case "DROP" | "CLEAR" if toks.length > 4 && toks(4).is("INDEX") =>
+        // DROP removes the declaration; CLEAR keeps it (only built data
+        // is discarded in the reference)
+        val nameAt = if (toks(5).is("IF")) 7 else 5
+        val iname = strip(toks(nameAt).text)
+        if (op == "DROP") t.skipIndexes.remove(iname)
+        journalCatalog()
         logMutation(ref, ChLexer.render(toks.drop(3)))
       case "ADD" => // ALTER TABLE t ADD COLUMN name Type [DEFAULT e]
         val cd = parseColumnDef(ChLexer.render(toks.drop(5))).get
@@ -971,6 +1080,17 @@ final class ChSession(val spark: SparkSession,
             .collect().head.getLong(0) + 1L
         val seq = t.nextSeq
         t.nextSeq += 1
+        // system.part_log NewPart event. Partitioned blocks may split
+        // into several parts at write; the partition breakdown is not
+        // known without forcing the block here (hot ingest path), so the
+        // event logs per INSERT — exact part name for unpartitioned
+        // tables, a block id otherwise.
+        partLog += ((System.currentTimeMillis(), "NewPart", t.db, t.name,
+          if (t.partitionBy.isEmpty) s"all_${seq}_${seq}_0"
+          else s"block_$seq",
+          if (t.partitionBy.isEmpty) "all" else ""))
+        if (partLog.length > queryLogCap)
+          partLog.remove(0, partLog.length - queryLogCap)
         // a summing/replacing MergeTree part is written MERGED: the fold
         // applies within each inserted block immediately
         // (lecture_07.md:448-465 — one block of 10 id=1 rows lands as a
@@ -1079,10 +1199,13 @@ final class ChSession(val spark: SparkSession,
       def resolve(ident: String): Option[ChSqlRewrite.ResolvedTable] = {
         if (ident.toLowerCase.startsWith("system.")) {
           val sys = systemTable(ident.toLowerCase.stripPrefix("system."))
-          return sys.map { df =>
+          // a miss falls through: the reference also creates USER tables
+          // inside the system database (lecture_16.md:230's
+          // tmp_asynchronous_metric_log)
+          sys.foreach { df =>
             val v = "chs_system__" + ident.toLowerCase.stripPrefix("system.")
             df.createOrReplaceTempView(v)
-            ChSqlRewrite.ResolvedTable(v)
+            return Some(ChSqlRewrite.ResolvedTable(v))
           }
         }
         val ref = parseRef(strip(ident))
@@ -1365,6 +1488,40 @@ final class ChSession(val spark: SparkSession,
       df.createOrReplaceTempView(v)
       return Some(v)
     }
+    if (fn == "generaterandom") {
+      // generateRandom('a UInt64, b String'[, seed]) — CH's synthetic
+      // stream is unbounded and always LIMIT-ed in the corpus; this twin
+      // generates a bounded deterministic block (hash-derived values, so
+      // repeated runs are reproducible) with the declared schema
+      val structure = unq(args.head)
+      val seed = args.lift(1).map(unq).flatMap(v =>
+        scala.util.Try(v.toLong).toOption).getOrElse(0L)
+      var g = spark.range(1024).toDF("__i")
+      ChTypes.splitTopLevel(structure).foreach { c =>
+        val p = c.trim.split("\\s+", 2)
+        val parsed = ChTypes.parse(p(1))
+        val h = xxhash64(col("__i"), lit(p(0)), lit(seed))
+        val v: Column = parsed.dataType match {
+          case _: IntegerType | _: LongType | _: ShortType | _: ByteType =>
+            pmod(h, lit(1000000L)).cast(parsed.dataType)
+          case _: DoubleType | _: FloatType =>
+            (pmod(h, lit(1000000L)) / lit(1000.0)).cast(parsed.dataType)
+          case _: StringType => substring(md5(h.cast(StringType)), 1, 8)
+          case DateType =>
+            date_add(lit(java.sql.Date.valueOf("2024-01-01")),
+              pmod(h, lit(365L)).cast(IntegerType))
+          case TimestampType =>
+            timestamp_seconds(lit(1704067200L) + pmod(h, lit(86400L * 365)))
+          case BooleanType => pmod(h, lit(2L)) === lit(1L)
+          case other => lit(null).cast(other)
+        }
+        g = g.withColumn(p(0), v)
+      }
+      tfCounter += 1
+      val v = s"chs_tf_$tfCounter"
+      g.drop("__i").createOrReplaceTempView(v)
+      return Some(v)
+    }
     val path = unq(args.head)
     // CH arg orders: url(url, format[, structure]); s3(url[, key, secret],
     // format[, structure]) — detect the format arg by name
@@ -1462,14 +1619,40 @@ final class ChSession(val spark: SparkSession,
         Some(df(StructType(Seq(s("name"))),
           databases.toSeq.sorted.map(Row(_))))
       case "tables" =>
-        Some(df(StructType(Seq(s("database"), s("name"), s("engine"),
-          l("total_rows"), s("uuid"),
+        // `table` mirrors `name` (ClickHouse's alias); bytes are real
+        // directory sizes for parquet-backed tables, a schema-width
+        // estimate for in-memory blocks (documented approximation)
+        Some(df(StructType(Seq(s("database"), s("name"), s("table"),
+          s("engine"), l("total_rows"), l("total_bytes"),
+          l("total_bytes_uncompressed"),
+          StructField("has_own_data", IntegerType), s("uuid"),
           StructField("data_paths", ArrayType(StringType)),
+          s("metadata_path"), s("storage_policy"), s("primary_key"),
           s("create_table_query"))),
-          tables.values.toSeq.map(t =>
-            Row(t.db, t.name, engineName(t.engine),
-              t.blocks.map(_.count()).sum, tableUuid(t),
-              t.path.toSeq, createTableDdl(t)))))
+          tables.values.toSeq.map { t =>
+            val rows = t.path match {
+              case Some(p) if pathExists(p) => rawDf(t).count()
+              case _ => t.blocks.map(_.count()).sum
+            }
+            val rowWidth = math.max(8L,
+              t.columns.map(_.dataType.defaultSize.toLong).sum)
+            val bytes = t.path.map(dirBytes).filter(_ > 0L)
+              .getOrElse(rows * rowWidth)
+            val ownData = t.engine match {
+              case Engine.Distributed(_, _) | Engine.Buffer(_, _) |
+                   Engine.Null | Engine.Kafka => 0
+              case _ => 1
+            }
+            val pk = t.engine match {
+              case m: Engine.MergeTree => m.keys.mkString(", ")
+              case _ => ""
+            }
+            Row(t.db, t.name, t.name, engineName(t.engine),
+              rows, bytes, rows * rowWidth, ownData, tableUuid(t),
+              t.path.toSeq,
+              storageDir.map(d => s"$d/_catalog.sql").getOrElse(""),
+              "default", pk, createTableDdl(t))
+          }))
       case "columns" =>
         Some(df(StructType(Seq(s("database"), s("table"), s("name"),
           s("type"), l("position"))),
@@ -1481,7 +1664,8 @@ final class ChSession(val spark: SparkSession,
         Some(df(StructType(Seq(s("database"), s("table"), s("name"),
           s("partition"), l("rows"), StructField("active", IntegerType),
           s("disk_name"), s("path"), l("bytes_on_disk"), s("partition_id"),
-          StructField("level", IntegerType), l("marks"))),
+          StructField("level", IntegerType), l("marks"), s("part_type"),
+          s("removal_state"))),
           tables.values.toSeq.flatMap { t =>
             // one part per (insert, partition value): an inserted block
             // splits into one part per partition it touches, like the
@@ -1521,7 +1705,7 @@ final class ChSession(val spark: SparkSession,
                 "default",
                 t.path.getOrElse(s"/store/${t.db}/${t.name}") + s"/$pname/",
                 math.max(1L, totalBytes * n / totalRows), pid, 0,
-                n / 8192L + 1L)
+                n / 8192L + 1L, "Wide", "")
             }
           }))
       case "mutations" =>
@@ -1556,9 +1740,9 @@ final class ChSession(val spark: SparkSession,
         val root = new java.io.File(
           storageDir.getOrElse(System.getProperty("java.io.tmpdir")))
         Some(df(StructType(Seq(s("name"), s("path"), l("free_space"),
-          l("total_space"), s("type"))),
+          l("total_space"), l("keep_free_space"), s("type"))),
           Seq(Row("default", root.getAbsolutePath + "/",
-            root.getFreeSpace, root.getTotalSpace, "local"))))
+            root.getFreeSpace, root.getTotalSpace, 0L, "local"))))
       case "storage_policies" =>
         Some(df(StructType(Seq(s("policy_name"), s("volume_name"),
           StructField("disks", ArrayType(StringType)))),
@@ -1646,14 +1830,279 @@ final class ChSession(val spark: SparkSession,
       case "merges" =>
         // OPTIMIZE is synchronous here — no background merges ever run
         Some(df(StructType(Seq(s("database"), s("table"), l("elapsed"),
-          StructField("progress", DoubleType), l("rows_read"))),
+          StructField("progress", DoubleType), l("rows_read"),
+          StructField("is_mutation", IntegerType))),
           Seq.empty))
       case "processes" =>
         Some(df(StructType(Seq(s("query_id"), s("user"), s("query"),
           StructField("elapsed", DoubleType))), Seq.empty))
+      case "functions" =>
+        // Spark's registry is the builtin surface; CH-text CREATE
+        // FUNCTION macros list as SQLUserDefined (lecture_06.md:115-119)
+        val created = udfs.list
+        val createdNames = created.map(_._1.toLowerCase).toSet
+        val builtin = spark.sessionState.functionRegistry.listFunction()
+          .map(_.funcName).distinct.sorted
+          .filterNot(n => createdNames(n.toLowerCase))
+        Some(df(StructType(Seq(s("name"), s("origin"),
+          StructField("is_aggregate", IntegerType), s("description"),
+          s("create_query"))),
+          created.map { case (n, sig) =>
+            Row(n, "SQLUserDefined", 0, sig,
+              s"CREATE FUNCTION $n AS $sig") } ++
+            builtin.map(n => Row(n, "System", 0, "", ""))))
+      case "dictionaries" =>
+        Some(df(StructType(Seq(s("database"), s("name"), s("status"),
+          s("origin"), s("type"), s("key"), s("source"),
+          l("element_count"))),
+          dicts.toSeq.sortBy(_._1).map { case ((ddb, dname), d) =>
+            Row(ddb, dname, "LOADED", s"$ddb.$dname", "Hashed", d.pk,
+              s"ClickHouse: ${d.sourceDb}.${d.sourceTable}",
+              tables.get((d.sourceDb, d.sourceTable))
+                .map(t => t.path match {
+                  case Some(p) if pathExists(p) => rawDf(t).count()
+                  case _ => t.blocks.map(_.count()).sum
+                }).getOrElse(0L))
+          }))
+      case "data_skipping_indices" =>
+        Some(df(StructType(Seq(s("database"), s("table"), s("name"),
+          s("type_full"), s("expr"), l("granularity"),
+          l("data_compressed_bytes"), l("data_uncompressed_bytes"),
+          l("marks"))),
+          tables.values.toSeq.flatMap(t =>
+            t.skipIndexes.values.toSeq.map(ix =>
+              Row(t.db, t.name, ix.name, ix.typeSql, ix.exprSql,
+                ix.granularity.toLong, 0L, 0L, 0L)))))
+      case "projection_parts_columns" =>
+        // one row per (projection part, column) — the lecture_13/hw08
+        // probes; parent_name is the parent part (single merged part
+        // here), bytes are the real projection-store directory size
+        // apportioned per column by declared width
+        Some(df(StructType(Seq(s("database"), s("table"), s("name"),
+          s("parent_name"), s("column"), s("type"),
+          l("column_position"), l("rows"),
+          StructField("active", IntegerType), s("path"),
+          l("data_compressed_bytes"), l("data_uncompressed_bytes"))),
+          tables.values.toSeq.flatMap(t =>
+            t.projections.values.toSeq.sortBy(_.name).collect {
+              case p if pathExists(p.path) =>
+                val pdf = spark.read.parquet(p.path)
+                val n = pdf.count()
+                val dirTotal = math.max(1L, dirBytes(p.path))
+                val widths = pdf.schema.fields
+                  .map(_.dataType.defaultSize.toLong)
+                val widthSum = math.max(1L, widths.sum)
+                pdf.schema.fields.zipWithIndex.map { case (f, ci) =>
+                  Row(t.db, t.name, s"${p.name}_0_0_0", "all_0_0_0",
+                    f.name, f.dataType.simpleString, (ci + 1).toLong, n, 1,
+                    p.path + "/", dirTotal * widths(ci) / widthSum,
+                    n * widths(ci))
+                }.toSeq
+            }.flatten)))
+      case "parts_columns" =>
+        // per (part, column): row counts exact, bytes = the table's real
+        // on-disk size apportioned by declared column width (the engine's
+        // exact parquet-footer variant is q62/SystemTables)
+        Some(df(StructType(Seq(s("database"), s("table"), s("name"),
+          s("partition"), s("column"), s("type"), l("column_position"),
+          l("rows"), StructField("active", IntegerType),
+          l("data_compressed_bytes"), l("data_uncompressed_bytes"))),
+          tables.values.toSeq.flatMap { t =>
+            val partRows: Seq[(Long, Long)] = t.path match {
+              case Some(p) if pathExists(p) =>
+                rawDf(t).groupBy(col("__graft_seq")).count().collect()
+                  .map(x => (x.getLong(0), x.getLong(1))).toSeq.sortBy(_._1)
+              case _ => t.blocks.zipWithIndex
+                .map { case (b, i) => (i.toLong, b.count()) }.toSeq
+            }
+            val widths = t.columns.map(_.dataType.defaultSize.toLong)
+            val widthSum = math.max(1L, widths.sum)
+            val dirTotal = t.path.map(dirBytes).filter(_ > 0L)
+            partRows.flatMap { case (seq, n) =>
+              val partBytes = dirTotal
+                .map(b => b / math.max(1, partRows.length))
+                .getOrElse(n * widthSum)
+              t.columns.zipWithIndex.map { case (c, ci) =>
+                Row(t.db, t.name, s"all_${seq}_${seq}_0", "tuple()",
+                  c.name, c.dataType.simpleString, (ci + 1).toLong, n, 1,
+                  partBytes * widths(ci) / widthSum, n * widths(ci))
+              }
+            }
+          }))
+      case "asynchronous_metrics" =>
+        // real engine-JVM/OS numbers (the lecture greps '%memo%' and
+        // formats them with formatReadableSize)
+        val rt = Runtime.getRuntime
+        val osBean = java.lang.management.ManagementFactory
+          .getOperatingSystemMXBean
+        Some(df(StructType(Seq(s("metric"),
+          StructField("value", DoubleType))),
+          Seq(
+            Row("MemoryResident", (rt.totalMemory - rt.freeMemory).toDouble),
+            Row("MemoryVirtual", rt.totalMemory.toDouble),
+            Row("OSMemoryTotal", rt.maxMemory.toDouble),
+            Row("NumberOfTables", tables.size.toDouble),
+            Row("NumberOfDatabases", databases.size.toDouble),
+            Row("LoadAverage1", osBean.getSystemLoadAverage),
+            Row("Uptime", (System.currentTimeMillis() - startedAtMs) / 1000.0))))
+      case "asynchronous_metric_log" | "metric_log" =>
+        // no background metric collector thread runs here — the schema
+        // resolves (CTAS clones, merge('system','^metric_log') unions)
+        // with the columns the lectures touch, honestly empty
+        Some(df(StructType(Seq(StructField("event_date", DateType),
+          StructField("event_time", TimestampType), s("metric"),
+          StructField("value", DoubleType), l("ProfileEvent_Query"),
+          l("CurrentMetric_HTTPConnection"))), Seq.empty))
+      case "part_log" =>
+        // real per-part lifecycle events logged at insert (NewPart)
+        Some(df(StructType(Seq(StructField("event_time", TimestampType),
+          s("event_type"), s("database"), s("table"), s("part_name"),
+          s("partition_id"))),
+          partLog.toSeq.map(e => Row(new java.sql.Timestamp(e._1), e._2,
+            e._3, e._4, e._5, e._6))))
+      case "errors" =>
+        // aggregated from this session's failed statements — real data
+        val errs = queryLog.filter(_.exception.isDefined)
+        Some(df(StructType(Seq(s("name"), StructField("code", IntegerType),
+          l("value"), s("last_error_message"),
+          StructField("last_error_time", TimestampType))),
+          if (errs.isEmpty) Seq.empty
+          else Seq(Row("STD_EXCEPTION", 1, errs.length.toLong,
+            errs.last.exception.get,
+            new java.sql.Timestamp(errs.last.startMs)))))
+      case "users" =>
+        // RBAC is out of engine scope (SURVEY §2.14) — the one real
+        // principal is the default user every statement runs as
+        Some(df(StructType(Seq(s("name"), s("id"), s("storage"),
+          s("auth_type"), StructField("auth_params", ArrayType(StringType)))),
+          Seq(Row("default",
+            "00000000-0000-0000-0000-000000000000", "local_directory",
+            "no_password", Seq.empty[String]))))
+      case "roles" | "role_grants" | "quotas" | "quota_limits" |
+           "row_policies" | "settings_profiles" =>
+        // reference columns, honestly empty — no RBAC objects exist
+        Some(df(StructType(Seq(s("name"), s("storage"), s("user_name"),
+          s("role_name"))), Seq.empty))
+      case "grants" =>
+        Some(df(StructType(Seq(s("user_name"), s("role_name"),
+          s("access_type"), s("database"), s("table"),
+          StructField("grant_option", IntegerType))),
+          Seq(Row("default", null, "ALL", null, null, 1))))
+      case "backups" =>
+        // real entries from this session's BACKUP/RESTORE statements
+        Some(df(StructType(Seq(s("id"), s("name"), s("status"),
+          s("error"), StructField("start_time", TimestampType),
+          StructField("end_time", TimestampType))),
+          backupLog.toSeq.map(b => Row(b._1, b._2, b._3, "",
+            new java.sql.Timestamp(b._4), new java.sql.Timestamp(b._4)))))
+      case "trace_log" =>
+        Some(df(StructType(Seq(StructField("event_time", TimestampType),
+          s("trace_type"), s("query_id"),
+          StructField("trace", ArrayType(LongType)))), Seq.empty))
+      case "text_log" =>
+        Some(df(StructType(Seq(StructField("event_time", TimestampType),
+          s("level"), s("query_id"), s("logger_name"), s("message"))),
+          Seq.empty))
+      case "dashboards" =>
+        // ClickHouse ships built-in dashboard definitions; this engine
+        // ships none — columns resolve, honestly empty
+        Some(df(StructType(Seq(s("dashboard"), s("title"), s("query"))),
+          Seq.empty))
+      case "distribution_queue" =>
+        Some(df(StructType(Seq(s("database"), s("table"),
+          l("data_files"), l("data_compressed_bytes"),
+          StructField("is_blocked", IntegerType), l("error_count"))),
+          Seq.empty))
       case _ => None
     }
   }
+
+  // ------------------------------------------------ BACKUP / RESTORE
+
+  // prefix → (columns, engine, partitionBy, data dir or None for empty)
+  private val backupStore = mutable.Map.empty[String,
+    (Seq[ColumnDef], Engine, Option[String], Option[String])]
+  // (id, name, status, timeMs)
+  private val backupLog = mutable.Buffer.empty[(String, String, String, Long)]
+
+  private def backupStatusDf(id: String, status: String): DataFrame =
+    spark.createDataFrame(Seq(Row(id, status)).asJavaList,
+      StructType(Seq(StructField("id", StringType),
+        StructField("status", StringType))))
+
+  /** `BACKUP TABLE t TO Disk('disk', 'prefix')` (homeworks/hw13.md:44):
+    * snapshots the table's rows and definition under the session backup
+    * root. The `TO S3(endpoint, …)` form needs an object store this
+    * environment does not have and fails with that message.
+    */
+  private def runBackup(toks: Vector[ChLexer.Token]): DataFrame = {
+    require(toks.length > 4 && toks(1).is("TABLE"), "BACKUP TABLE expected")
+    val ref = parseRef(strip(toks(2).text))
+    val t = lookup(ref)
+    val toAt = toks.indexWhere(_.is("TO"))
+    val dest = toks(toAt + 1)
+    require(dest.is("Disk"),
+      s"BACKUP TO ${dest.text}: no object-store endpoint in this " +
+        "environment — use Disk('name', 'prefix')")
+    val close = matchParenTok(toks, toAt + 2)
+    val prefix = strip(toks.slice(toAt + 3, close)
+      .filter(x => x.isString || x.text != ",").last.text)
+      .stripPrefix("'").stripSuffix("'")
+    val dataDir =
+      if (tableDf(t).isEmpty) None
+      else {
+        val dir = s"${System.getProperty("java.io.tmpdir")}/chs_backups/" +
+          s"${Integer.toHexString(System.identityHashCode(this))}/$prefix"
+        deleteDir(dir)
+        tableDf(t).write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .parquet(dir)
+        Some(dir)
+      }
+    backupStore(prefix) = (t.columns, t.engine, t.partitionBy, dataDir)
+    val id = tableUuid(t)
+    backupLog += ((id, prefix, "BACKUP_CREATED", System.currentTimeMillis()))
+    backupStatusDf(id, "BACKUP_CREATED")
+  }
+
+  /** `RESTORE TABLE t [AS t2] FROM Disk('disk', 'prefix')`
+    * (homeworks/hw13.md:63): recreates the table from the snapshot.
+    */
+  private def runRestore(toks: Vector[ChLexer.Token]): DataFrame = {
+    require(toks.length > 4 && toks(1).is("TABLE"), "RESTORE TABLE expected")
+    val srcRef = parseRef(strip(toks(2).text))
+    var target = srcRef
+    var j = 3
+    if (j < toks.length && toks(j).is("AS")) {
+      target = parseRef(strip(toks(j + 1).text)); j += 2
+    }
+    require(j < toks.length && toks(j).is("FROM"), "RESTORE ... FROM expected")
+    val dest = toks(j + 1)
+    require(dest.is("Disk"),
+      s"RESTORE FROM ${dest.text}: no object-store endpoint in this " +
+        "environment — use Disk('name', 'prefix')")
+    val close = matchParenTok(toks, j + 2)
+    val prefix = strip(toks.slice(j + 3, close)
+      .filter(x => x.isString || x.text != ",").last.text)
+      .stripPrefix("'").stripSuffix("'")
+    val (cols, engine, pb, dataDir) = backupStore.getOrElse(prefix,
+      fail(s"RESTORE: no backup '$prefix' exists in this session"))
+    require(!tables.contains(target),
+      s"RESTORE: table ${target._1}.${target._2} already exists")
+    tables(target) = mkTable(target._1, target._2, cols, engine, pb)
+    dataDir.foreach(dir =>
+      insertBlock(target, dropSeq(spark.read.parquet(dir)),
+        castByPosition = false))
+    journalCatalog()
+    val id = tableUuid(tables(target))
+    backupLog += ((id, prefix, "RESTORED", System.currentTimeMillis()))
+    backupStatusDf(id, "RESTORED")
+  }
+
+  private val startedAtMs = System.currentTimeMillis()
+  // (event_time_ms, event_type, db, table, part_name, partition_id);
+  // bounded like query_log
+  private val partLog =
+    mutable.Buffer.empty[(Long, String, String, String, String, String)]
 
   private final case class LoggedQuery(id: String, query: String,
       eventType: String, startMs: Long, durationMs: Long,
@@ -1757,6 +2206,9 @@ final class ChSession(val spark: SparkSession,
       val sb = new StringBuilder
       databases.toSeq.sorted.filterNot(_ == "default").foreach(d =>
         sb ++= s"CREATE DATABASE IF NOT EXISTS $d;\n")
+      udfs.list.foreach { case (n, sig) =>
+        sb ++= s"CREATE OR REPLACE FUNCTION $n AS $sig;\n"
+      }
       tables.values.foreach(t => sb ++= createTableDdl(t) + ";\n")
       dicts.foreach { case ((ddb, dname), d) =>
         sb ++= s"CREATE DICTIONARY $ddb.$dname (`${d.pk}` Int64) " +
@@ -1796,8 +2248,12 @@ final class ChSession(val spark: SparkSession,
       val extra = c.materialized.map(" MATERIALIZED " + _)
         .orElse(c.default.map(" DEFAULT " + _)).getOrElse("")
       s"`${c.name}` ${chTypeName(c.dataType, c.nullable)}$extra"
-    }.mkString(", ")
-    s"CREATE TABLE ${t.db}.${t.name} ($cols) ENGINE = ${engineDdl(t.engine)}" +
+    }
+    val indexes = t.skipIndexes.values.map(ix =>
+      s"INDEX ${ix.name} ${ix.exprSql} TYPE ${ix.typeSql} " +
+        s"GRANULARITY ${ix.granularity}")
+    s"CREATE TABLE ${t.db}.${t.name} (${(cols ++ indexes).mkString(", ")}) " +
+      s"ENGINE = ${engineDdl(t.engine)}" +
       t.partitionBy.map(" PARTITION BY " + _).getOrElse("") +
       t.ttl.map(" TTL " + _).getOrElse("")
   }

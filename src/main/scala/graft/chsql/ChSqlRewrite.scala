@@ -65,6 +65,7 @@ object ChSqlRewrite {
     toks = rewriteScalarWith(toks)
     toks = rewriteArrayLiterals(toks)
     toks = fixCountStar(toks)
+    toks = fixEmptyWindowOrder(toks)
     toks = dropGlobal(toks)
     toks = castStateFnArgs(toks)
     toks = rewriteNumbers(toks)
@@ -86,7 +87,8 @@ object ChSqlRewrite {
 
   // ---- FROM s3(...)/url(...)/file(...)/gcs(...) → materialized views ----
   private val tableFns = Set("S3", "URL", "FILE", "GCS", "MERGE",
-    "REMOTE", "REMOTESECURE", "CLUSTER", "CLUSTERALLREPLICAS")
+    "REMOTE", "REMOTESECURE", "CLUSTER", "CLUSTERALLREPLICAS",
+    "GENERATERANDOM")
 
   private def rewriteTableFunctions(toks: Vector[Token],
                                     resolver: Resolver): Vector[Token] = {
@@ -296,6 +298,27 @@ object ChSqlRewrite {
         case _ => out += t
       }
       prev = Some(t)
+    }
+    out.result()
+  }
+
+  // ---- ranking fn OVER () — ClickHouse permits an unordered window for
+  // row_number() (arbitrary order); Spark requires ORDER BY, so an
+  // arbitrary-but-concrete order is supplied (hw07.md's rn idiom) ----
+  private def fixEmptyWindowOrder(toks: Vector[Token]): Vector[Token] = {
+    val ranking = Set("row_number", "rank", "dense_rank", "ntile")
+    val out = Vector.newBuilder[Token]
+    var i = 0
+    while (i < toks.length) {
+      if (toks(i).is("OVER") && i + 2 < toks.length &&
+        toks(i + 1).text == "(" && toks(i + 2).text == ")" &&
+        i >= 3 && toks(i - 1).text == ")" && toks(i - 2).text == "(" &&
+        ranking(toks(i - 3).text.toLowerCase)) {
+        out += toks(i) += Token("(") += Token("ORDER") += Token("BY") +=
+          Token("monotonically_increasing_id") += Token("(") +=
+          Token(")") += Token(")")
+        i += 3
+      } else { out += toks(i); i += 1 }
     }
     out.result()
   }

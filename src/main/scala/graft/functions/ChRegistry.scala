@@ -100,8 +100,13 @@ object ChRegistry {
     // aggregates
     f("uniq")(e => new HyperLogLogPlusPlus(e.head))
     f("uniqExact")(e => Count(e).toAggregateExpression(isDistinct = true))
+    f("countDistinct")(e => Count(e).toAggregateExpression(isDistinct = true))
     f("argMax")(e => MaxBy(e(0), e(1)))
     f("argMin")(e => MinBy(e(0), e(1)))
+    // argMaxIf/argMinIf (lecture_06.md:62-70): the ordering value is
+    // nulled where the condition fails and max_by/min_by skip null keys
+    f("argMaxIf")(e => MaxBy(e(0), If(e(2), e(1), Literal.create(null, NullType))))
+    f("argMinIf")(e => MinBy(e(0), If(e(2), e(1), Literal.create(null, NullType))))
     f("groupArray")(e => CollectList(e.head))
     f("groupUniqArray")(e => CollectSet(e.head))
     f("countIf")(e => Count(Seq(new NullIf(Literal(1), If(e.head, Literal(1), Literal(2))))))
@@ -166,6 +171,12 @@ object ChRegistry {
     f("version")(_ => SparkVersion())
     val host = java.net.InetAddress.getLocalHost.getHostName
     f("hostName")(_ => Literal(host))
+    // stack-introspection display transforms (lecture_21.md:344-348 over
+    // system.trace_log): no native symbol table exists in a JVM engine,
+    // so addressToSymbol renders the frame address as hex and demangle is
+    // the identity — the honest values for a log this engine never fills
+    f("addressToSymbol")(e => Hex(Cast(e.head, LongType)))
+    f("demangle")(e => Cast(e.head, StringType))
     f("JSONExtractString")(e => jsonPath(e(0), e(1)))
     f("JSONExtractInt")(e => Cast(jsonPath(e(0), e(1)), LongType))
     f("JSONExtractFloat")(e => Cast(jsonPath(e(0), e(1)), DoubleType))

@@ -347,6 +347,124 @@ class ChSqlSpec extends SparkSpec {
     s.execute("USE default")
   }
 
+  test("lecture_08 skip indexes through TEXT: ADD/MATERIALIZE/DROP INDEX, " +
+      "system.data_skipping_indices, DDL round-trip") {
+    val s = ch
+    s.execute("create table t1 (dspId UInt64, data String) " +
+      "ENGINE=MergeTree ORDER BY dspId")
+    // lecture_08.md:127 and :118/:124/:159, verbatim shapes
+    s.execute("alter table t1 add index minmaxDsp modulo(dspId,30) TYPE minmax")
+    s.execute("alter table t1 materialize index minmaxDsp")
+    s.execute("alter table t1 add index idxtoken data " +
+      "TYPE tokenbf_v1(1024, 12, 5472725000237720429)")
+    val idx = s.sql("select name, type_full, expr, granularity " +
+      "from system.data_skipping_indices where table = 't1' order by name")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    assert(idx.toSeq == Seq(
+      ("idxtoken", "tokenbf_v1(1024, 12, 5472725000237720429)", "data"),
+      ("minmaxDsp", "minmax", "modulo(dspId, 30)")))
+    // the mutation row the lecture inspects (lecture_08.md:131-136)
+    val muts = s.sql("select command, table, is_done from system.mutations " +
+      "where table = 't1'").collect()
+    assert(muts.exists(_.getString(0).toUpperCase.contains("MATERIALIZE INDEX")))
+    // SHOW CREATE TABLE carries the index (lecture_08.md:225)
+    val ddl = s.execute("SHOW CREATE TABLE t1").head.collect().head.getString(0)
+    assert(ddl.contains("INDEX minmaxDsp") && ddl.contains("TYPE minmax"))
+    s.execute("alter table t1 drop index idxtoken")
+    assert(s.sql("select * from system.data_skipping_indices " +
+      "where table = 't1'").count() == 1)
+  }
+
+  test("hw04 CREATE FUNCTION through TEXT: SQL lambda UDFs, " +
+      "system.functions origin") {
+    val s = ch
+    // hw04.md:78-103's shape
+    s.execute("CREATE FUNCTION linearEquation AS (x, k, b) -> k*x + b")
+    assert(s.sql("SELECT linearEquation(2, 3, 4) AS y").collect()
+      .head.get(0).toString.toDouble == 10.0)
+    val fns = s.sql("select name, description from system.functions " +
+      "where origin = 'SQLUserDefined'").collect()
+    assert(fns.exists(_.getString(0) == "linearEquation"))
+    // builtins list as System and the table is large
+    assert(s.sql("select count() AS n from system.functions " +
+      "where origin = 'System'").collect().head.getLong(0) > 100)
+    s.execute("DROP FUNCTION linearEquation")
+    assert(s.sql("select * from system.functions " +
+      "where origin = 'SQLUserDefined'").count() == 0)
+  }
+
+  test("lecture_16: CREATE TABLE ... AS system.x clones the schema into " +
+      "a user table in the system db (lecture_16.md:230-254)") {
+    val s = ch
+    s.execute("CREATE TABLE system.tmp_asynchronous_metric_log as " +
+      "system.asynchronous_metric_log")
+    assert(s.sql("select count() AS n from system.tmp_asynchronous_metric_log")
+      .collect().head.getLong(0) == 0L)
+    // and the real metrics table carries live values
+    val mem = s.sql("select metric, value from system.asynchronous_metrics " +
+      "where metric ilike '%memo%'").collect()
+    assert(mem.nonEmpty && mem.forall(_.getDouble(1) >= 0.0))
+  }
+
+  test("system.tables/parts breadth: primary_key, bytes, part_type " +
+      "(lecture_08.md:84, hw08, hw11 probes)") {
+    val s = ch
+    s.execute("create table t2 (a UInt64, b String) ENGINE=MergeTree ORDER BY (a, b)")
+    s.execute("insert into t2 values (1, 'x'), (2, 'y')")
+    val row = s.sql("SELECT primary_key FROM system.tables WHERE table = 't2'")
+      .collect()
+    assert(row.map(_.getString(0)).toSeq == Seq("a, b"))
+    val tb = s.sql("select name, total_rows, total_bytes, has_own_data " +
+      "from system.tables where name = 't2'").collect().head
+    assert(tb.getLong(1) == 2L && tb.getLong(2) > 0L && tb.getInt(3) == 1)
+    val part = s.sql("select name, part_type, removal_state from system.parts " +
+      "where table = 't2'").collect().head
+    assert(part.getString(0) == "all_0_0_0" && part.getString(1) == "Wide")
+    // part_log recorded the NewPart event
+    val pl = s.sql("select event_type, part_name from system.part_log " +
+      "where table = 't2'").collect()
+    assert(pl.map(r => (r.getString(0), r.getString(1))).toSeq ==
+      Seq(("NewPart", "all_0_0_0")))
+  }
+
+  test("hw13 BACKUP/RESTORE through TEXT: Disk snapshot round-trip, " +
+      "system.backups rows") {
+    val s = ch
+    s.execute("CREATE TABLE test (id UInt64, v String) ENGINE=MergeTree ORDER BY id")
+    s.execute("INSERT INTO test VALUES (1, 'a'), (2, 'b')")
+    // hw13.md:44/:63, verbatim shapes
+    s.execute("BACKUP TABLE test TO Disk('s3', 'test_new_')")
+    s.execute("INSERT INTO test VALUES (3, 'c')") // post-backup drift
+    s.execute("RESTORE TABLE test AS test_restored FROM Disk('s3', 'test_new_')")
+    val out = s.sql("select * from test_restored order by id")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(out.toSeq == Seq((1L, "a"), (2L, "b")))
+    val st = s.sql("select name, status from system.backups order by status")
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    assert(st.toSeq == Seq(("test_new_", "BACKUP_CREATED"),
+      ("test_new_", "RESTORED")))
+    // the S3(...) destination is honestly refused (no endpoint here)
+    val err = intercept[Exception](s.execute(
+      "BACKUP TABLE test TO S3('http://minio:9000/b/', 'k', 's')"))
+    assert(err.getMessage.contains("object-store"))
+  }
+
+  test("misc dialect closures: generateRandom(), row_number OVER (), " +
+      "trace_log introspection display fns") {
+    val s = ch
+    // lecture_08.md:120
+    val g = s.sql("select * from generateRandom('a UInt64') limit 1").collect()
+    assert(g.length == 1 && g.head.getLong(0) >= 0L)
+    // hw07's rn idiom: ranking window without ORDER BY
+    val rn = s.sql("SELECT number, row_number() OVER () AS rn " +
+      "FROM numbers(3)").collect()
+    assert(rn.map(_.getInt(1)).sorted.toSeq == Seq(1, 2, 3))
+    // lecture_21.md:344-348 over the (empty) trace log
+    assert(s.sql("select arrayStringConcat(arrayMap(x -> " +
+      "demangle(addressToSymbol(x)), trace), '\\n') " +
+      "from system.trace_log limit 1").count() == 0)
+  }
+
   // --------------------------------------------------------- hw02 DDL
 
   test("hw02.sql: the trips DDL parses and accepts inserts") {

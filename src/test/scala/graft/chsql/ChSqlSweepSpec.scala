@@ -117,7 +117,13 @@ class ChSqlSweepSpec extends SparkSpec {
     }
     info(s"executed subset: $executedSelects/$totalSelects corpus SELECTs " +
       "ran end-to-end against their own files' fixtures")
-    assert(executedSelects >= 120, s"executed subset shrank: $executedSelects")
+    // round-6 floor raise (146 → 225 executed after the -State/-Merge
+    // routines, CREATE FUNCTION, MV reads, virtual columns, skip-index
+    // DDL, BACKUP/RESTORE and the system-table breadth landed; every
+    // remaining miss is external data, a skipped 1e7+-row perf demo, a
+    // slide typo, or a documented semantic delta — triaged via
+    // tools/SweepDebug)
+    assert(executedSelects >= 200, s"executed subset shrank: $executedSelects")
   }
 
   private implicit class IterOps[A](it: java.util.Iterator[A]) {
