@@ -1249,6 +1249,9 @@ final class ChSession(val spark: SparkSession,
                                         args: Seq[String]): Option[String] =
         materializeTableFunction(fn, args)
 
+      override def describe(viewName: String): Option[Seq[String]] =
+        scala.util.Try(spark.table(viewName).columns.toSeq).toOption
+
       override def resolveDict(name: String): Option[(String, String)] = {
         val ref = parseRef(strip(name))
         dicts.get(ref).orElse(dicts.get(("default", ref._2))) match {

@@ -39,6 +39,11 @@ object ChSqlRewrite {
       */
     def resolveTableFunction(fn: String, args: Seq[String]): Option[String] =
       None
+
+    /** Column names of an already-resolved view — powers the
+      * `COLUMNS('regex')` dynamic-projection macro (lecture_04/08).
+      */
+    def describe(viewName: String): Option[Seq[String]] = None
   }
 
   object NoTables extends Resolver {
@@ -82,7 +87,57 @@ object ChSqlRewrite {
     toks = rewriteFromClauses(toks, resolver)
     toks = rewriteInTable(toks, resolver)
     toks = mapIdentifiers(toks, resolver)
+    toks = expandColumnsMacro(toks, resolver)
     Rewritten(ChLexer.render(toks), limitBy, finalLimit, fill)
+  }
+
+  /** `COLUMNS('regex')` → the matching column names of the statement's
+    * FROM target (lecture_04.md's `SELECT COLUMNS('path') FROM
+    * system.parts`). Runs LAST, after FROM identifiers resolve to view
+    * names, so the resolver can describe them; an unanchored regex
+    * search per ClickHouse semantics.
+    */
+  private def expandColumnsMacro(toks: Vector[Token],
+                                 resolver: Resolver): Vector[Token] = {
+    var t = toks
+    var guard = 0
+    while (guard < 8) {
+      guard += 1
+      val at = t.indices.find(i => t(i).is("COLUMNS") &&
+        i + 2 < t.length && t(i + 1).text == "(" && t(i + 2).isString)
+      at match {
+        case None => return t
+        case Some(i) =>
+          val close = matchParen(t, i + 1)
+          val regex = t(i + 2).text.stripPrefix("'").stripSuffix("'")
+          // first top-level FROM after the macro names the target view
+          var depth = 0; var j = 0; var from = -1
+          while (j < t.length && from < 0) {
+            t(j).text match {
+              case "(" => depth += 1
+              case ")" => depth -= 1
+              case _ if depth == 0 && t(j).is("FROM") => from = j
+              case _ =>
+            }
+            j += 1
+          }
+          val cols = for {
+            f <- Some(from).filter(f => f >= 0 && f + 1 < t.length)
+            names <- resolver.describe(strip(t(f + 1).text))
+            re = regex.r
+            hit = names.filter(n => re.findFirstIn(n).isDefined)
+            if hit.nonEmpty
+          } yield hit
+          cols match {
+            case Some(names) =>
+              val repl = names.flatMap(n =>
+                Seq(Token("`" + n + "`"), Token(","))).dropRight(1)
+              t = t.take(i) ++ repl ++ t.drop(close + 1)
+            case None => return t // leave for the analyzer to report
+          }
+      }
+    }
+    t
   }
 
   // ---- FROM s3(...)/url(...)/file(...)/gcs(...) → materialized views ----

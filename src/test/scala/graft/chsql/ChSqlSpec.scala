@@ -465,6 +465,20 @@ class ChSqlSpec extends SparkSpec {
       "from system.trace_log limit 1").count() == 0)
   }
 
+  test("COLUMNS('regex') dynamic projection expands against the FROM " +
+      "target (lecture_04/lecture_08 idiom)") {
+    val s = ch
+    s.execute("create table ct (path_a String, path_b String, other UInt64) " +
+      "ENGINE=Memory")
+    s.execute("insert into ct values ('x', 'y', 1)")
+    val out = s.sql("SELECT COLUMNS('path') FROM ct")
+    assert(out.columns.toSeq == Seq("path_a", "path_b"))
+    assert(out.collect().head.toSeq == Seq("x", "y"))
+    // the lecture_04 spelling over system.parts
+    assert(s.sql("SELECT COLUMNS('path') FROM system.parts " +
+      "where `table` = 'ct'").columns.toSeq == Seq("path"))
+  }
+
   // --------------------------------------------------------- hw02 DDL
 
   test("hw02.sql: the trips DDL parses and accepts inserts") {
