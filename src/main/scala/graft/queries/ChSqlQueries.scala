@@ -294,6 +294,76 @@ object ChSqlQueries {
         """SELECT event_type, n, CAST(sv AS DOUBLE) AS sv
           |FROM ev_agg FINAL ORDER BY event_type""".stripMargin)
         .select(col("event_type"), col("n"), col("sv"))
+    },
+
+    // ---- the -State/-Merge TEXT surface (lecture_07.md:495-546,
+    // lecture_13.md:133-182): per-(flag, month) states inserted into an
+    // AggregatingMergeTree via CH SQL, folded across parts with the
+    // -Merge family on read. Exactness: avg states are fixed-point
+    // cents (integral quantities → exact), sum/maxIf are exact by
+    // construction; the approximate member of the family (uniq/HLL) is
+    // oracled by its exact twin elsewhere (q13/q26b).
+    Q("q108_chsql_state_merge",
+      """SELECT l_returnflag AS flag,
+        |  CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS DOUBLE)
+        |    / 100.0 / COUNT(*) AS avg_qty,
+        |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+        |  MAX(CASE WHEN CAST(l_quantity AS BIGINT) % 2 = 0
+        |      THEN CAST(CAST(l_quantity AS BIGINT) AS VARCHAR) END)
+        |    AS max_even
+        |FROM lineitem GROUP BY 1 ORDER BY 1""") { (s, dir) =>
+      val ch = new ChSession(s)
+      withTable(ch, "li",
+        "flag String, ym Int64, qty Float64",
+        Tables(s, dir).lineitem.select(col("l_returnflag").as("flag"),
+          (year(col("l_shipdate")) * 100 + month(col("l_shipdate")))
+            .cast("long").as("ym"),
+          col("l_quantity").as("qty")),
+        "Memory")
+      ch.execute(
+        """CREATE TABLE states (flag String, ym Int64,
+          |  a AggregateFunction(avg, Float64),
+          |  s AggregateFunction(sum, Int64),
+          |  m AggregateFunction(maxIf, String, UInt8))
+          |ENGINE = AggregatingMergeTree ORDER BY (flag, ym);
+          |INSERT INTO states SELECT flag, ym,
+          |  avgState(qty), sumState(qty),
+          |  maxIfState(toString(CAST(qty AS BIGINT)),
+          |             CAST(qty AS BIGINT) % 2 = 0)
+          |FROM li GROUP BY flag, ym;""".stripMargin)
+      ch.sql(
+        """SELECT flag, avgMerge(a) AS avg_qty, sumMerge(s) AS sum_qty,
+          |  maxIfMerge(m) AS max_even
+          |FROM states GROUP BY flag ORDER BY flag""".stripMargin)
+    },
+
+    // ---- MergeTree virtual columns through TEXT: the lecture_07.md:
+    // 581-609 manual-dedup idiom (row_number over _partition_id/_part
+    // DESC) against a ReplacingMergeTree where a second part overrides
+    // every 10th key — the same ground truth as q98's FINAL, reached
+    // through the part-provenance columns instead of the engine fold.
+    Q("q109_chsql_virtual_part_dedup",
+      """SELECT count(*) AS n, CAST(sum(CAST(
+        |    CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice * 2
+        |         ELSE o_totalprice END AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders""") { (s, dir) =>
+      val ch = new ChSession(s)
+      val orders = Tables(s, dir).orders
+        .select(col("o_orderkey"), col("o_totalprice"))
+      ch.execute("CREATE TABLE ordv (k Int64, price Float64) " +
+        "ENGINE = ReplacingMergeTree ORDER BY k")
+      ch.ingest("ordv", orders.toDF("k", "price"))
+      ch.ingest("ordv", orders.filter(pmod(col("o_orderkey"), lit(10)) === 0)
+        .select(col("o_orderkey"), (col("o_totalprice") * 2).as("p"))
+        .toDF("k", "price"))
+      ch.sql(
+        """SELECT count(*) AS n, CAST(sum(CAST(price AS Decimal(18, 2)))
+          |    AS DOUBLE) AS total
+          |FROM (
+          |  SELECT k, price, row_number() OVER (PARTITION BY k
+          |    ORDER BY _partition_id DESC, _part DESC) AS lvl
+          |  FROM ordv) t
+          |WHERE t.lvl = 1""".stripMargin)
     }
   )
 }
