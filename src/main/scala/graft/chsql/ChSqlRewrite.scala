@@ -73,6 +73,7 @@ object ChSqlRewrite {
     toks = fixEmptyWindowOrder(toks)
     toks = dropGlobal(toks)
     toks = castStateFnArgs(toks)
+    toks = rewriteCastTypes(toks)
     toks = rewriteNumbers(toks)
     toks = rewriteTableFunctions(toks, resolver)
     toks = rewriteArrayJoinClause(toks)
@@ -264,6 +265,46 @@ object ChSqlRewrite {
       i += 1
     }
     (toks, None)
+  }
+
+  /** `CAST(x AS UInt8)` / `CAST(NULL AS Nullable(Int64))`: the dialect's
+    * type names in the SQL CAST spelling lower through [[ChTypes]] to
+    * Spark DDL types (the function spellings `toUInt8(x)` already lower
+    * natively via ChRegistry; the HTTP demos of lecture_03 use both).
+    * Unknown/already-Spark type names are left for the analyzer.
+    */
+  private def rewriteCastTypes(toks: Vector[Token]): Vector[Token] = {
+    var t = toks
+    var i = 0
+    while (i < t.length - 1) {
+      if (t(i).is("CAST") && t(i + 1).text == "(") {
+        val close = matchParen(t, i + 1)
+        if (close > 0) {
+          // the LAST top-level AS inside the parens introduces the type
+          var depth = 0; var as = -1; var j = i + 2
+          while (j < close) {
+            t(j).text match {
+              case "(" | "[" => depth += 1
+              case ")" | "]" => depth -= 1
+              case _ if depth == 0 && t(j).is("AS") => as = j
+              case _ =>
+            }
+            j += 1
+          }
+          if (as > 0 && as + 1 < close) {
+            val typeText = t.slice(as + 1, close).map(_.text).mkString
+            scala.util.Try(ChTypes.parse(typeText).dataType.sql).toOption
+              .filter(_.replaceAll("\\s", "").toUpperCase !=
+                typeText.replaceAll("\\s", "").toUpperCase)
+              .foreach { st =>
+                t = t.take(as + 1) ++ Vector(Token(st)) ++ t.drop(close)
+              }
+          }
+        }
+      }
+      i += 1
+    }
+    t
   }
 
   // ---- trailing FORMAT X / INTO OUTFILE '...' / \G / SETTINGS k=v ----

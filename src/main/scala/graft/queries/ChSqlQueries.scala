@@ -364,6 +364,45 @@ object ChSqlQueries {
           |    ORDER BY _partition_id DESC, _part DESC) AS lvl
           |  FROM ordv) t
           |WHERE t.lvl = 1""".stripMargin)
+    },
+
+    // ---- the HTTP interface end-to-end: the server loads orders, the
+    // client GETs a parameterized aggregate with FORMAT JSONEachRow over
+    // loopback (lecture_03.md:276-291 idioms: ?query=, param_x=, FORMAT
+    // in text), and the response body parses back under a pinned schema.
+    // What's verified is the full wire path — bind → rewrite → execute →
+    // serialize → HTTP → parse — against a plain DuckDB aggregate.
+    Q("q110_chsql_http",
+      """SELECT o_orderpriority AS prio, count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders WHERE o_orderkey % 5 = 0
+        |GROUP BY o_orderpriority ORDER BY prio""") { (s, dir) =>
+      val server = new graft.chsql.ChHttpServer(s)
+      try {
+        withTable(server.session, "orders",
+          "o_orderkey Int64, o_orderpriority String, o_totalprice Float64",
+          Tables(s, dir).orders.select(col("o_orderkey"),
+            col("o_orderpriority"), col("o_totalprice")),
+          "Memory")
+        val q = java.net.URLEncoder.encode(
+          """SELECT o_orderpriority AS prio, count() AS n,
+            |  CAST(CAST(sum(CAST(o_totalprice AS Decimal(18,2))) AS DOUBLE)
+            |    AS Float64) AS total
+            |FROM orders WHERE o_orderkey % {mod:Int64} = 0
+            |GROUP BY prio ORDER BY prio FORMAT JSONEachRow""".stripMargin,
+          java.nio.charset.StandardCharsets.UTF_8)
+        val resp = java.net.http.HttpClient.newHttpClient().send(
+          java.net.http.HttpRequest.newBuilder(java.net.URI.create(
+            s"http://127.0.0.1:${server.port}/?param_mod=5&query=$q")).build(),
+          java.net.http.HttpResponse.BodyHandlers.ofString())
+        require(resp.statusCode() == 200, s"HTTP ${resp.statusCode()}: " +
+          resp.body().take(200))
+        import s.implicits._
+        val lines = resp.body().linesIterator.filter(_.nonEmpty).toSeq
+        s.read.schema("prio STRING, n BIGINT, total DOUBLE")
+          .json(s.createDataset(lines))
+          .orderBy("prio")
+      } finally server.close()
     }
   )
 }

@@ -1,0 +1,165 @@
+package graft.chsql
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.nio.charset.StandardCharsets.UTF_8
+import java.util.zip.{GZIPInputStream, GZIPOutputStream}
+
+import graft.SparkSpec
+
+/** The HTTP interface end-to-end over loopback — each test replays a
+  * curl idiom from lectures/lecture_03.md:264-299 against an embedded
+  * [[ChHttpServer]].
+  */
+class ChHttpSpec extends SparkSpec {
+
+  private lazy val server = new ChHttpServer(spark)
+  private lazy val client = HttpClient.newHttpClient()
+  private def base = s"http://127.0.0.1:${server.port}"
+
+  private def get(pathAndQuery: String): HttpResponse[String] =
+    client.send(HttpRequest.newBuilder(URI.create(base + pathAndQuery)).build(),
+      HttpResponse.BodyHandlers.ofString())
+
+  private def post(pathAndQuery: String, body: String,
+                   headers: Map[String, String] = Map.empty)
+      : HttpResponse[String] = {
+    val b = HttpRequest.newBuilder(URI.create(base + pathAndQuery))
+      .POST(HttpRequest.BodyPublishers.ofString(body))
+    headers.foreach { case (k, v) => b.header(k, v) }
+    client.send(b.build(), HttpResponse.BodyHandlers.ofString())
+  }
+
+  private def enc(q: String): String =
+    java.net.URLEncoder.encode(q, UTF_8)
+
+  test("GET /ping and /replicas_status answer Ok. (lecture_03.md:273-274)") {
+    assert(get("/ping").body() == "Ok.\n")
+    assert(get("/replicas_status").body() == "Ok.\n")
+  }
+
+  test("GET /?query=SELECT%201 returns 1 as TabSeparated (lecture_03.md:276)") {
+    val r = get("/?query=" + enc("SELECT 1"))
+    assert(r.statusCode() == 200)
+    assert(r.body() == "1\n")
+    assert(r.headers().firstValue("X-ClickHouse-Format").get == "TabSeparated")
+  }
+
+  test("POST body statement with FORMAT Pretty (lecture_03.md:278)") {
+    val r = post("/", "SELECT 1 AS a, 'x' AS b FORMAT Pretty")
+    val body = r.body()
+    assert(body.contains("\u250c\u2500a\u2500\u252c\u2500b\u2500\u2510"))
+    assert(body.contains("\u2502 1 \u2502 x \u2502"))
+    assert(body.contains("\u2514"))
+  }
+
+  test("DDL + INSERT via ?query= payload concatenation + SELECT back " +
+    "(lecture_03.md:280, :43)") {
+    assert(post("/", "CREATE TABLE http_t (a UInt8, s String) ENGINE = Memory")
+      .statusCode() == 200)
+    // the reference pipes CSV into ?query=INSERT INTO t FORMAT CSV
+    val ins = post("/?query=" + enc("INSERT INTO http_t FORMAT CSV"),
+      "1,one\n2,two\n3,three\n")
+    assert(ins.statusCode() == 200, ins.body())
+    val r = get("/?query=" + enc(
+      "SELECT a, s FROM http_t ORDER BY a FORMAT TSVWithNames"))
+    assert(r.body() == "a\ts\n1\tone\n2\ttwo\n3\tthree\n")
+  }
+
+  test("param_x binds {x:Type} placeholders (lecture_03.md:265-307)") {
+    val r = get("/?param_n=41&query=" + enc("SELECT {n:UInt8} + 1 AS v"))
+    assert(r.body() == "42\n")
+  }
+
+  test("default_format parameter and X-ClickHouse-Format header") {
+    val viaParam = get("/?default_format=JSONEachRow&query=" +
+      enc("SELECT 7 AS n, 'x' AS s"))
+    assert(viaParam.body().trim == """{"n":7,"s":"x"}""")
+    val viaHeader = post("/", "SELECT 7 AS n",
+      Map("X-ClickHouse-Format" -> "CSVWithNames"))
+    assert(viaHeader.body() == "n\n7\n")
+    // FORMAT in the text wins over both
+    val inText = get("/?default_format=CSV&query=" +
+      enc("SELECT 7 AS n FORMAT JSONEachRow"))
+    assert(inText.body().trim == """{"n":7}""")
+  }
+
+  test("JSON format carries meta/data/rows/statistics (lecture_03 HTTP JSON)") {
+    val r = get("/?query=" + enc(
+      "SELECT number AS n FROM numbers(3) FORMAT JSON"))
+    val b = r.body()
+    assert(b.contains(""""name": "n""""))
+    assert(b.contains(""""type": "Int64""""))
+    assert(b.contains(""""rows": 3"""))
+    assert(b.contains(""""elapsed""""))
+    assert(r.headers().firstValue("Content-Type").get
+      .startsWith("application/json"))
+  }
+
+  test("gzip request body and opt-in gzip response (lecture_03.md:289-291)") {
+    // request side: Content-Encoding: gzip body is inflated
+    val bo = new java.io.ByteArrayOutputStream()
+    val gz = new GZIPOutputStream(bo)
+    gz.write("SELECT 5 AS v".getBytes(UTF_8)); gz.close()
+    val req = HttpRequest.newBuilder(URI.create(base + "/"))
+      .header("Content-Encoding", "gzip")
+      .POST(HttpRequest.BodyPublishers.ofByteArray(bo.toByteArray))
+      .build()
+    assert(client.send(req, HttpResponse.BodyHandlers.ofString()).body() == "5\n")
+
+    // response side: only compressed when BOTH the flag and the header ask
+    val plain = client.send(
+      HttpRequest.newBuilder(URI.create(
+        base + "/?query=" + enc("SELECT 5 AS v")))
+        .header("Accept-Encoding", "gzip").build(),
+      HttpResponse.BodyHandlers.ofByteArray())
+    assert(plain.headers().firstValue("Content-Encoding").isEmpty)
+    val gzed = client.send(
+      HttpRequest.newBuilder(URI.create(
+        base + "/?enable_http_compression=1&query=" + enc("SELECT 5 AS v")))
+        .header("Accept-Encoding", "gzip").build(),
+      HttpResponse.BodyHandlers.ofByteArray())
+    assert(gzed.headers().firstValue("Content-Encoding").get == "gzip")
+    val inflated = new String(new GZIPInputStream(
+      new java.io.ByteArrayInputStream(gzed.body())).readAllBytes(), UTF_8)
+    assert(inflated == "5\n")
+  }
+
+  test("a failing query yields 500 + X-ClickHouse-Exception-Code, not a " +
+    "torn 200") {
+    val r = get("/?query=" + enc("SELECT * FROM no_such_table_anywhere"))
+    assert(r.statusCode() == 500)
+    assert(r.headers().firstValue("X-ClickHouse-Exception-Code").isPresent)
+    assert(r.body().startsWith("Code:"))
+  }
+
+  test("GET /play serves the web shell (lecture_03.md:269, lecture_22.md:5)") {
+    val r = get("/play")
+    assert(r.statusCode() == 200)
+    assert(r.body().contains("<textarea"))
+  }
+
+  test("Values / Vertical / TSV null-and-array rendering") {
+    val vals = get("/?query=" + enc(
+      "SELECT 1 AS a, 'it''s' AS s, [1,2] AS arr FORMAT Values")).body()
+    assert(vals.trim == "(1,'it\\'s',[1,2])")
+    val vert = get("/?query=" + enc(
+      "SELECT 1 AS a, 'x' AS b FORMAT Vertical")).body()
+    assert(vert.contains("Row 1:"))
+    assert(vert.contains("a: 1"))
+    val nulls = get("/?query=" + enc(
+      "SELECT CAST(NULL AS Nullable(Int64)) AS v")).body()
+    assert(nulls == "\\N\n")
+  }
+
+  test("multi-statement script serializes the last result; DDL-only " +
+    "scripts return an empty 200") {
+    val r = post("/",
+      "CREATE TABLE http_m (v UInt8) ENGINE = Memory; " +
+        "INSERT INTO http_m VALUES (9); SELECT v FROM http_m")
+    assert(r.body() == "9\n")
+    val ddl = post("/", "CREATE TABLE http_m2 (v UInt8) ENGINE = Memory")
+    assert(ddl.statusCode() == 200)
+    assert(ddl.body().isEmpty)
+  }
+}
