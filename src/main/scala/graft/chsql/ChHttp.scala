@@ -65,6 +65,34 @@ final class ChHttpServer(spark: SparkSession, bindPort: Int = 0)
   /** Bound port (ephemeral when constructed with 0). */
   def port: Int = server.getAddress.getPort
 
+  /** The reference's `predefined_query_handler` rule
+    * (lectures/lecture_20.md:500-528): binds `path` to a fixed query —
+    * e.g. `SELECT * FROM system.custom_prom_metrics FORMAT Prometheus` —
+    * which is how ClickHouse exposes business metrics to a Prometheus
+    * scraper. Query parameters on the request are ignored, as in the
+    * reference's handler.
+    */
+  def addPredefinedQuery(path: String, query: String): Unit = {
+    server.createContext(path, new HttpHandler {
+      override def handle(ex: HttpExchange): Unit =
+        try {
+          val results = session.synchronized(session.execute(query))
+          val format = ChResultFormats.declaredFormat(query)
+            .getOrElse("TabSeparated")
+          val buf = new ByteArrayOutputStream()
+          results.lastOption.foreach(df =>
+            ChResultFormats.write(df, format, buf))
+          send(ex, 200, buf.toByteArray, ChResultFormats.contentType(format))
+        } catch {
+          case t: Throwable =>
+            send(ex, 500,
+              s"Code: 62. ${Option(t.getMessage).getOrElse(t.toString)}\n"
+                .getBytes(UTF_8), "text/plain; charset=UTF-8")
+        } finally ex.close()
+    })
+    ()
+  }
+
   override def close(): Unit = {
     server.stop(0)
     pool.shutdownNow()
@@ -260,14 +288,24 @@ object ChResultFormats {
       case "tabseparatedwithnames" | "tsvwithnames" => tsv(df, w, names = true)
       case "csv" => csv(df, w, names = false)
       case "csvwithnames" => csv(df, w, names = true)
-      case "jsoneachrow" => jsonLines(df).foreach(w.println)
+      case "jsoneachrow" | "jsonlines" | "ndjson" =>
+        jsonLines(df).foreach(w.println)
       case "json" => jsonFull(df, w, elapsed)
       case "values" =>
         w.println(rows(df).map(r =>
           r.toSeq.map(chValue(_, quoted = true)).mkString("(", ",", ")"))
           .mkString(","))
+      case "tabseparatedraw" | "tsvraw" =>
+        // raw = no escaping: values with tabs/newlines are the caller's
+        // problem, exactly ClickHouse's contract for this format
+        rows(df).foreach(r => w.println(r.toSeq.map {
+          case null => "\\N"
+          case s: String => s
+          case v => chValue(v, quoted = false)
+        }.mkString("\t")))
       case "pretty" | "prettycompact" => pretty(df, w)
       case "vertical" => vertical(df, w)
+      case "prometheus" => prometheus(df, w)
       case "null" => rows(df).foreach(_ => ()) // execute, emit nothing
       case other =>
         throw new IllegalArgumentException(s"unsupported FORMAT $other")
@@ -366,6 +404,40 @@ object ChResultFormats {
     w.println(widths.map(wd => "\u2500" * (wd + 2))
       .mkString("\u2514", "\u2534", "\u2518"))
     if (data.length > cap) w.println(s"Showed first $cap.")
+  }
+
+  /** FORMAT Prometheus (lectures/lecture_20.md:497-546): the result set
+    * carries `name`/`value` columns, optionally `help`, `type` and a
+    * `labels` map — the reference builds exactly this shape in its
+    * custom_prom_metrics views (`'merges' AS name, count() AS value,
+    * 'active merges' AS help, map('hostname', hostName()) AS labels,
+    * 'gauge' AS type`) and exposes it via a predefined_query_handler.
+    */
+  private def prometheus(df: DataFrame, w: java.io.PrintStream): Unit = {
+    val cols = df.columns.map(_.toLowerCase).zipWithIndex.toMap
+    val nameAt = cols.getOrElse("name",
+      throw new IllegalArgumentException(
+        "FORMAT Prometheus needs a 'name' column"))
+    val valueAt = cols.getOrElse("value",
+      throw new IllegalArgumentException(
+        "FORMAT Prometheus needs a 'value' column"))
+    def sanitize(s: String): String = s.replaceAll("[^a-zA-Z0-9_:]", "_")
+    rows(df).foreach { r =>
+      val name = sanitize(String.valueOf(r.get(nameAt)))
+      cols.get("help").map(r.get).filter(_ != null).foreach(h =>
+        w.println(s"# HELP $name ${String.valueOf(h).replace("\n", " ")}"))
+      cols.get("type").map(r.get).filter(_ != null).foreach(t =>
+        w.println(s"# TYPE $name ${String.valueOf(t)}"))
+      val labels = cols.get("labels").map(r.get) match {
+        case Some(m: scala.collection.Map[_, _]) if m.nonEmpty =>
+          m.toSeq.map { case (k, v) =>
+            s"""${sanitize(String.valueOf(k))}="${
+              String.valueOf(v).replace("\\", "\\\\").replace("\"", "\\\"")}""""
+          }.mkString("{", ",", "}")
+        case _ => ""
+      }
+      w.println(s"$name$labels ${chValue(r.get(valueAt), quoted = false)}")
+    }
   }
 
   private def vertical(df: DataFrame, w: java.io.PrintStream): Unit = {

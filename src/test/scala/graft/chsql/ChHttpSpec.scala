@@ -152,6 +152,39 @@ class ChHttpSpec extends SparkSpec {
     assert(nulls == "\\N\n")
   }
 
+  test("predefined_query_handler + FORMAT Prometheus replay lecture_20's " +
+    "custom-metrics story (lecture_20.md:497-546)") {
+    // the reference builds views shaped name/value/help/labels/type and
+    // binds a fixed query to a URL for the Prometheus scraper
+    server.session.execute(
+      """CREATE TABLE metric_src (v UInt8) ENGINE = Memory;
+        |INSERT INTO metric_src VALUES (1), (2), (3)""".stripMargin)
+    server.session.execute(
+      "CREATE VIEW prom_merges AS SELECT 'merges' AS name, " +
+        "count() AS value, 'active merges' AS help, " +
+        "map('hostname', 'h1') AS labels, 'gauge' AS type FROM metric_src")
+    server.addPredefinedQuery("/custom_metrics",
+      "SELECT name, value, help, labels, type FROM prom_merges " +
+        "FORMAT Prometheus")
+    val r = get("/custom_metrics")
+    assert(r.statusCode() == 200)
+    val lines = r.body().linesIterator.toSeq
+    assert(lines.contains("# HELP merges active merges"))
+    assert(lines.contains("# TYPE merges gauge"))
+    assert(lines.contains("""merges{hostname="h1"} 3"""))
+  }
+
+  test("TSVRaw leaves values unescaped; JSONLines aliases JSONEachRow") {
+    val raw = get("/?query=" + enc(
+      "SELECT 'a\\tb' AS s FORMAT TSVRaw")).body()
+    assert(raw == "a\tb\n") // the literal tab survives un-escaped
+    val escaped = get("/?query=" + enc(
+      "SELECT 'a\\tb' AS s FORMAT TSV")).body()
+    assert(escaped == "a\\tb\n") // default TSV escapes it
+    val jl = get("/?query=" + enc("SELECT 3 AS v FORMAT JSONLines")).body()
+    assert(jl.trim == """{"v":3}""")
+  }
+
   test("multi-statement script serializes the last result; DDL-only " +
     "scripts return an empty 200") {
     val r = post("/",
