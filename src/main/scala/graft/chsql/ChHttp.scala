@@ -132,17 +132,20 @@ final class ChHttpServer(spark: SparkSession, bindPort: Int = 0)
       val bindings = params.collect {
         case (k, v) if k.startsWith("param_") => k.stripPrefix("param_") -> v
       }
-      // one catalog, four worker threads: statement dispatch (and the
-      // SET param_x bindings preceding it) serializes on the session so
-      // concurrent requests can't interleave their bindings. The Spark
-      // jobs themselves still run fully parallel inside the cluster.
+      // one catalog, four worker threads: statement dispatch serializes
+      // on the session so concurrent requests can't interleave. The
+      // Spark jobs themselves still run fully parallel inside the
+      // cluster. param_x= and database= are REQUEST-scoped, exactly as
+      // ClickHouse scopes them — bindings thread through execute's
+      // per-call map and the default db restores afterward, so neither
+      // leaks into later requests.
       val t0 = System.nanoTime()
       val results = session.synchronized {
-        params.get("database").foreach(db => session.execute(s"USE $db"))
-        bindings.foreach { case (k, v) =>
-          session.execute(s"SET param_$k = '${v.replace("'", "''")}'")
-        }
-        session.execute(script)
+        val prevDb = session.currentDb
+        try {
+          params.get("database").foreach(db => session.execute(s"USE $db"))
+          session.execute(script, bindings)
+        } finally session.currentDb = prevDb
       }
       val elapsed = (System.nanoTime() - t0) / 1e9
       val format = ChResultFormats.declaredFormat(script)

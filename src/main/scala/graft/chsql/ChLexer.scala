@@ -75,7 +75,26 @@ object ChLexer {
               stmt.regionMatches(true, i, kw, 0, kw.length) &&
                 (i + kw.length >= stmt.length ||
                   Character.isWhitespace(stmt.charAt(i + kw.length)))
-            if (kwAt("SHOW") || kwAt("OPTIMIZE") || kwAt("ALTER")) {
+            // a cut keyword right after a continuation word is part of
+            // the CURRENT statement, not a butted next one: `GRANT ALTER
+            // ON ...` (privilege name), `SELECT * FROM show` (identifier
+            // after FROM), `GRANT SELECT, ALTER ON` ("" = after a comma)
+            def headWord: String = {
+              var j = segStart
+              while (j < stmt.length &&
+                Character.isWhitespace(stmt.charAt(j))) j += 1
+              val s0 = j
+              while (j < stmt.length &&
+                (Character.isLetterOrDigit(stmt.charAt(j)) ||
+                  stmt.charAt(j) == '_')) j += 1
+              stmt.substring(s0, j).toUpperCase
+            }
+            val continuation = Set("FROM", "JOIN", "TABLE", "INTO", "AS",
+              "ON", "TO", "IN", "LIKE", "AND", "OR", "WHERE", "BY",
+              "EXISTS", "DESCRIBE", "DESC", "ALL", "ANY", "")
+            val privilegeList = headWord == "GRANT" || headWord == "REVOKE"
+            if ((kwAt("SHOW") || kwAt("OPTIMIZE") || kwAt("ALTER")) &&
+              !continuation(prevWord(i)) && !privilegeList) {
               cuts += i; segStart = i
             } else if (kwAt("SELECT") && headIsSelect(segStart) &&
               !setOps(prevWord(i))) { cuts += i; segStart = i }
@@ -108,7 +127,7 @@ object ChLexer {
           if (c == '\'' && i + 1 < s.length && s.charAt(i + 1) == '\'') {
             out ++= "''"; i += 2
           } else {
-            out += (if (strCloser == '"') '"' else '\'')
+            out += (if (strCloser == '"' || strCloser == '”') '"' else '\'')
             strCloser = 0; i += 1
           }
         } else { out += c; i += 1 }
@@ -122,7 +141,9 @@ object ChLexer {
       else if (c == '"') { strCloser = '"'; out += '"'; i += 1 }
       // slide decks open literals with ‘ or even a bare ’ — both close on ’
       else if (c == '‘' || c == '’') { strCloser = '’'; out += '\''; i += 1 }
-      else if (c == '“' || c == '”') { out += '"'; i += 1 }
+      // smart double quotes open a protected region like plain ones —
+      // “a -- b” must not lose its body to the comment stripper
+      else if (c == '“' || c == '”') { strCloser = '”'; out += '"'; i += 1 }
       else if (c == '`') { inTick = true; out += c; i += 1 }
       else if (c == '-' && i + 1 < s.length && s.charAt(i + 1) == '-') {
         while (i < s.length && s.charAt(i) != '\n') i += 1

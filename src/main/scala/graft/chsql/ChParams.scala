@@ -87,8 +87,10 @@ object ChParams {
     if (lower.startsWith("array(") || lower.startsWith("map(") ||
       lower.startsWith("tuple(")) return v
     val parsed = ChTypes.parse(chType)
-    val quoted = "'" + v.stripPrefix("'").stripSuffix("'")
-      .replace("'", "''") + "'"
+    // `v` is the RAW value (CLI/HTTP pass it unquoted; SET unescapes
+    // before storing) — escaping belongs to this quoting step alone, so
+    // a value that genuinely starts/ends with an apostrophe survives
+    val quoted = "'" + v.replace("'", "''") + "'"
     parsed.dataType match {
       case _: StringType => quoted
       case dt => s"CAST($quoted AS ${dt.sql})"

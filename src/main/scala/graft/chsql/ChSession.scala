@@ -129,6 +129,15 @@ final class ChSession(val spark: SparkSession,
     ChLexer.statements(script)
       .flatMap(st => logged(st)(executeStatement(st)))
 
+  /** Runs a whole script with per-call `{name:Type}` bindings — the HTTP
+    * surface's `param_x=` values, which ClickHouse scopes to the REQUEST
+    * (they must not leak into later requests the way a session-level
+    * `SET param_x` would). Explicit bindings win over session SETs.
+    */
+  def execute(script: String, params: Map[String, String]): Seq[DataFrame] =
+    ChLexer.statements(script)
+      .flatMap(st => logged(st)(executeStatement(st, params)))
+
   /** Runs one ClickHouse SELECT and returns the DataFrame. */
   def sql(query: String): DataFrame =
     logged(query)(runSelect(bindParams(query), Map.empty))
@@ -166,8 +175,10 @@ final class ChSession(val spark: SparkSession,
 
   // ------------------------------------------------------ statements
 
-  private def executeStatement(stmtRaw: String): Option[DataFrame] = {
-    val stmt = bindParams(stmtRaw.trim)
+  private def executeStatement(stmtRaw: String,
+                               params: Map[String, String] = Map.empty)
+      : Option[DataFrame] = {
+    val stmt = bindParams(stmtRaw.trim, params)
     val toks = ChLexer.tokenize(stmt)
     if (toks.isEmpty) return None
     val head = toks.head.upper
@@ -246,8 +257,17 @@ final class ChSession(val spark: SparkSession,
         // reference scripts SET formats/timeouts that do not apply)
         ChTypes.splitTopLevel(ChLexer.render(toks.drop(1))).foreach { a =>
           val eq = a.indexOf('=')
-          if (eq > 0) sessionSettings(a.substring(0, eq).trim) =
-            a.substring(eq + 1).trim.stripPrefix("'").stripSuffix("'")
+          if (eq > 0) {
+            // store the RAW value: quoted literals lose their delimiters
+            // AND their '' escapes, so `SET param_x = 'O''Hara'` binds
+            // O'Hara (ChParams.renderLiteral re-escapes on substitution)
+            val rhs = a.substring(eq + 1).trim
+            val v =
+              if (rhs.length >= 2 && rhs.head == '\'' && rhs.last == '\'')
+                rhs.substring(1, rhs.length - 1).replace("''", "'")
+              else rhs
+            sessionSettings(a.substring(0, eq).trim) = v
+          }
         }
         None
       case "SYSTEM" | "GRANT" | "REVOKE" | "KILL" => None // no-op
@@ -1045,7 +1065,8 @@ final class ChSession(val spark: SparkSession,
     * triggers see the inserted block, never the whole table).
     */
   private def insertBlock(ref: (String, String), blockIn0: DataFrame,
-                          castByPosition: Boolean): Unit = {
+                          castByPosition: Boolean,
+                          fireMvs: Boolean = true): Unit = {
     val t = lookup(ref)
     // ClickHouse aligns CTAS / INSERT SELECT blocks by POSITION:
     // `CREATE TABLE t (a UInt32) … AS SELECT number …` lands the selected
@@ -1136,7 +1157,7 @@ final class ChSession(val spark: SparkSession,
     // are the Kafka virtual columns (_topic/_offset/_timestamp_ms/
     // _partition) the reference's raw-capture MV selects
     // (clusters/ch_and_kafka/db/init.sql:36-44).
-    if (mvs.exists(m => (m.sourceDb, m.sourceTable) == ref)) {
+    if (fireMvs && mvs.exists(m => (m.sourceDb, m.sourceTable) == ref)) {
       val mvBlock = alignToSchema(t, blockIn, keepExtras = true)
       mvs.filter(m => (m.sourceDb, m.sourceTable) == ref).foreach { m =>
         val res = runSelect(m.selectSql, Map(ref -> mvBlock))
@@ -1186,15 +1207,20 @@ final class ChSession(val spark: SparkSession,
 
   // ------------------------------------------------------ SELECT
 
-  private val virtualColRe =
-    "(?i)(^|[^\\w])(_part|_partition_id|_shard_num)([^\\w]|$)".r
+  private val virtualColNames = Set("_part", "_partition_id", "_shard_num")
 
   private def runSelect(query: String,
                         overrides: Map[(String, String), DataFrame]): DataFrame = {
     // MergeTree virtual columns are attached to the base view only when
     // the statement references them — ClickHouse hides them from `*`
-    // (lecture_07.md:582-597's manual-dedup idiom reads _part explicitly)
-    val wantsVirtual = virtualColRe.findFirstIn(query).isDefined
+    // (lecture_07.md:582-597's manual-dedup idiom reads _part explicitly).
+    // Token-level check: a '_part' INSIDE a string literal (WHERE name
+    // LIKE '%_part%') must not trigger the attach.
+    val wantsVirtual = ChLexer.tokenize(query).exists { t =>
+      !t.isString && t.isIdent &&
+        virtualColNames(t.text.toLowerCase.split('.').last.stripPrefix("`")
+          .stripSuffix("`"))
+    }
     val resolver = new ChSqlRewrite.Resolver {
       def resolve(ident: String): Option[ChSqlRewrite.ResolvedTable] = {
         if (ident.toLowerCase.startsWith("system.")) {
@@ -2092,9 +2118,12 @@ final class ChSession(val spark: SparkSession,
     require(!tables.contains(target),
       s"RESTORE: table ${target._1}.${target._2} already exists")
     tables(target) = mkTable(target._1, target._2, cols, engine, pb)
+    // RESTORE rebuilds the table's own parts; ClickHouse never re-fires
+    // materialized views on restored data (a surviving MV over the
+    // restored source would double-count every pre-backup row)
     dataDir.foreach(dir =>
       insertBlock(target, dropSeq(spark.read.parquet(dir)),
-        castByPosition = false))
+        castByPosition = false, fireMvs = false))
     journalCatalog()
     val id = tableUuid(tables(target))
     backupLog += ((id, prefix, "RESTORED", System.currentTimeMillis()))

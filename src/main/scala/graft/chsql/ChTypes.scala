@@ -88,12 +88,18 @@ object ChTypes {
     }
   }
 
-  /** Splits "a, b(c, d), e" on top-level commas only. */
+  /** Splits "a, b(c, d), e" on top-level commas only. Both quote kinds
+    * protect their content: single-quoted SQL literals ('' escape) and
+    * double-quoted strings — the latter matter when the separator is ';'
+    * and the text carries an inline JSONEachRow payload whose string
+    * values may contain one (`{"msg": "a;b"}`).
+    */
   def splitTopLevel(s: String, sep: Char = ','): Seq[String] = {
     val out = Seq.newBuilder[String]
     val cur = new StringBuilder
     var depth = 0
     var inStr = false
+    var inDq = false
     var i = 0
     while (i < s.length) {
       val c = s.charAt(i)
@@ -101,8 +107,13 @@ object ChTypes {
         cur += c
         if (c == '\'' && (i + 1 >= s.length || s.charAt(i + 1) != '\'')) inStr = false
         else if (c == '\'') { cur += s.charAt(i + 1); i += 1 }
+      } else if (inDq) {
+        cur += c
+        if (c == '\\' && i + 1 < s.length) { cur += s.charAt(i + 1); i += 1 }
+        else if (c == '"') inDq = false
       } else c match {
         case '\'' => inStr = true; cur += c
+        case '"' => inDq = true; cur += c
         case '(' | '[' => depth += 1; cur += c
         case ')' | ']' => depth -= 1; cur += c
         case `sep` if depth == 0 => out += cur.result(); cur.clear()

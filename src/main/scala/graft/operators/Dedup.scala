@@ -101,10 +101,15 @@ object Dedup {
         .filter(col("increment").cast("string") =!= incrementId)
         .select(col("fingerprint").as("__fp")))
     val bloomPath = s"$storePath/_bloom.bin"
-    val existingBloom =
-      if (bloomExpectedItems > 0) BloomPrune.read(spark, bloomPath) else None
+    // the blob is read (and, below, maintained) whenever it exists —
+    // routing is opt-in per call, but an increment that runs with
+    // routing OFF must still fold its keys in, or the blob under-covers
+    // the store and a LATER routed increment would skip the exact join
+    // for keys that ARE in history, silently keeping duplicates
+    val existingBloom = BloomPrune.read(spark, bloomPath)
+    val gateBloom = if (bloomExpectedItems > 0) existingBloom else None
     val kept = pinned(history.fold(inBatchKept) { h =>
-      existingBloom match {
+      gateBloom match {
         case Some((blob, _, _)) =>
           // map-side routing: definitely-absent rows never shuffle
           val routed = inBatchKept.withColumn("__might",
@@ -125,7 +130,7 @@ object Dedup {
     // only routes extra rows through the exact anti-join. The reverse
     // order would leave it under-covering — later increments would skip
     // the join for keys that ARE in the store and keep duplicates.
-    if (bloomExpectedItems > 0) {
+    if (bloomExpectedItems > 0 || existingBloom.isDefined) {
       val (items, bits) = existingBloom
         .map(e => (e._2, e._3))
         .getOrElse((bloomExpectedItems,
@@ -208,13 +213,17 @@ object Dedup {
     // store scan is gated by the might_contain predicate. Correctness
     // never depends on the filter; the semi-join decides every routed row.
     val bloomPath = s"$storePath/_bloom.bin"
-    val existingBloom =
-      if (bloomExpectedItems > 0) BloomPrune.read(spark, bloomPath) else None
+    // read (and below, maintain) the blob whenever it exists — same
+    // under-coverage contract as the exact sibling: an increment run
+    // with routing OFF still folds its keys in, so a later routed
+    // increment can never skip the semi-join for stored buckets
+    val existingBloom = BloomPrune.read(spark, bloomPath)
+    val gateBloom = if (bloomExpectedItems > 0) existingBloom else None
     def bucketKey: Column = struct(col("band"), col("bh"))
     val histDup = history.fold(
       spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
         buckets.select(col(idCol)).schema)) { h =>
-      nearDupHistProbe(buckets, h, existingBloom.map(_._1), idCol)
+      nearDupHistProbe(buckets, h, gateBloom.map(_._1), idCol)
     }
     val dupIds = pinned(inBatchDup.unionByName(histDup).distinct())
     val kept = newDocs.join(dupIds, Seq(idCol), "left_anti")
@@ -225,7 +234,7 @@ object Dedup {
     // bloom before store partition, like the exact sibling: a crash
     // between the two leaves the blob OVER-covering (extra rows routed
     // through the exact join), never under-covering (missed duplicates)
-    if (bloomExpectedItems > 0) {
+    if (bloomExpectedItems > 0 || existingBloom.isDefined) {
       val (items, bits) = existingBloom
         .map(e => (e._2, e._3))
         .getOrElse((bloomExpectedItems,

@@ -42,6 +42,88 @@ class ChSqlSpec extends SparkSpec {
     assert(t.exists(tok => tok.isString && tok.text == "'v 1'"))
   }
 
+  test("lexer: double-quoted strings protect ';' — inline JSONEachRow " +
+    "payloads with a semicolon in a value stay one statement") {
+    val stmts = ChLexer.statements(
+      "INSERT INTO t FORMAT JSONEachRow\n{\"msg\": \"a;b\"};SELECT 1;")
+    assert(stmts == Seq(
+      "INSERT INTO t FORMAT JSONEachRow\n{\"msg\": \"a;b\"}", "SELECT 1"))
+  }
+
+  test("lexer: privilege lists and FROM-position identifiers are not " +
+    "butted-statement cuts") {
+    // GRANT ALTER names a PRIVILEGE, not a new statement
+    assert(ChLexer.statements("GRANT ALTER ON db1.* TO u1") ==
+      Seq("GRANT ALTER ON db1.* TO u1"))
+    assert(ChLexer.statements("GRANT SELECT, ALTER ON db1.* TO u1") ==
+      Seq("GRANT SELECT, ALTER ON db1.* TO u1"))
+    // an identifier named like a cut keyword after FROM stays in place
+    assert(ChLexer.statements("SELECT * FROM show") ==
+      Seq("SELECT * FROM show"))
+    // the GRANT statement executes as the documented no-op
+    ch.execute("GRANT SELECT, ALTER ON db1.* TO u1")
+    // ...while genuinely butted statements still split
+    assert(ChLexer.statements(
+      "SELECT count() FROM t GROUP BY id OPTIMIZE TABLE t FINAL").size == 2)
+  }
+
+  test("lexer: smart double quotes protect their body from the comment " +
+    "stripper") {
+    val stmts = ChLexer.statements("SELECT “a -- b” AS x;")
+    assert(stmts == Seq("SELECT \"a -- b\" AS x"))
+  }
+
+  test("param binding: SET values unescape; explicit bindings keep " +
+    "genuine apostrophes; params are per-call, not leaked") {
+    val s = ch
+    s.execute("SET param_who = 'O''Hara'")
+    assert(s.sql("SELECT {who:String} AS w").collect().head.getString(0)
+      == "O'Hara")
+    // a value that genuinely starts/ends with an apostrophe survives
+    assert(s.sql("SELECT {v:String} AS w", Map("v" -> "'quoted'"))
+      .collect().head.getString(0) == "'quoted'")
+    // per-call bindings do not persist: the session has no param_v
+    val err = intercept[Exception](s.sql("SELECT {v:String} AS w"))
+    assert(err.getMessage.contains("no bound value"))
+  }
+
+  test("a '_part' inside a string literal does not attach virtual columns") {
+    val s = ch
+    s.execute("CREATE TABLE vt (id UInt64, name String) " +
+      "ENGINE = MergeTree ORDER BY id")
+    s.execute("INSERT INTO vt VALUES (1, 'x_part_y'), (2, 'plain')")
+    val df = s.sql("SELECT * FROM vt WHERE name LIKE '%_part%'")
+    assert(df.columns.toSeq == Seq("id", "name"))
+    assert(df.count() == 1)
+    // referencing the virtual column as an identifier still attaches it
+    assert(s.sql("SELECT _part FROM vt").columns.toSeq == Seq("_part"))
+  }
+
+  test("RESTORE rebuilds the table without re-firing its MVs") {
+    val s = ch
+    s.execute(
+      """CREATE TABLE evts (id UInt64) ENGINE = MergeTree ORDER BY id;
+        |CREATE TABLE evt_counts (n UInt64) ENGINE = Memory;
+        |CREATE MATERIALIZED VIEW evt_mv TO evt_counts AS
+        |  SELECT count() AS n FROM evts;
+        |INSERT INTO evts VALUES (1), (2), (3)""".stripMargin)
+    assert(s.sql("SELECT sum(n) AS t FROM evt_counts").collect()
+      .head.getLong(0) == 3L)
+    s.execute("BACKUP TABLE evts TO Disk('backups', 'evts_')")
+    // drop and restore UNDER THE SAME NAME: the MV bound to `evts`
+    // survives the drop, so a restore that fired MVs would double-count
+    s.execute("DROP TABLE evts")
+    s.execute("RESTORE TABLE evts FROM Disk('backups', 'evts_')")
+    assert(s.sql("SELECT count() AS c FROM evts").collect()
+      .head.getLong(0) == 3L)
+    assert(s.sql("SELECT sum(n) AS t FROM evt_counts").collect()
+      .head.getLong(0) == 3L)
+    // MVs still fire on ordinary inserts after the restore
+    s.execute("INSERT INTO evts VALUES (4)")
+    assert(s.sql("SELECT sum(n) AS t FROM evt_counts").collect()
+      .head.getLong(0) == 4L)
+  }
+
   // --------------------------------------------------------- types
 
   test("ChTypes: the hw02 column palette") {

@@ -153,6 +153,42 @@ class DedupSpec extends SparkSpec {
     assert(kept3 == Set(21L))
   }
 
+  test("bloom routing survives increments that ran with routing OFF — " +
+    "the blob is maintained whenever it exists, never under-covering") {
+    val base = "the quick brown fox jumps over the lazy dog again and again " +
+      "while the rain in spain stays mainly on the plain every single day"
+    val other = "a separate essay on columnar storage formats and the " +
+      "benefits of late materialization in vectorized query execution"
+
+    // exact sibling
+    val rootE = java.nio.file.Files.createTempDirectory("graft_mixbe").toString
+    val storeE = s"$rootE/fp"
+    Dedup.incrementalExactDedup(Seq((1L, base)).toDF("doc_id", "text"),
+      "doc_id", "text", storeE, "i0", bloomExpectedItems = 1000)
+    // routing OFF for this increment — its keys must still reach the blob
+    Dedup.incrementalExactDedup(Seq((10L, other)).toDF("doc_id", "text"),
+      "doc_id", "text", storeE, "i1")
+    val keptE = Dedup.incrementalExactDedup(
+      Seq((20L, other)).toDF("doc_id", "text"),
+      "doc_id", "text", storeE, "i2", bloomExpectedItems = 1000)
+    assert(keptE.count() == 0, "exact dup of the routing-OFF increment " +
+      "must still be dropped when routing resumes")
+
+    // near-dup sibling
+    val rootN = java.nio.file.Files.createTempDirectory("graft_mixbn").toString
+    val storeN = s"$rootN/buckets"
+    Dedup.incrementalNearDedup(Seq((1L, base)).toDF("doc_id", "text"),
+      "doc_id", "text", storeN, "i0", bloomExpectedItems = 1000)
+    Dedup.incrementalNearDedup(Seq((10L, other)).toDF("doc_id", "text"),
+      "doc_id", "text", storeN, "i1") // routing OFF
+    val keptN = Dedup.incrementalNearDedup(
+      Seq((20L, other.replace("benefits", "virtues")))
+        .toDF("doc_id", "text"),
+      "doc_id", "text", storeN, "i2", bloomExpectedItems = 1000)
+    assert(keptN.count() == 0, "near-dup of the routing-OFF increment " +
+      "must still be dropped when routing resumes")
+  }
+
   test("duplicateSpans merges overlapping windows and finds intra-doc repeats") {
     val d = Seq(
       (1L, "alpha beta gamma delta epsilon zeta eta theta"),
