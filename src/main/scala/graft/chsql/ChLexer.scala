@@ -91,10 +91,21 @@ object ChLexer {
             }
             val continuation = Set("FROM", "JOIN", "TABLE", "INTO", "AS",
               "ON", "TO", "IN", "LIKE", "AND", "OR", "WHERE", "BY",
-              "EXISTS", "DESCRIBE", "DESC", "ALL", "ANY", "")
+              "EXISTS", "DESCRIBE", "DESC", "ALL", "ANY")
+            // an empty prevWord means punctuation precedes: a COMMA keeps
+            // a privilege/projection list together, but a closed string
+            // literal or paren does NOT suppress the cut
+            def prevNonWs: Char = {
+              var j = i - 1
+              while (j >= 0 && Character.isWhitespace(stmt.charAt(j))) j -= 1
+              if (j >= 0) stmt.charAt(j) else ' '
+            }
+            val pw = prevWord(i)
+            val afterContinuation =
+              continuation(pw) || (pw.isEmpty && prevNonWs == ',')
             val privilegeList = headWord == "GRANT" || headWord == "REVOKE"
             if ((kwAt("SHOW") || kwAt("OPTIMIZE") || kwAt("ALTER")) &&
-              !continuation(prevWord(i)) && !privilegeList) {
+              !afterContinuation && !privilegeList) {
               cuts += i; segStart = i
             } else if (kwAt("SELECT") && headIsSelect(segStart) &&
               !setOps(prevWord(i))) { cuts += i; segStart = i }

@@ -1509,8 +1509,21 @@ final class ChSession(val spark: SparkSession,
       val pat = regex.r
       val matching = tables.values.toSeq
         .filter(t => t.db == mdb && pat.findFirstIn(t.name).isDefined)
-      if (matching.isEmpty) fail(s"merge($mdb, '$regex'): no matching tables")
-      val df = matching.map(t => tableDf(t).withColumn("_table", lit(t.name)))
+      // merge('system', '^metric_log') unions the SYNTHESIZED system
+      // tables too (lecture_20.md's monitoring aggregate over the
+      // metric-history family)
+      val systemMatches =
+        if (mdb != "system") Seq.empty
+        else Seq("metric_log", "asynchronous_metric_log", "query_log",
+          "part_log", "trace_log", "text_log")
+          .filter(n => pat.findFirstIn(n).isDefined &&
+            !matching.exists(_.name == n))
+          .flatMap(n => systemTable(n).map(df =>
+            df.withColumn("_table", lit(n))))
+      if (matching.isEmpty && systemMatches.isEmpty)
+        fail(s"merge($mdb, '$regex'): no matching tables")
+      val df = (matching.map(t =>
+          tableDf(t).withColumn("_table", lit(t.name))) ++ systemMatches)
         .reduce(_ unionByName _)
       tfCounter += 1
       val v = s"chs_tf_$tfCounter"
@@ -2025,8 +2038,10 @@ final class ChSession(val spark: SparkSession,
           backupLog.toSeq.map(b => Row(b._1, b._2, b._3, "",
             new java.sql.Timestamp(b._4), new java.sql.Timestamp(b._4)))))
       case "trace_log" =>
-        Some(df(StructType(Seq(StructField("event_time", TimestampType),
-          s("trace_type"), s("query_id"),
+        // hw14.md's MemoryPeak query reads event_date and max(size)
+        Some(df(StructType(Seq(StructField("event_date", DateType),
+          StructField("event_time", TimestampType),
+          s("trace_type"), s("query_id"), l("size"),
           StructField("trace", ArrayType(LongType)))), Seq.empty))
       case "text_log" =>
         Some(df(StructType(Seq(StructField("event_time", TimestampType),

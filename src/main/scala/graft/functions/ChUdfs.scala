@@ -44,7 +44,11 @@ final class ChUdfs(spark: SparkSession) {
       require(args.length == params.length,
         s"$name expects ${params.length} arguments, got ${args.length}")
       val byName = params.zip(args).toMap
-      // lambda-bound names stay as-is for the analyzer to bind
+      // lambda-bound names stay as-is for the analyzer to bind. A
+      // predicate body stays BOOLEAN here — `WHERE classify(q, p)`
+      // filters directly, and the numeric composition ClickHouse's
+      // UInt8 booleans allow (`classify(q, p) > 0`, hw04.md:98-102) is
+      // restored by the BoolNumericCoercion analyzer rule.
       body.transformUp {
         case a: UnresolvedAttribute => byName.getOrElse(a.name, a)
       }

@@ -219,5 +219,33 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
   override def apply(e: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(session => new ProjectionRewrite(session))
     e.injectPlannerStrategy(_ => AsOfJoinStrategy)
+    e.injectResolutionRule(_ => BoolNumericCoercion)
   }
+}
+
+/** ClickHouse booleans are UInt8, so a comparison result composes
+  * numerically (`(a > b) > 0`, the hw04.md:98-104 predicate-UDF idiom).
+  * Spark rejects BOOLEAN vs numeric comparisons outright; this analyzer
+  * rule casts the boolean side to INT and lets standard type coercion
+  * unify the rest — scoped to binary comparisons only, where ClickHouse
+  * and two-valued logic agree (true=1, false=0).
+  */
+object BoolNumericCoercion
+    extends Rule[LogicalPlan] {
+  import org.apache.spark.sql.catalyst.expressions.{BinaryComparison, Cast}
+  import org.apache.spark.sql.types.{BooleanType, IntegerType, NumericType}
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.resolveExpressionsUp {
+      case b: BinaryComparison
+          if b.left.resolved && b.right.resolved &&
+            b.left.dataType == BooleanType &&
+            b.right.dataType.isInstanceOf[NumericType] =>
+        b.withNewChildren(Seq(Cast(b.left, IntegerType), b.right))
+      case b: BinaryComparison
+          if b.left.resolved && b.right.resolved &&
+            b.right.dataType == BooleanType &&
+            b.left.dataType.isInstanceOf[NumericType] =>
+        b.withNewChildren(Seq(b.left, Cast(b.right, IntegerType)))
+    }
 }

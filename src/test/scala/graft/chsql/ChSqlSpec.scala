@@ -99,6 +99,29 @@ class ChSqlSpec extends SparkSpec {
     assert(s.sql("SELECT _part FROM vt").columns.toSeq == Seq("_part"))
   }
 
+  test("merge('system', regex) unions synthesized system tables; " +
+    "trace_log carries hw14's monitoring columns; predicate UDFs " +
+    "compose numerically") {
+    val s = ch
+    // lecture_20.md's metric-history aggregate resolves and runs
+    // (honestly empty — no background collector thread here)
+    val ml = s.sql("SELECT count() AS n FROM merge(system, '^metric_log')")
+    assert(ml.collect().head.getLong(0) == 0L)
+    // hw14.md's MemoryPeak shape: event_date + max(size) resolve
+    assert(s.sql("select max(size) AS m from system.trace_log " +
+      "where trace_type = 'MemoryPeak' and event_date >= toDate(now())")
+      .collect().length == 1)
+    // hw04.md:98-102 — a predicate-bodied CREATE FUNCTION composes
+    // numerically (`cls(...) > 0`), as ClickHouse's UInt8 comparisons
+    // do (BoolNumericCoercion), and still filters as a bare boolean
+    s.execute("CREATE FUNCTION cls AS (q, p) -> q * p > 0.01")
+    val r = s.sql("SELECT cls(1, 2) AS hit, cls(0, 0) AS miss " +
+      "FROM numbers(1) WHERE cls(1, 2) > 0").collect().head
+    assert(r.getBoolean(0) && !r.getBoolean(1))
+    assert(s.sql("SELECT count() AS n FROM numbers(5) WHERE cls(1, 2)")
+      .collect().head.getLong(0) == 5L)
+  }
+
   test("RESTORE rebuilds the table without re-firing its MVs") {
     val s = ch
     s.execute(
