@@ -69,6 +69,14 @@ class ChHttpSpec extends SparkSpec {
   test("param_x binds {x:Type} placeholders (lecture_03.md:265-307)") {
     val r = get("/?param_n=41&query=" + enc("SELECT {n:UInt8} + 1 AS v"))
     assert(r.body() == "42\n")
+    // request-scoped, as in ClickHouse: the next request has no param_n
+    val leak = get("/?query=" + enc("SELECT {n:UInt8} + 1 AS v"))
+    assert(leak.statusCode() == 500)
+    assert(leak.body().contains("no bound value"))
+    // a value with quotes binds verbatim
+    val q = get("/?param_s=" + enc("O'Hara") + "&query=" +
+      enc("SELECT {s:String} AS v"))
+    assert(q.body() == "O'Hara\n")
   }
 
   test("default_format parameter and X-ClickHouse-Format header") {
