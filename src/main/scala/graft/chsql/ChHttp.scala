@@ -161,8 +161,9 @@ final class ChHttpServer(spark: SparkSession, bindPort: Int = 0)
     }
 
     private def sendError(ex: HttpExchange, t: Throwable): Unit = {
-      val msg = s"Code: 62. ${Option(t.getMessage).getOrElse(t.toString)}\n"
-      ex.getResponseHeaders.set("X-ClickHouse-Exception-Code", "62")
+      val code = ChHttpServer.exceptionCode(t)
+      val msg = s"Code: $code. ${Option(t.getMessage).getOrElse(t.toString)}\n"
+      ex.getResponseHeaders.set("X-ClickHouse-Exception-Code", code.toString)
       try send(ex, 500, msg.getBytes(UTF_8), "text/plain; charset=UTF-8")
       catch { case _: Throwable => () }
     }
@@ -216,6 +217,38 @@ final class ChHttpServer(spark: SparkSession, bindPort: Int = 0)
 }
 
 object ChHttpServer {
+
+  /** The ClickHouse error code a failure maps to, matched on the
+    * message our dialect layer raises (clients branch on
+    * X-ClickHouse-Exception-Code — 60 UNKNOWN_TABLE, 36 BAD_ARGUMENTS,
+    * 456 UNKNOWN_QUERY_PARAMETER, 62 SYNTAX_ERROR, 81 UNKNOWN_DATABASE,
+    * 46 UNKNOWN_FUNCTION, 47 UNKNOWN_IDENTIFIER; 1000 otherwise).
+    */
+  def exceptionCode(t: Throwable): Int = {
+    val m = Option(t.getMessage).getOrElse("").toLowerCase
+    if (m.contains("no such table") || m.contains("no table") ||
+      m.contains("table_or_view_not_found") ||
+      m.contains("table or view not found") ||
+      (m.contains("table or view") && m.contains("cannot be found")) ||
+      m.contains("unknown table")) 60
+    else if (m.contains("database") &&
+      (m.contains("not found") || m.contains("no database") ||
+        m.contains("unknown"))) 81
+    else if (m.contains("has no bound value") ||
+      m.contains("query parameter")) 456
+    else if (m.contains("unknown function") ||
+      m.contains("undefined function") ||
+      m.contains("unresolved routine")) 46
+    else if (m.contains("cannot resolve") ||
+      m.contains("unresolved column") ||
+      m.contains("unknown identifier")) 47
+    else if (m.contains("parseexception") || m.contains("syntax error") ||
+      t.isInstanceOf[org.apache.spark.sql.catalyst.parser.ParseException])
+      62
+    else if (t.isInstanceOf[IllegalArgumentException]) 36
+    else 1000
+  }
+
   /** The hand-rolled /play shell: the reference notes the server ships a
     * hardcoded HTML page whose JS posts queries back to `/`
     * (lecture_22.md:5). This one does exactly that, nothing more.
@@ -251,9 +284,11 @@ object ChResultFormats {
   def declaredFormat(script: String): Option[String] = {
     val heads = Set("SELECT", "WITH", "SHOW", "DESCRIBE", "DESC",
       "EXPLAIN", "EXISTS")
-    ChLexer.statements(script).lastOption
-      .filter(st => heads.exists(h =>
-        st.trim.toUpperCase.startsWith(h)))
+    // the body serialized is the LAST RESULT-PRODUCING statement, which
+    // need not be the last statement of the script ("SELECT … FORMAT
+    // JSON; CREATE TABLE …") — scan the last SELECT-like one
+    ChLexer.statements(script).reverse
+      .find(st => heads.exists(h => st.trim.toUpperCase.startsWith(h)))
       .flatMap { st =>
         val toks = ChLexer.tokenize(st)
         var depth = 0
@@ -264,7 +299,11 @@ object ChResultFormats {
             if (t.text == "(" || t.text == "[") depth += 1
             else if (t.text == ")" || t.text == "]") depth -= 1
             else if (depth == 0 && t.is("FORMAT") &&
-              i == toks.length - 2 && toks(i + 1).isIdent)
+              i + 1 < toks.length && toks(i + 1).isIdent &&
+              // FORMAT X must be the tail — only a SETTINGS clause may
+              // follow it ("FORMAT JSON SETTINGS k=v")
+              (i == toks.length - 2 ||
+                (i + 2 < toks.length && toks(i + 2).is("SETTINGS"))))
               found = Some(toks(i + 1).text)
           }
         }

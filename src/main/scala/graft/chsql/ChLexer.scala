@@ -62,7 +62,7 @@ object ChLexer {
       val c = stmt.charAt(i)
       if (inStr) { if (c == '\'') inStr = false }
       else if (inTick) { if (c == '`') inTick = false }
-      else if (inDq) { if (c == '"') inDq = false }
+      else if (inDq) { if (c == '"' || c == '\n') inDq = false }
       else c match {
         case '\'' => inStr = true
         case '`' => inTick = true
@@ -141,6 +141,11 @@ object ChLexer {
             out += (if (strCloser == '"' || strCloser == '”') '"' else '\'')
             strCloser = 0; i += 1
           }
+        } else if (c == '\n' && (strCloser == '"' || strCloser == '”')) {
+          // identifiers / JSON strings never span raw newlines — bail so
+          // an unbalanced '"' can't disable comment stripping for the
+          // rest of the script (single-quoted literals MAY be multiline)
+          strCloser = 0; out += c; i += 1
         } else { out += c; i += 1 }
       } else if (inTick) {
         out += c
@@ -153,8 +158,11 @@ object ChLexer {
       // slide decks open literals with ‘ or even a bare ’ — both close on ’
       else if (c == '‘' || c == '’') { strCloser = '’'; out += '\''; i += 1 }
       // smart double quotes open a protected region like plain ones —
-      // “a -- b” must not lose its body to the comment stripper
-      else if (c == '“' || c == '”') { strCloser = '”'; out += '"'; i += 1 }
+      // “a -- b” must not lose its body to the comment stripper. Only
+      // '“' OPENS the region: a bare '”' in pasted prose is just
+      // normalized to '"', not allowed to swallow the rest of the line
+      else if (c == '“') { strCloser = '”'; out += '"'; i += 1 }
+      else if (c == '”') { out += '"'; i += 1 }
       else if (c == '`') { inTick = true; out += c; i += 1 }
       else if (c == '-' && i + 1 < s.length && s.charAt(i + 1) == '-') {
         while (i < s.length && s.charAt(i) != '\n') i += 1

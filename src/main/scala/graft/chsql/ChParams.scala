@@ -75,17 +75,75 @@ object ChParams {
     }
   }
 
+  private val identRe =
+    "[A-Za-z_][A-Za-z0-9_]*(\\.[A-Za-z_][A-Za-z0-9_]*)*".r
+
+  /** Parse-validates the TEXT FORM of an Array/Map/Tuple bound value
+    * before it splices into the statement: balanced brackets, intact
+    * single-quoted strings, and outside strings only literal syntax —
+    * numbers, commas, colons, brackets, whitespace, NULL/true/false.
+    * These values are reachable from the HTTP `param_x=` surface, so a
+    * smuggled `); DROP TABLE t` must be rejected here, exactly as
+    * ClickHouse validates parameter text forms.
+    */
+  private def validCollectionText(v: String): Boolean = {
+    var i = 0; var inStr = false; var depth = 0
+    val word = new StringBuilder
+    def flushWord(): Boolean = {
+      if (word.isEmpty) return true
+      val w = word.result(); word.clear()
+      w.toLowerCase match {
+        case "null" | "true" | "false" | "nan" | "inf" => true
+        case _ => w.matches("[+-]?[0-9][0-9_]*(\\.[0-9]*)?([eE][+-]?[0-9]+)?")
+      }
+    }
+    while (i < v.length) {
+      val c = v.charAt(i)
+      if (inStr) {
+        if (c == '\\' && i + 1 < v.length) i += 1
+        else if (c == '\'') {
+          if (i + 1 < v.length && v.charAt(i + 1) == '\'') i += 1
+          else inStr = false
+        }
+      } else c match {
+        case '\'' => if (!flushWord()) return false; inStr = true
+        case '[' | '(' | '{' => if (!flushWord()) return false; depth += 1
+        case ']' | ')' | '}' =>
+          if (!flushWord()) return false
+          depth -= 1; if (depth < 0) return false
+        case ',' | ':' => if (!flushWord()) return false
+        case w if w.isWhitespace => if (!flushWord()) return false
+        case d if d.isLetterOrDigit || d == '.' || d == '-' || d == '+' ||
+          d == '_' => word += d
+        case _ => return false
+      }
+      i += 1
+    }
+    !inStr && depth == 0 && flushWord()
+  }
+
   /** A bound value as a SQL literal of the placeholder's declared type.
-    * `Identifier` splices verbatim (it names a table/column); arrays,
-    * maps and tuples splice verbatim too (their text forms are already
-    * dialect expressions the rewriter lowers); scalars go through an
-    * explicit CAST so `{id:UInt8}` compares as a number, not a string.
+    * `Identifier` splices a validated name (it designates a table or
+    * column — anything that is not an identifier is rejected, as
+    * ClickHouse does); arrays, maps and tuples splice their text forms
+    * after parse-validation; scalars go through an explicit CAST so
+    * `{id:UInt8}` compares as a number, not a string.
     */
   private def renderLiteral(v: String, chType: String): String = {
     val lower = chType.toLowerCase
-    if (lower == "identifier") return v
+    if (lower == "identifier") {
+      if (!identRe.pattern.matcher(v).matches())
+        throw new IllegalArgumentException(
+          s"Identifier parameter value '$v' is not a valid identifier")
+      return v
+    }
     if (lower.startsWith("array(") || lower.startsWith("map(") ||
-      lower.startsWith("tuple(")) return v
+      lower.startsWith("tuple(")) {
+      if (!validCollectionText(v))
+        throw new IllegalArgumentException(
+          s"parameter value '$v' is not a valid $chType literal")
+      return v
+    }
     val parsed = ChTypes.parse(chType)
     // `v` is the RAW value (CLI/HTTP pass it unquoted; SET unescapes
     // before storing) — escaping belongs to this quoting step alone, so

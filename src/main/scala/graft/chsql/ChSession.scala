@@ -1522,9 +1522,19 @@ final class ChSession(val spark: SparkSession,
             df.withColumn("_table", lit(n))))
       if (matching.isEmpty && systemMatches.isEmpty)
         fail(s"merge($mdb, '$regex'): no matching tables")
-      val df = (matching.map(t =>
-          tableDf(t).withColumn("_table", lit(t.name))) ++ systemMatches)
-        .reduce(_ unionByName _)
+      // ClickHouse's Merge engine takes the FIRST table's structure; a
+      // broad regex over system ('log') matches tables with different
+      // schemas, so project every match onto the head's column set
+      // (missing columns → typed NULL) before the union
+      val all = matching.map(t =>
+        tableDf(t).withColumn("_table", lit(t.name))) ++ systemMatches
+      val headFields = all.head.schema.fields
+      val df = all.map { d =>
+        val have = d.columns.toSet
+        d.select(headFields.toSeq.map(f =>
+          if (have.contains(f.name)) col(f.name)
+          else lit(null).cast(f.dataType).as(f.name)): _*)
+      }.reduce(_ unionByName _)
       tfCounter += 1
       val v = s"chs_tf_$tfCounter"
       df.createOrReplaceTempView(v)

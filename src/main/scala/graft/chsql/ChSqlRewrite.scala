@@ -310,22 +310,29 @@ object ChSqlRewrite {
   // ---- trailing FORMAT X / INTO OUTFILE '...' / \G / SETTINGS k=v ----
   private def stripTail(toks: Vector[Token]): Vector[Token] = {
     var t = toks
-    if (t.nonEmpty && t.last.text == "\\G") t = t.dropRight(1)
-    // top-level FORMAT <ident> at the very end
-    depthIndexOfLast(t, "FORMAT") match {
-      case i if i >= 0 && i == t.length - 2 => t = t.take(i)
-      case _ =>
-    }
-    // top-level INTO OUTFILE '...' [FORMAT x]
-    depthIndexOfLast(t, "INTO") match {
-      case i if i >= 0 && i + 1 < t.length && t(i + 1).is("OUTFILE") =>
-        t = t.take(i)
-      case _ =>
-    }
-    // top-level trailing SETTINGS k = v, ...
-    depthIndexOfLast(t, "SETTINGS") match {
-      case i if i >= 0 && settingsToEnd(t, i) => t = t.take(i)
-      case _ =>
+    // the tails compose in either order ("FORMAT JSON SETTINGS k=v" and
+    // "SETTINGS k=v FORMAT JSON" are both legal) — iterate to fixpoint
+    var changed = true
+    while (changed) {
+      changed = false
+      if (t.nonEmpty && t.last.text == "\\G") { t = t.dropRight(1); changed = true }
+      // top-level FORMAT <ident> at the very end
+      depthIndexOfLast(t, "FORMAT") match {
+        case i if i >= 0 && i == t.length - 2 && t.last.isIdent =>
+          t = t.take(i); changed = true
+        case _ =>
+      }
+      // top-level INTO OUTFILE '...' [FORMAT x]
+      depthIndexOfLast(t, "INTO") match {
+        case i if i >= 0 && i + 1 < t.length && t(i + 1).is("OUTFILE") =>
+          t = t.take(i); changed = true
+        case _ =>
+      }
+      // top-level trailing SETTINGS k = v, ...
+      depthIndexOfLast(t, "SETTINGS") match {
+        case i if i >= 0 && settingsToEnd(t, i) => t = t.take(i); changed = true
+        case _ =>
+      }
     }
     t
   }

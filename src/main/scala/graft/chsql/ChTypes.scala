@@ -109,8 +109,20 @@ object ChTypes {
         else if (c == '\'') { cur += s.charAt(i + 1); i += 1 }
       } else if (inDq) {
         cur += c
-        if (c == '\\' && i + 1 < s.length) { cur += s.charAt(i + 1); i += 1 }
-        else if (c == '"') inDq = false
+        // backslash escapes are a JSON convention — honor them only when
+        // splitting statements (';'), where inline JSONEachRow payloads
+        // live; in type/identifier context (',') ClickHouse escapes a
+        // '"' by doubling it
+        if (sep == ';' && c == '\\' && i + 1 < s.length) {
+          cur += s.charAt(i + 1); i += 1
+        } else if (c == '"') {
+          if (sep != ';' && i + 1 < s.length && s.charAt(i + 1) == '"') {
+            cur += '"'; i += 1
+          } else inDq = false
+        }
+        // neither JSON strings nor identifiers span raw newlines — bail
+        // so an unbalanced '"' can't swallow the rest of the script
+        else if (c == '\n') inDq = false
       } else c match {
         case '\'' => inStr = true; cur += c
         case '"' => inDq = true; cur += c

@@ -193,6 +193,59 @@ class ChHttpSpec extends SparkSpec {
     assert(jl.trim == """{"v":3}""")
   }
 
+  test("param_x splice validation: a malicious Identifier / Array value " +
+    "is rejected with an error, not spliced into the statement") {
+    server.session.execute(
+      "CREATE TABLE http_inj (id UInt8) ENGINE = Memory; " +
+        "INSERT INTO http_inj VALUES (1), (2)")
+    // a valid identifier binds fine
+    val ok = get("/?query=" + enc("SELECT max({c:Identifier}) AS m FROM http_inj") +
+      "&param_c=id")
+    assert(ok.statusCode() == 200 && ok.body() == "2\n")
+    // an injection payload in an Identifier slot is rejected 500/36
+    val bad = get("/?query=" + enc("SELECT max({c:Identifier}) AS m FROM http_inj") +
+      "&param_c=" + enc("id); DROP TABLE http_inj; --"))
+    assert(bad.statusCode() == 500)
+    assert(bad.headers().firstValue("X-ClickHouse-Exception-Code").get == "36")
+    // ... and nothing was dropped
+    assert(get("/?query=" + enc("SELECT count() FROM http_inj")).body() == "2\n")
+    // Array text forms: literals pass, smuggled statements do not
+    val arrOk = get("/?query=" + enc("SELECT {a:Array(UInt8)} AS v") +
+      "&param_a=" + enc("[1, 2, 3]"))
+    assert(arrOk.statusCode() == 200)
+    val arrBad = get("/?query=" + enc("SELECT {a:Array(UInt8)} AS v") +
+      "&param_a=" + enc("[1]); DROP TABLE http_inj; --"))
+    assert(arrBad.statusCode() == 500)
+    assert(get("/?query=" + enc("SELECT count() FROM http_inj")).body() == "2\n")
+  }
+
+  test("X-ClickHouse-Exception-Code maps the failure kind (60 unknown " +
+    "table, 456 unbound parameter), not a blanket 62") {
+    val noTable = get("/?query=" + enc("SELECT * FROM http_no_such_t"))
+    assert(noTable.statusCode() == 500)
+    assert(noTable.headers().firstValue("X-ClickHouse-Exception-Code")
+      .get == "60")
+    val unbound = get("/?query=" + enc("SELECT {nope:UInt8}"))
+    assert(unbound.statusCode() == 500)
+    assert(unbound.headers().firstValue("X-ClickHouse-Exception-Code")
+      .get == "456")
+  }
+
+  test("declaredFormat follows the serialized statement: FORMAT on a " +
+    "non-final SELECT and a FORMAT ... SETTINGS tail are both honored") {
+    // the LAST statement is DDL; the body serialized is the SELECT — its
+    // FORMAT JSON must drive the response serialization
+    val r = post("/",
+      "SELECT 7 AS v FORMAT JSON; CREATE TABLE http_fmt_t (a UInt8) ENGINE = Memory")
+    assert(r.statusCode() == 200)
+    assert(r.body().contains("\"data\""))
+    assert(r.headers().firstValue("X-ClickHouse-Format").get == "JSON")
+    // FORMAT X SETTINGS k=v: FORMAT is penultimate-clause, still detected
+    val s2 = post("/", "SELECT 8 AS v FORMAT JSONEachRow SETTINGS max_threads=1")
+    assert(s2.statusCode() == 200)
+    assert(s2.body().trim == """{"v":8}""")
+  }
+
   test("multi-statement script serializes the last result; DDL-only " +
     "scripts return an empty 200") {
     val r = post("/",

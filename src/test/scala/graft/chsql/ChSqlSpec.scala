@@ -50,6 +50,33 @@ class ChSqlSpec extends SparkSpec {
       "INSERT INTO t FORMAT JSONEachRow\n{\"msg\": \"a;b\"}", "SELECT 1"))
   }
 
+  test("lexer: an unbalanced '\"' cannot swallow the rest of the script") {
+    // a stray double quote in one statement (pasted prose / broken CSV
+    // payload) must not merge every following statement into it — the
+    // quote region bails at the newline
+    val stmts = ChLexer.statements(
+      "SELECT 'a' AS x -- note: \"unclosed\nSELECT 2;\nSELECT 3;")
+    assert(stmts.length >= 2 && stmts.last == "SELECT 3")
+    val dq = ChLexer.statements("SELECT \"col AS x\n;SELECT 2;")
+    assert(dq.exists(_.startsWith("SELECT 2")))
+  }
+
+  test("lexer: a bare closing smart quote normalizes without opening a " +
+    "string region") {
+    // pasted prose: '”' with no opener must not swallow '--' or ';'
+    val stmts = ChLexer.statements(
+      "SELECT 1 AS a; -- as they say ”quoted\nSELECT 2;")
+    assert(stmts == Seq("SELECT 1 AS a", "SELECT 2"))
+    // a balanced “…” pair still protects its body from the comment pass
+    assert(ChLexer.statements("SELECT “a -- b” AS x;") ==
+      Seq("SELECT \"a -- b\" AS x"))
+  }
+
+  test("lexer: ClickHouse doubled-\" identifier escape in type context") {
+    val parts = ChTypes.splitTopLevel("\"a\"\"b\", c", ',')
+    assert(parts == Seq("\"a\"\"b\"", "c"))
+  }
+
   test("lexer: privilege lists and FROM-position identifiers are not " +
     "butted-statement cuts") {
     // GRANT ALTER names a PRIVILEGE, not a new statement
@@ -836,6 +863,26 @@ class ChSqlSpec extends SparkSpec {
         "GROUP BY _table ORDER BY _table")
       .collect().map(r => (r.getString(0), r.getLong(1)))
     assert(out.toSeq == Seq(("log_a", 1L), ("log_b", 5L)))
+  }
+
+  test("merge over heterogeneous schemas takes the FIRST table's " +
+    "structure (ClickHouse Merge semantics); merge(system, 'log') runs") {
+    val s = ch
+    s.execute(
+      """CREATE TABLE het_a (v UInt32, only_a String) ENGINE = Memory;
+        |CREATE TABLE het_b (v UInt32, only_b UInt32) ENGINE = Memory;
+        |INSERT INTO het_a VALUES (1, 'x');
+        |INSERT INTO het_b VALUES (2, 7);""".stripMargin)
+    val df = s.sql("SELECT * FROM merge(default, '^het_') ORDER BY v")
+    // first match's columns (+ _table); het_b's only_a is NULL
+    assert(df.columns.toSeq == Seq("v", "only_a", "_table"))
+    val rows = df.collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(1L, 2L))
+    assert(rows(1).isNullAt(1))
+    // the broad regex over system tables (query_log/part_log/trace_log
+    // have different schemas) no longer throws AnalysisException
+    assert(s.sql("SELECT count() AS n FROM merge(system, 'log')")
+      .collect().length == 1)
   }
 
   test("SHOW CREATE TABLE round-trips through the DDL parser") {
