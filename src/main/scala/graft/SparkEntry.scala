@@ -36,26 +36,38 @@ object SparkEntry {
     *    its LSH recall on this corpus is provably 1.0; these cannot.)
     *  - d10_ann_ivf / d12_ann_ivfpq: same — probe/ADC rankings depend on
     *    the engine-internal k-means cells and PQ codebooks; recall and
-    *    partition-pruning are spec- and plan-asserted instead.
+    *    partition-pruning are spec- and plan-asserted instead. d10's
+    *    ENTIRE probe path (cell assignment → nProbe pruning → exact
+    *    within-cell top-k) IS hash-oracled under fixed centers as
+    *    d10b_ann_ivf_fixed; only the k-means fit itself remains internal.
     *  - t27_bpe_tokenize: a learned BPE merge table is an iterative
     *    frequency-driven fit with no SQL spelling; determinism, the
     *    decode identity, and known-corpus merge behavior are
-    *    spec-asserted instead (BpeTokenizerSpec).
+    *    spec-asserted instead (BpeTokenizerSpec). The greedy ENCODE loop
+    *    IS hash-oracled under a fixed merge table as
+    *    t27b_bpe_fixed_merges (recursive-CTE encode, the q89 treatment).
     *  - t28_quality_classifier: an iterative logistic-regression fit has
     *    no SQL spelling; ranking quality (AUC on planted junk),
     *    determinism, and feature parity are spec-asserted
-    *    (QualityClassifierSpec).
+    *    (QualityClassifierSpec). The scoring transform IS hash-oracled
+    *    under fixed weights as t28b_fixed_weight_score.
     *  - t29_embedding_clusters: k-means centroids are engine-internal;
     *    planted-cluster purity and partition-invariant determinism are
-    *    spec-asserted (SimilaritySpec).
+    *    spec-asserted (SimilaritySpec). The assignment transform IS
+    *    hash-oracled under fixed centroids as t29b_fixed_centroid_assign.
     *  - t32_sem_dedup: the cluster-then-prune keep set depends on the
     *    engine-internal k-means partition; the prune contract (planted
     *    twins dropped, no surviving within-cluster pair at threshold,
-    *    partition invariance) is spec-asserted (DedupSpec).
+    *    partition invariance) is spec-asserted (DedupSpec). The prune
+    *    transform IS hash-oracled under a fixed assignment as
+    *    t32b_sem_dedup_fixed.
     *  (q89_lttb and d13_incremental_near_dedup left this list in round 6:
     *  LTTB's greedy selection is deterministic and oracles as a recursive
     *  CTE; d13's collision relation coincides with exact jaccard on this
-    *  corpus — see their registry entries.)
+    *  corpus — see their registry entries. Round 7 added the fit/apply
+    *  split: every learned operator's APPLY half is now hash-green under
+    *  a fixed artifact; only the fits, HLL sketches, and approximate
+    *  rankings above remain rows-only.)
     */
   def oracleSql: Map[String, String] =
     graft.queries.Registry.all.flatMap(q => q.oracle.map(q.name -> _)).toMap

@@ -160,7 +160,19 @@ object SimilaritySearch {
         corpus.select(col(idCol), col(vecCol)), lit(1), col(idCol),
         n = maxTrain, salt = "emc")
       .orderBy(col(idCol)).select(col(vecCol)))
-    val centers = lloyd(train, k)
+    assignToCentroids(corpus, vecCol, lloyd(train, k))
+  }
+
+  /** The APPLY half of [[embeddingClusters]], public so the assignment
+    * is testable (and oracle-able) under FIXED centroids apart from the
+    * k-means fit: each row gets `cluster` = the 1-based index of its
+    * best-cosine centroid (ties break on the lower index — the stable
+    * sort order) and `cos_to_center`. Map-only, centroid literals by
+    * closure, no shuffle.
+    */
+  def assignToCentroids(corpus: DataFrame, vecCol: String,
+                        centers: Array[Array[Float]]): DataFrame = {
+    NativeFunctions.register(corpus.sparkSession)
     corpus
       .withColumn("__cs", cosToCenters(centers)(col(vecCol)))
       .withColumn("__best", expr(s"element_at($rankedCells, 1)"))
@@ -228,6 +240,20 @@ object SimilaritySearch {
               maxTrain: Int = 100000): DataFrame = {
     NativeFunctions.register(corpus.sparkSession)
     val centers = fitCenters(corpus, vecCol, nLists, trainFraction, maxTrain)
+    ivfTopKWithCenters(corpus, idCol, vecCol, queries, qIdCol, qVecCol,
+      k, centers, nProbe)
+  }
+
+  /** The PROBE half of [[ivfTopK]] under caller-supplied (FIXED) cell
+    * centers — the oracle-able apply step: assign every corpus vector to
+    * its best-cosine cell, probe each query's `nProbe` nearest cells,
+    * exact top-k within the probed cells only.
+    */
+  def ivfTopKWithCenters(corpus: DataFrame, idCol: String, vecCol: String,
+                         queries: DataFrame, qIdCol: String, qVecCol: String,
+                         k: Int, centers: Array[Array[Float]],
+                         nProbe: Int): DataFrame = {
+    NativeFunctions.register(corpus.sparkSession)
     val bucketed = assignCells(corpus, vecCol, centers)
     val probes = probeCells(queries, qVecCol, centers, nProbe)
     ivfScoreAndRank(bucketed, idCol, vecCol, probes, qIdCol, qVecCol, k)

@@ -25,6 +25,37 @@ object PipelineQueries {
   private val normSql = normSqlOf("text")
   private def toksSql(norm: String) = s"string_split($norm, ' ')"
 
+  /** FIXED centroids for the fit/apply-split queries (t29b/t32b/d10b):
+    * the embedding vectors of vec_id < n, id-ordered — a pure function
+    * of the data, so both engines name the same centers. Bounded
+    * driver-side collect (n rows).
+    */
+  private def fixedCenters(s: org.apache.spark.sql.SparkSession,
+                           dir: String, n: Int): Array[Array[Float]] =
+    Tables(s, dir).embeddings.filter(col("vec_id") < n)
+      .orderBy(col("vec_id")).select(col("embedding")).collect()
+      .map(_.getAs[scala.collection.Seq[Float]](0).toArray)
+
+  /** FIXED, creation-order-valid BPE merge table for t27b: every pair
+    * over a merged token ranks later than the merge that created it
+    * ((th,e) after (t,h); (in,g) after (i,n); (an,d) after (a,n)), which
+    * makes one-at-a-time-leftmost encoding equal encodeWord's
+    * batch-merge loop.
+    */
+  private val fixedBpeMerges: Seq[(String, String)] = Seq(
+    "t" -> "h", "th" -> "e", "i" -> "n", "a" -> "n", "an" -> "d",
+    "e" -> "r", "r" -> "e", "o" -> "n", "in" -> "g", "s" -> "t")
+
+  /** DuckDB: the (rank, position) candidates of `toks` against the fixed
+    * merge table, sorted so `[1]` is the leftmost lowest-rank pair.
+    */
+  private val bpeCandSql: String = {
+    val keys = fixedBpeMerges.map { case (a, b) => s"'$a|$b'" }.mkString(",")
+    val vals = fixedBpeMerges.indices.mkString(",")
+    s"list_sort(list_filter([ {'r': map([$keys],[$vals])[toks[i]||'|'||toks[i+1]][1], 'i': i} " +
+      s"for i in generate_series(1, len(toks)-1) ], x -> x.r IS NOT NULL))"
+  }
+
   /** d03's banded jaccard pairs, reused by the clustering query d09.
     * Blocking key is (source, 20-char length band), not source alone:
     * |Δn_chars| <= 20 implies the bands differ by at most 1, so the a
@@ -1522,6 +1553,188 @@ object PipelineQueries {
           col("bits"), col("n_frames"), col("duration_ms"), col("peak"),
           col("rms"), col("zero_crossings"))
         .orderBy(col("doc_id"))
+    },
+
+    // =====================================================================
+    // fit/apply splits: the APPLY half of each learned operator under a
+    // FIXED artifact (weights / centroids / merge table), hash-oracled in
+    // DuckDB — the d05b/q89 treatment applied to the remaining rows-only
+    // family. The FIT halves stay rows-only by design (t27/t28/t29/t32/
+    // d10 above); these siblings prove the transform arithmetic exactly.
+    // =====================================================================
+
+    // ---- t28's scorer under FIXED weights: the hashing-trick features
+    // are the md5-portable t26 kernel, the weight vector is closed-form
+    // (w_i = ((i*37) mod 19 - 9)/10), so the whole sigmoid(w·tf/|tf| + b)
+    // spells exactly in DuckDB. round(.,4) absorbs summation-order ULP
+    // (the t30 BM25 argument).
+    Q("t28b_fixed_weight_score",
+      s"""WITH t AS (SELECT doc_id, ${toksSql(normSql)} AS toks FROM documents),
+         |u AS (SELECT doc_id, unnest(toks) AS tok FROM t WHERE len(toks) > 0),
+         |b AS (SELECT doc_id,
+         |        CAST(concat('0x', substr(md5(tok), 1, 8)) AS BIGINT) % 32 AS bkt
+         |      FROM u),
+         |c AS (SELECT doc_id, bkt, CAST(count(*) AS DOUBLE) AS cnt FROM b GROUP BY 1, 2),
+         |tot AS (SELECT doc_id, sum(cnt) AS total FROM c GROUP BY 1),
+         |z AS (SELECT c.doc_id,
+         |        sum(((c.bkt * 37) % 19 - 9) / 10.0 * c.cnt / greatest(tot.total, 1)) AS zz
+         |      FROM c JOIN tot USING (doc_id) GROUP BY 1)
+         |SELECT t.doc_id,
+         |  round(1.0 / (1.0 + exp(-(COALESCE(z.zz, 0) - 0.5))), 4) AS score4
+         |FROM t LEFT JOIN z USING (doc_id) ORDER BY doc_id""") { (s, dir) =>
+      val model = QualityClassifier.Model(
+        Array.tabulate(32)(i => ((i * 37) % 19 - 9) / 10.0), bias = -0.5,
+        dim = 32)
+      Tables(s, dir).documents
+        .select(col("doc_id"),
+          round(QualityClassifier.scoreColumn(col("text"), model), 4)
+            .as("score4"))
+        .orderBy(col("doc_id"))
+    },
+
+    // ---- t29's assignment under FIXED centroids (the vectors of
+    // vec_id < 4): best-cosine argmax with the stable lower-index
+    // tie-break. Cosine parity with list_cosine_similarity over
+    // DOUBLE[] is bit-exact (both accumulate the float components in
+    // double, same order); min assignment margin on this corpus is
+    // 9.7e-5, so the argmax cannot flip.
+    Q("t29b_fixed_centroid_assign",
+      """WITH c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+        |           FROM embeddings WHERE vec_id < 4),
+        |p AS (SELECT e.vec_id, c.cid,
+        |        list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.cv) AS cos,
+        |        row_number() OVER (PARTITION BY e.vec_id
+        |          ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.cv) DESC,
+        |                   c.cid ASC) AS rn
+        |      FROM embeddings e CROSS JOIN c)
+        |SELECT vec_id, cid + 1 AS cluster, round(cos, 4) AS cos4
+        |FROM p WHERE rn = 1 ORDER BY vec_id""") { (s, dir) =>
+      SimilaritySearch.assignToCentroids(
+          Tables(s, dir).embeddings, "embedding", fixedCenters(s, dir, 4))
+        .select(col("vec_id"), col("cluster").cast(LongType).as("cluster"),
+          round(col("cos_to_center"), 4).as("cos4"))
+        .orderBy(col("vec_id"))
+    },
+
+    // ---- t32's SemDeDup prune under the SAME fixed assignment: drop
+    // the higher id of every within-cluster pair with cosine >= 0.45
+    // (dropNearDups' contract — pairwise, not survivor-recursive, so the
+    // kept set is a plain NOT EXISTS). The nearest pair cosine sits
+    // 5.5e-4 from the threshold on this corpus — far beyond ULP.
+    Q("t32b_sem_dedup_fixed",
+      """WITH c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+        |           FROM embeddings WHERE vec_id < 4),
+        |asg AS (SELECT vec_id, cid FROM (
+        |    SELECT e.vec_id, c.cid,
+        |      row_number() OVER (PARTITION BY e.vec_id
+        |        ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.cv) DESC,
+        |                 c.cid ASC) AS rn
+        |    FROM embeddings e CROSS JOIN c) WHERE rn = 1)
+        |SELECT v.vec_id, v.cid + 1 AS cluster
+        |FROM asg v
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM asg u
+        |  JOIN embeddings eu ON eu.vec_id = u.vec_id
+        |  JOIN embeddings ev ON ev.vec_id = v.vec_id
+        |  WHERE u.cid = v.cid AND u.vec_id < v.vec_id
+        |    AND list_cosine_similarity(CAST(eu.embedding AS DOUBLE[]),
+        |                               CAST(ev.embedding AS DOUBLE[])) >= 0.45)
+        |ORDER BY v.vec_id""") { (s, dir) =>
+      val assigned = SimilaritySearch.assignToCentroids(
+          Tables(s, dir).embeddings, "embedding", fixedCenters(s, dir, 4))
+        .select(col("vec_id"), col("embedding"),
+          col("cluster").cast(LongType).as("cluster"))
+      val pairs = Dedup.embeddingNearDupPairs(assigned, "vec_id",
+        "embedding", col("cluster"), minCosine = 0.45)
+      Dedup.dropNearDups(assigned, "vec_id", pairs)
+        .select(col("vec_id"), col("cluster"))
+        .orderBy(col("vec_id"))
+    },
+
+    // ---- t27's greedy BPE ENCODE under a FIXED merge table (the q89
+    // recursive-CTE treatment): each distinct word encodes via a
+    // recursive CTE that merges the leftmost occurrence of the
+    // lowest-rank pair per step. One-at-a-time-leftmost equals
+    // encodeWord's merge-ALL-occurrences batch because the table is
+    // creation-order valid (a pair over a merged token always ranks
+    // later than the merge that created the token), so no new pair can
+    // preempt the current minimum — cross-checked exhaustively against
+    // the corpus.
+    Q("t27b_bpe_fixed_merges",
+      s"""WITH RECURSIVE
+         |docs AS (SELECT doc_id, $normSql AS norm FROM documents),
+         |words AS (SELECT doc_id, unnest(string_split(norm, ' ')) AS w
+         |          FROM docs WHERE norm <> ''),
+         |dw AS (SELECT DISTINCT w FROM words),
+         |enc AS (
+         |  SELECT w, string_split(w, '') AS toks FROM dw
+         |  UNION ALL
+         |  SELECT w, list_concat(list_concat(
+         |      toks[:bp.i-1], [toks[bp.i] || toks[bp.i+1]]), toks[bp.i+2:]) AS toks
+         |  FROM (SELECT w, toks, $bpeCandSql[1] AS bp FROM enc)
+         |  WHERE bp IS NOT NULL
+         |),
+         |fin AS (SELECT w, len(toks) AS nb FROM enc WHERE len($bpeCandSql) = 0),
+         |per_doc AS (SELECT words.doc_id, CAST(sum(fin.nb) AS BIGINT) AS n_bpe
+         |            FROM words JOIN fin USING (w) GROUP BY 1)
+         |SELECT d.doc_id,
+         |  CASE WHEN d.norm = '' THEN 0
+         |       ELSE len(string_split(d.norm, ' ')) END AS n_words,
+         |  COALESCE(p.n_bpe, 0) AS n_bpe_tokens,
+         |  round(COALESCE(p.n_bpe, 0) / greatest(
+         |    CASE WHEN d.norm = '' THEN 0
+         |         ELSE len(string_split(d.norm, ' ')) END, 1), 4) AS compression
+         |FROM docs d LEFT JOIN per_doc p USING (doc_id)
+         |ORDER BY doc_id""") { (s, dir) =>
+      BpeTokenizer.encodeStats(Tables(s, dir).documents, "doc_id", "text",
+          fixedBpeMerges)
+        .withColumn("compression",
+          round(col("n_bpe_tokens").cast(DoubleType) /
+            greatest(col("n_words"), lit(1L)).cast(DoubleType), 4))
+        .orderBy(col("doc_id"))
+    },
+
+    // ---- d10's IVF probe under FIXED cell centers (the vectors of
+    // vec_id < 16): map-side cell assignment, 4-of-16 cell probe per
+    // query, exact top-10 within the probed cells — the entire pruned
+    // search path hash-oracled (only the k-means FIT stays
+    // engine-internal, in d10 above).
+    Q("d10b_ann_ivf_fixed",
+      """WITH c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+        |           FROM embeddings WHERE vec_id < 16),
+        |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |asg AS (SELECT vec_id, cid FROM (
+        |    SELECT e.vec_id, c.cid,
+        |      row_number() OVER (PARTITION BY e.vec_id
+        |        ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cid ASC) AS rn
+        |    FROM e CROSS JOIN c) WHERE rn = 1),
+        |probes AS (SELECT vec_id AS query_id, cid FROM (
+        |    SELECT q.vec_id, c.cid,
+        |      row_number() OVER (PARTITION BY q.vec_id
+        |        ORDER BY list_cosine_similarity(q.v, c.cv) DESC, c.cid ASC) AS rn
+        |    FROM e q CROSS JOIN c WHERE q.vec_id < 5) WHERE rn <= 4),
+        |cand AS (SELECT p.query_id, a.vec_id AS neighbor_id,
+        |    list_cosine_similarity(qe.v, ne.v) AS cos
+        |  FROM probes p
+        |  JOIN asg a ON a.cid = p.cid
+        |  JOIN e ne ON ne.vec_id = a.vec_id
+        |  JOIN e qe ON qe.vec_id = p.query_id
+        |  WHERE a.vec_id <> p.query_id)
+        |SELECT query_id,
+        |  row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank,
+        |  neighbor_id, round(cos, 4) AS cos4
+        |FROM cand
+        |QUALIFY rank <= 10
+        |ORDER BY query_id, rank""") { (s, dir) =>
+      val emb = Tables(s, dir).embeddings
+      val queries = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      SimilaritySearch.ivfTopKWithCenters(emb, "vec_id", "embedding",
+          queries, "query_id", "qv", k = 10,
+          centers = fixedCenters(s, dir, 16), nProbe = 4)
+        .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
+          round(col("cosine"), 4).as("cos4"))
+        .orderBy(col("query_id"), col("rank"))
     }
   )
 }

@@ -166,4 +166,40 @@ class SimilaritySpec extends SparkSpec {
       .select($"vec_id", $"cluster").as[(Long, Int)].collect().toMap
     assert(again == firstMap)
   }
+
+  test("assignToCentroids: argmax by cosine, 1-based cluster ids, " +
+    "lower-index tie-break") {
+    val df = Seq(
+      (1L, Seq(1f, 0f)), (2L, Seq(0f, 1f)), (3L, Seq(0.9f, 0.1f))
+    ).toDF("vec_id", "embedding")
+      .select($"vec_id", $"embedding".cast("array<float>"))
+    val centers = Array(Array(1f, 0f), Array(0f, 1f))
+    val out = SimilaritySearch.assignToCentroids(df, "embedding", centers)
+      .select($"vec_id", $"cluster", $"cos_to_center")
+      .as[(Long, Int, Double)].collect().sortBy(_._1)
+    assert(out.map(r => r._1 -> r._2).toSeq == Seq(1L -> 1, 2L -> 2, 3L -> 1))
+    assert(math.abs(out(0)._3 - 1.0) < 1e-12)
+    // exact tie (45°) keeps the LOWER centroid index — the stable sort
+    val tied = Seq((9L, Seq(1f, 1f))).toDF("vec_id", "embedding")
+      .select($"vec_id", $"embedding".cast("array<float>"))
+    val t = SimilaritySearch.assignToCentroids(tied, "embedding", centers)
+      .select($"cluster").as[Int].head()
+    assert(t == 1)
+  }
+
+  test("ivfTopKWithCenters with nProbe = nLists equals bruteForceTopK") {
+    val queries = emb.filter($"vec_id" < 3)
+      .select($"vec_id".as("query_id"), $"embedding".as("qv"))
+    val centers = emb.filter($"vec_id" < 8).orderBy($"vec_id")
+      .select($"embedding").as[Array[Float]].collect()
+    val ivf = SimilaritySearch.ivfTopKWithCenters(emb, "vec_id", "embedding",
+        queries, "query_id", "qv", k = 5, centers, nProbe = centers.length)
+      .select($"query_id", $"rank", $"vec_id")
+      .as[(Long, Int, Long)].collect().sortBy(r => (r._1, r._2))
+    val brute = SimilaritySearch.bruteForceTopK(emb, "vec_id", "embedding",
+        queries, "query_id", "qv", k = 5)
+      .select($"query_id", $"rank", $"vec_id")
+      .as[(Long, Int, Long)].collect().sortBy(r => (r._1, r._2))
+    assert(ivf.toSeq == brute.toSeq)
+  }
 }
