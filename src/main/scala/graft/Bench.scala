@@ -69,26 +69,33 @@ object Bench {
     // Locale-pinned formatting: the default locale may use a comma
     // decimal separator, which would corrupt the JSON line.
     def fmt(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", v)
-    // Outliers get ONE re-measure and report the min: a single JIT/GC
-    // stall otherwise lands on a random query and dominates its number.
-    // Steady-state cost is what a cluster deployment would see.
-    val remeasureAbove = 2.5
+    // Median-of-N per query (default 3): single-shot timings swung up to
+    // 9x between two runs of identical code (a JIT/GC stall lands on a
+    // random query and dominates its number), which made round-over-round
+    // comparison unmeasurable. The median discards the one cold/stalled
+    // run; min/max are kept in the artifact so the residual spread stays
+    // visible. Steady-state cost is what a cluster deployment would see.
+    val runs = math.max(1,
+      sys.env.get("SPARK_GRAFT_BENCH_RUNS").flatMap(_.toIntOption).getOrElse(3))
     val results = picked.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val dt = timeOne(name, fn)
-      val best = if (dt > remeasureAbove) math.min(dt, timeOne(name, fn)) else dt
-      // One `name,seconds` line per query as it completes: any bounded
-      // tail of the process output keeps per-query data even when the
-      // final JSON line is longer than the tail window.
-      println(s"$name,${fmt(best)}")
-      name -> best
+      val ts = Seq.fill(runs)(timeOne(name, fn)).sorted
+      val med = ts(ts.length / 2)
+      // One `name,median,min,max` line per query as it completes: any
+      // bounded tail of the process output keeps per-query data even
+      // when the final JSON line is longer than the tail window.
+      println(s"$name,${fmt(med)},${fmt(ts.head)},${fmt(ts.last)}")
+      (name, med, ts.head, ts.last)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+    val qs = results.map { case (k, v, _, _) => "\"" + k + "\":" + fmt(v) }
+      .mkString("{", ",", "}")
+    val spread = results
+      .map { case (k, _, lo, hi) => "\"" + k + "\":[" + fmt(lo) + "," + fmt(hi) + "]" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val errs =
       if (failed.isEmpty) ""
-      else failed.map("\"" + _ + "\"").mkString(""","errors":[""", ",", "]")
-    val json = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs$errs,"sf":"$sfDir"}"""
+      else failed.distinct.map("\"" + _ + "\"").mkString(""","errors":[""", ",", "]")
+    val json = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","runs":$runs,"queries":$qs,"spread":$spread$errs,"sf":"$sfDir"}"""
     // Lossless artifact: the full JSON is also written to a file so the
     // round comparison never depends on stdout-capture windows.
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_local.json")
