@@ -152,12 +152,35 @@ final class ChHttpServer(spark: SparkSession, bindPort: Int = 0)
         .orElse(params.get("default_format"))
         .orElse(Option(ex.getRequestHeaders.getFirst("X-ClickHouse-Format")))
         .getOrElse("TabSeparated")
-      val buf = new ByteArrayOutputStream()
-      results.lastOption.foreach(df =>
-        ChResultFormats.write(df, format, buf, elapsed))
-      ex.getResponseHeaders.set("X-ClickHouse-Format", format)
-      send(ex, 200, buf.toByteArray, ChResultFormats.contentType(format),
-        gzipOk(ex, params))
+      val gzip = gzipOk(ex, params)
+      results.lastOption match {
+        case Some(df) if !params.get("wait_end_of_query").contains("1") =>
+          // ClickHouse's DEFAULT response mode STREAMS: chunked transfer,
+          // bytes written as `toLocalIterator` drains partition by
+          // partition, so a large download never materializes in driver
+          // RAM. `wait_end_of_query=1` opts into the buffered mode below
+          // (full body before the status line — reliable error codes).
+          // Analysis/planning errors still 500 (forced before headers);
+          // a RUNTIME failure mid-stream tears the chunked body, exactly
+          // the trade ClickHouse documents for its streaming default.
+          df.queryExecution.executedPlan
+          ex.getResponseHeaders.set("X-ClickHouse-Format", format)
+          ex.getResponseHeaders.set("Content-Type",
+            ChResultFormats.contentType(format))
+          if (gzip) ex.getResponseHeaders.set("Content-Encoding", "gzip")
+          ex.sendResponseHeaders(200, 0) // 0 = chunked
+          val raw: OutputStream = ex.getResponseBody
+          val os: OutputStream =
+            if (gzip) new GZIPOutputStream(raw, true) else raw
+          try ChResultFormats.write(df, format, os, elapsed)
+          finally { try os.close() catch { case _: Throwable => () } }
+        case other =>
+          val buf = new ByteArrayOutputStream()
+          other.foreach(df => ChResultFormats.write(df, format, buf, elapsed))
+          ex.getResponseHeaders.set("X-ClickHouse-Format", format)
+          send(ex, 200, buf.toByteArray, ChResultFormats.contentType(format),
+            gzip)
+      }
     }
 
     private def sendError(ex: HttpExchange, t: Throwable): Unit = {

@@ -256,4 +256,49 @@ class ChHttpSpec extends SparkSpec {
     assert(ddl.statusCode() == 200)
     assert(ddl.body().isEmpty)
   }
+
+  test("default response mode STREAMS (chunked, bounded buffering): " +
+    "first bytes arrive before the tail partition executes; " +
+    "wait_end_of_query=1 buffers with a Content-Length") {
+    // a UDF marks when the LAST rows of the range are computed; with the
+    // streamed (chunked) response, toLocalIterator drains partition by
+    // partition, so the client reads the head of the body while the tail
+    // partition has not yet run. 5M TSV rows (~40 MB) cannot hide in TCP
+    // buffers, so a buffering server would set the marker before the
+    // first byte is readable.
+    ChHttpStreamProbe.tailSeen = false
+    spark.udf.register("graft_mark_tail", (n: Long) => {
+      if (n >= 4999000L) ChHttpStreamProbe.tailSeen = true
+      n
+    })
+    val q = enc(
+      "SELECT graft_mark_tail(number) AS n FROM numbers(5000000) FORMAT TSV")
+    val resp = client.send(
+      HttpRequest.newBuilder(URI.create(base + "/?query=" + q)).build(),
+      HttpResponse.BodyHandlers.ofInputStream())
+    assert(resp.statusCode() == 200)
+    assert(resp.headers().firstValue("content-length").isEmpty,
+      "streamed response must be chunked, not Content-Length framed")
+    val in = resp.body()
+    val first = in.read()
+    assert(first == '0'.toInt)
+    assert(!ChHttpStreamProbe.tailSeen,
+      "first body byte must be readable before the tail partition runs")
+    var total = 1L
+    val buf = new Array[Byte](1 << 16)
+    var r = in.read(buf)
+    while (r >= 0) { total += r; r = in.read(buf) }
+    in.close()
+    assert(total > 30L * 1000 * 1000, s"short body: $total")
+    assert(ChHttpStreamProbe.tailSeen)
+    // buffered mode on request: full body behind a Content-Length
+    val buffered = get("/?query=" + enc("SELECT 1") + "&wait_end_of_query=1")
+    assert(buffered.body() == "1\n")
+    assert(buffered.headers().firstValue("content-length").isPresent)
+  }
 }
+
+/** Cross-JVM-visible probe for the streaming test (local mode: executors
+  * share the JVM, so a static flag observes partition execution order).
+  */
+object ChHttpStreamProbe { @volatile var tailSeen = false }
