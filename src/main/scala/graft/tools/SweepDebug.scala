@@ -10,12 +10,11 @@ import graft.chsql.{ChLexer, ChSession}
   */
 object SweepDebug {
   def main(args: Array[String]): Unit = {
-    val spark = org.apache.spark.sql.SparkSession.builder()
-      .master("local[8]")
-      .appName("graft-sweep-debug")
-      .config("spark.sql.shuffle.partitions", "8")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // SAME session shape as ChSqlSweepSpec (GraftExtensions included —
+    // the predicate-UDF casts of hw04 need BoolNumericCoercion), so the
+    // tool's count always reconciles with the spec's floor
+    val spark = graft.GraftSession.create(master = "local[8]",
+      shufflePartitions = 8)
     spark.sparkContext.setLogLevel("ERROR")
 
     val root = java.nio.file.Path.of("/root/reference")

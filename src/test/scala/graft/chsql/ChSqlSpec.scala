@@ -865,6 +865,25 @@ class ChSqlSpec extends SparkSpec {
     assert(out.toSeq == Seq(("log_a", 1L), ("log_b", 5L)))
   }
 
+  test("now() ± N means N SECONDS; toStartOfInterval takes INTERVAL " +
+    "literals (lecture_20/hw14 monitoring windows)") {
+    val s = ch
+    assert(s.sql("SELECT toDate(now() - 86400) <= toDate(now()) AS ok")
+      .collect().head.getBoolean(0))
+    assert(s.sql("SELECT now() + 3600 > now() AS ok")
+      .collect().head.getBoolean(0))
+    s.execute(
+      """CREATE TABLE iv_t (ts DateTime, v UInt32) ENGINE = Memory;
+        |INSERT INTO iv_t VALUES ('2024-01-01 00:00:30', 1),
+        |  ('2024-01-01 00:00:40', 2), ('2024-01-01 00:01:10', 4)""".stripMargin)
+    val r = s.sql(
+      "SELECT toStartOfInterval(ts, INTERVAL 1 MINUTE)::INT AS t, " +
+        "sum(v) AS sv FROM iv_t GROUP BY t ORDER BY t")
+      .collect().map(x => (x.getInt(0), x.getLong(1)))
+    assert(r.length == 2 && r(0)._2 == 3L && r(1)._2 == 4L)
+    assert(r(1)._1 - r(0)._1 == 60)
+  }
+
   test("merge over heterogeneous schemas takes the FIRST table's " +
     "structure (ClickHouse Merge semantics); merge(system, 'log') runs") {
     val s = ch

@@ -117,14 +117,13 @@ class ChSqlSweepSpec extends SparkSpec {
     }
     info(s"executed subset: $executedSelects/$totalSelects corpus SELECTs " +
       "ran end-to-end against their own files' fixtures")
-    // round-6 floor raises (146 → 225 → 228 executed after the
-    // -State/-Merge routines, CREATE FUNCTION, MV reads, virtual
-    // columns, skip-index DDL, BACKUP/RESTORE, system-table breadth,
-    // merge-over-system, trace_log columns and predicate-UDF casts
-    // landed; every remaining miss is external data, a skipped
-    // 1e7+-row perf demo, a slide typo/shorthand, or a documented
-    // semantic delta — triaged via tools/SweepDebug)
-    assert(executedSelects >= 220, s"executed subset shrank: $executedSelects")
+    // floor == actual (round 7: 230 after now()±N DateTime arithmetic
+    // and toStartOfInterval INTERVAL args landed). Every remaining miss
+    // is pinned to a category in docs/sweep_residue.md (external data/
+    // infra, skipped 1e7+-row perf demos, slide typos/placeholders, two
+    // documented semantic deltas); regenerate the triage with
+    // tools/SweepDebug, which shares this loop's session shape.
+    assert(executedSelects >= 230, s"executed subset shrank: $executedSelects")
   }
 
   private implicit class IterOps[A](it: java.util.Iterator[A]) {
