@@ -153,6 +153,53 @@ class DedupSpec extends SparkSpec {
     assert(kept3 == Set(21L))
   }
 
+  test("incremental store growth: 10 increments, per-increment cost stays " +
+    "flat as the store grows (the O(increment + store-probe) contract)") {
+    // the 100 TB story: the store is the corpus's memory, so an
+    // implementation that re-works the FULL store per increment (instead
+    // of one probe against it) would show cost growing with increment
+    // number. Ten increments of equal size: correctness (history drops
+    // keep working at every depth) plus a slope assertion — the median
+    // late increment must stay within 3x of the median early one.
+    // (The probe's bloom-gated PLAN shape is pinned separately in
+    // PlanAuditSpec's routing tests.)
+    val root = java.nio.file.Files.createTempDirectory("graft_growth").toString
+    val store = s"$root/fps"
+    def text(i: Long) = s"document body number $i padded with enough " +
+      "shared filler words to look like prose rather than a key"
+    val times = (0 until 10).map { k =>
+      val base = k * 1000L
+      val rows = (0 until 400).map { j =>
+        val id = base + j
+        // every 4th row repeats an increment-0 document verbatim: once
+        // history exists it must drop via the store, at any store depth
+        (id, if (j % 4 == 0) text(j.toLong) else text(id))
+      }
+      val df = rows.toDF("doc_id", "text").repartition(4)
+      val t0 = System.nanoTime()
+      val keptIds = Dedup.incrementalExactDedup(df, "doc_id", "text", store,
+          incrementId = s"inc$k", bloomExpectedItems = 100000L)
+        .select("doc_id").as[Long].collect().toSet
+      val dt = (System.nanoTime() - t0) / 1e9
+      if (k == 0) assert(keptIds.size == 400)
+      else {
+        assert(keptIds.size == 300, s"increment $k kept ${keptIds.size}")
+        assert(keptIds.forall(id => id % 1000 % 4 != 0))
+      }
+      dt
+    }
+    val early = times.slice(1, 4).sorted.apply(1)
+    val late = times.slice(7, 10).sorted.apply(1)
+    assert(late <= early * 3.0 + 0.5,
+      s"per-increment cost grew with the store: early=$early late=$late " +
+        s"all=${times.map(t => f"$t%.2f").mkString(",")}")
+    // store layout: one committed partition per increment plus the blob
+    val entries = new java.io.File(store).listFiles().map(_.getName)
+      .filterNot(n => n.startsWith("_") || n.startsWith(".")).sorted
+    assert(entries.toSeq == (0 until 10).map(k => s"increment=inc$k").sorted)
+    assert(new java.io.File(store, "_bloom.bin").exists())
+  }
+
   test("bloom routing survives increments that ran with routing OFF — " +
     "the blob is maintained whenever it exists, never under-covering") {
     val base = "the quick brown fox jumps over the lazy dog again and again " +
