@@ -36,10 +36,11 @@ object SparkEntry {
     *    its LSH recall on this corpus is provably 1.0; these cannot.)
     *  - d10_ann_ivf / d12_ann_ivfpq: same — probe/ADC rankings depend on
     *    the engine-internal k-means cells and PQ codebooks; recall and
-    *    partition-pruning are spec- and plan-asserted instead. d10's
-    *    ENTIRE probe path (cell assignment → nProbe pruning → exact
-    *    within-cell top-k) IS hash-oracled under fixed centers as
-    *    d10b_ann_ivf_fixed; only the k-means fit itself remains internal.
+    *    partition-pruning are spec- and plan-asserted instead. BOTH
+    *    probe paths ARE hash-oracled under fixed artifacts: d10b (cell
+    *    assignment → nProbe pruning → exact within-cell top-k) and d12b
+    *    (the same plus float-faithful PQ encode + ADC scoring); only the
+    *    k-means/codebook fits themselves remain internal.
     *  - t27_bpe_tokenize: a learned BPE merge table is an iterative
     *    frequency-driven fit with no SQL spelling; determinism, the
     *    decode identity, and known-corpus merge behavior are

@@ -435,8 +435,23 @@ object SimilaritySearch {
     // the corpus twice for identical data
     val train = trainSample(corpus, vecCol, math.max(nLists, ksub),
       trainFraction, maxTrain)
-    val centers = lloyd(train, nLists)
-    val cb = pqFitFrom(train, m, ksub)
+    ivfPqTopKWithArtifacts(corpus, idCol, vecCol, queries, qIdCol, qVecCol,
+      k, lloyd(train, nLists), pqFitFrom(train, m, ksub), nProbe)
+  }
+
+  /** The PROBE+ADC half of [[ivfPqTopK]] under caller-supplied (FIXED)
+    * coarse centers and PQ codebook — the oracle-able apply path: cell
+    * assignment, nProbe pruning, PQ encode and ADC scoring are all
+    * deterministic transforms of the given artifacts.
+    */
+  def ivfPqTopKWithArtifacts(corpus: DataFrame, idCol: String,
+                             vecCol: String, queries: DataFrame,
+                             qIdCol: String, qVecCol: String, k: Int,
+                             centers: Array[Array[Float]], cb: PqCodebook,
+                             nProbe: Int): DataFrame = {
+    NativeFunctions.register(corpus.sparkSession)
+    val m = cb.m
+    val ksub = cb.ksub
     val coded = assignCells(corpus, vecCol, centers)
       .select(col(idCol), col("cell"),
         NativeFunctions.pqEncode(col(vecCol), cb.flat, m, ksub).as("pq_code"))

@@ -1735,6 +1735,77 @@ object PipelineQueries {
         .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
           round(col("cosine"), 4).as("cos4"))
         .orderBy(col("query_id"), col("rank"))
+    },
+
+    // ---- d12's IVF-PQ probe under FIXED artifacts: coarse centers = the
+    // vectors of vec_id < 16, PQ codebook = their per-subspace slices
+    // (m=8 subspaces × ksub=16 centroids × subDim=8). Every transform is
+    // deterministic — cell assignment, nProbe pruning, the kernel's
+    // float-rounded PQ encode (L2 argmin per subspace), float-rounded
+    // lutDot / double lutSq ADC scoring — and the oracle mirrors the
+    // float-rounding steps with explicit REAL casts, so the whole
+    // billion-scale ADC path hash-matches; only the k-means/codebook FIT
+    // remains engine-internal (d12 above).
+    Q("d12b_ann_ivfpq_fixed",
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |cb AS (SELECT vec_id AS c, CAST(embedding AS DOUBLE[]) AS v
+        |       FROM embeddings WHERE vec_id < 16),
+        |asg AS (SELECT vec_id, c AS cell FROM (
+        |    SELECT e.vec_id, cb.c,
+        |      row_number() OVER (PARTITION BY e.vec_id
+        |        ORDER BY list_cosine_similarity(e.v, cb.v) DESC, cb.c ASC) AS rn
+        |    FROM e CROSS JOIN cb) WHERE rn = 1),
+        |probes AS (SELECT vec_id AS query_id, c AS cell FROM (
+        |    SELECT q.vec_id, cb.c,
+        |      row_number() OVER (PARTITION BY q.vec_id
+        |        ORDER BY list_cosine_similarity(q.v, cb.v) DESC, cb.c ASC) AS rn
+        |    FROM e q CROSS JOIN cb WHERE q.vec_id < 5) WHERE rn <= 4),
+        |codes AS (SELECT vec_id, j, c AS code FROM (
+        |    SELECT e.vec_id, jj.j, cb.c,
+        |      row_number() OVER (PARTITION BY e.vec_id, jj.j ORDER BY
+        |        list_sum([CAST(CAST(e.v[jj.j*8+t] - cb.v[jj.j*8+t] AS REAL) *
+        |                       CAST(e.v[jj.j*8+t] - cb.v[jj.j*8+t] AS REAL) AS REAL)
+        |                  for t in generate_series(1, 8)]) ASC, cb.c ASC) AS rn
+        |    FROM e CROSS JOIN range(0, 8) jj(j) CROSS JOIN cb) WHERE rn = 1),
+        |lut AS (SELECT q.vec_id AS query_id, jj.j, cb.c,
+        |      CAST(list_sum([CAST(q.v[jj.j*8+t] * cb.v[jj.j*8+t] AS REAL)
+        |                     for t in generate_series(1, 8)]) AS REAL) AS lut_dot,
+        |      CAST(list_sum([cb.v[jj.j*8+t] * cb.v[jj.j*8+t]
+        |                     for t in generate_series(1, 8)]) AS REAL) AS lut_sq
+        |    FROM e q CROSS JOIN range(0, 8) jj(j) CROSS JOIN cb WHERE q.vec_id < 5),
+        |qn AS (SELECT vec_id AS query_id,
+        |      sqrt(list_sum([x * x for x in v])) AS q_norm
+        |    FROM e WHERE vec_id < 5),
+        |cand AS (SELECT p.query_id, a.vec_id AS neighbor_id,
+        |      sum(CAST(l.lut_dot AS DOUBLE)) /
+        |        (any_value(qn.q_norm) * sqrt(sum(CAST(l.lut_sq AS DOUBLE)))) AS adc
+        |    FROM probes p
+        |    JOIN asg a ON a.cell = p.cell
+        |    JOIN codes k ON k.vec_id = a.vec_id
+        |    JOIN lut l ON l.query_id = p.query_id AND l.j = k.j AND l.c = k.code
+        |    JOIN qn ON qn.query_id = p.query_id
+        |    WHERE a.vec_id <> p.query_id
+        |    GROUP BY 1, 2)
+        |SELECT query_id,
+        |  row_number() OVER (PARTITION BY query_id ORDER BY adc DESC, neighbor_id) AS rank,
+        |  neighbor_id, round(adc, 4) AS adc4
+        |FROM cand
+        |QUALIFY rank <= 10
+        |ORDER BY query_id, rank""") { (s, dir) =>
+      val emb = Tables(s, dir).embeddings
+      val queries = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      val ctrs = fixedCenters(s, dir, 16)
+      val (m, ksub, subDim) = (8, 16, 8)
+      val flat = new Array[Float](m * ksub * subDim)
+      for (j <- 0 until m; c <- 0 until ksub; t <- 0 until subDim)
+        flat((j * ksub + c) * subDim + t) = ctrs(c)(j * subDim + t)
+      SimilaritySearch.ivfPqTopKWithArtifacts(emb, "vec_id", "embedding",
+          queries, "query_id", "qv", k = 10, centers = ctrs,
+          cb = SimilaritySearch.PqCodebook(m, ksub, subDim, flat), nProbe = 4)
+        .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
+          round(col("cosine"), 4).as("adc4"))
+        .orderBy(col("query_id"), col("rank"))
     }
   )
 }
