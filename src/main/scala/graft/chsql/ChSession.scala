@@ -1493,12 +1493,22 @@ final class ChSession(val spark: SparkSession,
     if (args.isEmpty) return None
     if (Set("remote", "remotesecure", "cluster", "clusterallreplicas")(fn)) {
       // remote('addrs', db.table) | remote('addrs', db, table[, creds]):
-      // one engine here — the "remote" table IS the local table
+      // one engine here — the "remote" table IS the local table, tagged
+      // with the cluster functions' `_shard_num` virtual column
+      // (lecture_20's cross-replica monitoring sweep; literal 1 — one
+      // shard). Like merge()'s `_table`, the tag is visible to `*` here,
+      // a documented delta from CH's hidden virtual columns.
       val ident =
         if (args.length >= 3 && !args(2).trim.startsWith("'"))
           unq(args(1)) + "." + unq(args(2))
         else unq(args(1))
-      return registerBaseView(ident)
+      return registerBaseView(ident).map { v =>
+        val tagged = spark.table(v).withColumn("_shard_num", lit(1))
+        tfCounter += 1
+        val v2 = s"chs_tf_$tfCounter"
+        tagged.createOrReplaceTempView(v2)
+        v2
+      }
     }
     if (fn == "merge") {
       // merge(db, 'regex') — union of matching tables, tagged with the
@@ -1761,9 +1771,14 @@ final class ChSession(val spark: SparkSession,
             }
           }))
       case "mutations" =>
+        // latest_fail_* carry the reference's monitoring columns
+        // (lecture_20's interrupted-mutations sweep) — honestly empty:
+        // mutations here are synchronous and never fail-and-retry
         Some(df(StructType(Seq(s("database"), s("table"), s("mutation_id"),
-          s("command"), StructField("is_done", IntegerType))),
-          mutationLog.toSeq.map(m => Row(m._1, m._2, m._3, m._4, 1))))
+          s("command"), StructField("is_done", IntegerType),
+          StructField("latest_fail_time", TimestampType),
+          s("latest_fail_reason"))),
+          mutationLog.toSeq.map(m => Row(m._1, m._2, m._3, m._4, 1, null, ""))))
       case "settings" =>
         // curated defaults the lectures inspect, overlaid with this
         // session's SET statements
@@ -2004,6 +2019,14 @@ final class ChSession(val spark: SparkSession,
         Some(df(StructType(Seq(StructField("event_date", DateType),
           StructField("event_time", TimestampType), s("metric"),
           StructField("value", DoubleType), l("ProfileEvent_Query"),
+          // lecture_20's cross-replica failure sweep touches the
+          // failure-counter family — resolvable, honestly empty
+          l("ProfileEvent_FailedQuery"), l("ProfileEvent_FailedSelectQuery"),
+          l("ProfileEvent_FailedInsertQuery"),
+          l("ProfileEvent_ReplicatedPartFailedFetches"),
+          l("ProfileEvent_ReplicatedPartChecksFailed"),
+          l("ProfileEvent_DistributedConnectionFailTry"),
+          l("ProfileEvent_ReplicatedDataLoss"),
           l("CurrentMetric_HTTPConnection"))), Seq.empty))
       case "part_log" =>
         // real per-part lifecycle events logged at insert (NewPart)

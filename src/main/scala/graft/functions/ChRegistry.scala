@@ -171,6 +171,13 @@ object ChRegistry {
     f("version")(_ => SparkVersion())
     val host = java.net.InetAddress.getLocalHost.getHostName
     f("hostName")(_ => Literal(host))
+    // getMacro('name') reads the server's config macros — one engine, so
+    // the values are exactly the two rows system.macros synthesizes
+    // (hw09's per-replica parts apportioning)
+    f("getMacro")(e => CaseWhen(Seq(
+      (EqualTo(Lower(e.head), Literal("replica")), Literal("replica_1")),
+      (EqualTo(Lower(e.head), Literal("shard")), Literal("shard_1"))),
+      Literal.create(null, StringType)))
     // stack-introspection display transforms (lecture_21.md:344-348 over
     // system.trace_log): no native symbol table exists in a JVM engine,
     // so addressToSymbol renders the frame address as hex and demangle is

@@ -25,7 +25,7 @@ object SweepDebug {
       if (p.toString.endsWith(".md") || p.toString.endsWith(".sql")) mds += p
     }
     val fence = "(?s)```sql(.*?)```".r
-    val external = "(?i)\\b(url|s3|remote|clusterallreplicas|cluster|postgresql|jdbc|odbc|mysql|file)\\s*\\(".r
+    val external = "(?i)\\b(url|s3|postgresql|jdbc|odbc|mysql|file)\\s*\\(".r
     val bigNumbers = "(?i)numbers(_mt)?\\s*\\(\\s*\\d{7,}".r
 
     val out = new StringBuilder
