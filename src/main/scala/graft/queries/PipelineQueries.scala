@@ -1597,7 +1597,10 @@ object PipelineQueries {
     // tie-break. Cosine parity with list_cosine_similarity over
     // DOUBLE[] is bit-exact (both accumulate the float components in
     // double, same order); min assignment margin on this corpus is
-    // 9.7e-5, so the argmax cannot flip.
+    // 9.7e-5, so the argmax cannot flip. The oracle's `round(...) + 0`
+    // normalizes IEEE signed zero: DuckDB's round keeps -0.0 on a tiny
+    // negative cosine, Spark's BigDecimal round never emits it
+    // (surfaced by the sf1 gate's 20k-vector corpus).
     Q("t29b_fixed_centroid_assign",
       """WITH c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
         |           FROM embeddings WHERE vec_id < 4),
@@ -1607,7 +1610,7 @@ object PipelineQueries {
         |          ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.cv) DESC,
         |                   c.cid ASC) AS rn
         |      FROM embeddings e CROSS JOIN c)
-        |SELECT vec_id, cid + 1 AS cluster, round(cos, 4) AS cos4
+        |SELECT vec_id, cid + 1 AS cluster, round(cos, 4) + 0 AS cos4
         |FROM p WHERE rn = 1 ORDER BY vec_id""") { (s, dir) =>
       SimilaritySearch.assignToCentroids(
           Tables(s, dir).embeddings, "embedding", fixedCenters(s, dir, 4))
@@ -1722,7 +1725,7 @@ object PipelineQueries {
         |  WHERE a.vec_id <> p.query_id)
         |SELECT query_id,
         |  row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank,
-        |  neighbor_id, round(cos, 4) AS cos4
+        |  neighbor_id, round(cos, 4) + 0 AS cos4
         |FROM cand
         |QUALIFY rank <= 10
         |ORDER BY query_id, rank""") { (s, dir) =>
@@ -1788,7 +1791,7 @@ object PipelineQueries {
         |    GROUP BY 1, 2)
         |SELECT query_id,
         |  row_number() OVER (PARTITION BY query_id ORDER BY adc DESC, neighbor_id) AS rank,
-        |  neighbor_id, round(adc, 4) AS adc4
+        |  neighbor_id, round(adc, 4) + 0 AS adc4
         |FROM cand
         |QUALIFY rank <= 10
         |ORDER BY query_id, rank""") { (s, dir) =>

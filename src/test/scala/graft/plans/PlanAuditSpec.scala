@@ -253,4 +253,25 @@ class PlanAuditSpec extends SparkSpec {
     // top-k is a TakeOrderedAndProject, not a global sort
     assert(plan.contains("TakeOrderedAndProject"), plan)
   }
+
+  test("t28b/t29b fixed-artifact transforms are map-only: no join, no " +
+    "aggregate shuffle, only the output-order exchange") {
+    for (name <- Seq("t28b_fixed_weight_score", "t29b_fixed_centroid_assign")) {
+      val plan = formatted(q(name))
+      assert(count(plan, "Join") == 0, s"$name must not join:\n$plan")
+      // the only exchange is the final orderBy's range partitioning
+      assert(count(plan, "Exchange (") <= 1,
+        s"$name should be map-only plus the output sort:\n$plan")
+    }
+  }
+
+  test("d10b/d12b fixed-artifact ANN probes: the corpus side never " +
+    "shuffles — probe LUTs broadcast, top-k partial-aggregates") {
+    for (name <- Seq("d10b_ann_ivf_fixed", "d12b_ann_ivfpq_fixed")) {
+      val plan = formatted(q(name))
+      assert(count(plan, "SortMergeJoin") + count(plan, "ShuffledHashJoin") == 0,
+        s"$name: the probe join must broadcast:\n$plan")
+      assert(count(plan, "BroadcastHashJoin") >= 1, s"$name:\n$plan")
+    }
+  }
 }
