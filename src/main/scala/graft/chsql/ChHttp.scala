@@ -116,6 +116,53 @@ final class ChHttpServer(spark: SparkSession, bindPort: Int = 0)
 
     private def query(ex: HttpExchange): Unit = {
       val params = parseQueryString(ex.getRequestURI.getRawQuery)
+      // streaming INSERT ingestion — the request-side twin of the chunked
+      // response mode: `?query=INSERT INTO t FORMAT <line-format>` with a
+      // payload body never materializes the upload in driver RAM. The
+      // body streams through in line batches, each landing as its own
+      // block (its own part, its own MV firing — exactly ClickHouse's
+      // per-block contract for large inserts).
+      if (params.get("query").exists(ChHttpServer.isLineFormatInsert) &&
+        params.keys.forall(k => !k.startsWith("param_"))) {
+        val q = params("query")
+        val raw: InputStream =
+          if (Option(ex.getRequestHeaders.getFirst("Content-Encoding"))
+                .exists(_.equalsIgnoreCase("gzip")))
+            new GZIPInputStream(ex.getRequestBody)
+          else ex.getRequestBody
+        val reader = new java.io.BufferedReader(
+          new java.io.InputStreamReader(raw, UTF_8))
+        val batchLines =
+          Integer.getInteger("graft.http.insert_batch_lines", 65536).intValue()
+        val batches = new Iterator[String] {
+          private var nextLine: String = reader.readLine()
+          def hasNext: Boolean = nextLine != null
+          def next(): String = {
+            val sb = new StringBuilder
+            var n = 0
+            while (nextLine != null && n < batchLines) {
+              sb ++= nextLine; sb += '\n'
+              n += 1
+              nextLine = reader.readLine()
+            }
+            sb.result()
+          }
+        }
+        try {
+          if (!batches.hasNext)
+            throw new IllegalArgumentException(
+              "INSERT ... FORMAT without data — inline payload expected")
+          session.synchronized {
+            val prevDb = session.currentDb
+            try {
+              params.get("database").foreach(db => session.execute(s"USE $db"))
+              session.insertStream(q, batches)
+            } finally session.currentDb = prevDb
+          }
+          send(ex, 200, Array.emptyByteArray, "text/plain; charset=UTF-8")
+        } finally reader.close()
+        return
+      }
       val body = readBody(ex)
       // CH concatenates the query URL parameter and the POST body — the
       // body is the statement itself, or an inline payload continuing a
@@ -240,6 +287,18 @@ final class ChHttpServer(spark: SparkSession, bindPort: Int = 0)
 }
 
 object ChHttpServer {
+
+  /** True when the query parameter is a single bare INSERT ending in a
+    * line-oriented FORMAT — the only shape the streaming ingestion path
+    * handles. Values tuples may span lines (and multi-statement scripts
+    * need the lexer), so everything else falls back to the buffered
+    * script path.
+    */
+  private val lineFormatInsertRe =
+    ("(?is)^\\s*INSERT\\s+INTO\\s+[^;]+\\bFORMAT\\s+(CSV|TSV|TabSeparated|" +
+      "JSONEachRow|CSVWithNames|TSVWithNames|TabSeparatedWithNames)\\s*$").r
+  def isLineFormatInsert(q: String): Boolean =
+    lineFormatInsertRe.pattern.matcher(q).matches()
 
   /** The ClickHouse error code a failure maps to, matched on the
     * message our dialect layer raises (clients branch on

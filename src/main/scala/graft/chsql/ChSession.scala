@@ -957,6 +957,52 @@ final class ChSession(val spark: SparkSession,
                      format: String = "CSVWithNames"): Unit =
     insertFileBlock(parseRef(strip(tableRef)), path, format)
 
+  /** Streaming INSERT ingestion (the HTTP upload path): parses the
+    * `INSERT INTO t [(cols)] FORMAT <fmt>` prefix ONCE, then lands each
+    * payload batch as its own block through the normal insert path —
+    * its own part, its own engine fold, its own MV firing, exactly
+    * ClickHouse's per-block contract for large inserts. For *WithNames
+    * formats the first batch's header line is replayed onto every later
+    * batch. Returns the number of blocks landed.
+    */
+  def insertStream(prefix: String, batches: Iterator[String]): Long = {
+    val toks = ChLexer.tokenize(ChLexer.cleanScript(prefix))
+    if (toks.length < 5 || !toks.head.is("INSERT") || !toks(1).is("INTO"))
+      fail(s"insertStream: not an INSERT prefix: $prefix")
+    val ref = parseRef(strip(toks(2).text))
+    lookup(ref) // fail fast on an unknown table
+    var i = 3
+    val colList =
+      if (i < toks.length && toks(i).text == "(") {
+        val close = matchParenTok(toks, i)
+        val cols = toks.slice(i + 1, close)
+          .filter(_.text != ",").map(t => strip(t.text))
+        i = close + 1
+        Some(cols)
+      } else None
+    if (i + 1 >= toks.length || !toks(i).is("FORMAT"))
+      fail(s"insertStream: INSERT prefix must end in FORMAT <fmt>: $prefix")
+    val fmt = toks(i + 1).text
+    val withNames = fmt.toLowerCase.endsWith("withnames")
+    var header: Option[String] = None
+    var blocks = 0L
+    batches.foreach { b0 =>
+      val b =
+        if (!withNames) b0
+        else header match {
+          case None =>
+            header = b0.linesIterator.find(_.trim.nonEmpty)
+            b0
+          case Some(h) => h + "\n" + b0
+        }
+      if (b.trim.nonEmpty) {
+        insertInlineBlock(ref, colList, b, fmt)
+        blocks += 1
+      }
+    }
+    blocks
+  }
+
   private def insertFileBlock(ref: (String, String), path: String,
                               format: String): Unit = {
     val t = lookup(ref)

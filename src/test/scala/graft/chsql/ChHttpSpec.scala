@@ -257,6 +257,36 @@ class ChHttpSpec extends SparkSpec {
     assert(ddl.body().isEmpty)
   }
 
+  test("streaming INSERT ingestion: the upload lands in line batches — " +
+    "one block (one part, one MV firing) per batch, never a full-body " +
+    "buffer") {
+    System.setProperty("graft.http.insert_batch_lines", "1000")
+    try {
+      server.session.execute(
+        "CREATE TABLE http_bulk (a UInt32, b String) " +
+          "ENGINE = MergeTree ORDER BY a")
+      val payload = (1 to 2500).map(i => s"$i,row$i").mkString("\n")
+      val r = post("/?query=" + enc("INSERT INTO http_bulk FORMAT CSV"), payload)
+      assert(r.statusCode() == 200)
+      assert(get("/?query=" + enc("SELECT count() FROM http_bulk")).body()
+        == "2500\n")
+      // 2500 lines at 1000/batch = 3 blocks = 3 parts
+      assert(get("/?query=" + enc(
+        "SELECT count() FROM system.parts WHERE table = 'http_bulk'")).body()
+        == "3\n")
+      // *WithNames: the first batch's header replays onto later batches
+      server.session.execute(
+        "CREATE TABLE http_bulk2 (a UInt32, b String) ENGINE = Memory")
+      val named = "b,a\n" + (1 to 1500).map(i => s"row$i,$i").mkString("\n")
+      assert(post("/?query=" + enc(
+        "INSERT INTO http_bulk2 FORMAT CSVWithNames"), named)
+        .statusCode() == 200)
+      val agg = get("/?query=" + enc(
+        "SELECT count(), sum(a) FROM http_bulk2")).body()
+      assert(agg == s"1500\t${(1 to 1500).map(_.toLong).sum}\n")
+    } finally { System.clearProperty("graft.http.insert_batch_lines"); () }
+  }
+
   test("default response mode STREAMS (chunked, bounded buffering): " +
     "first bytes arrive before the tail partition executes; " +
     "wait_end_of_query=1 buffers with a Content-Length") {
