@@ -1395,7 +1395,34 @@ final class ChSession(val spark: SparkSession,
     rw.finalLimit.foreach { case (off, n) =>
       df = (if (off > 0) df.offset(off.toInt) else df).limit(n.toInt)
     }
+    rw.outfile.foreach { case (path, fmtOpt) => writeOutfile(df, path, fmtOpt) }
     df
+  }
+
+  /** `SELECT ... INTO OUTFILE 'path' [FORMAT fmt]` — the client-side file
+    * export, written for real (refusing to overwrite, as ClickHouse
+    * does). Format defaults by extension like the reference's client.
+    * Delta: the rows are ALSO returned to the caller (ClickHouse's
+    * client shows only a summary) — the statement result stays queryable.
+    */
+  private def writeOutfile(df: DataFrame, path: String,
+                           fmtOpt: Option[String]): Unit = {
+    val file = new java.io.File(path)
+    if (file.exists())
+      fail(s"INTO OUTFILE: file $path already exists — " +
+        "ClickHouse refuses to overwrite")
+    val fmt = fmtOpt.getOrElse {
+      val lower = path.toLowerCase
+      if (lower.endsWith(".csv")) "CSV"
+      else if (lower.endsWith(".tsv") || lower.endsWith(".tab")) "TabSeparated"
+      else if (lower.endsWith(".jsonl") || lower.endsWith(".ndjson")) "JSONEachRow"
+      else if (lower.endsWith(".json")) "JSON"
+      else "TabSeparated"
+    }
+    Option(file.getParentFile).foreach(_.mkdirs())
+    val out = new java.io.FileOutputStream(file)
+    try ChResultFormats.write(df, fmt, out)
+    finally out.close()
   }
 
   private def parseOrderCol(s: String): Column = {

@@ -58,7 +58,8 @@ object ChSqlRewrite {
 
   final case class Rewritten(sql: String, limitBy: Option[LimitByOp],
                              finalLimit: Option[(Long, Long)],
-                             fill: Option[FillOp] = None)
+                             fill: Option[FillOp] = None,
+                             outfile: Option[(String, Option[String])] = None)
 
   private val clauseStarters = Set("WHERE", "GROUP", "ORDER", "LIMIT",
     "HAVING", "SETTINGS", "UNION", "INTERSECT", "EXCEPT", "WINDOW",
@@ -66,7 +67,8 @@ object ChSqlRewrite {
 
   def rewrite(sql: String, resolver: Resolver): Rewritten = {
     var toks = ChLexer.tokenize(sql)
-    toks = stripTail(toks)
+    val (stripped, outfile) = stripTail(toks)
+    toks = stripped
     toks = rewriteScalarWith(toks)
     toks = rewriteArrayLiterals(toks)
     toks = fixCountStar(toks)
@@ -91,7 +93,7 @@ object ChSqlRewrite {
     toks = rewriteInTable(toks, resolver)
     toks = mapIdentifiers(toks, resolver)
     toks = expandColumnsMacro(toks, resolver)
-    Rewritten(ChLexer.render(toks), limitBy, finalLimit, fill)
+    Rewritten(ChLexer.render(toks), limitBy, finalLimit, fill, outfile)
   }
 
   /** `COLUMNS('regex')` → the matching column names of the statement's
@@ -310,8 +312,16 @@ object ChSqlRewrite {
   }
 
   // ---- trailing FORMAT X / INTO OUTFILE '...' / \G / SETTINGS k=v ----
-  private def stripTail(toks: Vector[Token]): Vector[Token] = {
+  /** Strips the statement tails Spark's parser can't take. Returns the
+    * remaining tokens plus the `INTO OUTFILE` target when one was
+    * present: (path, declared FORMAT if any) — the session WRITES that
+    * file (ClickHouse client semantics), it is not merely dropped.
+    */
+  private def stripTail(toks: Vector[Token])
+      : (Vector[Token], Option[(String, Option[String])]) = {
     var t = toks
+    var fmt: Option[String] = None
+    var outPath: Option[String] = None
     // the tails compose in either order ("FORMAT JSON SETTINGS k=v" and
     // "SETTINGS k=v FORMAT JSON" are both legal) — iterate to fixpoint
     var changed = true
@@ -321,12 +331,15 @@ object ChSqlRewrite {
       // top-level FORMAT <ident> at the very end
       depthIndexOfLast(t, "FORMAT") match {
         case i if i >= 0 && i == t.length - 2 && t.last.isIdent =>
+          fmt = Some(t.last.text)
           t = t.take(i); changed = true
         case _ =>
       }
       // top-level INTO OUTFILE '...' [FORMAT x]
       depthIndexOfLast(t, "INTO") match {
         case i if i >= 0 && i + 1 < t.length && t(i + 1).is("OUTFILE") =>
+          if (i + 2 < t.length && t(i + 2).isString)
+            outPath = Some(t(i + 2).text.stripPrefix("'").stripSuffix("'"))
           t = t.take(i); changed = true
         case _ =>
       }
@@ -336,7 +349,7 @@ object ChSqlRewrite {
         case _ =>
       }
     }
-    t
+    (t, outPath.map(p => (p, fmt)))
   }
 
   private def settingsToEnd(t: Vector[Token], i: Int): Boolean = {

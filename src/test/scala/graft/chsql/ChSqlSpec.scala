@@ -865,6 +865,29 @@ class ChSqlSpec extends SparkSpec {
     assert(out.toSeq == Seq(("log_a", 1L), ("log_b", 5L)))
   }
 
+  test("SELECT ... INTO OUTFILE writes the file (refusing to overwrite) " +
+    "with extension-inferred or declared FORMAT") {
+    val s = ch
+    s.execute("CREATE TABLE of_t (a UInt8, b String) ENGINE = Memory; " +
+      "INSERT INTO of_t VALUES (1, 'x'), (2, 'y')")
+    val dir = java.nio.file.Files.createTempDirectory("graft_outfile")
+    val csv = s"$dir/out.csv"
+    s.sql(s"SELECT a, b FROM of_t ORDER BY a INTO OUTFILE '$csv'").collect()
+    assert(java.nio.file.Files.readString(java.nio.file.Path.of(csv))
+      == "1,x\n2,y\n")
+    // declared FORMAT wins over the extension
+    val named = s"$dir/out.dat"
+    s.sql(s"SELECT a, b FROM of_t ORDER BY a INTO OUTFILE '$named' " +
+      "FORMAT CSVWithNames").collect()
+    assert(java.nio.file.Files.readString(java.nio.file.Path.of(named))
+      .startsWith("a,b\n1,x"))
+    // existing file refuses, exactly ClickHouse's contract
+    val err = intercept[IllegalArgumentException] {
+      s.sql(s"SELECT a FROM of_t INTO OUTFILE '$csv'").collect()
+    }
+    assert(err.getMessage.contains("already exists"))
+  }
+
   test("now() ± N means N SECONDS; toStartOfInterval takes INTERVAL " +
     "literals (lecture_20/hw14 monitoring windows)") {
     val s = ch
