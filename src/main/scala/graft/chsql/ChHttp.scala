@@ -155,7 +155,8 @@ final class ChHttpServer(spark: SparkSession, bindPort: Int = 0)
           session.synchronized {
             val prevDb = session.currentDb
             try {
-              params.get("database").foreach(db => session.execute(s"USE $db"))
+              params.get("database").foreach(db =>
+                session.execute(s"USE ${ChHttpServer.validDbName(db)}"))
               session.insertStream(q, batches)
             } finally session.currentDb = prevDb
           }
@@ -190,7 +191,8 @@ final class ChHttpServer(spark: SparkSession, bindPort: Int = 0)
       val results = session.synchronized {
         val prevDb = session.currentDb
         try {
-          params.get("database").foreach(db => session.execute(s"USE $db"))
+          params.get("database").foreach(db =>
+            session.execute(s"USE ${ChHttpServer.validDbName(db)}"))
           session.execute(script, bindings)
         } finally session.currentDb = prevDb
       }
@@ -220,6 +222,19 @@ final class ChHttpServer(spark: SparkSession, bindPort: Int = 0)
           val os: OutputStream =
             if (gzip) new GZIPOutputStream(raw, true) else raw
           try ChResultFormats.write(df, format, os, elapsed)
+          catch {
+            case t: Throwable =>
+              // a RUNTIME failure after the 200 went out must not end in
+              // a clean zero-chunk — the client would see an apparently
+              // complete body missing rows. ClickHouse appends the
+              // exception text into the stream and closes; do the same,
+              // so the truncation is visible and machine-detectable.
+              val code = ChHttpServer.exceptionCode(t)
+              try os.write(
+                (s"\nCode: $code. ${Option(t.getMessage).getOrElse(t.toString)}\n")
+                  .getBytes(UTF_8))
+              catch { case _: Throwable => () }
+          }
           finally { try os.close() catch { case _: Throwable => () } }
         case other =>
           val buf = new ByteArrayOutputStream()
@@ -300,6 +315,18 @@ object ChHttpServer {
   def isLineFormatInsert(q: String): Boolean =
     lineFormatInsertRe.pattern.matcher(q).matches()
 
+  /** The `database=` query parameter is a NAME, not a script — validate
+    * before it splices into `USE $db` (a value like
+    * `default; DROP TABLE t` would otherwise run as two statements).
+    */
+  private val dbNameRe = "[A-Za-z_][A-Za-z0-9_]*".r
+  def validDbName(db: String): String = {
+    if (!dbNameRe.pattern.matcher(db).matches())
+      throw new IllegalArgumentException(
+        s"database parameter '$db' is not a valid database name")
+    db
+  }
+
   /** The ClickHouse error code a failure maps to, matched on the
     * message our dialect layer raises (clients branch on
     * X-ClickHouse-Exception-Code — 60 UNKNOWN_TABLE, 36 BAD_ARGUMENTS,
@@ -320,6 +347,9 @@ object ChHttpServer {
       m.contains("query parameter")) 456
     else if (m.contains("unknown function") ||
       m.contains("undefined function") ||
+      m.contains("unresolved_routine") ||
+      m.contains("cannot resolve function") ||
+      m.contains("cannot resolve routine") ||
       m.contains("unresolved routine")) 46
     else if (m.contains("cannot resolve") ||
       m.contains("unresolved column") ||

@@ -75,8 +75,11 @@ object ChParams {
     }
   }
 
+  // plain or backtick-quoted segments, dot-qualified (`my col`.x is a
+  // valid ClickHouse identifier; backtick content is lexer-protected so
+  // any non-backtick characters are inert inside it)
   private val identRe =
-    "[A-Za-z_][A-Za-z0-9_]*(\\.[A-Za-z_][A-Za-z0-9_]*)*".r
+    "([A-Za-z_][A-Za-z0-9_]*|`[^`]+`)(\\.([A-Za-z_][A-Za-z0-9_]*|`[^`]+`))*".r
 
   /** Parse-validates the TEXT FORM of an Array/Map/Tuple bound value
     * before it splices into the statement: balanced brackets, intact
@@ -100,8 +103,12 @@ object ChParams {
     while (i < v.length) {
       val c = v.charAt(i)
       if (inStr) {
-        if (c == '\\' && i + 1 < v.length) i += 1
-        else if (c == '\'') {
+        // ONLY the '' doubling escape — the same rule ChLexer.tokenize
+        // applies downstream. Honoring backslash escapes here that the
+        // lexer does NOT honor would let a value like ['a\', 1)] ...']
+        // end its string earlier in the lexer than in this validator,
+        // smuggling live tokens past the gate.
+        if (c == '\'') {
           if (i + 1 < v.length && v.charAt(i + 1) == '\'') i += 1
           else inStr = false
         }

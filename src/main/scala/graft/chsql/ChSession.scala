@@ -1395,15 +1395,24 @@ final class ChSession(val spark: SparkSession,
     rw.finalLimit.foreach { case (off, n) =>
       df = (if (off > 0) df.offset(off.toInt) else df).limit(n.toInt)
     }
-    rw.outfile.foreach { case (path, fmtOpt) => writeOutfile(df, path, fmtOpt) }
-    df
+    rw.outfile match {
+      case Some((path, fmtOpt)) =>
+        writeOutfile(df, path, fmtOpt)
+        // ClickHouse sends NO rows to the client for INTO OUTFILE (only
+        // a summary) — returning the empty shape is both faithful and
+        // avoids re-executing the query when the caller serializes the
+        // result (the write above already ran the job once)
+        df.limit(0)
+      case None => df
+    }
   }
 
   /** `SELECT ... INTO OUTFILE 'path' [FORMAT fmt]` — the client-side file
     * export, written for real (refusing to overwrite, as ClickHouse
     * does). Format defaults by extension like the reference's client.
-    * Delta: the rows are ALSO returned to the caller (ClickHouse's
-    * client shows only a summary) — the statement result stays queryable.
+    * The write lands on a temp name and renames on success, so a query
+    * failing mid-export never leaves a partial file squatting on the
+    * refuse-to-overwrite guard.
     */
   private def writeOutfile(df: DataFrame, path: String,
                            fmtOpt: Option[String]): Unit = {
@@ -1420,9 +1429,20 @@ final class ChSession(val spark: SparkSession,
       else "TabSeparated"
     }
     Option(file.getParentFile).foreach(_.mkdirs())
-    val out = new java.io.FileOutputStream(file)
-    try ChResultFormats.write(df, fmt, out)
-    finally out.close()
+    val tmp = new java.io.File(file.getParentFile,
+      s".${file.getName}.graft_tmp_${System.nanoTime()}")
+    val out = new java.io.FileOutputStream(tmp)
+    var ok = false
+    try {
+      ChResultFormats.write(df, fmt, out)
+      ok = true
+    } finally {
+      out.close()
+      if (ok) {
+        if (!tmp.renameTo(file)) { tmp.delete(); fail(
+          s"INTO OUTFILE: could not move the export into place at $path") }
+      } else { tmp.delete(); () }
+    }
   }
 
   private def parseOrderCol(s: String): Column = {

@@ -335,11 +335,17 @@ object ChSqlRewrite {
           t = t.take(i); changed = true
         case _ =>
       }
-      // top-level INTO OUTFILE '...' [FORMAT x]
+      // top-level INTO OUTFILE '...' [FORMAT x [SETTINGS ...]] — when a
+      // SETTINGS tail follows the FORMAT, the end-anchored FORMAT pass
+      // above never fires, so capture the declared format here before
+      // the cut drops it
       depthIndexOfLast(t, "INTO") match {
         case i if i >= 0 && i + 1 < t.length && t(i + 1).is("OUTFILE") =>
           if (i + 2 < t.length && t(i + 2).isString)
             outPath = Some(t(i + 2).text.stripPrefix("'").stripSuffix("'"))
+          if (fmt.isEmpty && i + 4 < t.length && t(i + 3).is("FORMAT") &&
+            t(i + 4).isIdent)
+            fmt = Some(t(i + 4).text)
           t = t.take(i); changed = true
         case _ =>
       }

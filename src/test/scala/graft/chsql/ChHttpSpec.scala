@@ -257,6 +257,45 @@ class ChHttpSpec extends SparkSpec {
     assert(ddl.body().isEmpty)
   }
 
+  test("review regressions: escape-smuggled Array values rejected, " +
+    "backticked Identifier accepted, database= injection rejected, " +
+    "unknown function maps to 46") {
+    server.session.execute(
+      "CREATE TABLE http_rr (id UInt8, `my col` UInt8) ENGINE = Memory; " +
+        "INSERT INTO http_rr VALUES (1, 7)")
+    // backslash escapes are NOT a lexer escape — a value relying on them
+    // to hide a quote must be rejected, not spliced
+    val smuggle = get("/?query=" + enc("SELECT {a:Array(String)} AS v") +
+      "&param_a=" + enc("['a\\', 1)] union all select 1 from http_rr ''"))
+    assert(smuggle.statusCode() == 500)
+    // backtick-quoted identifiers are valid ClickHouse names
+    val tick = get("/?query=" + enc("SELECT max({c:Identifier}) AS m FROM http_rr") +
+      "&param_c=" + enc("`my col`"))
+    assert(tick.statusCode() == 200 && tick.body() == "7\n")
+    // database= is a NAME, not a script
+    val dbInj = get("/?query=" + enc("SELECT 1") +
+      "&database=" + enc("default; DROP TABLE http_rr"))
+    assert(dbInj.statusCode() == 500)
+    assert(get("/?query=" + enc("SELECT count() FROM http_rr")).body() == "1\n")
+    // unknown function → 46 UNKNOWN_FUNCTION (not 47)
+    val fn = get("/?query=" + enc("SELECT graft_no_such_fn(1)"))
+    assert(fn.statusCode() == 500)
+    assert(fn.headers().firstValue("X-ClickHouse-Exception-Code").get == "46")
+  }
+
+  test("a runtime failure mid-stream appends the exception text into the " +
+    "chunked body (never a clean-looking truncated 200)") {
+    spark.udf.register("graft_boom_late", (n: Long) => {
+      if (n > 900000L) throw new RuntimeException("boom at row " + n)
+      n
+    })
+    val r = get("/?query=" + enc(
+      "SELECT graft_boom_late(number) AS n FROM numbers(1000000) FORMAT TSV"))
+    assert(r.statusCode() == 200) // headers were already out — by design
+    assert(r.body().contains("Code: "),
+      "the exception marker must be visible in the stream")
+  }
+
   test("streaming INSERT ingestion: the upload lands in line batches — " +
     "one block (one part, one MV firing) per batch, never a full-body " +
     "buffer") {

@@ -886,6 +886,15 @@ class ChSqlSpec extends SparkSpec {
       s.sql(s"SELECT a FROM of_t INTO OUTFILE '$csv'").collect()
     }
     assert(err.getMessage.contains("already exists"))
+    // the declared FORMAT survives a trailing SETTINGS tail, and the
+    // statement returns NO rows to the caller (the client-summary
+    // contract — the file write already ran the job once)
+    val st = s"$dir/out3.dat"
+    val res = s.sql(s"SELECT a, b FROM of_t ORDER BY a INTO OUTFILE '$st' " +
+      "FORMAT CSVWithNames SETTINGS max_threads = 1").collect()
+    assert(res.isEmpty)
+    assert(java.nio.file.Files.readString(java.nio.file.Path.of(st))
+      .startsWith("a,b\n1,x"))
   }
 
   test("now() ± N means N SECONDS; toStartOfInterval takes INTERVAL " +
