@@ -47,7 +47,10 @@ object ChSession {
   final case class DictDef(sourceDb: String, sourceTable: String, pk: String)
 
   final case class ColumnDef(name: String, dataType: DataType,
-      nullable: Boolean, default: Option[String], materialized: Option[String])
+      nullable: Boolean, default: Option[String], materialized: Option[String],
+      // Enum8/16 value->name mapping: ClickHouse enums compare as their
+      // underlying numbers while selecting as the label
+      enumMap: Option[Seq[(Int, String)]] = None)
 
   /** A data-skipping index declaration (`INDEX name expr TYPE t(args)
     * GRANULARITY n`, lecture_08.md:109-276). The dialect layer records
@@ -527,7 +530,7 @@ final class ChSession(val spark: SparkSession,
       i = j
     }
     Some(ColumnDef(name, parsed.dataType, parsed.nullable, default,
-      materializedE))
+      materializedE, parsed.enumMap))
   }
 
   /** Table-level `TTL expr` between `from` and `until` (outside the
@@ -1323,6 +1326,22 @@ final class ChSession(val spark: SparkSession,
 
       override def describe(viewName: String): Option[Seq[String]] =
         scala.util.Try(spark.table(viewName).columns.toSeq).toOption
+
+      override def enumValues(ident: String,
+                              column: String): Option[Map[Int, String]] = {
+        val lower = ident.toLowerCase
+        val isQueryLog = lower == "system.query_log" ||
+          (currentDb == "system" && lower == "query_log")
+        if (isQueryLog && column.equalsIgnoreCase("type"))
+          // the reference's Enum8 (lecture_20.md:620) — our synthesized
+          // query_log stores the labels
+          Some(Map(1 -> "QueryStart", 2 -> "QueryFinish",
+            3 -> "ExceptionBeforeStart", 4 -> "ExceptionWhileProcessing"))
+        else
+          tables.get(parseRef(strip(ident))).flatMap(
+            _.columns.find(_.name.equalsIgnoreCase(column))
+              .flatMap(_.enumMap).map(_.toMap))
+      }
 
       override def resolveDict(name: String): Option[(String, String)] = {
         val ref = parseRef(strip(name))

@@ -44,6 +44,14 @@ object ChSqlRewrite {
       * `COLUMNS('regex')` dynamic-projection macro (lecture_04/08).
       */
     def describe(viewName: String): Option[Seq[String]] = None
+
+    /** The Enum8/16 value→name mapping of `column` on the (CH-named)
+      * table `ident`, when that column is enum-typed — powers
+      * ClickHouse's numeric enum comparisons (`type IN (3, 4)` on
+      * system.query_log, lecture_20.md:620).
+      */
+    def enumValues(ident: String, column: String): Option[Map[Int, String]] =
+      None
   }
 
   object NoTables extends Resolver {
@@ -79,6 +87,7 @@ object ChSqlRewrite {
     toks = rewriteNumbers(toks)
     toks = rewriteIntervalArgs(toks)
     toks = rewriteNowArithmetic(toks)
+    toks = rewriteEnumComparisons(toks, resolver)
     toks = rewriteTableFunctions(toks, resolver)
     toks = rewriteArrayJoinClause(toks)
     toks = toks.map(t => if (t.is("arrayJoin")) Token("explode") else t)
@@ -600,6 +609,66 @@ object ChSqlRewrite {
             return rewriteIntervalArgs(t) // indices shifted; restart
           }
           j += 1
+        }
+      }
+      i += 1
+    }
+    t
+  }
+
+  /** ClickHouse Enum semantics: an Enum8/16 column compares as its
+    * underlying NUMBER while storing/SELECTing as the label, so
+    * `type IN (3, 4)` / `level = 2` must match rows whose stored value
+    * is the mapped NAME. Conservative scope: statements whose FROM/JOIN
+    * clauses name exactly ONE table (every corpus use), equality and
+    * IN-list comparisons only (ordering comparisons would need the
+    * numeric order, which the label strings do not preserve).
+    */
+  private def rewriteEnumComparisons(toks: Vector[Token],
+                                     resolver: Resolver): Vector[Token] = {
+    // the single FROM/JOIN target, when there is exactly one
+    var fromIdent: Option[String] = None
+    var nTargets = 0
+    var depth = 0
+    toks.indices.foreach { i =>
+      val t = toks(i)
+      if (t.text == "(") depth += 1
+      else if (t.text == ")") depth -= 1
+      else if (depth == 0 && (t.is("FROM") || t.is("JOIN")) &&
+        i + 1 < toks.length && toks(i + 1).isIdent &&
+        !toks(i + 1).is("FINAL")) {
+        nTargets += 1
+        fromIdent = Some(toks(i + 1).text)
+      }
+    }
+    if (nTargets != 1) return toks
+    val ident = fromIdent.get
+    def mapping(colTok: Token): Option[Map[Int, String]] =
+      if (!colTok.isIdent) None
+      else resolver.enumValues(ident,
+        colTok.text.split('.').last.stripPrefix("`").stripSuffix("`"))
+    def nameLit(m: Map[Int, String], numTok: Token): Option[Token] =
+      if (numTok.isString || numTok.text.isEmpty ||
+        !numTok.text.forall(_.isDigit)) None
+      else m.get(numTok.text.toInt).map(n =>
+        Token("'" + n.replace("'", "''") + "'", isString = true))
+    var t = toks
+    var i = 0
+    while (i < t.length) {
+      val eqOp = i + 2 < t.length &&
+        (t(i + 1).text == "=" || t(i + 1).text == "!=" || t(i + 1).text == "<>")
+      if (eqOp) {
+        for (m <- mapping(t(i)); lit <- nameLit(m, t(i + 2)))
+          t = t.updated(i + 2, lit)
+      } else if (i + 2 < t.length && t(i + 1).is("IN") &&
+        t(i + 2).text == "(") {
+        mapping(t(i)).foreach { m =>
+          val close = matchParen(t, i + 2)
+          var j = i + 3
+          while (j < close) {
+            nameLit(m, t(j)).foreach(lit => t = t.updated(j, lit))
+            j += 1
+          }
         }
       }
       i += 1

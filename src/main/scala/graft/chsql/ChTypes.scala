@@ -18,14 +18,16 @@ import org.apache.spark.sql.types._
   */
 object ChTypes {
 
-  final case class Parsed(dataType: DataType, nullable: Boolean)
+  final case class Parsed(dataType: DataType, nullable: Boolean,
+      enumMap: Option[Seq[(Int, String)]] = None)
 
   def parse(chType: String): Parsed = {
     val t = chType.trim
     val lower = t.toLowerCase
-    if (lower.startsWith("nullable(") && t.endsWith(")"))
-      Parsed(parse(t.substring("nullable(".length, t.length - 1)).dataType,
-        nullable = true)
+    if (lower.startsWith("nullable(") && t.endsWith(")")) {
+      val inner = parse(t.substring("nullable(".length, t.length - 1))
+      Parsed(inner.dataType, nullable = true, inner.enumMap)
+    }
     else if (lower.startsWith("lowcardinality(") && t.endsWith(")"))
       parse(t.substring("lowcardinality(".length, t.length - 1))
     else if (lower.startsWith("array(") && t.endsWith(")")) {
@@ -52,7 +54,21 @@ object ChTypes {
       }
       Parsed(StructType(fields), nullable = false)
     } else if (lower.startsWith("enum") && t.contains("(")) {
-      Parsed(StringType, nullable = false)
+      // keep the value->name mapping: ClickHouse enums COMPARE as their
+      // underlying numbers (`type IN (3, 4)` on system.query_log) while
+      // SELECTing as the label — the rewriter maps numeric comparisons
+      // through this table (ChSqlRewrite.rewriteEnumComparisons)
+      val body = t.substring(t.indexOf('(') + 1, t.lastIndexOf(')'))
+      val entries = splitTopLevel(body).flatMap { e =>
+        val eq = e.lastIndexOf('=')
+        if (eq < 0) None
+        else {
+          val name = e.take(eq).trim.stripPrefix("'").stripSuffix("'")
+          scala.util.Try(e.drop(eq + 1).trim.toInt).toOption.map(_ -> name)
+        }
+      }
+      Parsed(StringType, nullable = false,
+        if (entries.nonEmpty) Some(entries) else None)
     } else if (lower.startsWith("decimal")) {
       // Decimal(p, s) | Decimal32(s)/64/128 with implied precision
       val args = t.substring(t.indexOf('(') + 1, t.lastIndexOf(')'))

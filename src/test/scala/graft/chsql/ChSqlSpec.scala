@@ -865,6 +865,30 @@ class ChSqlSpec extends SparkSpec {
     assert(out.toSeq == Seq(("log_a", 1L), ("log_b", 5L)))
   }
 
+  test("Enum8 columns compare as their underlying numbers while " +
+    "selecting as the label (lecture_20.md:620, lecture_17's level enum)") {
+    val s = ch
+    s.execute("CREATE TABLE en_t (id UInt8, level Enum8('Fatal' = 1, " +
+      "'Critical' = 2, 'Error' = 3)) ENGINE = Memory; " +
+      "INSERT INTO en_t VALUES (1, 'Fatal'), (2, 'Critical'), (3, 'Error')")
+    assert(s.sql("SELECT id FROM en_t WHERE level = 2")
+      .collect().map(_.getInt(0)).toSeq == Seq(2))
+    assert(s.sql("SELECT id FROM en_t WHERE level IN (1, 3) ORDER BY id")
+      .collect().map(_.getInt(0)).toSeq == Seq(1, 3))
+    // the label still selects/compares as a string
+    assert(s.sql("SELECT id FROM en_t WHERE level = 'Error'")
+      .collect().head.getInt(0) == 3)
+    assert(s.sql("SELECT level FROM en_t WHERE id = 1")
+      .collect().head.getString(0) == "Fatal")
+    // non-enum integer comparisons are untouched
+    assert(s.sql("SELECT count() AS c FROM en_t WHERE id = 2")
+      .collect().head.getLong(0) == 1L)
+    // the lecture_20 monitoring idiom over system.query_log's type enum
+    // resolves and runs (honestly empty of exception events)
+    assert(s.sql("select * from system.query_log where type in (3, 4)")
+      .collect().length >= 0)
+  }
+
   test("SELECT ... INTO OUTFILE writes the file (refusing to overwrite) " +
     "with extension-inferred or declared FORMAT") {
     val s = ch
