@@ -34,6 +34,9 @@ object SparkEntry {
     *    recall spec depends on engine-internal bucket hashing.
     *    (d04 got the verified-output oracle treatment in round 2 because
     *    its LSH recall on this corpus is provably 1.0; these cannot.)
+    *    The probe path ITSELF is hash-oracled under fixed hyperplanes as
+    *    d08b_ann_lsh_fixed (sign-bit bucket → 1-bit multi-probe → exact
+    *    cosine rerank); only the plane CHOICE remains internal.
     *  - d10_ann_ivf / d12_ann_ivfpq: same — probe/ADC rankings depend on
     *    the engine-internal k-means cells and PQ codebooks; recall and
     *    partition-pruning are spec- and plan-asserted instead. BOTH

@@ -501,4 +501,42 @@ object SimilaritySearch {
       .distinct()
     topK(scored, qIdCol, idCol, k)
   }
+
+  /** The PROBE half of [[lshTopK]] under caller-supplied (FIXED)
+    * hyperplanes — the oracle-able apply path. Bucket bit `i` is the
+    * sign of the double-precision dot product against `planes(i)`; the
+    * probe set is the query's bucket plus every 1-bit flip; candidates
+    * rerank by exact cosine. All three transforms are deterministic in
+    * the given planes, so a SQL oracle can replay them. Buckets are
+    * computed map-side against plane literals (no fit, no shuffle of
+    * vectors); candidates move through ONE broadcast-hash join on the
+    * bucket key and top-k partial-aggregates.
+    */
+  def lshTopKWithPlanes(corpus: DataFrame, idCol: String, vecCol: String,
+                        queries: DataFrame, qIdCol: String, qVecCol: String,
+                        k: Int, planes: Array[Array[Float]]): DataFrame = {
+    NativeFunctions.register(corpus.sparkSession)
+    def bucketOf(vec: Column): Column =
+      planes.indices.map { i =>
+        val p = typedLit(planes(i).map(_.toDouble).toSeq)
+        when(aggregate(zip_with(vec.cast("array<double>"), p,
+            (x, y) => x * y), lit(0d), (acc, x) => acc + x) > 0,
+          lit(1 << i)).otherwise(lit(0))
+      }.reduce(_ + _)
+    val bucketed = corpus.select(col(idCol), col(vecCol),
+      bucketOf(col(vecCol)).as("bucket"))
+    val masks = lit(0) +: planes.indices.map(i => lit(1 << i))
+    val probes = queries
+      .select(col(qIdCol), col(qVecCol), bucketOf(col(qVecCol)).as("qb"))
+      .select(col(qIdCol), col(qVecCol),
+        explode(array(masks.map(m => col("qb").bitwiseXOR(m)): _*))
+          .as("bucket"))
+    // base bucket and its 1-bit flips are pairwise distinct, so each
+    // candidate matches at most one probe row — no post-join distinct
+    val scored = bucketed.join(broadcast(probes), Seq("bucket"))
+      .filter(col(idCol) =!= col(qIdCol))
+      .select(col(qIdCol), col(idCol),
+        NativeFunctions.cosine(col(vecCol), col(qVecCol)).as("cosine"))
+    topK(scored, qIdCol, idCol, k)
+  }
 }

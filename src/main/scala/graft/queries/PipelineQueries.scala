@@ -25,7 +25,8 @@ object PipelineQueries {
   private val normSql = normSqlOf("text")
   private def toksSql(norm: String) = s"string_split($norm, ' ')"
 
-  /** FIXED centroids for the fit/apply-split queries (t29b/t32b/d10b):
+  /** FIXED centroids for the fit/apply-split queries (t29b/t32b/d10b,
+    * and d08b's hyperplanes):
     * the embedding vectors of vec_id < n, id-ordered — a pure function
     * of the data, so both engines name the same centers. Bounded
     * driver-side collect (n rows).
@@ -291,6 +292,51 @@ object PipelineQueries {
         .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
       SimilaritySearch.lshTopK(emb, "vec_id", "embedding",
           queries, "query_id", "qv", k = 10, bits = 10)
+        .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
+          round(col("cosine"), 4).as("cos4"))
+        .orderBy(col("query_id"), col("rank"))
+    },
+
+    // ---- d08's LSH probe under FIXED hyperplanes (the vectors of
+    // vec_id < 6): sign-bit bucketing, the 1-bit multi-probe set, and
+    // the exact cosine rerank are all deterministic transforms of the
+    // given planes, so the whole blocked-search path hash-oracles —
+    // only the hash-plane CHOICE stays engine-internal (d08 above).
+    // Both sides dot in double precision (exact promotions from the
+    // float embeddings, same left-to-right summation), so the sign —
+    // and hence the bucket — agrees bit-for-bit.
+    Q("d08b_ann_lsh_fixed",
+      """WITH p AS (SELECT vec_id AS pid, CAST(embedding AS DOUBLE[]) AS pv
+        |           FROM embeddings WHERE vec_id < 6),
+        |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |b AS (SELECT e.vec_id,
+        |        CAST(sum(CASE WHEN list_inner_product(e.v, p.pv) > 0
+        |                      THEN 1 << p.pid ELSE 0 END) AS INT) AS bucket
+        |      FROM e CROSS JOIN p GROUP BY 1),
+        |probes AS (
+        |  SELECT vec_id AS query_id, bucket AS pb FROM b WHERE vec_id < 5
+        |  UNION ALL
+        |  SELECT b.vec_id, xor(b.bucket, CAST(1 << r.i AS INT))
+        |  FROM b CROSS JOIN range(0, 6) r(i) WHERE b.vec_id < 5),
+        |cand AS (SELECT pr.query_id, cb.vec_id AS neighbor_id,
+        |           list_cosine_similarity(qe.v, ne.v) AS cos
+        |         FROM probes pr
+        |         JOIN b cb ON cb.bucket = pr.pb
+        |         JOIN e ne ON ne.vec_id = cb.vec_id
+        |         JOIN e qe ON qe.vec_id = pr.query_id
+        |         WHERE cb.vec_id <> pr.query_id)
+        |SELECT query_id,
+        |  row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank,
+        |  neighbor_id, round(cos, 4) + 0 AS cos4
+        |FROM cand
+        |QUALIFY rank <= 10
+        |ORDER BY query_id, rank""") { (s, dir) =>
+      val emb = Tables(s, dir).embeddings
+      val queries = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      SimilaritySearch.lshTopKWithPlanes(emb, "vec_id", "embedding",
+          queries, "query_id", "qv", k = 10,
+          planes = fixedCenters(s, dir, 6))
         .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
           round(col("cosine"), 4).as("cos4"))
         .orderBy(col("query_id"), col("rank"))

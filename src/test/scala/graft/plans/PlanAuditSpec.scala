@@ -267,7 +267,8 @@ class PlanAuditSpec extends SparkSpec {
 
   test("d10b/d12b fixed-artifact ANN probes: the corpus side never " +
     "shuffles — probe LUTs broadcast, top-k partial-aggregates") {
-    for (name <- Seq("d10b_ann_ivf_fixed", "d12b_ann_ivfpq_fixed")) {
+    for (name <- Seq("d10b_ann_ivf_fixed", "d12b_ann_ivfpq_fixed",
+        "d08b_ann_lsh_fixed")) {
       val plan = formatted(q(name))
       assert(count(plan, "SortMergeJoin") + count(plan, "ShuffledHashJoin") == 0,
         s"$name: the probe join must broadcast:\n$plan")
