@@ -146,6 +146,13 @@ object ChLexer {
           // an unbalanced '"' can't disable comment stripping for the
           // rest of the script (single-quoted literals MAY be multiline)
           strCloser = 0; out += c; i += 1
+        } else if (c == '\'' && strCloser == '’') {
+          // the smart delimiters become plain quotes, so an interior
+          // plain quote must leave as the '' escape or it would close
+          // the emitted literal early (‘l'été’ → 'l''été')
+          out ++= "''"; i += 1
+        } else if (c == '"' && strCloser == '”') {
+          out ++= "\"\""; i += 1
         } else { out += c; i += 1 }
       } else if (inTick) {
         out += c

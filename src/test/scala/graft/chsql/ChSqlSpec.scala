@@ -40,6 +40,10 @@ class ChSqlSpec extends SparkSpec {
     // tokenize keeps the normalized literal as ONE string token
     val t = ChLexer.tokenize("SELECT ‘v 1’ AS x")
     assert(t.exists(tok => tok.isString && tok.text == "'v 1'"))
+    // an interior PLAIN quote inside smart delimiters leaves as the ''
+    // escape — the emitted plain-quoted literal must not close early
+    assert(ChLexer.statements("SELECT ‘l'été’ AS s; SELECT 2;") ==
+      Seq("SELECT 'l''été' AS s", "SELECT 2"))
   }
 
   test("lexer: double-quoted strings protect ';' — inline JSONEachRow " +
