@@ -59,13 +59,17 @@ object ChTypes {
       // SELECTing as the label — the rewriter maps numeric comparisons
       // through this table (ChSqlRewrite.rewriteEnumComparisons)
       val body = t.substring(t.indexOf('(') + 1, t.lastIndexOf(')'))
+      var next = 1 // `Enum('a', 'b' = 5, 'c')` numbers like CH: 1, 5, 6
       val entries = splitTopLevel(body).flatMap { e =>
         val eq = e.lastIndexOf('=')
-        if (eq < 0) None
-        else {
-          val name = e.take(eq).trim.stripPrefix("'").stripSuffix("'")
-          scala.util.Try(e.drop(eq + 1).trim.toInt).toOption.map(_ -> name)
-        }
+        val entry =
+          if (eq < 0) Some(next -> e.trim.stripPrefix("'").stripSuffix("'"))
+          else {
+            val name = e.take(eq).trim.stripPrefix("'").stripSuffix("'")
+            scala.util.Try(e.drop(eq + 1).trim.toInt).toOption.map(_ -> name)
+          }
+        entry.foreach { case (v, _) => next = v + 1 }
+        entry
       }
       Parsed(StringType, nullable = false,
         if (entries.nonEmpty) Some(entries) else None)
@@ -77,9 +81,13 @@ object ChTypes {
         if (lower.startsWith("decimal32")) (9, args(0))
         else if (lower.startsWith("decimal64")) (18, args(0))
         else if (lower.startsWith("decimal128")) (38, args(0))
+        else if (args.length == 1) (args(0), 0) // Decimal(P) = scale 0
         else (args(0), args(1))
       Parsed(DecimalType(p, s), nullable = false)
-    } else if (lower.startsWith("datetime64")) {
+    } else if (lower.startsWith("datetime64") ||
+               lower.startsWith("datetime(")) {
+      // DateTime64(precision[, tz]) / DateTime('tz') — Spark timestamps
+      // are tz-less micros; session timezone handles rendering
       Parsed(TimestampType, nullable = false)
     } else if (lower.startsWith("fixedstring")) {
       Parsed(StringType, nullable = false)
