@@ -56,4 +56,37 @@ object Decontaminate {
       .select(col(corpusId)).distinct()
     corpus.join(bad, Seq(corpusId), "left_anti")
   }
+
+  /** Embedding-space decontamination: flag every corpus row whose
+    * embedding is within `minCosine` of ANY eval row's — the semantic
+    * overlap the n-gram winnowing report cannot see (paraphrased or
+    * translated benchmark items). One row per flagged corpus doc with
+    * its CLOSEST eval item (ties break to the smallest eval id).
+    *
+    * Scale shape mirrors [[overlapReport]]: benchmarks are the small
+    * side by construction, so the eval vectors broadcast and the corpus
+    * side is a single map-side scored pass plus a partial-aggregated
+    * per-doc argmax — corpus vectors never shuffle. For eval sets too
+    * large to broadcast, route through
+    * [[Dedup.embeddingNearDupPairsLsh]]-style bucketing instead.
+    */
+  def embeddingOverlapReport(corpus: DataFrame, corpusId: String,
+                             corpusVec: String, evalSet: DataFrame,
+                             evalId: String, evalVec: String,
+                             minCosine: Double): DataFrame = {
+    graft.plans.NativeFunctions.register(corpus.sparkSession)
+    val scored = corpus.select(col(corpusId), col(corpusVec))
+      .crossJoin(broadcast(evalSet.select(col(evalId).as("eval_id"),
+        col(evalVec).as("__ev"))))
+      .select(col(corpusId), col("eval_id"),
+        graft.plans.NativeFunctions.cosine(col(corpusVec), col("__ev"))
+          .as("cosine"))
+      .filter(col("cosine") >= minCosine)
+    // struct-max argmax: deterministic on cosine ties via smallest id
+    scored
+      .groupBy(col(corpusId))
+      .agg(max(struct(col("cosine"), (-col("eval_id")).as("neg_id"))).as("m"))
+      .select(col(corpusId), (-col("m.neg_id")).as("eval_id"),
+        col("m.cosine").as("cosine"))
+  }
 }

@@ -689,6 +689,35 @@ object PipelineQueries {
         .orderBy(col("doc_id"), col("eval_id"))
     },
 
+    // ---- embedding-space decontamination (the semantic companion to
+    // t08's n-gram winnowing: paraphrased/translated benchmark items
+    // share no 3-gram but sit close in embedding space). Eval set =
+    // vec_id < 20 broadcast; corpus side is one map-side scored pass +
+    // partial-aggregated argmax — corpus vectors never shuffle.
+    Q("t36_embedding_decontaminate",
+      """WITH ev AS (SELECT vec_id AS eval_id, CAST(embedding AS DOUBLE[]) AS evv
+        |            FROM embeddings WHERE vec_id < 20),
+        |c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |      FROM embeddings WHERE vec_id >= 20),
+        |s AS (SELECT c.vec_id, ev.eval_id,
+        |        list_cosine_similarity(c.v, ev.evv) AS cos
+        |      FROM c CROSS JOIN ev
+        |      WHERE list_cosine_similarity(c.v, ev.evv) >= 0.25),
+        |f AS (SELECT vec_id, eval_id, cos,
+        |        row_number() OVER (PARTITION BY vec_id
+        |          ORDER BY cos DESC, eval_id) AS rn FROM s)
+        |SELECT vec_id AS doc_vec_id, eval_id, round(cos, 4) + 0 AS cos4
+        |FROM f WHERE rn = 1 ORDER BY doc_vec_id""") { (s, dir) =>
+      val emb = Tables(s, dir).embeddings
+      Decontaminate.embeddingOverlapReport(
+          emb.filter(col("vec_id") >= 20), "vec_id", "embedding",
+          emb.filter(col("vec_id") < 20), "vec_id", "embedding",
+          minCosine = 0.25)
+        .select(col("vec_id").as("doc_vec_id"), col("eval_id"),
+          round(col("cosine"), 4).as("cos4"))
+        .orderBy(col("doc_vec_id"))
+    },
+
     // ---- deterministic dataset split (train/val/test mixing): bucket =
     // md5("salt:key") first 8 hex digits mod 10000 → cumulative weights.
     // Pure map-side expression — no shuffle, no sampling pass — and

@@ -46,4 +46,32 @@ class DecontaminateSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
   }
+
+  private def vec(seed: Int): Array[Float] = {
+    val r = new scala.util.Random(seed)
+    Array.fill(8)(r.nextFloat() - 0.5f)
+  }
+
+  test("embeddingOverlapReport flags near-eval rows with the closest " +
+    "eval id, skips far rows, and never shuffles the corpus side") {
+    val evalE = Seq((1L, vec(1)), (2L, vec(2))).toDF("vec_id", "embedding")
+    // 100 ~ eval 1 (same direction, scaled); 101 orthogonal-ish random
+    val corpusE = Seq(
+      (100L, vec(1).map(_ * 3f)), (101L, vec(77)), (102L, vec(2).map(_ * 0.5f)))
+      .toDF("vec_id", "embedding")
+    val rep = Decontaminate.embeddingOverlapReport(
+        corpusE, "vec_id", "embedding", evalE, "vec_id", "embedding",
+        minCosine = 0.95)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rep == Map(100L -> 1L, 102L -> 2L), rep)
+    val plan = Decontaminate.embeddingOverlapReport(
+        corpusE, "vec_id", "embedding", evalE, "vec_id", "embedding",
+        minCosine = 0.95)
+      .queryExecution.executedPlan.toString
+    // broadcast nested-loop over the eval side; the only exchange is the
+    // argmax aggregation over (already filtered) flagged rows
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      plan.take(2000))
+  }
 }
