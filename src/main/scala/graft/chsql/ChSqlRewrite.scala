@@ -660,11 +660,17 @@ object ChSqlRewrite {
       if (eqOp) {
         for (m <- mapping(t(i)); lit <- nameLit(m, t(i + 2)))
           t = t.updated(i + 2, lit)
-      } else if (i + 2 < t.length && t(i + 1).is("IN") &&
-        t(i + 2).text == "(") {
-        mapping(t(i)).foreach { m =>
-          val close = matchParen(t, i + 2)
-          var j = i + 3
+      } else {
+        // IN (…) and NOT IN (…) — same mapping over the list literals
+        val inAt =
+          if (i + 2 < t.length && t(i + 1).is("IN") && t(i + 2).text == "(")
+            i + 2
+          else if (i + 3 < t.length && t(i + 1).is("NOT") &&
+            t(i + 2).is("IN") && t(i + 3).text == "(") i + 3
+          else -1
+        if (inAt > 0) mapping(t(i)).foreach { m =>
+          val close = matchParen(t, inAt)
+          var j = inAt + 1
           while (j < close) {
             nameLit(m, t(j)).foreach(lit => t = t.updated(j, lit))
             j += 1

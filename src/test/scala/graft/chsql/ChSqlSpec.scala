@@ -884,6 +884,10 @@ class ChSqlSpec extends SparkSpec {
       .collect().head.getInt(0) == 3)
     assert(s.sql("SELECT level FROM en_t WHERE id = 1")
       .collect().head.getString(0) == "Fatal")
+    // NOT IN maps through the same table (a string-vs-int comparison
+    // would silently return EMPTY here, not the complement)
+    assert(s.sql("SELECT id FROM en_t WHERE level NOT IN (1, 3)")
+      .collect().map(_.getInt(0)).toSeq == Seq(2))
     // non-enum integer comparisons are untouched
     assert(s.sql("SELECT count() AS c FROM en_t WHERE id = 2")
       .collect().head.getLong(0) == 1L)
