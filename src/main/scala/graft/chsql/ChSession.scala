@@ -722,22 +722,50 @@ final class ChSession(val spark: SparkSession,
     replaceContents(t, kept)
   }
 
+  /** The Enum8/16 value→name table of `column` on the CH-named table
+    * `ident` (lecture_20.md:620's query_log `type`, plus any user DDL
+    * enum) — shared by the SELECT rewrite resolver and the mutation
+    * path, so `ALTER … DELETE WHERE level = 2` maps like a SELECT.
+    */
+  private def enumValuesOf(ident: String,
+                           column: String): Option[Map[Int, String]] = {
+    val lower = strip(ident).toLowerCase
+    val isQueryLog = lower == "system.query_log" ||
+      (currentDb == "system" && lower == "query_log")
+    if (isQueryLog && column.equalsIgnoreCase("type"))
+      // the reference's Enum8 (lecture_20.md:620) — our synthesized
+      // query_log stores the labels
+      Some(Map(1 -> "QueryStart", 2 -> "QueryFinish",
+        3 -> "ExceptionBeforeStart", 4 -> "ExceptionWhileProcessing"))
+    else
+      tables.get(parseRef(strip(ident))).flatMap(
+        _.columns.find(_.name.equalsIgnoreCase(column))
+          .flatMap(_.enumMap).map(_.toMap))
+  }
+
   private def runAlter(stmt: String, toks: Vector[ChLexer.Token]): Unit = {
     val ref = parseRef(strip(toks(2).text))
     val t = lookup(ref)
     val op = toks(3).upper
+    // the mutation WHERE compares enum columns by number like a SELECT
+    def enumMapped(predToks: Vector[ChLexer.Token]): String =
+      ChLexer.render(ChSqlRewrite.mapEnumComparisons(predToks,
+        col => enumValuesOf(toks(2).text, col)))
     op match {
       case "DELETE" => // ALTER TABLE t DELETE WHERE pred
         val whereAt = toks.indexWhere(_.is("WHERE"))
-        val pred = ChLexer.render(toks.drop(whereAt + 1))
-        val kept = tableDf(t).filter(s"NOT ($pred)")
+        val pred = enumMapped(toks.drop(whereAt + 1))
+        // CH deletes rows where pred is TRUE; a NULL predicate keeps the
+        // row — NOT(pred) alone would drop every NULL-predicate row
+        val kept = tableDf(t)
+          .filter(not(coalesce(expr(pred), lit(false))))
         replaceContents(t, kept)
         logMutation(ref, ChLexer.render(toks.drop(3)))
       case "UPDATE" => // ALTER TABLE t UPDATE a = e1, b = e2 WHERE pred
         val whereAt = indexOfTopLevel(toks, "WHERE")
         val assigns = ChTypes.splitTopLevel(
           ChLexer.render(toks.slice(4, whereAt)))
-        val pred = ChLexer.render(toks.drop(whereAt + 1))
+        val pred = enumMapped(toks.drop(whereAt + 1))
         var df = tableDf(t)
         assigns.foreach { a =>
           val eq = a.indexOf('=')
@@ -1328,20 +1356,8 @@ final class ChSession(val spark: SparkSession,
         scala.util.Try(spark.table(viewName).columns.toSeq).toOption
 
       override def enumValues(ident: String,
-                              column: String): Option[Map[Int, String]] = {
-        val lower = ident.toLowerCase
-        val isQueryLog = lower == "system.query_log" ||
-          (currentDb == "system" && lower == "query_log")
-        if (isQueryLog && column.equalsIgnoreCase("type"))
-          // the reference's Enum8 (lecture_20.md:620) — our synthesized
-          // query_log stores the labels
-          Some(Map(1 -> "QueryStart", 2 -> "QueryFinish",
-            3 -> "ExceptionBeforeStart", 4 -> "ExceptionWhileProcessing"))
-        else
-          tables.get(parseRef(strip(ident))).flatMap(
-            _.columns.find(_.name.equalsIgnoreCase(column))
-              .flatMap(_.enumMap).map(_.toMap))
-      }
+                              column: String): Option[Map[Int, String]] =
+        enumValuesOf(ident, column)
 
       override def resolveDict(name: String): Option[(String, String)] = {
         val ref = parseRef(strip(name))

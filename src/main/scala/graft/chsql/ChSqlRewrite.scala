@@ -87,6 +87,7 @@ object ChSqlRewrite {
     toks = rewriteNumbers(toks)
     toks = rewriteIntervalArgs(toks)
     toks = rewriteNowArithmetic(toks)
+    toks = rewriteCommaCrossJoin(toks)
     toks = rewriteEnumComparisons(toks, resolver)
     toks = rewriteTableFunctions(toks, resolver)
     toks = rewriteArrayJoinClause(toks)
@@ -620,9 +621,10 @@ object ChSqlRewrite {
     * underlying NUMBER while storing/SELECTing as the label, so
     * `type IN (3, 4)` / `level = 2` must match rows whose stored value
     * is the mapped NAME. Conservative scope: statements whose FROM/JOIN
-    * clauses name exactly ONE table (every corpus use), equality and
-    * IN-list comparisons only (ordering comparisons would need the
-    * numeric order, which the label strings do not preserve).
+    * clauses name exactly ONE table with no comma cross-join (every
+    * corpus use); equality and literal-list IN comparisons only
+    * (ordering comparisons would need the numeric order, which the
+    * label strings do not preserve).
     */
   private def rewriteEnumComparisons(toks: Vector[Token],
                                      resolver: Resolver): Vector[Token] = {
@@ -639,27 +641,102 @@ object ChSqlRewrite {
         !toks(i + 1).is("FINAL")) {
         nTargets += 1
         fromIdent = Some(toks(i + 1).text)
+        // a top-level comma before the next clause keyword is a comma
+        // cross-join (FROM a, b) — another target, so bail: column
+        // names could resolve against the wrong table's enum map
+        if (t.is("FROM")) {
+          var j = i + 2
+          var d = 0
+          while (j < toks.length && d >= 0 &&
+            !(d == 0 && fromClauseEnd(toks(j)))) {
+            if (toks(j).text == "(") d += 1
+            else if (toks(j).text == ")") d -= 1
+            else if (d == 0 && toks(j).text == ",") nTargets += 1
+            j += 1
+          }
+        }
       }
     }
     if (nTargets != 1) return toks
     val ident = fromIdent.get
+    mapEnumComparisons(toks,
+      col => resolver.enumValues(ident, col))
+  }
+
+  private def fromClauseEnd(t: Token): Boolean =
+    t.is("WHERE") || t.is("PREWHERE") || t.is("GROUP") || t.is("ORDER") ||
+      t.is("HAVING") || t.is("LIMIT") || t.is("SETTINGS") ||
+      t.is("UNION") || t.is("EXCEPT") || t.is("INTERSECT") ||
+      t.is("WINDOW") || t.is("QUALIFY") || t.is("FORMAT") || t.text == ";"
+
+  private def joinFamily(t: Token): Boolean =
+    t.is("JOIN") || t.is("LEFT") || t.is("RIGHT") || t.is("INNER") ||
+      t.is("FULL") || t.is("CROSS") || t.is("ANY") || t.is("ALL") ||
+      t.is("ASOF") || t.is("SEMI") || t.is("ANTI") || t.is("GLOBAL") ||
+      t.is("ARRAY") || t.is("PASTE") || t.is("ON") || t.is("USING")
+
+  /** ClickHouse treats a comma in the FROM clause as CROSS JOIN
+    * (`FROM movies, genres` — homeworks/hw06.md). Normalizing the token
+    * lets the catalog/from-clause rewrites see BOTH targets (they only
+    * look behind FROM/JOIN) and makes the enum mapping's single-table
+    * guard count them. Scope: top-level commas between FROM and the
+    * next clause or join keyword — ARRAY JOIN's comma list, SELECT-list
+    * and ORDER/GROUP/LIMIT commas are all outside it.
+    */
+  private def rewriteCommaCrossJoin(toks: Vector[Token]): Vector[Token] = {
+    val out = Vector.newBuilder[Token]
+    var depth = 0
+    var inFrom = false
+    toks.foreach { t =>
+      if (t.text == "(") { depth += 1; out += t }
+      else if (t.text == ")") { depth -= 1; out += t }
+      else if (depth == 0 && t.is("FROM")) { inFrom = true; out += t }
+      else if (depth == 0 && inFrom && (fromClauseEnd(t) || joinFamily(t))) {
+        inFrom = false; out += t
+      } else if (depth == 0 && inFrom && t.text == ",") {
+        out += Token("CROSS"); out += Token("JOIN")
+      } else out += t
+    }
+    out.result()
+  }
+
+  /** The comparison-mapping half, against an already-bound table:
+    * `lookup` takes a COLUMN name and returns its enum value→name
+    * table. Also used by the mutation path (`ALTER … DELETE/UPDATE …
+    * WHERE level = 2`), where the target table is the ALTER's own.
+    */
+  def mapEnumComparisons(toks: Vector[Token],
+      lookup: String => Option[Map[Int, String]]): Vector[Token] = {
     def mapping(colTok: Token): Option[Map[Int, String]] =
       if (!colTok.isIdent) None
-      else resolver.enumValues(ident,
-        colTok.text.split('.').last.stripPrefix("`").stripSuffix("`"))
+      else lookup(colTok.text.split('.').last.stripPrefix("`")
+        .stripSuffix("`"))
     def nameLit(m: Map[Int, String], numTok: Token): Option[Token] =
       if (numTok.isString || numTok.text.isEmpty ||
         !numTok.text.forall(_.isDigit)) None
-      else m.get(numTok.text.toInt).map(n =>
+      else numTok.text.toIntOption.flatMap(m.get).map(n =>
         Token("'" + n.replace("'", "''") + "'", isString = true))
+    def isEqOp(tok: Token): Boolean =
+      tok.text == "=" || tok.text == "==" || tok.text == "!=" ||
+        tok.text == "<>"
+    // a literal IN list only: anything else between the parens (a
+    // subquery's SELECT, arithmetic, nested parens) must not have its
+    // integers blind-rewritten
+    def literalListOnly(t: Vector[Token], open: Int, close: Int): Boolean =
+      (open + 1 until close).forall { j =>
+        val tok = t(j)
+        tok.isString || tok.text == "," ||
+          (tok.text.nonEmpty && tok.text.forall(_.isDigit))
+      }
     var t = toks
     var i = 0
     while (i < t.length) {
-      val eqOp = i + 2 < t.length &&
-        (t(i + 1).text == "=" || t(i + 1).text == "!=" || t(i + 1).text == "<>")
-      if (eqOp) {
+      if (i + 2 < t.length && isEqOp(t(i + 1))) {
+        // enum = 2 … and the reversed 2 = enum
         for (m <- mapping(t(i)); lit <- nameLit(m, t(i + 2)))
           t = t.updated(i + 2, lit)
+        for (m <- mapping(t(i + 2)); lit <- nameLit(m, t(i)))
+          t = t.updated(i, lit)
       } else {
         // IN (…) and NOT IN (…) — same mapping over the list literals
         val inAt =
@@ -670,10 +747,12 @@ object ChSqlRewrite {
           else -1
         if (inAt > 0) mapping(t(i)).foreach { m =>
           val close = matchParen(t, inAt)
-          var j = inAt + 1
-          while (j < close) {
-            nameLit(m, t(j)).foreach(lit => t = t.updated(j, lit))
-            j += 1
+          if (literalListOnly(t, inAt, close)) {
+            var j = inAt + 1
+            while (j < close) {
+              nameLit(m, t(j)).foreach(lit => t = t.updated(j, lit))
+              j += 1
+            }
           }
         }
       }
@@ -961,6 +1040,17 @@ object ChSqlRewrite {
         }
         out += t
         out ++= ChLexer.tokenize(ref)
+        // no explicit alias ⟹ alias the view as the ORIGINAL table name,
+        // so unaliased qualified refs (`en_codes.lvl`, `movies.title` in
+        // hw06's comma join) still resolve against the renamed view
+        val hasAlias = j < toks.length && (toks(j).is("AS") ||
+          (toks(j).isIdent && !fromClauseEnd(toks(j)) &&
+            !joinFamily(toks(j))))
+        if (!hasAlias) {
+          val alias = ident.split('.').last
+          if (alias.nonEmpty && alias != ref)
+            out ++= Seq(Token("AS"), Token(alias))
+        }
         i = j
       } else { out += t; i += 1 }
     }

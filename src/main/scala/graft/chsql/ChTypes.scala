@@ -60,15 +60,17 @@ object ChTypes {
       // through this table (ChSqlRewrite.rewriteEnumComparisons)
       val body = t.substring(t.indexOf('(') + 1, t.lastIndexOf(')'))
       var next = 1 // `Enum('a', 'b' = 5, 'c')` numbers like CH: 1, 5, 6
-      val entries = splitTopLevel(body).flatMap { e =>
+      def label(s: String): String = // the '' escape decodes ('it''s')
+        s.trim.stripPrefix("'").stripSuffix("'").replace("''", "'")
+      val entries = splitTopLevel(body).map { e =>
         val eq = e.lastIndexOf('=')
-        val entry =
-          if (eq < 0) Some(next -> e.trim.stripPrefix("'").stripSuffix("'"))
-          else {
-            val name = e.take(eq).trim.stripPrefix("'").stripSuffix("'")
-            scala.util.Try(e.drop(eq + 1).trim.toInt).toOption.map(_ -> name)
-          }
-        entry.foreach { case (v, _) => next = v + 1 }
+        val explicit =
+          if (eq < 0) None
+          else e.drop(eq + 1).trim.toIntOption.map(_ -> label(e.take(eq)))
+        // no parseable "= N" tail ⟹ the '=' (if any) is part of the
+        // quoted name ('a=b') — auto-number it like a bare entry
+        val entry = explicit.getOrElse(next -> label(e))
+        next = entry._1 + 1
         entry
       }
       Parsed(StringType, nullable = false,

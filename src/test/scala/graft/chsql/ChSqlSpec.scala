@@ -897,6 +897,49 @@ class ChSqlSpec extends SparkSpec {
       .collect().length >= 0)
   }
 
+  test("Enum numeric comparisons: review-pass regressions (subquery IN " +
+    "untouched, ==/reversed operands, overflow literal, comma cross-join, " +
+    "ALTER DELETE maps and keeps NULL-predicate rows)") {
+    val s = ch
+    s.execute("CREATE TABLE en_r (id UInt8, level Enum8('Fatal' = 1, " +
+      "'Critical' = 2, 'Error' = 3)) ENGINE = Memory; " +
+      "CREATE TABLE en_codes (lvl UInt8, flag UInt8) ENGINE = Memory; " +
+      "INSERT INTO en_r VALUES (1, 'Fatal'), (2, 'Critical'), (3, 'Error'); " +
+      "INSERT INTO en_codes VALUES (1, 1), (2, 0)")
+    // == and the reversed literal both map
+    assert(s.sql("SELECT id FROM en_r WHERE level == 2")
+      .collect().map(_.getInt(0)).toSeq == Seq(2))
+    assert(s.sql("SELECT id FROM en_r WHERE 3 = level")
+      .collect().map(_.getInt(0)).toSeq == Seq(3))
+    // an IN subquery must NOT have its interior integers rewritten —
+    // 'flag = 1' stays numeric (it would become flag = 'Fatal')
+    assert(s.sql("SELECT id FROM en_r WHERE CAST(id AS String) IN " +
+      "(SELECT CAST(lvl AS String) FROM en_codes WHERE flag = 1)")
+      .collect().map(_.getInt(0)).toSeq == Seq(1))
+    // out-of-Int-range literal: not silently mis-mapped — it surfaces as
+    // an error, like ClickHouse's "unknown element" for an enum value
+    // that doesn't exist (ANSI cast of the unmapped label fails)
+    intercept[Exception] {
+      s.sql("SELECT id FROM en_r WHERE level = 99999999999").collect()
+    }
+    // comma cross-join: two targets, so the mapping conservatively
+    // stands down — en_codes.lvl = 2 stays a numeric comparison
+    assert(s.sql("SELECT en_r.id AS i FROM en_r, en_codes " +
+      "WHERE en_codes.lvl = 2 AND en_r.id = 1")
+      .collect().map(_.getInt(0)).toSeq == Seq(1))
+    // the mutation path maps enum numbers AND keeps NULL-predicate rows
+    s.execute("ALTER TABLE en_r DELETE WHERE level = 2")
+    assert(s.sql("SELECT id FROM en_r ORDER BY id")
+      .collect().map(_.getInt(0)).toSeq == Seq(1, 3))
+    s.execute("CREATE TABLE en_n (id UInt8, v Nullable(UInt8)) " +
+      "ENGINE = Memory; " +
+      "INSERT INTO en_n VALUES (1, 5), (2, NULL), (3, 7)")
+    s.execute("ALTER TABLE en_n DELETE WHERE v = 5")
+    // row 2's predicate is NULL -> ClickHouse keeps it (NOT() would wipe)
+    assert(s.sql("SELECT id FROM en_n ORDER BY id")
+      .collect().map(_.getInt(0)).toSeq == Seq(2, 3))
+  }
+
   test("SELECT ... INTO OUTFILE writes the file (refusing to overwrite) " +
     "with extension-inferred or declared FORMAT") {
     val s = ch

@@ -120,17 +120,18 @@ class ChSqlSweepSpec extends SparkSpec {
     }
     info(s"executed subset: $executedSelects/$totalSelects corpus SELECTs " +
       "ran end-to-end against their own files' fixtures")
-    // floor == actual (round 7: 238/268 after now()±N DateTime
+    // floor == actual (round 7: 239/268 after now()±N DateTime
     // arithmetic, toStartOfInterval INTERVAL args, locally-resolving
     // remote()/cluster()/clusterAllReplicas() with _shard_num, getMacro,
     // Enum numeric-comparison semantics (query_log's type IN (3,4)),
-    // and the monitoring columns of system.mutations/metric_log landed).
-    // Every remaining miss is pinned to a category in
+    // comma cross-joins with auto-aliased views (hw06's FROM movies,
+    // genres), and the monitoring columns of system.mutations/metric_log
+    // landed). Every remaining miss is pinned to a category in
     // docs/sweep_residue.md (external data/infra, skipped 1e7+-row perf
     // demos, slide typos/placeholders, one documented semantic delta);
     // regenerate the triage with tools/SweepDebug, which shares this
     // loop's session shape.
-    assert(executedSelects >= 238, s"executed subset shrank: $executedSelects")
+    assert(executedSelects >= 239, s"executed subset shrank: $executedSelects")
   }
 
   private implicit class IterOps[A](it: java.util.Iterator[A]) {

@@ -120,6 +120,12 @@ class ChTypesPropertySpec extends AnyFunSuite {
       .contains(Seq(1 -> "a", 5 -> "b", 6 -> "c")))
     assert(ChTypes.parse("Nullable(Enum8('q,r' = 2))").enumMap
       .contains(Seq(2 -> "q,r")))
+    // the '' escape decodes; an '=' inside a quoted auto-numbered name
+    // stays part of the name instead of dropping the entry
+    assert(ChTypes.parse("Enum8('it''s' = 1)").enumMap
+      .contains(Seq(1 -> "it's")))
+    assert(ChTypes.parse("Enum8('a=b', 'c')").enumMap
+      .contains(Seq(1 -> "a=b", 2 -> "c")))
     assert(ChTypes.parse("String").enumMap.isEmpty)
   }
 }
