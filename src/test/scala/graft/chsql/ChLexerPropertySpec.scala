@@ -126,6 +126,16 @@ class ChLexerPropertySpec extends AnyFunSuite {
     })
   }
 
+  test("tokenize∘render is a token-level fixpoint: re-lexing a rendered " +
+    "statement yields the same tokens (qualified names, literals, ops)") {
+    check("render-fixpoint", Prop.forAll(stmtGen) { case (raw, _) =>
+      val toks = ChLexer.tokenize(ChLexer.cleanScript(raw))
+      val again = ChLexer.tokenize(ChLexer.render(toks))
+      again.map(_.text) == toks.map(_.text) &&
+        again.map(_.isString) == toks.map(_.isString)
+    })
+  }
+
   test("splitTopLevel is a join inverse on balanced comma lists " +
     "(nested parens, quoted commas)") {
     val partGen: Gen[String] = Gen.oneOf(
