@@ -482,9 +482,14 @@ object ChResultFormats {
   private def csv(df: DataFrame, w: java.io.PrintStream,
                   names: Boolean): Unit = {
     def cell(v: Any): String = v match {
-      case null => ""
+      // \N like ClickHouse (format_csv_null_representation) — a bare ""
+      // would conflate NULL with the empty string
+      case null => "\\N"
       case s: String =>
-        if (s.exists(c => c == ',' || c == '"' || c == '\n' || c == '\r'))
+        // quote the empty string too: an unquoted empty field reads
+        // back as NULL through the CSV reader
+        if (s.isEmpty ||
+          s.exists(c => c == ',' || c == '"' || c == '\n' || c == '\r'))
           "\"" + s.replace("\"", "\"\"") + "\""
         else s
       case other => chValue(other, quoted = false)

@@ -124,15 +124,57 @@ object ChLexer {
     * and turns the client-style `\G` terminator into `;` — all WITHOUT
     * touching the inside of single-quoted string literals, so a literal
     * 'C:\Games' or 'don’t' survives intact.
+    *
+    * Inline `INSERT … FORMAT <fmt>` payloads are DATA, not SQL: once a
+    * statement headed INSERT reaches `FORMAT <name>`, everything up to
+    * the statement's top-level `;` copies VERBATIM — no comment
+    * stripping, no smart-quote normalization, no `\G` — so a raw TSV
+    * field `a--b` or `don’t` survives the trip into
+    * [[ChSession]]'s payload carve. The terminator search inside the
+    * payload honors the same quote/paren rules as the statement
+    * splitter, so `{"msg": "a;b"}` and `(1, 'a;b')` stay one payload.
     */
   def cleanScript(s: String): String = {
     val out = new StringBuilder
     var i = 0
     var strCloser: Char = 0 // 0 = not in a string; else the expected closer
     var inTick = false
+    // inline-payload detection: first word of the statement + the word
+    // being scanned (both only grown OUTSIDE literals/ticks)
+    var head = ""
+    var word = new StringBuilder
+    var afterFormatKw = false
+    // ends the current word; true ⟹ it was an inline format name and
+    // the payload was copied verbatim (i already advanced past it)
+    def endWord(): Boolean = {
+      if (word.isEmpty) false
+      else {
+        val w = word.result(); word = new StringBuilder
+        if (afterFormatKw) {
+          afterFormatKw = false
+          head = ""
+          i = copyRawPayload(s, i, out)
+          true
+        } else {
+          if (head.isEmpty) head = w.toUpperCase
+          else if (w.equalsIgnoreCase("FORMAT") && head == "INSERT")
+            afterFormatKw = true
+          false
+        }
+      }
+    }
     while (i < s.length) {
       val c = s.charAt(i)
-      if (strCloser != 0) {
+      var consumed = false
+      if (strCloser == 0 && !inTick) {
+        if (Character.isLetterOrDigit(c) || c == '_') word += c
+        else {
+          consumed = endWord()
+          if (!consumed && c == ';') { head = ""; afterFormatKw = false }
+        }
+      }
+      if (consumed) () // payload copied; re-read from the new position
+      else if (strCloser != 0) {
         if (c == strCloser) {
           // '' escape only applies to plain-quoted strings
           if (c == '\'' && i + 1 < s.length && s.charAt(i + 1) == '\'') {
@@ -181,7 +223,51 @@ object ChLexer {
         out += ';'; i += 2
       } else { out += c; i += 1 }
     }
+    endWord()
     out.result()
+  }
+
+  /** Copies an inline INSERT payload verbatim from `start` up to (not
+    * including) its terminating top-level `;`, honoring the statement
+    * splitter's quote/paren protections so a `;` inside a JSON string,
+    * a quoted Values literal or a parenthesized tuple stays data.
+    * Returns the index of the terminator (or end of input).
+    */
+  private def copyRawPayload(s: String, start: Int,
+                             out: StringBuilder): Int = {
+    var i = start
+    var depth = 0
+    var inStr = false
+    var inDq = false
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (inStr) {
+        out += c
+        if (c == '\'') {
+          if (i + 1 < s.length && s.charAt(i + 1) == '\'') {
+            out += '\''; i += 1
+          } else inStr = false
+        }
+        i += 1
+      } else if (inDq) {
+        out += c
+        if (c == '\\' && i + 1 < s.length) { out += s.charAt(i + 1); i += 1 }
+        else if (c == '"' || c == '\n') inDq = false
+        i += 1
+      } else if (c == ';' && depth == 0) return i
+      else {
+        out += c
+        c match {
+          case '\'' => inStr = true
+          case '"' => inDq = true
+          case '(' | '[' => depth += 1
+          case ')' | ']' => depth -= 1
+          case _ => ()
+        }
+        i += 1
+      }
+    }
+    i
   }
 
   private val punct = Set('(', ')', ',', ';', '[', ']')

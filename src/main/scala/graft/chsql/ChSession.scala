@@ -1088,6 +1088,21 @@ final class ChSession(val spark: SparkSession,
     * payload content (JSON strings, quoted CSV) is literal-protected by
     * the lexer; anything beyond that should use the FROM INFILE form.
     */
+  /** ClickHouse TSV unescape (`\t` `\n` `\r` `\\` → the characters),
+    * left-to-right, as a codegen'd regexp chain: escaped backslashes
+    * park on a \\u0001 placeholder first so `\\t` decodes to backslash+t,
+    * not tab. (Data containing a literal \\u0001 would collide with the
+    * placeholder — not representable in the reference's TSV either.)
+    */
+  private def tsvUnescape(c: Column): Column = {
+    val ph = "\u0001"
+    val noBs = regexp_replace(c, "\\\\\\\\", ph)
+    val t1 = regexp_replace(noBs, "\\\\t", "\t")
+    val t2 = regexp_replace(t1, "\\\\n", "\n")
+    val t3 = regexp_replace(t2, "\\\\r", "\r")
+    regexp_replace(t3, ph, "\\\\")
+  }
+
   private def insertInlineBlock(ref: (String, String),
                                 colList: Option[Seq[String]],
                                 payload: String, format: String): Unit = {
@@ -1108,13 +1123,40 @@ final class ChSession(val spark: SparkSession,
       case "values" =>
         val raw = spark.sql(s"SELECT * FROM VALUES ${payload.trim}")
         raw.toDF(posNames.take(raw.columns.length): _*)
-      case "csv" => spark.read.schema(positional).csv(lines)
+      case "csv" =>
+        // \N is NULL (ClickHouse's representation); a bare empty field
+        // stays an empty string; '"' as the escape char reads RFC
+        // doubled quotes ("say ""hi""") instead of backslash escapes
+        spark.read.schema(positional).option("nullValue", "\\N")
+          .option("emptyValue", "").option("escape", "\"").csv(lines)
       case "csvwithnames" =>
-        spark.read.option("header", "true").csv(lines)
-      case "tsv" | "tabseparated" =>
-        spark.read.schema(positional).option("sep", "\t").csv(lines)
-      case "tsvwithnames" | "tabseparatedwithnames" =>
-        spark.read.option("header", "true").option("sep", "\t").csv(lines)
+        spark.read.option("header", "true").option("nullValue", "\\N")
+          .option("emptyValue", "").option("escape", "\"").csv(lines)
+      case "tsv" | "tabseparated" | "tsvwithnames" |
+           "tabseparatedwithnames" =>
+        // ClickHouse TSV never quotes: values escape \t \n \r \\ and
+        // NULL is \N, so a raw tab is always a separator. Split + field
+        // unescape as a codegen'd Catalyst pass — spark.read.csv would
+        // keep the escapes verbatim, conflate empty with NULL, and
+        // trip over a value starting with '"'.
+        val header = format.toLowerCase.contains("withnames")
+        val allLines = payload.linesIterator.filter(_.trim.nonEmpty).toSeq
+        val names =
+          if (header) allLines.head.split("\t", -1).toSeq else posNames
+        val dataLines = if (header) allLines.tail else allLines
+        implicit val enc = org.apache.spark.sql.Encoders.STRING
+        val arr = split(col("value"), "\t", -1)
+        spark.createDataset(dataLines).select(names.zipWithIndex.map {
+          case (cn, ix) =>
+            val f = get(arr, lit(ix)) // null-safe on short rows
+            val un = when(f === "\\N", lit(null).cast(StringType))
+              .otherwise(tsvUnescape(f))
+            t.columns.find(_.name.equalsIgnoreCase(cn)).map(_.dataType)
+              match {
+                case Some(StringType) | None => un.as(cn)
+                case Some(dt) => un.cast(dt).as(cn)
+              }
+        }.toSeq: _*)
       case "jsoneachrow" =>
         // a JSON object omitting a field yields NULL from the reader; a
         // ClickHouse non-Nullable column takes its DEFAULT / type zero
