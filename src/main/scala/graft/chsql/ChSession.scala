@@ -1103,6 +1103,29 @@ final class ChSession(val spark: SparkSession,
     regexp_replace(t3, ph, "\\\\")
   }
 
+  /** CSV payload → one Dataset element per RECORD: physical lines
+    * re-join while the double-quote count is odd, so a quoted field
+    * with an embedded newline stays one record (RFC / ClickHouse CSV).
+    */
+  private def csvRecords(payload: String)
+  : org.apache.spark.sql.Dataset[String] = {
+    val out = Seq.newBuilder[String]
+    val cur = new StringBuilder
+    var quotes = 0
+    payload.linesIterator.foreach { l =>
+      if (cur.isEmpty && l.trim.isEmpty) ()
+      else {
+        if (cur.nonEmpty) cur += '\n'
+        cur ++= l
+        quotes += l.count(_ == '"')
+        if (quotes % 2 == 0) { out += cur.result(); cur.clear(); quotes = 0 }
+      }
+    }
+    if (cur.nonEmpty) out += cur.result()
+    implicit val enc = org.apache.spark.sql.Encoders.STRING
+    spark.createDataset(out.result())
+  }
+
   private def insertInlineBlock(ref: (String, String),
                                 colList: Option[Seq[String]],
                                 payload: String, format: String): Unit = {
@@ -1126,12 +1149,16 @@ final class ChSession(val spark: SparkSession,
       case "csv" =>
         // \N is NULL (ClickHouse's representation); a bare empty field
         // stays an empty string; '"' as the escape char reads RFC
-        // doubled quotes ("say ""hi""") instead of backslash escapes
+        // doubled quotes ("say ""hi""") instead of backslash escapes;
+        // records re-joined quote-aware so quoted embedded newlines
+        // survive (ClickHouse CSV allows them)
         spark.read.schema(positional).option("nullValue", "\\N")
-          .option("emptyValue", "").option("escape", "\"").csv(lines)
+          .option("emptyValue", "").option("escape", "\"")
+          .option("multiLine", "true").csv(csvRecords(payload))
       case "csvwithnames" =>
         spark.read.option("header", "true").option("nullValue", "\\N")
-          .option("emptyValue", "").option("escape", "\"").csv(lines)
+          .option("emptyValue", "").option("escape", "\"")
+          .option("multiLine", "true").csv(csvRecords(payload))
       case "tsv" | "tabseparated" | "tsvwithnames" |
            "tabseparatedwithnames" =>
         // ClickHouse TSV never quotes: values escape \t \n \r \\ and
