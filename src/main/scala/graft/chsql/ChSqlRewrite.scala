@@ -628,37 +628,22 @@ object ChSqlRewrite {
     */
   private def rewriteEnumComparisons(toks: Vector[Token],
                                      resolver: Resolver): Vector[Token] = {
-    // the single FROM/JOIN target, when there is exactly one
-    var fromIdent: Option[String] = None
-    var nTargets = 0
-    var depth = 0
-    toks.indices.foreach { i =>
+    // every FROM/JOIN table target at ANY depth: a subquery wrap
+    // (`FROM (SELECT * FROM t) WHERE enum = 2`) keeps the enum typing
+    // in ClickHouse, so the mapping must see through it. Applied only
+    // when exactly ONE distinct table is referenced — with several,
+    // a same-named column could resolve against the wrong table's map.
+    // (Comma cross-joins are already CROSS JOIN by the earlier pass, so
+    // each target follows FROM or JOIN.)
+    val idents = toks.indices.flatMap { i =>
       val t = toks(i)
-      if (t.text == "(") depth += 1
-      else if (t.text == ")") depth -= 1
-      else if (depth == 0 && (t.is("FROM") || t.is("JOIN")) &&
-        i + 1 < toks.length && toks(i + 1).isIdent &&
-        !toks(i + 1).is("FINAL")) {
-        nTargets += 1
-        fromIdent = Some(toks(i + 1).text)
-        // a top-level comma before the next clause keyword is a comma
-        // cross-join (FROM a, b) — another target, so bail: column
-        // names could resolve against the wrong table's enum map
-        if (t.is("FROM")) {
-          var j = i + 2
-          var d = 0
-          while (j < toks.length && d >= 0 &&
-            !(d == 0 && fromClauseEnd(toks(j)))) {
-            if (toks(j).text == "(") d += 1
-            else if (toks(j).text == ")") d -= 1
-            else if (d == 0 && toks(j).text == ",") nTargets += 1
-            j += 1
-          }
-        }
-      }
-    }
-    if (nTargets != 1) return toks
-    val ident = fromIdent.get
+      if ((t.is("FROM") || t.is("JOIN")) && i + 1 < toks.length &&
+        toks(i + 1).isIdent && !toks(i + 1).is("FINAL"))
+        Some(toks(i + 1).text)
+      else None
+    }.distinct
+    if (idents.length != 1) return toks
+    val ident = idents.head
     mapEnumComparisons(toks,
       col => resolver.enumValues(ident, col))
   }
@@ -685,15 +670,19 @@ object ChSqlRewrite {
     */
   private def rewriteCommaCrossJoin(toks: Vector[Token]): Vector[Token] = {
     val out = Vector.newBuilder[Token]
-    var depth = 0
-    var inFrom = false
+    // one in-FROM flag per paren level, so `FROM (SELECT … FROM a, b)`
+    // normalizes inside the subquery while SELECT-list commas (a level
+    // whose own FROM hasn't appeared yet) are left alone
+    var inFrom = List(false)
     toks.foreach { t =>
-      if (t.text == "(") { depth += 1; out += t }
-      else if (t.text == ")") { depth -= 1; out += t }
-      else if (depth == 0 && t.is("FROM")) { inFrom = true; out += t }
-      else if (depth == 0 && inFrom && (fromClauseEnd(t) || joinFamily(t))) {
-        inFrom = false; out += t
-      } else if (depth == 0 && inFrom && t.text == ",") {
+      if (t.text == "(") { inFrom ::= false; out += t }
+      else if (t.text == ")") {
+        if (inFrom.tail.nonEmpty) inFrom = inFrom.tail
+        out += t
+      } else if (t.is("FROM")) { inFrom = true :: inFrom.tail; out += t }
+      else if (inFrom.head && (fromClauseEnd(t) || joinFamily(t))) {
+        inFrom = false :: inFrom.tail; out += t
+      } else if (inFrom.head && t.text == ",") {
         out += Token("CROSS"); out += Token("JOIN")
       } else out += t
     }
