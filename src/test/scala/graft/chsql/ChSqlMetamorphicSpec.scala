@@ -118,4 +118,23 @@ class ChSqlMetamorphicSpec extends SparkSpec {
     assert(one("SELECT count() AS c FROM mt WHERE grp NOT IN (1, 3)") ==
       one("SELECT count() AS c FROM mt WHERE grp = 'green'"))
   }
+
+  test("LIMIT is a prefix under a total order, for any filter") {
+    preds(606, 10).foreach { p =>
+      val small = s.sql("SELECT id FROM mt WHERE " + p +
+        " ORDER BY id LIMIT 5").collect().map(_.getLong(0)).toSeq
+      val big = s.sql("SELECT id FROM mt WHERE " + p +
+        " ORDER BY id LIMIT 12").collect().map(_.getLong(0)).toSeq
+      assert(big.startsWith(small), s"$p: $small not a prefix of $big")
+    }
+  }
+
+  test("UNION ALL doubles any filtered count") {
+    preds(707, 10).foreach { p =>
+      val a = one(s"SELECT count() AS c FROM mt WHERE $p")
+      val u = one("SELECT count() AS c FROM (SELECT id FROM mt WHERE " +
+        p + " UNION ALL SELECT id FROM mt WHERE " + p + ")")
+      assert(u == 2 * a, s"$p: $u != 2*$a")
+    }
+  }
 }
