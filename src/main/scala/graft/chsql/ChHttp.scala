@@ -84,10 +84,7 @@ final class ChHttpServer(spark: SparkSession, bindPort: Int = 0)
             ChResultFormats.write(df, format, buf))
           send(ex, 200, buf.toByteArray, ChResultFormats.contentType(format))
         } catch {
-          case t: Throwable =>
-            send(ex, 500,
-              s"Code: 62. ${Option(t.getMessage).getOrElse(t.toString)}\n"
-                .getBytes(UTF_8), "text/plain; charset=UTF-8")
+          case t: Throwable => sendError(ex, t)
         } finally ex.close()
     })
     ()
@@ -134,13 +131,27 @@ final class ChHttpServer(spark: SparkSession, bindPort: Int = 0)
           new java.io.InputStreamReader(raw, UTF_8))
         val batchLines =
           Integer.getInteger("graft.http.insert_batch_lines", 65536).intValue()
+        // CSV records may contain quoted embedded newlines, so a record
+        // can span raw lines — a batch must only cut on a record
+        // boundary (even cumulative double-quote count; RFC "" escapes
+        // add two, keeping the parity honest) or the two halves would
+        // land as corrupt rows in different blocks
+        val quoteAware = ChHttpServer.isCsvFormatInsert(q)
         val batches = new Iterator[String] {
           private var nextLine: String = reader.readLine()
           def hasNext: Boolean = nextLine != null
           def next(): String = {
             val sb = new StringBuilder
             var n = 0
-            while (nextLine != null && n < batchLines) {
+            var openQuote = false
+            while (nextLine != null && (n < batchLines || openQuote)) {
+              if (quoteAware) {
+                var j = 0
+                while (j < nextLine.length) {
+                  if (nextLine.charAt(j) == '"') openQuote = !openQuote
+                  j += 1
+                }
+              }
               sb ++= nextLine; sb += '\n'
               n += 1
               nextLine = reader.readLine()
@@ -154,11 +165,15 @@ final class ChHttpServer(spark: SparkSession, bindPort: Int = 0)
               "INSERT ... FORMAT without data — inline payload expected")
           session.synchronized {
             val prevDb = session.currentDb
+            session.httpClient = true
             try {
               params.get("database").foreach(db =>
                 session.execute(s"USE ${ChHttpServer.validDbName(db)}"))
               session.insertStream(q, batches)
-            } finally session.currentDb = prevDb
+            } finally {
+              session.currentDb = prevDb
+              session.httpClient = false
+            }
           }
           send(ex, 200, Array.emptyByteArray, "text/plain; charset=UTF-8")
         } finally reader.close()
@@ -190,11 +205,15 @@ final class ChHttpServer(spark: SparkSession, bindPort: Int = 0)
       val t0 = System.nanoTime()
       val results = session.synchronized {
         val prevDb = session.currentDb
+        session.httpClient = true
         try {
           params.get("database").foreach(db =>
             session.execute(s"USE ${ChHttpServer.validDbName(db)}"))
           session.execute(script, bindings)
-        } finally session.currentDb = prevDb
+        } finally {
+          session.currentDb = prevDb
+          session.httpClient = false
+        }
       }
       val elapsed = (System.nanoTime() - t0) / 1e9
       val format = ChResultFormats.declaredFormat(script)
@@ -245,13 +264,19 @@ final class ChHttpServer(spark: SparkSession, bindPort: Int = 0)
       }
     }
 
-    private def sendError(ex: HttpExchange, t: Throwable): Unit = {
-      val code = ChHttpServer.exceptionCode(t)
-      val msg = s"Code: $code. ${Option(t.getMessage).getOrElse(t.toString)}\n"
-      ex.getResponseHeaders.set("X-ClickHouse-Exception-Code", code.toString)
-      try send(ex, 500, msg.getBytes(UTF_8), "text/plain; charset=UTF-8")
-      catch { case _: Throwable => () }
-    }
+  }
+
+  /** Failure → 500 with the ClickHouse error code both in the body
+    * (`Code: N. message`) and the `X-ClickHouse-Exception-Code` header,
+    * mapped by [[ChHttpServer.exceptionCode]]. Shared by the root
+    * handler and every predefined-query handler.
+    */
+  private def sendError(ex: HttpExchange, t: Throwable): Unit = {
+    val code = ChHttpServer.exceptionCode(t)
+    val msg = s"Code: $code. ${Option(t.getMessage).getOrElse(t.toString)}\n"
+    ex.getResponseHeaders.set("X-ClickHouse-Exception-Code", code.toString)
+    try send(ex, 500, msg.getBytes(UTF_8), "text/plain; charset=UTF-8")
+    catch { case _: Throwable => () }
   }
 
   // ------------------------------------------------------------ http io
@@ -315,6 +340,15 @@ object ChHttpServer {
   def isLineFormatInsert(q: String): Boolean =
     lineFormatInsertRe.pattern.matcher(q).matches()
 
+  /** True when the streaming-INSERT query's format is CSV-family — the
+    * only line formats whose records may span raw lines (quoted embedded
+    * newlines), so the upload batcher must cut on record boundaries.
+    */
+  def isCsvFormatInsert(q: String): Boolean = {
+    val m = lineFormatInsertRe.pattern.matcher(q)
+    m.matches() && m.group(1).toLowerCase.startsWith("csv")
+  }
+
   /** The `database=` query parameter is a NAME, not a script — validate
     * before it splices into `USE $db` (a value like
     * `default; DROP TABLE t` would otherwise run as two statements).
@@ -354,6 +388,7 @@ object ChHttpServer {
     else if (m.contains("cannot resolve") ||
       m.contains("unresolved column") ||
       m.contains("unknown identifier")) 47
+    else if (m.contains("into outfile")) 76 // CANNOT_OPEN_FILE — client-side feature
     else if (m.contains("parseexception") || m.contains("syntax error") ||
       t.isInstanceOf[org.apache.spark.sql.catalyst.parser.ParseException])
       62

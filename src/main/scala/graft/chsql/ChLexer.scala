@@ -144,6 +144,10 @@ object ChLexer {
     var head = ""
     var word = new StringBuilder
     var afterFormatKw = false
+    // an INSERT that has entered a SELECT/WITH/VALUES body carries NO
+    // inline payload — a column named `format` inside INSERT…SELECT must
+    // not flip the rest of the script into verbatim copy
+    var inQueryBody = false
     // ends the current word; true ⟹ it was an inline format name and
     // the payload was copied verbatim (i already advanced past it)
     def endWord(): Boolean = {
@@ -153,11 +157,16 @@ object ChLexer {
         if (afterFormatKw) {
           afterFormatKw = false
           head = ""
+          inQueryBody = false
           i = copyRawPayload(s, i, out)
           true
         } else {
           if (head.isEmpty) head = w.toUpperCase
-          else if (w.equalsIgnoreCase("FORMAT") && head == "INSERT")
+          else if (w.equalsIgnoreCase("SELECT") ||
+            w.equalsIgnoreCase("WITH") || w.equalsIgnoreCase("VALUES"))
+            inQueryBody = true
+          else if (w.equalsIgnoreCase("FORMAT") && head == "INSERT" &&
+            !inQueryBody)
             afterFormatKw = true
           false
         }
@@ -170,7 +179,9 @@ object ChLexer {
         if (Character.isLetterOrDigit(c) || c == '_') word += c
         else {
           consumed = endWord()
-          if (!consumed && c == ';') { head = ""; afterFormatKw = false }
+          if (!consumed && c == ';') {
+            head = ""; afterFormatKw = false; inQueryBody = false
+          }
         }
       }
       if (consumed) () // payload copied; re-read from the new position
@@ -261,7 +272,9 @@ object ChLexer {
           case '\'' => inStr = true
           case '"' => inDq = true
           case '(' | '[' => depth += 1
-          case ')' | ']' => depth -= 1
+          // clamp at 0: a stray ')' in the data (or a mis-armed trigger)
+          // must not push depth negative and disable the ';' terminator
+          case ')' | ']' => if (depth > 0) depth -= 1
           case _ => ()
         }
         i += 1

@@ -122,6 +122,11 @@ final class ChSession(val spark: SparkSession,
   // SQL lambda UDFs created through CH text (CREATE FUNCTION, §2.9)
   private val udfs = new graft.functions.ChUdfs(spark)
   var currentDb = "default"
+  // set (inside the server's session-synchronized block) while a
+  // statement arrives over HTTP: INTO OUTFILE is a CLIENT-side feature,
+  // and ClickHouse rejects it from HTTP clients (Code 76) — otherwise
+  // any HTTP caller could create files at arbitrary server paths
+  private[chsql] var httpClient: Boolean = false
 
   // ------------------------------------------------------------ public
 
@@ -1168,6 +1173,8 @@ final class ChSession(val spark: SparkSession,
         // trip over a value starting with '"'.
         val header = format.toLowerCase.contains("withnames")
         val allLines = payload.linesIterator.filter(_.trim.nonEmpty).toSeq
+        if (allLines.isEmpty)
+          fail("INSERT ... FORMAT without data — inline payload expected")
         val names =
           if (header) allLines.head.split("\t", -1).toSeq else posNames
         val dataLines = if (header) allLines.tail else allLines
@@ -1501,6 +1508,9 @@ final class ChSession(val spark: SparkSession,
     }
     rw.outfile match {
       case Some((path, fmtOpt)) =>
+        if (httpClient)
+          fail("INTO OUTFILE is not allowed: it is a client-side feature " +
+            "and cannot be used over the HTTP interface")
         writeOutfile(df, path, fmtOpt)
         // ClickHouse sends NO rows to the client for INTO OUTFILE (only
         // a summary) — returning the empty shape is both faithful and

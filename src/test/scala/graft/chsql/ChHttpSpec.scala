@@ -365,6 +365,58 @@ class ChHttpSpec extends SparkSpec {
     assert(buffered.body() == "1\n")
     assert(buffered.headers().firstValue("content-length").isPresent)
   }
+
+  test("streaming CSV INSERT: a quoted embedded newline straddling the " +
+    "batch boundary stays ONE record (quote-parity-aware batcher)") {
+    System.setProperty("graft.http.insert_batch_lines", "2")
+    try {
+      server.session.execute(
+        "CREATE TABLE http_csvnl (a UInt32, b String) ENGINE = Memory")
+      // record 2 spans raw lines 2-3 — exactly across the 2-line cut; a
+      // parity-blind batcher would split it into two corrupt rows in
+      // different blocks
+      val payload =
+        "1,\"one\"\n2,\"two\nstill two\"\n3,three\n4,four\n5,five\n"
+      val r = post("/?query=" + enc("INSERT INTO http_csvnl FORMAT CSV"),
+        payload)
+      assert(r.statusCode() == 200, r.body())
+      val got = get("/?query=" + enc(
+        "SELECT a, b FROM http_csvnl ORDER BY a FORMAT TSV")).body()
+      // TSV output escapes the embedded newline as \n
+      assert(got ==
+        "1\tone\n2\ttwo\\nstill two\n3\tthree\n4\tfour\n5\tfive\n")
+    } finally { System.clearProperty("graft.http.insert_batch_lines"); () }
+  }
+
+  test("INTO OUTFILE is rejected over HTTP — a client-side feature " +
+    "(Code 76), so HTTP callers cannot create server-side files") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_http_of")
+    val r = get("/?query=" +
+      enc(s"SELECT 1 AS a INTO OUTFILE '$dir/x.csv'") +
+      "&wait_end_of_query=1")
+    assert(r.statusCode() == 500)
+    assert(r.headers().firstValue("X-ClickHouse-Exception-Code").get == "76")
+    assert(r.body().startsWith("Code: 76."))
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Path.of(s"$dir/x.csv")),
+      "the rejected export must not have touched the filesystem")
+    // the same statement through the embedded session still works — the
+    // restriction is scoped to the HTTP surface, not the feature
+    server.session.execute(
+      s"SELECT 1 AS a INTO OUTFILE '$dir/direct.csv'")
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Path.of(s"$dir/direct.csv")))
+  }
+
+  test("a predefined-query handler failure maps through the error-code " +
+    "table (unknown table = 60, not a blanket 62)") {
+    server.addPredefinedQuery("/broken_metrics",
+      "SELECT * FROM no_such_table_for_handler FORMAT Prometheus")
+    val r = get("/broken_metrics")
+    assert(r.statusCode() == 500)
+    assert(r.headers().firstValue("X-ClickHouse-Exception-Code").get == "60")
+    assert(r.body().startsWith("Code: 60."))
+  }
 }
 
 /** Cross-JVM-visible probe for the streaming test (local mode: executors

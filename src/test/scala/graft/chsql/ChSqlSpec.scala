@@ -972,6 +972,37 @@ class ChSqlSpec extends SparkSpec {
       .startsWith("a,b\n1,x"))
   }
 
+  test("a column named format in INSERT…SELECT never flips the lexer " +
+    "into verbatim payload copy (and a stray ')' cannot disable the " +
+    "';' terminator)") {
+    val s = ch
+    s.execute(
+      "CREATE TABLE fmt_src (format String, x UInt8) ENGINE = Memory; " +
+        "INSERT INTO fmt_src VALUES ('csv', 1), ('tsv', 2); " +
+        "CREATE TABLE fmt_dst (format String, x UInt8) ENGINE = Memory")
+    // one SCRIPT: the subquery's trailing ')' would push a mis-armed
+    // payload copier's depth negative, swallowing the ';' and the whole
+    // rest of the script (comment unstripped) — so the follow-up SELECT
+    // only runs if the trigger stayed off
+    val res = s.execute(
+      "INSERT INTO fmt_dst SELECT format, x FROM " +
+        "(SELECT format, x FROM fmt_src); " +
+        "-- a comment the cleaner must strip\n" +
+        "SELECT count() AS c FROM fmt_dst;")
+    assert(res.last.collect().head.getLong(0) == 2L)
+  }
+
+  test("whitespace-only inline TSV payload raises the dialect error, " +
+    "not NoSuchElementException") {
+    val s = ch
+    s.execute("CREATE TABLE tsv_empty (a UInt8) ENGINE = Memory")
+    val err = intercept[IllegalArgumentException] {
+      s.execute("INSERT INTO tsv_empty FORMAT TSVWithNames\n   \n  ")
+    }
+    assert(err.getMessage.toLowerCase.contains("data"),
+      s"wanted the dialect's no-data message, got: ${err.getMessage}")
+  }
+
   test("now() ± N means N SECONDS; toStartOfInterval takes INTERVAL " +
     "literals (lecture_20/hw14 monitoring windows)") {
     val s = ch
