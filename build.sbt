@@ -34,6 +34,16 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // subset: 78s at 8g -> 14s at 24g); the box has 128 GiB, so give the
   // single-JVM "cluster" a real executor-sized heap.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
+  // ~170 codegen-heavy plans in one JVM can fill the default 240m code
+  // cache mid-board; the JVM then SILENTLY disables the JIT compiler,
+  // which is the "tightly slow" bench mode observed on late-alphabet
+  // queries (6.6x swings between runs of identical code). A real
+  // executor-sized cache keeps every pass in the compiled regime.
+  "-XX:ReservedCodeCacheSize=1g",
+  // static SQL conf, so it must be set before any SparkSession exists:
+  // 100 cached codegen classes cannot hold one bench board / test run,
+  // forcing Janino recompiles + fresh JIT on every revisit of a plan
+  "-Dspark.sql.codegen.cache.maxEntries=4096",
 )
 
 // one shared SparkSession across suites

@@ -755,7 +755,10 @@ final class ChSession(val spark: SparkSession,
     // the mutation WHERE compares enum columns by number like a SELECT
     def enumMapped(predToks: Vector[ChLexer.Token]): String =
       ChLexer.render(ChSqlRewrite.mapEnumComparisons(predToks,
-        col => enumValuesOf(toks(2).text, col)))
+        // the lookup hands over the reference as written; the mutation
+        // target is the ALTER's own table, so the qualifier (if any)
+        // is redundant — bind on the bare column name
+        col => enumValuesOf(toks(2).text, col.split('.').last)))
     op match {
       case "DELETE" => // ALTER TABLE t DELETE WHERE pred
         val whereAt = toks.indexWhere(_.is("WHERE"))

@@ -630,22 +630,65 @@ object ChSqlRewrite {
                                      resolver: Resolver): Vector[Token] = {
     // every FROM/JOIN table target at ANY depth: a subquery wrap
     // (`FROM (SELECT * FROM t) WHERE enum = 2`) keeps the enum typing
-    // in ClickHouse, so the mapping must see through it. Applied only
-    // when exactly ONE distinct table is referenced — with several,
-    // a same-named column could resolve against the wrong table's map.
+    // in ClickHouse, so the mapping must see through it. With SEVERAL
+    // tables (a join), a qualified reference maps through its
+    // alias/table qualifier; an unqualified one maps only when exactly
+    // one referenced table has an enum column of that name and no other
+    // table is known (or suspected) to own a same-named column.
     // (Comma cross-joins are already CROSS JOIN by the earlier pass, so
     // each target follows FROM or JOIN.)
-    val idents = toks.indices.flatMap { i =>
-      val t = toks(i)
-      if ((t.is("FROM") || t.is("JOIN")) && i + 1 < toks.length &&
-        toks(i + 1).isIdent && !toks(i + 1).is("FINAL"))
-        Some(toks(i + 1).text)
-      else None
-    }.distinct
-    if (idents.length != 1) return toks
-    val ident = idents.head
-    mapEnumComparisons(toks,
-      col => resolver.enumValues(ident, col))
+    val notAlias: Token => Boolean = t =>
+      fromClauseEnd(t) || joinFamily(t) || t.is("FINAL") || t.is("SAMPLE")
+    val targets: Vector[(String, Option[String])] =
+      toks.indices.flatMap { i =>
+        val t = toks(i)
+        if ((t.is("FROM") || t.is("JOIN")) && i + 1 < toks.length &&
+          toks(i + 1).isIdent && !toks(i + 1).is("FINAL")) {
+          var j = i + 2
+          if (j < toks.length && toks(j).is("FINAL")) j += 1
+          val alias =
+            if (j + 1 < toks.length && toks(j).is("AS") &&
+              toks(j + 1).isIdent) Some(toks(j + 1).text)
+            else if (j < toks.length && toks(j).isIdent &&
+              !notAlias(toks(j))) Some(toks(j).text)
+            else None
+          Some(toks(i + 1).text -> alias)
+        } else None
+      }.toVector
+    if (targets.isEmpty) return toks
+    val tables = targets.map(_._1).distinct
+    def unqual(col: String): Option[Map[Int, String]] =
+      if (tables.length == 1) resolver.enumValues(tables.head, col)
+      else tables.flatMap(id =>
+        resolver.enumValues(id, col).map(id -> _)) match {
+        case Vector((owner, m)) =>
+          // sole enum owner — but an unqualified name could still bind
+          // to a same-named NON-enum column of another table; map only
+          // when every other table's columns are known and clash-free
+          val clash = tables.filterNot(_ == owner).exists { id =>
+            resolver.resolve(id)
+              .flatMap(rt => resolver.describe(rt.viewName)) match {
+              case Some(cols) => cols.exists(_.equalsIgnoreCase(col))
+              case None => true
+            }
+          }
+          if (clash) None else Some(m)
+        case _ => None
+      }
+    def lookup(raw: String): Option[Map[Int, String]] = {
+      val parts = raw.split('.')
+      if (parts.length < 2) unqual(raw)
+      else {
+        val qual = parts.dropRight(1).mkString(".")
+        val byAlias = targets.collectFirst {
+          case (id, Some(a)) if a.equalsIgnoreCase(qual) => id
+        }
+        byAlias.orElse(tables.find(id => id.equalsIgnoreCase(qual) ||
+            id.split('.').last.equalsIgnoreCase(qual)))
+          .flatMap(id => resolver.enumValues(id, parts.last))
+      }
+    }
+    mapEnumComparisons(toks, lookup)
   }
 
   private def fromClauseEnd(t: Token): Boolean =
@@ -696,10 +739,13 @@ object ChSqlRewrite {
     */
   def mapEnumComparisons(toks: Vector[Token],
       lookup: String => Option[Map[Int, String]]): Vector[Token] = {
+    // the lookup receives the reference as written (qualifier kept,
+    // backticks stripped per part) — multi-table callers disambiguate
+    // on the qualifier, bound-table callers drop it themselves
     def mapping(colTok: Token): Option[Map[Int, String]] =
       if (!colTok.isIdent) None
-      else lookup(colTok.text.split('.').last.stripPrefix("`")
-        .stripSuffix("`"))
+      else lookup(colTok.text.split('.')
+        .map(_.stripPrefix("`").stripSuffix("`")).mkString("."))
     def nameLit(m: Map[Int, String], numTok: Token): Option[Token] =
       if (numTok.isString || numTok.text.isEmpty ||
         !numTok.text.forall(_.isDigit)) None
@@ -809,10 +855,93 @@ object ChSqlRewrite {
     while (k < toks.length && !toks(k).is("USING") && !toks(k).is("ON")) {
       aliasToks += toks(k); k += 1
     }
-    if (k >= toks.length || !toks(k).is("USING"))
-      // ON form: no portable key list to dedup on — degrade to a plain
-      // join (drop the ANY modifier) and keep rewriting the rest
+    if (k >= toks.length || (!toks(k).is("USING") && !toks(k).is("ON")))
+      // neither USING nor ON reachable (CROSS-ish malformation): drop
+      // the ANY modifier and keep rewriting the rest
       return rewriteAnyJoin(toks.take(i) ++ toks.drop(i + 1))
+    if (toks(k).is("ON")) {
+      // ON form (hw06.md:174 `left ANY join genres g on m.id =
+      // g.movie_id`): derive the right side's key expressions from the
+      // equality conjuncts and dedup the right side on them — same
+      // one-match-per-left-row contract as the USING form. Silently
+      // degrading to a plain join (the old behavior) INFLATED the row
+      // count whenever the right side had duplicate keys.
+      val aliasClean = aliasToks.result().filterNot(_.is("AS"))
+      val aliasName = aliasClean.lastOption.map(_.text)
+        .getOrElse(rightSql.split('.').last)
+      val term = Set("WHERE", "GROUP", "ORDER", "LIMIT", "HAVING",
+        "SETTINGS", "UNION", "JOIN", "LEFT", "RIGHT", "INNER", "FULL",
+        "CROSS", "ANY", "ALL", "ASOF", "SEMI", "ANTI", "PASTE", "FORMAT",
+        "INTO", "PREWHERE", "QUALIFY", "WINDOW")
+      var e = k + 1
+      var d = 0
+      while (e < toks.length && !(d == 0 &&
+        ((!toks(e).isString && term(toks(e).upper)) ||
+          toks(e).text == ")" || toks(e).text == ";"))) {
+        if (toks(e).text == "(") d += 1
+        else if (toks(e).text == ")") d -= 1
+        e += 1
+      }
+      val onToks = toks.slice(k + 1, e)
+      // split on top-level AND; each conjunct must be an equality whose
+      // right-alias-rooted side becomes a dedup key
+      val conjuncts = {
+        val out = Vector.newBuilder[Vector[Token]]
+        var cur = Vector.newBuilder[Token]
+        var dd = 0
+        onToks.foreach { t =>
+          if (t.text == "(") dd += 1
+          else if (t.text == ")") dd -= 1
+          if (dd == 0 && t.is("AND")) { out += cur.result(); cur = Vector.newBuilder }
+          else cur += t
+        }
+        out += cur.result()
+        out.result()
+      }
+      val prefix = aliasName + "."
+      def rightRooted(side: Vector[Token]): Boolean =
+        side.exists(t => t.isIdent && t.text.startsWith(prefix)) &&
+          !side.exists(t => t.isIdent && t.text.contains(".") &&
+            !t.text.startsWith(prefix))
+      def stripPrefix(side: Vector[Token]): String =
+        ChLexer.render(side.map(t =>
+          if (t.isIdent && t.text.startsWith(prefix))
+            t.copy(text = t.text.stripPrefix(prefix))
+          else t))
+      val keyExprs = conjuncts.map { c =>
+        var dd = 0
+        val eq = c.indexWhere { t =>
+          if (t.text == "(") dd += 1 else if (t.text == ")") dd -= 1
+          dd == 0 && !t.isString && (t.text == "=" || t.text == "==")
+        }
+        if (eq < 0)
+          throw new IllegalArgumentException(
+            "ANY JOIN ... ON supports conjunctions of equality " +
+              s"comparisons; cannot derive a key from: ${ChLexer.render(c)}")
+        val lhs = c.take(eq)
+        val rhs = c.drop(eq + 1)
+        if (rightRooted(rhs) && !rightRooted(lhs)) stripPrefix(rhs)
+        else if (rightRooted(lhs) && !rightRooted(rhs)) stripPrefix(lhs)
+        else throw new IllegalArgumentException(
+          "ANY JOIN ... ON: exactly one side of each equality must " +
+            s"reference the right table '$aliasName': ${ChLexer.render(c)}")
+      }
+      val keyList2 = keyExprs.mkString(", ")
+      val dedup2 = s"(SELECT * EXCEPT (__rn, __h) FROM (SELECT *, " +
+        s"row_number() OVER (PARTITION BY $keyList2 ORDER BY __h) AS __rn " +
+        s"FROM (SELECT *, xxhash64(struct(*)) AS __h FROM $rightSql)) " +
+        "WHERE __rn = 1)"
+      // a plain-table right side with no alias keeps answering to its
+      // own name once wrapped
+      val aliasOut =
+        if (aliasClean.nonEmpty) aliasToks.result()
+        else if (rightSql.startsWith("(")) throw new IllegalArgumentException(
+          "ANY JOIN ... ON a subquery requires an alias")
+        else Vector(Token("AS"), Token(aliasName))
+      val rebuilt2 = toks.take(i) ++ toks.slice(i + 1, t0) ++
+        ChLexer.tokenize(dedup2) ++ aliasOut ++ toks.slice(k, toks.length)
+      return rewriteAnyJoin(rebuilt2)
+    }
     val usingOpen = if (toks(k + 1).text == "(") k + 1 else k
     val usingClose = if (toks(k + 1).text == "(") matchParen(toks, k + 1) else k + 1
     val keys = toks.slice(usingOpen + 1, usingClose).filter(_.text != ",")

@@ -442,15 +442,31 @@ object Dedup {
     * (`maxBucket` caps degenerate buckets), so the join stays sub-quadratic
     * on any corpus. Near vectors land in the same bucket in at least one
     * table with probability 1-(1-p^bits)^tables.
+    *
+    * `targetBucketSize > 0` derives the plane count from ONE corpus
+    * count — `bits = ceil(log2(n / target))` — the fixed-bucket-SIZE
+    * regime: with buckets held at ~`target` rows, the within-bucket pair
+    * join costs ~`n * target` comparisons, i.e. LINEAR in the corpus
+    * instead of the fixed-`bits` quadratic (n²/2^bits). This is the
+    * production knob for an unbounded crawl; pass `bits` directly only
+    * when the corpus size is known and bounded.
     */
   def embeddingNearDupPairsLsh(df: DataFrame, idCol: String, vecCol: String,
                                minCosine: Double, bits: Int = 10,
                                tables: Int = 2,
-                               maxBucket: Int = 1000): DataFrame = {
+                               maxBucket: Int = 1000,
+                               targetBucketSize: Int = 0): DataFrame = {
     NativeFunctions.register(df.sparkSession)
+    val bitsEff =
+      if (targetBucketSize <= 0) bits
+      else {
+        val n = df.count() // one scalar; the fit's only driver-side value
+        val buckets = math.max(1L, n / targetBucketSize)
+        math.max(bits, 64 - java.lang.Long.numberOfLeadingZeros(buckets))
+      }
     val tb = (0 until tables).map(t =>
       struct(lit(t).as("tbl"),
-        NativeFunctions.lshBucket(col(vecCol), bits, t).as("bucket")))
+        NativeFunctions.lshBucket(col(vecCol), bitsEff, t).as("bucket")))
     val bucketed = df
       .select(col(idCol), col(vecCol), explode(array(tb: _*)).as("tb"))
       .select(col(idCol), col(vecCol),

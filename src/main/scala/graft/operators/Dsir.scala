@@ -26,15 +26,25 @@ object Dsir {
     * @param toks       token-array column (pre-normalized)
     * @param targetPred boolean column marking the target-distribution docs
     * @param vocabSize  model vocabulary bound
+    * @param emitTokenCount also output `n_toks` (the doc's token count)
+    *        from the SAME scoring pass — a caller wanting both the
+    *        weight and the count must not pay a second tokenize plus a
+    *        doc-key join
     * @return (id, llr) — Σ over the doc's in-vocab token occurrences of
     *         ln(p_target(tok)) − ln(p_raw(tok)); docs with no in-vocab
-    *         tokens score 0.0
+    *         tokens score 0.0 — plus `n_toks` when requested
     */
   def importanceWeights(docs: DataFrame, id: Column, toks: Column,
-                        targetPred: Column, vocabSize: Int): DataFrame = {
-    val exploded = docs
-      .select(id.as("__id"), targetPred.as("__t"), explode(toks).as("__tok"))
-    val counts = exploded.groupBy(col("__tok"))
+                        targetPred: Column, vocabSize: Int,
+                        emitTokenCount: Boolean = false): DataFrame = {
+    // explode_outer keeps zero-token docs as one null-token row, so
+    // every doc reaches the scoring aggregation directly — no recovery
+    // join against the corpus afterward (one shuffle and one corpus
+    // scan fewer than the fit-then-join shape)
+    val exploded = docs.select(id.as("__id"), targetPred.as("__t"),
+      explode_outer(toks).as("__tok"))
+    val counts = exploded.where(col("__tok").isNotNull)
+      .groupBy(col("__tok"))
       .agg(count(lit(1)).as("__cr"),
         sum(when(col("__t"), 1L).otherwise(0L)).as("__ct"))
     val vocab = counts.orderBy(col("__cr").desc, col("__tok")).limit(vocabSize)
@@ -48,11 +58,16 @@ object Dsir {
       .select(col("__tok"),
         (log((col("__ct") + 1.0) / (col("__nt") + col("__vn"))) -
           log((col("__cr") + 1.0) / (col("__nr") + col("__vn")))).as("__w"))
-    val scores = exploded.join(broadcast(model), "__tok")
-      .groupBy(col("__id")).agg(sum(col("__w")).as("__llr"))
-    docs.select(id.as("__id"))
-      .join(scores, Seq("__id"), "left")
-      .select(col("__id").as("id"),
-        coalesce(col("__llr"), lit(0.0)).as("llr"))
+    // broadcast LEFT join: an out-of-vocab token scores 0 but still
+    // counts toward n_toks, so the weight and the token count fall out
+    // of ONE groupBy over the same token stream
+    val scores = exploded.join(broadcast(model), Seq("__tok"), "left")
+      .groupBy(col("__id"))
+      .agg(sum(coalesce(col("__w"), lit(0.0))).as("__llr"),
+        count(col("__tok")).as("__n"))
+    val base = scores.select(col("__id").as("id"),
+      col("__n").as("n_toks"),
+      coalesce(col("__llr"), lit(0.0)).as("llr"))
+    if (emitTokenCount) base else base.drop("n_toks")
   }
 }

@@ -261,6 +261,29 @@ object PipelineQueries {
         .orderBy(col("a"), col("b"))
     },
 
+    // ---- d06's PRODUCTION path: AUTOMATIC LSH blocking with the plane
+    // count derived from one corpus count (fixed-bucket-SIZE regime →
+    // ~linear pair-join cost), exact-cosine verify. The fixed-block d06
+    // is above-linear at 10x BY CONTRACT (its block count is pinned);
+    // this row measures the auto-blocked form the unbounded-crawl path
+    // uses. Oracle-able despite the engine-internal hyperplanes: planted
+    // EXACT copies are the only pairs at cosine >= 0.9 (max natural
+    // pairwise cosine in the testdata is ~0.51), identical vectors share
+    // every LSH bucket, so recall on the answer set is exactly 1.
+    Q("d06c_embedding_near_dup_lsh",
+      """SELECT vec_id AS a, vec_id + 1000000 AS b,
+        |  round(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+        |                               CAST(embedding AS DOUBLE[])), 4) AS cos4
+        |FROM embeddings WHERE vec_id < 100 ORDER BY a, b""") { (s, dir) =>
+      val base = Tables(s, dir).embeddings.select(col("vec_id"), col("embedding"))
+      val planted = base.filter(col("vec_id") < 100)
+        .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+      Dedup.embeddingNearDupPairsLsh(base.unionByName(planted),
+          "vec_id", "embedding", minCosine = 0.9, targetBucketSize = 50)
+        .select(col("a"), col("b"), round(col("cosine"), 4).as("cos4"))
+        .orderBy(col("a"), col("b"))
+    },
+
     // ---- brute-force cosine top-k ANN (exact baseline). Ids-only output:
     // ranks are stable (random embeddings have no cosine near-ties), raw
     // scores would differ in ULPs between engines.
@@ -1406,11 +1429,10 @@ object PipelineQueries {
          |FROM t LEFT JOIN sc USING (doc_id) ORDER BY t.doc_id""") { (s, dir) =>
       val docs = Tables(s, dir).documents
       val toks = graft.plans.NativeFunctions.normTokens(col("text"))
+      // n_toks rides out of the operator's own scoring pass — a second
+      // tokenize + doc-key join here cost a full corpus re-scan
       graft.operators.Dsir.importanceWeights(docs, col("doc_id"), toks,
-          col("lang") === "en", vocabSize = 400)
-        .join(docs.select(col("doc_id").as("id"),
-          size(graft.plans.NativeFunctions.normTokens(col("text")))
-            .cast(LongType).as("n_toks")), "id")
+          col("lang") === "en", vocabSize = 400, emitTokenCount = true)
         .select(col("id").as("doc_id"), col("n_toks"),
           (round(col("llr"), 4) + lit(0.0)).as("llr4"))
         .orderBy(col("doc_id"))

@@ -28,7 +28,16 @@ class ChSqlMetamorphicSpec extends SparkSpec {
         "INSERT INTO mt SELECT number, " +
         "multiIf(number % 3 = 0, 'red', number % 3 = 1, 'green', 'blue'), " +
         "toInt32(number * 7 % 101 - 50), " +
-        "concat('w', toString(number % 17)) FROM numbers(200)")
+        "concat('w', toString(number % 17)) FROM numbers(200); " +
+        // join fixtures: dim is keyed-UNIQUE but PARTIAL (keys 0..11 of
+        // mt's fk range 0..16, so INNER genuinely drops rows); dup has
+        // 3-4 rows per key (keys 0..10) so ANY JOIN has real choice
+        "CREATE TABLE dim (k UInt32, name String) ENGINE = Memory; " +
+        "INSERT INTO dim SELECT number, concat('d', toString(number)) " +
+        "FROM numbers(12); " +
+        "CREATE TABLE dup (k UInt32, tag String) ENGINE = Memory; " +
+        "INSERT INTO dup SELECT number % 11, concat('t', toString(number)) " +
+        "FROM numbers(40)")
     ss
   }
   private val N = 200L
@@ -135,6 +144,128 @@ class ChSqlMetamorphicSpec extends SparkSpec {
       val u = one("SELECT count() AS c FROM (SELECT id FROM mt WHERE " +
         p + " UNION ALL SELECT id FROM mt WHERE " + p + ")")
       assert(u == 2 * a, s"$p: $u != 2*$a")
+    }
+  }
+
+  // ------------------------------------------------------ join laws
+
+  /** The filtered left side as a derived table exposing the join key. */
+  private def leftSide(p: String): String =
+    s"(SELECT id % 17 AS fk, v FROM mt WHERE $p) AS l"
+
+  test("join cardinality laws: LEFT keeps |left| under a keyed-unique " +
+    "right; INNER + LEFT ANTI = |left|; SEMI = INNER on unique keys") {
+    preds(808, 12).foreach { p =>
+      val leftN = one(s"SELECT count() AS c FROM mt WHERE $p")
+      val lj = one("SELECT count() AS c FROM " + leftSide(p) +
+        " LEFT JOIN dim AS d ON l.fk = d.k")
+      assert(lj == leftN, s"$p: LEFT $lj != left count $leftN")
+      val inner = one("SELECT count() AS c FROM " + leftSide(p) +
+        " INNER JOIN dim AS d ON l.fk = d.k")
+      val anti = one("SELECT count() AS c FROM " + leftSide(p) +
+        " LEFT ANTI JOIN dim AS d ON l.fk = d.k")
+      assert(inner + anti == leftN,
+        s"$p: INNER $inner + ANTI $anti != left count $leftN")
+      // on a keyed-unique right, SEMI and INNER agree — and both equal
+      // the directly computable count of matched fks
+      val semi = one("SELECT count() AS c FROM " + leftSide(p) +
+        " LEFT SEMI JOIN dim AS d ON l.fk = d.k")
+      val direct = one(
+        s"SELECT count() AS c FROM mt WHERE ($p) AND id % 17 < 12")
+      assert(semi == inner && semi == direct,
+        s"$p: SEMI $semi / INNER $inner / direct $direct")
+    }
+  }
+
+  test("ANY LEFT JOIN law: row count = |left| even when the right side " +
+    "has duplicate keys (at most one match per left row)") {
+    preds(818, 10).foreach { p =>
+      val leftN = one(s"SELECT count() AS c FROM mt WHERE $p")
+      val anyLeft = one("SELECT count() AS c FROM " + leftSide(p) +
+        " ANY LEFT JOIN dup AS d ON l.fk = d.k")
+      assert(anyLeft == leftN, s"$p: ANY LEFT $anyLeft != $leftN")
+      // plain LEFT against the duplicated right INFLATES: every left row
+      // still appears at least once
+      val plainLeft = one("SELECT count() AS c FROM " + leftSide(p) +
+        " LEFT JOIN dup AS d ON l.fk = d.k")
+      assert(plainLeft >= leftN, s"$p: LEFT $plainLeft < $leftN")
+    }
+  }
+
+  test("join/filter commutation: filtering the left before the join " +
+    "equals filtering the joined result on left columns") {
+    preds(828, 10).foreach { p =>
+      val before = one("SELECT count() AS c FROM " +
+        s"(SELECT * FROM mt WHERE $p) AS l " +
+        "INNER JOIN dim AS d ON l.id % 17 = d.k")
+      // the late side must expose every predicate column, hence *
+      val after = one("SELECT count() AS c FROM " +
+        "(SELECT * FROM mt) AS l " +
+        s"INNER JOIN dim AS d ON l.id % 17 = d.k WHERE $p")
+      assert(before == after, s"$p: pushed $before != late $after")
+    }
+  }
+
+  // ---------------------------------------------------- window laws
+
+  test("window law: the running sum's last row per partition equals " +
+    "the plain group sum, for any filter") {
+    preds(909, 10).foreach { p =>
+      val rows = s.sql("SELECT grp, id, sum(v) OVER (PARTITION BY grp " +
+        s"ORDER BY id) AS rs FROM mt WHERE $p").collect()
+      val totals = s.sql("SELECT grp, toInt64(sum(v)) AS t FROM mt " +
+        s"WHERE $p GROUP BY grp").collect()
+        .map(r => r.get(0).toString -> r.getLong(1)).toMap
+      val lastRs = rows.groupBy(_.get(0).toString).map { case (g, rs) =>
+        g -> rs.maxBy(_.getLong(1)).getLong(2)
+      }
+      assert(lastRs == totals, s"$p: window tails $lastRs != $totals")
+    }
+  }
+
+  test("window law: max(row_number) per partition equals the group " +
+    "count, for any filter") {
+    preds(919, 10).foreach { p =>
+      val viaWindow = s.sql("SELECT grp, toInt64(max(rn)) AS m FROM (SELECT grp, " +
+        "row_number() OVER (PARTITION BY grp ORDER BY id) AS rn FROM mt " +
+        s"WHERE $p) GROUP BY grp").collect()
+        .map(r => r.get(0).toString -> r.getLong(1)).toMap
+      val viaAgg = s.sql(
+        s"SELECT grp, count() AS c FROM mt WHERE $p GROUP BY grp")
+        .collect().map(r => r.get(0).toString -> r.getLong(1)).toMap
+      assert(viaWindow == viaAgg, s"$p: $viaWindow != $viaAgg")
+    }
+  }
+
+  test("LIMIT n BY k law: at most n rows per key, every row a member " +
+    "of the unlimited result") {
+    preds(929, 8).foreach { p =>
+      val lim = s.sql(s"SELECT s, id FROM mt WHERE $p ORDER BY id " +
+        "LIMIT 3 BY s").collect()
+      val all = s.sql(s"SELECT s, id FROM mt WHERE $p").collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSet
+      lim.groupBy(_.getString(0)).foreach { case (k, rs) =>
+        assert(rs.length <= 3, s"$p: key $k kept ${rs.length} rows")
+      }
+      lim.foreach(r =>
+        assert(all((r.getString(0), r.getLong(1))),
+          s"$p: LIMIT BY invented row ${r.mkString(",")}"))
+    }
+  }
+
+  test("WITH FILL law: output is the contiguous id range covering the " +
+    "original rows (default step 1), for any filter") {
+    preds(939, 6).foreach { p =>
+      val orig = s.sql(s"SELECT id FROM mt WHERE $p ORDER BY id")
+        .collect().map(_.getLong(0)).toSet
+      val filled = s.sql(
+        s"SELECT id FROM mt WHERE $p ORDER BY id WITH FILL")
+        .collect().map(_.getLong(0)).toSeq
+      assert(orig.subsetOf(filled.toSet),
+        s"$p: WITH FILL lost original rows")
+      if (orig.nonEmpty)
+        assert(filled == (orig.min to orig.max).toSeq,
+          s"$p: WITH FILL output is not the contiguous covering range")
     }
   }
 }

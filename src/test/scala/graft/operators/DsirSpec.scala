@@ -42,4 +42,26 @@ class DsirSpec extends SparkSpec {
     assert(math.abs(got(1L) - (2 * wx + wa)) < 1e-12, s"doc1 ${got(1L)}")
     assert(got(1L) == got(2L), "same tokens, same weight")
   }
+
+  test("emitTokenCount emits n_toks from the scoring pass itself — " +
+    "out-of-vocab tokens count, zero-token docs report 0") {
+    val docs = Seq(
+      (1L, Seq("a", "a", "zz"), true), // zz falls outside vocabSize=1
+      (2L, Seq("b"), false),
+      (3L, Seq.empty[String], false)).toDF("id", "toks", "tgt")
+    val got = Dsir.importanceWeights(docs, $"id", $"toks", $"tgt", 1,
+      emitTokenCount = true)
+    assert(got.columns.toSeq == Seq("id", "n_toks", "llr"))
+    val counts = got.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(counts == Map(1L -> 3L, 2L -> 1L, 3L -> 0L))
+    // exactly ONE id-carrying explode: the scoring stream. (The fit
+    // side's vocab subtree is referenced twice — totals and model — so
+    // its id-less Generate legitimately appears twice; a wrapper-style
+    // re-tokenize would add a SECOND id-carrying token pass.)
+    val gens = got.queryExecution.optimizedPlan.collect {
+      case g: org.apache.spark.sql.catalyst.plans.logical.Generate => g
+    }
+    assert(gens.count(_.requiredChildOutput.exists(_.name == "id")) == 1,
+      got.queryExecution.optimizedPlan.toString)
+  }
 }
