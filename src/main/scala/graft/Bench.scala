@@ -103,6 +103,15 @@ object Bench {
     def fmt(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", v)
     val passes = math.max(1,
       sys.env.get("SPARK_GRAFT_BENCH_RUNS").flatMap(_.toIntOption).getOrElse(3))
+    // System load average at start and end: a board run that overlaps
+    // another heavyweight process (a concurrent sbt/Spark JVM) shifts
+    // EVERY query by the same ~1.5-2x factor — recording the 1-minute
+    // load makes a contaminated artifact self-evident instead of
+    // masquerading as a per-query regression.
+    def loadAvg: Double =
+      java.lang.management.ManagementFactory.getOperatingSystemMXBean
+        .getSystemLoadAverage
+    val loadStart = loadAvg
     val names = picked.toSeq.sortBy(_._1)
     val times = scala.collection.mutable.Map.empty[String, List[Double]]
       .withDefaultValue(Nil)
@@ -150,7 +159,7 @@ object Bench {
     val errs =
       if (failed.isEmpty) ""
       else failed.distinct.map("\"" + _ + "\"").mkString(""","errors":[""", ",", "]")
-    val json = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","passes":$passes,"queries":$qs,"spread":$spread,"gc":$gcJson,"jit_ms":$jitMs,"code_cache_mb":$codeCacheUsed$errs,"sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","passes":$passes,"queries":$qs,"spread":$spread,"gc":$gcJson,"jit_ms":$jitMs,"code_cache_mb":$codeCacheUsed,"load_avg":[${fmt(loadStart)},${fmt(loadAvg)}]$errs,"sf":"$sfDir"}"""
     // Lossless artifact: the full JSON is also written to a file so the
     // round comparison never depends on stdout-capture windows.
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_local.json")

@@ -13,7 +13,20 @@ object ChLexer {
     def is(s: String): Boolean = !isString && text.equalsIgnoreCase(s)
     def isIdent: Boolean = !isString && text.nonEmpty &&
       (Character.isLetter(text.charAt(0)) || text.charAt(0) == '_' ||
-        text.charAt(0) == '`')
+        text.charAt(0) == '`' ||
+        // ClickHouse accepts digit-leading bare identifiers
+        // (lectures/lecture_10.md:41 `CREATE TABLE 2billion`, `AS 2m`);
+        // a digit-leading token that cannot be a numeric literal is one
+        (Character.isDigit(text.charAt(0)) && !Token.numericish(text)))
+  }
+
+  object Token {
+    // numeric literals (and exponent-head fragments like `5e`, which the
+    // tokenizer splits off `5e-3`) — NOT identifiers
+    private val numeric =
+      "(?i)^(0x[0-9a-f]+|0b[01]+|\\d+(\\.\\d*)?(e[+-]?\\d+|e)?|\\.\\d+(e[+-]?\\d+|e)?)$".r
+    private[ChLexer] def numericish(text: String): Boolean =
+      numeric.findFirstIn(text).isDefined
   }
 
   /** Strips comments and splits on top-level semicolons. The client-style
@@ -393,4 +406,19 @@ object ChLexer {
     }
     sb.result()
   }
+
+  /** Digit-leading identifiers (ClickHouse-legal, Spark-illegal bare:
+    * lecture_10.md's `2billion`, `AS 2m`) backtick-quoted per dotted
+    * part for Spark SQL emission — applied by ChSqlRewrite as its final
+    * pass, NOT inside render, so render stays a plain join and
+    * tokenize∘render remains a token-level fixpoint.
+    */
+  def quoteDigitIdent(t: Token): Token =
+    if (t.isIdent && Character.isDigit(t.text.charAt(0)))
+      Token(t.text.split("\\.", -1).map { p =>
+        if (p.nonEmpty && !p.startsWith("`") &&
+          p.exists(Character.isLetter)) "`" + p + "`"
+        else p
+      }.mkString("."))
+    else t
 }

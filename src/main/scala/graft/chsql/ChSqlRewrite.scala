@@ -103,6 +103,7 @@ object ChSqlRewrite {
     toks = rewriteInTable(toks, resolver)
     toks = mapIdentifiers(toks, resolver)
     toks = expandColumnsMacro(toks, resolver)
+    toks = toks.map(ChLexer.quoteDigitIdent)
     Rewritten(ChLexer.render(toks), limitBy, finalLimit, fill, outfile)
   }
 
@@ -566,6 +567,24 @@ object ChSqlRewrite {
   private def dropGlobal(toks: Vector[Token]): Vector[Token] =
     toks.filterNot(_.is("GLOBAL"))
 
+  private def splitTopLevelArgs(args: Vector[Token]): Seq[Vector[Token]] = {
+    if (args.isEmpty) return Seq.empty
+    val out = Seq.newBuilder[Vector[Token]]
+    var depth = 0
+    var cur = Vector.newBuilder[Token]
+    args.foreach { t =>
+      t.text match {
+        case "(" | "[" if !t.isString => depth += 1; cur += t
+        case ")" | "]" if !t.isString => depth -= 1; cur += t
+        case "," if !t.isString && depth == 0 =>
+          out += cur.result(); cur = Vector.newBuilder[Token]
+        case _ => cur += t
+      }
+    }
+    out += cur.result()
+    out.result()
+  }
+
   // ---- numbers(N) → (SELECT id AS number FROM range(N)) ----
   private def rewriteNumbers(toks: Vector[Token]): Vector[Token] = {
     val out = Vector.newBuilder[Token]
@@ -575,9 +594,22 @@ object ChSqlRewrite {
         toks(i + 1).text == "(" && prevSuggestsTable(toks, i)) {
         val close = matchParen(toks, i + 1)
         val args = toks.slice(i + 2, close)
-        out ++= ChLexer.tokenize("(SELECT id AS number FROM range(")
-        out ++= args
-        out ++= ChLexer.tokenize("))")
+        // ClickHouse numbers(N) = 0..N-1; numbers(S, C[, St]) = C values
+        // FROM S stepping St (lecture_10.md:44-45, hw14.md:82) — Spark
+        // range takes an END bound, so the count arg lowers to S + C.
+        val parts = splitTopLevelArgs(args)
+        val rangeArgs: String = parts match {
+          case Seq(n) => ChLexer.render(n)
+          case Seq(s, c) =>
+            val sTxt = ChLexer.render(s)
+            s"$sTxt, ($sTxt) + (${ChLexer.render(c)})"
+          case Seq(s, c, st) =>
+            val sTxt = ChLexer.render(s)
+            s"$sTxt, ($sTxt) + (${ChLexer.render(c)}), ${ChLexer.render(st)}"
+          case _ => ChLexer.render(args)
+        }
+        out ++= ChLexer.tokenize(
+          s"(SELECT id AS number FROM range($rangeArgs))")
         i = close + 1
       } else { out += toks(i); i += 1 }
     }

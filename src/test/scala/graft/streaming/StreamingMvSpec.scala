@@ -157,7 +157,11 @@ class StreamingMvSpec extends SparkSpec {
   // broker, and this harness has no network egress and no kafka jars
   // beyond the connector API. The file-driven suite above proves the
   // pipeline shape (virtual columns, parse, MV cascade, dedup, windows);
-  // only the socket-level connector remains unexercised.
+  // only the socket-level connector remains unexercised. Round 8
+  // attempted an embedded-KRaft route: the offline cache has NO
+  // org/apache/kafka tree and `sbt update` with kafka-clients added
+  // fails resolution — evidence committed at docs/kafka_broker.md +
+  // docs/kafka_resolution_attempt.log.
   ignore("kafka connector against a real broker (no broker in this harness)") {
     val df = StreamingPipeline.rawFromKafka(spark, "localhost:9092", "events")
     assert(df.columns.contains("value"))
