@@ -29,6 +29,14 @@ def main() -> int:
         ratio = max(x, y) / max(min(x, y), 1e-9)
         rows.append((ratio, q, x, y))
     rows.sort(reverse=True)
+    # supporting view: the per-query MIN across passes (spread[q][0]) is
+    # a one-sided bound on true cost and converges faster than the
+    # median on a noisy box — report its agreement too
+    mins = []
+    for q in shared:
+        x, y = a["spread"][q][0], b["spread"][q][0]
+        mins.append((max(x, y) / max(min(x, y), 1e-9), q))
+    min_over = sum(1 for r in mins if r[0] > limit)
     offenders = [r for r in rows if r[0] > limit]
     print(f"artifacts: {a_path} ({a.get('value')}s, load={a.get('load_avg')}) "
           f"vs {b_path} ({b.get('value')}s, load={b.get('load_avg')})")
@@ -40,6 +48,8 @@ def main() -> int:
     for ratio, q, x, y in rows[:10]:
         flag = " <-- OVER" if ratio > limit else ""
         print(f"  {q:38s} {x:7.3f}s vs {y:7.3f}s  {ratio:5.2f}x{flag}")
+    print(f"min-statistic view: {min_over} queries exceed {limit}x "
+          f"(worst {max(mins)[0]:.2f}x {max(mins)[1]})")
     if offenders:
         print(f"\nFAIL: {len(offenders)} queries exceed {limit}x")
         return 1

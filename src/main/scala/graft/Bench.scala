@@ -13,20 +13,40 @@ import org.apache.spark.sql.functions.{col, struct, xxhash64}
   * projections on scan-shaped queries, which would understate real
   * materialization cost.
   *
-  * Timing protocol — medians ACROSS whole-board passes: the board runs
-  * end-to-end N times (default 3) and each query's number is the median
-  * of its per-pass timings. Back-to-back reps of one query share a JVM
-  * "mode" (JIT/codegen epoch state), so a per-query rep loop produced
-  * tight-but-wrong numbers — 6 queries disagreed up to 6.6x between two
-  * runs of identical code while each run's own spread looked clean.
-  * Separating a query's samples by a full board pass decorrelates them
-  * from the moment's JIT state. Per-query GC seconds and the process's
-  * JIT compilation time ride along in the artifact so a stall's source
-  * is attributable, and build.sbt pins -XX:ReservedCodeCacheSize=1g:
-  * with the JVM default 240m, ~170 codegen-heavy plans can fill the
-  * code cache mid-board, silently disabling the JIT compiler — the
-  * mechanism behind the "tightly slow" mode on late (t-prefixed)
-  * queries.
+  * Timing protocol — samples across whole-board passes in MULTIPLE
+  * JVMs. Two distinct variance modes were measured on this box and each
+  * defeats a single-layer protocol:
+  *
+  *  1. Back-to-back reps of one query share the moment's JIT/codegen
+  *     state, so a per-query rep loop produced tight-but-wrong numbers
+  *     (6 queries disagreed up to 6.6x between two runs of identical
+  *     code while each run's own 3-rep spread looked clean). Fix: a
+  *     query's samples are separated by a full board pass, and passes
+  *     alternate board direction so position-in-board effects (heap
+  *     fragmentation, code-cache occupancy) cancel in the statistics.
+  *  2. Some queries acquire a JVM-LIFETIME mode: all 5 passes of one
+  *     process ran q01_pricing_summary at 1.02-1.62s while all 5 passes
+  *     of a second process ran 0.66-0.92s — identical code, data, box.
+  *     NO statistic computed within one process can make two such
+  *     artifacts agree. Fix: the entry process spawns
+  *     SPARK_GRAFT_BENCH_JVMS (default 3) child JVMs, each running
+  *     SPARK_GRAFT_BENCH_RUNS (default 3) alternating passes, and pools
+  *     all samples across processes.
+  *
+  * The headline per-query number is the FLOOR ESTIMATE — the mean of
+  * the 3 fastest pooled samples. For deterministic CPU-bound work the
+  * fast mode IS the plan's cost; the slow samples are JVM-epoch
+  * artifacts (tiered-compilation races, profile pollution), which is
+  * why the floor is the statistic that reproduces across runs. Nothing
+  * is hidden: the pooled median rides along as `"median"` and the
+  * pooled [min,max] as `"spread"`; `scripts/bench_compare.py` checks
+  * the within-1.5x-per-query reproducibility criterion between two
+  * artifacts. Per-query GC seconds and each child's JIT compilation
+  * time are recorded so a stall's source is attributable, and build.sbt
+  * pins -XX:ReservedCodeCacheSize=1g: with the JVM default 240m, ~170
+  * codegen-heavy plans can fill the code cache mid-board, silently
+  * disabling the JIT compiler — the mechanism behind the "tightly slow"
+  * mode on late (t-prefixed) queries that motivated the whole protocol.
   */
 object Bench {
 
@@ -44,7 +64,35 @@ object Bench {
       .asScala.map(b => math.max(0L, b.getCollectionTime)).sum
   }
 
+  // Locale-pinned formatting: the default locale may use a comma
+  // decimal separator, which would corrupt the JSON line.
+  private def fmt(v: Double): String =
+    String.format(java.util.Locale.ROOT, "%.3f", v)
+
+  private def loadAvg: Double =
+    java.lang.management.ManagementFactory.getOperatingSystemMXBean
+      .getSystemLoadAverage
+
+  private def median(xs: Seq[Double]): Double = {
+    val s = xs.sorted
+    s(s.length / 2)
+  }
+
   def main(args: Array[String]): Unit = {
+    val jvms = math.max(1, sys.env.get("SPARK_GRAFT_BENCH_JVMS")
+      .flatMap(_.toIntOption).getOrElse(3))
+    if (jvms > 1 && !sys.env.contains("SPARK_GRAFT_BENCH_CHILD"))
+      runParent(jvms)
+    else runBoard()
+  }
+
+  /** One JVM's share of the protocol: N alternating whole-board passes,
+    * one `p<pass>,<name>,<sec>,<gcsec>` stdout line per completed run
+    * (the parent pools these; any bounded tail of the output keeps
+    * per-query data even when the final JSON line is longer than the
+    * tail window), and a single summary JSON line at the end.
+    */
+  private def runBoard(): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
@@ -98,19 +146,8 @@ object Bench {
       resetState()
       (dt, gcDt)
     }
-    // Locale-pinned formatting: the default locale may use a comma
-    // decimal separator, which would corrupt the JSON line.
-    def fmt(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", v)
     val passes = math.max(1,
       sys.env.get("SPARK_GRAFT_BENCH_RUNS").flatMap(_.toIntOption).getOrElse(3))
-    // System load average at start and end: a board run that overlaps
-    // another heavyweight process (a concurrent sbt/Spark JVM) shifts
-    // EVERY query by the same ~1.5-2x factor — recording the 1-minute
-    // load makes a contaminated artifact self-evident instead of
-    // masquerading as a per-query regression.
-    def loadAvg: Double =
-      java.lang.management.ManagementFactory.getOperatingSystemMXBean
-        .getSystemLoadAverage
     val loadStart = loadAvg
     val names = picked.toSeq.sortBy(_._1)
     val times = scala.collection.mutable.Map.empty[String, List[Double]]
@@ -118,17 +155,18 @@ object Bench {
     val gcs = scala.collection.mutable.Map.empty[String, List[Double]]
       .withDefaultValue(Nil)
     (1 to passes).foreach { pass =>
-      names.foreach { case (name, fn) =>
+      // Alternate board direction per pass: position-in-board effects
+      // bias late queries consistently slower within one direction;
+      // alternating puts each query early on some passes and late on
+      // others, so the position term cancels in the pooled statistics.
+      val order = if (pass % 2 == 0) names.reverse else names
+      order.foreach { case (name, fn) =>
         val (dt, gcDt) = timeOne(name, fn)
         times(name) = times(name) :+ dt
         gcs(name) = gcs(name) :+ gcDt
-        // One `pass,name,sec,gcsec` line per completed run: any bounded
-        // tail of the process output keeps per-query data even when the
-        // final JSON line is longer than the tail window.
         println(s"p$pass,$name,${fmt(dt)},${fmt(gcDt)}")
       }
     }
-    def median(xs: Seq[Double]): Double = { val s = xs.sorted; s(s.length / 2) }
     val results = names.map { case (name, _) =>
       val ts = times(name).sorted
       (name, median(ts), ts.head, ts.last, median(gcs(name)))
@@ -169,5 +207,104 @@ object Bench {
     catch { case e: java.io.IOException => System.err.println(s"bench: could not write $outFile: $e") }
     println(json)
     spark.stop()
+  }
+
+  /** Spawns `jvms` child processes of this same main (same classpath
+    * and JVM flags, inherited from this process), pools every
+    * `p<pass>,<name>,<sec>,<gcsec>` sample line across them, and writes
+    * the merged artifact: per-query floor estimate (headline), pooled
+    * median, pooled [min,max] spread, pooled median GC, per-child JIT
+    * evidence. Children run serially — concurrent boards would contend
+    * for the box's cores and contaminate each other's numbers.
+    */
+  private def runParent(jvms: Int): Unit = {
+    import scala.jdk.CollectionConverters._
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val loadStart = loadAvg
+    val javaBin = java.nio.file.Paths.get(
+      System.getProperty("java.home"), "bin", "java").toString
+    val jvmArgs = java.lang.management.ManagementFactory.getRuntimeMXBean
+      .getInputArguments.asScala.toSeq
+      // drop agent/debug args a wrapper may have injected; children
+      // need only the functional flags (--add-opens, heap, code cache)
+      .filterNot(a => a.startsWith("-agentlib") || a.startsWith("-javaagent"))
+    val cp = System.getProperty("java.class.path")
+    val sampleLine = "^p(\\d+),([A-Za-z0-9_]+),([0-9.]+),([0-9.]+)$".r
+    val jitRe = "\"jit_ms\":(-?\\d+)".r
+    val cacheRe = "\"code_cache_mb\":(\\d+)".r
+    val errRe = "\"errors\":\\[([^\\]]*)\\]".r
+    val samples = scala.collection.mutable.Map.empty[String, List[Double]]
+      .withDefaultValue(Nil)
+    val gcSamples = scala.collection.mutable.Map.empty[String, List[Double]]
+      .withDefaultValue(Nil)
+    val jits = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val caches = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val errors = scala.collection.mutable.LinkedHashSet.empty[String]
+    var childPasses = 0
+    (1 to jvms).foreach { child =>
+      val cmd = (Seq(javaBin) ++ jvmArgs ++ Seq("-cp", cp, "graft.Bench")).asJava
+      val pb = new ProcessBuilder(cmd)
+      pb.environment().put("SPARK_GRAFT_BENCH_CHILD", child.toString)
+      // the child's own artifact file is scratch; the parent writes the
+      // real one after pooling
+      pb.environment().put("SPARK_GRAFT_BENCH_OUT",
+        s"/tmp/graft_bench_child_$child.json")
+      pb.redirectErrorStream(false)
+      pb.redirectError(ProcessBuilder.Redirect.INHERIT)
+      val proc = pb.start()
+      val reader = new java.io.BufferedReader(
+        new java.io.InputStreamReader(proc.getInputStream))
+      var line = reader.readLine()
+      while (line != null) {
+        line match {
+          case sampleLine(pass, name, sec, gcSec) =>
+            samples(name) = samples(name) :+ sec.toDouble
+            gcSamples(name) = gcSamples(name) :+ gcSec.toDouble
+            childPasses = math.max(childPasses, pass.toInt)
+            println(s"c$child.$line")
+          case l if l.startsWith("{\"metric\"") =>
+            jitRe.findFirstMatchIn(l).foreach(m => jits += m.group(1).toLong)
+            cacheRe.findFirstMatchIn(l).foreach(m => caches += m.group(1).toLong)
+            errRe.findFirstMatchIn(l).foreach(
+              _.group(1).split(",").map(_.trim.stripPrefix("\"")
+                .stripSuffix("\"")).filter(_.nonEmpty).foreach(errors += _))
+          case _ => () // Spark WARN noise on stdout
+        }
+        line = reader.readLine()
+      }
+      val code = proc.waitFor()
+      if (code != 0) {
+        System.err.println(s"bench: child $child exited $code")
+        errors += s"__child_${child}_exit_$code"
+      }
+    }
+    val names = samples.keys.toSeq.sorted
+    // floor estimate: mean of the 3 fastest pooled samples — robust to
+    // a single lucky dip (unlike pure min) and immune to slow-mode
+    // contamination (unlike the median); see the protocol scaladoc
+    val results = names.map { name =>
+      val ts = samples(name).sorted
+      val fastest = ts.take(3)
+      val floor = fastest.sum / fastest.length
+      (name, floor, median(ts), ts.head, ts.last, median(gcSamples(name)))
+    }
+    def mapJson(f: ((String, Double, Double, Double, Double, Double)) => String)
+        : String = results.map(f).mkString("{", ",", "}")
+    val qs = mapJson { case (k, fl, _, _, _, _) => "\"" + k + "\":" + fmt(fl) }
+    val med = mapJson { case (k, _, m, _, _, _) => "\"" + k + "\":" + fmt(m) }
+    val spread = mapJson { case (k, _, _, lo, hi, _) =>
+      "\"" + k + "\":[" + fmt(lo) + "," + fmt(hi) + "]" }
+    val gcJson = mapJson { case (k, _, _, _, _, g) => "\"" + k + "\":" + fmt(g) }
+    val total = results.map(_._2).sum
+    val errs =
+      if (errors.isEmpty) ""
+      else errors.map("\"" + _ + "\"").mkString(""","errors":[""", ",", "]")
+    val json = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","stat":"floor3","jvms":$jvms,"passes":$childPasses,"queries":$qs,"median":$med,"spread":$spread,"gc":$gcJson,"jit_ms":[${jits.mkString(",")}],"code_cache_mb":[${caches.mkString(",")}],"load_avg":[${fmt(loadStart)},${fmt(loadAvg)}]$errs,"sf":"$sfDir"}"""
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_local.json")
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get(outFile),
+      (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case e: java.io.IOException => System.err.println(s"bench: could not write $outFile: $e") }
+    println(json)
   }
 }

@@ -543,7 +543,13 @@ object ChSqlRewrite {
         }
         if (inner.nonEmpty) args += inner.slice(start, inner.length)
         out += t += Token("(")
-        val argList = args.result()
+        // ClickHouse's zero-arg countState() counts rows; the SQL
+        // aggregator takes one argument, so feed it the literal 1
+        val argList = args.result() match {
+          case e if e.isEmpty && t.text.equalsIgnoreCase("countState") =>
+            Vector(Vector(Token("1")))
+          case other => other
+        }
         argList.zipWithIndex.foreach { case (arg, k) =>
           if (k > 0) out += Token(",")
           casts.get.lift(k) match {

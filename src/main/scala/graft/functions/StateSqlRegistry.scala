@@ -31,6 +31,8 @@ object StateSqlRegistry {
   private[functions] val TagAvg: Byte = 2
   private[functions] val TagSum: Byte = 3
   private[functions] val TagMaxIf: Byte = 4
+  private[functions] val TagCount: Byte = 5
+  private[functions] val TagUniqExact: Byte = 6
 
   private def tagged(tag: Byte, payload: Array[Byte]): Array[Byte] = {
     val out = new Array[Byte](payload.length + 1)
@@ -181,6 +183,99 @@ object StateSqlRegistry {
     def outputEncoder: Encoder[String] = Encoders.STRING
   }
 
+  // ---------- count (running long, tag 5; countState() with no args is
+  // rewritten to countState(1) by the dialect layer, countState(x)
+  // counts non-nulls of x — both ClickHouse spellings)
+
+  object CountStateSql extends Aggregator[java.lang.Long, SumBuf, Array[Byte]] {
+    def zero: SumBuf = SumBuf(0L)
+    def reduce(b: SumBuf, v: java.lang.Long): SumBuf = {
+      if (v != null) b.v += 1; b
+    }
+    def merge(a: SumBuf, b: SumBuf): SumBuf = { a.v += b.v; a }
+    def finish(b: SumBuf): Array[Byte] =
+      tagged(TagCount, ByteBuffer.allocate(8).putLong(b.v).array())
+    def bufferEncoder: Encoder[SumBuf] = Encoders.product[SumBuf]
+    def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+  }
+
+  object CountMergeSql extends Aggregator[Array[Byte], SumBuf, Long] {
+    def zero: SumBuf = SumBuf(0L)
+    def reduce(b: SumBuf, v: Array[Byte]): SumBuf = {
+      if (v != null)
+        b.v += ByteBuffer.wrap(payload(TagCount, "countMerge", v)).getLong()
+      b
+    }
+    def merge(a: SumBuf, b: SumBuf): SumBuf = { a.v += b.v; a }
+    def finish(b: SumBuf): Long = b.v
+    def bufferEncoder: Encoder[SumBuf] = Encoders.product[SumBuf]
+    def outputEncoder: Encoder[Long] = Encoders.scalaLong
+  }
+
+  // ---------- uniqExact (exact distinct set, tag 6; the state is the
+  // value set itself — linear in distinct count, same contract as
+  // ClickHouse's uniqExactState)
+
+  private def packSet(s: scala.collection.mutable.HashSet[String]): Array[Byte] = {
+    val parts = s.toArray.sorted.map(_.getBytes("UTF-8"))
+    val buf = ByteBuffer.allocate(4 + parts.map(_.length + 4).sum)
+    buf.putInt(parts.length)
+    parts.foreach { p => buf.putInt(p.length); buf.put(p) }
+    buf.array()
+  }
+
+  private def unpackSet(a: Array[Byte]): scala.collection.mutable.HashSet[String] = {
+    val buf = ByteBuffer.wrap(a)
+    val n = buf.getInt()
+    val out = scala.collection.mutable.HashSet.empty[String]
+    var i = 0
+    while (i < n) {
+      val len = buf.getInt()
+      val bytes = new Array[Byte](len)
+      buf.get(bytes)
+      out += new String(bytes, "UTF-8")
+      i += 1
+    }
+    out
+  }
+
+  object UniqExactStateSql
+      extends Aggregator[String, scala.collection.mutable.HashSet[String], Array[Byte]] {
+    def zero: scala.collection.mutable.HashSet[String] =
+      scala.collection.mutable.HashSet.empty[String]
+    def reduce(b: scala.collection.mutable.HashSet[String], v: String)
+        : scala.collection.mutable.HashSet[String] = {
+      if (v != null) b += v; b
+    }
+    def merge(a: scala.collection.mutable.HashSet[String],
+        b: scala.collection.mutable.HashSet[String])
+        : scala.collection.mutable.HashSet[String] = { a ++= b; a }
+    def finish(b: scala.collection.mutable.HashSet[String]): Array[Byte] =
+      tagged(TagUniqExact, packSet(b))
+    def bufferEncoder: Encoder[scala.collection.mutable.HashSet[String]] =
+      Encoders.kryo[scala.collection.mutable.HashSet[String]]
+    def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+  }
+
+  object UniqExactMergeSql
+      extends Aggregator[Array[Byte], scala.collection.mutable.HashSet[String], Long] {
+    def zero: scala.collection.mutable.HashSet[String] =
+      scala.collection.mutable.HashSet.empty[String]
+    def reduce(b: scala.collection.mutable.HashSet[String], v: Array[Byte])
+        : scala.collection.mutable.HashSet[String] = {
+      if (v != null)
+        b ++= unpackSet(payload(TagUniqExact, "uniqExactMerge", v))
+      b
+    }
+    def merge(a: scala.collection.mutable.HashSet[String],
+        b: scala.collection.mutable.HashSet[String])
+        : scala.collection.mutable.HashSet[String] = { a ++= b; a }
+    def finish(b: scala.collection.mutable.HashSet[String]): Long = b.size.toLong
+    def bufferEncoder: Encoder[scala.collection.mutable.HashSet[String]] =
+      Encoders.kryo[scala.collection.mutable.HashSet[String]]
+    def outputEncoder: Encoder[Long] = Encoders.scalaLong
+  }
+
   /** `finalizeAggregation(state)` — scalar, runtime-dispatched on the
     * blob's tag. ClickHouse types this from the column's declared
     * `AggregateFunction(f, T)`; a runtime dispatch cannot pick a static
@@ -200,6 +295,11 @@ object StateSqlRegistry {
       case TagMaxIf =>
         val b = unpackMaxIf(java.util.Arrays.copyOfRange(blob, 1, blob.length))
         if (b.present) b.v else null
+      case TagCount =>
+        ByteBuffer.wrap(blob, 1, 8).getLong().toString
+      case TagUniqExact =>
+        unpackSet(java.util.Arrays.copyOfRange(blob, 1, blob.length))
+          .size.toString
       case other =>
         throw new IllegalArgumentException(
           s"finalizeAggregation: unknown state tag $other")
@@ -214,7 +314,9 @@ object StateSqlRegistry {
     "uniqstate" -> Seq("STRING"),
     "avgstate" -> Seq("DOUBLE"),
     "sumstate" -> Seq("BIGINT"),
-    "maxifstate" -> Seq("STRING", "BOOLEAN"))
+    "maxifstate" -> Seq("STRING", "BOOLEAN"),
+    "countstate" -> Seq("BIGINT"),
+    "uniqexactstate" -> Seq("STRING"))
 
   def register(spark: SparkSession): Unit = {
     spark.udf.register("uniqState", udaf(UniqStateSql))
@@ -225,6 +327,10 @@ object StateSqlRegistry {
     spark.udf.register("sumMerge", udaf(SumMergeSql))
     spark.udf.register("maxIfState", udaf(MaxIfStateSql))
     spark.udf.register("maxIfMerge", udaf(MaxIfMergeSql))
+    spark.udf.register("countState", udaf(CountStateSql))
+    spark.udf.register("countMerge", udaf(CountMergeSql))
+    spark.udf.register("uniqExactState", udaf(UniqExactStateSql))
+    spark.udf.register("uniqExactMerge", udaf(UniqExactMergeSql))
     spark.udf.register("finalizeAggregation", (b: Array[Byte]) => finalize(b))
   }
 }

@@ -16,7 +16,14 @@ import graft.SparkSpec
   *  - wrap invariance: filtering the table = filtering a subquery of it;
   *  - aggregation split: sum(v) = sumIf(v, P) + sumIf(v, NOT P);
   *  - group totals: the group-by counts sum to N;
-  *  - spelling equivalence: `count()` = `count(*)`, `multiIf` = CASE.
+  *  - spelling equivalence: `count()` = `count(*)`, `multiIf` = CASE;
+  *  - join/window laws (r8): cardinality under keyed-unique right,
+  *    INNER+ANTI complement, ANY LEFT count, commutation, running-sum
+  *    tails, row_number sizes, LIMIT BY, WITH FILL;
+  *  - combinator/clause laws (r8): State/Merge round trip, PREWHERE =
+  *    WHERE, DISTINCT = uniqExact = GROUP BY keys, groupArray∘arrayJoin
+  *    identity, HAVING = subquery filter, INTERSECT/EXCEPT partition,
+  *    ReplacingMergeTree FINAL = argMax-by-version.
   */
 class ChSqlMetamorphicSpec extends SparkSpec {
 
@@ -251,6 +258,124 @@ class ChSqlMetamorphicSpec extends SparkSpec {
         assert(all((r.getString(0), r.getLong(1))),
           s"$p: LIMIT BY invented row ${r.mkString(",")}"))
     }
+  }
+
+  // ------------------------------------- combinator / clause laws (r8)
+
+  test("State/Merge round trip: sumMerge(sumState), countMerge" +
+    "(countState) and uniqExactMerge(uniqExactState) over a partial " +
+    "grouping equal the direct aggregates, for any filter") {
+    preds(949, 8).foreach { p =>
+      val direct = s.sql("SELECT toInt64(sum(v)) AS sv, count() AS c, " +
+        s"uniqExact(s) AS u FROM mt WHERE $p").collect().head
+      val merged = s.sql("SELECT toInt64(sumMerge(sv)) AS sv, " +
+        "countMerge(c) AS c, uniqExactMerge(u) AS u FROM (" +
+        "SELECT grp, sumState(v) AS sv, countState() AS c, " +
+        s"uniqExactState(s) AS u FROM mt WHERE $p GROUP BY grp)")
+        .collect().head
+      assert(merged.toSeq == direct.toSeq,
+        s"$p: merged ${merged.mkString(",")} != direct ${direct.mkString(",")}")
+    }
+  }
+
+  test("PREWHERE is WHERE: identical counts and sums for any predicate") {
+    preds(959, 12).foreach { p =>
+      val w = s.sql("SELECT count() AS c, toInt64(coalesce(sum(v), 0)) " +
+        s"AS sv FROM mt WHERE $p").collect().head
+      val pw = s.sql("SELECT count() AS c, toInt64(coalesce(sum(v), 0)) " +
+        s"AS sv FROM mt PREWHERE $p").collect().head
+      assert(w.toSeq == pw.toSeq,
+        s"$p: WHERE ${w.mkString(",")} != PREWHERE ${pw.mkString(",")}")
+    }
+  }
+
+  test("DISTINCT law: count of SELECT DISTINCT = uniqExact = count of " +
+    "GROUP BY keys, for any filter") {
+    preds(969, 10).foreach { p =>
+      val viaDistinct = one(
+        s"SELECT count() AS c FROM (SELECT DISTINCT s FROM mt WHERE $p)")
+      val viaUniq = one(s"SELECT uniqExact(s) AS c FROM mt WHERE $p")
+      val viaGroup = one("SELECT count() AS c FROM " +
+        s"(SELECT s FROM mt WHERE $p GROUP BY s)")
+      assert(viaDistinct == viaUniq && viaUniq == viaGroup,
+        s"$p: DISTINCT $viaDistinct / uniqExact $viaUniq / GROUP $viaGroup")
+    }
+  }
+
+  test("groupArray / arrayJoin round trip: exploding the per-group " +
+    "arrays restores the filtered row count and value sum") {
+    preds(979, 8).foreach { p =>
+      val direct = s.sql("SELECT count() AS c, toInt64(coalesce(sum(v), " +
+        s"0)) AS sv FROM mt WHERE $p").collect().head
+      val rt = s.sql("SELECT count() AS c, toInt64(coalesce(sum(x), 0)) " +
+        "AS sv FROM (SELECT arrayJoin(a) AS x FROM " +
+        s"(SELECT grp, groupArray(v) AS a FROM mt WHERE $p GROUP BY grp))")
+        .collect().head
+      assert(rt.toSeq == direct.toSeq,
+        s"$p: round trip ${rt.mkString(",")} != ${direct.mkString(",")}")
+    }
+  }
+
+  test("HAVING law: HAVING on a grouped result = WHERE over the " +
+    "grouped subquery, for any filter") {
+    preds(989, 8).foreach { p =>
+      val having = s.sql(s"SELECT grp, count() AS c FROM mt WHERE $p " +
+        "GROUP BY grp HAVING count() > 3").collect()
+        .map(r => r.get(0).toString -> r.getLong(1)).toMap
+      val sub = s.sql("SELECT grp, c FROM (SELECT grp, count() AS c " +
+        s"FROM mt WHERE $p GROUP BY grp) WHERE c > 3").collect()
+        .map(r => r.get(0).toString -> r.getLong(1)).toMap
+      assert(having == sub, s"$p: HAVING $having != subquery $sub")
+    }
+  }
+
+  test("set-operation partition: |A INTERSECT B| + |A EXCEPT B| = " +
+    "|distinct A|, for any predicate pair") {
+    val ps = preds(999, 12)
+    ps.grouped(2).collect { case Seq(p, q) => (p, q) }.foreach {
+      case (p, q) =>
+        val inter = one("SELECT count() AS c FROM (SELECT id FROM mt " +
+          s"WHERE $p INTERSECT SELECT id FROM mt WHERE $q)")
+        val except = one("SELECT count() AS c FROM (SELECT id FROM mt " +
+          s"WHERE $p EXCEPT SELECT id FROM mt WHERE $q)")
+        val distinctA = one(
+          s"SELECT count() AS c FROM (SELECT DISTINCT id FROM mt WHERE $p)")
+        assert(inter + except == distinctA,
+          s"$p / $q: $inter + $except != $distinctA")
+    }
+  }
+
+  test("FINAL law on ReplacingMergeTree: FINAL sees exactly one row " +
+    "per key (the max-version one), for any filter over final rows") {
+    // built once here, not in the shared fixture: three versions per key
+    s.execute(
+      "CREATE TABLE rmt (k UInt32, ver UInt32, v Int32) " +
+        "ENGINE = ReplacingMergeTree(ver) ORDER BY k; " +
+        "INSERT INTO rmt SELECT number % 40, 1, toInt32(number) " +
+        "FROM numbers(40); " +
+        "INSERT INTO rmt SELECT number % 40, 2, toInt32(number + 1000) " +
+        "FROM numbers(80); " +
+        "INSERT INTO rmt SELECT number % 20, 3, toInt32(number + 5000) " +
+        "FROM numbers(20)")
+    assert(one("SELECT count() AS c FROM rmt FINAL") == 40L)
+    // every FINAL row is the argMax-by-version row of its key
+    // (stringly-keyed: UInt32/Int32 physical types vary by path)
+    def asMap(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => (r.get(0).toString, (r.get(1).toString, r.get(2).toString)))
+        .toMap
+    val finalRows = asMap(s.sql("SELECT k, ver, v FROM rmt FINAL").collect())
+    val expect = asMap(s.sql("SELECT k, toUInt32(max(ver)) AS ver, " +
+      "argMax(v, ver) AS v FROM rmt GROUP BY k").collect())
+    assert(finalRows == expect, "FINAL rows are not the max-version rows")
+    // filters commute with FINAL when the predicate is on final values
+    Seq("v >= 1000", "k % 3 = 0", "v % 2 = 1 AND k < 30").foreach { p =>
+      val a = one(s"SELECT count() AS c FROM rmt FINAL WHERE $p")
+      val b = one("SELECT count() AS c FROM (SELECT k, " +
+        s"argMax(v, ver) AS v FROM rmt GROUP BY k) WHERE $p")
+      assert(a == b, s"$p: FINAL-filtered $a != argMax-view $b")
+    }
+    s.execute("DROP TABLE rmt")
+    ()
   }
 
   test("WITH FILL law: output is the contiguous id range covering the " +
