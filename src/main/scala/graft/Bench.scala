@@ -134,17 +134,21 @@ object Bench {
         .foreach(_.unpersist(blocking = false))
     }
     val failed = scala.collection.mutable.ArrayBuffer.empty[String]
-    // time + GC seconds attributable to the one query's run
+    // time + GC seconds attributable to the one query's run; None for a
+    // failed run — a throw is usually much FASTER than the real work,
+    // so pooling its time would pull the floor estimate under the
+    // query's true cost while the errors array quietly flags the name
     def timeOne(name: String, fn: (SparkSession, String) => DataFrame)
-        : (Double, Double) = {
+        : Option[(Double, Double)] = {
       val gc0 = gcMillis
       val t0 = System.nanoTime()
-      try { checksum(fn(spark, sfDir)) }
-      catch { case t: Throwable => failed += name; t.printStackTrace() }
+      val ok =
+        try { checksum(fn(spark, sfDir)); true }
+        catch { case t: Throwable => failed += name; t.printStackTrace(); false }
       val dt = (System.nanoTime() - t0) / 1e9
       val gcDt = (gcMillis - gc0) / 1e3
       resetState()
-      (dt, gcDt)
+      if (ok) Some((dt, gcDt)) else None
     }
     val passes = math.max(1,
       sys.env.get("SPARK_GRAFT_BENCH_RUNS").flatMap(_.toIntOption).getOrElse(3))
@@ -161,13 +165,16 @@ object Bench {
       // others, so the position term cancels in the pooled statistics.
       val order = if (pass % 2 == 0) names.reverse else names
       order.foreach { case (name, fn) =>
-        val (dt, gcDt) = timeOne(name, fn)
-        times(name) = times(name) :+ dt
-        gcs(name) = gcs(name) :+ gcDt
-        println(s"p$pass,$name,${fmt(dt)},${fmt(gcDt)}")
+        timeOne(name, fn).foreach { case (dt, gcDt) =>
+          times(name) = times(name) :+ dt
+          gcs(name) = gcs(name) :+ gcDt
+          println(s"p$pass,$name,${fmt(dt)},${fmt(gcDt)}")
+        }
       }
     }
-    val results = names.map { case (name, _) =>
+    // a query that failed EVERY pass has no samples — report it only in
+    // the errors array instead of crashing the artifact
+    val results = names.filter(n => times(n._1).nonEmpty).map { case (name, _) =>
       val ts = times(name).sorted
       (name, median(ts), ts.head, ts.last, median(gcs(name)))
     }

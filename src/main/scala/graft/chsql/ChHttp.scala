@@ -144,7 +144,14 @@ final class ChHttpServer(spark: SparkSession, bindPort: Int = 0)
             val sb = new StringBuilder
             var n = 0
             var openQuote = false
-            while (nextLine != null && (n < batchLines || openQuote)) {
+            // an UNTERMINATED quote (malformed CSV: a lone unescaped
+            // quote flips the parity for the rest of the upload) must
+            // not buffer the whole remaining body into one batch — cap
+            // the carry at 4x the batch size and cut; only already-
+            // corrupt input can reach the cap, and memory stays bounded
+            val cap = batchLines * 4
+            while (nextLine != null && (n < batchLines || openQuote) &&
+              n < cap) {
               if (quoteAware) {
                 var j = 0
                 while (j < nextLine.length) {
@@ -388,7 +395,11 @@ object ChHttpServer {
     else if (m.contains("cannot resolve") ||
       m.contains("unresolved column") ||
       m.contains("unknown identifier")) 47
-    else if (m.contains("into outfile")) 76 // CANNOT_OPEN_FILE — client-side feature
+    // only OUR outfile-rejection/overwrite messages — a bare substring
+    // match would misroute any error that merely ECHOES a query
+    // containing INTO OUTFILE (e.g. a syntax error) to code 76
+    else if (m.contains("into outfile is not allowed") ||
+      m.contains("into outfile: file")) 76 // CANNOT_OPEN_FILE — client-side feature
     else if (m.contains("parseexception") || m.contains("syntax error") ||
       t.isInstanceOf[org.apache.spark.sql.catalyst.parser.ParseException])
       62

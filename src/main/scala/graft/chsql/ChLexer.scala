@@ -161,6 +161,10 @@ object ChLexer {
     // inline payload — a column named `format` inside INSERT…SELECT must
     // not flip the rest of the script into verbatim copy
     var inQueryBody = false
+    // inline FORMAT appears only at the statement's TOP level: a column
+    // named `format` inside the INSERT's column list (paren depth > 0)
+    // must not arm the trigger either
+    var parenDepth = 0
     // ends the current word; true ⟹ it was an inline format name and
     // the payload was copied verbatim (i already advanced past it)
     def endWord(): Boolean = {
@@ -171,6 +175,7 @@ object ChLexer {
           afterFormatKw = false
           head = ""
           inQueryBody = false
+          parenDepth = 0
           i = copyRawPayload(s, i, out)
           true
         } else {
@@ -179,7 +184,7 @@ object ChLexer {
             w.equalsIgnoreCase("WITH") || w.equalsIgnoreCase("VALUES"))
             inQueryBody = true
           else if (w.equalsIgnoreCase("FORMAT") && head == "INSERT" &&
-            !inQueryBody)
+            !inQueryBody && parenDepth == 0)
             afterFormatKw = true
           false
         }
@@ -192,8 +197,12 @@ object ChLexer {
         if (Character.isLetterOrDigit(c) || c == '_') word += c
         else {
           consumed = endWord()
-          if (!consumed && c == ';') {
-            head = ""; afterFormatKw = false; inQueryBody = false
+          if (!consumed) {
+            if (c == ';') {
+              head = ""; afterFormatKw = false; inQueryBody = false
+              parenDepth = 0
+            } else if (c == '(') parenDepth += 1
+            else if (c == ')') parenDepth = math.max(0, parenDepth - 1)
           }
         }
       }

@@ -553,6 +553,13 @@ object ChSqlRewrite {
         argList.zipWithIndex.foreach { case (arg, k) =>
           if (k > 0) out += Token(",")
           casts.get.lift(k) match {
+            // countState(x) counts NON-NULL x of ANY type — a straight
+            // CAST(x AS BIGINT) would turn a String column into all
+            // NULLs (non-ANSI cast) and count 0. Only x's null-ness
+            // matters, so feed the aggregator IF(x IS NULL, NULL, 1).
+            case Some(_) if t.text.equalsIgnoreCase("countState") =>
+              out ++= ChLexer.tokenize("IF((") ++= arg ++=
+                ChLexer.tokenize(") IS NULL, CAST(NULL AS BIGINT), CAST(1 AS BIGINT))")
             case Some(tp) =>
               out += Token("CAST") += Token("(")
               arg.foreach(out += _)
@@ -873,40 +880,131 @@ object ChSqlRewrite {
     toks.length - 1
   }
 
-  // ---- ANY [LEFT|INNER] JOIN t USING (k,...) → dedup the right side ----
+  // ---- ANY [LEFT|INNER|RIGHT] JOIN → dedup the picked-from side ----
+  /** ClickHouse ANY strictness joins each row of the KEPT side with at
+    * most one row of the other side: ANY LEFT / ANY INNER keep the left
+    * rows and pick one RIGHT match per row; ANY RIGHT keeps every right
+    * row and picks one LEFT match. The rewrite wraps the picked-from
+    * side in a stable row_number dedup on the join keys (window ordered
+    * by a whole-row xxhash64 so the same row wins on every run — the
+    * [[graft.operators.Joins]] reproducibility contract). ON forms
+    * derive the keys from the equality conjuncts; a conjunct that does
+    * not touch the picked-from side (a left-only filter, a constant)
+    * cannot influence WHICH row is picked and contributes no key; an
+    * unqualified side facing a qualified kept-side column resolves to
+    * the picked-from table (hw06.md:174 `on m.id = movie_id`). A
+    * FINAL/SAMPLE modifier stays attached to the inner table ref so
+    * rewriteFromClauses folds it inside the wrap. Silently degrading to
+    * a plain join (the pre-r8 behavior) INFLATED row counts whenever
+    * the picked-from side had duplicate keys.
+    */
   private def rewriteAnyJoin(toks: Vector[Token]): Vector[Token] = {
-    val i = toks.indexWhere(t => t.is("ANY"))
-    if (i < 0) return toks
     val joinKinds = Set("LEFT", "INNER", "RIGHT", "JOIN")
-    if (i + 1 >= toks.length || !joinKinds(toks(i + 1).upper)) return toks
-    // locate: ANY <kind>* JOIN <table|(subquery)> [AS alias] USING (keys)
+    // first ANY that heads a join — `any(x)` the aggregate must not
+    // stop the scan from reaching a later real ANY JOIN
+    var i = -1
+    var scanFrom = 0
+    while (i < 0) {
+      val c = toks.indexWhere(t => t.is("ANY"), scanFrom)
+      if (c < 0 || c + 1 >= toks.length) return toks
+      if (joinKinds(toks(c + 1).upper)) i = c else scanFrom = c + 1
+    }
     var j = i + 1
-    while (j < toks.length && !toks(j).is("JOIN")) j += 1
-    var t0 = j + 1 // right-side table ref
-    val (rightEnd, rightSql) =
+    var isRight = false
+    while (j < toks.length && !toks(j).is("JOIN")) {
+      if (toks(j).is("RIGHT")) isRight = true
+      j += 1
+    }
+    val t0 = j + 1 // right-side table ref
+    if (t0 >= toks.length) return toks
+    val (rightEnd, rightRefSql) =
       if (toks(t0).text == "(") {
         val close = matchParen(toks, t0)
         (close, ChLexer.render(toks.slice(t0, close + 1)))
       } else (t0, toks(t0).text)
     var k = rightEnd + 1
-    val aliasToks = Vector.newBuilder[Token]
+    val aliasRegion = Vector.newBuilder[Token]
     while (k < toks.length && !toks(k).is("USING") && !toks(k).is("ON")) {
-      aliasToks += toks(k); k += 1
+      aliasRegion += toks(k); k += 1
     }
-    if (k >= toks.length || (!toks(k).is("USING") && !toks(k).is("ON")))
+    if (k >= toks.length)
       // neither USING nor ON reachable (CROSS-ish malformation): drop
       // the ANY modifier and keep rewriting the rest
       return rewriteAnyJoin(toks.take(i) ++ toks.drop(i + 1))
+    // FINAL / SAMPLE modify the table ref, not the alias: keep them out
+    // of alias-name derivation and inside the wrapped subquery's FROM
+    val region = aliasRegion.result()
+    val modAt = region.indexWhere(t => t.is("FINAL") || t.is("SAMPLE"))
+    val (rightAliasToks, rightModToks) =
+      if (modAt < 0) (region, Vector.empty[Token])
+      else (region.take(modAt), region.drop(modAt))
+    val rightSql =
+      if (rightModToks.isEmpty) rightRefSql
+      else rightRefSql + " " + ChLexer.render(rightModToks)
+    val rightAliasClean = rightAliasToks.filterNot(_.is("AS"))
+    val rightAlias = rightAliasClean.lastOption.map(_.text)
+      .getOrElse(rightRefSql.split('.').last)
+
+    // the LEFT side ref — only needed (and only parsed) for ANY RIGHT:
+    // the tokens between the nearest preceding FROM and ANY must form a
+    // single plain table ref `t [FINAL|SAMPLE f] [AS] [alias]`
+    lazy val leftSide: (Int, String, String, Vector[Token]) = {
+      val fromIdx = toks.lastIndexWhere(_.is("FROM"), i - 1)
+      def unsupported = throw new IllegalArgumentException(
+        "ANY RIGHT JOIN: the left side must be a single plain table " +
+          "reference for the one-left-match-per-right-row dedup; " +
+          "rewrite with the composite side on the right")
+      if (fromIdx < 0 || fromIdx + 1 >= i) unsupported
+      val seg = toks.slice(fromIdx + 1, i)
+      if (seg.exists(t2 => t2.text == "(" || t2.text == "," ||
+          t2.is("JOIN") || t2.is("SELECT"))) unsupported
+      val refSql0 = seg.head.text
+      val segTail = seg.tail
+      val mAt = segTail.indexWhere(t2 => t2.is("FINAL") || t2.is("SAMPLE"))
+      val (aToks, mToks) =
+        if (mAt < 0) (segTail, Vector.empty[Token])
+        else (segTail.take(mAt), segTail.drop(mAt))
+      val refSql = if (mToks.isEmpty) refSql0
+        else refSql0 + " " + ChLexer.render(mToks)
+      val alias = aToks.filterNot(_.is("AS")).lastOption.map(_.text)
+        .getOrElse(refSql0.split('.').last)
+      (fromIdx, refSql, alias, aToks)
+    }
+    val dedupAlias = if (isRight) leftSide._3 else rightAlias
+
+    def dedupWrap(srcSql: String, keys: Seq[String]): String = {
+      // zero keys ⟹ the ON clause pins no picked-from column: ANY then
+      // picks ONE row of the picked-from side globally
+      val part =
+        if (keys.isEmpty) "" else s"PARTITION BY ${keys.mkString(", ")} "
+      s"(SELECT * EXCEPT (__rn, __h) FROM (SELECT *, row_number() " +
+        s"OVER (${part}ORDER BY __h) AS __rn " +
+        s"FROM (SELECT *, xxhash64(struct(*)) AS __h FROM $srcSql)) " +
+        "WHERE __rn = 1)"
+    }
+    // splice the dedup wrap over the picked-from side's ref tokens; the
+    // ANY keyword itself is always dropped
+    def rebuild(keys: Seq[String]): Vector[Token] =
+      if (isRight) {
+        val (fromIdx, leftRefSql, leftAlias, leftAliasToks) = leftSide
+        val aliasOut =
+          if (leftAliasToks.exists(!_.is("AS"))) leftAliasToks
+          else Vector(Token("AS"), Token(leftAlias))
+        toks.take(fromIdx + 1) ++
+          ChLexer.tokenize(dedupWrap(leftRefSql, keys)) ++ aliasOut ++
+          toks.slice(i + 1, toks.length)
+      } else {
+        val aliasOut =
+          if (rightAliasClean.nonEmpty) rightAliasToks
+          else if (rightRefSql.startsWith("(")) throw new IllegalArgumentException(
+            "ANY JOIN a subquery requires an alias")
+          else Vector(Token("AS"), Token(rightAlias))
+        toks.take(i) ++ toks.slice(i + 1, t0) ++
+          ChLexer.tokenize(dedupWrap(rightSql, keys)) ++ aliasOut ++
+          toks.slice(k, toks.length)
+      }
+
     if (toks(k).is("ON")) {
-      // ON form (hw06.md:174 `left ANY join genres g on m.id =
-      // g.movie_id`): derive the right side's key expressions from the
-      // equality conjuncts and dedup the right side on them — same
-      // one-match-per-left-row contract as the USING form. Silently
-      // degrading to a plain join (the old behavior) INFLATED the row
-      // count whenever the right side had duplicate keys.
-      val aliasClean = aliasToks.result().filterNot(_.is("AS"))
-      val aliasName = aliasClean.lastOption.map(_.text)
-        .getOrElse(rightSql.split('.').last)
       val term = Set("WHERE", "GROUP", "ORDER", "LIMIT", "HAVING",
         "SETTINGS", "UNION", "JOIN", "LEFT", "RIGHT", "INNER", "FULL",
         "CROSS", "ANY", "ALL", "ASOF", "SEMI", "ANTI", "PASTE", "FORMAT",
@@ -921,8 +1019,9 @@ object ChSqlRewrite {
         e += 1
       }
       val onToks = toks.slice(k + 1, e)
-      // split on top-level AND; each conjunct must be an equality whose
-      // right-alias-rooted side becomes a dedup key
+      // split on top-level AND; each conjunct either yields a dedup key
+      // (an equality pinning a picked-from column) or provably cannot
+      // select among picked-from rows (and then contributes none)
       val conjuncts = {
         val out = Vector.newBuilder[Vector[Token]]
         var cur = Vector.newBuilder[Token]
@@ -936,65 +1035,65 @@ object ChSqlRewrite {
         out += cur.result()
         out.result()
       }
-      val prefix = aliasName + "."
-      def rightRooted(side: Vector[Token]): Boolean =
-        side.exists(t => t.isIdent && t.text.startsWith(prefix)) &&
-          !side.exists(t => t.isIdent && t.text.contains(".") &&
-            !t.text.startsWith(prefix))
+      val prefix = dedupAlias + "."
+      def touches(side: Vector[Token]): Boolean =
+        side.exists(t => t.isIdent && t.text.startsWith(prefix))
+      def rooted(side: Vector[Token]): Boolean =
+        touches(side) && !side.exists(t => t.isIdent &&
+          t.text.contains(".") && !t.text.startsWith(prefix))
+      def unqualOnly(side: Vector[Token]): Boolean =
+        side.exists(_.isIdent) &&
+          !side.exists(t => t.isIdent && t.text.contains("."))
       def stripPrefix(side: Vector[Token]): String =
         ChLexer.render(side.map(t =>
           if (t.isIdent && t.text.startsWith(prefix))
             t.copy(text = t.text.stripPrefix(prefix))
           else t))
-      val keyExprs = conjuncts.map { c =>
+      val keyExprs = conjuncts.flatMap { c =>
         var dd = 0
         val eq = c.indexWhere { t =>
           if (t.text == "(") dd += 1 else if (t.text == ")") dd -= 1
           dd == 0 && !t.isString && (t.text == "=" || t.text == "==")
         }
-        if (eq < 0)
-          throw new IllegalArgumentException(
-            "ANY JOIN ... ON supports conjunctions of equality " +
-              s"comparisons; cannot derive a key from: ${ChLexer.render(c)}")
-        val lhs = c.take(eq)
-        val rhs = c.drop(eq + 1)
-        if (rightRooted(rhs) && !rightRooted(lhs)) stripPrefix(rhs)
-        else if (rightRooted(lhs) && !rightRooted(rhs)) stripPrefix(lhs)
-        else throw new IllegalArgumentException(
-          "ANY JOIN ... ON: exactly one side of each equality must " +
-            s"reference the right table '$aliasName': ${ChLexer.render(c)}")
+        if (eq < 0) {
+          if (touches(c)) throw new IllegalArgumentException(
+            "ANY JOIN ... ON: a non-equality condition on the " +
+              s"picked-from table '$dedupAlias' cannot combine with ANY " +
+              s"strictness: ${ChLexer.render(c)}")
+          None // kept-side-only / constant filter: selects no picked row
+        } else {
+          val lhs = c.take(eq)
+          val rhs = c.drop(eq + 1)
+          if (rooted(lhs) && !touches(rhs)) Some(stripPrefix(lhs))
+          else if (rooted(rhs) && !touches(lhs)) Some(stripPrefix(rhs))
+          else if (touches(lhs) || touches(rhs))
+            throw new IllegalArgumentException(
+              "ANY JOIN ... ON: exactly one side of an equality may " +
+                s"reference the picked-from table '$dedupAlias': " +
+                ChLexer.render(c))
+          else {
+            val lu = unqualOnly(lhs)
+            val ru = unqualOnly(rhs)
+            if (lu && ru) throw new IllegalArgumentException(
+              "ANY JOIN ... ON: cannot attribute either side of " +
+                s"'${ChLexer.render(c)}' to a table — qualify the " +
+                "picked-from column")
+            // one unqualified side: resolve it as a picked-from column
+            // inside the wrap (if it in fact belongs to the kept side,
+            // resolution fails loudly there instead of dropping rows)
+            else if (lu) Some(ChLexer.render(lhs))
+            else if (ru) Some(ChLexer.render(rhs))
+            else None // both sides qualified elsewhere / constants
+          }
+        }
       }
-      val keyList2 = keyExprs.mkString(", ")
-      val dedup2 = s"(SELECT * EXCEPT (__rn, __h) FROM (SELECT *, " +
-        s"row_number() OVER (PARTITION BY $keyList2 ORDER BY __h) AS __rn " +
-        s"FROM (SELECT *, xxhash64(struct(*)) AS __h FROM $rightSql)) " +
-        "WHERE __rn = 1)"
-      // a plain-table right side with no alias keeps answering to its
-      // own name once wrapped
-      val aliasOut =
-        if (aliasClean.nonEmpty) aliasToks.result()
-        else if (rightSql.startsWith("(")) throw new IllegalArgumentException(
-          "ANY JOIN ... ON a subquery requires an alias")
-        else Vector(Token("AS"), Token(aliasName))
-      val rebuilt2 = toks.take(i) ++ toks.slice(i + 1, t0) ++
-        ChLexer.tokenize(dedup2) ++ aliasOut ++ toks.slice(k, toks.length)
-      return rewriteAnyJoin(rebuilt2)
+      return rewriteAnyJoin(rebuild(keyExprs))
     }
     val usingOpen = if (toks(k + 1).text == "(") k + 1 else k
     val usingClose = if (toks(k + 1).text == "(") matchParen(toks, k + 1) else k + 1
     val keys = toks.slice(usingOpen + 1, usingClose).filter(_.text != ",")
       .map(_.text)
-    val keyList = keys.mkString(", ")
-    // ClickHouse ANY keeps "some" row per key; we must keep the SAME row
-    // on every run (Joins.leftAny's reproducibility contract), so order
-    // the dedup window by a stable hash of the whole row — identical
-    // rows tie, but then every pick renders identical output.
-    val dedup = s"(SELECT * EXCEPT (__rn, __h) FROM (SELECT *, row_number() " +
-      s"OVER (PARTITION BY $keyList ORDER BY __h) AS __rn FROM " +
-      s"(SELECT *, xxhash64(struct(*)) AS __h FROM $rightSql)) WHERE __rn = 1)"
-    val rebuilt = toks.take(i) ++ toks.slice(i + 1, t0) ++
-      ChLexer.tokenize(dedup) ++ aliasToks.result() ++ toks.slice(k, toks.length)
-    rewriteAnyJoin(rebuilt) // handle further ANY joins
+    rewriteAnyJoin(rebuild(keys)) // handle further ANY joins
   }
 
   // ---- PREWHERE p [WHERE w] → WHERE (p) AND (w) ----

@@ -451,6 +451,20 @@ object Dedup {
     * production knob for an unbounded crawl; pass `bits` directly only
     * when the corpus size is known and bounded.
     */
+  /** `ceil(log2(n / target))` plane count for the fixed-bucket-SIZE LSH
+    * regime, exact on powers of two and clamped to [1, 24]. Deriving
+    * MORE bits than the target asks for (a floor at the fixed-`bits`
+    * default) shrinks buckets below `target` and cuts near-dup recall
+    * without a corresponding cost win.
+    */
+  private[operators] def lshBitsFor(n: Long, target: Int): Int = {
+    val buckets = math.max(1L, n / math.max(1, target))
+    val derived =
+      if (buckets <= 1) 1
+      else 64 - java.lang.Long.numberOfLeadingZeros(buckets - 1)
+    math.min(24, math.max(1, derived))
+  }
+
   def embeddingNearDupPairsLsh(df: DataFrame, idCol: String, vecCol: String,
                                minCosine: Double, bits: Int = 10,
                                tables: Int = 2,
@@ -459,11 +473,7 @@ object Dedup {
     NativeFunctions.register(df.sparkSession)
     val bitsEff =
       if (targetBucketSize <= 0) bits
-      else {
-        val n = df.count() // one scalar; the fit's only driver-side value
-        val buckets = math.max(1L, n / targetBucketSize)
-        math.max(bits, 64 - java.lang.Long.numberOfLeadingZeros(buckets))
-      }
+      else lshBitsFor(df.count(), targetBucketSize) // one driver-side scalar
     val tb = (0 until tables).map(t =>
       struct(lit(t).as("tbl"),
         NativeFunctions.lshBucket(col(vecCol), bitsEff, t).as("bucket")))

@@ -1665,4 +1665,119 @@ class ChSqlSpec extends SparkSpec {
     assert(s.sql("SELECT count() AS c FROM src").collect().head.getLong(0) == 0L)
     assert(s.sql("SELECT sum(v) AS s FROM agg").collect().head.getLong(0) == 12L)
   }
+
+  // ---- round-8 review fixes ----
+
+  test("ANY RIGHT JOIN ... ON keeps every right row, dedups LEFT matches") {
+    val s = ch
+    s.execute(
+      """CREATE TABLE arl (k UInt32, lv String) ENGINE = Memory;
+        |CREATE TABLE arr (k UInt32, rv String) ENGINE = Memory;
+        |INSERT INTO arl VALUES (1, 'a1'), (1, 'a2'), (2, 'b');
+        |INSERT INTO arr VALUES (1, 'x'), (1, 'y'), (3, 'z');""".stripMargin)
+    val rows = s.sql(
+      "SELECT rv, lv FROM arl ANY RIGHT JOIN arr ON arl.k = arr.k ORDER BY rv")
+      .collect()
+    // all 3 right rows survive (the pre-fix right-side dedup dropped
+    // duplicate-key right rows); each gets at most ONE left match
+    assert(rows.length == 3, s"expected 3 right rows, got ${rows.length}")
+    val byRv = rows.map(r => r.getString(0) -> Option(r.getString(1))).toMap
+    assert(byRv("z").isEmpty, "unmatched right row must keep a NULL left side")
+    assert(byRv("x").nonEmpty && byRv("x") == byRv("y"),
+      "both k=1 right rows must see the SAME single left pick")
+  }
+
+  test("ANY LEFT JOIN ... ON accepts an unqualified right column (hw06 idiom)") {
+    val s = ch
+    s.execute(
+      """CREATE TABLE mv2 (id UInt32, title String) ENGINE = Memory;
+        |CREATE TABLE ge2 (movie_id UInt32, genre String) ENGINE = Memory;
+        |INSERT INTO mv2 VALUES (1, 't1'), (2, 't2');
+        |INSERT INTO ge2 VALUES (1, 'x'), (1, 'y'), (2, 'z');""".stripMargin)
+    val out = s.sql(
+      "SELECT title, genre FROM mv2 AS mm ANY LEFT JOIN ge2 ON mm.id = movie_id ORDER BY title")
+      .collect()
+    assert(out.length == 2, "one row per left row")
+    assert(out.map(_.getString(0)).toSeq == Seq("t1", "t2"))
+  }
+
+  test("ANY LEFT JOIN ... ON tolerates a left-only filter conjunct") {
+    val s = ch
+    s.execute(
+      """CREATE TABLE mv3 (id UInt32, title String) ENGINE = Memory;
+        |CREATE TABLE ge3 (movie_id UInt32, genre String) ENGINE = Memory;
+        |INSERT INTO mv3 VALUES (1, 't1'), (2, 't2');
+        |INSERT INTO ge3 VALUES (1, 'x'), (1, 'y'), (2, 'z');""".stripMargin)
+    val rows = s.sql(
+      """SELECT title, genre FROM mv3 AS mm ANY LEFT JOIN ge3 AS gg
+        |ON mm.id = gg.movie_id AND mm.id = 1 ORDER BY title""".stripMargin)
+      .collect()
+    // the filter conjunct references no right column: it gates WHICH
+    // left rows match, not which right row is picked — pre-fix it threw
+    assert(rows.length == 2)
+    assert(Option(rows(1).getString(1)).isEmpty, "mm.id=1 disables t2's match")
+    assert(Option(rows(0).getString(1)).nonEmpty)
+  }
+
+  test("any() the aggregate does not mask a later ANY JOIN") {
+    val s = ch
+    s.execute(
+      """CREATE TABLE mv4 (id UInt32, title String) ENGINE = Memory;
+        |CREATE TABLE ge4 (movie_id UInt32, genre String) ENGINE = Memory;
+        |INSERT INTO mv4 VALUES (1, 't1'), (2, 't2');
+        |INSERT INTO ge4 VALUES (1, 'x'), (1, 'y'), (2, 'z');""".stripMargin)
+    val n = s.sql(
+      "SELECT any(title) AS t0, count() AS n FROM mv4 ANY LEFT JOIN ge4 ON mv4.id = ge4.movie_id")
+      .collect().head.getLong(1)
+    // pre-fix the scan stopped at the aggregate and the ANY JOIN token
+    // reached Spark verbatim (parse error); with the dedup applied the
+    // duplicate movie_id=1 genre cannot inflate the count
+    assert(n == 2L, s"expected 2 joined rows, got $n")
+  }
+
+  test("ANY LEFT JOIN t FINAL folds FINAL inside the dedup wrap") {
+    val s = ch
+    s.execute(
+      """CREATE TABLE afl (k UInt32, lv String) ENGINE = Memory;
+        |CREATE TABLE afr (k UInt32, v UInt32) ENGINE = ReplacingMergeTree ORDER BY k;
+        |INSERT INTO afl VALUES (1, 'a'), (2, 'b');
+        |INSERT INTO afr VALUES (1, 10);
+        |INSERT INTO afr VALUES (1, 11);""".stripMargin)
+    val rows = s.sql(
+      "SELECT lv, v FROM afl ANY LEFT JOIN afr FINAL ON afl.k = afr.k ORDER BY lv")
+      .collect()
+    assert(rows.length == 2)
+    // FINAL keeps the LAST inserted version; pre-fix FINAL was mistaken
+    // for the right table's alias and the rewrite threw
+    assert(rows(0).getLong(1) == 11L)
+  }
+
+  test("countState counts non-null values of ANY type, not just numerics") {
+    val s = ch
+    s.execute(
+      """CREATE TABLE cst (grp UInt8, s Nullable(String)) ENGINE = Memory;
+        |INSERT INTO cst VALUES (1, 'red'), (1, NULL), (2, 'blue');""".stripMargin)
+    val n = s.sql(
+      "SELECT countMerge(c) AS n FROM (SELECT grp, countState(s) AS c FROM cst GROUP BY grp)")
+      .collect().head.getLong(0)
+    // pre-fix the BIGINT arg cast nulled every string and counted 0
+    assert(n == 2L, s"countState over strings: expected 2, got $n")
+  }
+
+  test("a column named `format` in an INSERT column list is not an inline payload") {
+    val stmts = graft.chsql.ChLexer.statements(
+      "INSERT INTO fdst (format, x) SELECT format, x FROM fsrc; SELECT 1 -- c")
+    // pre-fix the word `format` inside the parens armed the payload
+    // trigger and the rest of the script was swallowed verbatim
+    assert(stmts.size == 2, s"expected 2 statements, got ${stmts.size}: $stmts")
+    assert(stmts(1) == "SELECT 1")
+    val s = ch
+    s.execute(
+      """CREATE TABLE fsrc (format String, x UInt32) ENGINE = Memory;
+        |CREATE TABLE fdst (format String, x UInt32) ENGINE = Memory;
+        |INSERT INTO fsrc VALUES ('csv', 1), ('tsv', 2);
+        |INSERT INTO fdst (format, x) SELECT format, x FROM fsrc;""".stripMargin)
+    assert(s.sql("SELECT count() AS c FROM fdst").collect().head.getLong(0) == 2L)
+  }
+
 }

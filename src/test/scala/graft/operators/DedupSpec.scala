@@ -418,4 +418,13 @@ class DedupSpec extends SparkSpec {
     val again = run(df.repartition(7)).select($"vec_id").as[Long].collect().toSet
     assert(again == keptIds)
   }
+
+  test("lshBitsFor derives ceil(log2(n/target)) without a hidden floor") {
+    import graft.operators.Dedup.lshBitsFor
+    assert(lshBitsFor(5000, 50) == 7)   // 100 buckets -> 2^7 = 128
+    assert(lshBitsFor(51200, 50) == 10) // 1024 buckets exactly -> 10, not 11
+    assert(lshBitsFor(100, 50) == 1)
+    assert(lshBitsFor(10, 50) == 1)     // degenerate: one bucket floor
+    assert(lshBitsFor(Long.MaxValue, 1) == 24) // clamped
+  }
 }
