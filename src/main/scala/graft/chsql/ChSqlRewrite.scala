@@ -946,20 +946,39 @@ object ChSqlRewrite {
       .getOrElse(rightRefSql.split('.').last)
 
     // the LEFT side ref — only needed (and only parsed) for ANY RIGHT:
-    // the tokens between the nearest preceding FROM and ANY must form a
-    // single plain table ref `t [FINAL|SAMPLE f] [AS] [alias]`
+    // the tokens between the join's own FROM and ANY must form a single
+    // table ref `t|(subquery) [FINAL|SAMPLE f] [AS] [alias]`
     lazy val leftSide: (Int, String, String, Vector[Token]) = {
-      val fromIdx = toks.lastIndexWhere(_.is("FROM"), i - 1)
       def unsupported = throw new IllegalArgumentException(
-        "ANY RIGHT JOIN: the left side must be a single plain table " +
+        "ANY RIGHT JOIN: the left side must be a single table " +
           "reference for the one-left-match-per-right-row dedup; " +
           "rewrite with the composite side on the right")
+      // the heading FROM sits at the same paren depth as the join — a
+      // backward scan without depth tracking would find a subquery
+      // left side's INNER FROM and splice the dedup wrap inside it
+      var fromIdx = -1
+      var depth = 0
+      var p = i - 1
+      while (fromIdx < 0 && p >= 0) {
+        val tx = toks(p).text
+        if (tx == ")") depth += 1
+        else if (tx == "(") {
+          depth -= 1
+          if (depth < 0) p = 0 // left the clause without meeting FROM
+        } else if (depth == 0 && toks(p).is("FROM")) fromIdx = p
+        p -= 1
+      }
       if (fromIdx < 0 || fromIdx + 1 >= i) unsupported
       val seg = toks.slice(fromIdx + 1, i)
-      if (seg.exists(t2 => t2.text == "(" || t2.text == "," ||
-          t2.is("JOIN") || t2.is("SELECT"))) unsupported
-      val refSql0 = seg.head.text
-      val segTail = seg.tail
+      val (refEnd, refSql0) =
+        if (seg.head.text == "(") {
+          val close = matchParen(seg, 0)
+          (close, ChLexer.render(seg.take(close + 1)))
+        } else (0, seg.head.text)
+      val segTail = seg.drop(refEnd + 1)
+      if (segTail.exists(t2 => t2.text == "(" || t2.text == ")" ||
+          t2.text == "," || t2.is("JOIN") || t2.is("SELECT") ||
+          t2.is("WHERE"))) unsupported
       val mAt = segTail.indexWhere(t2 => t2.is("FINAL") || t2.is("SAMPLE"))
       val (aToks, mToks) =
         if (mAt < 0) (segTail, Vector.empty[Token])
@@ -967,7 +986,11 @@ object ChSqlRewrite {
       val refSql = if (mToks.isEmpty) refSql0
         else refSql0 + " " + ChLexer.render(mToks)
       val alias = aToks.filterNot(_.is("AS")).lastOption.map(_.text)
-        .getOrElse(refSql0.split('.').last)
+        .getOrElse {
+          if (refSql0.startsWith("(")) throw new IllegalArgumentException(
+            "ANY RIGHT JOIN a subquery left side requires an alias")
+          refSql0.split('.').last
+        }
       (fromIdx, refSql, alias, aToks)
     }
     val dedupAlias = if (isRight) leftSide._3 else rightAlias

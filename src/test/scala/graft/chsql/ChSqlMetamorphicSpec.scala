@@ -18,8 +18,9 @@ import graft.SparkSpec
   *  - group totals: the group-by counts sum to N;
   *  - spelling equivalence: `count()` = `count(*)`, `multiIf` = CASE;
   *  - join/window laws (r8): cardinality under keyed-unique right,
-  *    INNER+ANTI complement, ANY LEFT count, commutation, running-sum
-  *    tails, row_number sizes, LIMIT BY, WITH FILL;
+  *    INNER+ANTI complement, ANY LEFT/RIGHT counts, ANY INNER = SEMI,
+  *    commutation, running-sum tails, row_number sizes, LIMIT BY,
+  *    WITH FILL;
   *  - combinator/clause laws (r8): State/Merge round trip, PREWHERE =
   *    WHERE, DISTINCT = uniqExact = GROUP BY keys, groupArray∘arrayJoin
   *    identity, HAVING = subquery filter, INTERSECT/EXCEPT partition,
@@ -196,6 +197,32 @@ class ChSqlMetamorphicSpec extends SparkSpec {
       val plainLeft = one("SELECT count() AS c FROM " + leftSide(p) +
         " LEFT JOIN dup AS d ON l.fk = d.k")
       assert(plainLeft >= leftN, s"$p: LEFT $plainLeft < $leftN")
+    }
+  }
+
+  test("ANY RIGHT JOIN law: row count = |right| even when the left side " +
+    "has duplicate keys (at most one left match per right row)") {
+    val rightN = one("SELECT count() AS c FROM dup")
+    preds(838, 8).foreach { p =>
+      val anyRight = one("SELECT count() AS c FROM " + leftSide(p) +
+        " ANY RIGHT JOIN dup AS d ON l.fk = d.k")
+      assert(anyRight == rightN, s"$p: ANY RIGHT $anyRight != $rightN")
+      // plain RIGHT against the duplicate-fk left INFLATES; every right
+      // row still appears at least once
+      val plainRight = one("SELECT count() AS c FROM " + leftSide(p) +
+        " RIGHT JOIN dup AS d ON l.fk = d.k")
+      assert(plainRight >= rightN, s"$p: RIGHT $plainRight < $rightN")
+    }
+  }
+
+  test("ANY INNER JOIN law: count = SEMI count (one right match per " +
+    "left row, rows with no match drop), for any left filter") {
+    preds(848, 8).foreach { p =>
+      val anyInner = one("SELECT count() AS c FROM " + leftSide(p) +
+        " ANY INNER JOIN dup AS d ON l.fk = d.k")
+      val semi = one("SELECT count() AS c FROM " + leftSide(p) +
+        " LEFT SEMI JOIN dup AS d ON l.fk = d.k")
+      assert(anyInner == semi, s"$p: ANY INNER $anyInner != SEMI $semi")
     }
   }
 
