@@ -1438,6 +1438,12 @@ final class ChSession(val spark: SparkSession,
                               column: String): Option[Map[Int, String]] =
         enumValuesOf(ident, column)
 
+      override def defaultLiteral(ident: String,
+                                  column: String): Option[String] =
+        resolve(ident).flatMap(rt =>
+          scala.util.Try(spark.table(rt.viewName).schema(column)).toOption)
+          .map(f => ChTypes.defaultLiteralSql(f.dataType))
+
       override def resolveDict(name: String): Option[(String, String)] = {
         val ref = parseRef(strip(name))
         dicts.get(ref).orElse(dicts.get(("default", ref._2))) match {

@@ -52,6 +52,14 @@ object ChSqlRewrite {
       */
     def enumValues(ident: String, column: String): Option[Map[Int, String]] =
       None
+
+    /** SQL literal text of `column`'s ClickHouse type default on the
+      * (CH-named) table `ident` — powers reading right-side columns of
+      * an ANTI JOIN (homeworks/hw06.md:137-149), where every surviving
+      * row is by definition unmatched.
+      */
+    def defaultLiteral(ident: String, column: String): Option[String] =
+      None
   }
 
   object NoTables extends Resolver {
@@ -94,6 +102,7 @@ object ChSqlRewrite {
     toks = toks.map(t => if (t.is("arrayJoin")) Token("explode") else t)
     toks = rewriteDictGet(toks, resolver)
     toks = rewriteAnyJoin(toks)
+    toks = rewriteAntiRightCols(toks, resolver)
     toks = rewritePrewhere(toks)
     val (afterFill, fill) = extractWithFill(toks)
     toks = afterFill
@@ -1117,6 +1126,95 @@ object ChSqlRewrite {
     val keys = toks.slice(usingOpen + 1, usingClose).filter(_.text != ",")
       .map(_.text)
     rewriteAnyJoin(rebuild(keys)) // handle further ANY joins
+  }
+
+  /** ClickHouse lets a query READ right-side columns of an ANTI JOIN:
+    * every surviving row is by definition unmatched, so the columns
+    * hold the type's DEFAULT value (homeworks/hw06.md:137-149 selects
+    * `g.genre` alongside a `left anti join genres g` and renders '').
+    * Spark's native anti join exposes only the left side, so such a
+    * reference fails to resolve. When — and only when — a right-alias-
+    * qualified reference appears OUTSIDE the join condition, substitute
+    * the column's type-default literal (resolver-supplied): the native
+    * LEFT ANTI plan is preserved, and a bare SELECT-list item keeps its
+    * column name via AS. Queries that never read the right side are
+    * untouched.
+    */
+  private def rewriteAntiRightCols(toks: Vector[Token],
+                                   resolver: Resolver): Vector[Token] = {
+    // collect every ANTI join: (alias, right table ident, segment span
+    // [ANTI .. end of ON/USING condition))
+    final case class Seg(alias: String, table: String, from: Int, until: Int)
+    val term = Set("WHERE", "GROUP", "ORDER", "LIMIT", "HAVING", "SETTINGS",
+      "UNION", "JOIN", "LEFT", "RIGHT", "INNER", "FULL", "CROSS", "ANY",
+      "ALL", "ASOF", "SEMI", "ANTI", "PASTE", "FORMAT", "INTO", "WINDOW",
+      "QUALIFY", "INTERSECT", "EXCEPT")
+    val segs = Vector.newBuilder[Seg]
+    var i = 0
+    while (i < toks.length) {
+      if (toks(i).is("ANTI")) {
+        var j = i + 1
+        while (j < toks.length && (toks(j).is("LEFT") || toks(j).is("RIGHT")))
+          j += 1
+        // plain-table right side only: a subquery has no catalog entry
+        // to take column defaults from
+        if (j < toks.length && toks(j).is("JOIN") && j + 1 < toks.length &&
+          toks(j + 1).text != "(") {
+          val table = toks(j + 1).text
+          var k = j + 2
+          val aliasToks = Vector.newBuilder[Token]
+          while (k < toks.length && !toks(k).is("USING") && !toks(k).is("ON")) {
+            aliasToks += toks(k); k += 1
+          }
+          if (k < toks.length) {
+            val alias = aliasToks.result().filterNot(_.is("AS")).lastOption
+              .map(_.text).getOrElse(table.split('.').last)
+            var e = k + 1
+            var dd = 0
+            var stop = false
+            while (e < toks.length && !stop) {
+              val te = toks(e)
+              if (te.text == "(") dd += 1
+              else if (te.text == ")") { dd -= 1; if (dd < 0) stop = true }
+              else if (dd == 0 && !te.isString && term(te.upper)) stop = true
+              if (!stop) e += 1
+            }
+            segs += Seg(alias, table, i, e)
+          }
+        }
+      }
+      i += 1
+    }
+    val sgs = segs.result()
+    if (sgs.isEmpty) return toks
+    val out = Vector.newBuilder[Token]
+    var depth = 0
+    var selDepth = -1 // paren depth of the nearest SELECT keyword
+    var p = 0
+    while (p < toks.length) {
+      val t = toks(p)
+      if (t.text == "(") depth += 1
+      else if (t.text == ")") depth -= 1
+      else if (t.is("SELECT")) selDepth = depth
+      val seg = sgs.find(s => t.isIdent && !t.isString &&
+        t.text.startsWith(s.alias + ".") && (p < s.from || p >= s.until))
+      seg.flatMap(s => resolver.defaultLiteral(
+        s.table, t.text.stripPrefix(s.alias + "."))) match {
+        case Some(lit0) =>
+          val colName = t.text.substring(t.text.indexOf('.') + 1)
+          // bare SELECT-list item (SELECT …, g.genre, … FROM): keep the
+          // column's name on the substituted literal
+          val bare = depth == selDepth && p > 0 && p + 1 < toks.length &&
+            (toks(p - 1).text == "," || toks(p - 1).is("SELECT") ||
+              toks(p - 1).is("DISTINCT")) &&
+            (toks(p + 1).text == "," || toks(p + 1).is("FROM"))
+          out ++= ChLexer.tokenize(lit0)
+          if (bare) { out += Token("AS") += Token(colName); () }
+        case None => out += t
+      }
+      p += 1
+    }
+    out.result()
   }
 
   // ---- PREWHERE p [WHERE w] → WHERE (p) AND (w) ----

@@ -114,6 +114,21 @@ object ChTypes {
     }
   }
 
+  /** SQL literal text of the ClickHouse type DEFAULT for a column of
+    * Spark type `dt` — what an unmatched outer-join side surfaces under
+    * `join_use_nulls = 0`, and what right-side columns of an ANTI JOIN
+    * read as (homeworks/hw06.md:137-149: `g.genre` renders '').
+    */
+  def defaultLiteralSql(dt: DataType): String = dt match {
+    case StringType     => "''"
+    case BooleanType    => "false"
+    case DateType       => "DATE '1970-01-01'"
+    case TimestampType  => "TIMESTAMP '1970-01-01 00:00:00'"
+    case n: NumericType => s"CAST(0 AS ${n.sql})"
+    case a: ArrayType   => s"CAST(array() AS ${a.sql})"
+    case other          => s"CAST(NULL AS ${other.sql})"
+  }
+
   /** Splits "a, b(c, d), e" on top-level commas only. Both quote kinds
     * protect their content: single-quoted SQL literals ('' escape) and
     * double-quoted strings — the latter matter when the separator is ';'

@@ -1764,6 +1764,36 @@ class ChSqlSpec extends SparkSpec {
     assert(n == 2L, s"countState over strings: expected 2, got $n")
   }
 
+  test("ANTI JOIN right-side columns read as type defaults (hw06 idiom)") {
+    val s = ch
+    s.execute(
+      """CREATE TABLE mvx (id UInt32, name String, year UInt16) ENGINE = Memory;
+        |CREATE TABLE gex (movie_id UInt32, genre String) ENGINE = Memory;
+        |INSERT INTO mvx VALUES (1, 'm1', 2001), (2, 'm2', 2002), (3, 'm3', 2003);
+        |INSERT INTO gex VALUES (1, 'drama'), (1, 'short');""".stripMargin)
+    // hw06.md:137-149: selecting g.genre alongside the anti join renders
+    // the String default '' for every (by definition unmatched) row
+    val rows = s.sql(
+      """SELECT m.name, m.year, g.genre
+        |FROM mvx m LEFT ANTI JOIN gex g ON m.id = g.movie_id
+        |ORDER BY m.name""".stripMargin).collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("m2", "m3"))
+    assert(rows.forall(_.getString(2) == ""), "right column must read ''")
+    assert(rows.head.schema.fieldNames.toSeq == Seq("name", "year", "genre"),
+      "the substituted literal keeps the column's name")
+    // a query that never reads the right side stays on the native path
+    val n = s.sql(
+      "SELECT count() AS c FROM mvx m LEFT ANTI JOIN gex g ON m.id = g.movie_id")
+      .collect().head.getLong(0)
+    assert(n == 2L)
+    // a numeric right column reads 0, inside an expression too
+    val v = s.sql(
+      """SELECT m.name, g.movie_id + 100 AS shifted
+        |FROM mvx m LEFT ANTI JOIN gex g ON m.id = g.movie_id
+        |ORDER BY m.name LIMIT 1""".stripMargin).collect().head
+    assert(v.getLong(1) == 100L, "numeric default is 0 inside expressions")
+  }
+
   test("a column named `format` in an INSERT column list is not an inline payload") {
     val stmts = graft.chsql.ChLexer.statements(
       "INSERT INTO fdst (format, x) SELECT format, x FROM fsrc; SELECT 1 -- c")

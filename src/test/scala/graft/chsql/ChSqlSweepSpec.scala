@@ -126,16 +126,17 @@ class ChSqlSweepSpec extends SparkSpec {
     }
     info(s"executed subset: $executedSelects/$totalSelects corpus SELECTs " +
       "ran end-to-end against their own files' fixtures")
-    // floor == actual (round 8: 245/269 after the 1000x numbers()
-    // downscale put lecture_10's five 2billion/2million join demos and
-    // hw14's numbers() join into the executed set — digit-leading
-    // identifiers and the numbers(start, count) count-vs-end fix landed
-    // with it; round 7 was 239/268). Every remaining miss is pinned to a
-    // category in docs/sweep_residue.md (external data/infra, slide
-    // typos/placeholders, one documented semantic delta); regenerate the
+    // floor == actual (round 8: 246/269 — the 1000x numbers() downscale
+    // put lecture_10's five 2billion/2million join demos and hw14's
+    // numbers() join into the executed set (with digit-leading
+    // identifiers and the numbers(start, count) count-vs-end fix), and
+    // ANTI JOIN right-side columns reading as type defaults closed the
+    // former hw06 semantic-delta row; round 7 was 239/268). Every
+    // remaining miss is pinned to a category in docs/sweep_residue.md
+    // (external data/infra, slide typos/placeholders); regenerate the
     // triage with tools/SweepDebug, which shares this loop's session
     // shape.
-    assert(executedSelects >= 245, s"executed subset shrank: $executedSelects")
+    assert(executedSelects >= 246, s"executed subset shrank: $executedSelects")
   }
 
   private implicit class IterOps[A](it: java.util.Iterator[A]) {
