@@ -2,8 +2,12 @@
 # sf1 stress gate: 10x the driver's sf0.1 data, full board + heavy-row
 # invariants. Leaves ZERO unchecked rows: every registry query either
 # hash-matches the DuckDB oracle at sf1, is a documented rows-only row,
-# or (d03/d04/d09/d13 — DuckDB-infeasible quadratic/recursive oracles) is
-# covered by the independent invariant checks in Sf1InvariantsSpec.
+# or is covered by the independent invariant checks in Sf1InvariantsSpec
+# (d03/d04/d09/d13: DuckDB-infeasible quadratic/recursive oracles; d06c:
+# its only-planted-pairs oracle premise holds for the driver's data but
+# not for gen_sf1.py output, whose nudged per-copy embeddings are genuine
+# cosine>=0.9 near-dups that the engine CORRECTLY reports — verified
+# independently by the d06c invariant instead of the fixed 100-row SQL).
 set -euo pipefail
 cd "$(dirname "$0")/.."
 
@@ -20,7 +24,7 @@ sbt -batch "runMain graft.Verify $SF1 $OUT" 2>&1 | grep -E '\[verify\].*failed' 
 
 echo "== DuckDB oracle compare (heavy dedup rows excluded, covered below)"
 python3 scripts/oracle_check.py "$SF1" "$OUT" \
-  --skip=d03_ngram_jaccard,d04_dedup_minhash,d09_dedup_clusters,d13_incremental_near_dedup
+  --skip=d03_ngram_jaccard,d04_dedup_minhash,d09_dedup_clusters,d13_incremental_near_dedup,d06c_embedding_near_dup_lsh
 
-echo "== independent invariant checks for d03/d04/d09/d13"
+echo "== independent invariant checks for d03/d04/d09/d13/d06c"
 SPARK_GRAFT_SF1_DIR="$SF1" sbt -batch 'testOnly graft.Sf1InvariantsSpec'

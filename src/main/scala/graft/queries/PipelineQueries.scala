@@ -268,16 +268,22 @@ object PipelineQueries {
     // this row measures the auto-blocked form the unbounded-crawl path
     // uses. Oracle-able despite the engine-internal hyperplanes: planted
     // EXACT copies are the only pairs at cosine >= 0.9 (max natural
-    // pairwise cosine in the testdata is ~0.51), identical vectors share
-    // every LSH bucket, so recall on the answer set is exactly 1.
+    // pairwise cosine in the DRIVER testdata is ~0.51), identical vectors
+    // share every LSH bucket, so recall on the answer set is exactly 1.
+    // The planted-id offset (+1e8) clears every generated key domain
+    // (scripts/gen_sf1.py strides vec_id by 1e6 per copy). NOTE: the
+    // oracle's only-planted-pairs premise holds for the driver's data,
+    // not for gen_sf1.py output, whose nudged per-copy embeddings are
+    // genuine near-dups at 0.9 — at sf1 this row is gate-skipped and
+    // covered by the independent d06c invariant in Sf1InvariantsSpec.
     Q("d06c_embedding_near_dup_lsh",
-      """SELECT vec_id AS a, vec_id + 1000000 AS b,
+      """SELECT vec_id AS a, vec_id + 100000000 AS b,
         |  round(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
         |                               CAST(embedding AS DOUBLE[])), 4) AS cos4
         |FROM embeddings WHERE vec_id < 100 ORDER BY a, b""") { (s, dir) =>
       val base = Tables(s, dir).embeddings.select(col("vec_id"), col("embedding"))
       val planted = base.filter(col("vec_id") < 100)
-        .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+        .select((col("vec_id") + 100000000L).as("vec_id"), col("embedding"))
       Dedup.embeddingNearDupPairsLsh(base.unionByName(planted),
           "vec_id", "embedding", minCosine = 0.9, targetBucketSize = 50)
         .select(col("a"), col("b"), round(col("cosine"), 4).as("cos4"))
