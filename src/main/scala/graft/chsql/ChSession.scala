@@ -1440,9 +1440,17 @@ final class ChSession(val spark: SparkSession,
 
       override def defaultLiteral(ident: String,
                                   column: String): Option[String] =
-        resolve(ident).flatMap(rt =>
-          scala.util.Try(spark.table(rt.viewName).schema(column)).toOption)
-          .map(f => ChTypes.defaultLiteralSql(f.dataType))
+        // the DECLARED column is authoritative for nullability —
+        // Nullable(T)'s ClickHouse default is NULL, plain T's is the
+        // zero value. The runtime view schema cannot distinguish them
+        // (Memory-table inserts widen everything to nullable), so the
+        // fallback keeps the zero-value default.
+        tables.get(parseRef(strip(ident)))
+          .flatMap(_.columns.find(_.name.equalsIgnoreCase(column)))
+          .map(c => ChTypes.defaultLiteralSql(c.dataType, c.nullable))
+          .orElse(resolve(ident).flatMap(rt =>
+            scala.util.Try(spark.table(rt.viewName).schema(column)).toOption)
+            .map(f => ChTypes.defaultLiteralSql(f.dataType)))
 
       override def resolveDict(name: String): Option[(String, String)] = {
         val ref = parseRef(strip(name))

@@ -81,6 +81,16 @@ object ChSqlRewrite {
     "HAVING", "SETTINGS", "UNION", "INTERSECT", "EXCEPT", "WINDOW",
     "QUALIFY", "FORMAT", "INTO")
 
+  /** Keywords that end a join's ON/USING condition span at depth 0 —
+    * ONE set shared by rewriteAnyJoin's ON scan and rewriteAntiRightCols'
+    * segment scan, so clause coverage cannot drift between the two
+    * (pre-fix each had hand-copied the list and each was missing
+    * keywords the other had: PREWHERE vs INTERSECT/EXCEPT).
+    */
+  private val joinCondTerm = clauseStarters ++ Set("PREWHERE", "JOIN",
+    "LEFT", "RIGHT", "INNER", "FULL", "CROSS", "ANY", "ALL", "ASOF",
+    "SEMI", "ANTI", "PASTE")
+
   def rewrite(sql: String, resolver: Resolver): Rewritten = {
     var toks = ChLexer.tokenize(sql)
     val (stripped, outfile) = stripTail(toks)
@@ -1037,10 +1047,7 @@ object ChSqlRewrite {
       }
 
     if (toks(k).is("ON")) {
-      val term = Set("WHERE", "GROUP", "ORDER", "LIMIT", "HAVING",
-        "SETTINGS", "UNION", "JOIN", "LEFT", "RIGHT", "INNER", "FULL",
-        "CROSS", "ANY", "ALL", "ASOF", "SEMI", "ANTI", "PASTE", "FORMAT",
-        "INTO", "PREWHERE", "QUALIFY", "WINDOW")
+      val term = joinCondTerm
       var e = k + 1
       var d = 0
       while (e < toks.length && !(d == 0 &&
@@ -1068,18 +1075,27 @@ object ChSqlRewrite {
         out.result()
       }
       val prefix = dedupAlias + "."
+      // a qualifier may be backtick-quoted (`b`.k): match and strip the
+      // alias in either spelling, leaving the column's own quoting intact
+      def stripQual(text: String): Option[String] =
+        if (text.startsWith(prefix)) Some(text.stripPrefix(prefix))
+        else if (text.startsWith("`" + dedupAlias + "`."))
+          Some(text.stripPrefix("`" + dedupAlias + "`."))
+        else None
+      def qualified(text: String): Boolean =
+        text.replace("`", "").contains(".")
       def touches(side: Vector[Token]): Boolean =
-        side.exists(t => t.isIdent && t.text.startsWith(prefix))
+        side.exists(t => t.isIdent && stripQual(t.text).isDefined)
       def rooted(side: Vector[Token]): Boolean =
         touches(side) && !side.exists(t => t.isIdent &&
-          t.text.contains(".") && !t.text.startsWith(prefix))
+          qualified(t.text) && stripQual(t.text).isEmpty)
       def unqualOnly(side: Vector[Token]): Boolean =
         side.exists(_.isIdent) &&
-          !side.exists(t => t.isIdent && t.text.contains("."))
+          !side.exists(t => t.isIdent && qualified(t.text))
       def stripPrefix(side: Vector[Token]): String =
         ChLexer.render(side.map(t =>
-          if (t.isIdent && t.text.startsWith(prefix))
-            t.copy(text = t.text.stripPrefix(prefix))
+          if (t.isIdent) stripQual(t.text).map(c => t.copy(text = c))
+            .getOrElse(t)
           else t))
       val keyExprs = conjuncts.flatMap { c =>
         var dd = 0
@@ -1145,10 +1161,7 @@ object ChSqlRewrite {
     // collect every ANTI join: (alias, right table ident, segment span
     // [ANTI .. end of ON/USING condition))
     final case class Seg(alias: String, table: String, from: Int, until: Int)
-    val term = Set("WHERE", "GROUP", "ORDER", "LIMIT", "HAVING", "SETTINGS",
-      "UNION", "JOIN", "LEFT", "RIGHT", "INNER", "FULL", "CROSS", "ANY",
-      "ALL", "ASOF", "SEMI", "ANTI", "PASTE", "FORMAT", "INTO", "WINDOW",
-      "QUALIFY", "INTERSECT", "EXCEPT")
+    val term = joinCondTerm
     val segs = Vector.newBuilder[Seg]
     var i = 0
     while (i < toks.length) {
@@ -1187,24 +1200,48 @@ object ChSqlRewrite {
     }
     val sgs = segs.result()
     if (sgs.isEmpty) return toks
+    // select-block scoping: every token gets (a) the id of its innermost
+    // enclosing SELECT block — a same-named alias inside an unrelated
+    // subquery must NOT be rewritten to this join's defaults — and
+    // (b) whether it sits in that block's SELECT list (between SELECT
+    // and FROM / the first clause keyword), the only place an injected
+    // `AS col` alias is legal (GROUP BY / ORDER BY items are not
+    // named expressions).
+    val blockOf = new Array[Int](toks.length)
+    val inList = new Array[Boolean](toks.length)
+    locally {
+      var cur = 0
+      var curList = false
+      var nextId = 1
+      val stk = scala.collection.mutable.ArrayDeque.empty[(Int, Boolean)]
+      var q = 0
+      while (q < toks.length) {
+        val t = toks(q)
+        if (t.text == "(") stk.prepend((cur, curList))
+        else if (t.text == ")") {
+          if (stk.nonEmpty) { val h = stk.removeHead(); cur = h._1; curList = h._2 }
+        } else if (t.is("SELECT")) { cur = nextId; nextId += 1; curList = true }
+        else if (!t.isString &&
+          (t.is("FROM") || clauseStarters(t.upper))) curList = false
+        blockOf(q) = cur
+        inList(q) = curList
+        q += 1
+      }
+    }
     val out = Vector.newBuilder[Token]
-    var depth = 0
-    var selDepth = -1 // paren depth of the nearest SELECT keyword
     var p = 0
     while (p < toks.length) {
       val t = toks(p)
-      if (t.text == "(") depth += 1
-      else if (t.text == ")") depth -= 1
-      else if (t.is("SELECT")) selDepth = depth
       val seg = sgs.find(s => t.isIdent && !t.isString &&
-        t.text.startsWith(s.alias + ".") && (p < s.from || p >= s.until))
+        t.text.startsWith(s.alias + ".") && (p < s.from || p >= s.until) &&
+        blockOf(p) == blockOf(s.from))
       seg.flatMap(s => resolver.defaultLiteral(
         s.table, t.text.stripPrefix(s.alias + "."))) match {
         case Some(lit0) =>
           val colName = t.text.substring(t.text.indexOf('.') + 1)
           // bare SELECT-list item (SELECT …, g.genre, … FROM): keep the
           // column's name on the substituted literal
-          val bare = depth == selDepth && p > 0 && p + 1 < toks.length &&
+          val bare = inList(p) && p > 0 && p + 1 < toks.length &&
             (toks(p - 1).text == "," || toks(p - 1).is("SELECT") ||
               toks(p - 1).is("DISTINCT")) &&
             (toks(p + 1).text == "," || toks(p + 1).is("FROM"))

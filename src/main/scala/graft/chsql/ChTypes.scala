@@ -118,16 +118,26 @@ object ChTypes {
     * Spark type `dt` — what an unmatched outer-join side surfaces under
     * `join_use_nulls = 0`, and what right-side columns of an ANTI JOIN
     * read as (homeworks/hw06.md:137-149: `g.genre` renders '').
+    * `nullable` is the COLUMN's nullability: Nullable(T)'s ClickHouse
+    * default is NULL, not T's zero value.
     */
-  def defaultLiteralSql(dt: DataType): String = dt match {
-    case StringType     => "''"
-    case BooleanType    => "false"
-    case DateType       => "DATE '1970-01-01'"
-    case TimestampType  => "TIMESTAMP '1970-01-01 00:00:00'"
-    case n: NumericType => s"CAST(0 AS ${n.sql})"
-    case a: ArrayType   => s"CAST(array() AS ${a.sql})"
-    case other          => s"CAST(NULL AS ${other.sql})"
-  }
+  def defaultLiteralSql(dt: DataType, nullable: Boolean = false): String =
+    if (nullable) s"CAST(NULL AS ${dt.sql})"
+    else dt match {
+      case StringType     => "''"
+      case BooleanType    => "false"
+      case DateType       => "DATE '1970-01-01'"
+      case TimestampType  => "TIMESTAMP '1970-01-01 00:00:00'"
+      case n: NumericType => s"CAST(0 AS ${n.sql})"
+      case a: ArrayType   => s"CAST(array() AS ${a.sql})"
+      case m: MapType     => s"CAST(map() AS ${m.sql})" // CH default: {}
+      case s: StructType  => // CH Tuple default: per-element defaults
+        val items = s.fields
+          .map(f => s"'${f.name}', ${defaultLiteralSql(f.dataType, f.nullable)}")
+          .mkString(", ")
+        s"CAST(named_struct($items) AS ${s.sql})"
+      case other          => s"CAST(NULL AS ${other.sql})"
+    }
 
   /** Splits "a, b(c, d), e" on top-level commas only. Both quote kinds
     * protect their content: single-quoted SQL literals ('' escape) and
