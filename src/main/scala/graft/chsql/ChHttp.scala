@@ -398,8 +398,11 @@ object ChHttpServer {
     // only OUR outfile-rejection/overwrite messages — a bare substring
     // match would misroute any error that merely ECHOES a query
     // containing INTO OUTFILE (e.g. a syntax error) to code 76
+    // the "into outfile:" colon prefix covers both server-originated
+    // failures (file-exists and could-not-move) without matching a
+    // query echo, which never carries the colon
     else if (m.contains("into outfile is not allowed") ||
-      m.contains("into outfile: file")) 76 // CANNOT_OPEN_FILE — client-side feature
+      m.contains("into outfile:")) 76 // CANNOT_OPEN_FILE — client-side feature
     else if (m.contains("parseexception") || m.contains("syntax error") ||
       t.isInstanceOf[org.apache.spark.sql.catalyst.parser.ParseException])
       62

@@ -928,6 +928,16 @@ object ChSqlRewrite {
       if (c < 0 || c + 1 >= toks.length) return toks
       if (joinKinds(toks(c + 1).upper)) i = c else scanFrom = c + 1
     }
+    // kind-first spelling (`RIGHT ANY JOIN`, valid ClickHouse — same
+    // order as hw06's `left ANY join`): normalize to the canonical
+    // ANY-first order by swapping the two tokens and recursing, so the
+    // isRight detection AND the left-side ref parse (which would
+    // otherwise read the stray RIGHT as an alias) see one spelling
+    if (toks(i + 1).is("JOIN") && i > 0 &&
+      (toks(i - 1).is("LEFT") || toks(i - 1).is("RIGHT") ||
+        toks(i - 1).is("INNER")))
+      return rewriteAnyJoin(
+        toks.updated(i - 1, toks(i)).updated(i, toks(i - 1)))
     var j = i + 1
     var isRight = false
     while (j < toks.length && !toks(j).is("JOIN")) {
@@ -1165,7 +1175,10 @@ object ChSqlRewrite {
     val segs = Vector.newBuilder[Seg]
     var i = 0
     while (i < toks.length) {
-      if (toks(i).is("ANTI")) {
+      // RIGHT ANTI keeps the RIGHT side's real values — the default
+      // substitution below applies only to LEFT/bare ANTI joins, where
+      // the right side is provably unmatched
+      if (toks(i).is("ANTI") && !(i > 0 && toks(i - 1).is("RIGHT"))) {
         var j = i + 1
         while (j < toks.length && (toks(j).is("LEFT") || toks(j).is("RIGHT")))
           j += 1
@@ -1228,15 +1241,23 @@ object ChSqlRewrite {
         q += 1
       }
     }
+    // the qualifier may be backtick-quoted (`g`.genre) — match and strip
+    // the alias in either spelling, same contract as rewriteAnyJoin's
+    // stripQual
+    def stripQual(alias: String, text: String): Option[String] =
+      if (text.startsWith(alias + ".")) Some(text.stripPrefix(alias + "."))
+      else if (text.startsWith("`" + alias + "`."))
+        Some(text.stripPrefix("`" + alias + "`."))
+      else None
     val out = Vector.newBuilder[Token]
     var p = 0
     while (p < toks.length) {
       val t = toks(p)
       val seg = sgs.find(s => t.isIdent && !t.isString &&
-        t.text.startsWith(s.alias + ".") && (p < s.from || p >= s.until) &&
-        blockOf(p) == blockOf(s.from))
+        stripQual(s.alias, t.text).isDefined &&
+        (p < s.from || p >= s.until) && blockOf(p) == blockOf(s.from))
       seg.flatMap(s => resolver.defaultLiteral(
-        s.table, t.text.stripPrefix(s.alias + "."))) match {
+        s.table, stripQual(s.alias, t.text).get)) match {
         case Some(lit0) =>
           val colName = t.text.substring(t.text.indexOf('.') + 1)
           // bare SELECT-list item (SELECT …, g.genre, … FROM): keep the

@@ -132,8 +132,10 @@ object ChTypes {
       case a: ArrayType   => s"CAST(array() AS ${a.sql})"
       case m: MapType     => s"CAST(map() AS ${m.sql})" // CH default: {}
       case s: StructType  => // CH Tuple default: per-element defaults
-        val items = s.fields
-          .map(f => s"'${f.name}', ${defaultLiteralSql(f.dataType, f.nullable)}")
+        val items = s.fields // field names become SQL string literals —
+          // escape embedded single quotes ('' form) or the emitted SQL breaks
+          .map(f => s"'${f.name.replace("'", "''")}', " +
+            defaultLiteralSql(f.dataType, f.nullable))
           .mkString(", ")
         s"CAST(named_struct($items) AS ${s.sql})"
       case other          => s"CAST(NULL AS ${other.sql})"

@@ -406,6 +406,20 @@ class ChHttpSpec extends SparkSpec {
       s"SELECT 1 AS a INTO OUTFILE '$dir/direct.csv'")
     assert(java.nio.file.Files.exists(
       java.nio.file.Path.of(s"$dir/direct.csv")))
+    // all three server-originated outfile failure spellings map to 76:
+    // the HTTP rejection, file-exists, and the move-into-place failure
+    Seq(
+      "INTO OUTFILE is not allowed: it is a client-side feature",
+      s"INTO OUTFILE: file $dir/x.csv already exists — use TRUNCATE/APPEND",
+      s"INTO OUTFILE: could not move the export into place at $dir/x.csv"
+    ).foreach { msg =>
+      assert(ChHttpServer.exceptionCode(new RuntimeException(msg)) == 76,
+        s"expected 76 for: $msg")
+    }
+    // a SYNTAX error whose message merely echoes a query containing
+    // INTO OUTFILE must not be misrouted to 76
+    assert(ChHttpServer.exceptionCode(new RuntimeException(
+      "syntax error near INTO OUTFILE 'x.csv'")) == 62)
   }
 
   test("a predefined-query handler failure maps through the error-code " +

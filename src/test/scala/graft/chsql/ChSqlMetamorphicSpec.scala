@@ -215,6 +215,31 @@ class ChSqlMetamorphicSpec extends SparkSpec {
     }
   }
 
+  test("kind-first ANY spelling law: RIGHT ANY JOIN = ANY RIGHT JOIN " +
+    "and LEFT ANY JOIN = ANY LEFT JOIN, for any left filter") {
+    // ClickHouse accepts both orders (hw06.md uses `left ANY join`);
+    // pre-r9 the kind-first RIGHT spelling silently deduped the wrong
+    // (kept) side
+    val rightN = one("SELECT count() AS c FROM dup")
+    preds(858, 6).foreach { p =>
+      val leftN = one(s"SELECT count() AS c FROM mt WHERE $p")
+      val kindFirstLeft = one("SELECT count() AS c FROM " + leftSide(p) +
+        " LEFT ANY JOIN dup AS d ON l.fk = d.k")
+      assert(kindFirstLeft == leftN,
+        s"$p: LEFT ANY $kindFirstLeft != left count $leftN")
+      val kindFirstRight = one("SELECT count() AS c FROM " + leftSide(p) +
+        " RIGHT ANY JOIN dup AS d ON l.fk = d.k")
+      assert(kindFirstRight == rightN,
+        s"$p: RIGHT ANY $kindFirstRight != right count $rightN")
+      val kindFirstInner = one("SELECT count() AS c FROM " + leftSide(p) +
+        " INNER ANY JOIN dup AS d ON l.fk = d.k")
+      val semi = one("SELECT count() AS c FROM " + leftSide(p) +
+        " LEFT SEMI JOIN dup AS d ON l.fk = d.k")
+      assert(kindFirstInner == semi,
+        s"$p: INNER ANY $kindFirstInner != SEMI $semi")
+    }
+  }
+
   test("ANY INNER JOIN law: count = SEMI count (one right match per " +
     "left row, rows with no match drop), for any left filter") {
     preds(848, 8).foreach { p =>

@@ -1792,6 +1792,31 @@ class ChSqlSpec extends SparkSpec {
         |FROM mvx m LEFT ANTI JOIN gex g ON m.id = g.movie_id
         |ORDER BY m.name LIMIT 1""".stripMargin).collect().head
     assert(v.getLong(1) == 100L, "numeric default is 0 inside expressions")
+    // a backtick-quoted qualifier (`g`.genre) is the same reference and
+    // substitutes the same default
+    val bq = s.sql(
+      """SELECT m.name, `g`.genre
+        |FROM mvx m LEFT ANTI JOIN gex g ON m.id = g.movie_id
+        |ORDER BY m.name""".stripMargin).collect()
+    assert(bq.forall(_.getString(1) == ""),
+      "backtick-qualified right column must read '' too")
+    // RIGHT ANTI keeps the right side's REAL values — the default
+    // substitution applies only to LEFT/bare ANTI (rewrite-level check:
+    // the qualified reference must survive untouched)
+    val alwaysEmpty = new graft.chsql.ChSqlRewrite.Resolver {
+      def resolve(ident: String) = None
+      override def defaultLiteral(ident: String, column: String) = Some("''")
+    }
+    val r = graft.chsql.ChSqlRewrite.rewrite(
+      "SELECT g.genre FROM mvx m RIGHT ANTI JOIN gex g ON m.id = g.movie_id",
+      alwaysEmpty)
+    assert(r.sql.contains("g.genre"),
+      s"RIGHT ANTI must not substitute the kept side's columns: ${r.sql}")
+    val rl = graft.chsql.ChSqlRewrite.rewrite(
+      "SELECT g.genre FROM mvx m LEFT ANTI JOIN gex g ON m.id = g.movie_id",
+      alwaysEmpty)
+    assert(!rl.sql.contains("g.genre"),
+      s"LEFT ANTI must substitute the right side's columns: ${rl.sql}")
   }
 
   test("a column named `format` in an INSERT column list is not an inline payload") {
