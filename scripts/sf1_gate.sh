@@ -3,7 +3,8 @@
 # invariants. Leaves ZERO unchecked rows: every registry query either
 # hash-matches the DuckDB oracle at sf1, is a documented rows-only row,
 # or is covered by the independent invariant checks in Sf1InvariantsSpec
-# (d03/d04/d09/d13: DuckDB-infeasible quadratic/recursive oracles; d06c:
+# (d03/d04/d09/d13/d03c/d09c: DuckDB-infeasible quadratic/recursive
+# oracles; d06c:
 # its only-planted-pairs oracle premise holds for the driver's data but
 # not for gen_sf1.py output, whose nudged per-copy embeddings are genuine
 # cosine>=0.9 near-dups that the engine CORRECTLY reports — verified
@@ -24,7 +25,7 @@ sbt -batch "runMain graft.Verify $SF1 $OUT" 2>&1 | grep -E '\[verify\].*failed' 
 
 echo "== DuckDB oracle compare (heavy dedup rows excluded, covered below)"
 python3 scripts/oracle_check.py "$SF1" "$OUT" \
-  --skip=d03_ngram_jaccard,d04_dedup_minhash,d09_dedup_clusters,d13_incremental_near_dedup,d06c_embedding_near_dup_lsh
+  --skip=d03_ngram_jaccard,d04_dedup_minhash,d09_dedup_clusters,d13_incremental_near_dedup,d06c_embedding_near_dup_lsh,d03c_ngram_jaccard_lsh,d09c_dedup_clusters_lsh
 
-echo "== independent invariant checks for d03/d04/d09/d13/d06c"
+echo "== independent invariant checks for d03/d04/d09/d13/d06c/d03c/d09c"
 SPARK_GRAFT_SF1_DIR="$SF1" sbt -batch 'testOnly graft.Sf1InvariantsSpec'

@@ -354,6 +354,42 @@ object Dedup {
     jaccardVerify(cands, df, idCol, textCol, nGram).filter(col("jaccard") >= threshold)
   }
 
+  /** MinHash near-dup with the rows-per-band derived from ONE corpus
+    * count — the text-side mirror of [[embeddingNearDupPairsLsh]]'s
+    * fixed-bucket-SIZE regime. A band bucket collides two documents of
+    * jaccard j with probability j^r; taking the background inter-document
+    * similarity as j₀ ≤ 1/2 (word n-grams of unrelated documents overlap
+    * far below that for n ≥ 2), holding the expected background bucket at
+    * ~`targetBucketSize` needs r ≥ log₂(n / target) — EXACTLY the
+    * hyperplane [[lshBitsFor]] formula, reused verbatim. So r grows with
+    * the corpus, band buckets stay ~target-sized, and the within-bucket
+    * pair join costs ~n·target comparisons — linear in the corpus —
+    * instead of the fixed-r quadratic the d03/d09 length-band fixture
+    * measures. EXACT duplicates (jaccard 1) collide in every band at any
+    * r, so recall on exact-copy pairs is 1 by construction; pairs at
+    * jaccard j miss with probability (1-j^r)^bands, e.g. 4e-8 at
+    * j=0.9, r=4, 16 bands.
+    *
+    * `knownCount ≥ 0` skips the count scan (pass the corpus size when a
+    * catalog or an earlier action already knows it — on a 100 TB crawl
+    * the count would otherwise be a full pass before the real one).
+    */
+  def minhashNearDupPairsAuto(df: DataFrame, idCol: String, textCol: String,
+                              nGram: Int = 3, bands: Int = 16,
+                              threshold: Double = 0.7,
+                              targetBucketSize: Int = 50,
+                              maxBucket: Int = 1000,
+                              knownCount: Long = -1L): DataFrame = {
+    val n = if (knownCount >= 0) knownCount else df.count()
+    val rows = lshBitsFor(n, targetBucketSize)
+    val numHashes = rows * bands
+    val sigs = minhashSignatures(df, idCol, textCol, nGram, numHashes)
+    val cands = minhashCandidatePairs(sigs, idCol, numHashes, bands, maxBucket)
+      .localCheckpoint()
+    jaccardVerify(cands, df, idCol, textCol, nGram)
+      .filter(col("jaccard") >= threshold)
+  }
+
   // ---------- SimHash near-dup (64-bit signature, hamming blocking)
 
   /** SimHash near-dup pairs: 64-bit signature per doc (native codegen'd
@@ -469,11 +505,16 @@ object Dedup {
                                minCosine: Double, bits: Int = 10,
                                tables: Int = 2,
                                maxBucket: Int = 1000,
-                               targetBucketSize: Int = 0): DataFrame = {
+                               targetBucketSize: Int = 0,
+                               knownCount: Long = -1L): DataFrame = {
     NativeFunctions.register(df.sparkSession)
+    // knownCount ≥ 0 skips the derivation scan: on a 100 TB corpus the
+    // count() would be a full pass before the real one — callers that
+    // already know the size (catalog stats, a prior action) pass it in
     val bitsEff =
       if (targetBucketSize <= 0) bits
-      else lshBitsFor(df.count(), targetBucketSize) // one driver-side scalar
+      else lshBitsFor(
+        if (knownCount >= 0) knownCount else df.count(), targetBucketSize)
     val tb = (0 until tables).map(t =>
       struct(lit(t).as("tbl"),
         NativeFunctions.lshBucket(col(vecCol), bitsEff, t).as("bucket")))

@@ -89,6 +89,58 @@ object PipelineQueries {
       .select(col("a"), col("b"), col("jaccard"))
   }
 
+  /** d03c/d09c's corpus: the documents plus planted EXACT copies
+    * (doc_id+1e8, same text) of doc_id < 100 — the d06c device. Exact
+    * copies have jaccard 1 and collide in EVERY minhash band at any
+    * derived rows-per-band, so the production path's recall on the
+    * planted answer set is 1 by construction at any corpus size.
+    * The +1e8 offset clears every generated doc_id domain (the sf1
+    * generator tops out at ~9e6).
+    */
+  private def plantedDocs(s: org.apache.spark.sql.SparkSession,
+                          dir: String): org.apache.spark.sql.DataFrame = {
+    val docs = Tables(s, dir).documents.select(col("doc_id"), col("text"))
+    docs.unionByName(docs.filter(col("doc_id") < 100)
+      .select((col("doc_id") + 100000000L).as("doc_id"), col("text")))
+  }
+
+  /** d03/d09's PRODUCTION-path pairs (the d03c/d09c rows): MinHash-LSH
+    * candidates with the rows-per-band derived from one corpus count
+    * (fixed-bucket-SIZE regime → ~n·target pair comparisons, linear in
+    * the corpus — the length-band fixture d03/d09 measure is above
+    * linear BY ITS CONTRACT, its block populations grow with N), exact
+    * 3-gram-jaccard verify. Oracle-able like d04: this corpus's true
+    * 3-gram pairs all sit at jaccard ≥ 0.9 (nothing between ~0.2 and
+    * 0.9), where the derived r=4/16-band miss probability is
+    * (1-0.9⁴)¹⁶ ≈ 4e-8 — recall is provably 1, so LSH candidates ∩
+    * jaccard ≥ 0.5 equals DuckDB's exhaustive answer. At sf1 the same
+    * claim is covered by the independent precision + planted-recall
+    * invariant (Sf1InvariantsSpec), not the oracle.
+    */
+  private def productionPairs(s: org.apache.spark.sql.SparkSession,
+                              dir: String): org.apache.spark.sql.DataFrame =
+    Dedup.minhashNearDupPairsAuto(plantedDocs(s, dir), "doc_id", "text",
+      nGram = 3, bands = 16, threshold = 0.5, targetBucketSize = 50)
+
+  /** d03c/d09c's oracle CTEs: exhaustive all-pairs 3-gram jaccard ≥ 0.5
+    * over the planted corpus (the d04 oracle, corpus widened).
+    */
+  private val productionPairsSqlCtes =
+    s"""corpus AS (SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 100000000 AS doc_id, text FROM documents
+       |  WHERE doc_id < 100),
+       |t AS (SELECT doc_id, ${toksSql(normSql)} AS toks
+       |      FROM corpus WHERE $normSql <> ''),
+       |g AS (SELECT doc_id,
+       |        list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+       |                       for i in range(1, len(toks)-1)]) AS grams
+       |      FROM t WHERE len(toks) >= 3),
+       |p AS (SELECT a.doc_id AS a, b.doc_id AS b,
+       |        CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
+       |        len(list_distinct(list_concat(a.grams, b.grams))) AS jaccard
+       |      FROM g a JOIN g b ON a.doc_id < b.doc_id)""".stripMargin
+
   /** d03/d09's shared oracle CTEs: banded jaccard pairs in DuckDB. */
   private val pairsSqlCtes =
     s"""g AS (SELECT doc_id, source, n_chars,
@@ -141,6 +193,16 @@ object PipelineQueries {
       bandedJaccardPairs(s, dir).orderBy(col("a"), col("b"))
     },
 
+    // ---- d03's PRODUCTION path: corpus-count-derived minhash banding
+    // (fixed-bucket-SIZE regime) + exact jaccard verify, over the
+    // planted corpus — see productionPairs for the recall argument
+    Q("d03c_ngram_jaccard_lsh",
+      s"""WITH $productionPairsSqlCtes
+         |SELECT a, b, jaccard FROM p WHERE jaccard >= 0.5
+         |ORDER BY a, b""") { (s, dir) =>
+      productionPairs(s, dir).orderBy(col("a"), col("b"))
+    },
+
     // ---- dedup clustering: connected components over the d03 match
     // pairs — pairwise matches → dedup groups, every doc labeled with its
     // component's smallest id (singletons label themselves). The oracle
@@ -165,6 +227,29 @@ object PipelineQueries {
       Dedup.clusterRepresentatives(
           Tables(s, dir).documents.select(col("doc_id")), "doc_id",
           bandedJaccardPairs(s, dir), localFinishThreshold = 5000000L)
+        .select(col("doc_id"), col("cluster_id"))
+        .orderBy(col("doc_id"))
+    },
+
+    // ---- d09's PRODUCTION path: the same connected-components labeling
+    // over the d03c production pairs (corpus-derived banding), so the
+    // whole cluster pipeline — candidates, verify, CC — is measured in
+    // its linear-regime form
+    Q("d09c_dedup_clusters_lsh",
+      s"""WITH RECURSIVE $productionPairsSqlCtes,
+         |pt AS (SELECT a, b FROM p WHERE jaccard >= 0.5),
+         |e AS (SELECT a AS src, b AS dst FROM pt UNION SELECT b, a FROM pt),
+         |reach(id, label) AS (
+         |  SELECT src, src FROM e
+         |  UNION
+         |  SELECT e.src, r.label FROM e JOIN reach r ON e.dst = r.id),
+         |c AS (SELECT id, MIN(label) AS cluster_id FROM reach GROUP BY id)
+         |SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id
+         |FROM corpus d LEFT JOIN c ON d.doc_id = c.id
+         |ORDER BY d.doc_id""") { (s, dir) =>
+      Dedup.clusterRepresentatives(
+          plantedDocs(s, dir).select(col("doc_id")), "doc_id",
+          productionPairs(s, dir), localFinishThreshold = 5000000L)
         .select(col("doc_id"), col("cluster_id"))
         .orderBy(col("doc_id"))
     },
@@ -284,8 +369,12 @@ object PipelineQueries {
       val base = Tables(s, dir).embeddings.select(col("vec_id"), col("embedding"))
       val planted = base.filter(col("vec_id") < 100)
         .select((col("vec_id") + 100000000L).as("vec_id"), col("embedding"))
+      // columnless parquet count = footer metadata, not a vector read —
+      // passing it as knownCount keeps the operator itself single-scan
+      val n = Tables(s, dir).embeddings.select(col("vec_id")).count() + 100L
       Dedup.embeddingNearDupPairsLsh(base.unionByName(planted),
-          "vec_id", "embedding", minCosine = 0.9, targetBucketSize = 50)
+          "vec_id", "embedding", minCosine = 0.9, targetBucketSize = 50,
+          knownCount = n)
         .select(col("a"), col("b"), round(col("cosine"), 4).as("cos4"))
         .orderBy(col("a"), col("b"))
     },

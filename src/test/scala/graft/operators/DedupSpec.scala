@@ -427,4 +427,48 @@ class DedupSpec extends SparkSpec {
     assert(lshBitsFor(10, 50) == 1)     // degenerate: one bucket floor
     assert(lshBitsFor(Long.MaxValue, 1) == 24) // clamped
   }
+
+  test("minhashNearDupPairsAuto: corpus-derived banding finds exact and " +
+    "near dups; exact-copy recall survives a sharpened rows-per-band") {
+    val pairs = Dedup.minhashNearDupPairsAuto(docs, "doc_id", "text",
+        threshold = 0.5, targetBucketSize = 2)
+      .select($"a", $"b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)), "exact dup pair missed")
+    assert(pairs.contains((1L, 3L)) && pairs.contains((2L, 3L)),
+      "near dup pairs missed")
+    assert(!pairs.exists(p => p._1 >= 4L || p._2 >= 4L),
+      s"unrelated docs paired: $pairs")
+    // a brutally sharp regime (1000 docs' worth of bands on 5 docs is
+    // impossible, so force r up via knownCount): exact copies still
+    // collide in every band — jaccard-1 recall is r-independent
+    val sharp = Dedup.minhashNearDupPairsAuto(docs, "doc_id", "text",
+        threshold = 0.99, targetBucketSize = 2, knownCount = 1000000L)
+      .select($"a", $"b").as[(Long, Long)].collect().toSet
+    assert(sharp.contains((1L, 2L)),
+      "exact dup pair must survive any derived rows-per-band")
+  }
+
+  test("knownCount skips the derivation scan: building the auto-banded " +
+    "plans fires no Spark job") {
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      // the embedding path is pure plan construction — with knownCount
+      // it must fire nothing (the minhash path's candidate checkpoint is
+      // an action by design, so only its COUNT scan is elided there)
+      Dedup.embeddingNearDupPairsLsh(
+        Seq((1L, Array(1.0f, 0.0f))).toDF("vec_id", "embedding"),
+        "vec_id", "embedding", minCosine = 0.9,
+        targetBucketSize = 50, knownCount = 1000L)
+      Thread.sleep(1000) // listener events post async; give them time
+      assert(jobs.get() == 0,
+        s"plan construction with knownCount fired ${jobs.get()} jobs")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
 }
