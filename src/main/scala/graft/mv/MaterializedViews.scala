@@ -41,14 +41,33 @@ final class IngestPipeline(
   /** Streaming attachment: the same MV fan-out driven by a stream
     * (the reference's Kafka-consuming MV, lectures/lecture_09.md:920-925).
     * One foreachBatch writes raw + all targets per micro-batch.
+    *
+    * EXACTLY-ONCE at any kill point (the upgrade over the reference's
+    * at-least-once consumer): each sink's micro-batch output goes to a
+    * batchId-addressed subdirectory (`target/batch=<id>`) in OVERWRITE
+    * mode. Structured Streaming replays an uncommitted batch with the
+    * same batchId and data after a restart, so a crash ANYWHERE inside
+    * the fan-out — even after some sinks already wrote — rewrites those
+    * sinks' own directories instead of appending a second copy. A plain
+    * append here would duplicate the already-written sinks on every
+    * mid-batch failure. Readers see `batch` as a discovered partition
+    * column over the target root; a target fed by this path should not
+    * also take flat [[insert]] appends (mixed layouts break partition
+    * discovery).
     */
   def attachToStream(stream: DataFrame, checkpoint: String): StreamingQuery =
     stream.writeStream
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (block: DataFrame, _: Long) =>
+      .foreachBatch { (block: DataFrame, batchId: Long) =>
         val cached = block.persist()
-        try insert(cached)
-        finally cached.unpersist()
+        try {
+          rawPath.foreach(p => cached.write.mode(SaveMode.Overwrite)
+            .parquet(s"$p/batch=$batchId"))
+          mvs.foreach { mv =>
+            mv.transform(cached).write.mode(SaveMode.Overwrite)
+              .parquet(s"${mv.targetPath}/batch=$batchId")
+          }
+        } finally { cached.unpersist(); () }
         ()
       }
       .start()

@@ -67,6 +67,68 @@ class StreamingMvSpec extends SparkSpec {
     assert(byKind == Map("a" -> 8L, "b" -> 8L))
   }
 
+  test("kill-and-restart recovery: a stream crashed MID-fan-out (one MV " +
+    "target already written) replays from the checkpoint exactly-once — " +
+    "no duplicate and no missing rows in any sink") {
+    val root = Files.createTempDirectory("graft_mv_recover").toString
+    val srcDir = s"$root/src"
+    Files.createDirectories(java.nio.file.Paths.get(srcDir))
+    writeBatch(srcDir, 0, 10) // batch 0
+
+    // injected fault: the SECOND sink of the fan-out throws while armed,
+    // so the crash lands after raw and the first MV already wrote their
+    // micro-batch — the exact window where a plain append design
+    // duplicates rows on replay
+    val armed = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val mvEvens = MaterializedView("evens",
+      _.filter($"id" % 2 === 0).select($"id", $"value"), s"$root/evens")
+    val mvBomb = MaterializedView("all_ids", { df =>
+      if (armed.get) throw new RuntimeException("injected mid-batch crash")
+      df.select($"id")
+    }, s"$root/all_ids")
+    val pipe = new IngestPipeline(Some(s"$root/raw"), Seq(mvEvens, mvBomb))
+
+    val parsed = StreamingPipeline.parseJson(
+      StreamingPipeline.rawFromFiles(spark, srcDir, schema), schema)
+    val q1 = pipe.attachToStream(parsed, s"$root/ckpt")
+    q1.processAllAvailable() // batch 0 commits clean through all sinks
+
+    armed.set(true)
+    writeBatch(srcDir, 10, 6) // batch 1: raw + evens write, then the crash
+    intercept[Exception] { q1.processAllAvailable() }
+    assert(!q1.isActive, "the query must be dead after the mid-batch crash")
+    // the scenario under test really happened: a PARTIAL fan-out on disk
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$root/raw/batch=1")),
+      "raw must have written batch 1 before the crash")
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$root/all_ids/batch=1")),
+      "the crashed sink must not have written batch 1")
+
+    // hard restart: new query, same checkpoint — batch 1 replays with the
+    // same id and data, overwriting the partial sinks' own directories
+    armed.set(false)
+    val q2 = pipe.attachToStream(parsed, s"$root/ckpt")
+    try {
+      q2.processAllAvailable()
+      writeBatch(srcDir, 16, 4) // post-recovery traffic (batch 2)
+      q2.processAllAvailable()
+    } finally q2.stop()
+
+    // exactly-once in every sink: each id exactly once, none missing
+    def ids(path: String): Seq[Long] =
+      spark.read.parquet(path).select($"id").as[Long].collect().toSeq
+    val rawIds = ids(s"$root/raw")
+    assert(rawIds.sorted == (0L until 20L).toSeq,
+      s"raw must hold each of 0..19 exactly once: ${rawIds.sorted}")
+    val allIds = ids(s"$root/all_ids")
+    assert(allIds.sorted == (0L until 20L).toSeq,
+      s"all_ids must hold each of 0..19 exactly once: ${allIds.sorted}")
+    val evens = ids(s"$root/evens")
+    assert(evens.sorted == (0L until 20L by 2).toSeq,
+      s"evens must hold each even id exactly once: ${evens.sorted}")
+  }
+
   test("streaming upserts → ReplacingMergeTree table → SELECT FINAL folds to latest") {
     // the reference's flagship kafka flow (homeworks/hw17.md:24-40 +
     // clusters/ch_and_kafka/db/init.sql): stream → MV → Replacing table,
