@@ -118,9 +118,14 @@ object PipelineQueries {
     * invariant (Sf1InvariantsSpec), not the oracle.
     */
   private def productionPairs(s: org.apache.spark.sql.SparkSession,
-                              dir: String): org.apache.spark.sql.DataFrame =
+                              dir: String): org.apache.spark.sql.DataFrame = {
+    // columnless footer count + the known 100 planted copies, instead of
+    // letting the operator count the two-scan union (the d06c device)
+    val n = Tables(s, dir).documents.select(col("doc_id")).count() + 100L
     Dedup.minhashNearDupPairsAuto(plantedDocs(s, dir), "doc_id", "text",
-      nGram = 3, bands = 16, threshold = 0.5, targetBucketSize = 50)
+      nGram = 3, bands = 16, threshold = 0.5, targetBucketSize = 50,
+      knownCount = n)
+  }
 
   /** d03c/d09c's oracle CTEs: exhaustive all-pairs 3-gram jaccard ≥ 0.5
     * over the planted corpus (the d04 oracle, corpus widened).
