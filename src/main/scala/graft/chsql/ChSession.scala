@@ -1452,6 +1452,9 @@ final class ChSession(val spark: SparkSession,
             scala.util.Try(spark.table(rt.viewName).schema(column)).toOption)
             .map(f => ChTypes.defaultLiteralSql(f.dataType)))
 
+      override def joinUseNulls: Boolean =
+        sessionSettings.getOrElse("join_use_nulls", "0").trim == "1"
+
       override def resolveDict(name: String): Option[(String, String)] = {
         val ref = parseRef(strip(name))
         dicts.get(ref).orElse(dicts.get(("default", ref._2))) match {

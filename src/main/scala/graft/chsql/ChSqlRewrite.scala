@@ -56,10 +56,18 @@ object ChSqlRewrite {
     /** SQL literal text of `column`'s ClickHouse type default on the
       * (CH-named) table `ident` — powers reading right-side columns of
       * an ANTI JOIN (homeworks/hw06.md:137-149), where every surviving
-      * row is by definition unmatched.
+      * row is by definition unmatched, and the join_use_nulls = 0
+      * coalesce wrap on plain LEFT JOINs.
       */
     def defaultLiteral(ident: String, column: String): Option[String] =
       None
+
+    /** The session's `join_use_nulls` setting: false (ClickHouse's
+      * default, 0) makes unmatched outer-join columns read their TYPE
+      * DEFAULTS via [[rewrite]]'s coalesce wrap; true (1) keeps SQL
+      * NULLs and disables the wrap.
+      */
+    def joinUseNulls: Boolean = false
   }
 
   object NoTables extends Resolver {
@@ -113,6 +121,7 @@ object ChSqlRewrite {
     toks = rewriteDictGet(toks, resolver)
     toks = rewriteAnyJoin(toks)
     toks = rewriteAntiRightCols(toks, resolver)
+    toks = rewriteLeftJoinDefaults(toks, resolver)
     toks = rewritePrewhere(toks)
     val (afterFill, fill) = extractWithFill(toks)
     toks = afterFill
@@ -1267,6 +1276,120 @@ object ChSqlRewrite {
               toks(p - 1).is("DISTINCT")) &&
             (toks(p + 1).text == "," || toks(p + 1).is("FROM"))
           out ++= ChLexer.tokenize(lit0)
+          if (bare) { out += Token("AS") += Token(colName); () }
+        case None => out += t
+      }
+      p += 1
+    }
+    out.result()
+  }
+
+  // ---- join_use_nulls = 0: LEFT JOIN right columns default on miss ----
+  /** ClickHouse's DEFAULT outer-join behavior (`join_use_nulls = 0`,
+    * lectures/lecture_10.md): unmatched right-side columns of a plain
+    * LEFT [OUTER] JOIN read their TYPE DEFAULTS, not SQL NULLs. Spark's
+    * left join yields NULLs, so every right-alias-qualified reference
+    * OUTSIDE the join's own ON/USING condition is wrapped in
+    * `coalesce(ref, <declared default>)`: matched rows keep their real
+    * values, unmatched rows read the default, and a Nullable(T) column
+    * — whose ClickHouse default IS NULL — resolves to
+    * `coalesce(ref, CAST(NULL AS T))` ≡ ref, so it keeps NULL exactly
+    * as ClickHouse does. Scope mirrors [[rewriteAntiRightCols]]:
+    * plain-table right sides whose declared default the resolver knows;
+    * LEFT SEMI/ANTI (different semantics), ASOF LEFT, and subquery
+    * right sides are untouched; a session `SET join_use_nulls = 1`
+    * disables the wrap ([[Resolver.joinUseNulls]]). Found by the r9
+    * dictGet metamorphic law (dictGetOrDefault vs LEFT JOIN disagreed
+    * on missing keys).
+    */
+  private def rewriteLeftJoinDefaults(toks: Vector[Token],
+                                      resolver: Resolver): Vector[Token] = {
+    if (resolver.joinUseNulls) return toks
+    final case class Seg(alias: String, table: String, from: Int, until: Int)
+    val term = joinCondTerm
+    val segs = Vector.newBuilder[Seg]
+    var i = 0
+    while (i < toks.length) {
+      // plain LEFT [OUTER] JOIN only: ASOF LEFT / LEFT SEMI / LEFT ANTI
+      // / LEFT ANY carry their own match semantics
+      if (toks(i).is("LEFT") && !(i > 0 && toks(i - 1).is("ASOF"))) {
+        var j = i + 1
+        while (j < toks.length && toks(j).is("OUTER")) j += 1
+        if (j < toks.length && toks(j).is("JOIN") && j + 1 < toks.length &&
+          toks(j + 1).text != "(") {
+          val table = toks(j + 1).text
+          var k = j + 2
+          val aliasToks = Vector.newBuilder[Token]
+          while (k < toks.length && !toks(k).is("USING") && !toks(k).is("ON")) {
+            aliasToks += toks(k); k += 1
+          }
+          if (k < toks.length) {
+            val alias = aliasToks.result().filterNot(_.is("AS")).lastOption
+              .map(_.text).getOrElse(table.split('.').last)
+            var e = k + 1
+            var dd = 0
+            var stop = false
+            while (e < toks.length && !stop) {
+              val te = toks(e)
+              if (te.text == "(") dd += 1
+              else if (te.text == ")") { dd -= 1; if (dd < 0) stop = true }
+              else if (dd == 0 && !te.isString && term(te.upper)) stop = true
+              if (!stop) e += 1
+            }
+            segs += Seg(alias, table, i, e)
+          }
+        }
+      }
+      i += 1
+    }
+    val sgs = segs.result()
+    if (sgs.isEmpty) return toks
+    def stripQual(alias: String, text: String): Option[String] =
+      if (text.startsWith(alias + ".")) Some(text.stripPrefix(alias + "."))
+      else if (text.startsWith("`" + alias + "`."))
+        Some(text.stripPrefix("`" + alias + "`."))
+      else None
+    // same select-block scoping as rewriteAntiRightCols: a same-named
+    // alias inside an unrelated subquery must not be wrapped
+    val blockOf = new Array[Int](toks.length)
+    val inList = new Array[Boolean](toks.length)
+    locally {
+      var cur = 0
+      var curList = false
+      var nextId = 1
+      val stk = scala.collection.mutable.ArrayDeque.empty[(Int, Boolean)]
+      var q = 0
+      while (q < toks.length) {
+        val t = toks(q)
+        if (t.text == "(") stk.prepend((cur, curList))
+        else if (t.text == ")") {
+          if (stk.nonEmpty) { val h = stk.removeHead(); cur = h._1; curList = h._2 }
+        } else if (t.is("SELECT")) { cur = nextId; nextId += 1; curList = true }
+        else if (!t.isString &&
+          (t.is("FROM") || clauseStarters(t.upper))) curList = false
+        blockOf(q) = cur
+        inList(q) = curList
+        q += 1
+      }
+    }
+    val out = Vector.newBuilder[Token]
+    var p = 0
+    while (p < toks.length) {
+      val t = toks(p)
+      val seg = sgs.find(s => t.isIdent && !t.isString &&
+        stripQual(s.alias, t.text).isDefined &&
+        (p < s.from || p >= s.until) && blockOf(p) == blockOf(s.from))
+      seg.flatMap(s => resolver.defaultLiteral(
+        s.table, stripQual(s.alias, t.text).get)) match {
+        case Some(lit0) =>
+          val colName = t.text.substring(t.text.indexOf('.') + 1)
+          val bare = inList(p) && p > 0 && p + 1 < toks.length &&
+            (toks(p - 1).text == "," || toks(p - 1).is("SELECT") ||
+              toks(p - 1).is("DISTINCT")) &&
+            (toks(p + 1).text == "," || toks(p + 1).is("FROM"))
+          out += Token("coalesce") += Token("(") += t += Token(",")
+          out ++= ChLexer.tokenize(lit0)
+          out += Token(")")
           if (bare) { out += Token("AS") += Token(colName); () }
         case None => out += t
       }

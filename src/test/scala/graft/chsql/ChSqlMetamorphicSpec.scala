@@ -251,6 +251,37 @@ class ChSqlMetamorphicSpec extends SparkSpec {
     }
   }
 
+  test("dictGet law: dictGetOrDefault over a key expression equals the " +
+    "LEFT JOIN of the dictionary's source table, for any left filter") {
+    // the r8 ANY-join degrade bug is exactly the class this law catches:
+    // a lookup path silently disagreeing with its relational spelling
+    s.execute(
+      """CREATE DICTIONARY mdict (k UInt64, name String) PRIMARY KEY k
+        |  SOURCE(CLICKHOUSE(HOST 'localhost' PORT 9000 USER 'default'
+        |    TABLE 'dim' PASSWORD '' DB 'default'))
+        |  LAYOUT(HASHED()) LIFETIME(MIN 0 MAX 10)""".stripMargin)
+    def rows(q: String): Seq[(Long, String)] =
+      s.sql(q).collect().map(r => (r.getLong(0), r.getString(1))).toSeq.sorted
+    preds(868, 8).foreach { p =>
+      // id % 17 roams over keys 12..16 too — genuine misses (dim holds
+      // 0..11), marked explicitly on both sides: dictGetOrDefault's
+      // default vs the join's unmatched type-default '' — the
+      // join_use_nulls = 0 coalesce wrap this law originally caught
+      // missing (alias-qualified refs are the wrap's documented scope,
+      // hence d.name)
+      val viaDict = rows(
+        s"SELECT id, dictGetOrDefault('mdict', 'name', toUInt64(id % 17), " +
+          s"'MISS') AS nm FROM mt WHERE $p")
+      val viaJoin = rows(
+        s"SELECT id, if(d.name = '', 'MISS', d.name) AS nm FROM " +
+          s"(SELECT * FROM mt WHERE $p) AS m LEFT JOIN dim AS d " +
+          "ON m.id % 17 = d.k")
+      assert(viaDict == viaJoin,
+        s"$p: dictGet and LEFT JOIN disagree: " +
+          s"${viaDict.diff(viaJoin).take(3)} vs ${viaJoin.diff(viaDict).take(3)}")
+    }
+  }
+
   test("join/filter commutation: filtering the left before the join " +
     "equals filtering the joined result on left columns") {
     preds(828, 10).foreach { p =>

@@ -1819,6 +1819,34 @@ class ChSqlSpec extends SparkSpec {
       s"LEFT ANTI must substitute the right side's columns: ${rl.sql}")
   }
 
+  test("join_use_nulls = 0 (ClickHouse default): unmatched LEFT JOIN " +
+    "right columns read type defaults; SET join_use_nulls = 1 restores NULLs") {
+    val s = ch
+    s.execute(
+      """CREATE TABLE mvj (id UInt32, name String) ENGINE = Memory;
+        |CREATE TABLE gj (movie_id UInt32, genre String,
+        |  score Nullable(Int32)) ENGINE = Memory;
+        |INSERT INTO mvj VALUES (1, 'm1'), (2, 'm2');
+        |INSERT INTO gj VALUES (1, 'drama', 5);""".stripMargin)
+    val q = """SELECT m.id, g.genre, g.movie_id, g.score
+              |FROM mvj m LEFT JOIN gj g ON m.id = g.movie_id
+              |ORDER BY m.id""".stripMargin
+    val rows = s.sql(q).collect()
+    // matched row keeps its real values
+    assert(rows(0).getString(1) == "drama" && rows(0).getLong(2) == 1L &&
+      rows(0).getInt(3) == 5)
+    // unmatched: String '' and UInt32 0 (lecture_10's join_use_nulls
+    // demo); a Nullable(Int32) column's ClickHouse default IS NULL
+    assert(rows(1).getString(1) == "", "unmatched String must read ''")
+    assert(rows(1).getLong(2) == 0L, "unmatched UInt32 must read 0")
+    assert(rows(1).isNullAt(3), "unmatched Nullable must stay NULL")
+    // the =1 mode disables the wrap per ClickHouse
+    s.execute("SET join_use_nulls = 1")
+    val nulled = s.sql(q).collect()
+    assert(nulled(1).isNullAt(1) && nulled(1).isNullAt(2),
+      "join_use_nulls = 1 must surface SQL NULLs")
+  }
+
   test("a column named `format` in an INSERT column list is not an inline payload") {
     val stmts = graft.chsql.ChLexer.statements(
       "INSERT INTO fdst (format, x) SELECT format, x FROM fsrc; SELECT 1 -- c")
