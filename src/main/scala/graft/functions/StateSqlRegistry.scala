@@ -216,6 +216,31 @@ object StateSqlRegistry {
   // value set itself — linear in distinct count, same contract as
   // ClickHouse's uniqExactState)
 
+  /** Hard cap on one group's uniqExact state (distinct values), default
+    * 10M, overridable via -Dgraft.uniq_exact_state.max_size. Exact
+    * distinct is LINEAR STATE BY CONTRACT (ClickHouse's uniqExact is
+    * too): the serialized blob is one JVM byte array built on a single
+    * reducer, so a billion-distinct group would die as an opaque
+    * executor OOM. The cap turns that into an actionable dialect error
+    * pointing at uniqState (HLL), the bounded-state alternative.
+    */
+  private def uniqExactMaxSize: Int =
+    Option(System.getProperty("graft.uniq_exact_state.max_size"))
+      .flatMap(_.toIntOption).getOrElse(10000000)
+
+  private def guardUniqExactSize(
+      b: scala.collection.mutable.HashSet[String])
+      : scala.collection.mutable.HashSet[String] = {
+    val cap = uniqExactMaxSize
+    if (b.size > cap) throw new IllegalArgumentException(
+      s"uniqExactState: a group exceeded $cap distinct values — exact " +
+        "distinct keeps the full value set per group (linear state, the " +
+        "ClickHouse uniqExact contract) and this state would not fit one " +
+        "reducer. Use uniqState/uniqMerge (HLL, bounded state) for " +
+        "unbounded cardinality, or raise -Dgraft.uniq_exact_state.max_size")
+    b
+  }
+
   private def packSet(s: scala.collection.mutable.HashSet[String]): Array[Byte] = {
     val parts = s.toArray.sorted.map(_.getBytes("UTF-8"))
     val buf = ByteBuffer.allocate(4 + parts.map(_.length + 4).sum)
@@ -245,11 +270,13 @@ object StateSqlRegistry {
       scala.collection.mutable.HashSet.empty[String]
     def reduce(b: scala.collection.mutable.HashSet[String], v: String)
         : scala.collection.mutable.HashSet[String] = {
-      if (v != null) b += v; b
+      if (v != null) b += v
+      guardUniqExactSize(b)
     }
     def merge(a: scala.collection.mutable.HashSet[String],
         b: scala.collection.mutable.HashSet[String])
-        : scala.collection.mutable.HashSet[String] = { a ++= b; a }
+        : scala.collection.mutable.HashSet[String] =
+      guardUniqExactSize(a ++= b)
     def finish(b: scala.collection.mutable.HashSet[String]): Array[Byte] =
       tagged(TagUniqExact, packSet(b))
     def bufferEncoder: Encoder[scala.collection.mutable.HashSet[String]] =
@@ -265,11 +292,12 @@ object StateSqlRegistry {
         : scala.collection.mutable.HashSet[String] = {
       if (v != null)
         b ++= unpackSet(payload(TagUniqExact, "uniqExactMerge", v))
-      b
+      guardUniqExactSize(b)
     }
     def merge(a: scala.collection.mutable.HashSet[String],
         b: scala.collection.mutable.HashSet[String])
-        : scala.collection.mutable.HashSet[String] = { a ++= b; a }
+        : scala.collection.mutable.HashSet[String] =
+      guardUniqExactSize(a ++= b)
     def finish(b: scala.collection.mutable.HashSet[String]): Long = b.size.toLong
     def bufferEncoder: Encoder[scala.collection.mutable.HashSet[String]] =
       Encoders.kryo[scala.collection.mutable.HashSet[String]]

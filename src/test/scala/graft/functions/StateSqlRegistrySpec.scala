@@ -71,4 +71,35 @@ class StateSqlRegistrySpec extends SparkSpec {
     }
     assert(err.getMessage != null)
   }
+
+  test("uniqExactState past the state-size cap fails with an actionable " +
+    "error pointing at uniqState, not an executor OOM") {
+    // exact distinct is linear state BY CONTRACT (the ClickHouse
+    // uniqExact semantics): the serialized blob is the full per-group
+    // value set on one reducer. The cap converts the would-be OOM on a
+    // huge-cardinality group into a dialect error naming the HLL
+    // alternative.
+    StateSqlRegistry.register(spark)
+    System.setProperty("graft.uniq_exact_state.max_size", "1000")
+    try {
+      val err = intercept[Exception] {
+        spark.range(5000).selectExpr("CAST(id AS STRING) AS s")
+          .selectExpr("uniqExactState(s) AS st").collect()
+      }
+      def msgs(t: Throwable): Seq[String] =
+        if (t == null) Nil
+        else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+      val all = msgs(err).mkString(" | ")
+      assert(all.contains("uniqExactState") && all.contains("uniqState"),
+        s"error must name the cap and the HLL alternative: $all")
+      // under the cap the routine still answers exactly
+      val ok = spark.range(500).selectExpr("CAST(id AS STRING) AS s")
+        .selectExpr("uniqExactState(s) AS st")
+        .selectExpr("finalizeAggregation(st) AS n")
+        .collect().head.getString(0)
+      assert(ok == "500")
+    } finally {
+      System.clearProperty("graft.uniq_exact_state.max_size"); ()
+    }
+  }
 }
