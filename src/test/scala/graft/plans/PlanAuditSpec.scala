@@ -56,6 +56,30 @@ class PlanAuditSpec extends SparkSpec {
       "fact side should shuffle at most once:\n" + plan)
   }
 
+  test("d03c candidates: the signature+window exchange computes once and " +
+    "is REUSED for both self-join sides (the spelling minhashCandidatePairs " +
+    "keeps a window for)") {
+    graft.plans.NativeFunctions.register(spark)
+    val docs = graft.tables.Tables(spark, sfDir).documents
+    val sigs = graft.operators.Dedup.minhashSignatures(
+      docs, "doc_id", "text", 3, 64)
+    // the pre-checkpoint candidate plan (the registry row checkpoints it,
+    // which would hide the join's input subplans). Two forcings: the
+    // reuse only materializes in the EXECUTED plan (AQE), and at test SF
+    // the self-join would broadcast one side (no exchange to reuse) —
+    // at scale it shuffles both, the case the reuse claim is about
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = graft.operators.Dedup.minhashCandidatePairs(
+        sigs, "doc_id", 64, 16)
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("ReusedExchange"),
+        "the a/b self-join sides must share one signature+window exchange:\n" + plan)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("AQE with skew-join handling is active and finalizes the plan") {
     assert(spark.conf.get("spark.sql.adaptive.enabled") == "true")
     assert(spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true")
