@@ -398,11 +398,12 @@ object ChHttpServer {
     // only OUR outfile-rejection/overwrite messages — a bare substring
     // match would misroute any error that merely ECHOES a query
     // containing INTO OUTFILE (e.g. a syntax error) to code 76
-    // the "into outfile:" colon prefix covers both server-originated
-    // failures (file-exists and could-not-move) without matching a
-    // query echo, which never carries the colon
+    // ONLY the three server-originated outfile messages — a bare
+    // "into outfile:" substring can also arrive via an ECHOED string
+    // literal inside a failing query, which must keep its own code
     else if (m.contains("into outfile is not allowed") ||
-      m.contains("into outfile:")) 76 // CANNOT_OPEN_FILE — client-side feature
+      m.contains("into outfile: file") ||
+      m.contains("into outfile: could not move")) 76 // CANNOT_OPEN_FILE
     else if (m.contains("parseexception") || m.contains("syntax error") ||
       t.isInstanceOf[org.apache.spark.sql.catalyst.parser.ParseException])
       62

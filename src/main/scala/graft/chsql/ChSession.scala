@@ -1452,8 +1452,12 @@ final class ChSession(val spark: SparkSession,
             scala.util.Try(spark.table(rt.viewName).schema(column)).toOption)
             .map(f => ChTypes.defaultLiteralSql(f.dataType)))
 
-      override def joinUseNulls: Boolean =
-        sessionSettings.getOrElse("join_use_nulls", "0").trim == "1"
+      override def joinUseNulls: Boolean = {
+        // ClickHouse Bool settings accept 1/0 and true/false
+        val v = sessionSettings.getOrElse("join_use_nulls", "0")
+          .trim.toLowerCase
+        v == "1" || v == "true"
+      }
 
       override def resolveDict(name: String): Option[(String, String)] = {
         val ref = parseRef(strip(name))

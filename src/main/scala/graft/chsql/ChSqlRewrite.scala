@@ -99,9 +99,15 @@ object ChSqlRewrite {
     "LEFT", "RIGHT", "INNER", "FULL", "CROSS", "ANY", "ALL", "ASOF",
     "SEMI", "ANTI", "PASTE")
 
+  /** ClickHouse Bool settings accept 1/0 and true/false. */
+  private def settingIsTrue(v: String): Boolean = {
+    val s = v.trim.toLowerCase
+    s == "1" || s == "true"
+  }
+
   def rewrite(sql: String, resolver: Resolver): Rewritten = {
     var toks = ChLexer.tokenize(sql)
-    val (stripped, outfile) = stripTail(toks)
+    val (stripped, outfile, tailSettings) = stripTail(toks)
     toks = stripped
     toks = rewriteScalarWith(toks)
     toks = rewriteArrayLiterals(toks)
@@ -119,9 +125,13 @@ object ChSqlRewrite {
     toks = rewriteArrayJoinClause(toks)
     toks = toks.map(t => if (t.is("arrayJoin")) Token("explode") else t)
     toks = rewriteDictGet(toks, resolver)
-    toks = rewriteAnyJoin(toks)
     toks = rewriteAntiRightCols(toks, resolver)
-    toks = rewriteLeftJoinDefaults(toks, resolver)
+    // defaults BEFORE the ANY rewrite: LEFT ANY JOIN still has its
+    // plain-table right side here (the ANY rewrite wraps it in a dedup
+    // subquery, which the defaults scanner cannot take a catalog from)
+    toks = rewriteLeftJoinDefaults(toks, resolver,
+      tailSettings.get("join_use_nulls").map(settingIsTrue))
+    toks = rewriteAnyJoin(toks)
     toks = rewritePrewhere(toks)
     val (afterFill, fill) = extractWithFill(toks)
     toks = afterFill
@@ -357,10 +367,12 @@ object ChSqlRewrite {
     * file (ClickHouse client semantics), it is not merely dropped.
     */
   private def stripTail(toks: Vector[Token])
-      : (Vector[Token], Option[(String, Option[String])]) = {
+      : (Vector[Token], Option[(String, Option[String])],
+         Map[String, String]) = {
     var t = toks
     var fmt: Option[String] = None
     var outPath: Option[String] = None
+    var tailSettings = Map.empty[String, String]
     // the tails compose in either order ("FORMAT JSON SETTINGS k=v" and
     // "SETTINGS k=v FORMAT JSON" are both legal) — iterate to fixpoint
     var changed = true
@@ -388,13 +400,25 @@ object ChSqlRewrite {
           t = t.take(i); changed = true
         case _ =>
       }
-      // top-level trailing SETTINGS k = v, ...
+      // top-level trailing SETTINGS k = v, ... — CAPTURED, not just
+      // dropped: some settings are semantic (join_use_nulls flips the
+      // outer-join default wrap per query)
       depthIndexOfLast(t, "SETTINGS") match {
-        case i if i >= 0 && settingsToEnd(t, i) => t = t.take(i); changed = true
+        case i if i >= 0 && settingsToEnd(t, i) =>
+          var j = i + 1
+          var more = true
+          while (more && j + 2 <= t.length - 1 &&
+            t(j).isIdent && t(j + 1).text == "=") {
+            val v = t(j + 2).text.stripPrefix("'").stripSuffix("'")
+            tailSettings += (t(j).text.toLowerCase -> v)
+            j += 3
+            if (j < t.length && t(j).text == ",") j += 1 else more = false
+          }
+          t = t.take(i); changed = true
         case _ =>
       }
     }
-    (t, outPath.map(p => (p, fmt)))
+    (t, outPath.map(p => (p, fmt)), tailSettings)
   }
 
   private def settingsToEnd(t: Vector[Token], i: Int): Boolean = {
@@ -1202,7 +1226,13 @@ object ChSqlRewrite {
             aliasToks += toks(k); k += 1
           }
           if (k < toks.length) {
-            val alias = aliasToks.result().filterNot(_.is("AS")).lastOption
+            // a FINAL/SAMPLE modifier never names the table (same split
+            // rewriteAnyJoin uses; pre-fix a trailing FINAL was mistaken
+            // for the alias)
+            val region = aliasToks.result()
+            val modAt = region.indexWhere(t => t.is("FINAL") || t.is("SAMPLE"))
+            val aToks = if (modAt < 0) region else region.take(modAt)
+            val alias = aToks.filterNot(_.is("AS")).lastOption
               .map(_.text).getOrElse(table.split('.').last)
             var e = k + 1
             var dd = 0
@@ -1284,59 +1314,118 @@ object ChSqlRewrite {
     out.result()
   }
 
-  // ---- join_use_nulls = 0: LEFT JOIN right columns default on miss ----
+  // ---- join_use_nulls = 0: outer-join columns default on miss ----
   /** ClickHouse's DEFAULT outer-join behavior (`join_use_nulls = 0`,
-    * lectures/lecture_10.md): unmatched right-side columns of a plain
-    * LEFT [OUTER] JOIN read their TYPE DEFAULTS, not SQL NULLs. Spark's
-    * left join yields NULLs, so every right-alias-qualified reference
-    * OUTSIDE the join's own ON/USING condition is wrapped in
-    * `coalesce(ref, <declared default>)`: matched rows keep their real
-    * values, unmatched rows read the default, and a Nullable(T) column
-    * — whose ClickHouse default IS NULL — resolves to
-    * `coalesce(ref, CAST(NULL AS T))` ≡ ref, so it keeps NULL exactly
-    * as ClickHouse does. Scope mirrors [[rewriteAntiRightCols]]:
-    * plain-table right sides whose declared default the resolver knows;
-    * LEFT SEMI/ANTI (different semantics), ASOF LEFT, and subquery
-    * right sides are untouched; a session `SET join_use_nulls = 1`
-    * disables the wrap ([[Resolver.joinUseNulls]]). Found by the r9
+    * lectures/lecture_10.md): unmatched-side columns of a plain
+    * LEFT / RIGHT / FULL [OUTER] JOIN read their TYPE DEFAULTS, not SQL
+    * NULLs. Spark's outer joins yield NULLs, so every
+    * defaultable-side-alias-qualified reference OUTSIDE the join's own
+    * ON/USING condition is wrapped in `coalesce(ref, <declared
+    * default>)`: matched rows keep their real values, unmatched rows
+    * read the default, and a Nullable(T) column — whose ClickHouse
+    * default IS NULL — resolves to `coalesce(ref, CAST(NULL AS T))` ≡
+    * ref, so it keeps NULL exactly as ClickHouse does. Defaultable
+    * sides: the right table of LEFT [ANY] JOIN (this pass runs BEFORE
+    * rewriteAnyJoin, while the ANY join's right side is still a plain
+    * table), the single-table left side of RIGHT JOIN, and both for
+    * FULL JOIN. Scope mirrors [[rewriteAntiRightCols]]: plain-table
+    * sides whose declared default the resolver knows; SEMI/ANTI/ASOF
+    * (different match semantics), subquery sides, and composite RIGHT
+    * JOIN left sides are untouched. A session `SET join_use_nulls = 1`
+    * ([[Resolver.joinUseNulls]]) or a per-query `SETTINGS
+    * join_use_nulls = 1` tail disables the wrap. Found by the r9
     * dictGet metamorphic law (dictGetOrDefault vs LEFT JOIN disagreed
     * on missing keys).
     */
   private def rewriteLeftJoinDefaults(toks: Vector[Token],
-                                      resolver: Resolver): Vector[Token] = {
-    if (resolver.joinUseNulls) return toks
+                                      resolver: Resolver,
+                                      queryUseNulls: Option[Boolean])
+      : Vector[Token] = {
+    if (queryUseNulls.getOrElse(resolver.joinUseNulls)) return toks
     final case class Seg(alias: String, table: String, from: Int, until: Int)
     val term = joinCondTerm
+    // alias of a `table [AS] [alias] [FINAL|SAMPLE …]` region — the
+    // modifier tokens never name the table (same split rewriteAnyJoin
+    // uses; pre-fix a trailing FINAL was mistaken for the alias)
+    def aliasOf(region: Vector[Token], table: String): String = {
+      val modAt = region.indexWhere(t => t.is("FINAL") || t.is("SAMPLE"))
+      val aToks = if (modAt < 0) region else region.take(modAt)
+      aToks.filterNot(_.is("AS")).lastOption.map(_.text)
+        .getOrElse(table.split('.').last)
+    }
+    // end of the join's ON/USING condition, scanning from k (the
+    // ON/USING keyword)
+    def condEnd(k: Int): Int = {
+      var e = k + 1
+      var dd = 0
+      var stop = false
+      while (e < toks.length && !stop) {
+        val te = toks(e)
+        if (te.text == "(") dd += 1
+        else if (te.text == ")") { dd -= 1; if (dd < 0) stop = true }
+        else if (dd == 0 && !te.isString && term(te.upper)) stop = true
+        if (!stop) e += 1
+      }
+      e
+    }
+    // the single-table ref heading this join's left side: backward to
+    // the clause's own FROM at paren depth 0 (the rewriteAnyJoin
+    // leftSide discipline); None for composite/subquery left sides —
+    // those silently keep NULL semantics (documented partial)
+    def leftSideOf(i: Int): Option[(String, String)] = {
+      var fromIdx = -1
+      var depth = 0
+      var p = i - 1
+      while (fromIdx < 0 && p >= 0) {
+        val tx = toks(p).text
+        if (tx == ")") depth += 1
+        else if (tx == "(") { depth -= 1; if (depth < 0) p = 0 }
+        else if (depth == 0 && toks(p).is("FROM")) fromIdx = p
+        p -= 1
+      }
+      if (fromIdx < 0 || fromIdx + 1 >= i) return None
+      val seg = toks.slice(fromIdx + 1, i)
+      if (seg.head.text == "(") return None
+      if (seg.exists(t2 => t2.text == "(" || t2.text == ")" ||
+        t2.text == "," || t2.is("JOIN") || t2.is("SELECT") ||
+        t2.is("WHERE"))) return None
+      val table = seg.head.text
+      Some((aliasOf(seg.drop(1), table), table))
+    }
     val segs = Vector.newBuilder[Seg]
     var i = 0
     while (i < toks.length) {
-      // plain LEFT [OUTER] JOIN only: ASOF LEFT / LEFT SEMI / LEFT ANTI
-      // / LEFT ANY carry their own match semantics
-      if (toks(i).is("LEFT") && !(i > 0 && toks(i - 1).is("ASOF"))) {
+      val isLeft = toks(i).is("LEFT")
+      val isRight = toks(i).is("RIGHT")
+      val isFull = toks(i).is("FULL")
+      // plain [LEFT|RIGHT|FULL] [OUTER|ANY] JOIN only: ASOF and
+      // SEMI/ANTI carry their own match semantics (the j-scan below
+      // refuses SEMI/ANTI by requiring JOIN right after OUTER/ANY)
+      if ((isLeft || isRight || isFull) &&
+        !(i > 0 && toks(i - 1).is("ASOF"))) {
         var j = i + 1
-        while (j < toks.length && toks(j).is("OUTER")) j += 1
-        if (j < toks.length && toks(j).is("JOIN") && j + 1 < toks.length &&
-          toks(j + 1).text != "(") {
-          val table = toks(j + 1).text
-          var k = j + 2
-          val aliasToks = Vector.newBuilder[Token]
-          while (k < toks.length && !toks(k).is("USING") && !toks(k).is("ON")) {
-            aliasToks += toks(k); k += 1
-          }
+        while (j < toks.length &&
+          (toks(j).is("OUTER") || toks(j).is("ANY"))) j += 1
+        if (j < toks.length && toks(j).is("JOIN")) {
+          // find the condition start for the span
+          var k = j + 1
+          while (k < toks.length && !toks(k).is("USING") && !toks(k).is("ON"))
+            k += 1
           if (k < toks.length) {
-            val alias = aliasToks.result().filterNot(_.is("AS")).lastOption
-              .map(_.text).getOrElse(table.split('.').last)
-            var e = k + 1
-            var dd = 0
-            var stop = false
-            while (e < toks.length && !stop) {
-              val te = toks(e)
-              if (te.text == "(") dd += 1
-              else if (te.text == ")") { dd -= 1; if (dd < 0) stop = true }
-              else if (dd == 0 && !te.isString && term(te.upper)) stop = true
-              if (!stop) e += 1
+            val e = condEnd(k)
+            // right side defaults for LEFT/FULL (plain table only)
+            if ((isLeft || isFull) && toks(j + 1).text != "(") {
+              val table = toks(j + 1).text
+              val region = toks.slice(j + 2, k)
+              segs += Seg(aliasOf(region, table), table, i, e)
             }
-            segs += Seg(alias, table, i, e)
+            // left side defaults for RIGHT/FULL (single-table only);
+            // an ANY-first spelling (`ANY RIGHT JOIN`) puts the ANY
+            // token between the left ref and i — scan back from it
+            val i0 = if (i > 0 && toks(i - 1).is("ANY")) i - 1 else i
+            if (isRight || isFull) leftSideOf(i0).foreach { case (a, t) =>
+              segs += Seg(a, t, i, e)
+            }
           }
         }
       }

@@ -229,8 +229,16 @@ object StateSqlRegistry {
       .flatMap(_.toIntOption).getOrElse(10000000)
 
   private def guardUniqExactSize(
-      b: scala.collection.mutable.HashSet[String])
+      b: scala.collection.mutable.HashSet[String],
+      strict: Boolean = false)
       : scala.collection.mutable.HashSet[String] = {
+    // amortized on the per-ROW reduce path: consult the (synchronized)
+    // system-property table only every 1024th size — a per-row
+    // Properties lookup would contend across all task threads. merge()
+    // calls are per-buffer-pair (rare) and can land between multiples,
+    // so they check strictly. Worst reduce-side overshoot past the cap
+    // is 1023 entries, noise next to an OOM-scale set.
+    if (!strict && (b.size & 1023) != 0) return b
     val cap = uniqExactMaxSize
     if (b.size > cap) throw new IllegalArgumentException(
       s"uniqExactState: a group exceeded $cap distinct values — exact " +
@@ -276,7 +284,7 @@ object StateSqlRegistry {
     def merge(a: scala.collection.mutable.HashSet[String],
         b: scala.collection.mutable.HashSet[String])
         : scala.collection.mutable.HashSet[String] =
-      guardUniqExactSize(a ++= b)
+      guardUniqExactSize(a ++= b, strict = true)
     def finish(b: scala.collection.mutable.HashSet[String]): Array[Byte] =
       tagged(TagUniqExact, packSet(b))
     def bufferEncoder: Encoder[scala.collection.mutable.HashSet[String]] =
@@ -292,12 +300,12 @@ object StateSqlRegistry {
         : scala.collection.mutable.HashSet[String] = {
       if (v != null)
         b ++= unpackSet(payload(TagUniqExact, "uniqExactMerge", v))
-      guardUniqExactSize(b)
+      guardUniqExactSize(b, strict = true)
     }
     def merge(a: scala.collection.mutable.HashSet[String],
         b: scala.collection.mutable.HashSet[String])
         : scala.collection.mutable.HashSet[String] =
-      guardUniqExactSize(a ++= b)
+      guardUniqExactSize(a ++= b, strict = true)
     def finish(b: scala.collection.mutable.HashSet[String]): Long = b.size.toLong
     def bufferEncoder: Encoder[scala.collection.mutable.HashSet[String]] =
       Encoders.kryo[scala.collection.mutable.HashSet[String]]

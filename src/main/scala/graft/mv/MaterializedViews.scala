@@ -55,7 +55,23 @@ final class IngestPipeline(
     * also take flat [[insert]] appends (mixed layouts break partition
     * discovery).
     */
-  def attachToStream(stream: DataFrame, checkpoint: String): StreamingQuery =
+  def attachToStream(stream: DataFrame, checkpoint: String): StreamingQuery = {
+    // refuse a FRESH checkpoint over targets that already hold batch
+    // data: Structured Streaming restarts batchIds at 0 under a new
+    // checkpoint, and the idempotent overwrite below would then
+    // DESTROY the old batches instead of appending after them
+    val hasOffsets = new java.io.File(checkpoint, "offsets").exists()
+    if (!hasOffsets) {
+      val dirty = (rawPath.toSeq ++ mvs.map(_.targetPath)).filter { p =>
+        val ls = new java.io.File(p).list()
+        ls != null && ls.exists(_.startsWith("batch="))
+      }
+      require(dirty.isEmpty,
+        s"attachToStream: checkpoint '$checkpoint' has no offsets but " +
+          s"these targets already hold batch data: ${dirty.mkString(", ")}" +
+          " — batch ids would restart at 0 and overwrite them. Resume " +
+          "with the original checkpoint, or point at fresh target paths.")
+    }
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (block: DataFrame, batchId: Long) =>
@@ -71,4 +87,5 @@ final class IngestPipeline(
         ()
       }
       .start()
+  }
 }

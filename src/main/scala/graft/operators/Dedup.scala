@@ -346,19 +346,32 @@ object Dedup {
       .select(col("a"), col("b"), col("jaccard"))
   }
 
+  /** The shared signatures → candidates → checkpoint → verify →
+    * threshold pipeline behind both near-dup entry points. The
+    * candidate checkpoint: verification reuses the candidate set three
+    * times (both join sides plus the id prune); materializing it runs
+    * the LSH bucket join once instead of thrice — candidates are a
+    * vanishing fraction of the corpus, so the cost is tiny next to the
+    * work it saves.
+    */
+  private def minhashVerifiedPairs(df: DataFrame, idCol: String,
+                                   textCol: String, nGram: Int,
+                                   numHashes: Int, bands: Int,
+                                   maxBucket: Int,
+                                   threshold: Double): DataFrame = {
+    val sigs = minhashSignatures(df, idCol, textCol, nGram, numHashes)
+    val cands = minhashCandidatePairs(sigs, idCol, numHashes, bands, maxBucket)
+      .localCheckpoint()
+    jaccardVerify(cands, df, idCol, textCol, nGram)
+      .filter(col("jaccard") >= threshold)
+  }
+
   /** Full MinHash-LSH near-dup pipeline → verified pairs above threshold. */
   def minhashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
                           nGram: Int = 3, numHashes: Int = 64, bands: Int = 16,
-                          threshold: Double = 0.7): DataFrame = {
-    val sigs = minhashSignatures(df, idCol, textCol, nGram, numHashes)
-    // verification reuses the candidate set three times (both join sides
-    // plus the id prune); checkpointing it runs the LSH bucket join once
-    // instead of thrice — candidates are a vanishing fraction of the
-    // corpus, so the materialization is tiny next to the work it saves
-    val cands = minhashCandidatePairs(sigs, idCol, numHashes, bands)
-      .localCheckpoint()
-    jaccardVerify(cands, df, idCol, textCol, nGram).filter(col("jaccard") >= threshold)
-  }
+                          threshold: Double = 0.7): DataFrame =
+    minhashVerifiedPairs(df, idCol, textCol, nGram, numHashes, bands,
+      maxBucket = 1000, threshold = threshold)
 
   /** MinHash near-dup with the rows-per-band derived from ONE corpus
     * count — the text-side mirror of [[embeddingNearDupPairsLsh]]'s
@@ -388,12 +401,9 @@ object Dedup {
                               knownCount: Long = -1L): DataFrame = {
     val n = if (knownCount >= 0) knownCount else df.count()
     val rows = lshBitsFor(n, targetBucketSize)
-    val numHashes = rows * bands
-    val sigs = minhashSignatures(df, idCol, textCol, nGram, numHashes)
-    val cands = minhashCandidatePairs(sigs, idCol, numHashes, bands, maxBucket)
-      .localCheckpoint()
-    jaccardVerify(cands, df, idCol, textCol, nGram)
-      .filter(col("jaccard") >= threshold)
+    minhashVerifiedPairs(df, idCol, textCol, nGram,
+      numHashes = rows * bands, bands = bands, maxBucket = maxBucket,
+      threshold = threshold)
   }
 
   // ---------- SimHash near-dup (64-bit signature, hamming blocking)

@@ -417,9 +417,12 @@ class ChHttpSpec extends SparkSpec {
         s"expected 76 for: $msg")
     }
     // a SYNTAX error whose message merely echoes a query containing
-    // INTO OUTFILE must not be misrouted to 76
+    // INTO OUTFILE must not be misrouted to 76 — even when the echoed
+    // text carries the colon inside a string literal
     assert(ChHttpServer.exceptionCode(new RuntimeException(
       "syntax error near INTO OUTFILE 'x.csv'")) == 62)
+    assert(ChHttpServer.exceptionCode(new RuntimeException(
+      "unknown table echoing SELECT 'report INTO OUTFILE: daily'")) == 60)
   }
 
   test("a predefined-query handler failure maps through the error-code " +

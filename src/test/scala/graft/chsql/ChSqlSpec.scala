@@ -1840,11 +1840,44 @@ class ChSqlSpec extends SparkSpec {
     assert(rows(1).getString(1) == "", "unmatched String must read ''")
     assert(rows(1).getLong(2) == 0L, "unmatched UInt32 must read 0")
     assert(rows(1).isNullAt(3), "unmatched Nullable must stay NULL")
-    // the =1 mode disables the wrap per ClickHouse
-    s.execute("SET join_use_nulls = 1")
+    // RIGHT JOIN: the unmatched LEFT side defaults (single-table left)
+    s.execute("INSERT INTO gj VALUES (9, 'scifi', 1)")
+    val rj = s.sql(
+      """SELECT m.name, g.genre FROM mvj m RIGHT JOIN gj g
+        |ON m.id = g.movie_id ORDER BY g.movie_id""".stripMargin).collect()
+    assert(rj(1).getString(0) == "", "RIGHT JOIN unmatched left String = ''")
+    assert(rj(1).getString(1) == "scifi")
+    // FULL JOIN: both sides default on their unmatched rows
+    val fj = s.sql(
+      """SELECT m.name, g.genre FROM mvj m FULL JOIN gj g
+        |ON m.id = g.movie_id ORDER BY m.id, g.movie_id""".stripMargin)
+      .collect()
+    assert(fj.exists(r => r.getString(0) == "" && r.getString(1) == "scifi"),
+      "FULL JOIN unmatched left side must default")
+    assert(fj.exists(r => r.getString(0) == "m2" && r.getString(1) == ""),
+      "FULL JOIN unmatched right side must default")
+    // LEFT ANY JOIN keeps the wrap (the defaults pass runs before the
+    // ANY rewrite turns the right side into a dedup subquery)
+    val aj = s.sql(
+      """SELECT m.id, g.genre FROM mvj m LEFT ANY JOIN gj g
+        |ON m.id = g.movie_id ORDER BY m.id""".stripMargin).collect()
+    assert(aj(1).getString(1) == "", "ANY LEFT JOIN unmatched must default")
+    // a FINAL modifier on the right table must not be mistaken for its
+    // alias (gj is ENGINE=Memory; FINAL is a no-op read modifier)
+    val fin = s.sql(
+      """SELECT m.id, gj.genre FROM mvj m LEFT JOIN gj FINAL
+        |ON m.id = gj.movie_id ORDER BY m.id""".stripMargin).collect()
+    assert(fin(1).getString(1) == "",
+      "FINAL after the table must not eat the alias derivation")
+    // per-query SETTINGS tail overrides the session default
+    val perQ = s.sql(q + " SETTINGS join_use_nulls = 1").collect()
+    assert(perQ(1).isNullAt(1) && perQ(1).isNullAt(2),
+      "per-query SETTINGS join_use_nulls = 1 must surface SQL NULLs")
+    // the =1 mode disables the wrap per ClickHouse; Bool spellings too
+    s.execute("SET join_use_nulls = true")
     val nulled = s.sql(q).collect()
     assert(nulled(1).isNullAt(1) && nulled(1).isNullAt(2),
-      "join_use_nulls = 1 must surface SQL NULLs")
+      "join_use_nulls = true must surface SQL NULLs")
   }
 
   test("a column named `format` in an INSERT column list is not an inline payload") {

@@ -129,6 +129,34 @@ class StreamingMvSpec extends SparkSpec {
       s"evens must hold each even id exactly once: ${evens.sorted}")
   }
 
+  test("a FRESH checkpoint over targets holding batch data is refused " +
+    "(batch ids would restart at 0 and overwrite old batches)") {
+    val root = Files.createTempDirectory("graft_mv_reset").toString
+    val srcDir = s"$root/src"
+    Files.createDirectories(java.nio.file.Paths.get(srcDir))
+    writeBatch(srcDir, 0, 4)
+    val mv = MaterializedView("ids", _.select($"id"), s"$root/ids")
+    val pipe = new IngestPipeline(Some(s"$root/raw"), Seq(mv))
+    val parsed = StreamingPipeline.parseJson(
+      StreamingPipeline.rawFromFiles(spark, srcDir, schema), schema)
+    val q1 = pipe.attachToStream(parsed, s"$root/ckpt")
+    try q1.processAllAvailable() finally q1.stop()
+    assert(spark.read.parquet(s"$root/ids").count() == 4)
+    // simulate a lost/cleared checkpoint: re-attach with a NEW one
+    val err = intercept[IllegalArgumentException] {
+      pipe.attachToStream(parsed, s"$root/ckpt_fresh")
+    }
+    assert(err.getMessage.contains("batch ids would restart"),
+      err.getMessage)
+    // resuming with the ORIGINAL checkpoint still works
+    val q2 = pipe.attachToStream(parsed, s"$root/ckpt")
+    try {
+      writeBatch(srcDir, 4, 2)
+      q2.processAllAvailable()
+    } finally q2.stop()
+    assert(spark.read.parquet(s"$root/ids").count() == 6)
+  }
+
   test("streaming upserts → ReplacingMergeTree table → SELECT FINAL folds to latest") {
     // the reference's flagship kafka flow (homeworks/hw17.md:24-40 +
     // clusters/ch_and_kafka/db/init.sql): stream → MV → Replacing table,
