@@ -52,8 +52,8 @@ final class IngestPipeline(
     * append here would duplicate the already-written sinks on every
     * mid-batch failure. Readers see `batch` as a discovered partition
     * column over the target root; a target fed by this path should not
-    * also take flat [[insert]] appends (mixed layouts break partition
-    * discovery).
+    * also take flat [[insert]] or [[populate]] appends (mixed layouts
+    * break partition discovery).
     */
   def attachToStream(stream: DataFrame, checkpoint: String): StreamingQuery = {
     // refuse a FRESH checkpoint over targets that already hold batch
