@@ -99,6 +99,39 @@ object ChSqlRewrite {
     "LEFT", "RIGHT", "INNER", "FULL", "CROSS", "ANY", "ALL", "ASOF",
     "SEMI", "ANTI", "PASTE")
 
+  /** Select-block scoping shared by the three alias-sensitive rewrites
+    * (rewriteAnyJoin's composite requalification, rewriteAntiRightCols,
+    * rewriteLeftJoinDefaults): for every token, (a) the id of its
+    * innermost enclosing SELECT block — a same-named alias inside an
+    * unrelated subquery must not be rewritten by another block's join —
+    * and (b) whether it sits in that block's SELECT list (between
+    * SELECT and FROM / the first clause keyword), the only place an
+    * injected `AS col` alias is legal.
+    */
+  private def selectBlockScopes(toks: Vector[Token])
+      : (Array[Int], Array[Boolean]) = {
+    val blockOf = new Array[Int](toks.length)
+    val inList = new Array[Boolean](toks.length)
+    var cur = 0
+    var curList = false
+    var nextId = 1
+    val stk = scala.collection.mutable.ArrayDeque.empty[(Int, Boolean)]
+    var q = 0
+    while (q < toks.length) {
+      val t = toks(q)
+      if (t.text == "(") stk.prepend((cur, curList))
+      else if (t.text == ")") {
+        if (stk.nonEmpty) { val h = stk.removeHead(); cur = h._1; curList = h._2 }
+      } else if (t.is("SELECT")) { cur = nextId; nextId += 1; curList = true }
+      else if (!t.isString &&
+        (t.is("FROM") || clauseStarters(t.upper))) curList = false
+      blockOf(q) = cur
+      inList(q) = curList
+      q += 1
+    }
+    (blockOf, inList)
+  }
+
   /** ClickHouse Bool settings accept 1/0 and true/false. */
   private def settingIsTrue(v: String): Boolean = {
     val s = v.trim.toLowerCase
@@ -125,7 +158,8 @@ object ChSqlRewrite {
     toks = rewriteArrayJoinClause(toks)
     toks = toks.map(t => if (t.is("arrayJoin")) Token("explode") else t)
     toks = rewriteDictGet(toks, resolver)
-    toks = rewriteAntiRightCols(toks, resolver)
+    toks = rewriteAntiRightCols(toks, resolver,
+      tailSettings.get("join_use_nulls").map(settingIsTrue))
     // defaults BEFORE the ANY rewrite: LEFT ANY JOIN still has its
     // plain-table right side here (the ANY rewrite wraps it in a dedup
     // subquery, which the defaults scanner cannot take a catalog from)
@@ -949,6 +983,16 @@ object ChSqlRewrite {
     * rewriteFromClauses folds it inside the wrap. Silently degrading to
     * a plain join (the pre-r8 behavior) INFLATED row counts whenever
     * the picked-from side had duplicate keys.
+    *
+    * ANY RIGHT with a COMPOSITE left side (`ta a JOIN tb b USING (k)
+    * ANY RIGHT JOIN tc c ON a.k = c.k`) dedups the whole left TREE: the
+    * tree flattens through an auto-aliased subquery and every
+    * same-block outer reference to a component alias requalifies onto
+    * the auto-alias. Tree columns that stay ambiguous after flattening
+    * (an ON-join key present on both inner tables) surface Spark's own
+    * ambiguity error — spell the inner join with USING, which coalesces
+    * the key (ClickHouse's own multi-join rewrite has the same
+    * flattening shape, lectures/lecture_10.md).
     */
   private def rewriteAnyJoin(toks: Vector[Token]): Vector[Token] = {
     val joinKinds = Set("LEFT", "INNER", "RIGHT", "JOIN")
@@ -1007,14 +1051,16 @@ object ChSqlRewrite {
     val rightAlias = rightAliasClean.lastOption.map(_.text)
       .getOrElse(rightRefSql.split('.').last)
 
-    // the LEFT side ref — only needed (and only parsed) for ANY RIGHT:
-    // the tokens between the join's own FROM and ANY must form a single
-    // table ref `t|(subquery) [FINAL|SAMPLE f] [AS] [alias]`
-    lazy val leftSide: (Int, String, String, Vector[Token]) = {
+    // the LEFT side — only needed (and only parsed) for ANY RIGHT: the
+    // tokens between the join's own FROM and ANY form either a single
+    // table ref `t|(subquery) [FINAL|SAMPLE f] [AS] [alias]` or a
+    // composite JOIN TREE (5th element = its component aliases; empty
+    // for the single-ref case)
+    lazy val leftSide: (Int, String, String, Vector[Token], Vector[String]) = {
       def unsupported = throw new IllegalArgumentException(
-        "ANY RIGHT JOIN: the left side must be a single table " +
-          "reference for the one-left-match-per-right-row dedup; " +
-          "rewrite with the composite side on the right")
+        "ANY RIGHT JOIN: could not parse the left side as a table " +
+          "reference or join tree for the one-left-match-per-right-row " +
+          "dedup; rewrite with the composite side on the right")
       // the heading FROM sits at the same paren depth as the join — a
       // backward scan without depth tracking would find a subquery
       // left side's INNER FROM and splice the dedup wrap inside it
@@ -1032,30 +1078,98 @@ object ChSqlRewrite {
       }
       if (fromIdx < 0 || fromIdx + 1 >= i) unsupported
       val seg = toks.slice(fromIdx + 1, i)
-      val (refEnd, refSql0) =
-        if (seg.head.text == "(") {
-          val close = matchParen(seg, 0)
-          (close, ChLexer.render(seg.take(close + 1)))
-        } else (0, seg.head.text)
-      val segTail = seg.drop(refEnd + 1)
-      if (segTail.exists(t2 => t2.text == "(" || t2.text == ")" ||
-          t2.text == "," || t2.is("JOIN") || t2.is("SELECT") ||
+      val joinKw = Set("JOIN", "LEFT", "RIGHT", "INNER", "FULL", "CROSS",
+        "ANY", "ALL", "ASOF", "SEMI", "ANTI", "OUTER", "GLOBAL", "PASTE")
+      var dd0 = 0
+      var hasTopJoin = false
+      seg.foreach { t2 =>
+        if (t2.text == "(") dd0 += 1
+        else if (t2.text == ")") dd0 -= 1
+        else if (dd0 == 0 && t2.is("JOIN")) hasTopJoin = true
+        else if (dd0 == 0 && (t2.text == "," || t2.is("SELECT") ||
           t2.is("WHERE"))) unsupported
-      val mAt = segTail.indexWhere(t2 => t2.is("FINAL") || t2.is("SAMPLE"))
-      val (aToks, mToks) =
-        if (mAt < 0) (segTail, Vector.empty[Token])
-        else (segTail.take(mAt), segTail.drop(mAt))
-      val refSql = if (mToks.isEmpty) refSql0
-        else refSql0 + " " + ChLexer.render(mToks)
-      val alias = aToks.filterNot(_.is("AS")).lastOption.map(_.text)
-        .getOrElse {
-          if (refSql0.startsWith("(")) throw new IllegalArgumentException(
-            "ANY RIGHT JOIN a subquery left side requires an alias")
-          refSql0.split('.').last
+      }
+      if (hasTopJoin) {
+        // composite left tree: dedup the TREE's rows on the ANY keys by
+        // flattening it through an auto-aliased subquery; rebuild then
+        // requalifies every same-block outer reference to a component
+        // alias (`a.x`) onto the auto-alias, so the query keeps
+        // resolving. A column that stays ambiguous after flattening (an
+        // ON-join key present on both inner tables) surfaces Spark's
+        // own ambiguity error — spell the inner join with USING, which
+        // coalesces the key
+        val aliases = Vector.newBuilder[String]
+        var q = 0
+        while (q < seg.length) {
+          val (refEnd, refName) =
+            if (seg(q).text == "(") (matchParen(seg, q), "")
+            else (q, seg(q).text)
+          var r = refEnd + 1
+          val region = Vector.newBuilder[Token]
+          while (r < seg.length && !seg(r).is("ON") && !seg(r).is("USING") &&
+            !(!seg(r).isString && joinKw(seg(r).upper))) {
+            region += seg(r); r += 1
+          }
+          val regionToks = region.result()
+          val mAt = regionToks.indexWhere(t2 => t2.is("FINAL") || t2.is("SAMPLE"))
+          val aliasToks = (if (mAt < 0) regionToks else regionToks.take(mAt))
+            .filterNot(_.is("AS"))
+          aliases += aliasToks.lastOption.map(_.text).getOrElse {
+            if (refName.isEmpty) throw new IllegalArgumentException(
+              "ANY RIGHT JOIN: a subquery inside the composite left " +
+                "side requires an alias")
+            refName.split('.').last
+          }
+          if (r < seg.length && (seg(r).is("ON") || seg(r).is("USING"))) {
+            r += 1
+            var dd = 0
+            while (r < seg.length && !(dd == 0 && !seg(r).isString &&
+              joinKw(seg(r).upper))) {
+              if (seg(r).text == "(") dd += 1
+              else if (seg(r).text == ")") dd -= 1
+              r += 1
+            }
+          }
+          while (r < seg.length && !seg(r).isString && joinKw(seg(r).upper))
+            r += 1
+          q = r
         }
-      (fromIdx, refSql, alias, aToks)
+        val comps = aliases.result()
+        if (comps.isEmpty) unsupported
+        (fromIdx, "(SELECT * FROM " + ChLexer.render(seg) + ")",
+          "__anyl", Vector.empty[Token], comps)
+      } else {
+        val (refEnd, refSql0) =
+          if (seg.head.text == "(") {
+            val close = matchParen(seg, 0)
+            (close, ChLexer.render(seg.take(close + 1)))
+          } else (0, seg.head.text)
+        val segTail = seg.drop(refEnd + 1)
+        if (segTail.exists(t2 => t2.text == "(" || t2.text == ")" ||
+            t2.text == "," || t2.is("JOIN") || t2.is("SELECT") ||
+            t2.is("WHERE"))) unsupported
+        val mAt = segTail.indexWhere(t2 => t2.is("FINAL") || t2.is("SAMPLE"))
+        val (aToks, mToks) =
+          if (mAt < 0) (segTail, Vector.empty[Token])
+          else (segTail.take(mAt), segTail.drop(mAt))
+        val refSql = if (mToks.isEmpty) refSql0
+          else refSql0 + " " + ChLexer.render(mToks)
+        val alias = aToks.filterNot(_.is("AS")).lastOption.map(_.text)
+          .getOrElse {
+            if (refSql0.startsWith("(")) throw new IllegalArgumentException(
+              "ANY RIGHT JOIN a subquery left side requires an alias")
+            refSql0.split('.').last
+          }
+        (fromIdx, refSql, alias, aToks, Vector.empty[String])
+      }
     }
     val dedupAlias = if (isRight) leftSide._3 else rightAlias
+    // the aliases whose columns the ANY dedup picks among: the single
+    // picked-from alias, or — composite ANY RIGHT — every component
+    // alias of the left tree (the user's ON clause references THOSE;
+    // the auto-alias only exists after rebuild)
+    val pickedAliases: Vector[String] =
+      if (isRight && leftSide._5.nonEmpty) leftSide._5 else Vector(dedupAlias)
 
     def dedupWrap(srcSql: String, keys: Seq[String]): String = {
       // zero keys ⟹ the ON clause pins no picked-from column: ANY then
@@ -1071,13 +1185,35 @@ object ChSqlRewrite {
     // ANY keyword itself is always dropped
     def rebuild(keys: Seq[String]): Vector[Token] =
       if (isRight) {
-        val (fromIdx, leftRefSql, leftAlias, leftAliasToks) = leftSide
+        val (fromIdx, leftRefSql, leftAlias, leftAliasToks, comps) = leftSide
         val aliasOut =
           if (leftAliasToks.exists(!_.is("AS"))) leftAliasToks
           else Vector(Token("AS"), Token(leftAlias))
-        toks.take(fromIdx + 1) ++
+        // composite tree: requalify same-block references to any
+        // component alias onto the auto-alias — both the SELECT list
+        // (before FROM) and everything after the tree (this join's ON,
+        // WHERE/ORDER, later joins); other blocks' same-named aliases
+        // stay untouched (selectBlockScopes discipline)
+        lazy val blockIds = selectBlockScopes(toks)._1
+        def requal(ts: Vector[Token], offset: Int): Vector[Token] =
+          if (comps.isEmpty) ts
+          else ts.zipWithIndex.map { case (t2, ix) =>
+            if (t2.isIdent && !t2.isString &&
+              blockIds(offset + ix) == blockIds(i))
+              comps.iterator.map { a =>
+                if (t2.text.startsWith(a + "."))
+                  Some(t2.text.stripPrefix(a + "."))
+                else if (t2.text.startsWith("`" + a + "`."))
+                  Some(t2.text.stripPrefix("`" + a + "`."))
+                else None
+              }.collectFirst { case Some(c) => c }
+                .map(c => t2.copy(text = leftAlias + "." + c))
+                .getOrElse(t2)
+            else t2
+          }
+        requal(toks.take(fromIdx + 1), 0) ++
           ChLexer.tokenize(dedupWrap(leftRefSql, keys)) ++ aliasOut ++
-          toks.slice(i + 1, toks.length)
+          requal(toks.slice(i + 1, toks.length), i + 1)
       } else {
         val aliasOut =
           if (rightAliasClean.nonEmpty) rightAliasToks
@@ -1117,14 +1253,16 @@ object ChSqlRewrite {
         out += cur.result()
         out.result()
       }
-      val prefix = dedupAlias + "."
       // a qualifier may be backtick-quoted (`b`.k): match and strip the
-      // alias in either spelling, leaving the column's own quoting intact
+      // alias in either spelling, leaving the column's own quoting
+      // intact; composite ANY RIGHT tries every component alias
       def stripQual(text: String): Option[String] =
-        if (text.startsWith(prefix)) Some(text.stripPrefix(prefix))
-        else if (text.startsWith("`" + dedupAlias + "`."))
-          Some(text.stripPrefix("`" + dedupAlias + "`."))
-        else None
+        pickedAliases.iterator.map { a =>
+          if (text.startsWith(a + ".")) Some(text.stripPrefix(a + "."))
+          else if (text.startsWith("`" + a + "`."))
+            Some(text.stripPrefix("`" + a + "`."))
+          else None
+        }.collectFirst { case Some(c) => c }
       def qualified(text: String): Boolean =
         text.replace("`", "").contains(".")
       def touches(side: Vector[Token]): Boolean =
@@ -1149,7 +1287,7 @@ object ChSqlRewrite {
         if (eq < 0) {
           if (touches(c)) throw new IllegalArgumentException(
             "ANY JOIN ... ON: a non-equality condition on the " +
-              s"picked-from table '$dedupAlias' cannot combine with ANY " +
+              s"picked-from side '${pickedAliases.mkString("/")}' cannot combine with ANY " +
               s"strictness: ${ChLexer.render(c)}")
           None // kept-side-only / constant filter: selects no picked row
         } else {
@@ -1160,7 +1298,7 @@ object ChSqlRewrite {
           else if (touches(lhs) || touches(rhs))
             throw new IllegalArgumentException(
               "ANY JOIN ... ON: exactly one side of an equality may " +
-                s"reference the picked-from table '$dedupAlias': " +
+                s"reference the picked-from side '${pickedAliases.mkString("/")}': " +
                 ChLexer.render(c))
           else {
             val lu = unqualOnly(lhs)
@@ -1197,10 +1335,16 @@ object ChSqlRewrite {
     * the column's type-default literal (resolver-supplied): the native
     * LEFT ANTI plan is preserved, and a bare SELECT-list item keeps its
     * column name via AS. Queries that never read the right side are
-    * untouched.
+    * untouched. Under `join_use_nulls = 1` the substituted literal is
+    * NULL instead of the type default — the unmatched-side fill rule
+    * follows the setting for ANTI exactly as for outer joins (found by
+    * the r10 join fuzzer: the pre-fix substitution ignored the
+    * setting).
     */
   private def rewriteAntiRightCols(toks: Vector[Token],
-                                   resolver: Resolver): Vector[Token] = {
+                                   resolver: Resolver,
+                                   queryUseNulls: Option[Boolean]): Vector[Token] = {
+    val useNulls = queryUseNulls.getOrElse(resolver.joinUseNulls)
     // collect every ANTI join: (alias, right table ident, segment span
     // [ANTI .. end of ON/USING condition))
     final case class Seg(alias: String, table: String, from: Int, until: Int)
@@ -1252,34 +1396,7 @@ object ChSqlRewrite {
     }
     val sgs = segs.result()
     if (sgs.isEmpty) return toks
-    // select-block scoping: every token gets (a) the id of its innermost
-    // enclosing SELECT block — a same-named alias inside an unrelated
-    // subquery must NOT be rewritten to this join's defaults — and
-    // (b) whether it sits in that block's SELECT list (between SELECT
-    // and FROM / the first clause keyword), the only place an injected
-    // `AS col` alias is legal (GROUP BY / ORDER BY items are not
-    // named expressions).
-    val blockOf = new Array[Int](toks.length)
-    val inList = new Array[Boolean](toks.length)
-    locally {
-      var cur = 0
-      var curList = false
-      var nextId = 1
-      val stk = scala.collection.mutable.ArrayDeque.empty[(Int, Boolean)]
-      var q = 0
-      while (q < toks.length) {
-        val t = toks(q)
-        if (t.text == "(") stk.prepend((cur, curList))
-        else if (t.text == ")") {
-          if (stk.nonEmpty) { val h = stk.removeHead(); cur = h._1; curList = h._2 }
-        } else if (t.is("SELECT")) { cur = nextId; nextId += 1; curList = true }
-        else if (!t.isString &&
-          (t.is("FROM") || clauseStarters(t.upper))) curList = false
-        blockOf(q) = cur
-        inList(q) = curList
-        q += 1
-      }
-    }
+    val (blockOf, inList) = selectBlockScopes(toks)
     // the qualifier may be backtick-quoted (`g`.genre) — match and strip
     // the alias in either spelling, same contract as rewriteAnyJoin's
     // stripQual
@@ -1296,7 +1413,10 @@ object ChSqlRewrite {
         stripQual(s.alias, t.text).isDefined &&
         (p < s.from || p >= s.until) && blockOf(p) == blockOf(s.from))
       seg.flatMap(s => resolver.defaultLiteral(
-        s.table, stripQual(s.alias, t.text).get)) match {
+        s.table, stripQual(s.alias, t.text).get))
+        // the resolver call also validates the column exists; only the
+        // literal itself switches with the setting
+        .map(lit => if (useNulls) "NULL" else lit) match {
         case Some(lit0) =>
           val colName = t.text.substring(t.text.indexOf('.') + 1)
           // bare SELECT-list item (SELECT …, g.genre, … FROM): keep the
@@ -1315,23 +1435,53 @@ object ChSqlRewrite {
   }
 
   // ---- join_use_nulls = 0: outer-join columns default on miss ----
+  /** SQL word-forms that pass [[Token.isIdent]] but can never be a bare
+    * column reference — the unqualified-reference resolution of
+    * [[rewriteLeftJoinDefaults]] must not treat them as candidate
+    * columns (a backtick-quoted spelling IS a real identifier and is
+    * exempted at the check site).
+    */
+  private val sqlWordLike = Set("AS", "AND", "OR", "NOT", "SELECT", "BY",
+    "DISTINCT", "CASE", "WHEN", "THEN", "ELSE", "END", "IN", "IS", "NULL",
+    "TRUE", "FALSE", "BETWEEN", "LIKE", "ILIKE", "ASC", "DESC", "INTERVAL",
+    "DIV", "MOD", "EXISTS", "FILL", "TO", "STEP", "WITH", "TIES", "ROLLUP",
+    "CUBE", "GROUPING", "SETS", "OVER", "PARTITION", "ROWS", "RANGE",
+    "CURRENT", "UNBOUNDED", "PRECEDING", "FOLLOWING", "ROW", "ON", "USING",
+    "JOIN", "NULLS", "FIRST", "LAST", "OFFSET", "CAST", "EXTRACT", "CROSS",
+    "OUTER", "ANY", "ASOF", "SEMI", "ANTI", "GLOBAL", "FINAL", "SAMPLE",
+    "LATERAL", "VIEW", "BOTH", "LEADING", "TRAILING", "ESCAPE", "TOTALS",
+    "IF", "ALL", "FROM", "WHERE", "GROUP", "ORDER", "HAVING", "LIMIT",
+    "UNION", "INTERSECT", "EXCEPT", "PREWHERE", "SETTINGS", "WINDOW",
+    "QUALIFY", "FORMAT", "INTO", "LEFT", "RIGHT", "INNER", "FULL", "PASTE")
+
+  private def stripTicks(s: String): String =
+    s.stripPrefix("`").stripSuffix("`")
+
   /** ClickHouse's DEFAULT outer-join behavior (`join_use_nulls = 0`,
-    * lectures/lecture_10.md): unmatched-side columns of a plain
-    * LEFT / RIGHT / FULL [OUTER] JOIN read their TYPE DEFAULTS, not SQL
-    * NULLs. Spark's outer joins yield NULLs, so every
-    * defaultable-side-alias-qualified reference OUTSIDE the join's own
-    * ON/USING condition is wrapped in `coalesce(ref, <declared
+    * lectures/lecture_10.md): unmatched-side columns of a
+    * LEFT / RIGHT / FULL [OUTER|ANY] JOIN — and of ASOF LEFT JOIN,
+    * whose strictness changes WHICH rows match, not how misses fill —
+    * read their TYPE DEFAULTS, not SQL NULLs. Spark's outer joins yield
+    * NULLs, so every reference to a defaultable side that is evaluated
+    * AFTER the join (the block's SELECT list, WHERE/HAVING/ORDER, later
+    * joins' conditions) is wrapped in `coalesce(ref, <declared
     * default>)`: matched rows keep their real values, unmatched rows
     * read the default, and a Nullable(T) column — whose ClickHouse
     * default IS NULL — resolves to `coalesce(ref, CAST(NULL AS T))` ≡
-    * ref, so it keeps NULL exactly as ClickHouse does. Defaultable
-    * sides: the right table of LEFT [ANY] JOIN (this pass runs BEFORE
-    * rewriteAnyJoin, while the ANY join's right side is still a plain
-    * table), the single-table left side of RIGHT JOIN, and both for
-    * FULL JOIN. Scope mirrors [[rewriteAntiRightCols]]: plain-table
-    * sides whose declared default the resolver knows; SEMI/ANTI/ASOF
-    * (different match semantics), subquery sides, and composite RIGHT
-    * JOIN left sides are untouched. A session `SET join_use_nulls = 1`
+    * ref, so it keeps NULL exactly as ClickHouse does.
+    *
+    * Defaultable sides: the plain-table right side of LEFT [ANY|ASOF]
+    * / FULL JOIN (this pass runs BEFORE rewriteAnyJoin and the ASOF
+    * lowering, while the right side is still a plain table), and every
+    * plain-table component of the left join tree of RIGHT / FULL JOIN
+    * (single-table or composite). References are matched
+    * alias-qualified (`g.genre`, backticks allowed) or UNQUALIFIED —
+    * an unqualified reference wraps only when the resolver proves it
+    * belongs to the defaultable table and to NO other table of the
+    * same FROM (ambiguous names, unknown-schema components and
+    * SELECT-alias shadowing all skip the wrap). SEMI/ANTI keep their
+    * own semantics; subquery sides have no catalog defaults and keep
+    * NULLs (documented partial). A session `SET join_use_nulls = 1`
     * ([[Resolver.joinUseNulls]]) or a per-query `SETTINGS
     * join_use_nulls = 1` tail disables the wrap. Found by the r9
     * dictGet metamorphic law (dictGetOrDefault vs LEFT JOIN disagreed
@@ -1342,7 +1492,14 @@ object ChSqlRewrite {
                                       queryUseNulls: Option[Boolean])
       : Vector[Token] = {
     if (queryUseNulls.getOrElse(resolver.joinUseNulls)) return toks
-    final case class Seg(alias: String, table: String, from: Int, until: Int)
+    // blockFrom: the clause's own FROM token. The wrap region is the
+    // block's SELECT list (textually BEFORE the FROM, evaluated after
+    // the join) plus everything from the join condition's end on; the
+    // FROM region before the condition end (table refs, aliases,
+    // earlier joins' own conditions) is evaluated before this join
+    // fills anything and must stay unwrapped.
+    final case class Seg(alias: String, table: String, blockFrom: Int,
+                         until: Int, anchor: Int)
     val term = joinCondTerm
     // alias of a `table [AS] [alias] [FINAL|SAMPLE …]` region — the
     // modifier tokens never name the table (same split rewriteAnyJoin
@@ -1368,11 +1525,9 @@ object ChSqlRewrite {
       }
       e
     }
-    // the single-table ref heading this join's left side: backward to
-    // the clause's own FROM at paren depth 0 (the rewriteAnyJoin
-    // leftSide discipline); None for composite/subquery left sides —
-    // those silently keep NULL semantics (documented partial)
-    def leftSideOf(i: Int): Option[(String, String)] = {
+    // the clause's own FROM, scanning backward at paren depth 0 (the
+    // rewriteAnyJoin leftSide discipline)
+    def fromOf(i: Int): Int = {
       var fromIdx = -1
       var depth = 0
       var p = i - 1
@@ -1383,14 +1538,69 @@ object ChSqlRewrite {
         else if (depth == 0 && toks(p).is("FROM")) fromIdx = p
         p -= 1
       }
-      if (fromIdx < 0 || fromIdx + 1 >= i) return None
-      val seg = toks.slice(fromIdx + 1, i)
-      if (seg.head.text == "(") return None
-      if (seg.exists(t2 => t2.text == "(" || t2.text == ")" ||
-        t2.text == "," || t2.is("JOIN") || t2.is("SELECT") ||
-        t2.is("WHERE"))) return None
-      val table = seg.head.text
-      Some((aliasOf(seg.drop(1), table), table))
+      fromIdx
+    }
+    // forward parse of the FROM region after `fromIdx` into table
+    // components: (alias, Some(table)) for plain refs, (alias, None)
+    // for subqueries. `complete = false` flags an unhandled shape
+    // (LATERAL VIEW, malformation) — callers then skip, conservative.
+    def components(fromIdx: Int, stop: Int)
+        : (Vector[(String, Option[String])], Boolean) = {
+      val out = Vector.newBuilder[(String, Option[String])]
+      var p = fromIdx + 1
+      var complete = true
+      var done = false
+      while (!done && p < stop) {
+        val tableOpt: Option[String] =
+          if (toks(p).text == "(") {
+            val close = matchParen(toks, p)
+            if (close < 0 || close >= stop) { complete = false; done = true }
+            else p = close + 1
+            None
+          } else if (toks(p).isIdent && !toks(p).isString &&
+            !term(toks(p).upper)) {
+            val t0 = toks(p).text; p += 1; Some(t0)
+          } else { complete = false; done = true; None }
+        if (!done) {
+          // alias/modifier region: anything up to ON/USING, a join or
+          // clause keyword, or a structural token
+          val region = Vector.newBuilder[Token]
+          var stopRegion = false
+          while (!stopRegion && p < stop) {
+            val t = toks(p)
+            if (t.text == "(" || t.text == ")" || t.text == "," ||
+              t.is("ON") || t.is("USING") ||
+              (!t.isString && term(t.upper))) stopRegion = true
+            else { region += t; p += 1 }
+          }
+          out += ((aliasOf(region.result(),
+            tableOpt.getOrElse("")), tableOpt))
+          if (p < stop && (toks(p).is("ON") || toks(p).is("USING")))
+            p = math.min(condEnd(p), stop)
+          // join-keyword run before the next component; a clause
+          // starter / block end terminates the walk
+          var sawJoin = false
+          var stopJoin = false
+          while (!stopJoin && p < stop) {
+            val t = toks(p)
+            if (t.is("JOIN")) { sawJoin = true; p += 1 }
+            else if (t.is("LEFT") || t.is("RIGHT") || t.is("INNER") ||
+              t.is("FULL") || t.is("CROSS") || t.is("ANY") ||
+              t.is("ALL") || t.is("ASOF") || t.is("SEMI") ||
+              t.is("ANTI") || t.is("OUTER") || t.is("GLOBAL") ||
+              t.is("PASTE")) p += 1
+            else stopJoin = true
+          }
+          if (p >= stop) done = true
+          else if (!sawJoin) {
+            if (toks(p).text == ")" ||
+              (!toks(p).isString && clauseStarters(toks(p).upper)) ||
+              toks(p).text == ";") done = true
+            else { complete = false; done = true }
+          }
+        }
+      }
+      (out.result(), complete)
     }
     val segs = Vector.newBuilder[Seg]
     var i = 0
@@ -1398,33 +1608,49 @@ object ChSqlRewrite {
       val isLeft = toks(i).is("LEFT")
       val isRight = toks(i).is("RIGHT")
       val isFull = toks(i).is("FULL")
-      // plain [LEFT|RIGHT|FULL] [OUTER|ANY] JOIN only: ASOF and
-      // SEMI/ANTI carry their own match semantics (the j-scan below
-      // refuses SEMI/ANTI by requiring JOIN right after OUTER/ANY)
-      if ((isLeft || isRight || isFull) &&
-        !(i > 0 && toks(i - 1).is("ASOF"))) {
-        var j = i + 1
-        while (j < toks.length &&
-          (toks(j).is("OUTER") || toks(j).is("ANY"))) j += 1
-        if (j < toks.length && toks(j).is("JOIN")) {
-          // find the condition start for the span
-          var k = j + 1
-          while (k < toks.length && !toks(k).is("USING") && !toks(k).is("ON"))
-            k += 1
-          if (k < toks.length) {
-            val e = condEnd(k)
-            // right side defaults for LEFT/FULL (plain table only)
-            if ((isLeft || isFull) && toks(j + 1).text != "(") {
-              val table = toks(j + 1).text
-              val region = toks.slice(j + 2, k)
-              segs += Seg(aliasOf(region, table), table, i, e)
-            }
-            // left side defaults for RIGHT/FULL (single-table only);
-            // an ANY-first spelling (`ANY RIGHT JOIN`) puts the ANY
-            // token between the left ref and i — scan back from it
-            val i0 = if (i > 0 && toks(i - 1).is("ANY")) i - 1 else i
-            if (isRight || isFull) leftSideOf(i0).foreach { case (a, t) =>
-              segs += Seg(a, t, i, e)
+      if (isLeft || isRight || isFull) {
+        // ASOF LEFT keeps the left-outer fill contract (ClickHouse
+        // applies join_use_nulls to ASOF misses like any LEFT JOIN);
+        // SEMI/ANTI are refused by the j-scan requiring JOIN next
+        val asofHead = i > 0 && toks(i - 1).is("ASOF")
+        val asofTail = i + 1 < toks.length && toks(i + 1).is("ASOF")
+        if ((!asofHead && !asofTail) || isLeft) {
+          var j = i + 1
+          while (j < toks.length &&
+            (toks(j).is("OUTER") || toks(j).is("ANY") ||
+              toks(j).is("ASOF"))) j += 1
+          if (j < toks.length && toks(j).is("JOIN")) {
+            // find the condition start for the span
+            var k = j + 1
+            while (k < toks.length && !toks(k).is("USING") && !toks(k).is("ON"))
+              k += 1
+            if (k < toks.length) {
+              val e = condEnd(k)
+              // an ANY/ASOF-first spelling (`ANY RIGHT JOIN`,
+              // `ASOF LEFT JOIN`) puts that token between the left
+              // ref and i — scan back from it
+              val i0 = if (i > 0 && (toks(i - 1).is("ANY") || asofHead))
+                i - 1 else i
+              val fromIdx = fromOf(i0)
+              if (fromIdx >= 0) {
+                // right side defaults for LEFT/FULL (plain table only)
+                if ((isLeft || isFull) && toks(j + 1).text != "(") {
+                  val table = toks(j + 1).text
+                  val region = toks.slice(j + 2, k)
+                  segs += Seg(aliasOf(region, table), table, fromIdx, e, i)
+                }
+                // left side defaults for RIGHT/FULL: EVERY plain-table
+                // component of the left join tree defaults on a miss
+                // (single-table and composite; subquery components
+                // have no catalog defaults — documented partial)
+                if (isRight || isFull) {
+                  val (comps, complete) = components(fromIdx, i0)
+                  if (complete) comps.foreach {
+                    case (a, Some(t)) => segs += Seg(a, t, fromIdx, e, i)
+                    case _ =>
+                  }
+                }
+              }
             }
           }
         }
@@ -1440,38 +1666,110 @@ object ChSqlRewrite {
       else None
     // same select-block scoping as rewriteAntiRightCols: a same-named
     // alias inside an unrelated subquery must not be wrapped
-    val blockOf = new Array[Int](toks.length)
-    val inList = new Array[Boolean](toks.length)
+    val (blockOf, inList) = selectBlockScopes(toks)
+    // full FROM-region inventory of each seg's block (both join sides),
+    // for unqualified-reference ownership checks
+    val blockInfo = scala.collection.mutable.Map
+      .empty[Int, (Vector[(String, Option[String])], Boolean)]
+    sgs.foreach { s =>
+      val b = blockOf(s.anchor)
+      if (!blockInfo.contains(b))
+        blockInfo(b) = components(s.blockFrom, toks.length)
+    }
+    // end of each block's whole FROM region (first clause keyword at
+    // depth 0 after the FROM): unqualified wrapping must skip ALL of
+    // it — a later join's table/alias tokens are bare idents too, and
+    // wrapping an alias definition would corrupt the SQL
+    val fromEnd = scala.collection.mutable.Map.empty[Int, Int]
+    sgs.foreach { s =>
+      val b = blockOf(s.anchor)
+      if (!fromEnd.contains(b)) {
+        var q = s.blockFrom + 1
+        var dd = 0
+        var stop = false
+        while (q < toks.length && !stop) {
+          val t = toks(q)
+          if (t.text == "(") dd += 1
+          else if (t.text == ")") { dd -= 1; if (dd < 0) stop = true }
+          else if (dd == 0 && !t.isString &&
+            (clauseStarters(t.upper) || t.text == ";")) stop = true
+          if (!stop) q += 1
+        }
+        fromEnd(b) = q
+      }
+    }
+    // column inventory per referenced table, through the resolver
+    val colCache = scala.collection.mutable.Map.empty[String, Option[Set[String]]]
+    def colsOf(table: String): Option[Set[String]] =
+      colCache.getOrElseUpdate(table,
+        resolver.resolve(table).flatMap(rt => resolver.describe(rt.viewName))
+          .map(_.map(_.toLowerCase).toSet))
+    // names bound by `AS <alias>` anywhere in a block: a SELECT-list
+    // alias shadows a same-named column in ORDER BY/HAVING, so an
+    // unqualified match on one must not be wrapped (conservative:
+    // collected from the whole block, over-collection only skips wraps)
+    val asAliases = scala.collection.mutable.Map
+      .empty[Int, scala.collection.mutable.Set[String]]
     locally {
-      var cur = 0
-      var curList = false
-      var nextId = 1
-      val stk = scala.collection.mutable.ArrayDeque.empty[(Int, Boolean)]
       var q = 0
-      while (q < toks.length) {
-        val t = toks(q)
-        if (t.text == "(") stk.prepend((cur, curList))
-        else if (t.text == ")") {
-          if (stk.nonEmpty) { val h = stk.removeHead(); cur = h._1; curList = h._2 }
-        } else if (t.is("SELECT")) { cur = nextId; nextId += 1; curList = true }
-        else if (!t.isString &&
-          (t.is("FROM") || clauseStarters(t.upper))) curList = false
-        blockOf(q) = cur
-        inList(q) = curList
+      while (q < toks.length - 1) {
+        if (toks(q).is("AS") && toks(q + 1).isIdent)
+          asAliases.getOrElseUpdate(blockOf(q + 1),
+            scala.collection.mutable.Set.empty) +=
+            stripTicks(toks(q + 1).text).toLowerCase
         q += 1
       }
+    }
+    def inWrapRegion(s: Seg, p: Int): Boolean =
+      blockOf(p) == blockOf(s.anchor) &&
+        (p < s.blockFrom || p >= s.until)
+    // an UNQUALIFIED reference resolves to seg `s`'s table only when
+    // ownership is provable: the name is a column of s.table and of NO
+    // other FROM component (unknown-schema components block the claim)
+    def unqualCol(s: Seg, p: Int): Option[String] = {
+      val t = toks(p)
+      val name = stripTicks(t.text)
+      if (name.contains(".")) return None
+      if (p >= s.blockFrom && p < fromEnd(blockOf(s.anchor))) return None
+      if (!t.text.startsWith("`") &&
+        (term(t.upper) || sqlWordLike(t.upper))) return None
+      if (p + 1 < toks.length && toks(p + 1).text == "(") return None
+      if (asAliases.get(blockOf(p)).exists(_.contains(name.toLowerCase)))
+        return None
+      val (comps, complete) = blockInfo(blockOf(s.anchor))
+      if (!complete) return None
+      if (!colsOf(s.table).exists(_.contains(name.toLowerCase))) return None
+      val owned = comps.filterNot(_._1 == s.alias).forall {
+        case (_, Some(tb)) => colsOf(tb).exists(cs => !cs.contains(name.toLowerCase))
+        case (_, None) => false
+      }
+      if (owned) Some(name) else None
     }
     val out = Vector.newBuilder[Token]
     var p = 0
     while (p < toks.length) {
       val t = toks(p)
-      val seg = sgs.find(s => t.isIdent && !t.isString &&
-        stripQual(s.alias, t.text).isDefined &&
-        (p < s.from || p >= s.until) && blockOf(p) == blockOf(s.from))
-      seg.flatMap(s => resolver.defaultLiteral(
-        s.table, stripQual(s.alias, t.text).get)) match {
-        case Some(lit0) =>
-          val colName = t.text.substring(t.text.indexOf('.') + 1)
+      val hit: Option[(String, String)] =
+        if (!t.isIdent || t.isString) None
+        else {
+          val qual = sgs.iterator
+            .filter(s => inWrapRegion(s, p))
+            .flatMap(s => stripQual(s.alias, t.text).flatMap(c =>
+              resolver.defaultLiteral(s.table, stripTicks(c)).map(l =>
+                (l, t.text.substring(t.text.indexOf('.') + 1)))))
+            .nextOption()
+          qual.orElse {
+            sgs.iterator
+              .filter(s => inWrapRegion(s, p))
+              .flatMap(s => unqualCol(s, p).flatMap(c =>
+                resolver.defaultLiteral(s.table, c).map(l => (l, t.text))))
+              .nextOption()
+          }
+        }
+      hit match {
+        case Some((lit0, colName)) =>
+          // bare SELECT-list item (SELECT …, g.genre, … FROM): keep the
+          // column's name on the wrapped expression
           val bare = inList(p) && p > 0 && p + 1 < toks.length &&
             (toks(p - 1).text == "," || toks(p - 1).is("SELECT") ||
               toks(p - 1).is("DISTINCT")) &&

@@ -1682,9 +1682,46 @@ class ChSqlSpec extends SparkSpec {
     // duplicate-key right rows); each gets at most ONE left match
     assert(rows.length == 3, s"expected 3 right rows, got ${rows.length}")
     val byRv = rows.map(r => r.getString(0) -> Option(r.getString(1))).toMap
-    assert(byRv("z").isEmpty, "unmatched right row must keep a NULL left side")
+    // join_use_nulls = 0 (the default): the unmatched left side reads
+    // its String type default '', not NULL — the unqualified `lv` is
+    // resolved to the defaultable side since the r10 ownership pass
+    assert(byRv("z").contains(""),
+      "unmatched right row must fill the left side's type default")
     assert(byRv("x").nonEmpty && byRv("x") == byRv("y"),
       "both k=1 right rows must see the SAME single left pick")
+  }
+
+  test("ANY RIGHT JOIN with a composite (two-table) left side dedups the " +
+    "whole left tree; unmatched right rows fill left-tree type defaults") {
+    val s = ch
+    s.execute(
+      """CREATE TABLE cta (k UInt32, x String) ENGINE = Memory;
+        |CREATE TABLE ctb (k UInt32, y String) ENGINE = Memory;
+        |CREATE TABLE ctc (k UInt32, z String) ENGINE = Memory;
+        |INSERT INTO cta VALUES (1, 'x1'), (1, 'x1b'), (2, 'x2');
+        |INSERT INTO ctb VALUES (1, 'y1'), (2, 'y2');
+        |INSERT INTO ctc VALUES (1, 'z1'), (3, 'z3');""".stripMargin)
+    val q = """SELECT a.x, b.y, c.z FROM cta a JOIN ctb b USING (k)
+              |ANY RIGHT JOIN ctc c ON a.k = c.k ORDER BY c.z""".stripMargin
+    val rows = s.sql(q).collect()
+    // every right row survives EXACTLY once: the pre-r10 throw is gone,
+    // and the tree's duplicate k=1 match is deduped to one pick
+    assert(rows.length == 2, s"expected 2 right rows, got ${rows.length}")
+    assert(rows(0).getString(2) == "z1" && rows(1).getString(2) == "z3")
+    // the matched row picked ONE tree row (k=1): x ∈ {x1, x1b}, y = y1
+    assert(Set("x1", "x1b")(rows(0).getString(0)) &&
+      rows(0).getString(1) == "y1")
+    // join_use_nulls = 0 (default): the unmatched z3 row reads the left
+    // TREE components' type defaults, not NULLs
+    assert(rows(1).getString(0) == "" && rows(1).getString(1) == "",
+      s"unmatched composite left tree must fill defaults: ${rows(1)}")
+    // the pick is xxhash-stable: a second run returns the same row
+    assert(s.sql(q).collect()(0).getString(0) == rows(0).getString(0))
+    // SETTINGS join_use_nulls = 1 restores SQL NULLs on the miss
+    val nu = s.sql(q.replace("ORDER BY c.z",
+      "ORDER BY c.z SETTINGS join_use_nulls = 1")).collect()
+    assert(nu(1).isNullAt(0) && nu(1).isNullAt(1),
+      "join_use_nulls = 1 must surface NULLs on the composite miss")
   }
 
   test("ANY LEFT JOIN ... ON accepts an unqualified right column (hw06 idiom)") {
@@ -1715,8 +1752,10 @@ class ChSqlSpec extends SparkSpec {
     // the filter conjunct references no right column: it gates WHICH
     // left rows match, not which right row is picked — pre-fix it threw
     assert(rows.length == 2)
-    assert(Option(rows(1).getString(1)).isEmpty, "mm.id=1 disables t2's match")
-    assert(Option(rows(0).getString(1)).nonEmpty)
+    // join_use_nulls = 0: t2's miss fills the String default '' (the
+    // unqualified `genre` resolves to the right side since r10)
+    assert(rows(1).getString(1) == "", "mm.id=1 disables t2's match")
+    assert(rows(0).getString(1).nonEmpty)
   }
 
   test("any() the aggregate does not mask a later ANY JOIN") {
@@ -1878,6 +1917,92 @@ class ChSqlSpec extends SparkSpec {
     val nulled = s.sql(q).collect()
     assert(nulled(1).isNullAt(1) && nulled(1).isNullAt(2),
       "join_use_nulls = true must surface SQL NULLs")
+  }
+
+  test("join_use_nulls = 0 residue: unqualified refs, composite RIGHT-join " +
+    "left sides, ASOF LEFT — all fill; shadowed/ambiguous names skip") {
+    // rewrite-level, against a stub catalog: precise wrap placement
+    val stub = new graft.chsql.ChSqlRewrite.Resolver {
+      val cols = Map(
+        "mv" -> Seq("id", "name"), "ge" -> Seq("movie_id", "genre"),
+        "ta" -> Seq("k", "x"), "tb" -> Seq("k", "y"), "tc" -> Seq("k", "z"),
+        "lt" -> Seq("k", "t", "a"), "rt" -> Seq("k", "t", "v"),
+        "amb1" -> Seq("id", "genre"), "amb2" -> Seq("movie_id", "genre"))
+      def resolve(ident: String) =
+        cols.get(ident).map(_ => graft.chsql.ChSqlRewrite.ResolvedTable(ident))
+      override def describe(viewName: String) = cols.get(viewName)
+      override def defaultLiteral(ident: String, column: String) =
+        cols.get(ident).filter(_.exists(_.equalsIgnoreCase(column))).map(_ => "''")
+    }
+    // token render spaces freely — compare space-normalized
+    def rw(q: String) =
+      graft.chsql.ChSqlRewrite.rewrite(q, stub).sql.replace(" ", "")
+    // 1. unqualified right-side column fills (ClickHouse resolves
+    //    `genre` to the only table having it)
+    val un = rw("SELECT name, genre FROM mv m LEFT JOIN ge g ON m.id = g.movie_id")
+    assert(un.contains("coalesce(genre") && un.contains("ASgenre"),
+      s"unqualified right col must wrap: $un")
+    assert(!un.contains("coalesce(name"),
+      s"kept-side col must not wrap: $un")
+    // 2. a SELECT-list alias shadows a same-named right column
+    val sh = rw("SELECT m.name AS genre FROM mv m LEFT JOIN ge g " +
+      "ON m.id = g.movie_id ORDER BY genre")
+    assert(!sh.contains("coalesce"), s"shadowed alias must not wrap: $sh")
+    // 3. a name owned by BOTH sides is ambiguous — skip
+    val am = rw("SELECT genre FROM amb1 a LEFT JOIN amb2 b ON a.id = b.movie_id")
+    assert(!am.contains("coalesce"), s"ambiguous name must not wrap: $am")
+    // 4. composite RIGHT-join left side: every plain-table component
+    //    defaults; the inner join's own ON stays untouched
+    val co = rw("SELECT a.x, b.y, c.z FROM ta a JOIN tb b ON a.k = b.k " +
+      "RIGHT JOIN tc c ON a.k = c.k")
+    assert(co.contains("coalesce(a.x") && co.contains("coalesce(b.y"),
+      s"composite left side must wrap both components: $co")
+    assert(co.contains("ONa.k=b.k"),
+      s"inner join condition must stay unwrapped: $co")
+    assert(!co.contains("coalesce(c.z"), s"kept right side must not wrap: $co")
+    // 5. ASOF LEFT JOIN fills its misses like plain LEFT JOIN
+    //    (the inequality lives in the ON clause — unwrapped there)
+    val as = rw("SELECT l.a, r.v FROM lt l ASOF LEFT JOIN rt r " +
+      "ON l.k = r.k AND l.t >= r.t")
+    assert(as.contains("coalesce(r.v"), s"ASOF LEFT right col must wrap: $as")
+    assert(as.contains("ANDl.t>=r.t"),
+      s"ASOF condition must stay unwrapped: $as")
+    // 6. `SETTINGS join_use_nulls = 1` disables every new wrap too
+    val off = graft.chsql.ChSqlRewrite.rewrite(
+      "SELECT name, genre FROM mv m LEFT JOIN ge g ON m.id = g.movie_id " +
+        "SETTINGS join_use_nulls = 1", stub).sql
+    assert(!off.contains("coalesce"), s"=1 must disable the wrap: $off")
+
+    // runtime, through a real session: unqualified + composite fills
+    val s = ch
+    s.execute(
+      """CREATE TABLE jm2 (id UInt32, title String) ENGINE = Memory;
+        |CREATE TABLE jg2 (movie_id UInt32, genre String) ENGINE = Memory;
+        |INSERT INTO jm2 VALUES (1, 'm1'), (2, 'm2');
+        |INSERT INTO jg2 VALUES (1, 'drama');""".stripMargin)
+    val un2 = s.sql(
+      """SELECT id, genre FROM jm2 m LEFT JOIN jg2 g
+        |ON m.id = g.movie_id ORDER BY id""".stripMargin).collect()
+    assert(un2(1).getString(1) == "",
+      "unqualified right column must read '' on a miss")
+    // post-join WHERE over the filled value selects the unmatched rows
+    val wh = s.sql(
+      """SELECT count() AS c FROM jm2 m LEFT JOIN jg2 g
+        |ON m.id = g.movie_id WHERE genre = ''""".stripMargin).collect()
+    assert(wh.head.getLong(0) == 1L,
+      "WHERE over the filled default must see the miss rows")
+    // composite RIGHT-join left side at runtime
+    s.execute(
+      """CREATE TABLE jc2 (movie_id UInt32, country String) ENGINE = Memory;
+        |INSERT INTO jc2 VALUES (1, 'fr'), (9, 'de');""".stripMargin)
+    val co2 = s.sql(
+      """SELECT m.title, g.genre, c.country
+        |FROM jm2 m JOIN jg2 g ON m.id = g.movie_id
+        |RIGHT JOIN jc2 c ON m.id = c.movie_id
+        |ORDER BY c.movie_id""".stripMargin).collect()
+    assert(co2(1).getString(0) == "" && co2(1).getString(1) == "",
+      "unmatched composite left side must fill BOTH components' defaults")
+    assert(co2(1).getString(2) == "de")
   }
 
   test("a column named `format` in an INSERT column list is not an inline payload") {

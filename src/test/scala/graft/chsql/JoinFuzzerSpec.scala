@@ -1,0 +1,167 @@
+package graft.chsql
+
+import graft.SparkSpec
+
+/** Randomized join fuzzer (the round-9 verdict's next-round #2): the
+  * r8 ANY-degrade bug and the r9 join_use_nulls bug were both found by
+  * targeted metamorphic laws, so this generalizes the class — a seeded
+  * generator enumerates join kind × strictness (ALL/ANY/SEMI/ANTI) ×
+  * condition form (USING/ON) × projection form (qualified/unqualified)
+  * × join_use_nulls setting over keyed fixtures whose DATA is drawn
+  * from a seeded Random, executes each query through the ClickHouse
+  * dialect, and compares the result multiset against an independent
+  * row-level reference evaluator encoding ClickHouse's documented
+  * semantics (lectures/lecture_10.md: type-default fill under
+  * `join_use_nulls = 0`, SQL NULLs under `= 1`, ANY = at most one
+  * picked match, ANTI right side provably unmatched).
+  *
+  * Duplicate-key rows are generated VALUE-IDENTICAL (the row is a pure
+  * function of its key), so an ANY pick is value-deterministic and the
+  * evaluator needs no knowledge of which physical row the engine's
+  * xxhash64 tie-break chose, while ALL-vs-ANY multiplicity differences
+  * stay fully observable in the multiset compare.
+  *
+  * First find (fixed in the same round): rewriteAntiRightCols ignored
+  * `join_use_nulls = 1` — anti-join right columns substituted type
+  * defaults where ClickHouse surfaces NULLs.
+  */
+class JoinFuzzerSpec extends SparkSpec {
+
+  private type Row3 = (Long, String, Long)
+
+  // row values are a pure function of (table, key): duplicates identical
+  private def lRow(k: Long): Row3 = (k, s"l$k", k * 10)
+  private def rRow(k: Long): Row3 = (k, s"r$k", k * 100)
+
+  /** One seeded corpus: planted guarantees (shared key, left-dup key,
+    * right-dup key, left-only, right-only) plus random keys 0..7.
+    */
+  private def corpus(seed: Int): (Seq[Row3], Seq[Row3]) = {
+    val rnd = new scala.util.Random(seed)
+    val lKeys = Seq(1L, 2L, 2L, 4L) ++ Seq.fill(4)(rnd.nextInt(8).toLong)
+    val rKeys = Seq(1L, 3L, 3L, 5L) ++ Seq.fill(4)(rnd.nextInt(8).toLong)
+    (lKeys.map(lRow), rKeys.map(rRow))
+  }
+
+  private val kinds = Vector(
+    "INNER JOIN", "LEFT JOIN", "RIGHT JOIN", "FULL JOIN",
+    "ANY LEFT JOIN", "ANY RIGHT JOIN", "ANY INNER JOIN",
+    "LEFT SEMI JOIN", "LEFT ANTI JOIN", "CROSS JOIN")
+
+  /** ClickHouse-semantics reference evaluator: the (left, right) row
+    * pairs a join kind produces, misses as None.
+    */
+  private def pairs(kind: String, lRows: Seq[Row3], rRows: Seq[Row3])
+      : Seq[(Option[Row3], Option[Row3])] = kind match {
+    case "INNER JOIN" =>
+      for { l <- lRows; r <- rRows if r._1 == l._1 } yield (Some(l), Some(r))
+    case "LEFT JOIN" => lRows.flatMap { l =>
+      val ms = rRows.filter(_._1 == l._1)
+      if (ms.isEmpty) Seq((Some(l), None)) else ms.map(r => (Some(l), Some(r)))
+    }
+    case "RIGHT JOIN" => rRows.flatMap { r =>
+      val ms = lRows.filter(_._1 == r._1)
+      if (ms.isEmpty) Seq((None, Some(r))) else ms.map(l => (Some(l), Some(r)))
+    }
+    case "FULL JOIN" =>
+      pairs("LEFT JOIN", lRows, rRows) ++
+        rRows.filterNot(r => lRows.exists(_._1 == r._1)).map(r => (None, Some(r)))
+    case "ANY LEFT JOIN" => lRows.map(l => (Some(l), rRows.find(_._1 == l._1)))
+    case "ANY RIGHT JOIN" => rRows.map(r => (lRows.find(_._1 == r._1), Some(r)))
+    case "ANY INNER JOIN" =>
+      lRows.flatMap(l => rRows.find(_._1 == l._1).map(r => (Some(l), Some(r))))
+    case "LEFT SEMI JOIN" =>
+      lRows.filter(l => rRows.exists(_._1 == l._1)).map(l => (Some(l), None))
+    case "LEFT ANTI JOIN" =>
+      lRows.filterNot(l => rRows.exists(_._1 == l._1)).map(l => (Some(l), None))
+    case "CROSS JOIN" =>
+      for { l <- lRows; r <- rRows } yield (Some(l), Some(r))
+  }
+
+  // the fill rule under test: miss → type default (=0) or NULL (=1)
+  private def cell(v: Option[Any], useNulls: Boolean, default: String): String =
+    v.map(_.toString).getOrElse(if (useNulls) "NULL" else default)
+
+  /** Projections: SQL select list and the matching evaluator columns.
+    * 0 = alias-qualified both sides; 1 = UNQUALIFIED value columns (the
+    * r10 ownership-resolution path); SEMI/ANTI get their legal subsets.
+    */
+  private def projection(kind: String, proj: Int): (String,
+      ((Option[Row3], Option[Row3]), Boolean) => Vector[String]) = kind match {
+    case "LEFT SEMI JOIN" =>
+      ("l.k AS lk, l.lv AS lv, l.ln AS ln",
+        (p, _) => Vector(p._1.get._1.toString, p._1.get._2, p._1.get._3.toString))
+    case "LEFT ANTI JOIN" =>
+      // the right side is provably unmatched: defaults under =0, NULLs
+      // under =1 (rewriteAntiRightCols substitutes the literal)
+      ("l.k AS lk, l.lv AS lv, r.rv AS rv, r.rn AS rn",
+        (p, un) => Vector(p._1.get._1.toString, p._1.get._2,
+          cell(None, un, ""), cell(None, un, "0")))
+    case _ if proj == 1 =>
+      // unqualified lv/rv: ownership provable (each belongs to exactly
+      // one table), so the join_use_nulls=0 fill must still reach them
+      ("lv, rv",
+        (p, un) => Vector(cell(p._1.map(_._2), un, ""), cell(p._2.map(_._2), un, "")))
+    case _ =>
+      ("l.k AS lk, l.lv AS lv, l.ln AS ln, r.k AS rk, r.rv AS rv, r.rn AS rn",
+        (p, un) => Vector(
+          cell(p._1.map(_._1), un, "0"), cell(p._1.map(_._2), un, ""),
+          cell(p._1.map(_._3), un, "0"), cell(p._2.map(_._1), un, "0"),
+          cell(p._2.map(_._2), un, ""), cell(p._2.map(_._3), un, "0")))
+  }
+
+  private def norm(rows: Array[org.apache.spark.sql.Row]): Seq[Vector[String]] =
+    rows.toSeq.map(r => (0 until r.length).map(i =>
+      if (r.isNullAt(i)) "NULL" else r.get(i).toString).toVector)
+      .sortBy(_.mkString("|"))
+
+  test("seeded join fuzzer: kind x strictness x condition x projection x " +
+    "join_use_nulls over randomized keyed corpora matches the ClickHouse " +
+    "reference evaluator on every drawn query") {
+    val s = new ChSession(spark)
+    var ran = 0
+    val failures = scala.collection.mutable.ArrayBuffer.empty[String]
+    Seq(20260815, 4212).zipWithIndex.foreach { case (seed, ci) =>
+      val (lRows, rRows) = corpus(seed)
+      val (lt, rt) = (s"fzl$ci", s"fzr$ci")
+      s.execute(
+        s"""CREATE TABLE $lt (k UInt32, lv String, ln UInt32) ENGINE = Memory;
+           |CREATE TABLE $rt (k UInt32, rv String, rn UInt32) ENGINE = Memory;
+           |INSERT INTO $lt VALUES ${lRows.map(r => s"(${r._1}, '${r._2}', ${r._3})").mkString(", ")};
+           |INSERT INTO $rt VALUES ${rRows.map(r => s"(${r._1}, '${r._2}', ${r._3})").mkString(", ")};""".stripMargin)
+      for {
+        kind <- kinds
+        cond <- Seq("USING (k)", s"ON l.k = r.k")
+        proj <- 0 to 1
+        useNulls <- Seq(false, true)
+      } {
+        // CROSS has no condition; SEMI/ANTI have one legal projection
+        val skip = (kind == "CROSS JOIN" && cond.startsWith("USING")) ||
+          ((kind == "LEFT SEMI JOIN" || kind == "LEFT ANTI JOIN") && proj == 1)
+        if (!skip) {
+          val (sel, expectRow) = projection(kind, proj)
+          val condSql = if (kind == "CROSS JOIN") "" else s" $cond"
+          val tail = if (useNulls) " SETTINGS join_use_nulls = 1" else ""
+          val sql = s"SELECT $sel FROM $lt l $kind $rt r$condSql$tail"
+          val expected = pairs(kind, lRows, rRows).map(expectRow(_, useNulls))
+            .sortBy(_.mkString("|"))
+          (try Right(norm(s.sql(sql).collect()))
+           catch { case e: Exception =>
+             Left(e.getMessage.linesIterator.next())
+           }) match {
+            case Left(err) => failures += s"$sql\n  threw: $err"
+            case Right(got) if got != expected =>
+              failures += s"$sql\n  expected ${expected.size} rows " +
+                s"${expected.take(4)}\n  got ${got.size} rows ${got.take(4)}"
+            case _ => ()
+          }
+          ran += 1
+        }
+      }
+    }
+    assert(ran >= 100, s"fuzzer must draw at least 100 queries, drew $ran")
+    assert(failures.isEmpty,
+      s"${failures.size} fuzzed queries diverged from the ClickHouse " +
+        s"reference evaluator:\n${failures.take(8).mkString("\n")}")
+  }
+}
