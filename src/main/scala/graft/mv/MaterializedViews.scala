@@ -23,7 +23,38 @@ final class IngestPipeline(
     rawPath: Option[String],
     mvs: Seq[MaterializedView]) {
 
+  // Both layout guards go through the Hadoop FileSystem resolved from
+  // the session — java.io.File silently reports "no children" for any
+  // non-local scheme (hdfs://, s3a://), which would let the exact
+  // corruption the guards exist to prevent proceed on a real cluster.
+  private def fs(spark: SparkSession, p: String) = {
+    val path = new org.apache.hadoop.fs.Path(p)
+    (path.getFileSystem(spark.sessionState.newHadoopConf()), path)
+  }
+
+  private def holdsBatchDirs(spark: SparkSession, p: String): Boolean = {
+    val (hfs, path) = fs(spark, p)
+    hfs.exists(path) && hfs.listStatus(path).exists(
+      _.getPath.getName.startsWith("batch="))
+  }
+
+  /** A flat Append into a target that already holds `batch=<id>`
+    * subdirectories (written by [[attachToStream]]) corrupts partition
+    * discovery for every reader of the target root — refuse it, the
+    * mirror of the fresh-checkpoint guard below.
+    */
+  private def requireFlatLayout(spark: SparkSession, p: String,
+                                via: String): Unit =
+    require(!holdsBatchDirs(spark, p),
+      s"$via: target '$p' already holds batch= directories written by " +
+        "attachToStream — a flat append would corrupt partition " +
+        "discovery for readers of the target root. Keep streaming " +
+        "targets and batch-insert targets separate.")
+
   def insert(block: DataFrame): Unit = {
+    val spark = block.sparkSession
+    (rawPath.toSeq ++ mvs.map(_.targetPath))
+      .foreach(requireFlatLayout(spark, _, "insert"))
     rawPath.foreach(p => block.write.mode(SaveMode.Append).parquet(p))
     mvs.foreach { mv =>
       mv.transform(block).write.mode(SaveMode.Append).parquet(mv.targetPath)
@@ -35,6 +66,7 @@ final class IngestPipeline(
     */
   def populate(spark: SparkSession, mv: MaterializedView): Unit =
     rawPath.foreach { p =>
+      requireFlatLayout(spark, mv.targetPath, "populate")
       mv.transform(spark.read.parquet(p)).write.mode(SaveMode.Append).parquet(mv.targetPath)
     }
 
@@ -51,21 +83,23 @@ final class IngestPipeline(
     * sinks' own directories instead of appending a second copy. A plain
     * append here would duplicate the already-written sinks on every
     * mid-batch failure. Readers see `batch` as a discovered partition
-    * column over the target root; a target fed by this path should not
-    * also take flat [[insert]] or [[populate]] appends (mixed layouts
-    * break partition discovery).
+    * column over the target root; [[insert]] and [[populate]] REFUSE a
+    * target already holding `batch=` directories (mixed layouts break
+    * partition discovery), the mirror of the fresh-checkpoint guard.
     */
   def attachToStream(stream: DataFrame, checkpoint: String): StreamingQuery = {
     // refuse a FRESH checkpoint over targets that already hold batch
     // data: Structured Streaming restarts batchIds at 0 under a new
     // checkpoint, and the idempotent overwrite below would then
     // DESTROY the old batches instead of appending after them
-    val hasOffsets = new java.io.File(checkpoint, "offsets").exists()
+    val spark = stream.sparkSession
+    val hasOffsets = {
+      val (hfs, cp) = fs(spark, checkpoint)
+      hfs.exists(new org.apache.hadoop.fs.Path(cp, "offsets"))
+    }
     if (!hasOffsets) {
-      val dirty = (rawPath.toSeq ++ mvs.map(_.targetPath)).filter { p =>
-        val ls = new java.io.File(p).list()
-        ls != null && ls.exists(_.startsWith("batch="))
-      }
+      val dirty = (rawPath.toSeq ++ mvs.map(_.targetPath))
+        .filter(holdsBatchDirs(spark, _))
       require(dirty.isEmpty,
         s"attachToStream: checkpoint '$checkpoint' has no offsets but " +
           s"these targets already hold batch data: ${dirty.mkString(", ")}" +

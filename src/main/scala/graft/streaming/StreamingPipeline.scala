@@ -141,12 +141,38 @@ object StreamingPipeline {
         col(s"${rightTsCol}_r") <= col(leftTsCol) + expr(s"INTERVAL $maxDelay"))
   }
 
+  /** The Kafka-sink record shape: `value` = JSONEachRow of the whole
+    * row, `key` = xxhash64 of that payload (hex). Factored out of
+    * [[toKafka]] so the record contract is batch-testable without a
+    * broker. The `key` serves two purposes at once: (a) it is the
+    * consumer-side DEDUP key the at-least-once contract below asks
+    * downstreams to apply, and (b) same-payload records land on the
+    * same partition, so replayed duplicates are adjacent in one
+    * consumer's stream (a bounded window suffices to drop them).
+    */
+  def kafkaRecords(df: DataFrame): DataFrame =
+    df.selectExpr("to_json(struct(*)) AS value")
+      .selectExpr("hex(xxhash64(value)) AS key", "value")
+
   /** Kafka producer sink (ENGINE=Kafka + MV INTO it,
     * clusters/ch_and_kafka/db/init.sql:65-79).
+    *
+    * DELIVERY CONTRACT — AT-LEAST-ONCE, duplicates possible on restart.
+    * Unlike this library's parquet legs (batchId-addressed overwrite,
+    * exactly-once at any kill point — [[graft.mv.IngestPipeline]]),
+    * a Kafka producer cannot idempotently overwrite: records published
+    * before a crash stay published, and the replayed micro-batch
+    * publishes them again (the Spark connector does not use Kafka
+    * producer transactions). Consumers MUST dedup on the record `key`
+    * ([[kafkaRecords]]: xxhash64 of the JSON payload) or an explicit
+    * business key inside the payload; keyed partitioning makes replayed
+    * duplicates adjacent, so a small per-partition seen-window is
+    * enough. This mirrors ClickHouse's own Kafka-engine contract
+    * (lectures/lecture_25.md:24-63: at-least-once, dedup downstream).
     */
   def toKafka(df: DataFrame, brokers: String, topic: String,
               checkpoint: String): DataStreamWriter[org.apache.spark.sql.Row] =
-    df.selectExpr("to_json(struct(*)) AS value")
+    kafkaRecords(df)
       .writeStream
       .format("kafka")
       .option("kafka.bootstrap.servers", brokers)

@@ -157,6 +157,41 @@ class StreamingMvSpec extends SparkSpec {
     assert(spark.read.parquet(s"$root/ids").count() == 6)
   }
 
+  test("mixed-layout guard: insert() and populate() refuse a target that " +
+    "already holds batch= directories (and streaming targets refuse flat)") {
+    val root = Files.createTempDirectory("graft_mv_mixed").toString
+    val srcDir = s"$root/src"
+    Files.createDirectories(java.nio.file.Paths.get(srcDir))
+    writeBatch(srcDir, 0, 4)
+    val mv = MaterializedView("ids", _.select($"id"), s"$root/ids")
+    val pipe = new IngestPipeline(Some(s"$root/raw"), Seq(mv))
+    val parsed = StreamingPipeline.parseJson(
+      StreamingPipeline.rawFromFiles(spark, srcDir, schema), schema)
+    val q = pipe.attachToStream(parsed, s"$root/ckpt")
+    try q.processAllAvailable() finally q.stop()
+
+    // direction 1: a flat insert into the now-batch-partitioned targets
+    val block = Seq((99L, "a", 9.0)).toDF("id", "kind", "value")
+    val e1 = intercept[IllegalArgumentException] { pipe.insert(block) }
+    assert(e1.getMessage.contains("batch= directories"), e1.getMessage)
+    // ...and the refusal fired BEFORE any write: no flat file appeared
+    assert(!new java.io.File(s"$root/raw").listFiles()
+      .exists(f => f.isFile && f.getName.endsWith(".parquet")),
+      "insert must refuse before writing anything")
+
+    // direction 2: POPULATE into a streaming-fed target
+    val e2 = intercept[IllegalArgumentException] {
+      pipe.populate(spark, mv)
+    }
+    assert(e2.getMessage.contains("batch= directories"), e2.getMessage)
+
+    // a clean pipeline with fresh targets still inserts fine
+    val pipe2 = new IngestPipeline(Some(s"$root/raw2"),
+      Seq(MaterializedView("ids2", _.select($"id"), s"$root/ids2")))
+    pipe2.insert(block)
+    assert(spark.read.parquet(s"$root/ids2").count() == 1)
+  }
+
   test("streaming upserts → ReplacingMergeTree table → SELECT FINAL folds to latest") {
     // the reference's flagship kafka flow (homeworks/hw17.md:24-40 +
     // clusters/ch_and_kafka/db/init.sql): stream → MV → Replacing table,
@@ -240,6 +275,26 @@ class StreamingMvSpec extends SparkSpec {
     val rows = spark.sql("SELECT kind, SUM(n) FROM win_out GROUP BY kind")
       .as[(String, Long)].collect().toMap
     assert(rows == Map("a" -> 10L, "b" -> 10L))
+  }
+
+  test("kafka sink record contract: JSONEachRow value + payload-hash key " +
+    "(the consumer-side dedup key of the at-least-once contract)") {
+    val df = Seq((1L, "a"), (2L, "b"), (1L, "a")).toDF("id", "kind")
+    val recs = StreamingPipeline.kafkaRecords(df).collect()
+    assert(recs.head.schema.fieldNames.toSeq == Seq("key", "value"))
+    val byValue = recs.map(r => r.getString(1) -> r.getString(0))
+    // value is the row's JSONEachRow payload
+    assert(byValue.map(_._1).contains("""{"id":1,"kind":"a"}"""))
+    // identical payloads (an at-least-once replay) carry IDENTICAL keys
+    // — a consumer deduping on key drops the duplicate
+    val dupKeys = byValue.filter(_._1.contains("\"id\":1")).map(_._2)
+    assert(dupKeys.length == 2 && dupKeys.distinct.length == 1)
+    // distinct payloads carry distinct keys
+    assert(byValue.map(_._2).distinct.length == 2)
+    // and the key IS hex(xxhash64(value)) — recomputable downstream
+    val expect = df.sparkSession.sql(
+      """SELECT hex(xxhash64('{"id":1,"kind":"a"}'))""").head.getString(0)
+    assert(dupKeys.head == expect)
   }
 
   // SANDBOX CONSTRAINT, declared where the judge asked for it: the kafka
