@@ -37,6 +37,16 @@ def main() -> int:
         x, y = a["spread"][q][0], b["spread"][q][0]
         mins.append((max(x, y) / max(min(x, y), 1e-9), q))
     min_over = sum(1 for r in mins if r[0] > limit)
+    # CPU-seconds view (artifacts of Bench >= r10): per-query process CPU
+    # is load-insensitive, so agreement here PROVES the two runs executed
+    # identical plans even when wall time drifted with box load
+    cpu_rows = []
+    if "cpu" in a and "cpu" in b:
+        for q in shared:
+            x, y = a["cpu"].get(q, -1), b["cpu"].get(q, -1)
+            if x > 0 and y > 0:
+                cpu_rows.append((max(x, y) / max(min(x, y), 1e-9), q, x, y))
+        cpu_rows.sort(reverse=True)
     offenders = [r for r in rows if r[0] > limit]
     print(f"artifacts: {a_path} ({a.get('value')}s, load={a.get('load_avg')}) "
           f"vs {b_path} ({b.get('value')}s, load={b.get('load_avg')})")
@@ -50,6 +60,13 @@ def main() -> int:
         print(f"  {q:38s} {x:7.3f}s vs {y:7.3f}s  {ratio:5.2f}x{flag}")
     print(f"min-statistic view: {min_over} queries exceed {limit}x "
           f"(worst {max(mins)[0]:.2f}x {max(mins)[1]})")
+    if cpu_rows:
+        ta = sum(r[2] for r in cpu_rows)
+        tb = sum(r[3] for r in cpu_rows)
+        cpu_over = sum(1 for r in cpu_rows if r[0] > limit)
+        print(f"cpu-seconds view: totals {ta:.1f}s vs {tb:.1f}s "
+              f"({max(ta, tb) / min(ta, tb):.3f}x), {cpu_over} queries "
+              f"exceed {limit}x (worst {cpu_rows[0][0]:.2f}x {cpu_rows[0][1]})")
     if offenders:
         print(f"\nFAIL: {len(offenders)} queries exceed {limit}x")
         return 1

@@ -64,6 +64,19 @@ object Bench {
       .asScala.map(b => math.max(0L, b.getCollectionTime)).sum
   }
 
+  /** Whole-process CPU nanoseconds (all threads, driver + local[N]
+    * executors). Wall time drifts with box load; CPU seconds for a
+    * deterministic plan do not — matching per-query CPU between two
+    * artifacts PROVES the plans did identical work even when wall
+    * disagrees (the round-9 repro pair attributed a 1.19x totals gap to
+    * load_avg only indirectly). -1 when the platform bean is absent.
+    */
+  private def cpuNanos: Long =
+    java.lang.management.ManagementFactory.getOperatingSystemMXBean match {
+      case b: com.sun.management.OperatingSystemMXBean => b.getProcessCpuTime
+      case _ => -1L
+    }
+
   // Locale-pinned formatting: the default locale may use a comma
   // decimal separator, which would corrupt the JSON line.
   private def fmt(v: Double): String =
@@ -87,7 +100,7 @@ object Bench {
   }
 
   /** One JVM's share of the protocol: N alternating whole-board passes,
-    * one `p<pass>,<name>,<sec>,<gcsec>` stdout line per completed run
+    * one `p<pass>,<name>,<sec>,<gcsec>,<cpusec>` stdout line per completed run
     * (the parent pools these; any bounded tail of the output keeps
     * per-query data even when the final JSON line is longer than the
     * tail window), and a single summary JSON line at the end.
@@ -139,16 +152,18 @@ object Bench {
     // so pooling its time would pull the floor estimate under the
     // query's true cost while the errors array quietly flags the name
     def timeOne(name: String, fn: (SparkSession, String) => DataFrame)
-        : Option[(Double, Double)] = {
+        : Option[(Double, Double, Double)] = {
       val gc0 = gcMillis
+      val cpu0 = cpuNanos
       val t0 = System.nanoTime()
       val ok =
         try { checksum(fn(spark, sfDir)); true }
         catch { case t: Throwable => failed += name; t.printStackTrace(); false }
       val dt = (System.nanoTime() - t0) / 1e9
       val gcDt = (gcMillis - gc0) / 1e3
+      val cpuDt = if (cpu0 < 0) -1.0 else (cpuNanos - cpu0) / 1e9
       resetState()
-      if (ok) Some((dt, gcDt)) else None
+      if (ok) Some((dt, gcDt, cpuDt)) else None
     }
     val passes = math.max(1,
       sys.env.get("SPARK_GRAFT_BENCH_RUNS").flatMap(_.toIntOption).getOrElse(3))
@@ -158,6 +173,8 @@ object Bench {
       .withDefaultValue(Nil)
     val gcs = scala.collection.mutable.Map.empty[String, List[Double]]
       .withDefaultValue(Nil)
+    val cpuTimes = scala.collection.mutable.Map.empty[String, List[Double]]
+      .withDefaultValue(Nil)
     (1 to passes).foreach { pass =>
       // Alternate board direction per pass: position-in-board effects
       // bias late queries consistently slower within one direction;
@@ -165,10 +182,11 @@ object Bench {
       // others, so the position term cancels in the pooled statistics.
       val order = if (pass % 2 == 0) names.reverse else names
       order.foreach { case (name, fn) =>
-        timeOne(name, fn).foreach { case (dt, gcDt) =>
+        timeOne(name, fn).foreach { case (dt, gcDt, cpuDt) =>
           times(name) = times(name) :+ dt
           gcs(name) = gcs(name) :+ gcDt
-          println(s"p$pass,$name,${fmt(dt)},${fmt(gcDt)}")
+          cpuTimes(name) = cpuTimes(name) :+ cpuDt
+          println(s"p$pass,$name,${fmt(dt)},${fmt(gcDt)},${fmt(cpuDt)}")
         }
       }
     }
@@ -176,14 +194,16 @@ object Bench {
     // the errors array instead of crashing the artifact
     val results = names.filter(n => times(n._1).nonEmpty).map { case (name, _) =>
       val ts = times(name).sorted
-      (name, median(ts), ts.head, ts.last, median(gcs(name)))
+      (name, median(ts), ts.head, ts.last, median(gcs(name)), median(cpuTimes(name)))
     }
-    val qs = results.map { case (k, v, _, _, _) => "\"" + k + "\":" + fmt(v) }
+    val qs = results.map { case (k, v, _, _, _, _) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val spread = results
-      .map { case (k, _, lo, hi, _) => "\"" + k + "\":[" + fmt(lo) + "," + fmt(hi) + "]" }
+      .map { case (k, _, lo, hi, _, _) => "\"" + k + "\":[" + fmt(lo) + "," + fmt(hi) + "]" }
       .mkString("{", ",", "}")
-    val gcJson = results.map { case (k, _, _, _, g) => "\"" + k + "\":" + fmt(g) }
+    val gcJson = results.map { case (k, _, _, _, g, _) => "\"" + k + "\":" + fmt(g) }
+      .mkString("{", ",", "}")
+    val cpuJson = results.map { case (k, _, _, _, _, c) => "\"" + k + "\":" + fmt(c) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     // process-level JIT evidence: total compilation ms and code-cache
@@ -204,7 +224,7 @@ object Bench {
     val errs =
       if (failed.isEmpty) ""
       else failed.distinct.map("\"" + _ + "\"").mkString(""","errors":[""", ",", "]")
-    val json = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","passes":$passes,"queries":$qs,"spread":$spread,"gc":$gcJson,"jit_ms":$jitMs,"code_cache_mb":$codeCacheUsed,"load_avg":[${fmt(loadStart)},${fmt(loadAvg)}]$errs,"sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","passes":$passes,"queries":$qs,"spread":$spread,"gc":$gcJson,"cpu":$cpuJson,"jit_ms":$jitMs,"code_cache_mb":$codeCacheUsed,"load_avg":[${fmt(loadStart)},${fmt(loadAvg)}]$errs,"sf":"$sfDir"}"""
     // Lossless artifact: the full JSON is also written to a file so the
     // round comparison never depends on stdout-capture windows.
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_local.json")
@@ -218,7 +238,7 @@ object Bench {
 
   /** Spawns `jvms` child processes of this same main (same classpath
     * and JVM flags, inherited from this process), pools every
-    * `p<pass>,<name>,<sec>,<gcsec>` sample line across them, and writes
+    * `p<pass>,<name>,<sec>,<gcsec>,<cpusec>` sample line across them, and writes
     * the merged artifact: per-query floor estimate (headline), pooled
     * median, pooled [min,max] spread, pooled median GC, per-child JIT
     * evidence. Children run serially — concurrent boards would contend
@@ -236,13 +256,16 @@ object Bench {
       // need only the functional flags (--add-opens, heap, code cache)
       .filterNot(a => a.startsWith("-agentlib") || a.startsWith("-javaagent"))
     val cp = System.getProperty("java.class.path")
-    val sampleLine = "^p(\\d+),([A-Za-z0-9_]+),([0-9.]+),([0-9.]+)$".r
+    val sampleLine =
+      "^p(\\d+),([A-Za-z0-9_]+),([0-9.]+),([0-9.]+),(-?[0-9.]+)$".r
     val jitRe = "\"jit_ms\":(-?\\d+)".r
     val cacheRe = "\"code_cache_mb\":(\\d+)".r
     val errRe = "\"errors\":\\[([^\\]]*)\\]".r
     val samples = scala.collection.mutable.Map.empty[String, List[Double]]
       .withDefaultValue(Nil)
     val gcSamples = scala.collection.mutable.Map.empty[String, List[Double]]
+      .withDefaultValue(Nil)
+    val cpuSamples = scala.collection.mutable.Map.empty[String, List[Double]]
       .withDefaultValue(Nil)
     val jits = scala.collection.mutable.ArrayBuffer.empty[Long]
     val caches = scala.collection.mutable.ArrayBuffer.empty[Long]
@@ -264,9 +287,10 @@ object Bench {
       var line = reader.readLine()
       while (line != null) {
         line match {
-          case sampleLine(pass, name, sec, gcSec) =>
+          case sampleLine(pass, name, sec, gcSec, cpuSec) =>
             samples(name) = samples(name) :+ sec.toDouble
             gcSamples(name) = gcSamples(name) :+ gcSec.toDouble
+            cpuSamples(name) = cpuSamples(name) :+ cpuSec.toDouble
             childPasses = math.max(childPasses, pass.toInt)
             println(s"c$child.$line")
           case l if l.startsWith("{\"metric\"") =>
@@ -293,20 +317,25 @@ object Bench {
       val ts = samples(name).sorted
       val fastest = ts.take(3)
       val floor = fastest.sum / fastest.length
-      (name, floor, median(ts), ts.head, ts.last, median(gcSamples(name)))
+      (name, floor, median(ts), ts.head, ts.last, median(gcSamples(name)),
+        median(cpuSamples(name)))
     }
-    def mapJson(f: ((String, Double, Double, Double, Double, Double)) => String)
-        : String = results.map(f).mkString("{", ",", "}")
-    val qs = mapJson { case (k, fl, _, _, _, _) => "\"" + k + "\":" + fmt(fl) }
-    val med = mapJson { case (k, _, m, _, _, _) => "\"" + k + "\":" + fmt(m) }
-    val spread = mapJson { case (k, _, _, lo, hi, _) =>
+    def mapJson(f: ((String, Double, Double, Double, Double, Double, Double))
+        => String): String = results.map(f).mkString("{", ",", "}")
+    val qs = mapJson { case (k, fl, _, _, _, _, _) => "\"" + k + "\":" + fmt(fl) }
+    val med = mapJson { case (k, _, m, _, _, _, _) => "\"" + k + "\":" + fmt(m) }
+    val spread = mapJson { case (k, _, _, lo, hi, _, _) =>
       "\"" + k + "\":[" + fmt(lo) + "," + fmt(hi) + "]" }
-    val gcJson = mapJson { case (k, _, _, _, _, g) => "\"" + k + "\":" + fmt(g) }
+    val gcJson = mapJson { case (k, _, _, _, _, g, _) => "\"" + k + "\":" + fmt(g) }
+    // pooled-median CPU seconds per query: the plan-identity witness —
+    // two artifacts of the same code agree here even when wall drifts
+    // with box load (see cpuNanos)
+    val cpuJson = mapJson { case (k, _, _, _, _, _, c) => "\"" + k + "\":" + fmt(c) }
     val total = results.map(_._2).sum
     val errs =
       if (errors.isEmpty) ""
       else errors.map("\"" + _ + "\"").mkString(""","errors":[""", ",", "]")
-    val json = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","stat":"floor3","jvms":$jvms,"passes":$childPasses,"queries":$qs,"median":$med,"spread":$spread,"gc":$gcJson,"jit_ms":[${jits.mkString(",")}],"code_cache_mb":[${caches.mkString(",")}],"load_avg":[${fmt(loadStart)},${fmt(loadAvg)}]$errs,"sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","stat":"floor3","jvms":$jvms,"passes":$childPasses,"queries":$qs,"median":$med,"spread":$spread,"gc":$gcJson,"cpu":$cpuJson,"jit_ms":[${jits.mkString(",")}],"code_cache_mb":[${caches.mkString(",")}],"load_avg":[${fmt(loadStart)},${fmt(loadAvg)}]$errs,"sf":"$sfDir"}"""
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_local.json")
     try java.nio.file.Files.write(
       java.nio.file.Paths.get(outFile),

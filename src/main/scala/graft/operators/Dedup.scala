@@ -509,7 +509,7 @@ object Dedup {
     * default) shrinks buckets below `target` and cuts near-dup recall
     * without a corresponding cost win.
     */
-  private[operators] def lshBitsFor(n: Long, target: Int): Int = {
+  private[graft] def lshBitsFor(n: Long, target: Int): Int = {
     val buckets = math.max(1L, n / math.max(1, target))
     val derived =
       if (buckets <= 1) 1

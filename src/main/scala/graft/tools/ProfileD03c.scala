@@ -26,7 +26,9 @@ object ProfileD03c {
       .select((col("doc_id") + 100000000L).as("doc_id"), col("text")))
 
     val n = timed("count")(corpus.count())
-    val rows = 10 // lshBitsFor(50100, 50)
+    // the same derivation minhashNearDupPairsAuto runs, so the per-stage
+    // timings match the full pipeline on ANY corpus size
+    val rows = graft.operators.Dedup.lshBitsFor(n, 50)
     val numHashes = rows * 16
     println(s"n=$n numHashes=$numHashes")
 
