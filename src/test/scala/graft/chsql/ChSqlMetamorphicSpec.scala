@@ -327,6 +327,64 @@ class ChSqlMetamorphicSpec extends SparkSpec {
     }
   }
 
+  test("window law: percent_rank = (rank-1)/(n-1) and cume_dist = " +
+    "peers_at_or_below/n under a TIE-FUL order key, for any filter") {
+    // v repeats (id*7 % 101 over 200 rows), so rank/percent_rank/
+    // cume_dist genuinely diverge from row_number-based formulas —
+    // the law checks the tie semantics, not just the happy path
+    preds(939, 8).foreach { p =>
+      val rows = s.sql("SELECT grp, v, percent_rank() OVER w AS pr, " +
+        s"cume_dist() OVER w AS cd FROM mt WHERE $p " +
+        "WINDOW w AS (PARTITION BY grp ORDER BY v)").collect()
+        .map(r => (r.get(0).toString, r.getInt(1), r.getDouble(2), r.getDouble(3)))
+      rows.groupBy(_._1).foreach { case (g, rs) =>
+        val n = rs.length
+        val vs = rs.map(_._2)
+        rs.foreach { case (_, v, pr, cd) =>
+          val rank = 1 + vs.count(_ < v)
+          val expPr = if (n == 1) 0.0 else (rank - 1).toDouble / (n - 1)
+          val expCd = vs.count(_ <= v).toDouble / n
+          assert(math.abs(pr - expPr) < 1e-9,
+            s"$p/$g: percent_rank($v) = $pr, expected $expPr")
+          assert(math.abs(cd - expCd) < 1e-9,
+            s"$p/$g: cume_dist($v) = $cd, expected $expCd")
+        }
+        // cume_dist is monotone non-decreasing in the order key
+        val sorted = rs.sortBy(_._2)
+        sorted.sliding(2).foreach { w =>
+          if (w.length == 2) assert(w(0)._4 <= w(1)._4 + 1e-12,
+            s"$p/$g: cume_dist not monotone at v=${w(1)._2}")
+        }
+      }
+    }
+  }
+
+  test("window law: ntile(b) bucket sizes differ by at most 1, cover " +
+    "min(b, n) buckets, and sum to the partition size, for any filter") {
+    preds(949, 8).foreach { p =>
+      Seq(3, 4, 7).foreach { b =>
+        val rows = s.sql(s"SELECT grp, ntile($b) OVER (PARTITION BY grp " +
+          s"ORDER BY v) AS nt FROM mt WHERE $p").collect()
+          .map(r => (r.get(0).toString, r.getInt(1)))
+        rows.groupBy(_._1).foreach { case (g, rs) =>
+          val n = rs.length
+          val sizes = rs.groupBy(_._2).view.mapValues(_.length).toMap
+          assert(sizes.keySet == (1 to math.min(b, n)).toSet,
+            s"$p/$g: ntile($b) buckets ${sizes.keySet} over $n rows")
+          assert(sizes.values.sum == n)
+          assert(sizes.values.max - sizes.values.min <= 1,
+            s"$p/$g: ntile($b) sizes $sizes not within 1")
+          // earlier buckets take the remainder rows first
+          val bySize = (1 to math.min(b, n)).map(sizes)
+          bySize.sliding(2).foreach { w =>
+            if (w.length == 2) assert(w(0) >= w(1),
+              s"$p/$g: ntile($b) sizes $bySize not front-loaded")
+          }
+        }
+      }
+    }
+  }
+
   test("LIMIT n BY k law: at most n rows per key, every row a member " +
     "of the unlimited result") {
     preds(929, 8).foreach { p =>
