@@ -63,10 +63,17 @@ def main() -> int:
     if cpu_rows:
         ta = sum(r[2] for r in cpu_rows)
         tb = sum(r[3] for r in cpu_rows)
-        cpu_over = sum(1 for r in cpu_rows if r[0] > limit)
+        # per-query CPU is process-wide (background JIT threads bill to
+        # whichever sub-second query runs), so per-query ratios are only
+        # meaningful above ~1s of CPU; the totals ratio is the
+        # plan-identity statistic
+        big = [r for r in cpu_rows if min(r[2], r[3]) >= 1.0]
+        cpu_over = sum(1 for r in big if r[0] > limit)
+        worst = max(big) if big else max(cpu_rows)
         print(f"cpu-seconds view: totals {ta:.1f}s vs {tb:.1f}s "
-              f"({max(ta, tb) / min(ta, tb):.3f}x), {cpu_over} queries "
-              f"exceed {limit}x (worst {cpu_rows[0][0]:.2f}x {cpu_rows[0][1]})")
+              f"({max(ta, tb) / min(ta, tb):.3f}x), {cpu_over} of "
+              f"{len(big)} >=1s-cpu queries exceed {limit}x "
+              f"(worst {worst[0]:.2f}x {worst[1]})")
     if offenders:
         print(f"\nFAIL: {len(offenders)} queries exceed {limit}x")
         return 1
