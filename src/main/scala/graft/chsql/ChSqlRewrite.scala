@@ -1415,8 +1415,11 @@ object ChSqlRewrite {
       seg.flatMap(s => resolver.defaultLiteral(
         s.table, stripQual(s.alias, t.text).get))
         // the resolver call also validates the column exists; only the
-        // literal itself switches with the setting
-        .map(lit => if (useNulls) "NULL" else lit) match {
+        // literal itself switches with the setting. nullif(d, d) is a
+        // TYPED null of the column's default's type — a bare NULL would
+        // give the output column VOID type, which parquet writers (and
+        // schema compares) reject
+        .map(lit => if (useNulls) s"nullif($lit, $lit)" else lit) match {
         case Some(lit0) =>
           val colName = t.text.substring(t.text.indexOf('.') + 1)
           // bare SELECT-list item (SELECT …, g.genre, … FROM): keep the

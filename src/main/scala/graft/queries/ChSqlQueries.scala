@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
 
 import graft.chsql.ChSession
 import graft.tables.Tables
@@ -403,6 +404,88 @@ object ChSqlQueries {
           .json(s.createDataset(lines))
           .orderBy("prio")
       } finally server.close()
+    },
+
+    // ---- r10 join_use_nulls=0 residue, driver-verified: UNQUALIFIED
+    // unmatched-side references fill type defaults too (the r9 wrap was
+    // alias-qualified-only; ownership now proven via the resolver)
+    Q("q111_chsql_join_use_nulls_unqualified",
+      """WITH o AS (SELECT o_custkey, COUNT(*) AS n_orders,
+        |             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spend
+        |           FROM orders GROUP BY o_custkey)
+        |SELECT c.c_custkey,
+        |  COALESCE(o.n_orders, 0) AS n_orders,
+        |  COALESCE(o.spend, 0.0) AS spend
+        |FROM customer c LEFT JOIN o ON c.c_custkey = o.o_custkey
+        |ORDER BY c.c_custkey""") { (s, dir) =>
+      val ch = new ChSession(s)
+      val t = Tables(s, dir)
+      withTable(ch, "cust", "c_custkey Int64",
+        t.customer.select(col("c_custkey")), "Memory")
+      withTable(ch, "ostat", "o_custkey Int64, n_orders Int64, spend Float64",
+        t.orders.groupBy(col("o_custkey"))
+          .agg(count(lit(1)).as("n_orders"),
+            sum(col("o_totalprice").cast(DecimalType(18, 2)))
+              .cast(DoubleType).as("spend")), "Memory")
+      // n_orders / spend are UNQUALIFIED and owned by ostat alone
+      ch.sql(
+        """SELECT c.c_custkey, n_orders, spend
+          |FROM cust c LEFT JOIN ostat o ON c.c_custkey = o.o_custkey
+          |ORDER BY c.c_custkey""".stripMargin)
+    },
+
+    // ---- r10 fuzzer find, driver-verified: ANTI-join right columns
+    // follow join_use_nulls — typed NULL under = 1 (type defaults under
+    // the CH default = 0, the q05/hw06 path)
+    Q("q112_chsql_anti_join_use_nulls",
+      """SELECT c_custkey, CAST(NULL AS BIGINT) AS missing_order
+        |FROM customer WHERE c_custkey NOT IN
+        |  (SELECT o_custkey FROM orders WHERE o_totalprice > 300000)
+        |ORDER BY c_custkey""") { (s, dir) =>
+      val ch = new ChSession(s)
+      val t = Tables(s, dir)
+      withTable(ch, "cust", "c_custkey Int64",
+        t.customer.select(col("c_custkey")), "Memory")
+      // high-value orders only, so the anti set is NON-empty: customers
+      // without one surface the typed-NULL right column
+      withTable(ch, "ord", "o_custkey Int64, o_orderkey Int64",
+        t.orders.filter(col("o_totalprice") > 300000)
+          .select(col("o_custkey"), col("o_orderkey")), "Memory")
+      ch.sql(
+        """SELECT c.c_custkey, o.o_orderkey AS missing_order
+          |FROM cust c LEFT ANTI JOIN ord o ON c.c_custkey = o.o_custkey
+          |ORDER BY c.c_custkey
+          |SETTINGS join_use_nulls = 1""".stripMargin)
+    },
+
+    // ---- r10 composite ANY RIGHT left side, driver-verified: the left
+    // JOIN TREE (nation⋈region, EUROPE only) dedups per supplier nation
+    // — tree keys are unique so ANY ≡ ALL and DuckDB oracles it exactly
+    // — and unmatched suppliers fill the tree's String defaults
+    Q("q113_chsql_any_right_composite",
+      """SELECT COALESCE(t.n_name, '') AS n_name,
+        |       COALESCE(t.r_name, '') AS r_name, s.s_suppkey
+        |FROM supplier s LEFT JOIN (
+        |  SELECT n.n_nationkey, n.n_name, r.r_name
+        |  FROM nation n JOIN region r
+        |    ON n.n_regionkey = r.r_regionkey AND r.r_name = 'EUROPE') t
+        |ON t.n_nationkey = s.s_nationkey
+        |ORDER BY s.s_suppkey""") { (s, dir) =>
+      val ch = new ChSession(s)
+      val t = Tables(s, dir)
+      withTable(ch, "nation", "n_nationkey Int64, n_name String, n_regionkey Int64",
+        t.nation.select(col("n_nationkey"), col("n_name"), col("n_regionkey")),
+        "Memory")
+      withTable(ch, "region", "r_regionkey Int64, r_name String",
+        t.region.select(col("r_regionkey"), col("r_name")), "Memory")
+      withTable(ch, "supplier", "s_suppkey Int64, s_nationkey Int64",
+        t.supplier.select(col("s_suppkey"), col("s_nationkey")), "Memory")
+      ch.sql(
+        """SELECT n.n_name, r.r_name, s.s_suppkey
+          |FROM nation n JOIN region r
+          |  ON n.n_regionkey = r.r_regionkey AND r.r_name = 'EUROPE'
+          |ANY RIGHT JOIN supplier s ON n.n_nationkey = s.s_nationkey
+          |ORDER BY s.s_suppkey""".stripMargin)
     }
   )
 }
