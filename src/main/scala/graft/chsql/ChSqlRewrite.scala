@@ -166,6 +166,7 @@ object ChSqlRewrite {
     toks = rewriteLeftJoinDefaults(toks, resolver,
       tailSettings.get("join_use_nulls").map(settingIsTrue))
     toks = rewriteAnyJoin(toks)
+    toks = rewriteAsofJoin(toks, resolver)
     toks = rewritePrewhere(toks)
     val (afterFill, fill) = extractWithFill(toks)
     toks = afterFill
@@ -1323,6 +1324,262 @@ object ChSqlRewrite {
     val keys = toks.slice(usingOpen + 1, usingClose).filter(_.text != ",")
       .map(_.text)
     rewriteAnyJoin(rebuild(keys)) // handle further ANY joins
+  }
+
+  /** `ASOF [LEFT] JOIN` in SQL text (lectures/lecture_10.md:14) → the
+    * union-and-carry-forward window formulation — the SAME one-shuffle,
+    * no-candidate-explosion plan as [[graft.operators.Joins.asofLeft]]
+    * (the native `AsOfJoinExec` stays the library-level scale path):
+    * tag both sides, UNION ALL, one window partitioned by the equi keys
+    * ordered by (time, side), `last(payload, ignoreNulls)` carries the
+    * latest (or, forward modes, next) right payload onto each left row.
+    *
+    * ON form: every conjunct is either an equi key (`l.k = r.k`, plain
+    * columns) or THE one time inequality — either orientation, all four
+    * modes (>=, >, <=, <). USING form: the LAST column is the time
+    * (the ClickHouse contract), inclusive-backward. The join flattens
+    * through an auto-aliased subquery (`__asof`): left columns keep
+    * their names, right columns keep theirs unless they collide with a
+    * left name (then `__r_<name>`); alias-qualified outer references
+    * requalify onto the flattened names (same-block discipline, bare
+    * SELECT items keep their user-visible name via AS). Both sides
+    * must be single catalog tables — the lowering needs their column
+    * lists; subquery/composite sides → the library operator.
+    */
+  private def rewriteAsofJoin(toks: Vector[Token],
+                              resolver: Resolver): Vector[Token] = {
+    // first ASOF heading a join: `ASOF [LEFT] JOIN` (canonical CH
+    // order) or the `LEFT ASOF JOIN` spelling
+    var i = -1
+    var scan = 0
+    while (i < 0) {
+      val c = toks.indexWhere(_.is("ASOF"), scan)
+      if (c < 0) return toks
+      var j0 = c + 1
+      while (j0 < toks.length && toks(j0).is("LEFT")) j0 += 1
+      if (j0 < toks.length && toks(j0).is("JOIN")) i = c else scan = c + 1
+    }
+    def bad(msg: String) =
+      throw new IllegalArgumentException(s"ASOF JOIN: $msg")
+    val isLeftJoin = (i > 0 && toks(i - 1).is("LEFT")) ||
+      (i + 1 < toks.length && toks(i + 1).is("LEFT"))
+    var j = i + 1
+    while (j < toks.length && !toks(j).is("JOIN")) j += 1
+    val t0 = j + 1
+    if (t0 >= toks.length) bad("missing right side")
+    if (toks(t0).text == "(")
+      bad("subquery sides are unsupported in the SQL form - use " +
+        "graft.operators.Joins.asofLeftNativeMulti")
+    val rightTable = toks(t0).text
+    var k = t0 + 1
+    val rRegion = Vector.newBuilder[Token]
+    while (k < toks.length && !toks(k).is("ON") && !toks(k).is("USING")) {
+      rRegion += toks(k); k += 1
+    }
+    if (k >= toks.length) bad("missing ON/USING condition")
+    def aliasAndMods(region: Vector[Token], fallback: String)
+        : (String, String) = {
+      val mAt = region.indexWhere(t => t.is("FINAL") || t.is("SAMPLE"))
+      val (aToks, mToks) =
+        if (mAt < 0) (region, Vector.empty[Token])
+        else (region.take(mAt), region.drop(mAt))
+      val alias = aToks.filterNot(_.is("AS")).lastOption
+        .map(t => stripTicks(t.text)).getOrElse(fallback)
+      (alias, if (mToks.isEmpty) "" else " " + ChLexer.render(mToks))
+    }
+    val (rightAlias, rightMods) = aliasAndMods(rRegion.result(), rightTable)
+    // left side: single table ref between the clause's FROM and the
+    // join head (the ASOF token, or a LEFT before it)
+    val head0 = if (i > 0 && toks(i - 1).is("LEFT")) i - 1 else i
+    var fromIdx = -1
+    var depth = 0
+    var p = head0 - 1
+    while (fromIdx < 0 && p >= 0) {
+      val tx = toks(p).text
+      if (tx == ")") depth += 1
+      else if (tx == "(") { depth -= 1; if (depth < 0) p = 0 }
+      else if (depth == 0 && toks(p).is("FROM")) fromIdx = p
+      p -= 1
+    }
+    if (fromIdx < 0 || fromIdx + 1 >= head0) bad("could not find the left side")
+    val seg = toks.slice(fromIdx + 1, head0)
+    if (seg.head.text == "(" || seg.exists(_.is("JOIN")))
+      bad("the left side must be a single catalog table in the SQL " +
+        "form - use graft.operators.Joins.asofLeftNativeMulti")
+    val leftTable = seg.head.text
+    val (leftAlias, leftMods) = aliasAndMods(seg.drop(1), leftTable)
+    def colsOf(tbl: String): Seq[String] =
+      resolver.resolve(tbl).flatMap(rt => resolver.describe(rt.viewName))
+        .getOrElse(bad(s"table '$tbl' has no catalog schema - the " +
+          "lowering needs its column list"))
+    val leftCols = colsOf(leftTable)
+    val rightCols = colsOf(rightTable)
+    // ---- condition: equi keys + the one time inequality
+    var keys = Vector.empty[(String, String)] // (left col, right col)
+    var timePair: Option[(String, String, String)] = None // lcol, rcol, op
+    var e = -1 // first token AFTER the condition
+    if (toks(k).is("USING")) {
+      val open = if (toks(k + 1).text == "(") k + 1 else k
+      val close = if (toks(k + 1).text == "(") matchParen(toks, open) else k + 1
+      val cols = toks.slice(open + 1, close).filter(_.text != ",")
+        .map(t => stripTicks(t.text))
+      if (cols.length < 2)
+        bad("USING needs at least one key plus the time column")
+      keys = cols.init.map(c => (c, c)).toVector
+      timePair = Some((cols.last, cols.last, ">="))
+      e = close + 1
+    } else {
+      val term = joinCondTerm
+      var e0 = k + 1
+      var d = 0
+      while (e0 < toks.length && !(d == 0 &&
+        ((!toks(e0).isString && term(toks(e0).upper)) ||
+          toks(e0).text == ")" || toks(e0).text == ";"))) {
+        if (toks(e0).text == "(") d += 1
+        else if (toks(e0).text == ")") d -= 1
+        e0 += 1
+      }
+      e = e0
+      val onToks = toks.slice(k + 1, e)
+      val conjuncts = {
+        val out = Vector.newBuilder[Vector[Token]]
+        var cur = Vector.newBuilder[Token]
+        var dd = 0
+        onToks.foreach { t =>
+          if (t.text == "(") dd += 1
+          else if (t.text == ")") dd -= 1
+          if (dd == 0 && t.is("AND")) { out += cur.result(); cur = Vector.newBuilder }
+          else cur += t
+        }
+        out += cur.result()
+        out.result()
+      }
+      def sideCol(ts: Vector[Token]): Option[(Boolean, String)] =
+        ts match {
+          case Vector(t) if t.isIdent && !t.isString =>
+            def strip(a: String): Option[String] =
+              if (t.text.startsWith(a + ".")) Some(t.text.stripPrefix(a + "."))
+              else if (t.text.startsWith("`" + a + "`."))
+                Some(t.text.stripPrefix("`" + a + "`."))
+              else None
+            strip(leftAlias).map(c => (true, stripTicks(c)))
+              .orElse(strip(rightAlias).map(c => (false, stripTicks(c))))
+          case _ => None
+        }
+      val cmpOps = Set("=", "==", ">=", ">", "<=", "<")
+      conjuncts.foreach { c0 =>
+        // strip redundant whole-conjunct parens
+        var c = c0
+        while (c.length >= 2 && c.head.text == "(" &&
+          matchParen(c, 0) == c.length - 1) c = c.slice(1, c.length - 1)
+        var dd = 0
+        var opAt = -1
+        var x = 0
+        while (x < c.length && opAt < 0) {
+          val t = c(x)
+          if (t.text == "(") dd += 1
+          else if (t.text == ")") dd -= 1
+          else if (dd == 0 && !t.isString && cmpOps(t.text)) opAt = x
+          x += 1
+        }
+        if (opAt < 0) bad(s"unsupported conjunct: ${ChLexer.render(c)}")
+        val op = c(opAt).text
+        (sideCol(c.take(opAt)), sideCol(c.drop(opAt + 1))) match {
+          case (Some((true, lc)), Some((false, rc))) =>
+            if (op == "=" || op == "==") keys = keys :+ ((lc, rc))
+            else if (timePair.nonEmpty) bad("more than one time inequality")
+            else timePair = Some((lc, rc, op))
+          case (Some((false, rc)), Some((true, lc))) =>
+            if (op == "=" || op == "==") keys = keys :+ ((lc, rc))
+            else if (timePair.nonEmpty) bad("more than one time inequality")
+            else timePair = Some((lc, rc, op match {
+              case ">=" => "<="
+              case ">" => "<"
+              case "<=" => ">="
+              case _ => ">"
+            }))
+          case _ => bad("each conjunct must compare one plain left " +
+            s"column with one plain right column: ${ChLexer.render(c)}")
+        }
+      }
+    }
+    val (lt, rt, op) = timePair.getOrElse(
+      bad("missing the time inequality conjunct"))
+    // ---- generate the union-and-carry-forward subquery. Side tags:
+    // at EQUAL time the right row sorts before the left row for the
+    // inclusive modes (so an exact-time right row matches) and after
+    // it for the strict modes; forward modes walk time descending.
+    def q(c: String) = "`" + c + "`"
+    val (dir, rightTag) = op match {
+      case ">=" => ("", 0) // backward inclusive (the CH default)
+      case ">" => ("", 2) // backward strict
+      case "<=" => (" DESC", 0) // forward inclusive
+      case _ => (" DESC", 2) // forward strict
+    }
+    val keyOuts = keys.indices.map(ix => s"__k$ix")
+    val lKeySel = keys.zipWithIndex.map { case ((lk, _), ix) =>
+      s"a.${q(lk)} AS __k$ix" }
+    val rKeySel = keys.zipWithIndex.map { case ((_, rk), ix) =>
+      s"b.${q(rk)} AS __k$ix" }
+    val lBranch = (lKeySel ++ Seq(s"CAST(a.${q(lt)} AS DOUBLE) AS __t",
+      "1 AS __side") ++ leftCols.map(c => s"a.${q(c)} AS ${q(c)}") ++
+      Seq("NULL AS __rpay")).mkString(
+      "SELECT ", ", ", s" FROM $leftTable$leftMods a")
+    val rStruct = rightCols.map(c => s"'$c', b.${q(c)}")
+      .mkString("named_struct(", ", ", ")")
+    val rBranch = (rKeySel ++ Seq(s"CAST(b.${q(rt)} AS DOUBLE) AS __t",
+      s"$rightTag AS __side") ++ leftCols.map(c => s"NULL AS ${q(c)}") ++
+      Seq(s"$rStruct AS __rpay")).mkString(
+      "SELECT ", ", ", s" FROM $rightTable$rightMods b")
+    val part = if (keyOuts.isEmpty) ""
+      else s"PARTITION BY ${keyOuts.mkString(", ")} "
+    val win = s"last(__rpay, true) OVER (${part}ORDER BY __t$dir, __side " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS __m"
+    val collide = leftCols.toSet
+    def outName(c: String): String = if (collide(c)) s"__r_$c" else c
+    val finalSel = leftCols.map(c => q(c)) ++
+      rightCols.map(c => s"__m.${q(c)} AS ${q(outName(c))}")
+    val innerFilter = if (isLeftJoin) "" else " AND __m IS NOT NULL"
+    val gen = s"(SELECT ${finalSel.mkString(", ")} FROM (SELECT *, $win " +
+      s"FROM ($lBranch UNION ALL $rBranch)) WHERE __side = 1$innerFilter)"
+    // ---- splice + requalify outer references (same-block discipline)
+    val (blockIds, inListArr) = selectBlockScopes(toks)
+    val joinBlock = blockIds(i)
+    def requal(ts: Vector[Token], offset: Int): Vector[Token] = {
+      val out = Vector.newBuilder[Token]
+      ts.zipWithIndex.foreach { case (t, ix) =>
+        val pos = offset + ix
+        if (t.isIdent && !t.isString && blockIds(pos) == joinBlock) {
+          def strip(a: String): Option[String] =
+            if (t.text.startsWith(a + ".")) Some(t.text.stripPrefix(a + "."))
+            else if (t.text.startsWith("`" + a + "`."))
+              Some(t.text.stripPrefix("`" + a + "`."))
+            else None
+          strip(leftAlias) match {
+            case Some(c) => out += t.copy(text = "__asof." + c)
+            case None => strip(rightAlias) match {
+              case Some(c0) =>
+                val c = stripTicks(c0)
+                out += t.copy(text = "__asof." + outName(c))
+                // a collision-renamed BARE SELECT item keeps its
+                // user-visible column name
+                val bare = collide(c) && inListArr(pos) && pos > 0 &&
+                  pos + 1 < toks.length &&
+                  (toks(pos - 1).text == "," || toks(pos - 1).is("SELECT") ||
+                    toks(pos - 1).is("DISTINCT")) &&
+                  (toks(pos + 1).text == "," || toks(pos + 1).is("FROM"))
+                if (bare) { out += Token("AS") += Token(c); () }
+              case None => out += t
+            }
+          }
+        } else out += t
+      }
+      out.result()
+    }
+    val rebuilt = requal(toks.take(fromIdx + 1), 0) ++
+      ChLexer.tokenize(gen) ++ Vector(Token("AS"), Token("__asof")) ++
+      requal(toks.slice(e, toks.length), e)
+    rewriteAsofJoin(rebuilt, resolver)
   }
 
   /** ClickHouse lets a query READ right-side columns of an ANTI JOIN:

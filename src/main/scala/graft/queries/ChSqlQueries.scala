@@ -486,6 +486,46 @@ object ChSqlQueries {
           |  ON n.n_regionkey = r.r_regionkey AND r.r_name = 'EUROPE'
           |ANY RIGHT JOIN supplier s ON n.n_nationkey = s.s_nationkey
           |ORDER BY s.s_suppkey""".stripMargin)
+    },
+
+    // ---- r10 ASOF JOIN through SQL TEXT (q07 runs the library
+    // operator; this is the dialect lowering — union-and-carry-forward,
+    // one shuffle) vs DuckDB's native ASOF. Misses fill type defaults
+    // (join_use_nulls = 0), so the oracle COALESCEs
+    Q("q114_chsql_asof_join",
+      """WITH r AS (
+        |  SELECT user_id, ts_s, value FROM (
+        |    SELECT user_id, epoch_ns(ts) // 1000000000 AS ts_s, value,
+        |           row_number() OVER (PARTITION BY user_id, epoch_ns(ts) // 1000000000 ORDER BY event_id DESC) AS rn
+        |    FROM events WHERE event_type = 'signup') WHERE rn = 1),
+        |l AS (
+        |  SELECT event_id, user_id, epoch_ns(ts) // 1000000000 AS ts_s
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT l.event_id, l.user_id, l.ts_s,
+        |       COALESCE(r.ts_s, 0) AS signup_ts_s,
+        |       COALESCE(r.value, 0.0) AS signup_value
+        |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts_s >= r.ts_s
+        |ORDER BY l.event_id""") { (s, dir) =>
+      val ch = new ChSession(s)
+      val ev = Tables(s, dir).events
+      withTable(ch, "purch", "event_id Int64, user_id Int64, ts_s Int64",
+        ev.filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"),
+            unix_timestamp(col("ts")).as("ts_s")), "Memory")
+      val rw = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id"), col("ts_s")).orderBy(col("event_id").desc)
+      withTable(ch, "signup", "user_id Int64, ts_s Int64, value Float64",
+        ev.filter(col("event_type") === "signup")
+          .select(col("user_id"), unix_timestamp(col("ts")).as("ts_s"),
+            col("value"), col("event_id"))
+          .withColumn("rn", row_number().over(rw)).filter(col("rn") === 1)
+          .select(col("user_id"), col("ts_s"), col("value")), "Memory")
+      ch.sql(
+        """SELECT l.event_id AS event_id, l.user_id AS user_id,
+          |  l.ts_s AS ts_s, r.ts_s AS signup_ts_s, r.value AS signup_value
+          |FROM purch l ASOF LEFT JOIN signup r
+          |  ON l.user_id = r.user_id AND l.ts_s >= r.ts_s
+          |ORDER BY event_id""".stripMargin)
     }
   )
 }

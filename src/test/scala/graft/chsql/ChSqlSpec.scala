@@ -1724,6 +1724,77 @@ class ChSqlSpec extends SparkSpec {
       "join_use_nulls = 1 must surface NULLs on the composite miss")
   }
 
+  test("ASOF JOIN in SQL text: all four inequality modes, inner + LEFT, " +
+    "ON and USING forms, against a brute-force model") {
+    val s = ch
+    s.execute(
+      """CREATE TABLE aql (k UInt32, t UInt32, a String) ENGINE = Memory;
+        |CREATE TABLE aqr (k UInt32, t UInt32, v String) ENGINE = Memory;
+        |INSERT INTO aql VALUES (1, 10, 'a10'), (1, 20, 'a20'), (2, 10, 'b10'), (3, 15, 'c15');
+        |INSERT INTO aqr VALUES (1, 5, 'r5'), (1, 20, 'r20'), (2, 25, 'r25'), (4, 1, 'r1');""".stripMargin)
+    val lRows = Seq((1L, 10L), (1L, 20L), (2L, 10L), (3L, 15L))
+    val rRows = Seq((1L, 5L, "r5"), (1L, 20L, "r20"), (2L, 25L, "r25"), (4L, 1L, "r1"))
+    def model(op: String): Map[(Long, Long), Option[String]] =
+      lRows.map { case (k, t) =>
+        val cand = rRows.filter(_._1 == k).filter { r =>
+          op match {
+            case ">=" => r._2 <= t
+            case ">" => r._2 < t
+            case "<=" => r._2 >= t
+            case "<" => r._2 > t
+          }
+        }
+        val pick =
+          if (cand.isEmpty) None
+          else Some((op match {
+            case ">=" | ">" => cand.maxBy(_._2)
+            case _ => cand.minBy(_._2)
+          })._3)
+        (k, t) -> pick
+      }.toMap
+    Seq(">=", ">", "<=", "<").foreach { op =>
+      // LEFT: every left row survives; a miss fills the String type
+      // default '' under join_use_nulls = 0 (the dialect default)
+      val left = s.sql(
+        s"""SELECT l.k AS k, l.t AS t, l.a AS a, r.v AS v
+           |FROM aql l ASOF LEFT JOIN aqr r ON l.k = r.k AND l.t $op r.t
+           |ORDER BY k, t""".stripMargin).collect()
+      assert(left.length == 4, s"op $op: ASOF LEFT keeps all left rows")
+      left.foreach { row =>
+        val key = (row.getLong(0), row.getLong(1))
+        val expect = model(op)(key).getOrElse("")
+        assert(row.getString(3) == expect,
+          s"op $op $key: got ${row.getString(3)}, expected $expect")
+      }
+      // inner: only matched left rows survive
+      val inner = s.sql(
+        s"""SELECT l.k AS k, l.t AS t, r.v AS v
+           |FROM aql l ASOF JOIN aqr r ON l.k = r.k AND l.t $op r.t
+           |ORDER BY k, t""".stripMargin).collect()
+      val expInner = lRows.flatMap { case (k, t) =>
+        model(op)((k, t)).map(v => (k, t, v)) }
+      assert(inner.map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+        .toSeq == expInner, s"op $op: inner ASOF mismatch")
+    }
+    // USING form: the LAST column is the time, inclusive-backward;
+    // unqualified k/t resolve to the kept left values
+    val us = s.sql(
+      """SELECT k, t, a, v FROM aql ASOF LEFT JOIN aqr USING (k, t)
+        |ORDER BY k, t""".stripMargin).collect()
+    assert(us.length == 4)
+    us.foreach { row =>
+      val expect = model(">=")((row.getLong(0), row.getLong(1))).getOrElse("")
+      assert(row.getString(3) == expect, s"USING ${row.getLong(0)}: $row")
+    }
+    // join_use_nulls = 1: the ASOF miss surfaces NULL instead of ''
+    val nu = s.sql(
+      """SELECT l.k AS k, r.v AS v
+        |FROM aql l ASOF LEFT JOIN aqr r ON l.k = r.k AND l.t >= r.t
+        |ORDER BY k, l.t SETTINGS join_use_nulls = 1""".stripMargin).collect()
+    assert(nu.exists(_.isNullAt(1)),
+      "join_use_nulls = 1 must surface NULL on the k=3 ASOF miss")
+  }
+
   test("ANY LEFT JOIN ... ON accepts an unqualified right column (hw06 idiom)") {
     val s = ch
     s.execute(
@@ -1960,13 +2031,16 @@ class ChSqlSpec extends SparkSpec {
     assert(co.contains("ONa.k=b.k"),
       s"inner join condition must stay unwrapped: $co")
     assert(!co.contains("coalesce(c.z"), s"kept right side must not wrap: $co")
-    // 5. ASOF LEFT JOIN fills its misses like plain LEFT JOIN
-    //    (the inequality lives in the ON clause — unwrapped there)
+    // 5. ASOF LEFT JOIN fills its misses like plain LEFT JOIN; the r10
+    //    SQL lowering then requalifies the wrapped ref onto the
+    //    flattened subquery and turns the join into the
+    //    union-and-carry-forward window form
     val as = rw("SELECT l.a, r.v FROM lt l ASOF LEFT JOIN rt r " +
       "ON l.k = r.k AND l.t >= r.t")
-    assert(as.contains("coalesce(r.v"), s"ASOF LEFT right col must wrap: $as")
-    assert(as.contains("ANDl.t>=r.t"),
-      s"ASOF condition must stay unwrapped: $as")
+    assert(as.contains("coalesce(__asof.v"),
+      s"ASOF LEFT right col must wrap and requalify: $as")
+    assert(as.contains("UNIONALL") && as.contains("last(__rpay,true)"),
+      s"ASOF must lower to the carry-forward window form: $as")
     // 6. `SETTINGS join_use_nulls = 1` disables every new wrap too
     val off = graft.chsql.ChSqlRewrite.rewrite(
       "SELECT name, genre FROM mv m LEFT JOIN ge g ON m.id = g.movie_id " +

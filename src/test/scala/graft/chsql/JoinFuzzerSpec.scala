@@ -5,9 +5,11 @@ import graft.SparkSpec
 /** Randomized join fuzzer (the round-9 verdict's next-round #2): the
   * r8 ANY-degrade bug and the r9 join_use_nulls bug were both found by
   * targeted metamorphic laws, so this generalizes the class — a seeded
-  * generator enumerates join kind × strictness (ALL/ANY/SEMI/ANTI) ×
-  * condition form (USING/ON) × projection form (qualified/unqualified)
-  * × join_use_nulls setting over keyed fixtures whose DATA is drawn
+  * generator enumerates join kind × strictness (ALL/ANY/SEMI/ANTI/ASOF,
+  * the ASOF draws covering all four inequality modes of the r10 SQL
+  * lowering) × condition form (USING/ON) × projection form
+  * (qualified/unqualified) × join_use_nulls setting over keyed
+  * fixtures whose DATA is drawn
   * from a seeded Random, executes each query through the ClickHouse
   * dialect, and compares the result multiset against an independent
   * row-level reference evaluator encoding ClickHouse's documented
@@ -41,6 +43,19 @@ class JoinFuzzerSpec extends SparkSpec {
     val lKeys = Seq(1L, 2L, 2L, 4L) ++ Seq.fill(4)(rnd.nextInt(8).toLong)
     val rKeys = Seq(1L, 3L, 3L, 5L) ++ Seq.fill(4)(rnd.nextInt(8).toLong)
     (lKeys.map(lRow), rKeys.map(rRow))
+  }
+
+  /** ASOF fixtures: unique (key, time) per side, times from a shared
+    * grid so EQUAL timestamps occur (they distinguish >= from > and
+    * <= from <); the payload is a pure function of (key, time).
+    */
+  private def asofCorpus(seed: Int): (Seq[Row3], Seq[Row3]) = {
+    val rnd = new scala.util.Random(seed * 31 + 7)
+    def side(tag: String): Seq[Row3] =
+      (Seq((1L, 10L), (1L, 20L), (2L, 10L)) ++
+        Seq.fill(6)((rnd.nextInt(5).toLong, rnd.nextInt(5).toLong * 10)))
+        .distinct.map { case (k, t) => (k, s"$tag${k}_$t", t) }
+    (side("a"), side("b"))
   }
 
   private val kinds = Vector(
@@ -157,6 +172,54 @@ class JoinFuzzerSpec extends SparkSpec {
           }
           ran += 1
         }
+      }
+      // ASOF draws (r10 SQL lowering): 4 inequality modes × inner/LEFT
+      // × join_use_nulls over time-ful fixtures, vs the brute-force
+      // pick-the-closest model
+      val (aRows, bRows) = asofCorpus(seed)
+      val (at, bt) = (s"fza$ci", s"fzb$ci")
+      s.execute(
+        s"""CREATE TABLE $at (k UInt32, av String, t UInt32) ENGINE = Memory;
+           |CREATE TABLE $bt (k UInt32, bv String, t UInt32) ENGINE = Memory;
+           |INSERT INTO $at VALUES ${aRows.map(r => s"(${r._1}, '${r._2}', ${r._3})").mkString(", ")};
+           |INSERT INTO $bt VALUES ${bRows.map(r => s"(${r._1}, '${r._2}', ${r._3})").mkString(", ")};""".stripMargin)
+      for {
+        op <- Seq(">=", ">", "<=", "<")
+        leftKind <- Seq(true, false)
+        useNulls <- Seq(false, true)
+      } {
+        val kind = if (leftKind) "ASOF LEFT JOIN" else "ASOF JOIN"
+        val tail = if (useNulls) " SETTINGS join_use_nulls = 1" else ""
+        val sql = s"SELECT l.k AS k, l.t AS t, l.av AS av, r.bv AS bv " +
+          s"FROM $at l $kind $bt r ON l.k = r.k AND l.t $op r.t$tail"
+        val expected = aRows.flatMap { case (k, av, t) =>
+          val cand = bRows.filter(b => b._1 == k && (op match {
+            case ">=" => b._3 <= t
+            case ">" => b._3 < t
+            case "<=" => b._3 >= t
+            case _ => b._3 > t
+          }))
+          val pick =
+            if (cand.isEmpty) None
+            else Some((op match {
+              case ">=" | ">" => cand.maxBy(_._3)
+              case _ => cand.minBy(_._3)
+            })._2)
+          if (pick.isEmpty && !leftKind) None
+          else Some(Vector(k.toString, t.toString, av,
+            cell(pick, useNulls, "")))
+        }.sortBy(_.mkString("|"))
+        (try Right(norm(s.sql(sql).collect()))
+         catch { case ex: Exception =>
+           Left(ex.getMessage.linesIterator.next())
+         }) match {
+          case Left(err) => failures += s"$sql\n  threw: $err"
+          case Right(got) if got != expected =>
+            failures += s"$sql\n  expected ${expected.size} rows " +
+              s"${expected.take(4)}\n  got ${got.size} rows ${got.take(4)}"
+          case _ => ()
+        }
+        ran += 1
       }
     }
     assert(ran >= 100, s"fuzzer must draw at least 100 queries, drew $ran")
