@@ -61,7 +61,20 @@ class JoinFuzzerSpec extends SparkSpec {
   private val kinds = Vector(
     "INNER JOIN", "LEFT JOIN", "RIGHT JOIN", "FULL JOIN",
     "ANY LEFT JOIN", "ANY RIGHT JOIN", "ANY INNER JOIN",
+    // kind-first ANY spellings — valid ClickHouse, the r8 bug class
+    // (normalized by token swap in rewriteAnyJoin)
+    "LEFT ANY JOIN", "RIGHT ANY JOIN", "INNER ANY JOIN",
     "LEFT SEMI JOIN", "LEFT ANTI JOIN", "CROSS JOIN")
+
+  /** Canonical kind for the evaluator: both ANY spellings share one
+    * semantics row.
+    */
+  private def canon(kind: String): String = kind match {
+    case "LEFT ANY JOIN" => "ANY LEFT JOIN"
+    case "RIGHT ANY JOIN" => "ANY RIGHT JOIN"
+    case "INNER ANY JOIN" => "ANY INNER JOIN"
+    case k => k
+  }
 
   /** ClickHouse-semantics reference evaluator: the (left, right) row
     * pairs a join kind produces, misses as None.
@@ -154,11 +167,11 @@ class JoinFuzzerSpec extends SparkSpec {
         val skip = (kind == "CROSS JOIN" && cond.startsWith("USING")) ||
           ((kind == "LEFT SEMI JOIN" || kind == "LEFT ANTI JOIN") && proj == 1)
         if (!skip) {
-          val (sel, expectRow) = projection(kind, proj)
+          val (sel, expectRow) = projection(canon(kind), proj)
           val condSql = if (kind == "CROSS JOIN") "" else s" $cond"
           val tail = if (useNulls) " SETTINGS join_use_nulls = 1" else ""
           val sql = s"SELECT $sel FROM $lt l $kind $rt r$condSql$tail"
-          val expected = pairs(kind, lRows, rRows).map(expectRow(_, useNulls))
+          val expected = pairs(canon(kind), lRows, rRows).map(expectRow(_, useNulls))
             .sortBy(_.mkString("|"))
           (try Right(norm(s.sql(sql).collect()))
            catch { case e: Exception =>
