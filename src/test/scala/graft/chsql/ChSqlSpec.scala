@@ -1990,6 +1990,26 @@ class ChSqlSpec extends SparkSpec {
       "join_use_nulls = true must surface SQL NULLs")
   }
 
+  test("ANTI right columns follow the SESSION join_use_nulls: SET = 1 " +
+    "surfaces typed NULLs (the r10 fuzzer find, session-scope twin)") {
+    val s = ch
+    s.execute(
+      """CREATE TABLE av1 (id UInt32, name String) ENGINE = Memory;
+        |CREATE TABLE ag1 (movie_id UInt32, genre String) ENGINE = Memory;
+        |INSERT INTO av1 VALUES (1, 'm1'), (2, 'm2');
+        |INSERT INTO ag1 VALUES (1, 'x');""".stripMargin)
+    val q = "SELECT m.id AS id, g.genre AS genre FROM av1 m " +
+      "LEFT ANTI JOIN ag1 g ON m.id = g.movie_id ORDER BY id"
+    // default (= 0): the unmatched right column reads the type default
+    val def0 = s.sql(q).collect()
+    assert(def0.length == 1 && def0.head.getString(1) == "")
+    s.execute("SET join_use_nulls = 1")
+    val rows = s.sql(q).collect()
+    assert(rows.length == 1 && rows.head.get(0).toString == "2")
+    assert(rows.head.isNullAt(1),
+      "session join_use_nulls = 1 must surface NULL ANTI right columns")
+  }
+
   test("join_use_nulls = 0 residue: unqualified refs, composite RIGHT-join " +
     "left sides, ASOF LEFT — all fill; shadowed/ambiguous names skip") {
     // rewrite-level, against a stub catalog: precise wrap placement
