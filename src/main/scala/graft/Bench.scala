@@ -271,7 +271,7 @@ object Bench {
     val caches = scala.collection.mutable.ArrayBuffer.empty[Long]
     val errors = scala.collection.mutable.LinkedHashSet.empty[String]
     var childPasses = 0
-    (1 to jvms).foreach { child =>
+    def runChild(child: Int, extraEnv: Map[String, String]): Unit = {
       val cmd = (Seq(javaBin) ++ jvmArgs ++ Seq("-cp", cp, "graft.Bench")).asJava
       val pb = new ProcessBuilder(cmd)
       pb.environment().put("SPARK_GRAFT_BENCH_CHILD", child.toString)
@@ -279,6 +279,7 @@ object Bench {
       // real one after pooling
       pb.environment().put("SPARK_GRAFT_BENCH_OUT",
         s"/tmp/graft_bench_child_$child.json")
+      extraEnv.foreach { case (k, v) => pb.environment().put(k, v) }
       pb.redirectErrorStream(false)
       pb.redirectError(ProcessBuilder.Redirect.INHERIT)
       val proc = pb.start()
@@ -308,6 +309,32 @@ object Bench {
         System.err.println(s"bench: child $child exited $code")
         errors += s"__child_${child}_exit_$code"
       }
+    }
+    (1 to jvms).foreach(child => runChild(child, Map.empty))
+    // Heavy-row top-up (r11): at high SF, the heaviest rows' small
+    // pooled-sample counts go BIMODAL (the r10 board measured d09c's
+    // 4-sample floor at 26.6s over a [14.7, 42.6] spread; a focused
+    // 6-sample run settled it at 13.9s). Rows whose provisional floor
+    // exceeds SPARK_GRAFT_BENCH_TOPUP_SECS (default 5s; <= 0 disables)
+    // get SPARK_GRAFT_BENCH_TOPUP_JVMS (default 2) extra child JVMs
+    // running ONLY them, pooling into the same statistics — one
+    // self-sufficient artifact, no separate focused re-run. At the
+    // driver's sf0.1 no row crosses 5s, so the per-round board cost is
+    // unchanged.
+    val topUpSecs = sys.env.get("SPARK_GRAFT_BENCH_TOPUP_SECS")
+      .flatMap(_.toDoubleOption).getOrElse(5.0)
+    val topUpJvms = sys.env.get("SPARK_GRAFT_BENCH_TOPUP_JVMS")
+      .flatMap(_.toIntOption).getOrElse(2)
+    val heavy =
+      if (topUpSecs <= 0 || topUpJvms <= 0) Nil
+      else samples.toSeq.map { case (n, ts) =>
+        val s = ts.sorted
+        (n, s.take(3).sum / math.max(1, s.take(3).length))
+      }.filter(_._2 >= topUpSecs).sortBy(-_._2).take(10).map(_._1)
+    if (heavy.nonEmpty) {
+      println(s"topup:${heavy.mkString(",")}")
+      (1 to topUpJvms).foreach(child => runChild(jvms + child,
+        Map("SPARK_GRAFT_BENCH_ONLY" -> heavy.mkString(","))))
     }
     val names = samples.keys.toSeq.sorted
     // floor estimate: mean of the 3 fastest pooled samples — robust to

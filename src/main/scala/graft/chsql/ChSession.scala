@@ -1452,6 +1452,56 @@ final class ChSession(val spark: SparkSession,
             scala.util.Try(spark.table(rt.viewName).schema(column)).toOption)
             .map(f => ChTypes.defaultLiteralSql(f.dataType)))
 
+      override def nullLiteral(ident: String,
+                               column: String): Option[String] =
+        // nullable = true forces the CAST(NULL AS T) form regardless of
+        // the declared nullability — the join_use_nulls = 1 fill is
+        // NULL for every column type
+        tables.get(parseRef(strip(ident)))
+          .flatMap(_.columns.find(_.name.equalsIgnoreCase(column)))
+          .map(c => ChTypes.defaultLiteralSql(c.dataType, nullable = true))
+          .orElse(resolve(ident).flatMap(rt =>
+            scala.util.Try(spark.table(rt.viewName).schema(column)).toOption)
+            .map(f => ChTypes.defaultLiteralSql(f.dataType, nullable = true)))
+
+      override def describeQuery(sql: String): Option[Seq[String]] =
+        scala.util.Try(runSelect(sql, overrides).columns.toSeq).toOption
+
+      override def queryDefaultLiterals(sql: String)
+          : Option[Map[String, String]] =
+        scala.util.Try {
+          val df = runSelect(sql, overrides)
+          // declared-nullability passthrough: an output column that
+          // names exactly ONE declared column across the subquery's
+          // referenced catalog tables (same Spark type) takes ITS
+          // declared default — the runtime view schema widens
+          // everything to nullable (Memory-table inserts), so a plain
+          // String column would otherwise wrongly default to NULL.
+          // Computed columns keep the zero-value default of their
+          // result type (the documented fallback convention).
+          val declared = ChLexer.tokenize(sql)
+            .filter(t => t.isIdent && !t.isString)
+            .flatMap(t => tables.get(parseRef(strip(t.text))))
+            .distinct.flatMap(_.columns)
+            .groupBy(_.name.toLowerCase)
+          df.schema.fields.map { f =>
+            val lit = declared.get(f.name.toLowerCase) match {
+              case Some(Seq(c)) if c.dataType == f.dataType =>
+                ChTypes.defaultLiteralSql(c.dataType, c.nullable)
+              case _ => ChTypes.defaultLiteralSql(f.dataType)
+            }
+            f.name -> lit
+          }.toMap
+        }.toOption
+
+      override def queryNullLiterals(sql: String)
+          : Option[Map[String, String]] =
+        scala.util.Try {
+          runSelect(sql, overrides).schema.fields.map(f =>
+            f.name -> ChTypes.defaultLiteralSql(f.dataType,
+              nullable = true)).toMap
+        }.toOption
+
       override def joinUseNulls: Boolean = {
         // ClickHouse Bool settings accept 1/0 and true/false
         val v = sessionSettings.getOrElse("join_use_nulls", "0")
@@ -2533,19 +2583,59 @@ final class ChSession(val spark: SparkSession,
         sb ++= s"CREATE MATERIALIZED VIEW ${m.db}.${m.name} TO " +
           s"${m.targetDb}.${m.targetTable} AS ${m.selectSql};\n"
       }
+      // the journal ends with a terminator line so attach() can DETECT
+      // a torn write, and the rewrite goes write-tmp → rename so a
+      // crash mid-write never truncates the live journal (r11; pre-r11
+      // a crash between fs.create(overwrite) and close could leave a
+      // half-written catalog that replayed partially)
+      sb ++= journalEndMarker + "\n"
       val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val out = fs.create(p, true)
+      val tmp = new org.apache.hadoop.fs.Path(p.toString + ".tmp")
+      val out = fs.create(tmp, true)
       try out.write(sb.result().getBytes("UTF-8")) finally out.close()
+      // FileSystem.rename refuses an existing destination on HDFS —
+      // delete-then-rename leaves, at worst, only the COMPLETE tmp on
+      // a crash between the two calls, which attach() recovers from
+      if (fs.exists(p)) fs.delete(p, false)
+      if (!fs.rename(tmp, p))
+        throw new IllegalStateException(
+          s"could not move the catalog journal into place: $tmp -> $p")
     }
   }
+
+  /** Journal terminator — a SQL comment, so replay ignores it; its
+    * absence marks a torn file.
+    */
+  private val journalEndMarker = "-- graft:catalog:end"
 
   private[chsql] def attachExisting(): Unit =
     catalogFile.foreach { p =>
       val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val tmp = new org.apache.hadoop.fs.Path(p.toString + ".tmp")
+      def readAll(path: org.apache.hadoop.fs.Path): String = {
+        val in = fs.open(path)
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      }
+      // crash recovery: a missing journal with a COMPLETE tmp next to
+      // it means the process died between delete and rename — the tmp
+      // IS the journal (journalCatalog writes it in full before
+      // touching the live file)
+      if (!fs.exists(p) && fs.exists(tmp) &&
+        readAll(tmp).contains(journalEndMarker)) {
+        fs.rename(tmp, p); ()
+      }
       if (fs.exists(p)) {
-        val in = fs.open(p)
-        val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-          finally in.close()
+        val text = readAll(p)
+        // a journal without the terminator is TORN (a pre-r11 session
+        // that crashed mid-create, or manual truncation): refuse to
+        // replay a half catalog — silently attaching a prefix would
+        // resurrect some tables and drop others
+        if (!text.contains(journalEndMarker) && text.trim.nonEmpty)
+          throw new IllegalStateException(
+            s"catalog journal $p is torn (missing the '$journalEndMarker' " +
+              "terminator) - refusing to replay a partial catalog; " +
+              "restore the file or delete it to re-create the tables")
         attaching = true
         try execute(text) finally attaching = false
       }

@@ -62,6 +62,43 @@ object ChSqlRewrite {
     def defaultLiteral(ident: String, column: String): Option[String] =
       None
 
+    /** SQL literal text of a TYPED NULL (`CAST(NULL AS T)`) for
+      * `column` on the (CH-named) table `ident` — what ANTI right-side
+      * references surface under `join_use_nulls = 1`. A bare NULL would
+      * give the output column VOID type, and the nullif(d, d) trick
+      * fails analysis on Map-typed columns (Spark rejects map
+      * equality).
+      */
+    def nullLiteral(ident: String, column: String): Option[String] =
+      None
+
+    /** Column names of an arbitrary dialect SELECT (analysis only, no
+      * execution) — powers the subquery sides of the ASOF SQL lowering
+      * and the join_use_nulls = 0 default synthesis, where no catalog
+      * entry exists to take a column list from.
+      */
+    def describeQuery(sql: String): Option[Seq[String]] = None
+
+    /** name → type-default literal map of an arbitrary dialect
+      * SELECT's output columns — what an unmatched outer-join side
+      * surfaces under `join_use_nulls = 0` when that side is a
+      * SUBQUERY. Best-effort declared-nullability passthrough: an
+      * output column naming exactly one declared catalog column takes
+      * its declared default (runtime schemas widen everything to
+      * nullable); computed columns keep the zero-value default of
+      * their result type.
+      */
+    def queryDefaultLiterals(sql: String): Option[Map[String, String]] =
+      None
+
+    /** name → typed-NULL literal map (`CAST(NULL AS T)`) of an
+      * arbitrary dialect SELECT's output columns — the ANTI right-side
+      * substitution under `join_use_nulls = 1` when that side is a
+      * subquery.
+      */
+    def queryNullLiterals(sql: String): Option[Map[String, String]] =
+      None
+
     /** The session's `join_use_nulls` setting: false (ClickHouse's
       * default, 0) makes unmatched outer-join columns read their TYPE
       * DEFAULTS via [[rewrite]]'s coalesce wrap; true (1) keeps SQL
@@ -98,6 +135,72 @@ object ChSqlRewrite {
   private val joinCondTerm = clauseStarters ++ Set("PREWHERE", "JOIN",
     "LEFT", "RIGHT", "INNER", "FULL", "CROSS", "ANY", "ALL", "ASOF",
     "SEMI", "ANTI", "PASTE")
+
+  /** LEFT/RIGHT/ANY double as scalar function NAMES (`left(s, 2)`,
+    * `any(x)`): a keyword-set match that is immediately followed by
+    * `(` is a CALL inside an expression, never a join keyword or a
+    * condition-span terminator. JOIN itself is exempt from the
+    * exemption — `JOIN (SELECT …)` heads a subquery side — as is every
+    * keyword that is not also a function name.
+    */
+  private val funcableKw = Set("LEFT", "RIGHT", "ANY", "ALL")
+  private def kwAt(toks: Vector[Token], idx: Int, kws: Set[String]): Boolean = {
+    val t = toks(idx)
+    !t.isString && kws(t.upper) &&
+      !(funcableKw(t.upper) && idx + 1 < toks.length &&
+        toks(idx + 1).text == "(")
+  }
+
+  private val allJoinKw = Set("JOIN", "LEFT", "RIGHT", "INNER", "FULL",
+    "CROSS", "ANY", "ALL", "ASOF", "SEMI", "ANTI", "OUTER", "GLOBAL",
+    "PASTE")
+
+  /** Component aliases of a join-TREE segment (`a JOIN b ON … LEFT
+    * JOIN (SELECT …) c ON …`) — the names composite-side flattening
+    * must requalify onto its auto-alias. Every component is
+    * `ref [FINAL|SAMPLE …] [AS] [alias]`; a subquery component
+    * REQUIRES an alias (there is no name to derive one from). Shared
+    * by the ANY RIGHT and ASOF composite paths.
+    */
+  private def joinTreeComponentAliases(seg: Vector[Token],
+                                       joinName: String): Vector[String] = {
+    val aliases = Vector.newBuilder[String]
+    var q = 0
+    while (q < seg.length) {
+      val (refEnd, refName) =
+        if (seg(q).text == "(") (matchParen(seg, q), "")
+        else (q, seg(q).text)
+      var r = refEnd + 1
+      val region = Vector.newBuilder[Token]
+      while (r < seg.length && !seg(r).is("ON") && !seg(r).is("USING") &&
+        !kwAt(seg, r, allJoinKw)) {
+        region += seg(r); r += 1
+      }
+      val regionToks = region.result()
+      val mAt = regionToks.indexWhere(t2 => t2.is("FINAL") || t2.is("SAMPLE"))
+      val aliasToks = (if (mAt < 0) regionToks else regionToks.take(mAt))
+        .filterNot(_.is("AS"))
+      aliases += aliasToks.lastOption.map(_.text).getOrElse {
+        if (refName.isEmpty) throw new IllegalArgumentException(
+          s"$joinName: a subquery inside the composite side requires " +
+            "an alias")
+        refName.split('.').last
+      }
+      if (r < seg.length && (seg(r).is("ON") || seg(r).is("USING"))) {
+        r += 1
+        var dd = 0
+        while (r < seg.length && !(dd == 0 && kwAt(seg, r, allJoinKw))) {
+          if (seg(r).text == "(") dd += 1
+          else if (seg(r).text == ")") dd -= 1
+          r += 1
+        }
+      }
+      while (r < seg.length && kwAt(seg, r, allJoinKw))
+        r += 1
+      q = r
+    }
+    aliases.result()
+  }
 
   /** Select-block scoping shared by the three alias-sensitive rewrites
     * (rewriteAnyJoin's composite requalification, rewriteAntiRightCols,
@@ -158,6 +261,7 @@ object ChSqlRewrite {
     toks = rewriteArrayJoinClause(toks)
     toks = toks.map(t => if (t.is("arrayJoin")) Token("explode") else t)
     toks = rewriteDictGet(toks, resolver)
+    toks = normalizeBareUsing(toks)
     toks = rewriteAntiRightCols(toks, resolver,
       tailSettings.get("join_use_nulls").map(settingIsTrue))
     // defaults BEFORE the ANY rewrite: LEFT ANY JOIN still has its
@@ -746,7 +850,67 @@ object ChSqlRewrite {
       }
       i += 1
     }
-    t
+    rewriteComputedInterval(t)
+  }
+
+  /** ClickHouse accepts a COMPUTED interval magnitude —
+    * `toDate('2024-01-01') + interval (floor(id/100)) days`
+    * (homeworks/hw08.md:36, hw11.md:43) — where Spark's parser only
+    * takes literals. Lower `INTERVAL <(expr)|ident> <unit>`:
+    * YEAR/MONTH → the matching `make_interval` slot (a year-month
+    * calendar interval adds to dates cleanly); WEEK and below →
+    * `make_dt_interval`, whose day-time interval type promotes a DATE
+    * operand to TIMESTAMP exactly as ClickHouse's Date + hours yields
+    * DateTime (a CalendarInterval with sub-day parts would instead
+    * throw INVALID_INTERVAL_WITH_MICROSECONDS_ADDITION on dates).
+    * Literal magnitudes (`INTERVAL 30 YEAR`) parse natively and stay
+    * untouched.
+    */
+  private val ymIntervalSlot = Map(
+    "YEAR" -> 0, "YEARS" -> 0, "MONTH" -> 1, "MONTHS" -> 1)
+  private val dtIntervalSlot = Map( // make_dt_interval(days,hours,mins,secs)
+    "WEEK" -> 0, "WEEKS" -> 0, "DAY" -> 0, "DAYS" -> 0,
+    "HOUR" -> 1, "HOURS" -> 1, "MINUTE" -> 2, "MINUTES" -> 2,
+    "SECOND" -> 3, "SECONDS" -> 3)
+  private def rewriteComputedInterval(toks: Vector[Token]): Vector[Token] = {
+    def isUnit(t: Token): Boolean = !t.isString &&
+      (ymIntervalSlot.contains(t.upper) || dtIntervalSlot.contains(t.upper))
+    var i = 0
+    while (i < toks.length) {
+      if (toks(i).is("INTERVAL") && i + 1 < toks.length) {
+        val (argEnd, argToks): (Int, Option[Vector[Token]]) =
+          if (toks(i + 1).text == "(") {
+            val close = matchParen(toks, i + 1)
+            (close, if (close > 0) Some(toks.slice(i + 1, close + 1)) else None)
+          } else if (toks(i + 1).isIdent && !toks(i + 1).isString &&
+            !toks(i + 1).text.forall(_.isDigit) && !isUnit(toks(i + 1)))
+            (i + 1, Some(Vector(Token("("), toks(i + 1), Token(")"))))
+          else (i + 1, None)
+        argToks match {
+          case Some(arg0) if argEnd + 1 < toks.length &&
+            isUnit(toks(argEnd + 1)) =>
+            val unit = toks(argEnd + 1).upper
+            val weekly = unit.startsWith("WEEK")
+            val arg =
+              if (!weekly) arg0
+              else Vector(Token("(")) ++ arg0 ++
+                Vector(Token("*"), Token("7"), Token(")"))
+            val (fn, slot) = ymIntervalSlot.get(unit)
+              .map(("make_interval", _))
+              .getOrElse(("make_dt_interval", dtIntervalSlot(unit)))
+            val zeros = Vector.fill(slot)(
+              Vector(Token("0"), Token(","))).flatten
+            val repl = Vector(Token(fn), Token("(")) ++ zeros ++
+              Vector(Token("CAST"), Token("(")) ++ arg ++
+              Vector(Token("AS"), Token("INT"), Token(")"), Token(")"))
+            return rewriteComputedInterval(
+              toks.take(i) ++ repl ++ toks.drop(argEnd + 2))
+          case _ => ()
+        }
+      }
+      i += 1
+    }
+    toks
   }
 
   /** ClickHouse Enum semantics: an Enum8/16 column compares as its
@@ -1079,8 +1243,6 @@ object ChSqlRewrite {
       }
       if (fromIdx < 0 || fromIdx + 1 >= i) unsupported
       val seg = toks.slice(fromIdx + 1, i)
-      val joinKw = Set("JOIN", "LEFT", "RIGHT", "INNER", "FULL", "CROSS",
-        "ANY", "ALL", "ASOF", "SEMI", "ANTI", "OUTER", "GLOBAL", "PASTE")
       var dd0 = 0
       var hasTopJoin = false
       seg.foreach { t2 =>
@@ -1099,43 +1261,7 @@ object ChSqlRewrite {
         // ON-join key present on both inner tables) surfaces Spark's
         // own ambiguity error — spell the inner join with USING, which
         // coalesces the key
-        val aliases = Vector.newBuilder[String]
-        var q = 0
-        while (q < seg.length) {
-          val (refEnd, refName) =
-            if (seg(q).text == "(") (matchParen(seg, q), "")
-            else (q, seg(q).text)
-          var r = refEnd + 1
-          val region = Vector.newBuilder[Token]
-          while (r < seg.length && !seg(r).is("ON") && !seg(r).is("USING") &&
-            !(!seg(r).isString && joinKw(seg(r).upper))) {
-            region += seg(r); r += 1
-          }
-          val regionToks = region.result()
-          val mAt = regionToks.indexWhere(t2 => t2.is("FINAL") || t2.is("SAMPLE"))
-          val aliasToks = (if (mAt < 0) regionToks else regionToks.take(mAt))
-            .filterNot(_.is("AS"))
-          aliases += aliasToks.lastOption.map(_.text).getOrElse {
-            if (refName.isEmpty) throw new IllegalArgumentException(
-              "ANY RIGHT JOIN: a subquery inside the composite left " +
-                "side requires an alias")
-            refName.split('.').last
-          }
-          if (r < seg.length && (seg(r).is("ON") || seg(r).is("USING"))) {
-            r += 1
-            var dd = 0
-            while (r < seg.length && !(dd == 0 && !seg(r).isString &&
-              joinKw(seg(r).upper))) {
-              if (seg(r).text == "(") dd += 1
-              else if (seg(r).text == ")") dd -= 1
-              r += 1
-            }
-          }
-          while (r < seg.length && !seg(r).isString && joinKw(seg(r).upper))
-            r += 1
-          q = r
-        }
-        val comps = aliases.result()
+        val comps = joinTreeComponentAliases(seg, "ANY RIGHT JOIN")
         if (comps.isEmpty) unsupported
         (fromIdx, "(SELECT * FROM " + ChLexer.render(seg) + ")",
           "__anyl", Vector.empty[Token], comps)
@@ -1231,7 +1357,7 @@ object ChSqlRewrite {
       var e = k + 1
       var d = 0
       while (e < toks.length && !(d == 0 &&
-        ((!toks(e).isString && term(toks(e).upper)) ||
+        (kwAt(toks, e, term) ||
           toks(e).text == ")" || toks(e).text == ";"))) {
         if (toks(e).text == "(") d += 1
         else if (toks(e).text == ")") d -= 1
@@ -1319,10 +1445,7 @@ object ChSqlRewrite {
       }
       return rewriteAnyJoin(rebuild(keyExprs))
     }
-    val usingOpen = if (toks(k + 1).text == "(") k + 1 else k
-    val usingClose = if (toks(k + 1).text == "(") matchParen(toks, k + 1) else k + 1
-    val keys = toks.slice(usingOpen + 1, usingClose).filter(_.text != ",")
-      .map(_.text)
+    val keys = usingList(toks, k)._1.map(c => "`" + c + "`")
     rewriteAnyJoin(rebuild(keys)) // handle further ANY joins
   }
 
@@ -1342,9 +1465,12 @@ object ChSqlRewrite {
     * their names, right columns keep theirs unless they collide with a
     * left name (then `__r_<name>`); alias-qualified outer references
     * requalify onto the flattened names (same-block discipline, bare
-    * SELECT items keep their user-visible name via AS). Both sides
-    * must be single catalog tables — the lowering needs their column
-    * lists; subquery/composite sides → the library operator.
+    * SELECT items keep their user-visible name via AS). Sides may be
+    * catalog tables (column lists from the catalog), aliased
+    * SUBQUERIES (column lists via [[Resolver.describeQuery]]), or — on
+    * the left — a composite join TREE, which flattens through an
+    * auto-aliased `(SELECT * FROM tree) __asofl` subquery exactly like
+    * the ANY RIGHT composite path (r11; pre-r11 both were refused).
     */
   private def rewriteAsofJoin(toks: Vector[Token],
                               resolver: Resolver): Vector[Token] = {
@@ -1367,11 +1493,17 @@ object ChSqlRewrite {
     while (j < toks.length && !toks(j).is("JOIN")) j += 1
     val t0 = j + 1
     if (t0 >= toks.length) bad("missing right side")
-    if (toks(t0).text == "(")
-      bad("subquery sides are unsupported in the SQL form - use " +
-        "graft.operators.Joins.asofLeftNativeMulti")
-    val rightTable = toks(t0).text
-    var k = t0 + 1
+    // right side: a catalog table or a parenthesized subquery (r11 —
+    // the lowering derives a subquery side's column list through the
+    // resolver's analysis hook instead of refusing)
+    val (rightRef, rightInner, refEnd) =
+      if (toks(t0).text == "(") {
+        val close = matchParen(toks, t0)
+        if (close < 0) bad("unbalanced subquery right side")
+        (ChLexer.render(toks.slice(t0, close + 1)),
+          Some(ChLexer.render(toks.slice(t0 + 1, close))), close)
+      } else (toks(t0).text, None, t0)
+    var k = refEnd + 1
     val rRegion = Vector.newBuilder[Token]
     while (k < toks.length && !toks(k).is("ON") && !toks(k).is("USING")) {
       rRegion += toks(k); k += 1
@@ -1387,9 +1519,12 @@ object ChSqlRewrite {
         .map(t => stripTicks(t.text)).getOrElse(fallback)
       (alias, if (mToks.isEmpty) "" else " " + ChLexer.render(mToks))
     }
-    val (rightAlias, rightMods) = aliasAndMods(rRegion.result(), rightTable)
-    // left side: single table ref between the clause's FROM and the
-    // join head (the ASOF token, or a LEFT before it)
+    val (rightAlias, rightMods) = aliasAndMods(rRegion.result(),
+      if (rightInner.isEmpty) rightRef else "")
+    if (rightAlias.isEmpty) bad("a subquery right side requires an alias")
+    // left side: the tokens between the clause's FROM and the join
+    // head (the ASOF token, or a LEFT before it) — a single table ref,
+    // a single aliased subquery, or a composite join TREE
     val head0 = if (i > 0 && toks(i - 1).is("LEFT")) i - 1 else i
     var fromIdx = -1
     var depth = 0
@@ -1403,37 +1538,87 @@ object ChSqlRewrite {
     }
     if (fromIdx < 0 || fromIdx + 1 >= head0) bad("could not find the left side")
     val seg = toks.slice(fromIdx + 1, head0)
-    if (seg.head.text == "(" || seg.exists(_.is("JOIN")))
-      bad("the left side must be a single catalog table in the SQL " +
-        "form - use graft.operators.Joins.asofLeftNativeMulti")
-    val leftTable = seg.head.text
-    val (leftAlias, leftMods) = aliasAndMods(seg.drop(1), leftTable)
-    def colsOf(tbl: String): Seq[String] =
-      resolver.resolve(tbl).flatMap(rt => resolver.describe(rt.viewName))
-        .getOrElse(bad(s"table '$tbl' has no catalog schema - the " +
-          "lowering needs its column list"))
-    val leftCols = colsOf(leftTable)
-    val rightCols = colsOf(rightTable)
+    // composite left TREE: flatten through an auto-aliased subquery
+    // (the same discipline as the ANY RIGHT composite path) and
+    // recurse — the flattened stream then parses as a single subquery
+    // left side. Same contract: a tree column present on two inner
+    // tables surfaces Spark's own ambiguity error after SELECT * —
+    // spell the inner join with USING, which coalesces the key.
+    val hasTopJoin = {
+      var dd = 0; var has = false; var x = 0
+      while (x < seg.length) {
+        if (seg(x).text == "(") dd += 1
+        else if (seg(x).text == ")") dd -= 1
+        else if (dd == 0 && seg(x).is("JOIN")) has = true
+        x += 1
+      }
+      has
+    }
+    if (hasTopJoin) {
+      val comps = joinTreeComponentAliases(seg, "ASOF JOIN")
+      if (comps.isEmpty) bad("could not parse the composite left side")
+      val blockIds = selectBlockScopes(toks)._1
+      def requalC(ts: Vector[Token], offset: Int): Vector[Token] =
+        ts.zipWithIndex.map { case (t2, ix) =>
+          if (t2.isIdent && !t2.isString &&
+            blockIds(offset + ix) == blockIds(i))
+            comps.iterator.map { a =>
+              if (t2.text.startsWith(a + "."))
+                Some(t2.text.stripPrefix(a + "."))
+              else if (t2.text.startsWith("`" + a + "`."))
+                Some(t2.text.stripPrefix("`" + a + "`."))
+              else None
+            }.collectFirst { case Some(c) => c }
+              .map(c => t2.copy(text = "__asofl." + c))
+              .getOrElse(t2)
+          else t2
+        }
+      val rebuilt = requalC(toks.take(fromIdx + 1), 0) ++
+        ChLexer.tokenize("(SELECT * FROM " + ChLexer.render(seg) +
+          ") AS __asofl") ++
+        requalC(toks.slice(head0, toks.length), head0)
+      return rewriteAsofJoin(rebuilt, resolver)
+    }
+    val (leftRef, leftInner, leftTail) =
+      if (seg.head.text == "(") {
+        val close = matchParen(seg, 0)
+        if (close < 0 || close >= seg.length)
+          bad("unbalanced subquery left side")
+        (ChLexer.render(seg.take(close + 1)),
+          Some(ChLexer.render(seg.slice(1, close))), seg.drop(close + 1))
+      } else (seg.head.text, None, seg.drop(1))
+    val (leftAlias, leftMods) = aliasAndMods(leftTail,
+      if (leftInner.isEmpty) leftRef else "")
+    if (leftAlias.isEmpty) bad("a subquery left side requires an alias")
+    def colsOfRef(ref: String, inner: Option[String]): Seq[String] =
+      inner match {
+        case Some(sql) => resolver.describeQuery(sql)
+          .getOrElse(bad("could not derive the subquery side's column " +
+            s"list: $sql"))
+        case None => resolver.resolve(ref)
+          .flatMap(rt => resolver.describe(rt.viewName))
+          .getOrElse(bad(s"table '$ref' has no catalog schema - the " +
+            "lowering needs its column list"))
+      }
+    val leftCols = colsOfRef(leftRef, leftInner)
+    val rightCols = colsOfRef(rightRef, rightInner)
     // ---- condition: equi keys + the one time inequality
     var keys = Vector.empty[(String, String)] // (left col, right col)
     var timePair: Option[(String, String, String)] = None // lcol, rcol, op
     var e = -1 // first token AFTER the condition
     if (toks(k).is("USING")) {
-      val open = if (toks(k + 1).text == "(") k + 1 else k
-      val close = if (toks(k + 1).text == "(") matchParen(toks, open) else k + 1
-      val cols = toks.slice(open + 1, close).filter(_.text != ",")
-        .map(t => stripTicks(t.text))
+      val (cols, after) = usingList(toks, k)
       if (cols.length < 2)
         bad("USING needs at least one key plus the time column")
       keys = cols.init.map(c => (c, c)).toVector
       timePair = Some((cols.last, cols.last, ">="))
-      e = close + 1
+      e = after
     } else {
       val term = joinCondTerm
       var e0 = k + 1
       var d = 0
       while (e0 < toks.length && !(d == 0 &&
-        ((!toks(e0).isString && term(toks(e0).upper)) ||
+        (kwAt(toks, e0, term) ||
           toks(e0).text == ")" || toks(e0).text == ";"))) {
         if (toks(e0).text == "(") d += 1
         else if (toks(e0).text == ")") d -= 1
@@ -1505,6 +1690,25 @@ object ChSqlRewrite {
     }
     val (lt, rt, op) = timePair.getOrElse(
       bad("missing the time inequality conjunct"))
+    // the lowering's own helper names must not shadow user columns —
+    // a left table with a column literally named __t would make the
+    // inner SELECT * ambiguous (or silently filter on the wrong one)
+    locally {
+      val reserved = Set("__t", "__side", "__rpay", "__m", "__asof") ++
+        keys.indices.map(ix => s"__k$ix")
+      val hit = (leftCols ++ rightCols).filter(c => reserved(c.toLowerCase))
+      if (hit.nonEmpty)
+        bad(s"column name(s) ${hit.mkString(", ")} collide with the " +
+          "lowering's reserved helper names - rename, or use " +
+          "graft.operators.Joins.asofLeftNativeMulti")
+      val collide0 = leftCols.toSet
+      val outNames = rightCols.map(c =>
+        if (collide0(c)) s"__r_$c" else c)
+      if (outNames.distinct.length != outNames.length ||
+        outNames.exists(n => n.startsWith("__r_") && collide0(n)))
+        bad("a column named __r_<col> collides with the lowering's " +
+          "collision-renaming scheme - rename it")
+    }
     // ---- generate the union-and-carry-forward subquery. Side tags:
     // at EQUAL time the right row sorts before the left row for the
     // inclusive modes (so an exact-time right row matches) and after
@@ -1521,16 +1725,22 @@ object ChSqlRewrite {
       s"a.${q(lk)} AS __k$ix" }
     val rKeySel = keys.zipWithIndex.map { case ((_, rk), ix) =>
       s"b.${q(rk)} AS __k$ix" }
-    val lBranch = (lKeySel ++ Seq(s"CAST(a.${q(lt)} AS DOUBLE) AS __t",
+    // the time column keeps its OWN type in each branch: UNION ALL's
+    // type coercion unifies the two sides to their widest common type
+    // only when they actually differ, so an Int64 nanosecond axis stays
+    // lossless and a Date axis stays orderable (pre-fix both were CAST
+    // to DOUBLE, which silently rounds integers above 2^53 and rejects
+    // dates outright)
+    val lBranch = (lKeySel ++ Seq(s"a.${q(lt)} AS __t",
       "1 AS __side") ++ leftCols.map(c => s"a.${q(c)} AS ${q(c)}") ++
       Seq("NULL AS __rpay")).mkString(
-      "SELECT ", ", ", s" FROM $leftTable$leftMods a")
+      "SELECT ", ", ", s" FROM $leftRef$leftMods a")
     val rStruct = rightCols.map(c => s"'$c', b.${q(c)}")
       .mkString("named_struct(", ", ", ")")
-    val rBranch = (rKeySel ++ Seq(s"CAST(b.${q(rt)} AS DOUBLE) AS __t",
+    val rBranch = (rKeySel ++ Seq(s"b.${q(rt)} AS __t",
       s"$rightTag AS __side") ++ leftCols.map(c => s"NULL AS ${q(c)}") ++
       Seq(s"$rStruct AS __rpay")).mkString(
-      "SELECT ", ", ", s" FROM $rightTable$rightMods b")
+      "SELECT ", ", ", s" FROM $rightRef$rightMods b")
     val part = if (keyOuts.isEmpty) ""
       else s"PARTITION BY ${keyOuts.mkString(", ")} "
     val win = s"last(__rpay, true) OVER (${part}ORDER BY __t$dir, __side " +
@@ -1593,18 +1803,23 @@ object ChSqlRewrite {
     * LEFT ANTI plan is preserved, and a bare SELECT-list item keeps its
     * column name via AS. Queries that never read the right side are
     * untouched. Under `join_use_nulls = 1` the substituted literal is
-    * NULL instead of the type default — the unmatched-side fill rule
-    * follows the setting for ANTI exactly as for outer joins (found by
-    * the r10 join fuzzer: the pre-fix substitution ignored the
-    * setting).
+    * a typed NULL instead of the type default — the unmatched-side
+    * fill rule follows the setting for ANTI exactly as for outer joins
+    * (found by the r10 join fuzzer: the pre-fix substitution ignored
+    * the setting). The right side may be a catalog table (declared
+    * defaults) or — r11 — an aliased subquery, whose literals
+    * synthesize from its resolved output schema
+    * ([[Resolver.queryDefaultLiterals]] / [[Resolver.queryNullLiterals]]).
     */
   private def rewriteAntiRightCols(toks: Vector[Token],
                                    resolver: Resolver,
                                    queryUseNulls: Option[Boolean]): Vector[Token] = {
     val useNulls = queryUseNulls.getOrElse(resolver.joinUseNulls)
-    // collect every ANTI join: (alias, right table ident, segment span
+    // collect every ANTI join: (alias, right side — a catalog table or
+    // a subquery's inner text (r11) — and the segment span
     // [ANTI .. end of ON/USING condition))
-    final case class Seg(alias: String, table: String, from: Int, until: Int)
+    final case class Seg(alias: String, table: Option[String],
+                         subSql: Option[String], from: Int, until: Int)
     val term = joinCondTerm
     val segs = Vector.newBuilder[Seg]
     var i = 0
@@ -1616,17 +1831,22 @@ object ChSqlRewrite {
         var j = i + 1
         while (j < toks.length && (toks(j).is("LEFT") || toks(j).is("RIGHT")))
           j += 1
-        // plain-table right side only: a subquery has no catalog entry
-        // to take column defaults from
-        if (j < toks.length && toks(j).is("JOIN") && j + 1 < toks.length &&
-          toks(j + 1).text != "(") {
-          val table = toks(j + 1).text
-          var k = j + 2
+        if (j < toks.length && toks(j).is("JOIN") && j + 1 < toks.length) {
+          // the right side: a plain table (catalog defaults) or a
+          // subquery (result-type defaults via queryDefaultLiterals,
+          // r11 — pre-r11 a right-column read failed to resolve)
+          val isSub = toks(j + 1).text == "("
+          val subClose = if (isSub) matchParen(toks, j + 1) else -1
+          val table = if (isSub) None else Some(toks(j + 1).text)
+          val subSql = if (isSub && subClose > 0)
+            Some(ChLexer.render(toks.slice(j + 2, subClose))) else None
+          var k = (if (isSub) subClose else j + 1) + 1
           val aliasToks = Vector.newBuilder[Token]
-          while (k < toks.length && !toks(k).is("USING") && !toks(k).is("ON")) {
+          while (k < toks.length && k > 0 &&
+            !toks(k).is("USING") && !toks(k).is("ON")) {
             aliasToks += toks(k); k += 1
           }
-          if (k < toks.length) {
+          if (k < toks.length && (table.nonEmpty || subSql.nonEmpty)) {
             // a FINAL/SAMPLE modifier never names the table (same split
             // rewriteAnyJoin uses; pre-fix a trailing FINAL was mistaken
             // for the alias)
@@ -1634,7 +1854,9 @@ object ChSqlRewrite {
             val modAt = region.indexWhere(t => t.is("FINAL") || t.is("SAMPLE"))
             val aToks = if (modAt < 0) region else region.take(modAt)
             val alias = aToks.filterNot(_.is("AS")).lastOption
-              .map(_.text).getOrElse(table.split('.').last)
+              .map(_.text)
+              .orElse(table.map(_.split('.').last))
+              .getOrElse("")
             var e = k + 1
             var dd = 0
             var stop = false
@@ -1642,10 +1864,11 @@ object ChSqlRewrite {
               val te = toks(e)
               if (te.text == "(") dd += 1
               else if (te.text == ")") { dd -= 1; if (dd < 0) stop = true }
-              else if (dd == 0 && !te.isString && term(te.upper)) stop = true
+              else if (dd == 0 && kwAt(toks, e, term)) stop = true
               if (!stop) e += 1
             }
-            segs += Seg(alias, table, i, e)
+            // an unaliased subquery side has no referenceable qualifier
+            if (alias.nonEmpty) segs += Seg(alias, table, subSql, i, e)
           }
         }
       }
@@ -1654,6 +1877,16 @@ object ChSqlRewrite {
     val sgs = segs.result()
     if (sgs.isEmpty) return toks
     val (blockOf, inList) = selectBlockScopes(toks)
+    // per-subquery literal maps, cached per inner text and only paid
+    // when a reference actually probes them
+    val subDefCache = scala.collection.mutable.Map
+      .empty[String, Option[Map[String, String]]]
+    def subDefaults(sql: String): Option[Map[String, String]] =
+      subDefCache.getOrElseUpdate(sql, resolver.queryDefaultLiterals(sql))
+    val subNullCache = scala.collection.mutable.Map
+      .empty[String, Option[Map[String, String]]]
+    def subNulls(sql: String): Option[Map[String, String]] =
+      subNullCache.getOrElseUpdate(sql, resolver.queryNullLiterals(sql))
     // the qualifier may be backtick-quoted (`g`.genre) — match and strip
     // the alias in either spelling, same contract as rewriteAnyJoin's
     // stripQual
@@ -1669,14 +1902,30 @@ object ChSqlRewrite {
       val seg = sgs.find(s => t.isIdent && !t.isString &&
         stripQual(s.alias, t.text).isDefined &&
         (p < s.from || p >= s.until) && blockOf(p) == blockOf(s.from))
-      seg.flatMap(s => resolver.defaultLiteral(
-        s.table, stripQual(s.alias, t.text).get))
-        // the resolver call also validates the column exists; only the
-        // literal itself switches with the setting. nullif(d, d) is a
-        // TYPED null of the column's default's type — a bare NULL would
-        // give the output column VOID type, which parquet writers (and
-        // schema compares) reject
-        .map(lit => if (useNulls) s"nullif($lit, $lit)" else lit) match {
+      // the resolver call also validates the column exists; only the
+      // literal itself switches with the setting. Under = 1 the
+      // substitution is a TYPED null, CAST(NULL AS T) — a bare NULL
+      // would give the output column VOID type, which parquet writers
+      // (and schema compares) reject, and the pre-fix nullif(d, d)
+      // spelling failed analysis on Map columns (Spark rejects map
+      // equality). Resolvers without nullLiteral keep the nullif
+      // fallback for non-Map types.
+      seg.flatMap { s =>
+        val c = stripQual(s.alias, t.text).get
+        s.table match {
+          case Some(tb) =>
+            if (useNulls)
+              resolver.nullLiteral(tb, c).orElse(
+                resolver.defaultLiteral(tb, c)
+                  .map(lit => s"nullif($lit, $lit)"))
+            else resolver.defaultLiteral(tb, c)
+          case None => s.subSql.flatMap { sql =>
+            val m = if (useNulls) subNulls(sql) else subDefaults(sql)
+            m.flatMap(_.collectFirst {
+              case (n, v) if n.equalsIgnoreCase(stripTicks(c)) => v })
+          }
+        }
+      } match {
         case Some(lit0) =>
           val colName = t.text.substring(t.text.indexOf('.') + 1)
           // bare SELECT-list item (SELECT …, g.genre, … FROM): keep the
@@ -1717,6 +1966,67 @@ object ChSqlRewrite {
   private def stripTicks(s: String): String =
     s.stripPrefix("`").stripSuffix("`")
 
+  /** ClickHouse accepts a bare `USING a, b` join-column list; Spark's
+    * parser requires the parenthesized form. Normalized EARLY, so every
+    * downstream rewrite (ANY dedup keys, the ASOF lowering, plain joins
+    * that reach Spark's parser verbatim) sees one spelling.
+    */
+  private def normalizeBareUsing(toks: Vector[Token]): Vector[Token] = {
+    var i = 0
+    while (i < toks.length) {
+      if (toks(i).is("USING") && i + 1 < toks.length &&
+        toks(i + 1).text != "(") {
+        val (cols, after) = usingList(toks, i)
+        if (cols.nonEmpty) {
+          val list = cols.flatMap(c =>
+            Vector(Token("`" + c + "`"), Token(","))).init
+          return normalizeBareUsing(toks.take(i) ++
+            (Vector(Token("USING"), Token("(")) ++ list ++
+              Vector(Token(")"))) ++ toks.drop(after))
+        }
+      }
+      i += 1
+    }
+    toks
+  }
+
+  /** The column list of a `USING` clause at `k` (the USING token), both
+    * ClickHouse spellings — parenthesized `USING (a, b)` and bare
+    * `USING a, b` — returning (columns, index of the first token after
+    * the list). Pre-fix both join rewrites sliced an empty list on the
+    * bare form: the ASOF lowering threw, and the ANY dedup silently
+    * picked ONE global row (zero partition keys).
+    */
+  private def usingList(toks: Vector[Token], k: Int): (Vector[String], Int) =
+    if (k + 1 < toks.length && toks(k + 1).text == "(") {
+      val close = matchParen(toks, k + 1)
+      (toks.slice(k + 2, close).filter(_.text != ",")
+        .map(t => stripTicks(t.text)), close + 1)
+    } else {
+      val b = Vector.newBuilder[String]
+      var p = k + 1
+      var expectIdent = true
+      var stop = false
+      while (!stop && p < toks.length) {
+        val t = toks(p)
+        if (expectIdent) {
+          // a backtick-quoted spelling IS a real identifier even when
+          // it collides with a keyword (the unqualCol exemption)
+          if (t.isIdent && !t.isString && (t.text.startsWith("`") ||
+            (!joinCondTerm(t.upper) && !sqlWordLike(t.upper))))
+            { b += stripTicks(t.text); expectIdent = false; p += 1 }
+          else stop = true
+        } else {
+          if (t.text == ",") { expectIdent = true; p += 1 }
+          else stop = true
+        }
+      }
+      // a dangling comma backs off to before it (the comma then belongs
+      // to an enclosing list, e.g. the t1 JOIN t2 USING k, t3 comma-join)
+      if (expectIdent && p > k + 1) p -= 1
+      (b.result(), p)
+    }
+
   /** ClickHouse's DEFAULT outer-join behavior (`join_use_nulls = 0`,
     * lectures/lecture_10.md): unmatched-side columns of a
     * LEFT / RIGHT / FULL [OUTER|ANY] JOIN — and of ASOF LEFT JOIN,
@@ -1730,18 +2040,23 @@ object ChSqlRewrite {
     * default IS NULL — resolves to `coalesce(ref, CAST(NULL AS T))` ≡
     * ref, so it keeps NULL exactly as ClickHouse does.
     *
-    * Defaultable sides: the plain-table right side of LEFT [ANY|ASOF]
-    * / FULL JOIN (this pass runs BEFORE rewriteAnyJoin and the ASOF
-    * lowering, while the right side is still a plain table), and every
-    * plain-table component of the left join tree of RIGHT / FULL JOIN
-    * (single-table or composite). References are matched
-    * alias-qualified (`g.genre`, backticks allowed) or UNQUALIFIED —
-    * an unqualified reference wraps only when the resolver proves it
-    * belongs to the defaultable table and to NO other table of the
-    * same FROM (ambiguous names, unknown-schema components and
-    * SELECT-alias shadowing all skip the wrap). SEMI/ANTI keep their
-    * own semantics; subquery sides have no catalog defaults and keep
-    * NULLs (documented partial). A session `SET join_use_nulls = 1`
+    * Defaultable sides: the right side of LEFT [ANY|ASOF] / FULL JOIN
+    * (this pass runs BEFORE rewriteAnyJoin and the ASOF lowering,
+    * while that side is still its original ref), and every component
+    * of the left join tree of RIGHT / FULL JOIN (single-table or
+    * composite). A side may be a plain catalog table (declared
+    * defaults) or — r11 — an aliased SUBQUERY, whose defaults
+    * synthesize from its resolved output schema exactly as ClickHouse
+    * takes them from the subquery's result types
+    * ([[Resolver.queryDefaultLiterals]]; pre-r11 subquery sides kept
+    * NULLs, the one semantic delta inside this feature). References
+    * are matched alias-qualified (`g.genre`, backticks allowed) or
+    * UNQUALIFIED — an unqualified reference wraps only when the
+    * resolver proves it belongs to the defaultable side and to NO
+    * other component of the same FROM (ambiguous names,
+    * unknown-schema components and SELECT-alias shadowing all skip
+    * the wrap). SEMI/ANTI keep their own semantics. A session
+    * `SET join_use_nulls = 1`
     * ([[Resolver.joinUseNulls]]) or a per-query `SETTINGS
     * join_use_nulls = 1` tail disables the wrap. Found by the r9
     * dictGet metamorphic law (dictGetOrDefault vs LEFT JOIN disagreed
@@ -1758,7 +2073,14 @@ object ChSqlRewrite {
     // FROM region before the condition end (table refs, aliases,
     // earlier joins' own conditions) is evaluated before this join
     // fills anything and must stay unwrapped.
-    final case class Seg(alias: String, table: String, blockFrom: Int,
+    // one FROM component: a plain catalog table (table = Some) or an
+    // aliased subquery (subSql = its inner SELECT text; r11 — pre-r11
+    // subquery sides had no catalog defaults and kept NULLs, now their
+    // defaults synthesize from the resolved output schema via
+    // [[Resolver.queryDefaultLiterals]])
+    final case class Comp(alias: String, table: Option[String],
+                          subSql: Option[String])
+    final case class Seg(alias: String, src: Comp, blockFrom: Int,
                          until: Int, anchor: Int)
     val term = joinCondTerm
     // alias of a `table [AS] [alias] [FINAL|SAMPLE …]` region — the
@@ -1780,7 +2102,7 @@ object ChSqlRewrite {
         val te = toks(e)
         if (te.text == "(") dd += 1
         else if (te.text == ")") { dd -= 1; if (dd < 0) stop = true }
-        else if (dd == 0 && !te.isString && term(te.upper)) stop = true
+        else if (dd == 0 && kwAt(toks, e, term)) stop = true
         if (!stop) e += 1
       }
       e
@@ -1800,22 +2122,25 @@ object ChSqlRewrite {
       }
       fromIdx
     }
-    // forward parse of the FROM region after `fromIdx` into table
-    // components: (alias, Some(table)) for plain refs, (alias, None)
-    // for subqueries. `complete = false` flags an unhandled shape
+    // forward parse of the FROM region after `fromIdx` into
+    // components. `complete = false` flags an unhandled shape
     // (LATERAL VIEW, malformation) — callers then skip, conservative.
     def components(fromIdx: Int, stop: Int)
-        : (Vector[(String, Option[String])], Boolean) = {
-      val out = Vector.newBuilder[(String, Option[String])]
+        : (Vector[Comp], Boolean) = {
+      val out = Vector.newBuilder[Comp]
       var p = fromIdx + 1
       var complete = true
       var done = false
       while (!done && p < stop) {
+        var subSql: Option[String] = None
         val tableOpt: Option[String] =
           if (toks(p).text == "(") {
             val close = matchParen(toks, p)
             if (close < 0 || close >= stop) { complete = false; done = true }
-            else p = close + 1
+            else {
+              subSql = Some(ChLexer.render(toks.slice(p + 1, close)))
+              p = close + 1
+            }
             None
           } else if (toks(p).isIdent && !toks(p).isString &&
             !term(toks(p).upper)) {
@@ -1833,8 +2158,8 @@ object ChSqlRewrite {
               (!t.isString && term(t.upper))) stopRegion = true
             else { region += t; p += 1 }
           }
-          out += ((aliasOf(region.result(),
-            tableOpt.getOrElse("")), tableOpt))
+          out += Comp(aliasOf(region.result(),
+            tableOpt.getOrElse("")), tableOpt, subSql)
           if (p < stop && (toks(p).is("ON") || toks(p).is("USING")))
             p = math.min(condEnd(p), stop)
           // join-keyword run before the next component; a clause
@@ -1893,21 +2218,39 @@ object ChSqlRewrite {
                 i - 1 else i
               val fromIdx = fromOf(i0)
               if (fromIdx >= 0) {
-                // right side defaults for LEFT/FULL (plain table only)
-                if ((isLeft || isFull) && toks(j + 1).text != "(") {
-                  val table = toks(j + 1).text
-                  val region = toks.slice(j + 2, k)
-                  segs += Seg(aliasOf(region, table), table, fromIdx, e, i)
+                // right side defaults for LEFT/FULL — a plain table
+                // (catalog defaults) or an aliased subquery (defaults
+                // synthesized from its output schema, r11)
+                if (isLeft || isFull) {
+                  if (toks(j + 1).text != "(") {
+                    val table = toks(j + 1).text
+                    val region = toks.slice(j + 2, k)
+                    segs += Seg(aliasOf(region, table),
+                      Comp(aliasOf(region, table), Some(table), None),
+                      fromIdx, e, i)
+                  } else {
+                    val close = matchParen(toks, j + 1)
+                    if (close > 0 && close < k) {
+                      val inner = ChLexer.render(toks.slice(j + 2, close))
+                      val alias = aliasOf(toks.slice(close + 1, k), "")
+                      // an unaliased subquery side has no referenceable
+                      // qualifier — nothing to wrap
+                      if (alias.nonEmpty)
+                        segs += Seg(alias, Comp(alias, None, Some(inner)),
+                          fromIdx, e, i)
+                    }
+                  }
                 }
-                // left side defaults for RIGHT/FULL: EVERY plain-table
-                // component of the left join tree defaults on a miss
-                // (single-table and composite; subquery components
-                // have no catalog defaults — documented partial)
+                // left side defaults for RIGHT/FULL: EVERY component of
+                // the left join tree defaults on a miss (single-table
+                // and composite; subquery components via their output
+                // schemas, r11)
                 if (isRight || isFull) {
                   val (comps, complete) = components(fromIdx, i0)
-                  if (complete) comps.foreach {
-                    case (a, Some(t)) => segs += Seg(a, t, fromIdx, e, i)
-                    case _ =>
+                  if (complete) comps.foreach { c =>
+                    if (c.alias.nonEmpty &&
+                      (c.table.nonEmpty || c.subSql.nonEmpty))
+                      segs += Seg(c.alias, c, fromIdx, e, i)
                   }
                 }
               }
@@ -1930,7 +2273,7 @@ object ChSqlRewrite {
     // full FROM-region inventory of each seg's block (both join sides),
     // for unqualified-reference ownership checks
     val blockInfo = scala.collection.mutable.Map
-      .empty[Int, (Vector[(String, Option[String])], Boolean)]
+      .empty[Int, (Vector[Comp], Boolean)]
     sgs.foreach { s =>
       val b = blockOf(s.anchor)
       if (!blockInfo.contains(b))
@@ -1958,12 +2301,28 @@ object ChSqlRewrite {
         fromEnd(b) = q
       }
     }
-    // column inventory per referenced table, through the resolver
+    // column inventory per referenced table / subquery, through the
+    // resolver (a subquery's analysis round-trip is cached per text
+    // and only paid when a reference actually probes it)
     val colCache = scala.collection.mutable.Map.empty[String, Option[Set[String]]]
     def colsOf(table: String): Option[Set[String]] =
       colCache.getOrElseUpdate(table,
         resolver.resolve(table).flatMap(rt => resolver.describe(rt.viewName))
           .map(_.map(_.toLowerCase).toSet))
+    val subDefCache = scala.collection.mutable.Map
+      .empty[String, Option[Map[String, String]]]
+    def subDefaults(sql: String): Option[Map[String, String]] =
+      subDefCache.getOrElseUpdate(sql, resolver.queryDefaultLiterals(sql))
+    def colsOfComp(c: Comp): Option[Set[String]] = c.table match {
+      case Some(t) => colsOf(t)
+      case None => c.subSql.flatMap(sql =>
+        subDefaults(sql).map(_.keySet.map(_.toLowerCase)))
+    }
+    def defaultOf(s: Seg, col: String): Option[String] = s.src.table match {
+      case Some(t) => resolver.defaultLiteral(t, col)
+      case None => s.src.subSql.flatMap(sql => subDefaults(sql).flatMap(
+        _.collectFirst { case (n, v) if n.equalsIgnoreCase(col) => v }))
+    }
     // names bound by `AS <alias>` anywhere in a block: a SELECT-list
     // alias shadows a same-named column in ORDER BY/HAVING, so an
     // unqualified match on one must not be wrapped (conservative:
@@ -1998,11 +2357,10 @@ object ChSqlRewrite {
         return None
       val (comps, complete) = blockInfo(blockOf(s.anchor))
       if (!complete) return None
-      if (!colsOf(s.table).exists(_.contains(name.toLowerCase))) return None
-      val owned = comps.filterNot(_._1 == s.alias).forall {
-        case (_, Some(tb)) => colsOf(tb).exists(cs => !cs.contains(name.toLowerCase))
-        case (_, None) => false
-      }
+      if (!colsOfComp(s.src).exists(_.contains(name.toLowerCase)))
+        return None
+      val owned = comps.filterNot(_.alias == s.alias).forall(c =>
+        colsOfComp(c).exists(cs => !cs.contains(name.toLowerCase)))
       if (owned) Some(name) else None
     }
     val out = Vector.newBuilder[Token]
@@ -2015,14 +2373,14 @@ object ChSqlRewrite {
           val qual = sgs.iterator
             .filter(s => inWrapRegion(s, p))
             .flatMap(s => stripQual(s.alias, t.text).flatMap(c =>
-              resolver.defaultLiteral(s.table, stripTicks(c)).map(l =>
+              defaultOf(s, stripTicks(c)).map(l =>
                 (l, t.text.substring(t.text.indexOf('.') + 1)))))
             .nextOption()
           qual.orElse {
             sgs.iterator
               .filter(s => inWrapRegion(s, p))
               .flatMap(s => unqualCol(s, p).flatMap(c =>
-                resolver.defaultLiteral(s.table, c).map(l => (l, t.text))))
+                defaultOf(s, c).map(l => (l, t.text))))
               .nextOption()
           }
         }

@@ -185,6 +185,14 @@ object ChRegistry {
     f("addressToSymbol")(e => Hex(Cast(e.head, LongType)))
     f("demangle")(e => Cast(e.head, StringType))
     f("JSONExtractString")(e => jsonPath(e(0), e(1)))
+    // randUniform(a, b): uniform double in [a, b) (hw08.md:31-35,
+    // hw11.md:40-43 seed their test data with it). Fresh seed per
+    // parsed call site, so two draws in one SELECT stay independent.
+    f("randUniform")(e => {
+      val r = Rand(Literal(scala.util.Random.nextLong()), hideSeed = true)
+      Add(Multiply(r, Subtract(Cast(e(1), DoubleType), Cast(e.head, DoubleType))),
+        Cast(e.head, DoubleType))
+    })
     f("JSONExtractInt")(e => Cast(jsonPath(e(0), e(1)), LongType))
     f("JSONExtractFloat")(e => Cast(jsonPath(e(0), e(1)), DoubleType))
 

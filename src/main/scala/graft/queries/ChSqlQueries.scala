@@ -526,6 +526,91 @@ object ChSqlQueries {
           |FROM purch l ASOF LEFT JOIN signup r
           |  ON l.user_id = r.user_id AND l.ts_s >= r.ts_s
           |ORDER BY event_id""".stripMargin)
+    },
+
+    // ---- ALTER TABLE UPDATE + DELETE through SQL text (SURVEY §2.11,
+    // lecture_16.md:173-199): the mutation pipeline read back vs a
+    // DuckDB CASE/filter twin over the same parquet rows
+    Q("q115_chsql_mutations",
+      """SELECT o_orderstatus, count(*) AS n, CAST(sum(CAST(
+        |    CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice * 2
+        |         ELSE o_totalprice END AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders WHERE o_orderstatus <> 'F'
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""") { (s, dir) =>
+      val ch = new ChSession(s)
+      ch.execute("CREATE TABLE omut (o_orderkey Int64, o_orderstatus String, " +
+        "o_totalprice Float64) ENGINE = MergeTree ORDER BY o_orderkey")
+      ch.ingest("omut", Tables(s, dir).orders
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice")))
+      ch.execute("ALTER TABLE omut UPDATE o_totalprice = o_totalprice * 2 " +
+        "WHERE o_orderkey % 10 = 0")
+      ch.execute("ALTER TABLE omut DELETE WHERE o_orderstatus = 'F'")
+      ch.sql(
+        """SELECT o_orderstatus, count() AS n, CAST(sum(CAST(
+          |    o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+          |FROM omut GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
+    },
+
+    // ---- table TTL through SQL text (SURVEY §2.10/§2.11, hw09.md:289-323
+    // + hw11.md:197): MODIFY TTL + MATERIALIZE TTL expire rows vs a
+    // DuckDB twin evaluating the SAME retention predicate against its
+    // own now(). The year-start axis pins the boundary to Jan 1, so
+    // both engines agree for any run inside the same calendar year.
+    Q("q116_chsql_ttl",
+      """SELECT count(*) AS n, min(o_orderdate) AS min_d,
+        |  max(o_orderdate) AS max_d
+        |FROM orders
+        |WHERE date_trunc('year', o_orderdate) + INTERVAL 31 YEAR > now()""") { (s, dir) =>
+      val ch = new ChSession(s)
+      ch.execute("CREATE TABLE ottl (o_orderkey Int64, o_orderdate DateTime) " +
+        "ENGINE = MergeTree ORDER BY o_orderkey")
+      ch.ingest("ottl", Tables(s, dir).orders
+        .select(col("o_orderkey"), col("o_orderdate")))
+      ch.execute(
+        "ALTER TABLE ottl MODIFY TTL toStartOfYear(o_orderdate) + INTERVAL 31 YEAR")
+      ch.execute("ALTER TABLE ottl MATERIALIZE TTL")
+      ch.sql(
+        """SELECT count() AS n, min(o_orderdate) AS min_d,
+          |  max(o_orderdate) AS max_d FROM ottl""".stripMargin)
+    },
+
+    // ---- ASOF JOIN with SUBQUERY sides in SQL text (r11, the q114
+    // sibling): both sides filter + project inline instead of being
+    // pre-materialized tables — the lowering derives the column lists
+    // from the subqueries' output schemas
+    Q("q118_chsql_asof_subquery",
+      """WITH r AS (
+        |  SELECT user_id, ts_s, value FROM (
+        |    SELECT user_id, epoch_ns(ts) // 1000000000 AS ts_s, value,
+        |           row_number() OVER (PARTITION BY user_id, epoch_ns(ts) // 1000000000 ORDER BY event_id DESC) AS rn
+        |    FROM events WHERE event_type = 'signup') WHERE rn = 1),
+        |l AS (
+        |  SELECT event_id, user_id, epoch_ns(ts) // 1000000000 AS ts_s
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT l.event_id, l.user_id, l.ts_s,
+        |       COALESCE(r.ts_s, 0) AS signup_ts_s,
+        |       COALESCE(r.value, 0.0) AS signup_value
+        |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts_s >= r.ts_s
+        |ORDER BY l.event_id""") { (s, dir) =>
+      val ch = new ChSession(s)
+      ch.execute("CREATE TABLE ev (event_id Int64, user_id Int64, " +
+        "ts DateTime, value Float64, event_type String) ENGINE = Memory")
+      ch.ingest("ev", Tables(s, dir).events
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"),
+          col("event_type")))
+      ch.sql(
+        """SELECT l.event_id AS event_id, l.user_id AS user_id,
+          |  l.ts_s AS ts_s, r.ts_s AS signup_ts_s, r.value AS signup_value
+          |FROM (SELECT event_id, user_id, toUnixTimestamp(ts) AS ts_s
+          |      FROM ev WHERE event_type = 'purchase') l
+          |ASOF LEFT JOIN (
+          |  SELECT user_id, ts_s, value FROM (
+          |    SELECT user_id, toUnixTimestamp(ts) AS ts_s, value,
+          |      row_number() OVER (PARTITION BY user_id, toUnixTimestamp(ts)
+          |        ORDER BY event_id DESC) AS rn
+          |    FROM ev WHERE event_type = 'signup') WHERE rn = 1) r
+          |ON l.user_id = r.user_id AND l.ts_s >= r.ts_s
+          |ORDER BY event_id""".stripMargin)
     }
   )
 }

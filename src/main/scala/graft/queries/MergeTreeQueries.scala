@@ -171,6 +171,36 @@ object MergeTreeQueries {
         .orderBy(col("doc_id"))
     },
 
+    // ---- GraphiteMergeTree age-banded rollup (SURVEY §2.10,
+    // lecture_07.md:793-818): rows older than each retention band fold
+    // into coarser time buckets; the DuckDB twin computes the same
+    // banded bucketing as a window-free group-by. `now` is pinned to
+    // 2024-02-01 UTC (the fixture's events end 2024-01-31), so the
+    // age bands are deterministic. Money through DECIMAL for
+    // engine-independent sums.
+    Q("q117_graphite_rollup",
+      """WITH b AS (
+        |  SELECT event_type AS path, epoch_ns(ts) // 1000000000 AS t, value,
+        |    CASE WHEN 1706745600 - (epoch_ns(ts) // 1000000000) >= 1209600 THEN 86400
+        |         WHEN 1706745600 - (epoch_ns(ts) // 1000000000) >= 604800 THEN 3600
+        |         ELSE 1 END AS step
+        |  FROM events)
+        |SELECT path, (t // step) * step AS t,
+        |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value,
+        |  count(*) AS points_folded
+        |FROM b GROUP BY path, (t // step) * step
+        |ORDER BY path, t""") { (s, dir) =>
+      import graft.mergetree.GraphiteRollup
+      val ev = Tables(s, dir).events
+        .select(col("event_type").as("path"),
+          unix_timestamp(col("ts")).as("t"), col("value"))
+      GraphiteRollup.rollup(ev, "path", "t", "value",
+        now = lit(1706745600L),
+        retentions = Seq((604800L, 3600L), (1209600L, 86400L)),
+        agg = c => sum(c.cast(DecimalType(18, 6))).cast(DoubleType))
+        .orderBy(col("path"), col("t"))
+    },
+
     // ---- uniqState → uniqMerge over our own HLL sketch
     // (lectures/lecture_13.md:60-93). The sketch is internal to the engine,
     // so no SQL oracle — the spec asserts merge-of-states == direct state

@@ -1189,6 +1189,48 @@ class ChSqlSpec extends SparkSpec {
     assert(viewOut == 50L) // (10+5+7+3)*2 — the view survived the attach
   }
 
+  test("attach: torn catalog journal is refused; a crash-orphaned tmp " +
+    "recovers (r11 atomicity hardening)") {
+    val dir = java.nio.file.Files.createTempDirectory("chs_torn").toString
+    val s1 = new ChSession(spark, storageDir = Some(dir))
+    s1.execute(
+      """CREATE TABLE t1 (k UInt32) ENGINE = MergeTree ORDER BY k;
+        |CREATE TABLE t2 (k UInt32) ENGINE = MergeTree ORDER BY k;
+        |INSERT INTO t1 VALUES (1);""".stripMargin)
+    val journal = java.nio.file.Paths.get(dir, "_catalog.sql")
+    // the test edits the journal OUT OF BAND (simulating a torn write),
+    // so Hadoop LocalFileSystem's checksum sidecars must go too
+    def dropCrc(): Unit = Seq("._catalog.sql.crc", "._catalog.sql.tmp.crc")
+      .foreach(n => java.nio.file.Files.deleteIfExists(
+        java.nio.file.Paths.get(dir, n)))
+    val full = java.nio.file.Files.readString(journal)
+    assert(full.contains("graft:catalog:end"),
+      "journal must end with the terminator marker")
+    // clean replay first
+    assert(ChSession.attach(spark, dir)
+      .sql("SELECT count() AS c FROM t1").collect().head.getLong(0) == 1L)
+    // tear the journal (drop the tail including the terminator): attach
+    // must REFUSE rather than silently resurrect only t1
+    assert(full.indexOf("t2") > 0, s"journal spelling changed?\n$full")
+    java.nio.file.Files.writeString(journal,
+      full.substring(0, full.indexOf("t2")))
+    dropCrc()
+    val err = intercept[IllegalStateException] {
+      ChSession.attach(spark, dir)
+    }
+    assert(err.getMessage.contains("torn"), err.getMessage)
+    // crash between delete and rename: only a COMPLETE tmp remains —
+    // attach recovers it into place and replays normally
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(dir, "_catalog.sql.tmp"), full)
+    java.nio.file.Files.delete(journal)
+    dropCrc()
+    val s3 = ChSession.attach(spark, dir)
+    assert(s3.sql("SELECT count() AS c FROM t1").collect().head.getLong(0) == 1L)
+    assert(java.nio.file.Files.exists(journal),
+      "recovery must move the tmp into place")
+  }
+
   test("CTAS with explicit schema lands selected data positionally") {
     val s = ch
     s.execute(
@@ -2113,6 +2155,278 @@ class ChSqlSpec extends SparkSpec {
         |INSERT INTO fsrc VALUES ('csv', 1), ('tsv', 2);
         |INSERT INTO fdst (format, x) SELECT format, x FROM fsrc;""".stripMargin)
     assert(s.sql("SELECT count() AS c FROM fdst").collect().head.getLong(0) == 2L)
+  }
+
+  // ------------------------------------------- r11 join-dialect edges
+
+  test("bare USING list without parentheses parses in plain, ANY and ASOF joins") {
+    val s = ch
+    s.execute(
+      """CREATE TABLE bul (k UInt32, t UInt32, a String) ENGINE = Memory;
+        |CREATE TABLE bur (k UInt32, t UInt32, v String) ENGINE = Memory;
+        |INSERT INTO bul VALUES (1, 10, 'a10'), (2, 10, 'b10');
+        |INSERT INTO bur VALUES (1, 5, 'r5'), (1, 7, 'r7');""".stripMargin)
+    // ASOF bare USING k, t — pre-fix the slice was empty and threw
+    val asof = s.sql(
+      """SELECT k, t, a, v FROM bul ASOF LEFT JOIN bur USING k, t
+        |ORDER BY k""".stripMargin).collect()
+    assert(asof.length == 2)
+    assert(asof(0).getString(3) == "r7" && asof(1).getString(3) == "")
+    // plain join, bare single-column USING (Spark's own parser needs
+    // the parens — normalizeBareUsing adds them)
+    s.execute(
+      """CREATE TABLE anl (k UInt32, s String) ENGINE = Memory;
+        |CREATE TABLE anr (k UInt32, v String) ENGINE = Memory;
+        |INSERT INTO anl VALUES (1, 'l1'), (2, 'l2'), (3, 'l3');
+        |INSERT INTO anr VALUES (1, 'x1'), (1, 'x1b'), (2, 'y2'), (2, 'y2b');""".stripMargin)
+    val plain = s.sql(
+      "SELECT k, s, v FROM anl JOIN anr USING k ORDER BY k, v").collect()
+    assert(plain.length == 4, s"bare USING on a plain join: $plain")
+    // ANY bare USING must dedup PER KEY — the pre-fix empty key list
+    // silently partitioned by NOTHING and picked one GLOBAL right row
+    val any = s.sql(
+      "SELECT k, s, v FROM anl ANY LEFT JOIN anr USING k ORDER BY k").collect()
+    assert(any.length == 3)
+    assert(Set("x1", "x1b")(any(0).getString(2)),
+      s"k=1 must pick among ITS OWN rows: ${any(0)}")
+    assert(Set("y2", "y2b")(any(1).getString(2)),
+      s"k=2 must pick among ITS OWN rows: ${any(1)}")
+    assert(any(2).getString(2) == "", s"k=3 miss fills the type default")
+  }
+
+  test("ASOF time axis stays lossless: Int64 above 2^53 and Date axes") {
+    val s = ch
+    s.execute(
+      """CREATE TABLE nsl (k UInt32, t UInt64) ENGINE = Memory;
+        |CREATE TABLE nsr (k UInt32, t UInt64, v String) ENGINE = Memory;
+        |INSERT INTO nsl VALUES (1, 9007199254740993);
+        |INSERT INTO nsr VALUES (1, 9007199254740992, 'lo'), (1, 9007199254740993, 'eq'), (1, 9007199254740994, 'hi');""".stripMargin)
+    // 2^53 = 9007199254740992: the three right times are DISTINCT longs
+    // but collapse under a DOUBLE cast (the pre-fix lowering's sort key)
+    val strict = s.sql(
+      """SELECT l.k AS k, r.v AS v FROM nsl l ASOF JOIN nsr r
+        |ON l.k = r.k AND l.t > r.t""".stripMargin).collect()
+    assert(strict.length == 1 && strict.head.getString(1) == "lo",
+      s"strict > above 2^53 must pick the true predecessor: ${strict.toSeq}")
+    val incl = s.sql(
+      """SELECT l.k AS k, r.v AS v FROM nsl l ASOF JOIN nsr r
+        |ON l.k = r.k AND l.t >= r.t""".stripMargin).collect()
+    assert(incl.head.getString(1) == "eq",
+      s"inclusive >= must pick the exact-time row: ${incl.toSeq}")
+    // a Date-typed ASOF axis (pre-fix: CAST(date AS DOUBLE) fails
+    // analysis outright)
+    s.execute(
+      """CREATE TABLE dtl (k UInt32, d Date) ENGINE = Memory;
+        |CREATE TABLE dtr (k UInt32, d Date, v String) ENGINE = Memory;
+        |INSERT INTO dtl VALUES (1, '2024-01-10');
+        |INSERT INTO dtr VALUES (1, '2024-01-05', 'early'), (1, '2024-01-12', 'late');""".stripMargin)
+    val dts = s.sql(
+      """SELECT l.k AS k, r.v AS v FROM dtl l ASOF LEFT JOIN dtr r
+        |ON l.k = r.k AND l.d >= r.d""".stripMargin).collect()
+    assert(dts.head.getString(1) == "early", s"date axis: ${dts.toSeq}")
+  }
+
+  test("ASOF lowering refuses user columns colliding with its helper names") {
+    val s = ch
+    s.execute(
+      """CREATE TABLE hcl (k UInt32, __t UInt32) ENGINE = Memory;
+        |CREATE TABLE hcr (k UInt32, t UInt32, v String) ENGINE = Memory;""".stripMargin)
+    val err = intercept[IllegalArgumentException] {
+      s.sql(
+        """SELECT l.k AS k, r.v AS v FROM hcl l ASOF JOIN hcr r
+          |ON l.k = r.k AND l.__t >= r.t""".stripMargin)
+    }
+    assert(err.getMessage.contains("reserved helper"),
+      s"expected the collision refusal, got: ${err.getMessage}")
+  }
+
+  test("left()/any() calls inside ON conditions are not join keywords") {
+    val s = ch
+    s.execute(
+      """CREATE TABLE fca (k UInt32, x String) ENGINE = Memory;
+        |CREATE TABLE fcb (kb UInt32, y String) ENGINE = Memory;
+        |CREATE TABLE fcc (k UInt32, z String) ENGINE = Memory;
+        |INSERT INTO fca VALUES (1, 'x1'), (2, 'x2');
+        |INSERT INTO fcb VALUES (1, 'yes'), (2, 'no');
+        |INSERT INTO fcc VALUES (1, 'z1'), (3, 'z3');""".stripMargin)
+    // composite ANY RIGHT left tree whose INNER ON calls left(...) —
+    // pre-fix the tree walk took `left` for a join keyword, misparsed
+    // the component list and threw 'requires an alias'
+    val rows = s.sql(
+      """SELECT a.x, c.z FROM fca a
+        |JOIN fcb b ON a.k = b.kb AND left(b.y, 1) = 'y'
+        |ANY RIGHT JOIN fcc c ON a.k = c.k ORDER BY c.z""".stripMargin)
+      .collect()
+    assert(rows.length == 2)
+    assert(rows(0).getString(0) == "x1" && rows(0).getString(1) == "z1")
+    assert(rows(1).getString(0) == "" && rows(1).getString(1) == "z3")
+    // a LEFT JOIN whose ON tail calls left(...): the defaults scanner's
+    // condition-end scan must not stop at the call (it would then wrap
+    // references INSIDE the remaining condition)
+    val lj = s.sql(
+      """SELECT a.x, b.y FROM fca a
+        |LEFT JOIN fcb b ON a.k = b.kb AND left(b.y, 1) = 'y'
+        |ORDER BY a.k""".stripMargin).collect()
+    assert(lj(0).getString(1) == "yes" && lj(1).getString(1) == "",
+      s"left() in the ON tail: ${lj.toSeq}")
+  }
+
+  test("ASOF JOIN in SQL text accepts subquery sides (r11): all four modes " +
+    "against the brute-force model over the filtered inputs") {
+    val s = ch
+    s.execute(
+      """CREATE TABLE sql_l (k UInt32, t UInt32, a String) ENGINE = Memory;
+        |CREATE TABLE sql_r (k UInt32, t UInt32, v String) ENGINE = Memory;
+        |INSERT INTO sql_l VALUES (1, 10, 'a10'), (1, 20, 'a20'), (2, 10, 'b10'), (3, 15, 'c15'), (1, 99, 'cut');
+        |INSERT INTO sql_r VALUES (1, 5, 'r5'), (1, 20, 'r20'), (2, 25, 'r25'), (4, 1, 'r1'), (1, 98, 'rcut');""".stripMargin)
+    // the subqueries FILTER both sides: the lowering must take the
+    // column lists (and the rows) from the subquery, not the catalog
+    val lRows = Seq((1L, 10L), (1L, 20L), (2L, 10L), (3L, 15L))
+    val rRows = Seq((1L, 5L, "r5"), (1L, 20L, "r20"), (2L, 25L, "r25"),
+      (4L, 1L, "r1"))
+    def model(op: String): Map[(Long, Long), Option[String]] =
+      lRows.map { case (k, t) =>
+        val cand = rRows.filter(_._1 == k).filter { r =>
+          op match {
+            case ">=" => r._2 <= t
+            case ">" => r._2 < t
+            case "<=" => r._2 >= t
+            case _ => r._2 > t
+          }
+        }
+        val pick =
+          if (cand.isEmpty) None
+          else Some((op match {
+            case ">=" | ">" => cand.maxBy(_._2)
+            case _ => cand.minBy(_._2)
+          })._3)
+        (k, t) -> pick
+      }.toMap
+    Seq(">=", ">", "<=", "<").foreach { op =>
+      val left = s.sql(
+        s"""SELECT l.k AS k, l.t AS t, r.v AS v
+           |FROM (SELECT k, t, a FROM sql_l WHERE t < 90) l
+           |ASOF LEFT JOIN (SELECT k, t, v FROM sql_r WHERE t < 90) r
+           |ON l.k = r.k AND l.t $op r.t ORDER BY k, t""".stripMargin)
+        .collect()
+      assert(left.length == 4, s"op $op: subquery ASOF LEFT keeps " +
+        s"all 4 filtered left rows, got ${left.length}")
+      left.foreach { row =>
+        val key = (row.getLong(0), row.getLong(1))
+        val expect = model(op)(key).getOrElse("")
+        assert(row.getString(2) == expect,
+          s"op $op $key: got ${row.getString(2)}, expected $expect")
+      }
+    }
+    // mixed: subquery left side, catalog-table right side, inner mode
+    val mixed = s.sql(
+      """SELECT l.k AS k, l.t AS t, r.v AS v
+        |FROM (SELECT k, t FROM sql_l WHERE t < 90) l
+        |ASOF JOIN sql_r r ON l.k = r.k AND l.t >= r.t
+        |ORDER BY k, t""".stripMargin).collect()
+    // matches: (1,10)→r5, (1,20)→r20; (2,10) and (3,15) have no right
+    // row at or before their t → dropped by the inner mode
+    assert(mixed.length == 2 && mixed.forall(_.getString(2).nonEmpty),
+      s"mixed sides inner: ${mixed.toSeq}")
+    // a subquery side without an alias is refused crisply
+    val err = intercept[IllegalArgumentException] {
+      s.sql(
+        """SELECT 1 FROM (SELECT k, t FROM sql_l)
+          |ASOF JOIN sql_r r ON k = r.k AND t >= r.t""".stripMargin)
+    }
+    assert(err.getMessage.contains("alias"), err.getMessage)
+  }
+
+  test("ASOF JOIN in SQL text accepts a composite left join TREE (r11)") {
+    val s = ch
+    s.execute(
+      """CREATE TABLE trl (k UInt32, t UInt32) ENGINE = Memory;
+        |CREATE TABLE trm (k2 UInt32, label String) ENGINE = Memory;
+        |CREATE TABLE trr (k UInt32, t UInt32, v String) ENGINE = Memory;
+        |INSERT INTO trl VALUES (1, 10), (1, 20), (2, 15);
+        |INSERT INTO trm VALUES (1, 'one'), (2, 'two');
+        |INSERT INTO trr VALUES (1, 5, 'r5'), (1, 12, 'r12'), (2, 99, 'late');""".stripMargin)
+    // tree = trl JOIN trm; the ASOF right picks the latest r at or
+    // before each tree row's t — the tree flattens through __asofl
+    // and the ON's component references requalify onto it
+    val rows = s.sql(
+      """SELECT a.k AS k, a.t AS t, m.label AS label, r.v AS v
+        |FROM trl a JOIN trm m ON a.k = m.k2
+        |ASOF LEFT JOIN trr r ON a.k = r.k AND a.t >= r.t
+        |ORDER BY k, t""".stripMargin).collect()
+    assert(rows.length == 3, s"tree rows: ${rows.toSeq}")
+    assert(rows(0).getString(2) == "one" && rows(0).getString(3) == "r5")
+    assert(rows(1).getString(2) == "one" && rows(1).getString(3) == "r12")
+    // k=2 t=15: the only r for k=2 is at t=99 (future) → miss fills ''
+    assert(rows(2).getString(2) == "two" && rows(2).getString(3) == "")
+  }
+
+  test("LEFT JOIN subquery side under join_use_nulls = 0 fills the " +
+    "subquery's result-type defaults (r11, was the documented partial)") {
+    val s = ch
+    s.execute(
+      """CREATE TABLE jm (id UInt32, title String) ENGINE = Memory;
+        |CREATE TABLE jg (movie_id UInt32, genre String, score UInt32, note Nullable(String)) ENGINE = Memory;
+        |INSERT INTO jm VALUES (1, 'm1'), (9, 'm9');
+        |INSERT INTO jg VALUES (1, 'drama', 7, 'good');""".stripMargin)
+    // subquery right side: a declared String passthrough ('' default),
+    // a declared UInt32 passthrough (0), a COMPUTED column (result-type
+    // zero default), and a declared Nullable(String) (stays NULL)
+    val rows = s.sql(
+      """SELECT m.title AS title, g.genre AS genre, g.score2 AS score2,
+        |       g.note AS note
+        |FROM jm m LEFT JOIN
+        |  (SELECT movie_id, genre, score * 2 AS score2, note FROM jg) g
+        |ON m.id = g.movie_id ORDER BY m.id""".stripMargin).collect()
+    assert(rows.length == 2)
+    assert(rows(0).getString(1) == "drama" && rows(0).getLong(2) == 14L)
+    assert(rows(1).getString(1) == "", s"String passthrough default: ${rows(1)}")
+    assert(!rows(1).isNullAt(2) && rows(1).getLong(2) == 0L,
+      s"computed-column zero default: ${rows(1)}")
+    assert(rows(1).isNullAt(3),
+      s"declared Nullable keeps NULL on the miss: ${rows(1)}")
+    // RIGHT JOIN with a subquery LEFT side: the left components fill
+    val rj = s.sql(
+      """SELECT t.title AS title, c.movie_id AS movie_id
+        |FROM (SELECT id, title FROM jm WHERE id < 5) t
+        |RIGHT JOIN jg c ON t.id = c.movie_id
+        |UNION ALL
+        |SELECT t.title, c2.movie_id FROM (SELECT id, title FROM jm WHERE id < 5) t
+        |RIGHT JOIN (SELECT 42 AS movie_id) c2 ON t.id = c2.movie_id
+        |ORDER BY movie_id""".stripMargin).collect()
+    assert(rj.length == 2)
+    assert(rj(0).getString(0) == "m1")
+    assert(rj(1).getString(0) == "", s"subquery left side fills '': ${rj(1)}")
+    // and SETTINGS join_use_nulls = 1 keeps SQL NULLs
+    val nu = s.sql(
+      """SELECT m.title AS title, g.genre AS genre
+        |FROM jm m LEFT JOIN (SELECT movie_id, genre FROM jg) g
+        |ON m.id = g.movie_id ORDER BY m.id
+        |SETTINGS join_use_nulls = 1""".stripMargin).collect()
+    assert(nu(1).isNullAt(1), s"= 1 keeps NULL: ${nu(1)}")
+  }
+
+  test("ANTI right-side Map column under join_use_nulls = 1 is a typed NULL") {
+    val s = ch
+    s.execute(
+      """CREATE TABLE amk (k UInt32) ENGINE = Memory;
+        |CREATE TABLE amg (k UInt32, m Map(String, UInt64)) ENGINE = Memory;
+        |INSERT INTO amk VALUES (1), (2);""".stripMargin)
+    // pre-fix the substitution spelled nullif(CAST(map() AS ...), ...)
+    // and Spark rejected the map equality at analysis
+    val nu = s.sql(
+      """SELECT l.k AS k, g.m AS m FROM amk l ANTI JOIN amg g
+        |ON l.k = g.k ORDER BY k SETTINGS join_use_nulls = 1""".stripMargin)
+      .collect()
+    assert(nu.length == 2 && nu.forall(_.isNullAt(1)),
+      s"join_use_nulls = 1 ANTI map fill must be NULL: ${nu.toSeq}")
+    // the default setting keeps the {} type default
+    val d = s.sql(
+      """SELECT l.k AS k, g.m AS m FROM amk l ANTI JOIN amg g
+        |ON l.k = g.k ORDER BY k""".stripMargin).collect()
+    assert(d.length == 2 && d.forall(r => !r.isNullAt(1) &&
+      r.getMap[String, Long](1).isEmpty),
+      s"join_use_nulls = 0 ANTI map fill must be {}: ${d.toSeq}")
   }
 
 }

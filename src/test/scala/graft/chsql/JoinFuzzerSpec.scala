@@ -240,4 +240,278 @@ class JoinFuzzerSpec extends SparkSpec {
       s"${failures.size} fuzzed queries diverged from the ClickHouse " +
         s"reference evaluator:\n${failures.take(8).mkString("\n")}")
   }
+
+  test("seeded join fuzzer, SUBQUERY sides (r11): kind x filtered side x " +
+    "join_use_nulls — subquery result-type defaults fill exactly like " +
+    "catalog defaults") {
+    val s = new ChSession(spark)
+    var ran = 0
+    val failures = scala.collection.mutable.ArrayBuffer.empty[String]
+    Seq(20260816, 977).zipWithIndex.foreach { case (seed, ci) =>
+      val (lRows, rRows) = corpus(seed)
+      val (lt, rt) = (s"sql$ci", s"sqr$ci")
+      s.execute(
+        s"""CREATE TABLE $lt (k UInt32, lv String, ln UInt32) ENGINE = Memory;
+           |CREATE TABLE $rt (k UInt32, rv String, rn UInt32) ENGINE = Memory;
+           |INSERT INTO $lt VALUES ${lRows.map(r => s"(${r._1}, '${r._2}', ${r._3})").mkString(", ")};
+           |INSERT INTO $rt VALUES ${rRows.map(r => s"(${r._1}, '${r._2}', ${r._3})").mkString(", ")};""".stripMargin)
+      val rnd = new scala.util.Random(seed * 17 + 3)
+      for {
+        kind <- Seq("INNER JOIN", "LEFT JOIN", "RIGHT JOIN", "FULL JOIN",
+          "ANY LEFT JOIN", "LEFT ANTI JOIN")
+        subSide <- Seq("left", "right", "both")
+        useNulls <- Seq(false, true)
+      } {
+        // each side's subquery filters by a drawn key cutoff — the
+        // engine must take BOTH the rows and the default literals from
+        // the subquery's output, not the catalog
+        val (lCut, rCut) = (rnd.nextInt(8).toLong + 1, rnd.nextInt(8).toLong + 1)
+        val lFiltered = if (subSide != "right") lRows.filter(_._1 < lCut) else lRows
+        val rFiltered = if (subSide != "left") rRows.filter(_._1 < rCut) else rRows
+        val lRef = if (subSide != "right")
+          s"(SELECT k, lv, ln FROM $lt WHERE k < $lCut)" else lt
+        val rRef = if (subSide != "left")
+          s"(SELECT k, rv, rn FROM $rt WHERE k < $rCut)" else rt
+        val tail = if (useNulls) " SETTINGS join_use_nulls = 1" else ""
+        val sql = s"SELECT l.lv AS lv, r.rv AS rv, r.rn AS rn " +
+          s"FROM $lRef l $kind $rRef r ON l.k = r.k$tail"
+        val expected = pairs(canon(kind), lFiltered, rFiltered).map(p =>
+          Vector(cell(p._1.map(_._2), useNulls, ""),
+            cell(p._2.map(_._2), useNulls, ""),
+            cell(p._2.map(_._3), useNulls, "0")))
+          .sortBy(_.mkString("|"))
+        (try Right(norm(s.sql(sql).collect()))
+         catch { case e: Exception =>
+           Left(e.getMessage.linesIterator.next())
+         }) match {
+          case Left(err) => failures += s"$sql\n  threw: $err"
+          case Right(got) if got != expected =>
+            failures += s"$sql\n  expected ${expected.size} rows " +
+              s"${expected.take(4)}\n  got ${got.size} rows ${got.take(4)}"
+          case _ => ()
+        }
+        ran += 1
+      }
+    }
+    assert(ran >= 70, s"drew $ran")
+    assert(failures.isEmpty,
+      s"${failures.size} subquery-side draws diverged:\n" +
+        failures.take(8).mkString("\n"))
+  }
+
+  test("seeded join fuzzer, multi-join TREES (r11): depth-2 chains mixing " +
+    "kinds match the per-node composed evaluator, including default-fill " +
+    "keys re-matching in the second join") {
+    val s = new ChSession(spark)
+    var ran = 0
+    val failures = scala.collection.mutable.ArrayBuffer.empty[String]
+    type R = (Long, String)
+    Seq(20260816, 5150).zipWithIndex.foreach { case (seed, ci) =>
+      val rnd = new scala.util.Random(seed)
+      // distinct column names per table keep the flattened trees
+      // unambiguous; t3 plants key 0 so a join_use_nulls = 0 fill on a
+      // missed first-join side can RE-MATCH in the second join (the
+      // ClickHouse footgun, lecture_10)
+      def rowsOf(tag: String, planted: Seq[Long]): Seq[R] =
+        (planted ++ Seq.fill(4)(rnd.nextInt(6).toLong)).map(k => (k, s"$tag$k"))
+      val t1 = rowsOf("a", Seq(1L, 2L, 2L))
+      val t2 = rowsOf("b", Seq(1L, 3L))
+      val t3 = rowsOf("c", Seq(0L, 1L, 4L))
+      val (n1, n2, n3) = (s"tj1$ci", s"tj2$ci", s"tj3$ci")
+      s.execute(
+        s"""CREATE TABLE $n1 (k1 UInt32, v1 String) ENGINE = Memory;
+           |CREATE TABLE $n2 (k2 UInt32, v2 String) ENGINE = Memory;
+           |CREATE TABLE $n3 (k3 UInt32, v3 String) ENGINE = Memory;
+           |INSERT INTO $n1 VALUES ${t1.map(r => s"(${r._1}, '${r._2}')").mkString(", ")};
+           |INSERT INTO $n2 VALUES ${t2.map(r => s"(${r._1}, '${r._2}')").mkString(", ")};
+           |INSERT INTO $n3 VALUES ${t3.map(r => s"(${r._1}, '${r._2}')").mkString(", ")};""".stripMargin)
+      type I = (Option[R], Option[R]) // intermediate: (t1 row, t2 row)
+      def join1(kind: String): Seq[I] = kind match {
+        case "INNER JOIN" =>
+          for { l <- t1; r <- t2 if r._1 == l._1 } yield (Some(l), Some(r))
+        case "LEFT JOIN" => t1.flatMap { l =>
+          val ms = t2.filter(_._1 == l._1)
+          if (ms.isEmpty) Seq((Some(l), None))
+          else ms.map(r => (Some(l), Some(r)))
+        }
+        case "RIGHT JOIN" => t2.flatMap { r =>
+          val ms = t1.filter(_._1 == r._1)
+          if (ms.isEmpty) Seq((None, Some(r)))
+          else ms.map(l => (Some(l), Some(r)))
+        }
+        case _ => // FULL JOIN
+          join1("LEFT JOIN") ++ t2.filterNot(r => t1.exists(_._1 == r._1))
+            .map(r => (None, Some(r)))
+      }
+      // the second join's link key: the CHOSEN side's key with the
+      // join_use_nulls fill applied — under = 0 a missed side reads 0,
+      // a REAL value that can match t3's planted k3 = 0; under = 1 it
+      // reads NULL, which never equals anything
+      def linkKey(p: I, side: Int, un: Boolean): Option[Long] =
+        (if (side == 1) p._1 else p._2).map(_._1)
+          .orElse(if (un) None else Some(0L))
+      for {
+        kind1 <- Seq("INNER JOIN", "LEFT JOIN", "RIGHT JOIN", "FULL JOIN")
+        kind2 <- Seq("INNER JOIN", "LEFT JOIN", "RIGHT JOIN",
+          "ANY LEFT JOIN", "ANY RIGHT JOIN", "LEFT ANTI JOIN")
+        side <- Seq(1, 2)
+        useNulls <- Seq(false, true)
+        // ANY RIGHT picks ONE intermediate per t3 row: value-
+        // deterministic only when the picked side is a pure function
+        // of the link key — guaranteed for side 1 under INNER/LEFT
+        // (dup keys are value-identical, t2 misses fill uniformly)
+        if kind2 != "ANY RIGHT JOIN" ||
+          (side == 1 && (kind1 == "INNER JOIN" || kind1 == "LEFT JOIN"))
+      } {
+        val inter = join1(kind1)
+        val linkCol = if (side == 1) "a.k1" else "b.k2"
+        val tail = if (useNulls) " SETTINGS join_use_nulls = 1" else ""
+        val sql = s"SELECT a.v1 AS v1, b.v2 AS v2, c.v3 AS v3 " +
+          s"FROM $n1 a $kind1 $n2 b ON a.k1 = b.k2 " +
+          s"$kind2 $n3 c ON $linkCol = c.k3$tail"
+        def fillI(i: Option[I], c: Option[R]): Vector[String] = Vector(
+          cell(i.flatMap(_._1).map(_._2), useNulls, ""),
+          cell(i.flatMap(_._2).map(_._2), useNulls, ""),
+          cell(c.map(_._2), useNulls, ""))
+        val expected: Seq[Vector[String]] = (kind2 match {
+          case "INNER JOIN" => inter.flatMap(i =>
+            t3.filter(c => linkKey(i, side, useNulls).contains(c._1))
+              .map(c => fillI(Some(i), Some(c))))
+          case "LEFT JOIN" => inter.flatMap { i =>
+            val ms = t3.filter(c => linkKey(i, side, useNulls).contains(c._1))
+            if (ms.isEmpty) Seq(fillI(Some(i), None))
+            else ms.map(c => fillI(Some(i), Some(c)))
+          }
+          case "RIGHT JOIN" => t3.flatMap { c =>
+            val ms = inter.filter(i =>
+              linkKey(i, side, useNulls).contains(c._1))
+            if (ms.isEmpty) Seq(fillI(None, Some(c)))
+            else ms.map(i => fillI(Some(i), Some(c)))
+          }
+          case "ANY LEFT JOIN" => inter.map(i => fillI(Some(i),
+            t3.find(c => linkKey(i, side, useNulls).contains(c._1))))
+          case "ANY RIGHT JOIN" => t3.map(c => fillI(
+            inter.find(i => linkKey(i, side, useNulls).contains(c._1)), Some(c)))
+          case _ => // LEFT ANTI JOIN: kept intermediates, t3 side filled
+            inter.filterNot(i => t3.exists(c =>
+              linkKey(i, side, useNulls).contains(c._1)))
+              .map(i => fillI(Some(i), None))
+        }).sortBy(_.mkString("|"))
+        (try Right(norm(s.sql(sql).collect()))
+         catch { case e: Exception =>
+           Left(e.getMessage.linesIterator.next())
+         }) match {
+          case Left(err) => failures += s"$sql\n  threw: $err"
+          case Right(got) if got != expected =>
+            failures += s"$sql\n  expected ${expected.size} rows " +
+              s"${expected.take(4)}\n  got ${got.size} rows ${got.take(4)}"
+          case _ => ()
+        }
+        ran += 1
+      }
+    }
+    assert(ran >= 140, s"drew $ran")
+    assert(failures.isEmpty,
+      s"${failures.size} tree draws diverged:\n${failures.take(8).mkString("\n")}")
+  }
+
+  test("seeded ASOF fuzzer (r11): subquery sides and multi-key USING " +
+    "match the brute-force model") {
+    val s = new ChSession(spark)
+    var ran = 0
+    val failures = scala.collection.mutable.ArrayBuffer.empty[String]
+    Seq(20260816, 31337).zipWithIndex.foreach { case (seed, ci) =>
+      // subquery-side draws over the existing single-key fixtures
+      val (aRows, bRows) = asofCorpus(seed)
+      val (at, bt) = (s"fsa$ci", s"fsb$ci")
+      s.execute(
+        s"""CREATE TABLE $at (k UInt32, av String, t UInt32) ENGINE = Memory;
+           |CREATE TABLE $bt (k UInt32, bv String, t UInt32) ENGINE = Memory;
+           |INSERT INTO $at VALUES ${aRows.map(r => s"(${r._1}, '${r._2}', ${r._3})").mkString(", ")};
+           |INSERT INTO $bt VALUES ${bRows.map(r => s"(${r._1}, '${r._2}', ${r._3})").mkString(", ")};""".stripMargin)
+      val rnd = new scala.util.Random(seed * 7 + 1)
+      for {
+        op <- Seq(">=", ">", "<=", "<")
+        leftKind <- Seq(true, false)
+        subSide <- Seq("left", "right", "both")
+      } {
+        val cut = rnd.nextInt(4).toLong * 10 + 10
+        val aF = if (subSide != "right") aRows.filter(_._3 <= cut) else aRows
+        val bF = if (subSide != "left") bRows.filter(_._3 <= cut) else bRows
+        val aRef = if (subSide != "right")
+          s"(SELECT k, av, t FROM $at WHERE t <= $cut)" else at
+        val bRef = if (subSide != "left")
+          s"(SELECT k, bv, t FROM $bt WHERE t <= $cut)" else bt
+        val kind = if (leftKind) "ASOF LEFT JOIN" else "ASOF JOIN"
+        val sql = s"SELECT l.k AS k, l.t AS t, l.av AS av, r.bv AS bv " +
+          s"FROM $aRef l $kind $bRef r ON l.k = r.k AND l.t $op r.t"
+        val expected = aF.flatMap { case (k, av, t) =>
+          val cand = bF.filter(b => b._1 == k && (op match {
+            case ">=" => b._3 <= t
+            case ">" => b._3 < t
+            case "<=" => b._3 >= t
+            case _ => b._3 > t
+          }))
+          val pick =
+            if (cand.isEmpty) None
+            else Some((op match {
+              case ">=" | ">" => cand.maxBy(_._3)
+              case _ => cand.minBy(_._3)
+            })._2)
+          if (pick.isEmpty && !leftKind) None
+          else Some(Vector(k.toString, t.toString, av,
+            cell(pick, useNulls = false, "")))
+        }.sortBy(_.mkString("|"))
+        (try Right(norm(s.sql(sql).collect()))
+         catch { case ex: Exception =>
+           Left(ex.getMessage.linesIterator.next())
+         }) match {
+          case Left(err) => failures += s"$sql\n  threw: $err"
+          case Right(got) if got != expected =>
+            failures += s"$sql\n  expected ${expected.size} rows " +
+              s"${expected.take(4)}\n  got ${got.size} rows ${got.take(4)}"
+          case _ => ()
+        }
+        ran += 1
+      }
+      // multi-key USING draws: 2 keys + time, parenthesized and bare
+      val rnd2 = new scala.util.Random(seed * 13 + 5)
+      def mkSide(tag: String): Seq[(Long, Long, Long, String)] =
+        (Seq((1L, 1L, 10L), (1L, 2L, 10L), (2L, 1L, 20L)) ++
+          Seq.fill(8)((rnd2.nextInt(3).toLong, rnd2.nextInt(3).toLong,
+            rnd2.nextInt(5).toLong * 10))).distinct
+          .map { case (k1, k2, t) => (k1, k2, t, s"$tag${k1}_${k2}_$t") }
+      val mA = mkSide("a")
+      val mB = mkSide("b")
+      val (ma, mb) = (s"fma$ci", s"fmb$ci")
+      s.execute(
+        s"""CREATE TABLE $ma (k1 UInt32, k2 UInt32, t UInt32, av String) ENGINE = Memory;
+           |CREATE TABLE $mb (k1 UInt32, k2 UInt32, t UInt32, bv String) ENGINE = Memory;
+           |INSERT INTO $ma VALUES ${mA.map(r => s"(${r._1}, ${r._2}, ${r._3}, '${r._4}')").mkString(", ")};
+           |INSERT INTO $mb VALUES ${mB.map(r => s"(${r._1}, ${r._2}, ${r._3}, '${r._4}')").mkString(", ")};""".stripMargin)
+      Seq("USING (k1, k2, t)", "USING k1, k2, t").foreach { using =>
+        val sql = s"SELECT k1, k2, t, av, bv " +
+          s"FROM $ma ASOF LEFT JOIN $mb $using ORDER BY k1, k2, t"
+        val expected = mA.map { case (k1, k2, t, av) =>
+          val cand = mB.filter(b => b._1 == k1 && b._2 == k2 && b._3 <= t)
+          val pick = if (cand.isEmpty) "" else cand.maxBy(_._3)._4
+          Vector(k1.toString, k2.toString, t.toString, av, pick)
+        }.sortBy(_.mkString("|"))
+        (try Right(norm(s.sql(sql).collect()))
+         catch { case ex: Exception =>
+           Left(ex.getMessage.linesIterator.next())
+         }) match {
+          case Left(err) => failures += s"$sql\n  threw: $err"
+          case Right(got) if got != expected =>
+            failures += s"$sql\n  expected ${expected.size} rows " +
+              s"${expected.take(4)}\n  got ${got.size} rows ${got.take(4)}"
+          case _ => ()
+        }
+        ran += 1
+      }
+    }
+    assert(ran >= 48, s"drew $ran")
+    assert(failures.isEmpty,
+      s"${failures.size} ASOF draws diverged:\n${failures.take(8).mkString("\n")}")
+  }
 }
