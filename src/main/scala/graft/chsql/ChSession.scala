@@ -1464,13 +1464,22 @@ final class ChSession(val spark: SparkSession,
             scala.util.Try(spark.table(rt.viewName).schema(column)).toOption)
             .map(f => ChTypes.defaultLiteralSql(f.dataType, nullable = true)))
 
+      // ONE analysis round-trip per distinct subquery text per
+      // statement, shared by all three hooks (the defaults, ANTI and
+      // ASOF passes may each probe the same side); per-statement
+      // scope, so a later DDL can never serve a stale schema
+      private val subDfCache = mutable.Map
+        .empty[String, Option[org.apache.spark.sql.DataFrame]]
+      private def subDf(sql: String): Option[org.apache.spark.sql.DataFrame] =
+        subDfCache.getOrElseUpdate(sql,
+          scala.util.Try(runSelect(sql, overrides)).toOption)
+
       override def describeQuery(sql: String): Option[Seq[String]] =
-        scala.util.Try(runSelect(sql, overrides).columns.toSeq).toOption
+        subDf(sql).map(_.columns.toSeq)
 
       override def queryDefaultLiterals(sql: String)
           : Option[Map[String, String]] =
-        scala.util.Try {
-          val df = runSelect(sql, overrides)
+        subDf(sql).map { df =>
           // declared-nullability passthrough: an output column that
           // names exactly ONE declared column across the subquery's
           // referenced catalog tables (same Spark type) takes ITS
@@ -1478,10 +1487,15 @@ final class ChSession(val spark: SparkSession,
           // everything to nullable (Memory-table inserts), so a plain
           // String column would otherwise wrongly default to NULL.
           // Computed columns keep the zero-value default of their
-          // result type (the documented fallback convention).
-          val declared = ChLexer.tokenize(sql)
-            .filter(t => t.isIdent && !t.isString)
-            .flatMap(t => tables.get(parseRef(strip(t.text))))
+          // result type (the documented fallback convention). Only
+          // TABLE-POSITION identifiers (right after FROM/JOIN) are
+          // consulted: a column or alias that merely COINCIDES with a
+          // catalog table name must not pollute the declared map.
+          val tk = ChLexer.tokenize(sql)
+          val declared = tk.indices
+            .filter(i => i > 0 && (tk(i - 1).is("FROM") || tk(i - 1).is("JOIN")) &&
+              tk(i).isIdent && !tk(i).isString)
+            .flatMap(i => tables.get(parseRef(strip(tk(i).text))))
             .distinct.flatMap(_.columns)
             .groupBy(_.name.toLowerCase)
           df.schema.fields.map { f =>
@@ -1492,15 +1506,13 @@ final class ChSession(val spark: SparkSession,
             }
             f.name -> lit
           }.toMap
-        }.toOption
+        }
 
       override def queryNullLiterals(sql: String)
           : Option[Map[String, String]] =
-        scala.util.Try {
-          runSelect(sql, overrides).schema.fields.map(f =>
-            f.name -> ChTypes.defaultLiteralSql(f.dataType,
-              nullable = true)).toMap
-        }.toOption
+        subDf(sql).map(_.schema.fields.map(f =>
+          f.name -> ChTypes.defaultLiteralSql(f.dataType,
+            nullable = true)).toMap)
 
       override def joinUseNulls: Boolean = {
         // ClickHouse Bool settings accept 1/0 and true/false
@@ -2621,21 +2633,33 @@ final class ChSession(val spark: SparkSession,
       // it means the process died between delete and rename — the tmp
       // IS the journal (journalCatalog writes it in full before
       // touching the live file)
-      if (!fs.exists(p) && fs.exists(tmp) &&
-        readAll(tmp).contains(journalEndMarker)) {
-        fs.rename(tmp, p); ()
+      // the terminator must be the journal's FINAL content: a bare
+      // contains() would accept a journal torn after a user string
+      // literal that happens to embed the marker text, or one with
+      // appended garbage
+      def complete(text: String): Boolean =
+        text.linesIterator.filter(_.trim.nonEmpty)
+          .foldLeft("")((_, l) => l).trim == journalEndMarker
+      if (!fs.exists(p) && fs.exists(tmp) && complete(readAll(tmp))) {
+        if (!fs.rename(tmp, p))
+          throw new IllegalStateException(
+            s"catalog recovery: could not move the complete journal " +
+              s"$tmp into place as $p - fix permissions and retry " +
+              "(silently attaching an empty catalog would hide every table)")
       }
       if (fs.exists(p)) {
         val text = readAll(p)
-        // a journal without the terminator is TORN (a pre-r11 session
-        // that crashed mid-create, or manual truncation): refuse to
-        // replay a half catalog — silently attaching a prefix would
-        // resurrect some tables and drop others
-        if (!text.contains(journalEndMarker) && text.trim.nonEmpty)
+        // a journal without the trailing terminator is TORN (a session
+        // that crashed mid-create, a pre-terminator-era write, or
+        // manual truncation): refuse to replay a half catalog —
+        // silently attaching a prefix would resurrect some tables and
+        // drop others
+        if (!complete(text) && text.trim.nonEmpty)
           throw new IllegalStateException(
-            s"catalog journal $p is torn (missing the '$journalEndMarker' " +
-              "terminator) - refusing to replay a partial catalog; " +
-              "restore the file or delete it to re-create the tables")
+            s"catalog journal $p is torn (missing the trailing " +
+              s"'$journalEndMarker' terminator) - refusing to replay a " +
+              "partial catalog; restore the file, or delete it and " +
+              "re-create the tables")
         attaching = true
         try execute(text) finally attaching = false
       }

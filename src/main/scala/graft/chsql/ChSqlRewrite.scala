@@ -857,19 +857,20 @@ object ChSqlRewrite {
     * `toDate('2024-01-01') + interval (floor(id/100)) days`
     * (homeworks/hw08.md:36, hw11.md:43) — where Spark's parser only
     * takes literals. Lower `INTERVAL <(expr)|ident> <unit>`:
-    * YEAR/MONTH → the matching `make_interval` slot (a year-month
-    * calendar interval adds to dates cleanly); WEEK and below →
-    * `make_dt_interval`, whose day-time interval type promotes a DATE
-    * operand to TIMESTAMP exactly as ClickHouse's Date + hours yields
-    * DateTime (a CalendarInterval with sub-day parts would instead
-    * throw INVALID_INTERVAL_WITH_MICROSECONDS_ADDITION on dates).
-    * Literal magnitudes (`INTERVAL 30 YEAR`) parse natively and stay
-    * untouched.
+    * YEAR/MONTH/WEEK/DAY → the matching `make_interval` slot (a
+    * CalendarInterval with zero sub-day parts adds to a DATE and KEEPS
+    * it a Date, matching ClickHouse's Date + N days = Date); HOUR and
+    * below → `make_dt_interval`, whose day-time interval type promotes
+    * a DATE operand to TIMESTAMP exactly as ClickHouse's Date + hours
+    * yields DateTime (a CalendarInterval with sub-day parts would
+    * instead throw INVALID_INTERVAL_WITH_MICROSECONDS_ADDITION on
+    * dates). Literal magnitudes (`INTERVAL 30 YEAR`) parse natively
+    * and stay untouched.
     */
-  private val ymIntervalSlot = Map(
-    "YEAR" -> 0, "YEARS" -> 0, "MONTH" -> 1, "MONTHS" -> 1)
+  private val ymIntervalSlot = Map( // make_interval(y,mo,w,d,...)
+    "YEAR" -> 0, "YEARS" -> 0, "MONTH" -> 1, "MONTHS" -> 1,
+    "WEEK" -> 2, "WEEKS" -> 2, "DAY" -> 3, "DAYS" -> 3)
   private val dtIntervalSlot = Map( // make_dt_interval(days,hours,mins,secs)
-    "WEEK" -> 0, "WEEKS" -> 0, "DAY" -> 0, "DAYS" -> 0,
     "HOUR" -> 1, "HOURS" -> 1, "MINUTE" -> 2, "MINUTES" -> 2,
     "SECOND" -> 3, "SECONDS" -> 3)
   private def rewriteComputedInterval(toks: Vector[Token]): Vector[Token] = {
@@ -887,14 +888,9 @@ object ChSqlRewrite {
             (i + 1, Some(Vector(Token("("), toks(i + 1), Token(")"))))
           else (i + 1, None)
         argToks match {
-          case Some(arg0) if argEnd + 1 < toks.length &&
+          case Some(arg) if argEnd + 1 < toks.length &&
             isUnit(toks(argEnd + 1)) =>
             val unit = toks(argEnd + 1).upper
-            val weekly = unit.startsWith("WEEK")
-            val arg =
-              if (!weekly) arg0
-              else Vector(Token("(")) ++ arg0 ++
-                Vector(Token("*"), Token("7"), Token(")"))
             val (fn, slot) = ymIntervalSlot.get(unit)
               .map(("make_interval", _))
               .getOrElse(("make_dt_interval", dtIntervalSlot(unit)))

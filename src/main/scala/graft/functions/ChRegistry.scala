@@ -186,8 +186,12 @@ object ChRegistry {
     f("demangle")(e => Cast(e.head, StringType))
     f("JSONExtractString")(e => jsonPath(e(0), e(1)))
     // randUniform(a, b): uniform double in [a, b) (hw08.md:31-35,
-    // hw11.md:40-43 seed their test data with it). Fresh seed per
-    // parsed call site, so two draws in one SELECT stay independent.
+    // hw11.md:40-43 seed their test data with it). Same affine-of-rand
+    // shape as ChFunctions.randUniform, rebuilt at EXPRESSION level
+    // because the Column helper takes Scala Double bounds while SQL
+    // text supplies arbitrary expressions — and the registry must
+    // draw a fresh seed per parsed call site, so two draws in one
+    // SELECT stay independent.
     f("randUniform")(e => {
       val r = Rand(Literal(scala.util.Random.nextLong()), hideSeed = true)
       Add(Multiply(r, Subtract(Cast(e(1), DoubleType), Cast(e.head, DoubleType))),

@@ -1229,6 +1229,15 @@ class ChSqlSpec extends SparkSpec {
     assert(s3.sql("SELECT count() AS c FROM t1").collect().head.getLong(0) == 1L)
     assert(java.nio.file.Files.exists(journal),
       "recovery must move the tmp into place")
+    // garbage APPENDED after the terminator is also torn — the marker
+    // must be the journal's final content, not merely present somewhere
+    java.nio.file.Files.writeString(journal,
+      full + "CREATE TABLE t3 (k UInt32) ENGINE = Memory;\n")
+    dropCrc()
+    val err2 = intercept[IllegalStateException] {
+      ChSession.attach(spark, dir)
+    }
+    assert(err2.getMessage.contains("torn"), err2.getMessage)
   }
 
   test("CTAS with explicit schema lands selected data positionally") {
@@ -2404,6 +2413,27 @@ class ChSqlSpec extends SparkSpec {
         |ON m.id = g.movie_id ORDER BY m.id
         |SETTINGS join_use_nulls = 1""".stripMargin).collect()
     assert(nu(1).isNullAt(1), s"= 1 keeps NULL: ${nu(1)}")
+  }
+
+  test("computed interval magnitudes: DAY keeps Date, HOUR promotes to " +
+    "DateTime (r11, the hw08/hw11 insert idiom)") {
+    val s = ch
+    s.execute(
+      """CREATE TABLE civ (n UInt32) ENGINE = Memory;
+        |INSERT INTO civ VALUES (2);""".stripMargin)
+    // CH: Date + N days = Date — the lowering must use make_interval's
+    // days slot (make_dt_interval would promote to TIMESTAMP)
+    val d = s.sql(
+      "SELECT toDate('2024-01-01') + interval (n) days AS d FROM civ")
+      .collect().head
+    assert(d.get(0).isInstanceOf[java.sql.Date] &&
+      d.get(0).toString == "2024-01-03", s"got ${d.get(0)}")
+    // CH: Date + N hours = DateTime — sub-day units promote
+    val t = s.sql(
+      "SELECT toDate('2024-01-01') + interval (n) hours AS t FROM civ")
+      .collect().head
+    assert(t.get(0).isInstanceOf[java.sql.Timestamp], s"got ${t.get(0)}")
+    assert(t.get(0).toString.startsWith("2024-01-01 02:00:00"))
   }
 
   test("ANTI right-side Map column under join_use_nulls = 1 is a typed NULL") {
