@@ -1,0 +1,42 @@
+package graft.tools
+
+import graft.chsql.{ChLexer, ChSession}
+
+/** JUDGE SCRATCH (untracked): replay one reference file with timings. */
+object JudgeSweepTrace {
+  def main(args: Array[String]): Unit = {
+    val spark = graft.GraftSession.create(master = "local[8]",
+      shufflePartitions = 8)
+    spark.sparkContext.setLogLevel("ERROR")
+    val p = java.nio.file.Path.of(
+      args.headOption.getOrElse("/root/reference/lectures/lecture_10.md"))
+    val text = java.nio.file.Files.readString(p)
+    val fence = "(?s)```sql(.*?)```".r
+    val external = "(?i)\\b(url|s3|postgresql|jdbc|odbc|mysql|file)\\s*\\(".r
+    val bigNumbers = "(?i)numbers(_mt)?\\s*\\(\\s*\\d{7,}".r
+    val blocks = fence.findAllMatchIn(text).map(_.group(1)).toSeq
+    val stmts = blocks.flatMap(b =>
+      scala.util.Try(ChLexer.statements(b)).getOrElse(Nil))
+    val session = new ChSession(spark)
+    stmts.zipWithIndex.foreach { case (st0, ix) =>
+      val st =
+        if (bigNumbers.findFirstIn(st0).isDefined)
+          SweepDebug.downscaleNumbers(st0)
+        else st0
+      val up = st.trim.toUpperCase
+      val skip = up.contains("{") || external.findFirstIn(st).isDefined
+      if (!skip) {
+        println(s"  [$ix] ${st.replaceAll("\\s+", " ").take(110)}")
+        Console.flush()
+        val t0 = System.nanoTime()
+        val r =
+          if (up.startsWith("SELECT") || up.startsWith("WITH "))
+            scala.util.Try(session.sql(st).limit(10).collect())
+          else scala.util.Try(session.execute(st).foreach(_.limit(1).collect()))
+        println(f"  [$ix] ${if (r.isSuccess) "ok" else "ERR " + r.failed.get.getMessage.linesIterator.next().take(80)} in ${(System.nanoTime() - t0) / 1e9}%.1fs")
+        Console.flush()
+      }
+    }
+    println("TRACE COMPLETE")
+  }
+}
