@@ -1480,27 +1480,38 @@ final class ChSession(val spark: SparkSession,
       override def queryDefaultLiterals(sql: String)
           : Option[Map[String, String]] =
         subDf(sql).map { df =>
-          // declared-nullability passthrough: an output column that
-          // names exactly ONE declared column across the subquery's
-          // referenced catalog tables (same Spark type) takes ITS
-          // declared default — the runtime view schema widens
+          // declared-nullability passthrough: an output column that IS
+          // a plain reference of exactly ONE declared column across the
+          // subquery's referenced catalog tables (same Spark type)
+          // takes ITS declared default — the runtime view schema widens
           // everything to nullable (Memory-table inserts), so a plain
           // String column would otherwise wrongly default to NULL.
-          // Computed columns keep the zero-value default of their
-          // result type (the documented fallback convention). Only
-          // TABLE-POSITION identifiers (right after FROM/JOIN) are
-          // consulted: a column or alias that merely COINCIDES with a
-          // catalog table name must not pollute the declared map.
+          // Computed columns — including a computed expression that
+          // merely SHARES a declared column's name and type — keep the
+          // zero-value default of their result type (the documented
+          // fallback convention; pre-r12 the match was by bare
+          // name+type, so such a coincidence inherited the declared
+          // default). Only TABLE-POSITION identifiers (right after
+          // FROM/JOIN) are consulted, minus the query's own CTE names:
+          // a column, alias or CTE that merely COINCIDES with a catalog
+          // table name must not pollute the declared map.
           val tk = ChLexer.tokenize(sql)
+          val cteNames = leadingCteNames(tk)
           val declared = tk.indices
             .filter(i => i > 0 && (tk(i - 1).is("FROM") || tk(i - 1).is("JOIN")) &&
-              tk(i).isIdent && !tk(i).isString)
+              tk(i).isIdent && !tk(i).isString &&
+              !cteNames(strip(tk(i).text).toLowerCase))
             .flatMap(i => tables.get(parseRef(strip(tk(i).text))))
             .distinct.flatMap(_.columns)
             .groupBy(_.name.toLowerCase)
+          val pass = outerBareSelectItems(tk)
           df.schema.fields.map { f =>
-            val lit = declared.get(f.name.toLowerCase) match {
-              case Some(Seq(c)) if c.dataType == f.dataType =>
+            val src = pass.flatMap { case (bare, star) =>
+              bare.get(f.name.toLowerCase)
+                .orElse(if (star) Some(f.name.toLowerCase) else None)
+            }
+            val lit = src.map(declared.get) match {
+              case Some(Some(Seq(c))) if c.dataType == f.dataType =>
                 ChTypes.defaultLiteralSql(c.dataType, c.nullable)
               case _ => ChTypes.defaultLiteralSql(f.dataType)
             }
@@ -2649,19 +2660,38 @@ final class ChSession(val spark: SparkSession,
       }
       if (fs.exists(p)) {
         val text = readAll(p)
+        // journals written before the terminator existed are complete
+        // but terminator-less; every statement the writer has EVER
+        // emitted ends with ';', so a legacy journal whose final
+        // content is a ';'-terminated statement replays (and is
+        // rewritten WITH the marker below, a one-time upgrade). A
+        // truncation landing exactly on a statement boundary is
+        // indistinguishable — that residual risk is why the marker
+        // exists going forward. A marker present anywhere but NOT as
+        // the final content is not legacy: it is a terminator-era
+        // journal with appended garbage (or torn after an embedded
+        // literal) — refuse
+        val legacy = !complete(text) && text.trim.nonEmpty &&
+          text.trim.endsWith(";") && !text.contains(journalEndMarker)
         // a journal without the trailing terminator is TORN (a session
-        // that crashed mid-create, a pre-terminator-era write, or
-        // manual truncation): refuse to replay a half catalog —
-        // silently attaching a prefix would resurrect some tables and
-        // drop others
-        if (!complete(text) && text.trim.nonEmpty)
+        // that crashed mid-create, or manual truncation): refuse to
+        // replay a half catalog — silently attaching a prefix would
+        // resurrect some tables and drop others
+        if (!complete(text) && !legacy && text.trim.nonEmpty)
           throw new IllegalStateException(
             s"catalog journal $p is torn (missing the trailing " +
-              s"'$journalEndMarker' terminator) - refusing to replay a " +
-              "partial catalog; restore the file, or delete it and " +
-              "re-create the tables")
+              s"'$journalEndMarker' terminator and not ending at a " +
+              "statement boundary) - refusing to replay a partial " +
+              "catalog; restore the file, or delete it and re-create " +
+              "the tables; if the journal is known-complete (e.g. " +
+              "written by a pre-terminator version), append a line " +
+              s"'$journalEndMarker' to recover it")
         attaching = true
         try execute(text) finally attaching = false
+        // upgrade the accepted legacy journal in place so the next
+        // attach sees the terminator (journalCatalog re-emits current
+        // state, write-tmp + rename)
+        if (legacy) journalCatalog()
       }
     }
 
@@ -2804,6 +2834,99 @@ final class ChSession(val spark: SparkSession,
       fail(s"no such table: ${ref._1}.${ref._2}")))
 
   private def strip(s: String): String = s.replace("`", "")
+
+  /** Names bound by a leading `WITH name AS (…) [, name AS (…)]*` CTE
+    * list (lowercased). These occupy table position after FROM/JOIN in
+    * the body but carry no declared catalog defaults — a CTE whose name
+    * collides with a catalog table must not contribute that table's
+    * columns to the defaults passthrough. The scalar form
+    * (`WITH expr AS name`) binds no table names and stops the scan.
+    */
+  private def leadingCteNames(tk: Vector[ChLexer.Token]): Set[String] = {
+    val out = scala.collection.mutable.Set.empty[String]
+    if (tk.nonEmpty && tk.head.is("WITH")) {
+      var i = 1
+      var ok = true
+      while (ok && i + 2 < tk.length && tk(i).isIdent && !tk(i).isString &&
+        tk(i + 1).is("AS") && tk(i + 2).text == "(") {
+        out += strip(tk(i).text).toLowerCase
+        var j = i + 2
+        var depth = 0
+        while (j < tk.length && {
+          if (tk(j).text == "(") depth += 1
+          else if (tk(j).text == ")") depth -= 1
+          depth != 0 || tk(j).text != ")"
+        }) j += 1
+        j += 1
+        if (j < tk.length && tk(j).text == ",") i = j + 1 else ok = false
+      }
+    }
+    out.toSet
+  }
+
+  /** The outermost SELECT list's PLAIN column references: output name →
+    * source column name (both lowercased, unqualified). An item counts
+    * only when it is a bare `col` / `alias.col`, optionally `AS`-aliased
+    * — anything computed is excluded, so a computed expression sharing a
+    * declared column's name cannot inherit its declared default. The
+    * boolean is the `*` / `t.*` flag (those pass every remaining output
+    * name through as itself). None = no passthrough at all: a top-level
+    * set operation's branches could disagree on what an output name
+    * refers to, so result-type defaults win there.
+    */
+  private def outerBareSelectItems(tk: Vector[ChLexer.Token])
+      : Option[(Map[String, String], Boolean)] = {
+    var depth = 0
+    var sel = -1
+    var end = -1
+    var setOp = false
+    for (i <- tk.indices) {
+      val t = tk(i)
+      if (t.text == "(") depth += 1
+      else if (t.text == ")") depth -= 1
+      else if (depth == 0) {
+        if (t.is("UNION") || t.is("INTERSECT") || t.is("EXCEPT")) setOp = true
+        else if (sel < 0 && t.is("SELECT")) sel = i
+        else if (sel >= 0 && end < 0 && t.is("FROM")) end = i
+      }
+    }
+    if (sel < 0 || setOp) return None
+    if (end < 0) end = tk.length
+    var items = Vector.newBuilder[Vector[ChLexer.Token]]
+    var cur = Vector.newBuilder[ChLexer.Token]
+    depth = 0
+    var i = sel + 1
+    if (i < end && tk(i).is("DISTINCT")) i += 1
+    while (i < end) {
+      val t = tk(i)
+      if (t.text == "(") depth += 1
+      else if (t.text == ")") depth -= 1
+      if (t.text == "," && depth == 0) { items += cur.result(); cur = Vector.newBuilder }
+      else cur += t
+      i += 1
+    }
+    items += cur.result()
+    val bare = Map.newBuilder[String, String]
+    var star = false
+    items.result().foreach { it =>
+      def suffix(s: String): String = {
+        val v = strip(s); val d = v.lastIndexOf('.')
+        (if (d >= 0) v.substring(d + 1) else v).toLowerCase
+      }
+      def isRef(t: ChLexer.Token): Boolean =
+        t.isIdent && !t.isString && !t.text.endsWith("*")
+      it match {
+        case Vector(t) if t.text == "*" || t.text.endsWith(".*") => star = true
+        case Vector(t) if isRef(t) => bare += suffix(t.text) -> suffix(t.text)
+        case Vector(t, a) if isRef(t) && isRef(a) =>
+          bare += suffix(a.text) -> suffix(t.text)
+        case Vector(t, as_, a) if isRef(t) && as_.is("AS") && isRef(a) =>
+          bare += suffix(a.text) -> suffix(t.text)
+        case _ => ()
+      }
+    }
+    Some((bare.result(), star))
+  }
 
   /** The literal partition value of an ALTER ... PARTITION clause —
     * `202406`, `'2024-06-01'`, or a tuple `(1, 'x')`. Tuples join with

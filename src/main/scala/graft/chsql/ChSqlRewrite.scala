@@ -261,7 +261,7 @@ object ChSqlRewrite {
     toks = rewriteArrayJoinClause(toks)
     toks = toks.map(t => if (t.is("arrayJoin")) Token("explode") else t)
     toks = rewriteDictGet(toks, resolver)
-    toks = normalizeBareUsing(toks)
+    toks = normalizeBareUsing(toks, resolver)
     toks = rewriteAntiRightCols(toks, resolver,
       tailSettings.get("join_use_nulls").map(settingIsTrue))
     // defaults BEFORE the ANY rewrite: LEFT ANY JOIN still has its
@@ -1591,10 +1591,17 @@ object ChSqlRewrite {
         case Some(sql) => resolver.describeQuery(sql)
           .getOrElse(bad("could not derive the subquery side's column " +
             s"list: $sql"))
-        case None => resolver.resolve(ref)
-          .flatMap(rt => resolver.describe(rt.viewName))
-          .getOrElse(bad(s"table '$ref' has no catalog schema - the " +
-            "lowering needs its column list"))
+        case None => cteProbe(toks, stripTicks(ref)) match {
+          // a CTE-bound side (r12): columns from the CTE's own output,
+          // never from a same-named catalog table; the lowered union
+          // keeps the statement's WITH prefix, so the refs stay bound
+          case Some(probe) => resolver.describeQuery(probe)
+            .getOrElse(bad(s"could not derive CTE '$ref''s column list"))
+          case None => resolver.resolve(ref)
+            .flatMap(rt => resolver.describe(rt.viewName))
+            .getOrElse(bad(s"table '$ref' has no catalog schema - the " +
+              "lowering needs its column list"))
+        }
       }
     val leftCols = colsOfRef(leftRef, leftInner)
     val rightCols = colsOfRef(rightRef, rightInner)
@@ -1811,6 +1818,7 @@ object ChSqlRewrite {
                                    resolver: Resolver,
                                    queryUseNulls: Option[Boolean]): Vector[Token] = {
     val useNulls = queryUseNulls.getOrElse(resolver.joinUseNulls)
+    val cte = cteBoundNames(toks)
     // collect every ANTI join: (alias, right side — a catalog table or
     // a subquery's inner text (r11) — and the segment span
     // [ANTI .. end of ON/USING condition))
@@ -1828,14 +1836,21 @@ object ChSqlRewrite {
         while (j < toks.length && (toks(j).is("LEFT") || toks(j).is("RIGHT")))
           j += 1
         if (j < toks.length && toks(j).is("JOIN") && j + 1 < toks.length) {
-          // the right side: a plain table (catalog defaults) or a
+          // the right side: a plain table (catalog defaults), a
           // subquery (result-type defaults via queryDefaultLiterals,
-          // r11 — pre-r11 a right-column read failed to resolve)
+          // r11 — pre-r11 a right-column read failed to resolve), or a
+          // CTE-bound name (r12: a CTE IS a subquery — probed through
+          // the statement's WITH prefix, never as a same-named catalog
+          // table)
           val isSub = toks(j + 1).text == "("
           val subClose = if (isSub) matchParen(toks, j + 1) else -1
-          val table = if (isSub) None else Some(toks(j + 1).text)
-          val subSql = if (isSub && subClose > 0)
-            Some(ChLexer.render(toks.slice(j + 2, subClose))) else None
+          val isCte = !isSub && cte(stripTicks(toks(j + 1).text))
+          val table = if (isSub || isCte) None else Some(toks(j + 1).text)
+          val subSql =
+            if (isSub && subClose > 0)
+              Some(ChLexer.render(toks.slice(j + 2, subClose)))
+            else if (isCte) cteProbe(toks, stripTicks(toks(j + 1).text))
+            else None
           var k = (if (isSub) subClose else j + 1) + 1
           val aliasToks = Vector.newBuilder[Token]
           while (k < toks.length && k > 0 &&
@@ -1967,18 +1982,27 @@ object ChSqlRewrite {
     * downstream rewrite (ANY dedup keys, the ASOF lowering, plain joins
     * that reach Spark's parser verbatim) sees one spelling.
     */
-  private def normalizeBareUsing(toks: Vector[Token]): Vector[Token] = {
+  private def normalizeBareUsing(toks: Vector[Token],
+                                 resolver: Resolver): Vector[Token] = {
     var i = 0
     while (i < toks.length) {
       if (toks(i).is("USING") && i + 1 < toks.length &&
         toks(i + 1).text != "(") {
-        val (cols, after) = usingList(toks, i)
+        val (cols, after) = usingList(toks, i,
+          ident => resolver.resolve(ident).isDefined)
         if (cols.nonEmpty) {
           val list = cols.flatMap(c =>
             Vector(Token("`" + c + "`"), Token(","))).init
+          // a comma ending the list is the enclosing FROM's comma-join
+          // (`… USING k, t3`) — normalize it like rewriteCommaCrossJoin
+          // would have, had the JOIN token not flipped its flag off
+          val rest =
+            if (after < toks.length && toks(after).text == ",")
+              Vector(Token("CROSS"), Token("JOIN")) ++ toks.drop(after + 1)
+            else toks.drop(after)
           return normalizeBareUsing(toks.take(i) ++
             (Vector(Token("USING"), Token("(")) ++ list ++
-              Vector(Token(")"))) ++ toks.drop(after))
+              Vector(Token(")"))) ++ rest, resolver)
         }
       }
       i += 1
@@ -1992,8 +2016,20 @@ object ChSqlRewrite {
     * the list). Pre-fix both join rewrites sliced an empty list on the
     * bare form: the ASOF lowering threw, and the ANY dedup silently
     * picked ONE global row (zero partition keys).
+    *
+    * The bare form is comma-delimited and a comma ALSO spells a
+    * comma-join in the enclosing FROM (`t1 JOIN t2 USING k, t3`), which
+    * the comma→CROSS JOIN pass leaves alone once a JOIN token flipped
+    * its in-FROM flag off. Disambiguation: after the first column, an
+    * unquoted identifier that `isTable` resolves as a catalog table
+    * stops the list BEFORE its comma — the identifier is the next
+    * FROM-list member, not a join key. A USING column whose name
+    * collides with a catalog table keeps column precedence only in the
+    * backtick-quoted or parenthesized spellings.
     */
-  private def usingList(toks: Vector[Token], k: Int): (Vector[String], Int) =
+  private def usingList(toks: Vector[Token], k: Int,
+                        isTable: String => Boolean = _ => false)
+      : (Vector[String], Int) =
     if (k + 1 < toks.length && toks(k + 1).text == "(") {
       val close = matchParen(toks, k + 1)
       (toks.slice(k + 2, close).filter(_.text != ",")
@@ -2006,9 +2042,14 @@ object ChSqlRewrite {
       while (!stop && p < toks.length) {
         val t = toks(p)
         if (expectIdent) {
+          // a comma-joined TABLE after the first column ends the list
+          // (the comma belongs to the enclosing FROM, see Scaladoc)
+          val tableBreak = p > k + 1 && !t.text.startsWith("`") &&
+            isTable(t.text)
           // a backtick-quoted spelling IS a real identifier even when
           // it collides with a keyword (the unqualCol exemption)
-          if (t.isIdent && !t.isString && (t.text.startsWith("`") ||
+          if (!tableBreak && t.isIdent && !t.isString &&
+            (t.text.startsWith("`") ||
             (!joinCondTerm(t.upper) && !sqlWordLike(t.upper))))
             { b += stripTicks(t.text); expectIdent = false; p += 1 }
           else stop = true
@@ -2079,6 +2120,15 @@ object ChSqlRewrite {
     final case class Seg(alias: String, src: Comp, blockFrom: Int,
                          until: Int, anchor: Int)
     val term = joinCondTerm
+    // CTE-bound names are SUBQUERY components (r12): probed through the
+    // statement's WITH prefix; a probe miss (nested WITH) leaves the
+    // component unknown-schema, which blocks ownership claims and drops
+    // the seg — conservative, never the same-named catalog table
+    val cte = cteBoundNames(toks)
+    def compOf(alias: String, table: String): Comp =
+      if (cte(stripTicks(table)))
+        Comp(alias, None, cteProbe(toks, stripTicks(table)))
+      else Comp(alias, Some(table), None)
     // alias of a `table [AS] [alias] [FINAL|SAMPLE …]` region — the
     // modifier tokens never name the table (same split rewriteAnyJoin
     // uses; pre-fix a trailing FINAL was mistaken for the alias)
@@ -2154,8 +2204,11 @@ object ChSqlRewrite {
               (!t.isString && term(t.upper))) stopRegion = true
             else { region += t; p += 1 }
           }
-          out += Comp(aliasOf(region.result(),
-            tableOpt.getOrElse("")), tableOpt, subSql)
+          out += (tableOpt match {
+            case Some(t0) => compOf(aliasOf(region.result(), t0), t0)
+            case None =>
+              Comp(aliasOf(region.result(), ""), None, subSql)
+          })
           if (p < stop && (toks(p).is("ON") || toks(p).is("USING")))
             p = math.min(condEnd(p), stop)
           // join-keyword run before the next component; a clause
@@ -2221,9 +2274,9 @@ object ChSqlRewrite {
                   if (toks(j + 1).text != "(") {
                     val table = toks(j + 1).text
                     val region = toks.slice(j + 2, k)
-                    segs += Seg(aliasOf(region, table),
-                      Comp(aliasOf(region, table), Some(table), None),
-                      fromIdx, e, i)
+                    val c = compOf(aliasOf(region, table), table)
+                    if (c.table.nonEmpty || c.subSql.nonEmpty)
+                      segs += Seg(c.alias, c, fromIdx, e, i)
                   } else {
                     val close = matchParen(toks, j + 1)
                     if (close > 0 && close < k) {
@@ -2546,14 +2599,64 @@ object ChSqlRewrite {
   }
 
   // ---- FROM t [FINAL] [SAMPLE f] routing ----
+  /** Names bound as CTEs anywhere in the statement — the `x AS (SELECT`
+    * / `x AS (WITH` shape is unambiguous (a column alias is never
+    * followed by a parenthesized SELECT). A CTE SHADOWS a same-named
+    * catalog table in FROM/JOIN/IN position, exactly as in ClickHouse —
+    * pre-r12 the resolver substituted the catalog view and the CTE's
+    * own columns went unresolved (advisor find, the cte_tbl collision).
+    */
+  private def cteBoundNames(toks: Vector[Token]): Set[String] =
+    toks.indices.collect {
+      case i if i + 3 < toks.length && toks(i).isIdent &&
+        !toks(i).isString && toks(i + 1).is("AS") &&
+        toks(i + 2).text == "(" &&
+        (toks(i + 3).is("SELECT") || toks(i + 3).is("WITH")) =>
+        stripTicks(toks(i).text)
+    }.toSet
+
+  /** Standalone probe SQL for a name bound by the statement's LEADING
+    * top-level WITH list: the whole WITH prefix + `SELECT * FROM name`.
+    * Chained CTEs resolve for free (earlier definitions ride along in
+    * the prefix). None when the name is not bound there (e.g. a WITH
+    * nested inside a subquery) — callers then treat the side as
+    * unknown-schema and skip conservatively, NEVER as the same-named
+    * catalog table. Powers the join_use_nulls default fill for CTE join
+    * sides: a CTE is a subquery, so misses fill its RESULT-type
+    * defaults (bare passthrough columns keep their underlying declared
+    * nullability through [[Resolver.queryDefaultLiterals]]'s
+    * passthrough rule, computed columns take zero-value defaults).
+    */
+  private def cteProbe(toks: Vector[Token], name: String): Option[String] = {
+    if (toks.isEmpty || !toks.head.is("WITH")) return None
+    var i = 1
+    var found = false
+    while (i + 2 < toks.length && toks(i).isIdent && !toks(i).isString &&
+      toks(i + 1).is("AS") && toks(i + 2).text == "(") {
+      if (stripTicks(toks(i).text) == name) found = true
+      val close = matchParen(toks, i + 2)
+      if (close < 0) return None
+      if (close + 1 < toks.length && toks(close + 1).text == ",")
+        i = close + 2
+      else return {
+        if (found)
+          Some(ChLexer.render(toks.take(close + 1)) + s" SELECT * FROM $name")
+        else None
+      }
+    }
+    None
+  }
+
   private def rewriteFromClauses(toks: Vector[Token],
                                  resolver: Resolver): Vector[Token] = {
+    val cte = cteBoundNames(toks)
     val out = Vector.newBuilder[Token]
     var i = 0
     while (i < toks.length) {
       val t = toks(i)
       val isRef = (t.is("FROM") || t.is("JOIN")) && i + 1 < toks.length &&
-        toks(i + 1).isIdent && resolver.resolve(strip(toks(i + 1).text)).isDefined
+        toks(i + 1).isIdent && !cte(strip(toks(i + 1).text)) &&
+        resolver.resolve(strip(toks(i + 1).text)).isDefined
       if (isRef) {
         val ident = strip(toks(i + 1).text)
         val rt = resolver.resolve(ident).get
@@ -2630,12 +2733,14 @@ object ChSqlRewrite {
   // ---- IN known_table → IN (SELECT * FROM view) ----
   private def rewriteInTable(toks: Vector[Token],
                              resolver: Resolver): Vector[Token] = {
+    val cte = cteBoundNames(toks)
     val out = Vector.newBuilder[Token]
     var i = 0
     while (i < toks.length) {
       val t = toks(i)
       if (t.is("IN") && i + 1 < toks.length && toks(i + 1).isIdent &&
         (i + 2 >= toks.length || toks(i + 2).text != "(") &&
+        !cte(strip(toks(i + 1).text)) &&
         resolver.resolve(strip(toks(i + 1).text)).isDefined) {
         val view = resolver.resolve(strip(toks(i + 1).text)).get.viewName
         out += t

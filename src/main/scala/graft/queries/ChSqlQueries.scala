@@ -611,6 +611,79 @@ object ChSqlQueries {
           |    FROM ev WHERE event_type = 'signup') WHERE rn = 1) r
           |ON l.user_id = r.user_id AND l.ts_s >= r.ts_s
           |ORDER BY event_id""".stripMargin)
+    },
+
+    // ---- bare USING list followed by a comma-join (r12, advisor find):
+    // `USING k, t3` keeps ONE join key and comma-joins t3 — pre-fix the
+    // list scan swallowed t3 as a second key
+    Q("q119_chsql_using_comma_join",
+      """SELECT a.n_name AS nname, b.r_name AS rname, c.cid AS cid
+        |FROM (SELECT n_regionkey AS k, n_name FROM nation) a
+        |JOIN (SELECT r_regionkey AS k, r_name FROM region) b USING (k)
+        |CROSS JOIN (SELECT r_regionkey AS cid FROM region) c
+        |ORDER BY nname, cid""") { (s, dir) =>
+      val ch = new ChSession(s)
+      withTable(ch, "nat", "k Int64, n_name String",
+        Tables(s, dir).nation
+          .select(col("n_regionkey").as("k"), col("n_name")), "Memory")
+      withTable(ch, "reg", "k Int64, r_name String",
+        Tables(s, dir).region
+          .select(col("r_regionkey").as("k"), col("r_name")), "Memory")
+      withTable(ch, "reg2", "cid Int64",
+        Tables(s, dir).region
+          .select(col("r_regionkey").as("cid")), "Memory")
+      ch.sql(
+        """SELECT a.n_name AS nname, b.r_name AS rname, c2.cid AS cid
+          |FROM nat a JOIN reg b USING k, reg2 c2
+          |ORDER BY nname, cid""".stripMargin)
+    },
+
+    // ---- LEFT JOIN a subquery with COMPUTED columns under
+    // join_use_nulls = 0 (r12): misses fill the RESULT-type defaults —
+    // a count() reads 0, a concat reads '' — never a declared default
+    // inherited by name coincidence
+    Q("q120_chsql_subquery_computed_default",
+      """SELECT c.c_custkey AS ck, COALESCE(o.cnt, 0) AS cnt,
+        |       COALESCE(o.tag, '') AS tag
+        |FROM customer c LEFT JOIN (
+        |  SELECT o_custkey, count(*) AS cnt,
+        |         concat('c', CAST(o_custkey AS VARCHAR)) AS tag
+        |  FROM orders GROUP BY o_custkey) o
+        |ON c.c_custkey = o.o_custkey
+        |ORDER BY ck""") { (s, dir) =>
+      val ch = new ChSession(s)
+      withTable(ch, "customer", "c_custkey Int64",
+        Tables(s, dir).customer.select(col("c_custkey")), "Memory")
+      withTable(ch, "orders", "o_custkey Int64",
+        Tables(s, dir).orders.select(col("o_custkey")), "Memory")
+      ch.sql(
+        """SELECT c.c_custkey AS ck, o.cnt AS cnt, o.tag AS tag
+          |FROM customer c LEFT JOIN (
+          |  SELECT o_custkey, count() AS cnt,
+          |    concat('c', toString(o_custkey)) AS tag
+          |  FROM orders GROUP BY o_custkey) o
+          |ON c.c_custkey = o.o_custkey
+          |ORDER BY ck""".stripMargin)
+    },
+
+    // ---- a CTE SHADOWS a same-named catalog table (r12, advisor-find
+    // follow-up): FROM resolves the CTE, not the catalog view — DuckDB's
+    // CTE shadows its same-named parquet view identically
+    Q("q121_chsql_cte_shadow",
+      """WITH region AS (SELECT n_nationkey AS k, n_name AS nm
+        |                FROM nation WHERE n_nationkey < 7)
+        |SELECT k, nm FROM region ORDER BY k""") { (s, dir) =>
+      val ch = new ChSession(s)
+      withTable(ch, "region", "r_regionkey Int64, r_name String",
+        Tables(s, dir).region
+          .select(col("r_regionkey"), col("r_name")), "Memory")
+      withTable(ch, "nation", "n_nationkey Int64, n_name String",
+        Tables(s, dir).nation
+          .select(col("n_nationkey"), col("n_name")), "Memory")
+      ch.sql(
+        """WITH region AS (SELECT n_nationkey AS k, n_name AS nm
+          |                FROM nation WHERE n_nationkey < 7)
+          |SELECT k, nm FROM region ORDER BY k""".stripMargin)
     }
   )
 }

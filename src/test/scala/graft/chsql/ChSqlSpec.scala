@@ -1238,6 +1238,49 @@ class ChSqlSpec extends SparkSpec {
       ChSession.attach(spark, dir)
     }
     assert(err2.getMessage.contains("torn"), err2.getMessage)
+    // the refusal tells the operator HOW to recover a journal they KNOW
+    // is complete (r12, advisor find: pre-terminator deployments)
+    assert(err2.getMessage.contains("append"), err2.getMessage)
+  }
+
+  test("attach: a pre-terminator legacy journal (complete, ';'-ended) " +
+    "replays and is upgraded with the marker (r12, advisor find)") {
+    val dir = java.nio.file.Files.createTempDirectory("chs_legacy").toString
+    val s1 = new ChSession(spark, storageDir = Some(dir))
+    s1.execute(
+      """CREATE TABLE lt1 (k UInt32) ENGINE = MergeTree ORDER BY k;
+        |CREATE TABLE lt2 (k UInt32) ENGINE = MergeTree ORDER BY k;
+        |INSERT INTO lt1 VALUES (1);""".stripMargin)
+    val journal = java.nio.file.Paths.get(dir, "_catalog.sql")
+    def dropCrc(): Unit = Seq("._catalog.sql.crc", "._catalog.sql.tmp.crc")
+      .foreach(n => java.nio.file.Files.deleteIfExists(
+        java.nio.file.Paths.get(dir, n)))
+    // simulate a journal written BEFORE the terminator existed: drop the
+    // marker line — the content still ends at a ';' statement boundary,
+    // which is what every writer version has ever emitted
+    val full = java.nio.file.Files.readString(journal)
+    val legacy = full.linesIterator
+      .filterNot(_.trim == "-- graft:catalog:end").mkString("\n") + "\n"
+    assert(legacy.trim.endsWith(";"), legacy)
+    java.nio.file.Files.writeString(journal, legacy)
+    dropCrc()
+    val s2 = ChSession.attach(spark, dir)
+    assert(s2.sql("SELECT count() AS c FROM lt1")
+      .collect().head.getLong(0) == 1L)
+    assert(s2.sql("SELECT count() AS c FROM lt2")
+      .collect().head.getLong(0) == 0L)
+    // one-time upgrade: the accepted legacy journal is rewritten WITH
+    // the marker, so subsequent attaches take the strict path
+    val upgraded = java.nio.file.Files.readString(journal)
+    assert(upgraded.linesIterator.toSeq.last.trim == "-- graft:catalog:end",
+      upgraded)
+    // a ';'-ended file that contains the marker MID-file is appended
+    // garbage on a terminator-era journal, NOT legacy — still refused
+    java.nio.file.Files.writeString(journal,
+      upgraded + "CREATE TABLE lt3 (k UInt32) ENGINE = Memory;\n")
+    dropCrc()
+    val err = intercept[IllegalStateException](ChSession.attach(spark, dir))
+    assert(err.getMessage.contains("torn"), err.getMessage)
   }
 
   test("CTAS with explicit schema lands selected data positionally") {
@@ -2413,6 +2456,79 @@ class ChSqlSpec extends SparkSpec {
         |ON m.id = g.movie_id ORDER BY m.id
         |SETTINGS join_use_nulls = 1""".stripMargin).collect()
     assert(nu(1).isNullAt(1), s"= 1 keeps NULL: ${nu(1)}")
+  }
+
+  test("bare USING list stops at a comma-joined catalog table " +
+    "(`USING k, t3` — r12, advisor find)") {
+    val s = ch
+    s.execute(
+      """CREATE TABLE cu1 (k UInt32, a String) ENGINE = Memory;
+        |CREATE TABLE cu2 (k UInt32, b String) ENGINE = Memory;
+        |CREATE TABLE cu3 (c UInt32) ENGINE = Memory;
+        |INSERT INTO cu1 VALUES (1, 'a1');
+        |INSERT INTO cu2 VALUES (1, 'b1');
+        |INSERT INTO cu3 VALUES (7), (8);""".stripMargin)
+    // pre-fix the bare-list scan swallowed cu3 as a second join key and
+    // the comma-joined table silently vanished from the FROM
+    val rows = s.sql(
+      "SELECT a, b, c FROM cu1 JOIN cu2 USING k, cu3 ORDER BY c")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(rows.toSeq == Seq(("a1", "b1", 7L), ("a1", "b1", 8L)))
+    // a two-column bare list still parses greedily when the second name
+    // is NOT a catalog table
+    s.execute(
+      """CREATE TABLE cu4 (k UInt32, k2 UInt32, x String) ENGINE = Memory;
+        |CREATE TABLE cu5 (k UInt32, k2 UInt32, y String) ENGINE = Memory;
+        |INSERT INTO cu4 VALUES (1, 10, 'x1'), (1, 11, 'x2');
+        |INSERT INTO cu5 VALUES (1, 10, 'y1');""".stripMargin)
+    val two = s.sql("SELECT x, y FROM cu4 JOIN cu5 USING k, k2 ORDER BY x")
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    assert(two.toSeq == Seq(("x1", "y1")))
+    // a USING column COLLIDING with a table name keeps column precedence
+    // in the backtick-quoted spelling (documented on usingList)
+    s.execute("CREATE TABLE k2 (z UInt32) ENGINE = Memory")
+    val quoted = s.sql(
+      "SELECT x, y FROM cu4 JOIN cu5 USING k, `k2` ORDER BY x")
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    assert(quoted.toSeq == Seq(("x1", "y1")))
+  }
+
+  test("subquery defaults: computed columns never inherit a declared " +
+    "default by name coincidence; CTE names don't pollute the declared " +
+    "map (r12, advisor find)") {
+    val s = ch
+    s.execute(
+      """CREATE TABLE jq (movie_id UInt32, genre String, note Nullable(String)) ENGINE = Memory;
+        |CREATE TABLE jqm (id UInt32, title String) ENGINE = Memory;
+        |INSERT INTO jq VALUES (1, 'drama', 'good');
+        |INSERT INTO jqm VALUES (1, 'm1'), (9, 'm9');""".stripMargin)
+    // `concat(...) AS note` is COMPUTED: its result type is plain String
+    // → the join miss fills '' (pre-fix the bare name+type match let it
+    // inherit the declared Nullable(String) `note`'s NULL default)
+    val rows = s.sql(
+      """SELECT m.title AS title, g.note AS note, g.genre AS genre
+        |FROM jqm m LEFT JOIN
+        |  (SELECT movie_id, concat(genre, '!') AS note, genre FROM jq) g
+        |ON m.id = g.movie_id ORDER BY m.id""".stripMargin).collect()
+    assert(rows(0).getString(1) == "drama!" && rows(0).getString(2) == "drama")
+    assert(!rows(1).isNullAt(1) && rows(1).getString(1) == "",
+      s"computed column named like a declared Nullable must fill '': ${rows(1)}")
+    assert(rows(1).getString(2) == "", rows(1).toString)
+    // a CTE named like a catalog table: its bare outputs take the
+    // RESULT-type default, not the same-named catalog table's declared one
+    s.execute(
+      """CREATE TABLE cte_tbl (v Nullable(String)) ENGINE = Memory;
+        |INSERT INTO cte_tbl VALUES ('zzz');""".stripMargin)
+    val c = s.sql(
+      """SELECT m.title AS title, g.v AS v
+        |FROM jqm m LEFT JOIN
+        |  (WITH cte_tbl AS (SELECT 1 AS movie_id, 'x' AS v)
+        |   SELECT movie_id, v FROM cte_tbl) g
+        |ON m.id = g.movie_id ORDER BY m.id""".stripMargin).collect()
+    assert(c(0).getString(1) == "x")
+    assert(!c(1).isNullAt(1) && c(1).getString(1) == "",
+      "CTE output takes the result-type '' default, not the catalog " +
+        s"table's declared NULL: ${c(1)}")
   }
 
   test("computed interval magnitudes: DAY keeps Date, HOUR promotes to " +

@@ -514,4 +514,129 @@ class JoinFuzzerSpec extends SparkSpec {
     assert(failures.isEmpty,
       s"${failures.size} ASOF draws diverged:\n${failures.take(8).mkString("\n")}")
   }
+
+  test("seeded join fuzzer, USING spellings + comma-join tails + CTE " +
+    "shadowing (r12): bare and parenthesized USING agree, a comma-joined " +
+    "catalog table after a bare list survives, and a CTE named like a " +
+    "catalog table is read as the CTE — with subquery-style default fill") {
+    val s = new ChSession(spark)
+    var ran = 0
+    val failures = scala.collection.mutable.ArrayBuffer.empty[String]
+    Seq(20260816, 8086).zipWithIndex.foreach { case (seed, ci) =>
+      val (lRows, rRows) = corpus(seed)
+      val (lt, rt, xt) = (s"ful$ci", s"fur$ci", s"fux$ci")
+      val xRows = Seq(100L, 200L)
+      s.execute(
+        s"""CREATE TABLE $lt (k UInt32, lv String, ln UInt32) ENGINE = Memory;
+           |CREATE TABLE $rt (k UInt32, rv String, rn UInt32) ENGINE = Memory;
+           |CREATE TABLE $xt (xid UInt32) ENGINE = Memory;
+           |INSERT INTO $lt VALUES ${lRows.map(r => s"(${r._1}, '${r._2}', ${r._3})").mkString(", ")};
+           |INSERT INTO $rt VALUES ${rRows.map(r => s"(${r._1}, '${r._2}', ${r._3})").mkString(", ")};
+           |INSERT INTO $xt VALUES ${xRows.map(x => s"($x)").mkString(", ")};""".stripMargin)
+      for {
+        kind <- Seq("INNER JOIN", "LEFT JOIN", "ANY LEFT JOIN", "FULL JOIN")
+        spell <- Seq("paren", "bare", "bare+comma")
+        useNulls <- Seq(false, true)
+      } {
+        val usingSql = if (spell == "paren") "USING (k)" else "USING k"
+        val comma = spell == "bare+comma"
+        // the comma-joined table after the bare list is a CROSS factor —
+        // pre-fix the list scan swallowed it as a second join key
+        val commaSql = if (comma) s", $xt x" else ""
+        val xsel = if (comma) ", x.xid AS xid" else ""
+        val tail = if (useNulls) " SETTINGS join_use_nulls = 1" else ""
+        val sql = s"SELECT l.lv AS lv, r.rv AS rv$xsel " +
+          s"FROM $lt l $kind $rt r $usingSql$commaSql ORDER BY lv$tail"
+        val base = pairs(canon(kind), lRows, rRows).map(p =>
+          Vector(cell(p._1.map(_._2), useNulls, ""),
+            cell(p._2.map(_._2), useNulls, "")))
+        val expected = (if (comma)
+          base.flatMap(b => xRows.map(x => b :+ x.toString)) else base)
+          .sortBy(_.mkString("|"))
+        (try Right(norm(s.sql(sql).collect()))
+         catch { case e: Exception =>
+           Left(e.getMessage.linesIterator.next())
+         }) match {
+          case Left(err) => failures += s"$sql\n  threw: $err"
+          case Right(got) if got != expected =>
+            failures += s"$sql\n  expected ${expected.size} rows " +
+              s"${expected.take(4)}\n  got ${got.size} rows ${got.take(4)}"
+          case _ => ()
+        }
+        ran += 1
+      }
+      // CTE draws: the CTE is named EXACTLY like catalog table xt (whose
+      // real schema is a single xid column) but holds a FILTERED copy of
+      // rt — reads must hit the CTE, and join_use_nulls = 0 misses must
+      // fill the CTE's RESULT-type defaults (subquery semantics)
+      val rnd = new scala.util.Random(seed * 23 + 9)
+      for {
+        kind <- Seq("INNER JOIN", "LEFT JOIN", "RIGHT JOIN", "FULL JOIN",
+          "ANY LEFT JOIN", "LEFT ANTI JOIN")
+        useNulls <- Seq(false, true)
+      } {
+        val cut = rnd.nextInt(7).toLong + 1
+        val rF = rRows.filter(_._1 < cut)
+        val tail = if (useNulls) " SETTINGS join_use_nulls = 1" else ""
+        val sql = s"WITH $xt AS (SELECT k, rv, rn FROM $rt WHERE k < $cut) " +
+          s"SELECT l.lv AS lv, r.rv AS rv, r.rn AS rn " +
+          s"FROM $lt l $kind $xt r ON l.k = r.k$tail"
+        val expected = pairs(canon(kind), lRows, rF).map(p =>
+          Vector(cell(p._1.map(_._2), useNulls, ""),
+            cell(p._2.map(_._2), useNulls, ""),
+            cell(p._2.map(_._3), useNulls, "0")))
+          .sortBy(_.mkString("|"))
+        (try Right(norm(s.sql(sql).collect()))
+         catch { case e: Exception =>
+           Left(e.getMessage.linesIterator.next())
+         }) match {
+          case Left(err) => failures += s"$sql\n  threw: $err"
+          case Right(got) if got != expected =>
+            failures += s"$sql\n  expected ${expected.size} rows " +
+              s"${expected.take(4)}\n  got ${got.size} rows ${got.take(4)}"
+          case _ => ()
+        }
+        ran += 1
+      }
+      // ASOF through a CTE side: the lowering takes the CTE's columns,
+      // not the same-named catalog table's
+      val (aRows, bRows) = asofCorpus(seed)
+      val (at, bt2) = (s"fca$ci", s"fcb$ci")
+      s.execute(
+        s"""CREATE TABLE $at (k UInt32, av String, t UInt32) ENGINE = Memory;
+           |CREATE TABLE $bt2 (k UInt32, bv String, t UInt32) ENGINE = Memory;
+           |INSERT INTO $at VALUES ${aRows.map(r => s"(${r._1}, '${r._2}', ${r._3})").mkString(", ")};
+           |INSERT INTO $bt2 VALUES ${bRows.map(r => s"(${r._1}, '${r._2}', ${r._3})").mkString(", ")};""".stripMargin)
+      Seq(">=", "<").foreach { op =>
+        val cut = rnd.nextInt(4).toLong * 10 + 10
+        val bF = bRows.filter(_._3 <= cut)
+        val sql = s"WITH $xt AS (SELECT k, bv, t FROM $bt2 WHERE t <= $cut) " +
+          s"SELECT l.k AS k, l.t AS t, l.av AS av, r.bv AS bv " +
+          s"FROM $at l ASOF LEFT JOIN $xt r ON l.k = r.k AND l.t $op r.t"
+        val expected = aRows.map { case (k, av, t) =>
+          val cand = bF.filter(b => b._1 == k &&
+            (if (op == ">=") b._3 <= t else b._3 > t))
+          val pick =
+            if (cand.isEmpty) ""
+            else (if (op == ">=") cand.maxBy(_._3) else cand.minBy(_._3))._2
+          Vector(k.toString, t.toString, av, pick)
+        }.sortBy(_.mkString("|"))
+        (try Right(norm(s.sql(sql).collect()))
+         catch { case e: Exception =>
+           Left(e.getMessage.linesIterator.next())
+         }) match {
+          case Left(err) => failures += s"$sql\n  threw: $err"
+          case Right(got) if got != expected =>
+            failures += s"$sql\n  expected ${expected.size} rows " +
+              s"${expected.take(4)}\n  got ${got.size} rows ${got.take(4)}"
+          case _ => ()
+        }
+        ran += 1
+      }
+    }
+    assert(ran >= 70, s"drew $ran")
+    assert(failures.isEmpty,
+      s"${failures.size} USING/CTE draws diverged:\n" +
+        failures.take(8).mkString("\n"))
+  }
 }
