@@ -26,6 +26,17 @@ object GraftSession {
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
+      // a multi-minute host stall (noisy VM, STW GC) must not KILL the
+      // context: with the 120s default, HeartbeatReceiver removes the
+      // in-process "driver" executor after one freeze and every suite
+      // after it fails on a dead scheduler (observed: a 19-minute host
+      // stall mid-run → "Removing executor driver with no recent
+      // heartbeats: 128521 ms exceeds timeout" → exit 56). Heartbeats
+      // between threads of ONE JVM carry no liveness signal a timeout
+      // should act on; on a real cluster callers tune these per their
+      // network instead
+      .config("spark.network.timeout", "1200s")
+      .config("spark.executor.heartbeatInterval", "60s")
       .config("spark.ui.enabled", "false")
 
   /** Create (or reuse) a session and register the ClickHouse-compatible SQL

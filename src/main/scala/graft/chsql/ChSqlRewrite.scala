@@ -2602,9 +2602,13 @@ object ChSqlRewrite {
   /** Names bound as CTEs anywhere in the statement — the `x AS (SELECT`
     * / `x AS (WITH` shape is unambiguous (a column alias is never
     * followed by a parenthesized SELECT). A CTE SHADOWS a same-named
-    * catalog table in FROM/JOIN/IN position, exactly as in ClickHouse —
-    * pre-r12 the resolver substituted the catalog view and the CTE's
-    * own columns went unresolved (advisor find, the cte_tbl collision).
+    * catalog table, exactly as in ClickHouse — pre-r12 the resolver
+    * substituted the catalog view and the CTE's own columns went
+    * unresolved (advisor find, the cte_tbl collision). This GLOBAL set
+    * is the conservative check used by the join-side classifiers
+    * (defaults/ANTI/ASOF — a false positive only skips a default fill);
+    * FROM/JOIN/IN resolution uses the scope-aware [[cteScopes]] form,
+    * where a false positive would break resolution outright.
     */
   private def cteBoundNames(toks: Vector[Token]): Set[String] =
     toks.indices.collect {
@@ -2614,6 +2618,45 @@ object ChSqlRewrite {
         (toks(i + 3).is("SELECT") || toks(i + 3).is("WITH")) =>
         stripTicks(toks(i).text)
     }.toSet
+
+  /** Scope-aware CTE shadowing: (name, scope start, scope end, own-body
+    * start, own-body end) per binding. A binding scopes to its
+    * enclosing parenthesized group (the whole statement at depth 0) —
+    * references WITHIN the scope read the CTE; references outside it,
+    * or inside the binding's OWN body (`WITH x AS (SELECT … FROM x)` —
+    * non-recursive, the inner x is the catalog table, as in
+    * ClickHouse), keep catalog resolution.
+    */
+  private def cteScopes(toks: Vector[Token])
+      : Vector[(String, Int, Int, Int, Int)] =
+    toks.indices.collect {
+      case i if i + 3 < toks.length && toks(i).isIdent &&
+        !toks(i).isString && toks(i + 1).is("AS") &&
+        toks(i + 2).text == "(" &&
+        (toks(i + 3).is("SELECT") || toks(i + 3).is("WITH")) =>
+        var p = i - 1
+        var depth = 0
+        var openAt = -1
+        while (p >= 0 && openAt < 0) {
+          val tx = toks(p).text
+          if (tx == ")") depth += 1
+          else if (tx == "(") {
+            if (depth == 0) openAt = p else depth -= 1
+          }
+          p -= 1
+        }
+        val (s, e) =
+          if (openAt < 0) (0, toks.length)
+          else (openAt, matchParen(toks, openAt))
+        (stripTicks(toks(i).text), s, e, i + 2, matchParen(toks, i + 2))
+    }.toVector
+
+  /** Is the identifier at `p` shadowed by a CTE binding in scope? */
+  private def cteShadowed(scopes: Vector[(String, Int, Int, Int, Int)],
+                          name: String, p: Int): Boolean =
+    scopes.exists { case (n, s, e, bs, be) =>
+      n == name && p >= s && p <= e && !(p > bs && p < be)
+    }
 
   /** Standalone probe SQL for a name bound by the statement's LEADING
     * top-level WITH list: the whole WITH prefix + `SELECT * FROM name`.
@@ -2649,13 +2692,18 @@ object ChSqlRewrite {
 
   private def rewriteFromClauses(toks: Vector[Token],
                                  resolver: Resolver): Vector[Token] = {
-    val cte = cteBoundNames(toks)
+    val cte = cteScopes(toks)
     val out = Vector.newBuilder[Token]
     var i = 0
     while (i < toks.length) {
       val t = toks(i)
       val isRef = (t.is("FROM") || t.is("JOIN")) && i + 1 < toks.length &&
-        toks(i + 1).isIdent && !cte(strip(toks(i + 1).text)) &&
+        toks(i + 1).isIdent &&
+        // an ident followed by "(" is a CALL (range(3) from the
+        // numbers() lowering, a leftover table function), never a
+        // table ref — substituting it strands the argument list
+        !(i + 2 < toks.length && toks(i + 2).text == "(") &&
+        !cteShadowed(cte, strip(toks(i + 1).text), i + 1) &&
         resolver.resolve(strip(toks(i + 1).text)).isDefined
       if (isRef) {
         val ident = strip(toks(i + 1).text)
@@ -2733,14 +2781,14 @@ object ChSqlRewrite {
   // ---- IN known_table → IN (SELECT * FROM view) ----
   private def rewriteInTable(toks: Vector[Token],
                              resolver: Resolver): Vector[Token] = {
-    val cte = cteBoundNames(toks)
+    val cte = cteScopes(toks)
     val out = Vector.newBuilder[Token]
     var i = 0
     while (i < toks.length) {
       val t = toks(i)
       if (t.is("IN") && i + 1 < toks.length && toks(i + 1).isIdent &&
         (i + 2 >= toks.length || toks(i + 2).text != "(") &&
-        !cte(strip(toks(i + 1).text)) &&
+        !cteShadowed(cte, strip(toks(i + 1).text), i + 1) &&
         resolver.resolve(strip(toks(i + 1).text)).isDefined) {
         val view = resolver.resolve(strip(toks(i + 1).text)).get.viewName
         out += t

@@ -8,12 +8,37 @@ object JudgeSweepTrace {
     val spark = graft.GraftSession.create(master = "local[8]",
       shufflePartitions = 8)
     spark.sparkContext.setLogLevel("ERROR")
+    if (args.headOption.contains("--all")) {
+      // walk the whole corpus in the sweep's order, one session per
+      // file, statement-level progress — pins a wedge to a statement
+      import scala.jdk.CollectionConverters._
+      val root = java.nio.file.Path.of("/root/reference")
+      java.nio.file.Files.walk(root).iterator().asScala
+        .filter(q => q.toString.endsWith(".md") || q.toString.endsWith(".sql"))
+        .foreach { q =>
+          println(s"== FILE $q"); Console.flush()
+          traceFile(spark, q)
+        }
+      println("TRACE COMPLETE")
+      return
+    }
     val p = java.nio.file.Path.of(
       args.headOption.getOrElse("/root/reference/lectures/lecture_10.md"))
+    traceFile(spark, p)
+    println("TRACE COMPLETE")
+  }
+
+  private def traceFile(spark: org.apache.spark.sql.SparkSession,
+                        p: java.nio.file.Path): Unit = {
     val text = java.nio.file.Files.readString(p)
     val fence = "(?s)```sql(.*?)```".r
     val external = "(?i)\\b(url|s3|postgresql|jdbc|odbc|mysql|file)\\s*\\(".r
-    val bigNumbers = "(?i)numbers(_mt)?\\s*\\(\\s*\\d{7,}".r
+    // a 7+-digit count in ANY argument position: numbers(2000000000)
+    // AND numbers(1, 2000000000[, step]) (r12 — the start-offset form
+    // escaped the first-arg-only detection and lecture_10's RIGHT join
+    // sorted 2 BILLION rows: memory pressure -> multi-minute GC pauses
+    // -> heartbeat kill, the exit-56 suite deaths)
+    val bigNumbers = "(?i)numbers(_mt)?\\s*\\([^()]*\\d{7,}".r
     val blocks = fence.findAllMatchIn(text).map(_.group(1)).toSeq
     val stmts = blocks.flatMap(b =>
       scala.util.Try(ChLexer.statements(b)).getOrElse(Nil))
@@ -37,6 +62,5 @@ object JudgeSweepTrace {
         Console.flush()
       }
     }
-    println("TRACE COMPLETE")
   }
 }

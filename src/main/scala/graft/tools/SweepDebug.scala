@@ -42,7 +42,12 @@ object SweepDebug {
     }
     val fence = "(?s)```sql(.*?)```".r
     val external = "(?i)\\b(url|s3|postgresql|jdbc|odbc|mysql|file)\\s*\\(".r
-    val bigNumbers = "(?i)numbers(_mt)?\\s*\\(\\s*\\d{7,}".r
+    // a 7+-digit count in ANY argument position: numbers(2000000000)
+    // AND numbers(1, 2000000000[, step]) (r12 — the start-offset form
+    // escaped the first-arg-only detection and lecture_10's RIGHT join
+    // sorted 2 BILLION rows: memory pressure -> multi-minute GC pauses
+    // -> heartbeat kill, the exit-56 suite deaths)
+    val bigNumbers = "(?i)numbers(_mt)?\\s*\\([^()]*\\d{7,}".r
 
     val out = new StringBuilder
     var executed = 0

@@ -2529,6 +2529,22 @@ class ChSqlSpec extends SparkSpec {
     assert(!c(1).isNullAt(1) && c(1).getString(1) == "",
       "CTE output takes the result-type '' default, not the catalog " +
         s"table's declared NULL: ${c(1)}")
+    // CTE shadowing is SCOPED: a nested subquery's CTE must not block
+    // catalog resolution of the same name at the OUTER level
+    val scoped = s.sql(
+      """SELECT o.v AS ov, t.w AS tw
+        |FROM cte_tbl o JOIN
+        |  (WITH cte_tbl AS (SELECT 'inner' AS w) SELECT w FROM cte_tbl) t
+        |ON 1 = 1""".stripMargin).collect()
+    assert(scoped.length == 1 && scoped(0).getString(0) == "zzz" &&
+      scoped(0).getString(1) == "inner", scoped.toSeq.toString)
+    // and a CTE's OWN body reads the catalog table, not itself
+    // (non-recursive, the ClickHouse rule)
+    val selfRef = s.sql(
+      """WITH cte_tbl AS (SELECT concat(v, '!') AS v FROM cte_tbl)
+        |SELECT v FROM cte_tbl""".stripMargin).collect()
+    assert(selfRef.length == 1 && selfRef(0).getString(0) == "zzz!",
+      selfRef.toSeq.toString)
   }
 
   test("computed interval magnitudes: DAY keeps Date, HOUR promotes to " +

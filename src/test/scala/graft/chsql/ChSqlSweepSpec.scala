@@ -95,7 +95,12 @@ class ChSqlSweepSpec extends SparkSpec {
     // (clickhouse-local semantics) and the lecture_20/hw09 cluster
     // SELECTs execute
     val external = "(?i)\\b(url|s3|postgresql|jdbc|odbc|mysql|file)\\s*\\(".r
-    val bigNumbers = "(?i)numbers(_mt)?\\s*\\(\\s*\\d{7,}".r
+    // a 7+-digit count in ANY argument position: numbers(2000000000)
+    // AND numbers(1, 2000000000[, step]) (r12 — the start-offset form
+    // escaped the first-arg-only detection and lecture_10's RIGHT join
+    // sorted 2 BILLION rows: memory pressure -> multi-minute GC pauses
+    // -> heartbeat kill, the exit-56 suite deaths)
+    val bigNumbers = "(?i)numbers(_mt)?\\s*\\([^()]*\\d{7,}".r
     var executedSelects = 0
     var totalSelects = 0
     mds.foreach { p =>
