@@ -1471,8 +1471,21 @@ final class ChSession(val spark: SparkSession,
       private val subDfCache = mutable.Map
         .empty[String, Option[org.apache.spark.sql.DataFrame]]
       private def subDf(sql: String): Option[org.apache.spark.sql.DataFrame] =
-        subDfCache.getOrElseUpdate(sql,
-          scala.util.Try(runSelect(sql, overrides)).toOption)
+        subDfCache.getOrElseUpdate(sql, {
+          // probe recursion guard (r12): a probe's own rewrite can probe
+          // further sides (chained CTEs, nested subqueries) through a
+          // FRESH resolver whose cache can't see this one — a crafted
+          // mutually-referencing CTE pair would otherwise recurse
+          // runSelect unboundedly. Legitimate chains are shallow;
+          // beyond the cap the side reads as unknown-schema and the
+          // caller skips its default fill (conservative)
+          if (probeDepth.get() >= 4) None
+          else {
+            probeDepth.set(probeDepth.get() + 1)
+            try scala.util.Try(runSelect(sql, overrides)).toOption
+            finally probeDepth.set(probeDepth.get() - 1)
+          }
+        })
 
       override def describeQuery(sql: String): Option[Seq[String]] =
         subDf(sql).map(_.columns.toSeq)
@@ -2574,6 +2587,14 @@ final class ChSession(val spark: SparkSession,
   // ------------------------------------------------ catalog durability
 
   private var attaching = false
+
+  /** Depth of nested schema/default probes ([[ChSqlRewrite.Resolver]]'s
+    * describeQuery / queryDefaultLiterals / queryNullLiterals) — session
+    * state because each nested runSelect builds a FRESH resolver whose
+    * per-statement cache cannot see its parents'.
+    */
+  private val probeDepth: ThreadLocal[Integer] =
+    ThreadLocal.withInitial(() => Integer.valueOf(0))
 
   private def catalogFile: Option[org.apache.hadoop.fs.Path] =
     storageDir.map(d => new org.apache.hadoop.fs.Path(d, "_catalog.sql"))

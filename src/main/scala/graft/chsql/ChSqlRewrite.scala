@@ -1818,7 +1818,7 @@ object ChSqlRewrite {
                                    resolver: Resolver,
                                    queryUseNulls: Option[Boolean]): Vector[Token] = {
     val useNulls = queryUseNulls.getOrElse(resolver.joinUseNulls)
-    val cte = cteBoundNames(toks)
+    val cteSc = cteScopes(toks)
     // collect every ANTI join: (alias, right side — a catalog table or
     // a subquery's inner text (r11) — and the segment span
     // [ANTI .. end of ON/USING condition))
@@ -1844,7 +1844,8 @@ object ChSqlRewrite {
           // table)
           val isSub = toks(j + 1).text == "("
           val subClose = if (isSub) matchParen(toks, j + 1) else -1
-          val isCte = !isSub && cte(stripTicks(toks(j + 1).text))
+          val isCte = !isSub &&
+            cteShadowed(cteSc, stripTicks(toks(j + 1).text), j + 1)
           val table = if (isSub || isCte) None else Some(toks(j + 1).text)
           val subSql =
             if (isSub && subClose > 0)
@@ -2123,10 +2124,13 @@ object ChSqlRewrite {
     // CTE-bound names are SUBQUERY components (r12): probed through the
     // statement's WITH prefix; a probe miss (nested WITH) leaves the
     // component unknown-schema, which blocks ownership claims and drops
-    // the seg — conservative, never the same-named catalog table
-    val cte = cteBoundNames(toks)
-    def compOf(alias: String, table: String): Comp =
-      if (cte(stripTicks(table)))
+    // the seg — conservative, never the same-named catalog table.
+    // Scope-aware (the cteShadowed rule): a reference inside the CTE's
+    // OWN body reads the catalog table, so a self-referencing body
+    // cannot probe itself
+    val cteSc = cteScopes(toks)
+    def compOf(alias: String, table: String, pos: Int): Comp =
+      if (cteShadowed(cteSc, stripTicks(table), pos))
         Comp(alias, None, cteProbe(toks, stripTicks(table)))
       else Comp(alias, Some(table), None)
     // alias of a `table [AS] [alias] [FINAL|SAMPLE …]` region — the
@@ -2179,6 +2183,7 @@ object ChSqlRewrite {
       var done = false
       while (!done && p < stop) {
         var subSql: Option[String] = None
+        var identPos = -1
         val tableOpt: Option[String] =
           if (toks(p).text == "(") {
             val close = matchParen(toks, p)
@@ -2190,7 +2195,7 @@ object ChSqlRewrite {
             None
           } else if (toks(p).isIdent && !toks(p).isString &&
             !term(toks(p).upper)) {
-            val t0 = toks(p).text; p += 1; Some(t0)
+            val t0 = toks(p).text; identPos = p; p += 1; Some(t0)
           } else { complete = false; done = true; None }
         if (!done) {
           // alias/modifier region: anything up to ON/USING, a join or
@@ -2205,7 +2210,7 @@ object ChSqlRewrite {
             else { region += t; p += 1 }
           }
           out += (tableOpt match {
-            case Some(t0) => compOf(aliasOf(region.result(), t0), t0)
+            case Some(t0) => compOf(aliasOf(region.result(), t0), t0, identPos)
             case None =>
               Comp(aliasOf(region.result(), ""), None, subSql)
           })
@@ -2274,7 +2279,7 @@ object ChSqlRewrite {
                   if (toks(j + 1).text != "(") {
                     val table = toks(j + 1).text
                     val region = toks.slice(j + 2, k)
-                    val c = compOf(aliasOf(region, table), table)
+                    val c = compOf(aliasOf(region, table), table, j + 1)
                     if (c.table.nonEmpty || c.subSql.nonEmpty)
                       segs += Seg(c.alias, c, fromIdx, e, i)
                   } else {

@@ -2547,6 +2547,44 @@ class ChSqlSpec extends SparkSpec {
       selfRef.toSeq.toString)
   }
 
+  test("CTE join sides cannot recurse the default-fill probes (r12: " +
+    "self-reference reads the catalog table; crafted cycles hit the " +
+    "depth guard and error instead of hanging)") {
+    val s = ch
+    s.execute(
+      """CREATE TABLE prl (k UInt32, a String) ENGINE = Memory;
+        |CREATE TABLE prx (k UInt32, v String) ENGINE = Memory;
+        |INSERT INTO prl VALUES (1, 'a1'), (9, 'a9');
+        |INSERT INTO prx VALUES (1, 'x1'), (1, 'x2'), (2, 'x2');""".stripMargin)
+    // a CTE named like catalog table prx whose body JOINS prx: the
+    // body's refs read the TABLE (scope rule — no probe of itself), the
+    // outer side reads the CTE, and join_use_nulls = 0 fills '' on the
+    // miss
+    val rows = s.sql(
+      """WITH prx AS (
+        |  SELECT m.k AS k, n.v AS v FROM prx m LEFT JOIN prx n
+        |  ON m.k = n.k AND m.v = n.v WHERE m.v = 'x1')
+        |SELECT l.a AS a, r.v AS v FROM prl l LEFT JOIN prx r ON l.k = r.k
+        |ORDER BY l.k""".stripMargin).collect()
+    assert(rows.length == 2 && rows(0).getString(1) == "x1", rows.toSeq)
+    assert(rows(1).getString(1) == "",
+      s"CTE-side miss fills the result-type default: ${rows(1)}")
+    // a mutually-referencing CTE pair is invalid SQL (forward
+    // reference) — the probe depth guard must surface Spark's analysis
+    // error promptly, not recurse runSelect unboundedly
+    val t0 = System.nanoTime()
+    val err = intercept[Exception] {
+      s.sql(
+        """WITH ca AS (SELECT l.k AS k FROM prl l LEFT JOIN cb r ON l.k = r.k),
+          |     cb AS (SELECT l.k AS k FROM prl l LEFT JOIN ca r ON l.k = r.k)
+          |SELECT ca.k AS k FROM ca LEFT JOIN cb ON ca.k = cb.k""".stripMargin)
+        .collect()
+    }
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(secs < 120, f"cycle must fail fast, took $secs%.1fs")
+    assert(err != null)
+  }
+
   test("computed interval magnitudes: DAY keeps Date, HOUR promotes to " +
     "DateTime (r11, the hw08/hw11 insert idiom)") {
     val s = ch
