@@ -1476,10 +1476,13 @@ final class ChSession(val spark: SparkSession,
           // further sides (chained CTEs, nested subqueries) through a
           // FRESH resolver whose cache can't see this one — a crafted
           // mutually-referencing CTE pair would otherwise recurse
-          // runSelect unboundedly. Legitimate chains are shallow;
-          // beyond the cap the side reads as unknown-schema and the
-          // caller skips its default fill (conservative)
-          if (probeDepth.get() >= 4) None
+          // runSelect unboundedly. The body-form cteProbe breaks CTE
+          // cycles structurally (a body sees only EARLIER bindings), so
+          // this cap is a backstop sized above any legitimate
+          // nested-subquery chain; beyond it the side reads as
+          // unknown-schema and the caller skips its default fill
+          // (conservative)
+          if (probeDepth.get() >= 8) None
           else {
             probeDepth.set(probeDepth.get() + 1)
             try scala.util.Try(runSelect(sql, overrides)).toOption
@@ -1491,43 +1494,59 @@ final class ChSession(val spark: SparkSession,
         subDf(sql).map(_.columns.toSeq)
 
       override def queryDefaultLiterals(sql: String)
+          : Option[Map[String, String]] = queryDefaultsRec(sql, 0)
+
+      /** Declared-nullability passthrough, per FROM COMPONENT: an output
+        * column that IS a plain reference (or a `*` projection) resolves
+        * its default through the one component that owns the name — a
+        * catalog TABLE contributes its declared columns (same Spark type
+        * required; the runtime view schema widens everything to nullable,
+        * so a plain String column would otherwise wrongly default to
+        * NULL), a DERIVED TABLE contributes its own recursively-derived
+        * literal map (so its computed columns already resolved to
+        * result-type defaults — pre-fix a `SELECT *` over a derived
+        * table passed COMPUTED columns through to same-named declared
+        * defaults, the r12 review find), and CTE names / unknowns are
+        * OPAQUE (any opaque component disables the passthrough — no
+        * single-owner proof is possible). Computed outputs keep the
+        * zero-value default of their result type (the documented
+        * fallback convention).
+        */
+      private def queryDefaultsRec(sql: String, depth: Int)
           : Option[Map[String, String]] =
         subDf(sql).map { df =>
-          // declared-nullability passthrough: an output column that IS
-          // a plain reference of exactly ONE declared column across the
-          // subquery's referenced catalog tables (same Spark type)
-          // takes ITS declared default — the runtime view schema widens
-          // everything to nullable (Memory-table inserts), so a plain
-          // String column would otherwise wrongly default to NULL.
-          // Computed columns — including a computed expression that
-          // merely SHARES a declared column's name and type — keep the
-          // zero-value default of their result type (the documented
-          // fallback convention; pre-r12 the match was by bare
-          // name+type, so such a coincidence inherited the declared
-          // default). Only TABLE-POSITION identifiers (right after
-          // FROM/JOIN) are consulted, minus the query's own CTE names:
-          // a column, alias or CTE that merely COINCIDES with a catalog
-          // table name must not pollute the declared map.
           val tk = ChLexer.tokenize(sql)
           val cteNames = leadingCteNames(tk)
-          val declared = tk.indices
-            .filter(i => i > 0 && (tk(i - 1).is("FROM") || tk(i - 1).is("JOIN")) &&
-              tk(i).isIdent && !tk(i).isString &&
-              !cteNames(strip(tk(i).text).toLowerCase))
-            .flatMap(i => tables.get(parseRef(strip(tk(i).text))))
-            .distinct.flatMap(_.columns)
-            .groupBy(_.name.toLowerCase)
+          val spaces: Vector[Option[Map[String, (String, Option[DataType])]]] =
+            topFromComponents(tk).map {
+              case Left(name) if cteNames(strip(name).toLowerCase) => None
+              case Left(name) => tables.get(parseRef(strip(name))).map(t =>
+                t.columns.groupBy(_.name.toLowerCase).collect {
+                  case (n, Seq(c)) => n ->
+                    (ChTypes.defaultLiteralSql(c.dataType, c.nullable),
+                      Some(c.dataType): Option[DataType])
+                })
+              case Right(inner) =>
+                if (depth >= 3) None
+                else queryDefaultsRec(inner, depth + 1).map(_.map {
+                  case (n, l) =>
+                    n.toLowerCase -> (l, None: Option[DataType])
+                })
+            }
           val pass = outerBareSelectItems(tk)
+          def resolveSrc(name: String, dt: DataType): Option[String] =
+            if (spaces.isEmpty || spaces.contains(None)) None
+            else spaces.flatMap(_.get.get(name)) match {
+              case Vector((lit, tdt)) if tdt.forall(_ == dt) => Some(lit)
+              case _ => None // unclaimed, ambiguous, or type-mismatched
+            }
           df.schema.fields.map { f =>
             val src = pass.flatMap { case (bare, star) =>
               bare.get(f.name.toLowerCase)
                 .orElse(if (star) Some(f.name.toLowerCase) else None)
             }
-            val lit = src.map(declared.get) match {
-              case Some(Some(Seq(c))) if c.dataType == f.dataType =>
-                ChTypes.defaultLiteralSql(c.dataType, c.nullable)
-              case _ => ChTypes.defaultLiteralSql(f.dataType)
-            }
+            val lit = src.flatMap(n => resolveSrc(n, f.dataType))
+              .getOrElse(ChTypes.defaultLiteralSql(f.dataType))
             f.name -> lit
           }.toMap
         }
@@ -2885,6 +2904,61 @@ final class ChSession(val spark: SparkSession,
     out.toSet
   }
 
+  /** The outermost (depth-0) FROM region's components, in order:
+    * `Left(ident)` for a plain table/CTE reference, `Right(innerSql)`
+    * for a parenthesized derived table. Aliases, join keywords and
+    * ON/USING condition tokens are skipped; condition parens are
+    * balanced so their contents never read as components.
+    */
+  private def topFromComponents(tk: Vector[ChLexer.Token])
+      : Vector[Either[String, String]] = {
+    val enders = Set("WHERE", "GROUP", "ORDER", "HAVING", "LIMIT",
+      "UNION", "INTERSECT", "EXCEPT", "SETTINGS", "WINDOW", "QUALIFY")
+    var depth = 0
+    var from = -1
+    var end = -1
+    for (i <- tk.indices if end < 0) {
+      val t = tk(i)
+      if (t.text == "(") depth += 1
+      else if (t.text == ")") depth -= 1
+      else if (depth == 0 && from < 0 && t.is("FROM")) from = i
+      else if (depth == 0 && from >= 0 && !t.isString &&
+        enders(t.upper)) end = i
+    }
+    if (from < 0) return Vector.empty
+    if (end < 0) end = tk.length
+    def closeOf(open: Int): Int = {
+      var d = 0
+      var j = open
+      while (j < end) {
+        if (tk(j).text == "(") d += 1
+        else if (tk(j).text == ")") { d -= 1; if (d == 0) return j }
+        j += 1
+      }
+      end
+    }
+    val out = Vector.newBuilder[Either[String, String]]
+    var p = from + 1
+    var expect = true
+    while (p < end) {
+      val t = tk(p)
+      if (t.text == "(") {
+        val close = closeOf(p)
+        if (expect) {
+          out += Right(ChLexer.render(tk.slice(p + 1, close)))
+          expect = false
+        }
+        p = close + 1
+      } else {
+        if (expect && t.isIdent && !t.isString) {
+          out += Left(strip(t.text)); expect = false
+        } else if (t.is("JOIN") || t.text == ",") expect = true
+        p += 1
+      }
+    }
+    out.result()
+  }
+
   /** The outermost SELECT list's PLAIN column references: output name →
     * source column name (both lowercased, unqualified). An item counts
     * only when it is a bare `col` / `alias.col`, optionally `AS`-aliased
@@ -2906,7 +2980,10 @@ final class ChSession(val spark: SparkSession,
       if (t.text == "(") depth += 1
       else if (t.text == ")") depth -= 1
       else if (depth == 0) {
-        if (t.is("UNION") || t.is("INTERSECT") || t.is("EXCEPT")) setOp = true
+        // `* EXCEPT (cols)` is ClickHouse's column-exclusion modifier,
+        // not a set operation (r12 review find)
+        if (t.is("UNION") || t.is("INTERSECT") ||
+          (t.is("EXCEPT") && !(i > 0 && tk(i - 1).text == "*"))) setOp = true
         else if (sel < 0 && t.is("SELECT")) sel = i
         else if (sel >= 0 && end < 0 && t.is("FROM")) end = i
       }
@@ -2937,7 +3014,11 @@ final class ChSession(val spark: SparkSession,
       def isRef(t: ChLexer.Token): Boolean =
         t.isIdent && !t.isString && !t.text.endsWith("*")
       it match {
-        case Vector(t) if t.text == "*" || t.text.endsWith(".*") => star = true
+        // bare `*` / `t.*`, with or without an `EXCEPT (cols)` tail —
+        // the excluded names are absent from the output either way
+        case v if v.nonEmpty &&
+          (v.head.text == "*" || v.head.text.endsWith(".*")) &&
+          (v.length == 1 || v(1).is("EXCEPT")) => star = true
         case Vector(t) if isRef(t) => bare += suffix(t.text) -> suffix(t.text)
         case Vector(t, a) if isRef(t) && isRef(a) =>
           bare += suffix(a.text) -> suffix(t.text)

@@ -1586,25 +1586,29 @@ object ChSqlRewrite {
     val (leftAlias, leftMods) = aliasAndMods(leftTail,
       if (leftInner.isEmpty) leftRef else "")
     if (leftAlias.isEmpty) bad("a subquery left side requires an alias")
-    def colsOfRef(ref: String, inner: Option[String]): Seq[String] =
+    val cteSc = cteScopes(toks)
+    def colsOfRef(ref: String, inner: Option[String],
+                  pos: Int): Seq[String] =
       inner match {
         case Some(sql) => resolver.describeQuery(sql)
           .getOrElse(bad("could not derive the subquery side's column " +
             s"list: $sql"))
-        case None => cteProbe(toks, stripTicks(ref)) match {
+        case None if cteShadowed(cteSc, stripTicks(ref), pos) =>
           // a CTE-bound side (r12): columns from the CTE's own output,
-          // never from a same-named catalog table; the lowered union
-          // keeps the statement's WITH prefix, so the refs stay bound
-          case Some(probe) => resolver.describeQuery(probe)
+          // never from a same-named catalog table; scope-aware, so a
+          // reference inside the CTE's OWN body keeps reading the
+          // catalog (review find — the unscoped form recursed into the
+          // depth guard and errored on a valid self-named body)
+          cteProbe(toks, stripTicks(ref))
+            .flatMap(resolver.describeQuery)
             .getOrElse(bad(s"could not derive CTE '$ref''s column list"))
-          case None => resolver.resolve(ref)
-            .flatMap(rt => resolver.describe(rt.viewName))
-            .getOrElse(bad(s"table '$ref' has no catalog schema - the " +
-              "lowering needs its column list"))
-        }
+        case None => resolver.resolve(ref)
+          .flatMap(rt => resolver.describe(rt.viewName))
+          .getOrElse(bad(s"table '$ref' has no catalog schema - the " +
+            "lowering needs its column list"))
       }
-    val leftCols = colsOfRef(leftRef, leftInner)
-    val rightCols = colsOfRef(rightRef, rightInner)
+    val leftCols = colsOfRef(leftRef, leftInner, fromIdx + 1)
+    val rightCols = colsOfRef(rightRef, rightInner, t0)
     // ---- condition: equi keys + the one time inequality
     var keys = Vector.empty[(String, String)] // (left col, right col)
     var timePair: Option[(String, String, String)] = None // lcol, rcol, op
@@ -1868,6 +1872,9 @@ object ChSqlRewrite {
             val alias = aToks.filterNot(_.is("AS")).lastOption
               .map(_.text)
               .orElse(table.map(_.split('.').last))
+              // an unaliased CTE side's natural qualifier is the CTE
+              // name itself (table is None there — r12 review find)
+              .orElse(if (isCte) Some(stripTicks(toks(j + 1).text)) else None)
               .getOrElse("")
             var e = k + 1
             var dd = 0
@@ -2604,26 +2611,6 @@ object ChSqlRewrite {
   }
 
   // ---- FROM t [FINAL] [SAMPLE f] routing ----
-  /** Names bound as CTEs anywhere in the statement — the `x AS (SELECT`
-    * / `x AS (WITH` shape is unambiguous (a column alias is never
-    * followed by a parenthesized SELECT). A CTE SHADOWS a same-named
-    * catalog table, exactly as in ClickHouse — pre-r12 the resolver
-    * substituted the catalog view and the CTE's own columns went
-    * unresolved (advisor find, the cte_tbl collision). This GLOBAL set
-    * is the conservative check used by the join-side classifiers
-    * (defaults/ANTI/ASOF — a false positive only skips a default fill);
-    * FROM/JOIN/IN resolution uses the scope-aware [[cteScopes]] form,
-    * where a false positive would break resolution outright.
-    */
-  private def cteBoundNames(toks: Vector[Token]): Set[String] =
-    toks.indices.collect {
-      case i if i + 3 < toks.length && toks(i).isIdent &&
-        !toks(i).isString && toks(i + 1).is("AS") &&
-        toks(i + 2).text == "(" &&
-        (toks(i + 3).is("SELECT") || toks(i + 3).is("WITH")) =>
-        stripTicks(toks(i).text)
-    }.toSet
-
   /** Scope-aware CTE shadowing: (name, scope start, scope end, own-body
     * start, own-body end) per binding. A binding scopes to its
     * enclosing parenthesized group (the whole statement at depth 0) —
@@ -2664,33 +2651,39 @@ object ChSqlRewrite {
     }
 
   /** Standalone probe SQL for a name bound by the statement's LEADING
-    * top-level WITH list: the whole WITH prefix + `SELECT * FROM name`.
-    * Chained CTEs resolve for free (earlier definitions ride along in
-    * the prefix). None when the name is not bound there (e.g. a WITH
-    * nested inside a subquery) — callers then treat the side as
-    * unknown-schema and skip conservatively, NEVER as the same-named
-    * catalog table. Powers the join_use_nulls default fill for CTE join
-    * sides: a CTE is a subquery, so misses fill its RESULT-type
-    * defaults (bare passthrough columns keep their underlying declared
-    * nullability through [[Resolver.queryDefaultLiterals]]'s
-    * passthrough rule, computed columns take zero-value defaults).
+    * top-level WITH list: the binding's OWN BODY, prefixed by the WITH
+    * list of the bindings BEFORE it (chained CTEs resolve; a body can
+    * only reference earlier names, so probe chains cannot cycle —
+    * probing a mutually-referencing pair bottoms out on an unbound
+    * name). None when the name is not bound there (e.g. a WITH nested
+    * inside a subquery) — callers then treat the side as unknown-schema
+    * and skip conservatively, NEVER as the same-named catalog table.
+    * Powers the join_use_nulls default fill for CTE join sides: a CTE
+    * is a subquery, so misses fill its RESULT-type defaults — and
+    * because the probe's outer select list IS the CTE's own, the
+    * [[Resolver.queryDefaultLiterals]] plain-reference passthrough
+    * applies to the CTE's real items (pre-fix the probe was
+    * `SELECT * FROM name`, whose `*` passed COMPUTED CTE columns
+    * through to same-named declared defaults — the r12 advisor-find
+    * coincidence bug, reintroduced one level up).
     */
   private def cteProbe(toks: Vector[Token], name: String): Option[String] = {
     if (toks.isEmpty || !toks.head.is("WITH")) return None
     var i = 1
-    var found = false
     while (i + 2 < toks.length && toks(i).isIdent && !toks(i).isString &&
       toks(i + 1).is("AS") && toks(i + 2).text == "(") {
-      if (stripTicks(toks(i).text) == name) found = true
       val close = matchParen(toks, i + 2)
       if (close < 0) return None
+      if (stripTicks(toks(i).text) == name) {
+        val body = ChLexer.render(toks.slice(i + 3, close))
+        val prefix =
+          if (i == 1) ""
+          else "WITH " + ChLexer.render(toks.slice(1, i - 1)) + " "
+        return Some(prefix + body)
+      }
       if (close + 1 < toks.length && toks(close + 1).text == ",")
         i = close + 2
-      else return {
-        if (found)
-          Some(ChLexer.render(toks.take(close + 1)) + s" SELECT * FROM $name")
-        else None
-      }
+      else return None
     }
     None
   }

@@ -9,16 +9,24 @@ object JudgeSweepTrace {
       shufflePartitions = 8)
     spark.sparkContext.setLogLevel("ERROR")
     if (args.headOption.contains("--all")) {
-      // walk the whole corpus in the sweep's order, one session per
-      // file, statement-level progress — pins a wedge to a statement
+      // walk the whole corpus in sorted (deterministic) order, one
+      // session per file, statement-level progress — pins a wedge to a
+      // statement; a file that fails to read or replay is reported and
+      // skipped, never aborts the walk
       import scala.jdk.CollectionConverters._
       val root = java.nio.file.Path.of("/root/reference")
-      java.nio.file.Files.walk(root).iterator().asScala
-        .filter(q => q.toString.endsWith(".md") || q.toString.endsWith(".sql"))
-        .foreach { q =>
-          println(s"== FILE $q"); Console.flush()
-          traceFile(spark, q)
-        }
+      val walk = java.nio.file.Files.walk(root)
+      val files =
+        try walk.iterator().asScala
+          .filter(q => java.nio.file.Files.isRegularFile(q) &&
+            (q.toString.endsWith(".md") || q.toString.endsWith(".sql")))
+          .toVector.sortBy(_.toString)
+        finally walk.close()
+      files.foreach { q =>
+        println(s"== FILE $q"); Console.flush()
+        scala.util.Try(traceFile(spark, q)).failed.foreach(e =>
+          println(s"== FILE $q SKIPPED: ${e.getMessage}"))
+      }
       println("TRACE COMPLETE")
       return
     }

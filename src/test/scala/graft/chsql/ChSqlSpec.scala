@@ -2585,6 +2585,58 @@ class ChSqlSpec extends SparkSpec {
     assert(err != null)
   }
 
+  test("CTE / derived / star-EXCEPT sides resolve defaults through their " +
+    "OWN select lists (r12 review finds: the SELECT*-form probe leaked " +
+    "declared defaults onto computed columns)") {
+    val s = ch
+    s.execute(
+      """CREATE TABLE pw (k UInt32, v Nullable(String), x UInt32) ENGINE = Memory;
+        |CREATE TABLE pwl (k UInt32, a String) ENGINE = Memory;
+        |INSERT INTO pw VALUES (1, 'p1', 7);
+        |INSERT INTO pwl VALUES (1, 'a1'), (9, 'a9');""".stripMargin)
+    // a CTE whose COMPUTED column shares the declared Nullable v's name:
+    // the probe is the CTE's BODY, so the passthrough sees the computed
+    // item — the miss fills the result-type '', never the declared NULL
+    val comp = s.sql(
+      """WITH pc AS (SELECT k, concat(v, '!') AS v FROM pw)
+        |SELECT l.a AS a, r.v AS v FROM pwl l LEFT JOIN pc r ON l.k = r.k
+        |ORDER BY l.k""".stripMargin).collect()
+    assert(comp(0).getString(1) == "p1!", comp.toSeq)
+    assert(!comp(1).isNullAt(1) && comp(1).getString(1) == "",
+      s"computed CTE column fills '' on the miss: ${comp(1)}")
+    // a star over a DERIVED table with a computed column: same rule,
+    // one level down
+    val deep = s.sql(
+      """SELECT l.a AS a, r.v AS v
+        |FROM pwl l LEFT JOIN
+        |  (SELECT * FROM (SELECT k, concat(v, '?') AS v FROM pw) i) r
+        |ON l.k = r.k ORDER BY l.k""".stripMargin).collect()
+    assert(deep(0).getString(1) == "p1?", deep.toSeq)
+    assert(!deep(1).isNullAt(1) && deep(1).getString(1) == "",
+      s"derived computed column fills '' through the star: ${deep(1)}")
+    // `* EXCEPT (x)` is a column-exclusion modifier, not a set op: the
+    // plainly-passed-through declared Nullable v keeps its NULL default
+    val exc = s.sql(
+      """SELECT l.a AS a, r.v AS v
+        |FROM pwl l LEFT JOIN (SELECT * EXCEPT (x) FROM pw) r
+        |ON l.k = r.k ORDER BY l.k""".stripMargin).collect()
+    assert(exc(0).getString(1) == "p1", exc.toSeq)
+    assert(exc(1).isNullAt(1),
+      s"declared Nullable passthrough survives * EXCEPT: ${exc(1)}")
+    // an UNALIASED CTE ANTI side: the CTE name is the qualifier, and
+    // the right-column read substitutes its literal (review find: the
+    // alias fallback was lost for table-less sides)
+    s.execute("CREATE TABLE pnt (k UInt32, w String) ENGINE = Memory;" +
+      "INSERT INTO pnt VALUES (1, 'w1');")
+    val anti = s.sql(
+      """WITH pnt2 AS (SELECT k, w FROM pnt)
+        |SELECT l.a AS a, pnt2.w AS w
+        |FROM pwl l LEFT ANTI JOIN pnt2 ON l.k = pnt2.k
+        |ORDER BY l.a""".stripMargin).collect()
+    assert(anti.length == 1 && anti(0).getString(0) == "a9" &&
+      anti(0).getString(1) == "", anti.toSeq.toString)
+  }
+
   test("computed interval magnitudes: DAY keeps Date, HOUR promotes to " +
     "DateTime (r11, the hw08/hw11 insert idiom)") {
     val s = ch
