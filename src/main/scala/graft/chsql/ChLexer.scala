@@ -345,10 +345,17 @@ object ChLexer {
         // qualified `db`.`table` — keep gluing dots below
         var text = sql.substring(i, end + 1)
         i = end + 1
-        while (i < n && sql.charAt(i) == '.') {
+        while (i < n && sql.charAt(i) == '.' &&
+          !(i + 1 < n && sql.charAt(i + 1) == '*')) {
           val rest = readIdentPart(sql, i + 1)
           text += "." + rest
           i += 1 + rest.length
+        }
+        // qualified star `` `t`.* `` — ONE token, so select-item passes
+        // can recognize the star form (pre-fix it lexed as an operator
+        // run `.*` and the qualified-star branch was dead, r12 advisor)
+        if (i + 1 < n && sql.charAt(i) == '.' && sql.charAt(i + 1) == '*') {
+          text += ".*"; i += 2
         }
         out += Token(text)
       } else if (Character.isLetter(c) || c == '_') {
@@ -364,6 +371,11 @@ object ChLexer {
           val rest = readIdentPart(sql, i + 1)
           text += "." + rest
           i += 1 + rest.length
+        }
+        // qualified star `t.*` / `db.t.*` — glued into the identifier
+        // token (see the backtick branch above)
+        if (i + 1 < n && sql.charAt(i) == '.' && sql.charAt(i + 1) == '*') {
+          text += ".*"; i += 2
         }
         out += Token(text)
       } else if (Character.isDigit(c)) {

@@ -109,6 +109,8 @@ final class ChSession(val spark: SparkSession,
                       storageDir: Option[String] = None) {
   import ChSession._
 
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
   graft.functions.ChRegistry.registerAll(spark)
   graft.plans.NativeFunctions.register(spark)
   graft.functions.StateSqlRegistry.register(spark)
@@ -1471,24 +1473,31 @@ final class ChSession(val spark: SparkSession,
       private val subDfCache = mutable.Map
         .empty[String, Option[org.apache.spark.sql.DataFrame]]
       private def subDf(sql: String): Option[org.apache.spark.sql.DataFrame] =
-        subDfCache.getOrElseUpdate(sql, {
-          // probe recursion guard (r12): a probe's own rewrite can probe
-          // further sides (chained CTEs, nested subqueries) through a
-          // FRESH resolver whose cache can't see this one — a crafted
-          // mutually-referencing CTE pair would otherwise recurse
-          // runSelect unboundedly. The body-form cteProbe breaks CTE
-          // cycles structurally (a body sees only EARLIER bindings), so
-          // this cap is a backstop sized above any legitimate
-          // nested-subquery chain; beyond it the side reads as
-          // unknown-schema and the caller skips its default fill
-          // (conservative)
-          if (probeDepth.get() >= 8) None
-          else {
-            probeDepth.set(probeDepth.get() + 1)
-            try scala.util.Try(runSelect(sql, overrides)).toOption
-            finally probeDepth.set(probeDepth.get() - 1)
-          }
-        })
+        subDfCache.get(sql) match {
+          case Some(v) => v
+          case None =>
+            // probe recursion guard (r12): a probe's own rewrite can probe
+            // further sides (chained CTEs, nested subqueries) through a
+            // FRESH resolver whose cache can't see this one — a crafted
+            // mutually-referencing CTE pair would otherwise recurse
+            // runSelect unboundedly. The body-form cteProbe breaks CTE
+            // cycles structurally (a body sees only EARLIER bindings), so
+            // this cap is a backstop sized above any legitimate
+            // nested-subquery chain; beyond it the side reads as
+            // unknown-schema and the caller skips its default fill
+            // (conservative). The capped miss is NOT cached (r13, advisor
+            // find): a later legitimate SHALLOW probe of the same text in
+            // the same statement must not inherit the deep failure
+            if (probeDepth.get() >= 8) None
+            else {
+              probeDepth.set(probeDepth.get() + 1)
+              val r =
+                try scala.util.Try(runSelect(sql, overrides)).toOption
+                finally probeDepth.set(probeDepth.get() - 1)
+              subDfCache.put(sql, r)
+              r
+            }
+        }
 
       override def describeQuery(sql: String): Option[Seq[String]] =
         subDf(sql).map(_.columns.toSeq)
@@ -2726,6 +2735,18 @@ final class ChSession(val spark: SparkSession,
               "the tables; if the journal is known-complete (e.g. " +
               "written by a pre-terminator version), append a line " +
               s"'$journalEndMarker' to recover it")
+        // the legacy acceptance is a HEURISTIC: a marker-less journal
+        // truncated exactly at a ';' boundary is indistinguishable from
+        // a complete pre-terminator one, so the upgrade is announced
+        // loudly (r12 advisor find) — an operator who knows the journal
+        // should be terminator-era can restore from backup before the
+        // in-place rewrite makes the prefix permanent
+        if (legacy) log.warn(
+          s"catalog journal $p has no '$journalEndMarker' terminator " +
+            "but ends at a statement boundary - treating it as a " +
+            "complete pre-terminator journal and upgrading it in " +
+            "place; if this file could be a TRUNCATED terminator-era " +
+            "journal, restore it from backup now")
         attaching = true
         try execute(text) finally attaching = false
         // upgrade the accepted legacy journal in place so the next
@@ -2912,8 +2933,9 @@ final class ChSession(val spark: SparkSession,
     */
   private def topFromComponents(tk: Vector[ChLexer.Token])
       : Vector[Either[String, String]] = {
-    val enders = Set("WHERE", "GROUP", "ORDER", "HAVING", "LIMIT",
-      "UNION", "INTERSECT", "EXCEPT", "SETTINGS", "WINDOW", "QUALIFY")
+    val enders = Set("WHERE", "PREWHERE", "GROUP", "ORDER", "HAVING",
+      "LIMIT", "UNION", "INTERSECT", "EXCEPT", "SETTINGS", "WINDOW",
+      "QUALIFY")
     var depth = 0
     var from = -1
     var end = -1
@@ -2940,6 +2962,13 @@ final class ChSession(val spark: SparkSession,
     val out = Vector.newBuilder[Either[String, String]]
     var p = from + 1
     var expect = true
+    // `ARRAY JOIN col [, col2]` is a column-expansion clause, not a
+    // FROM-list member: its JOIN token must not re-arm component
+    // expectation (the expanded column could collide with a catalog
+    // table name and mis-enter the ownership space — r12 advisor find),
+    // and its commas separate arrays, not comma-joined tables. The mode
+    // clears at the next real join keyword.
+    var inArrayJoin = false
     while (p < end) {
       val t = tk(p)
       if (t.text == "(") {
@@ -2950,9 +2979,14 @@ final class ChSession(val spark: SparkSession,
         }
         p = close + 1
       } else {
-        if (expect && t.isIdent && !t.isString) {
+        if (t.is("JOIN")) {
+          inArrayJoin = p > 0 && tk(p - 1).is("ARRAY")
+          expect = !inArrayJoin
+        } else if (t.text == ",") {
+          if (!inArrayJoin) expect = true
+        } else if (expect && t.isIdent && !t.isString) {
           out += Left(strip(t.text)); expect = false
-        } else if (t.is("JOIN") || t.text == ",") expect = true
+        }
         p += 1
       }
     }
@@ -2980,10 +3014,11 @@ final class ChSession(val spark: SparkSession,
       if (t.text == "(") depth += 1
       else if (t.text == ")") depth -= 1
       else if (depth == 0) {
-        // `* EXCEPT (cols)` is ClickHouse's column-exclusion modifier,
-        // not a set operation (r12 review find)
+        // `* EXCEPT (cols)` / `t.* EXCEPT (cols)` is ClickHouse's
+        // column-exclusion modifier, not a set operation (r12 review
+        // find; the qualified form is one glued token, r13)
         if (t.is("UNION") || t.is("INTERSECT") ||
-          (t.is("EXCEPT") && !(i > 0 && tk(i - 1).text == "*"))) setOp = true
+          (t.is("EXCEPT") && !(i > 0 && tk(i - 1).text.endsWith("*")))) setOp = true
         else if (sel < 0 && t.is("SELECT")) sel = i
         else if (sel >= 0 && end < 0 && t.is("FROM")) end = i
       }

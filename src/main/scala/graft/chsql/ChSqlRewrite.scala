@@ -18,6 +18,8 @@ import ChLexer.Token
   */
 object ChSqlRewrite {
 
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
   /** What the session knows about one referenced table. */
   final case class ResolvedTable(
       viewName: String,
@@ -262,6 +264,10 @@ object ChSqlRewrite {
     toks = toks.map(t => if (t.is("arrayJoin")) Token("explode") else t)
     toks = rewriteDictGet(toks, resolver)
     toks = normalizeBareUsing(toks, resolver)
+    // BEFORE the two fill passes: a `d.*` over a join side becomes an
+    // explicit column list so the literal/coalesce substitutions can
+    // reach each reference (a star cannot be wrapped)
+    toks = expandQualifiedStars(toks, resolver)
     toks = rewriteAntiRightCols(toks, resolver,
       tailSettings.get("join_use_nulls").map(settingIsTrue))
     // defaults BEFORE the ANY rewrite: LEFT ANY JOIN still has its
@@ -374,7 +380,11 @@ object ChSqlRewrite {
           else if (toks(j).text == ")") dd -= 1
           j += 1
         }
-        if (j >= toks.length - 1) return toks // no AS alias: leave as-is
+        if (j >= toks.length - 1)
+          // no AS alias: ClickHouse's bare `ARRAY JOIN col` unnests col
+          // IN PLACE under its own name
+          return rewriteBareArrayJoin(toks, start, i, left)
+            .getOrElse(toks)
         val exprSql = ChLexer.render(toks.slice(i + 2, j))
         val alias = toks(j + 1).text
         val lateral = s"LATERAL VIEW ${if (left) "OUTER " else ""}" +
@@ -386,6 +396,86 @@ object ChSqlRewrite {
       i += 1
     }
     toks
+  }
+
+  /** Lowers ClickHouse's bare `[LEFT] ARRAY JOIN col` (no AS — the
+    * element REPLACES the array column under its own name,
+    * lectures/lecture_06.md:38's clause form) for the single-identifier
+    * case. Spark's LATERAL VIEW cannot shadow a base column (ambiguous
+    * reference), so the FROM side is wrapped to RENAME the array out of
+    * the way first:
+    * `FROM t ARRAY JOIN col` →
+    * `FROM (SELECT * EXCEPT (col), col AS __aj_in_col FROM t) t
+    *  LATERAL VIEW explode(__aj_in_col) __aj_g_col AS col`
+    * Supported shapes: the FROM component is a plain identifier or a
+    * parenthesized derived table, optionally aliased, and the ARRAY
+    * JOIN operand is ONE bare identifier ending the clause. Anything
+    * else (zip lists `ARRAY JOIN a, b`, FINAL/SAMPLE tails,
+    * expressions) returns None and the text passes through unchanged.
+    * The helper `__aj_in_col` column leaks into a `SELECT *` projection
+    * — explicit select lists (every corpus use) are unaffected.
+    */
+  private def rewriteBareArrayJoin(toks: Vector[Token], start: Int,
+                                   arrayAt: Int, left: Boolean)
+      : Option[Vector[Token]] = {
+    // operand: ONE bare identifier closing the clause
+    val colAt = arrayAt + 2
+    if (colAt >= toks.length) return None
+    val colTok = toks(colAt)
+    if (!colTok.isIdent || colTok.isString || colTok.text.contains(".") ||
+      sqlWordLike(colTok.upper)) return None
+    if (colAt + 1 < toks.length) {
+      val nxt = toks(colAt + 1)
+      val clauseEnd = nxt.text == ")" || nxt.text == ";" ||
+        nxt.text == "," || fromClauseEnd(nxt)
+      if (!clauseEnd || nxt.text == ",") return None // zip list: unsupported
+    }
+    // the owning FROM, scanning back at the same depth
+    var d = 0
+    var f = start - 1
+    var fromAt = -1
+    while (f >= 0 && fromAt < 0) {
+      val t = toks(f)
+      if (t.text == ")") d += 1
+      else if (t.text == "(") { if (d == 0) return None; d -= 1 }
+      else if (d == 0 && t.is("FROM")) fromAt = f
+      f -= 1
+    }
+    if (fromAt < 0) return None
+    val seg = toks.slice(fromAt + 1, start)
+    if (seg.isEmpty) return None
+    // component [+ alias]; FINAL / SAMPLE / join tails bail out
+    val (compToks, rest) =
+      if (seg.head.text == "(") {
+        var dd = 0; var p = 0; var close = -1
+        while (p < seg.length && close < 0) {
+          if (seg(p).text == "(") dd += 1
+          else if (seg(p).text == ")") { dd -= 1; if (dd == 0) close = p }
+          p += 1
+        }
+        if (close < 0) return None
+        (seg.take(close + 1), seg.drop(close + 1))
+      } else if (seg.head.isIdent && !sqlWordLike(seg.head.upper))
+        (seg.take(1), seg.drop(1))
+      else return None
+    val alias = rest match {
+      case Vector() =>
+        if (compToks.length == 1) strip(compToks.head.text).split('.').last
+        else "__aj_base"
+      case Vector(a) if a.isIdent && !sqlWordLike(a.upper) =>
+        strip(a.text)
+      case Vector(as_, a) if as_.is("AS") && a.isIdent => strip(a.text)
+      case _ => return None
+    }
+    val col = strip(colTok.text)
+    val inner = ChLexer.render(compToks)
+    val wrapped =
+      s"(SELECT * EXCEPT (`$col`), `$col` AS __aj_in_$col FROM $inner) " +
+        s"$alias LATERAL VIEW ${if (left) "OUTER " else ""}" +
+        s"explode(__aj_in_$col) __aj_g_$col AS $col"
+    Some(rewriteArrayJoinClause(
+      toks.take(fromAt + 1) ++ ChLexer.tokenize(wrapped) ++
+        toks.drop(colAt + 1)))
   }
 
   // ---- dictGet family / joinGet → correlated scalar subqueries ----
@@ -1380,7 +1470,8 @@ object ChSqlRewrite {
       // alias in either spelling, leaving the column's own quoting
       // intact; composite ANY RIGHT tries every component alias
       def stripQual(text: String): Option[String] =
-        pickedAliases.iterator.map { a =>
+        if (text.endsWith(".*")) None // a qualified star is not a column ref
+        else pickedAliases.iterator.map { a =>
           if (text.startsWith(a + ".")) Some(text.stripPrefix(a + "."))
           else if (text.startsWith("`" + a + "`."))
             Some(text.stripPrefix("`" + a + "`."))
@@ -1910,7 +2001,8 @@ object ChSqlRewrite {
     // the alias in either spelling, same contract as rewriteAnyJoin's
     // stripQual
     def stripQual(alias: String, text: String): Option[String] =
-      if (text.startsWith(alias + ".")) Some(text.stripPrefix(alias + "."))
+      if (text.endsWith(".*")) None // a qualified star is not a column ref
+      else if (text.startsWith(alias + ".")) Some(text.stripPrefix(alias + "."))
       else if (text.startsWith("`" + alias + "`."))
         Some(text.stripPrefix("`" + alias + "`."))
       else None
@@ -1930,7 +2022,10 @@ object ChSqlRewrite {
       // equality). Resolvers without nullLiteral keep the nullif
       // fallback for non-Map types.
       seg.flatMap { s =>
-        val c = stripQual(s.alias, t.text).get
+        // the column part may be backtick-quoted (`g`.`genre`, and the
+        // r13 star expansion emits ticked refs) — the catalog lookup
+        // wants the bare name
+        val c = stripTicks(stripQual(s.alias, t.text).get)
         s.table match {
           case Some(tb) =>
             if (useNulls)
@@ -2051,9 +2146,18 @@ object ChSqlRewrite {
         val t = toks(p)
         if (expectIdent) {
           // a comma-joined TABLE after the first column ends the list
-          // (the comma belongs to the enclosing FROM, see Scaladoc)
+          // (the comma belongs to the enclosing FROM, see Scaladoc).
+          // The break is a HEURISTIC — a genuine join key that collides
+          // with a catalog table name is silently reinterpreted as a
+          // comma-join, so the fire is logged (r12 advisor find); the
+          // backtick-quoted and parenthesized spellings are unambiguous
           val tableBreak = p > k + 1 && !t.text.startsWith("`") &&
             isTable(t.text)
+          if (tableBreak) log.warn(
+            s"bare USING list: reading '${t.text}' as a comma-joined " +
+              "table, not a join key (it names a catalog table); if it " +
+              s"IS a join key, spell it parenthesized USING (..., " +
+              s"${t.text}) or backticked USING ..., `${t.text}`")
           // a backtick-quoted spelling IS a real identifier even when
           // it collides with a keyword (the unqualCol exemption)
           if (!tableBreak && t.isIdent && !t.isString &&
@@ -2071,6 +2175,223 @@ object ChSqlRewrite {
       if (expectIdent && p > k + 1) p -= 1
       (b.result(), p)
     }
+
+  /** Expands a SELECT-list qualified star `a.*` (optionally with an
+    * `EXCEPT (cols)` tail) into the explicit `a.c1, a.c2, …` column
+    * list of the plain CATALOG TABLE that `a` names or aliases in the
+    * same block's FROM region. Runs only when the statement has an
+    * outer/semi/anti/asof join at all: the expansion is semantically
+    * the projection Spark would produce anyway, but it lets the
+    * join_use_nulls = 0 coalesce wrap and the ANTI right-column
+    * substitution reach each reference individually — a star token is
+    * unwrappable, so pre-expansion a `SELECT d.*` over a defaultable
+    * side kept Spark's NULLs (and over an ANTI right side did not
+    * resolve at all). Subquery/CTE aliases are left alone (their
+    * defaults flow through the schema-derived passthrough instead),
+    * as are MergeTree virtual columns (ClickHouse hides them from
+    * stars).
+    */
+  private def expandQualifiedStars(toks: Vector[Token],
+                                   resolver: Resolver): Vector[Token] = {
+    if (!toks.exists(t => !t.isString &&
+      (t.text == "*" || (t.isIdent && t.text.endsWith(".*"))))) return toks
+    if (!toks.exists(t => !t.isString && (t.is("LEFT") || t.is("RIGHT") ||
+      t.is("FULL") || t.is("ANTI") || t.is("SEMI") || t.is("ASOF"))))
+      return toks
+    val (blockOf, inList) = selectBlockScopes(toks)
+    val cte = cteScopes(toks)
+    // (block, qualifier) → catalog table, from `FROM/JOIN table
+    // [[AS] alias]` shapes; an ALIASED table is addressable only by
+    // the alias (ClickHouse and Spark agree), an unaliased one by its
+    // last name segment
+    val comp = scala.collection.mutable.Map.empty[(Int, String), String]
+    var q = 0
+    while (q < toks.length - 1) {
+      val t = toks(q)
+      if ((t.is("FROM") || t.is("JOIN")) && toks(q + 1).isIdent &&
+        !toks(q + 1).isString &&
+        !(q + 2 < toks.length && toks(q + 2).text == "(") &&
+        !cteShadowed(cte, strip(toks(q + 1).text), q + 1) &&
+        resolver.resolve(strip(toks(q + 1).text)).isDefined) {
+        val table = strip(toks(q + 1).text)
+        var a = q + 2
+        if (a < toks.length && toks(a).is("AS")) a += 1
+        val alias =
+          if (a < toks.length && toks(a).isIdent && !toks(a).isString &&
+            !fromClauseEnd(toks(a)) && !joinFamily(toks(a)) &&
+            !toks(a).is("ON") && !toks(a).is("USING") &&
+            !sqlWordLike(toks(a).upper))
+            stripTicks(toks(a).text).toLowerCase
+          else table.split('.').last.toLowerCase
+        comp((blockOf(q + 1), alias)) = table
+      }
+      q += 1
+    }
+    // per-block ORDERED component inventory for BARE-star expansion:
+    // Some(aliases in FROM order) only when every component is a plain
+    // resolvable catalog table, all joins use ON (USING merges key
+    // columns — different star shape), and the block has a
+    // LEFT/RIGHT/FULL/ANTI join (the ones whose fills need explicit
+    // refs). SEMI (ClickHouse shows right columns, Spark cannot) and
+    // ASOF (its lowering reshapes the FROM) blocks skip, conservative.
+    val blockComps = scala.collection.mutable
+      .Map.empty[Int, Option[Vector[(String, String)]]]
+    def walkBlock(fromIdx: Int): Option[Vector[(String, String)]] = {
+      val b = blockOf(fromIdx)
+      val comps = Vector.newBuilder[(String, String)]
+      var p = fromIdx + 1
+      var defaultable = false
+      def finish(): Option[Vector[(String, String)]] =
+        if (defaultable) Some(comps.result()) else None
+      while (p < toks.length && blockOf(p) == b) {
+        // component
+        if (toks(p).text == "(") return None // subquery side
+        val t0 = toks(p)
+        if (!t0.isIdent || t0.isString ||
+          cteShadowed(cte, strip(t0.text), p) ||
+          resolver.resolve(strip(t0.text)).isEmpty) return None
+        val table = strip(t0.text)
+        p += 1
+        var alias = table.split('.').last.toLowerCase
+        if (p < toks.length && toks(p).is("AS")) p += 1
+        if (p < toks.length && toks(p).isIdent && !toks(p).isString &&
+          !fromClauseEnd(toks(p)) && !joinFamily(toks(p)) &&
+          !toks(p).is("ON") && !toks(p).is("USING") &&
+          !toks(p).is("FINAL") && !sqlWordLike(toks(p).upper)) {
+          alias = stripTicks(toks(p).text).toLowerCase; p += 1
+        }
+        while (p < toks.length && toks(p).is("FINAL")) p += 1
+        if (p < toks.length && toks(p).is("SAMPLE")) return None
+        comps += ((alias, table))
+        // ON condition span
+        if (p < toks.length && toks(p).is("USING")) return None
+        if (p < toks.length && toks(p).is("ON")) {
+          var dd = 0
+          var stop = false
+          p += 1
+          while (p < toks.length && !stop) {
+            val te = toks(p)
+            if (te.text == "(") dd += 1
+            else if (te.text == ")") { dd -= 1; if (dd < 0) stop = true }
+            else if (dd == 0 && kwAt(toks, p, joinCondTerm)) stop = true
+            if (!stop) p += 1
+          }
+        }
+        // separator: comma / join-keyword run / clause end
+        if (p >= toks.length || blockOf(p) != b) return finish()
+        val t = toks(p)
+        if (t.text == ",") p += 1
+        else if (!t.isString && (t.text == ")" || t.text == ";" ||
+          clauseStarters(t.upper))) return finish()
+        else {
+          var sawJoin = false
+          var bad = false
+          while (p < toks.length && !sawJoin && !bad) {
+            val tj = toks(p)
+            if (tj.is("JOIN")) { sawJoin = true; p += 1 }
+            else if (tj.is("SEMI") || tj.is("ASOF") || tj.is("PASTE") ||
+              tj.is("ARRAY") || tj.is("LATERAL")) bad = true
+            else if (tj.is("LEFT") || tj.is("RIGHT") || tj.is("FULL") ||
+              tj.is("ANTI")) { defaultable = true; p += 1 }
+            else if (tj.is("INNER") || tj.is("CROSS") || tj.is("ANY") ||
+              tj.is("ALL") || tj.is("OUTER") || tj.is("GLOBAL")) p += 1
+            else bad = true
+          }
+          if (bad || !sawJoin) return None
+        }
+      }
+      if (defaultable) Some(comps.result()) else None
+    }
+    locally {
+      var k = 0
+      while (k < toks.length) {
+        if (toks(k).is("FROM") && !toks(k).isString) {
+          val b = blockOf(k)
+          if (!blockComps.contains(b)) blockComps(b) = walkBlock(k)
+        }
+        k += 1
+      }
+    }
+    if (comp.isEmpty && !blockComps.valuesIterator.exists(_.isDefined))
+      return toks
+    // paren depth per token + each block's select-list depth: only a
+    // TOP-LEVEL list item expands (a star inside a call like
+    // `count(a.*)` must stay one argument)
+    val depthAt = new Array[Int](toks.length)
+    val selDepth = scala.collection.mutable.Map.empty[Int, Int]
+    locally {
+      var d = 0
+      var k = 0
+      while (k < toks.length) {
+        if (toks(k).text == ")") d -= 1
+        depthAt(k) = d
+        if (toks(k).text == "(") d += 1
+        if (toks(k).is("SELECT") && !toks(k).isString)
+          selDepth.getOrElseUpdate(blockOf(k), depthAt(k))
+        k += 1
+      }
+    }
+    val virtuals = Set("_part", "_partition_id", "_shard_num", "_table")
+    val out = Vector.newBuilder[Token]
+    var p = 0
+    var changed = false
+    def colsOf(table: String): Option[Seq[String]] =
+      resolver.resolve(table).flatMap(rt => resolver.describe(rt.viewName))
+    while (p < toks.length) {
+      val t = toks(p)
+      val topLevel = inList(p) &&
+        selDepth.get(blockOf(p)).contains(depthAt(p))
+      val expandable = t.isIdent && !t.isString &&
+        t.text.endsWith(".*") && t.text.length > 2 && topLevel
+      val hit: Option[Seq[(String, String)]] = if (expandable) {
+        val qual = stripTicks(t.text.dropRight(2)).toLowerCase
+        comp.get((blockOf(p), qual))
+          .flatMap(colsOf)
+          .map(cols => cols.map(c => (qual, c)))
+      } else if (t.text == "*" && !t.isString && topLevel &&
+        // a bare star expands only in the inventoried blocks (every
+        // component a plain catalog table, ON joins, LEFT/RIGHT/FULL/
+        // ANTI present) — the per-component lists concatenate in FROM
+        // order, which is both Spark's and ClickHouse's star shape
+        blockComps.get(blockOf(p)).exists(_.isDefined)) {
+        val comps = blockComps(blockOf(p)).get
+        val lists = comps.map { case (a, tb) =>
+          colsOf(tb).map(cols => cols.map(c => (a, c)))
+        }
+        if (lists.exists(_.isEmpty)) None else Some(lists.flatMap(_.get))
+      } else None
+      hit match {
+        case Some(cols0) =>
+          // optional `EXCEPT (c1, c2)` tail: consume and exclude
+          var next = p + 1
+          var excluded = Set.empty[String]
+          if (next + 1 < toks.length && toks(next).is("EXCEPT") &&
+            toks(next + 1).text == "(") {
+            val close = matchParen(toks, next + 1)
+            if (close > 0) {
+              excluded = toks.slice(next + 2, close)
+                .filter(_.text != ",")
+                .map(x => stripTicks(x.text).toLowerCase).toSet
+              next = close + 1
+            }
+          }
+          val cols = cols0.filterNot { case (_, c) =>
+            virtuals(c.toLowerCase) || excluded(c.toLowerCase) }
+          if (cols.isEmpty) { out += t; p += 1 }
+          else {
+            cols.zipWithIndex.foreach { case ((a, c), ix) =>
+              if (ix > 0) out += Token(",")
+              out += Token(s"$a.`$c`") += Token("AS") +=
+                Token("`" + c + "`")
+            }
+            changed = true
+            p = next
+          }
+        case None => out += t; p += 1
+      }
+    }
+    if (changed) out.result() else toks
+  }
 
   /** ClickHouse's DEFAULT outer-join behavior (`join_use_nulls = 0`,
     * lectures/lecture_10.md): unmatched-side columns of a
@@ -2324,7 +2645,8 @@ object ChSqlRewrite {
     val sgs = segs.result()
     if (sgs.isEmpty) return toks
     def stripQual(alias: String, text: String): Option[String] =
-      if (text.startsWith(alias + ".")) Some(text.stripPrefix(alias + "."))
+      if (text.endsWith(".*")) None // a qualified star is not a column ref
+      else if (text.startsWith(alias + ".")) Some(text.stripPrefix(alias + "."))
       else if (text.startsWith("`" + alias + "`."))
         Some(text.stripPrefix("`" + alias + "`."))
       else None
@@ -2801,7 +3123,15 @@ object ChSqlRewrite {
   private def mapIdentifiers(toks: Vector[Token],
                              resolver: Resolver): Vector[Token] =
     toks.map { t =>
-      if (t.isIdent && t.text.contains("."))
+      if (t.isIdent && t.text.endsWith(".*") && t.text.length > 2) {
+        // db-qualified star `db.tbl.*`: rewriteFromClauses aliased the
+        // resolved view AS the table's LAST name segment, so the star's
+        // qualifier re-anchors onto that alias
+        val qual = strip(t.text.dropRight(2))
+        if (qual.contains(".") && resolver.resolve(qual).isDefined)
+          Token(qual.split('.').last + ".*")
+        else t
+      } else if (t.isIdent && t.text.contains("."))
         resolver.resolve(strip(t.text)).map(r => Token(r.viewName)).getOrElse(t)
       else t
     }

@@ -684,6 +684,51 @@ object ChSqlQueries {
         """WITH region AS (SELECT n_nationkey AS k, n_name AS nm
           |                FROM nation WHERE n_nationkey < 7)
           |SELECT k, nm FROM region ORDER BY k""".stripMargin)
+    },
+
+    // ---- qualified star `g.*` subquery side under join_use_nulls = 0
+    // (r13, advisor find: the star branch was dead under the old
+    // lexing): the declared plain String fills '' on the miss, the
+    // declared Nullable keeps NULL
+    Q("q122_chsql_qualified_star_default",
+      """SELECT r.r_name AS rname, COALESCE(n.n_name, '') AS nname,
+        |       n.n_tag AS ntag
+        |FROM region r LEFT JOIN
+        |  (SELECT n_nationkey, n_name, n_name AS n_tag FROM nation
+        |   WHERE n_nationkey < 2) n
+        |ON r.r_regionkey = n.n_nationkey
+        |ORDER BY rname""") { (s, dir) =>
+      val ch = new ChSession(s)
+      withTable(ch, "region", "r_regionkey Int64, r_name String",
+        Tables(s, dir).region
+          .select(col("r_regionkey"), col("r_name")), "Memory")
+      withTable(ch, "nat",
+        "n_nationkey Int64, n_name String, n_tag Nullable(String)",
+        Tables(s, dir).nation
+          .select(col("n_nationkey"), col("n_name"),
+            col("n_name").as("n_tag")),
+        "Memory")
+      ch.sql(
+        """SELECT r.r_name AS rname, n.n_name AS nname, n.n_tag AS ntag
+          |FROM region r LEFT JOIN
+          |  (SELECT g.* FROM nat g WHERE g.n_nationkey < 2) n
+          |ON r.r_regionkey = n.n_nationkey
+          |ORDER BY rname""".stripMargin)
+    },
+
+    // ---- bare `ARRAY JOIN col` (no AS, r13): the element REPLACES the
+    // array column under its own name; WHERE filters the element
+    Q("q123_chsql_bare_array_join",
+      """SELECT n_regionkey AS rk, n_nationkey AS ks
+        |FROM nation WHERE n_nationkey % 2 = 0
+        |ORDER BY rk, ks""") { (s, dir) =>
+      val ch = new ChSession(s)
+      withTable(ch, "narr", "rk Int64, ks Array(Int64)",
+        Tables(s, dir).nation.groupBy(col("n_regionkey").as("rk"))
+          .agg(collect_list(col("n_nationkey")).as("ks")), "Memory")
+      ch.sql(
+        """SELECT rk, ks FROM narr ARRAY JOIN ks
+          |WHERE ks % 2 = 0 ORDER BY rk, ks""".stripMargin)
     }
   )
 }

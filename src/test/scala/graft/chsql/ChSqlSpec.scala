@@ -26,6 +26,21 @@ class ChSqlSpec extends SparkSpec {
     assert(toks.map(_.text).contains("raw.sensor_data_raw"))
   }
 
+  test("lexer: qualified stars glue into one token (r12 advisor: the " +
+    "operator-run lexing left the t.* select-item branch dead)") {
+    assert(ChLexer.tokenize("SELECT t.* FROM t").map(_.text)
+      .contains("t.*"))
+    assert(ChLexer.tokenize("SELECT db.t.* FROM db.t").map(_.text)
+      .contains("db.t.*"))
+    assert(ChLexer.tokenize("SELECT `g`.* FROM t g").map(_.text)
+      .contains("`g`.*"))
+    // multiplication never glues: `a.b*c` is a qualified ref times c
+    assert(ChLexer.tokenize("SELECT a.b*c FROM t").map(_.text) ==
+      Vector("SELECT", "a.b", "*", "c", "FROM", "t"))
+    assert(ChLexer.tokenize("SELECT 2.*3").map(_.text) ==
+      Vector("SELECT", "2.", "*", "3"))
+  }
+
   test("lexer: \\G and smart quotes never touch string literal bodies") {
     // \G inside a literal must NOT split the statement
     val stmts = ChLexer.statements("SELECT 'C:\\Games' AS p\\G SELECT 2;")
@@ -2635,6 +2650,188 @@ class ChSqlSpec extends SparkSpec {
         |ORDER BY l.a""".stripMargin).collect()
     assert(anti.length == 1 && anti(0).getString(0) == "a9" &&
       anti(0).getString(1) == "", anti.toSeq.toString)
+  }
+
+  test("qualified star `g.*` sides resolve defaults through the " +
+    "passthrough (r12 advisor: the branch was dead under the old " +
+    "lexing) and db-qualified stars re-anchor on the table alias") {
+    val s = ch
+    s.execute(
+      """CREATE TABLE qs (k UInt32, v Nullable(String), w String) ENGINE = Memory;
+        |CREATE TABLE qsl (k UInt32, a String) ENGINE = Memory;
+        |INSERT INTO qs VALUES (1, 'v1', 'w1');
+        |INSERT INTO qsl VALUES (1, 'a1'), (9, 'a9');""".stripMargin)
+    // `SELECT g.*` subquery side: the declared Nullable v keeps NULL on
+    // the miss, the declared plain String w fills ''
+    val rows = s.sql(
+      """SELECT l.a AS a, r.v AS v, r.w AS w
+        |FROM qsl l LEFT JOIN (SELECT g.* FROM qs g) r ON l.k = r.k
+        |ORDER BY l.k""".stripMargin).collect()
+    assert(rows(0).getString(1) == "v1" && rows(0).getString(2) == "w1")
+    assert(rows(1).isNullAt(1),
+      s"declared Nullable passthrough survives g.*: ${rows(1)}")
+    assert(rows(1).getString(2) == "",
+      s"declared String fills '' through g.*: ${rows(1)}")
+    // `g.* EXCEPT (w)`: still the column-exclusion modifier
+    val exc = s.sql(
+      """SELECT l.a AS a, r.v AS v
+        |FROM qsl l LEFT JOIN (SELECT g.* EXCEPT (w) FROM qs g) r
+        |ON l.k = r.k ORDER BY l.k""".stripMargin).collect()
+    assert(exc(1).isNullAt(1),
+      s"declared Nullable passthrough survives g.* EXCEPT: ${exc(1)}")
+    // db-qualified star: `default.qs.*` re-anchors onto the alias the
+    // FROM rewrite gave the renamed view
+    val dbq = s.sql("SELECT default.qs.* FROM default.qs ORDER BY k")
+      .collect()
+    assert(dbq.length == 1 && dbq(0).getString(1) == "v1", dbq.toSeq)
+  }
+
+  test("TOP-LEVEL `d.*` over a defaultable join side expands and fills " +
+    "declared defaults (r13: a star token is unwrappable, so pre-fix " +
+    "the side kept Spark's NULLs); ANTI right stars substitute too") {
+    val s = ch
+    s.execute(
+      """CREATE TABLE tse (k UInt32, v Nullable(String), w String) ENGINE = Memory;
+        |CREATE TABLE tsl (k UInt32, a String) ENGINE = Memory;
+        |INSERT INTO tse VALUES (1, 'v1', 'w1');
+        |INSERT INTO tsl VALUES (1, 'a1'), (9, 'a9');""".stripMargin)
+    // LEFT JOIN, join_use_nulls = 0: the miss row reads w='' (plain
+    // String), v=NULL (declared Nullable), k=0 (plain UInt32)
+    val rows = s.sql(
+      """SELECT l.a AS a, r.* FROM tsl l LEFT JOIN tse r ON l.k = r.k
+        |ORDER BY l.k""".stripMargin).collect()
+    assert(rows.length == 2)
+    assert(rows(0).getString(2) == "v1" && rows(0).getString(3) == "w1")
+    val miss = rows(1)
+    val sch = miss.schema.fieldNames.toSeq
+    assert(sch == Seq("a", "k", "v", "w"), sch.toString)
+    assert(miss.getLong(1) == 0L, s"plain UInt32 fills 0: $miss")
+    assert(miss.isNullAt(2), s"declared Nullable keeps NULL: $miss")
+    assert(miss.getString(3) == "", s"plain String fills '': $miss")
+    // `r.* EXCEPT (w)` drops w but keeps the fills
+    val exc = s.sql(
+      """SELECT l.a AS a, r.* EXCEPT (w) FROM tsl l LEFT JOIN tse r
+        |ON l.k = r.k ORDER BY l.k""".stripMargin).collect()
+    assert(exc(1).schema.fieldNames.toSeq == Seq("a", "k", "v"))
+    assert(exc(1).getLong(1) == 0L && exc(1).isNullAt(2), exc(1).toString)
+    // join_use_nulls = 1 keeps SQL NULLs through the expansion
+    val nu = s.sql(
+      """SELECT l.a AS a, r.* FROM tsl l LEFT JOIN tse r ON l.k = r.k
+        |ORDER BY l.k SETTINGS join_use_nulls = 1""".stripMargin).collect()
+    assert(nu(1).isNullAt(1) && nu(1).isNullAt(2) && nu(1).isNullAt(3),
+      nu(1).toString)
+    // ANTI right star: every surviving row is unmatched, so the right
+    // columns read as typed defaults — pre-fix Spark could not even
+    // resolve r.* after an anti join
+    val anti = s.sql(
+      """SELECT l.a AS a, r.* FROM tsl l LEFT ANTI JOIN tse r ON l.k = r.k
+        |ORDER BY l.a""".stripMargin).collect()
+    assert(anti.length == 1 && anti(0).getString(0) == "a9")
+    assert(anti(0).getLong(1) == 0L && anti(0).isNullAt(2) &&
+      anti(0).getString(3) == "", anti(0).toString)
+    // RIGHT JOIN: the LEFT side's star fills on right-only rows
+    s.execute("INSERT INTO tse VALUES (7, 'v7', 'w7');")
+    val rj = s.sql(
+      """SELECT l.*, r.w AS w FROM tsl l RIGHT JOIN tse r ON l.k = r.k
+        |ORDER BY w""".stripMargin).collect()
+    assert(rj.length == 2)
+    assert(rj(1).getString(rj(1).schema.fieldIndex("w")) == "w7")
+    assert(rj(1).getLong(0) == 0L &&
+      rj(1).getString(1) == "", s"left star fills on the miss: ${rj(1)}")
+    // count(r.*) stays ONE argument (no top-level expansion inside a
+    // call) — Spark resolves it as count of the struct
+    val cnt = s.sql(
+      "SELECT l.a AS a, count(r.k) AS n FROM tsl l LEFT JOIN tse r " +
+        "ON l.k = r.k GROUP BY l.a ORDER BY l.a").collect()
+    assert(cnt.length == 2, cnt.toSeq)
+  }
+
+  test("BARE `SELECT *` over an ON-joined outer block expands per " +
+    "component and fills declared defaults (r13); USING / subquery / " +
+    "INNER-only blocks keep Spark's native star") {
+    val s = ch
+    s.execute(
+      """CREATE TABLE bse (k UInt32, v Nullable(String), w String) ENGINE = Memory;
+        |CREATE TABLE bsl (k UInt32, a String) ENGINE = Memory;
+        |INSERT INTO bse VALUES (1, 'v1', 'w1');
+        |INSERT INTO bsl VALUES (1, 'a1'), (9, 'a9');""".stripMargin)
+    val rows = s.sql(
+      """SELECT * FROM bsl l LEFT JOIN bse r ON l.k = r.k
+        |ORDER BY l.k""".stripMargin).collect()
+    // star shape: left columns then right columns, both k's present
+    assert(rows(0).schema.fieldNames.toSeq ==
+      Seq("k", "a", "k", "v", "w"), rows(0).schema.fieldNames.toSeq)
+    val miss = rows(1)
+    assert(miss.getLong(0) == 9L && miss.getString(1) == "a9")
+    assert(miss.getLong(2) == 0L, s"right k fills 0: $miss")
+    assert(miss.isNullAt(3), s"declared Nullable keeps NULL: $miss")
+    assert(miss.getString(4) == "", s"plain String fills '': $miss")
+    // `* EXCEPT (w)` composes with the expansion
+    val exc = s.sql(
+      """SELECT * EXCEPT (w) FROM bsl l LEFT JOIN bse r ON l.k = r.k
+        |ORDER BY l.k""".stripMargin).collect()
+    assert(exc(0).schema.fieldNames.toSeq == Seq("k", "a", "k", "v"))
+    assert(exc(1).getLong(2) == 0L && exc(1).isNullAt(3), exc(1).toString)
+    // USING block: Spark's native star (key once); fills stay out of
+    // scope there, conservative
+    val us = s.sql(
+      """SELECT * FROM bsl LEFT JOIN bse USING (k) ORDER BY k""".stripMargin)
+      .collect()
+    assert(us(0).schema.fieldNames.toSeq == Seq("k", "a", "v", "w"),
+      us(0).schema.fieldNames.toSeq)
+    // INNER-only block: no expansion needed, no misses to fill
+    val in = s.sql(
+      "SELECT * FROM bsl l INNER JOIN bse r ON l.k = r.k").collect()
+    assert(in.length == 1 && in(0).length == 5)
+    // join_use_nulls = 1 keeps SQL NULLs through the expansion
+    val nu = s.sql(
+      """SELECT * FROM bsl l LEFT JOIN bse r ON l.k = r.k
+        |ORDER BY l.k SETTINGS join_use_nulls = 1""".stripMargin).collect()
+    assert(nu(1).isNullAt(2) && nu(1).isNullAt(3) && nu(1).isNullAt(4),
+      nu(1).toString)
+  }
+
+  test("bare ARRAY JOIN col (no AS) unnests in place under its own " +
+    "name, and its column never enters the defaults ownership space " +
+    "as a table (r12 advisor find on topFromComponents)") {
+    val s = ch
+    s.execute(
+      """CREATE TABLE baj (id UInt32, xs Array(UInt32)) ENGINE = Memory;
+        |INSERT INTO baj VALUES (1, array(10, 20)), (2, array(30)), (3, array());""".stripMargin)
+    val out = s.sql("SELECT id, xs FROM baj ARRAY JOIN xs ORDER BY id, xs")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.toSeq == Seq((1L, 10L), (1L, 20L), (2L, 30L)))
+    // WHERE on the unnested element; empty arrays drop (inner form)
+    val flt = s.sql(
+      "SELECT id FROM baj ARRAY JOIN xs WHERE xs > 15 ORDER BY id, xs")
+      .collect().map(_.getLong(0))
+    assert(flt.toSeq == Seq(1L, 2L))
+    // the advisor's collision: the unnested column names a CATALOG
+    // TABLE with a same-named declared column of a DIFFERENT
+    // nullability — the join-miss default must come from the real
+    // component (Nullable v → NULL), not go ambiguous through the
+    // phantom `tags` table ('' fallback)
+    s.execute(
+      """CREATE TABLE tags (v String) ENGINE = Memory;
+        |CREATE TABLE ajo (k UInt32, v Nullable(String), tags Array(UInt32)) ENGINE = Memory;
+        |CREATE TABLE ajl (k UInt32, a String) ENGINE = Memory;
+        |INSERT INTO ajo VALUES (1, 'v1', array(7));
+        |INSERT INTO ajl VALUES (1, 'a1'), (9, 'a9');""".stripMargin)
+    val mj = s.sql(
+      """SELECT l.a AS a, r.v AS v
+        |FROM ajl l LEFT JOIN (SELECT k, v FROM ajo ARRAY JOIN tags) r
+        |ON l.k = r.k ORDER BY l.k""".stripMargin).collect()
+    assert(mj(0).getString(1) == "v1", mj.toSeq)
+    assert(mj(1).isNullAt(1),
+      s"declared Nullable default survives the ARRAY JOIN collision: ${mj(1)}")
+    // PREWHERE ends the FROM region for the component scan: the
+    // filtered column never reads as a component either
+    val pw = s.sql(
+      """SELECT l.a AS a, r.v AS v
+        |FROM ajl l LEFT JOIN (SELECT k, v FROM ajo PREWHERE k > 0) r
+        |ON l.k = r.k ORDER BY l.k""".stripMargin).collect()
+    assert(pw(1).isNullAt(1),
+      s"declared Nullable default survives PREWHERE: ${pw(1)}")
   }
 
   test("computed interval magnitudes: DAY keeps Date, HOUR promotes to " +

@@ -639,4 +639,89 @@ class JoinFuzzerSpec extends SparkSpec {
       s"${failures.size} USING/CTE draws diverged:\n" +
         failures.take(8).mkString("\n"))
   }
+
+  test("seeded join fuzzer, star-projection subquery sides (r13): a " +
+    "`SELECT g.*` / `SELECT *` side passes DECLARED defaults through " +
+    "under join_use_nulls = 0 — Nullable keeps NULL, plain types fill " +
+    "their zero values — identically to naming the table directly") {
+    val s = new ChSession(spark)
+    var ran = 0
+    val failures = scala.collection.mutable.ArrayBuffer.empty[String]
+    Seq(13013, 424242).zipWithIndex.foreach { case (seed, ci) =>
+      val (lRows, rRows) = corpus(seed)
+      val (lt, rt) = (s"fsl$ci", s"fsr$ci")
+      // rv: plain String ('' on the miss), rn: plain UInt32 (0),
+      // nv: Nullable(String) — NULL on the miss ONLY when the star
+      // passthrough resolves the declared nullability (the result-type
+      // fallback would wrongly fill '')
+      s.execute(
+        s"""CREATE TABLE $lt (k UInt32, lv String) ENGINE = Memory;
+           |CREATE TABLE $rt (k UInt32, rv String, rn UInt32, nv Nullable(String)) ENGINE = Memory;
+           |INSERT INTO $lt VALUES ${lRows.map(r => s"(${r._1}, '${r._2}')").mkString(", ")};
+           |INSERT INTO $rt VALUES ${rRows.map(r => s"(${r._1}, '${r._2}', ${r._3}, 'n${r._1}')").mkString(", ")};""".stripMargin)
+      val rnd = new scala.util.Random(seed * 17 + 3)
+      for {
+        kind <- Seq("INNER JOIN", "LEFT JOIN", "FULL JOIN", "ANY LEFT JOIN")
+        star <- Seq("g.*", "`g`.*", "*")
+        useNulls <- Seq(false, true)
+      } {
+        val cut = rnd.nextInt(7).toLong + 1
+        val rF = rRows.filter(_._1 < cut)
+        val tail = if (useNulls) " SETTINGS join_use_nulls = 1" else ""
+        val side = s"(SELECT $star FROM $rt g WHERE g.k < $cut)"
+        val sql = s"SELECT l.lv AS lv, r.rv AS rv, r.rn AS rn, " +
+          s"r.nv AS nv FROM $lt l $kind $side r ON l.k = r.k$tail"
+        val expected = pairs(canon(kind), lRows, rF).map(p =>
+          Vector(cell(p._1.map(_._2), useNulls, ""),
+            cell(p._2.map(_._2), useNulls, ""),
+            cell(p._2.map(_._3), useNulls, "0"),
+            // Nullable(String): ClickHouse's declared default IS NULL
+            cell(p._2.map(r => s"n${r._1}"), useNulls = true, "")))
+          .sortBy(_.mkString("|"))
+        (try Right(norm(s.sql(sql).collect()))
+         catch { case e: Exception =>
+           Left(e.getMessage.linesIterator.next())
+         }) match {
+          case Left(err) => failures += s"$sql\n  threw: $err"
+          case Right(got) if got != expected =>
+            failures += s"$sql\n  expected ${expected.size} rows " +
+              s"${expected.take(4)}\n  got ${got.size} rows ${got.take(4)}"
+          case _ => ()
+        }
+        ran += 1
+      }
+      // BARE `SELECT *` over the ON-joined block (r13): per-component
+      // expansion — left cols then right cols, fills per setting
+      for {
+        kind <- Seq("INNER JOIN", "LEFT JOIN", "FULL JOIN", "ANY LEFT JOIN")
+        useNulls <- Seq(false, true)
+      } {
+        val tail = if (useNulls) " SETTINGS join_use_nulls = 1" else ""
+        val sql = s"SELECT * FROM $lt l $kind $rt g ON l.k = g.k$tail"
+        val expected = pairs(canon(kind), lRows, rRows).map(p =>
+          Vector(cell(p._1.map(_._1), useNulls, "0"),
+            cell(p._1.map(_._2), useNulls, ""),
+            cell(p._2.map(_._1), useNulls, "0"),
+            cell(p._2.map(_._2), useNulls, ""),
+            cell(p._2.map(_._3), useNulls, "0"),
+            cell(p._2.map(r => s"n${r._1}"), useNulls = true, "")))
+          .sortBy(_.mkString("|"))
+        (try Right(norm(s.sql(sql).collect()))
+         catch { case e: Exception =>
+           Left(e.getMessage.linesIterator.next())
+         }) match {
+          case Left(err) => failures += s"$sql\n  threw: $err"
+          case Right(got) if got != expected =>
+            failures += s"$sql\n  expected ${expected.size} rows " +
+              s"${expected.take(4)}\n  got ${got.size} rows ${got.take(4)}"
+          case _ => ()
+        }
+        ran += 1
+      }
+    }
+    assert(ran >= 56, s"drew $ran")
+    assert(failures.isEmpty,
+      s"${failures.size} star-side draws diverged:\n" +
+        failures.take(8).mkString("\n"))
+  }
 }
