@@ -264,6 +264,7 @@ object ChSqlRewrite {
     toks = toks.map(t => if (t.is("arrayJoin")) Token("explode") else t)
     toks = rewriteDictGet(toks, resolver)
     toks = normalizeBareUsing(toks, resolver)
+    toks = rewriteSemiRightRefs(toks, resolver)
     // BEFORE the two fill passes: a `d.*` over a join side becomes an
     // explicit column list so the literal/coalesce substitutions can
     // reach each reference (a star cannot be wrapped)
@@ -2175,6 +2176,110 @@ object ChSqlRewrite {
       if (expectIdent && p > k + 1) p -= 1
       (b.result(), p)
     }
+
+  /** ClickHouse's LEFT SEMI JOIN returns the right side's columns from
+    * the one matched row (lectures/lecture_10.md:10: "возвращается
+    * только первое найденное совпадение") — Spark's native LeftSemi
+    * cannot output right columns at all. When the statement actually
+    * READS the right side outside the join condition (an
+    * alias-qualified ref, a bare top-level `*`, a `alias.*`, or an
+    * unqualified name the right side's schema owns), the join lowers
+    * to `ANY INNER JOIN`, which is semantically identical in
+    * ClickHouse (left rows with ≥1 match appear once each, right
+    * values from one arbitrary match) and which [[rewriteAnyJoin]]
+    * executes as dedup-right + INNER JOIN. Statements that never read
+    * the right side keep Spark's native semi join — at scale it skips
+    * materializing right values entirely, so the fast path must stay
+    * the default. RIGHT SEMI (and RIGHT ANTI) stay unsupported, as
+    * before.
+    */
+  private def rewriteSemiRightRefs(toks: Vector[Token],
+                                   resolver: Resolver,
+                                   from: Int = 0): Vector[Token] = {
+    // LEFT SEMI JOIN | SEMI LEFT JOIN
+    var i = -1
+    var at = math.max(from, 0)
+    while (i < 0 && at < toks.length - 2) {
+      if ((toks(at).is("LEFT") && toks(at + 1).is("SEMI") &&
+        toks(at + 2).is("JOIN")) ||
+        (toks(at).is("SEMI") && toks(at + 1).is("LEFT") &&
+          toks(at + 2).is("JOIN"))) i = at
+      else at += 1
+    }
+    if (i < 0) return toks
+    val j = i + 2 // JOIN token
+    val t0 = j + 1
+    if (t0 >= toks.length) return toks
+    val cteSc = cteScopes(toks)
+    // right side: table | (subquery) | CTE name; alias region to ON/USING
+    val isSub = toks(t0).text == "("
+    val subClose = if (isSub) matchParen(toks, t0) else -1
+    val isCte = !isSub && toks(t0).isIdent &&
+      cteShadowed(cteSc, stripTicks(toks(t0).text), t0)
+    val rightEnd = if (isSub) subClose else t0
+    if (rightEnd < 0) return toks
+    var k = rightEnd + 1
+    val aliasToks = Vector.newBuilder[Token]
+    while (k < toks.length && !toks(k).is("USING") && !toks(k).is("ON")) {
+      aliasToks += toks(k); k += 1
+    }
+    if (k >= toks.length) return toks
+    val region = aliasToks.result()
+    val modAt = region.indexWhere(t => t.is("FINAL") || t.is("SAMPLE"))
+    val aToks = if (modAt < 0) region else region.take(modAt)
+    val alias = aToks.filterNot(_.is("AS")).lastOption.map(_.text)
+      .orElse(if (!isSub) Some(toks(t0).text.split('.').last) else None)
+      .getOrElse("")
+    // condition span end
+    var e = k + 1
+    var dd = 0
+    var stop = false
+    while (e < toks.length && !stop) {
+      val te = toks(e)
+      if (te.text == "(") dd += 1
+      else if (te.text == ")") { dd -= 1; if (dd < 0) stop = true }
+      else if (dd == 0 && kwAt(toks, e, joinCondTerm)) stop = true
+      if (!stop) e += 1
+    }
+    val (blockOf, inList) = selectBlockScopes(toks)
+    val b = blockOf(i)
+    lazy val rightCols: Set[String] = {
+      val cols =
+        if (isSub) resolver.describeQuery(
+          ChLexer.render(toks.slice(t0 + 1, subClose)))
+        else if (isCte) cteProbe(toks, stripTicks(toks(t0).text))
+          .flatMap(resolver.describeQuery)
+        else resolver.resolve(strip(toks(t0).text))
+          .flatMap(rt => resolver.describe(rt.viewName))
+      cols.map(_.map(_.toLowerCase).toSet).getOrElse(Set.empty)
+    }
+    def qualRef(text: String): Boolean =
+      alias.nonEmpty && (text.startsWith(alias + ".") ||
+        text.startsWith("`" + alias + "`."))
+    var reads = false
+    var p = 0
+    while (!reads && p < toks.length) {
+      val t = toks(p)
+      val inSpan = p >= i && p < e
+      if (!inSpan && blockOf(p) == b && !t.isString) {
+        if (t.isIdent && qualRef(t.text)) reads = true
+        else if (t.text == "*" && p > 0 &&
+          (toks(p - 1).is("SELECT") || toks(p - 1).is("DISTINCT") ||
+            toks(p - 1).text == ",") && inList(p)) reads = true
+        else if (t.isIdent && !t.text.contains(".") &&
+          !sqlWordLike(t.upper) && !joinCondTerm(t.upper) &&
+          !(p + 1 < toks.length && toks(p + 1).text == "(") &&
+          rightCols(stripTicks(t.text).toLowerCase)) reads = true
+      }
+      p += 1
+    }
+    if (!reads) return rewriteSemiRightRefs(toks, resolver, i + 3)
+    // LEFT SEMI → ANY INNER (both spellings replace the same two
+    // positions); continue past it for further semi joins
+    rewriteSemiRightRefs(
+      toks.updated(i, Token("ANY")).updated(i + 1, Token("INNER")),
+      resolver, i + 3)
+  }
 
   /** Expands a SELECT-list qualified star `a.*` (optionally with an
     * `EXCEPT (cols)` tail) into the explicit `a.c1, a.c2, …` column

@@ -729,6 +729,29 @@ object ChSqlQueries {
       ch.sql(
         """SELECT rk, ks FROM narr ARRAY JOIN ks
           |WHERE ks % 2 = 0 ORDER BY rk, ks""".stripMargin)
+    },
+
+    // ---- LEFT SEMI JOIN reading RIGHT columns (r13): ClickHouse
+    // returns the first match's values — lowered to ANY INNER (dedup
+    // right per key + inner join). The right payload is a pure function
+    // of the key so the arbitrary pick is value-deterministic
+    Q("q124_chsql_semi_right_read",
+      """SELECT c.c_name AS cname, c.c_custkey * 2 AS t
+        |FROM customer c
+        |WHERE c.c_custkey IN (SELECT o_custkey FROM orders)
+        |ORDER BY cname""") { (s, dir) =>
+      val ch = new ChSession(s)
+      withTable(ch, "customer", "c_custkey Int64, c_name String",
+        Tables(s, dir).customer
+          .select(col("c_custkey"), col("c_name")), "Memory")
+      withTable(ch, "orders", "o_custkey Int64",
+        Tables(s, dir).orders.select(col("o_custkey")), "Memory")
+      ch.sql(
+        """SELECT c.c_name AS cname, o.t AS t
+          |FROM customer c LEFT SEMI JOIN
+          |  (SELECT o_custkey, o_custkey * 2 AS t FROM orders) o
+          |ON c.c_custkey = o.o_custkey
+          |ORDER BY cname""".stripMargin)
     }
   )
 }

@@ -2746,6 +2746,40 @@ class ChSqlSpec extends SparkSpec {
     assert(cnt.length == 2, cnt.toSeq)
   }
 
+  test("LEFT SEMI JOIN right-column reads lower to ANY INNER (r13, " +
+    "ClickHouse returns the first match's values); no-right-ref " +
+    "statements keep Spark's native semi join") {
+    val s = ch
+    s.execute(
+      """CREATE TABLE smr (k UInt32, rv String) ENGINE = Memory;
+        |CREATE TABLE sml (k UInt32, a String) ENGINE = Memory;
+        |INSERT INTO smr VALUES (1, 'r1'), (2, 'r2'), (2, 'r2');
+        |INSERT INTO sml VALUES (1, 'a1'), (1, 'a1b'), (2, 'a2'), (9, 'a9');""".stripMargin)
+    // qualified right read: matched left rows once each (duplicates
+    // preserved), right value from the one picked match
+    val q = s.sql(
+      """SELECT l.a AS a, r.rv AS rv FROM sml l LEFT SEMI JOIN smr r
+        |ON l.k = r.k ORDER BY a""".stripMargin).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    assert(q.toSeq == Seq(("a1", "r1"), ("a1b", "r1"), ("a2", "r2")), q.toSeq)
+    // unqualified right read resolves through the right schema
+    val uq = s.sql(
+      """SELECT a, rv FROM sml LEFT SEMI JOIN smr ON sml.k = smr.k
+        |ORDER BY a""".stripMargin).collect().map(_.getString(1))
+    assert(uq.toSeq == Seq("r1", "r1", "r2"), uq.toSeq)
+    // bare star: both sides' columns, ClickHouse's semi shape
+    val st = s.sql(
+      "SELECT * FROM sml l LEFT SEMI JOIN smr r ON l.k = r.k ORDER BY l.a")
+      .collect()
+    assert(st.length == 3 && st(0).length == 4, st.toSeq)
+    // no right refs: the plan keeps Spark's native LeftSemi (the scale
+    // fast path — right values never materialize)
+    val plan = s.sql(
+      "SELECT a FROM sml l LEFT SEMI JOIN smr r ON l.k = r.k")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("LeftSemi"), plan.take(400))
+  }
+
   test("BARE `SELECT *` over an ON-joined outer block expands per " +
     "component and fills declared defaults (r13); USING / subquery / " +
     "INNER-only blocks keep Spark's native star") {

@@ -718,8 +718,35 @@ class JoinFuzzerSpec extends SparkSpec {
         }
         ran += 1
       }
+      // LEFT SEMI reading the right side (r13): ClickHouse returns the
+      // first match's values — must agree with the ANY INNER evaluator
+      // row (the lowering). Explicit right refs and a bare star both
+      // trigger it; right payloads are pure functions of the key so
+      // the arbitrary pick is value-deterministic.
+      Seq("cols", "star").foreach { proj =>
+        val sel = if (proj == "cols")
+          "l.lv AS lv, g.rv AS rv, g.nv AS nv" else "*"
+        val sql = s"SELECT $sel FROM $lt l LEFT SEMI JOIN $rt g ON l.k = g.k"
+        val expected = pairs("ANY INNER JOIN", lRows, rRows).map { p =>
+          val (l, r) = (p._1.get, p._2.get)
+          if (proj == "cols") Vector(l._2, r._2, s"n${r._1}")
+          else Vector(l._1.toString, l._2, r._1.toString, r._2,
+            r._3.toString, s"n${r._1}")
+        }.sortBy(_.mkString("|"))
+        (try Right(norm(s.sql(sql).collect()))
+         catch { case e: Exception =>
+           Left(e.getMessage.linesIterator.next())
+         }) match {
+          case Left(err) => failures += s"$sql\n  threw: $err"
+          case Right(got) if got != expected =>
+            failures += s"$sql\n  expected ${expected.size} rows " +
+              s"${expected.take(4)}\n  got ${got.size} rows ${got.take(4)}"
+          case _ => ()
+        }
+        ran += 1
+      }
     }
-    assert(ran >= 56, s"drew $ran")
+    assert(ran >= 60, s"drew $ran")
     assert(failures.isEmpty,
       s"${failures.size} star-side draws diverged:\n" +
         failures.take(8).mkString("\n"))
