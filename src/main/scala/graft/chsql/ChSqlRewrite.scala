@@ -373,30 +373,118 @@ object ChSqlRewrite {
       if (toks(i).is("ARRAY") && toks(i + 1).is("JOIN")) {
         val left = i > 0 && toks(i - 1).is("LEFT")
         val start = if (left) i - 1 else i
-        // expr runs to AS at the same depth
+        // the clause's item list: `expr [AS alias]` separated by
+        // depth-0 commas, ending at a clause keyword / ')' / ';' /
+        // the next join keyword
+        val items = Vector.newBuilder[(Vector[Token], Option[String])]
+        var cur = Vector.newBuilder[Token]
         var j = i + 2
         var dd = 0
-        while (j < toks.length && !(dd == 0 && toks(j).is("AS"))) {
-          if (toks(j).text == "(") dd += 1
-          else if (toks(j).text == ")") dd -= 1
-          j += 1
+        var asAt = -1 // index INTO cur of the item's depth-0 AS
+        var curLen = 0
+        var done = false
+        def flush(): Unit = {
+          val it = cur.result()
+          if (asAt >= 0 && asAt == it.length - 2)
+            items += ((it.take(asAt), Some(it.last.text)))
+          else items += ((it, None))
+          cur = Vector.newBuilder; curLen = 0; asAt = -1
         }
-        if (j >= toks.length - 1)
+        while (j < toks.length && !done) {
+          val t = toks(j)
+          if (t.text == "(") dd += 1
+          else if (t.text == ")") { dd -= 1; if (dd < 0) done = true }
+          if (!done && dd == 0 && !t.isString &&
+            (t.text == ";" || fromClauseEnd(t) || joinFamily(t) ||
+              t.is("ARRAY") || t.is("ON") || t.is("USING"))) done = true
+          if (!done) {
+            if (dd == 0 && t.text == ",") flush()
+            else {
+              if (dd == 0 && t.is("AS")) asAt = curLen
+              cur += t; curLen += 1
+            }
+            j += 1
+          }
+        }
+        flush()
+        val list = items.result().filter(_._1.nonEmpty)
+        val listEnd = j
+        if (list.isEmpty) return toks
+        if (list.forall(_._2.isDefined)) {
+          if (list.length == 1) {
+            val (exprToks, Some(alias)) = list.head: @unchecked
+            val exprSql = ChLexer.render(exprToks)
+            val lateral = s"LATERAL VIEW ${if (left) "OUTER " else ""}" +
+              s"explode($exprSql) __aj_$alias AS $alias"
+            val rebuilt = toks.take(start) ++ ChLexer.tokenize(lateral) ++
+              toks.drop(listEnd)
+            return rewriteArrayJoinClause(rebuilt)
+          }
+          // multi-item form ZIPS the arrays (lectures/lecture_06.md:38:
+          // `array join sizes as size, centimetres as centimetre`):
+          // posexplode the first, access the others positionally —
+          // element_at errors on unequal lengths exactly as ClickHouse
+          // rejects unequal ARRAY JOIN arguments
+          return rewriteArrayJoinClause(
+            zipArrayJoin(toks, start, listEnd, left, list))
+        }
+        if (list.length == 1 && list.head._2.isEmpty)
           // no AS alias: ClickHouse's bare `ARRAY JOIN col` unnests col
           // IN PLACE under its own name
           return rewriteBareArrayJoin(toks, start, i, left)
             .getOrElse(toks)
-        val exprSql = ChLexer.render(toks.slice(i + 2, j))
-        val alias = toks(j + 1).text
-        val lateral = s"LATERAL VIEW ${if (left) "OUTER " else ""}" +
-          s"explode($exprSql) __aj_$alias AS $alias"
-        val rebuilt = toks.take(start) ++ ChLexer.tokenize(lateral) ++
-          toks.drop(j + 2)
-        return rewriteArrayJoinClause(rebuilt)
+        return toks // mixed bare/aliased multi list: unsupported
       }
       i += 1
     }
     toks
+  }
+
+  /** The multi-item `ARRAY JOIN e1 AS a1, e2 AS a2, …` zip lowering:
+    * `LATERAL VIEW [OUTER] posexplode(e1) __ajz AS __aj_pos, a1`, and
+    * every same-block reference to a later alias substitutes
+    * `element_at(e_i, __aj_pos + 1)` (with `AS a_i` re-attached on
+    * bare select-list items so output names survive).
+    */
+  private def zipArrayJoin(toks: Vector[Token], start: Int, listEnd: Int,
+                           left: Boolean,
+                           list: Vector[(Vector[Token], Option[String])])
+      : Vector[Token] = {
+    val (blockIds, inList) = selectBlockScopes(toks)
+    val block = blockIds(start)
+    val head = list.head
+    val a1 = head._2.get
+    val lateral = ChLexer.tokenize(
+      s"LATERAL VIEW ${if (left) "OUTER " else ""}" +
+        s"posexplode(${ChLexer.render(head._1)}) __ajz_$a1 " +
+        s"AS __aj_pos, $a1")
+    val subs: Map[String, Vector[Token]] = list.tail.map {
+      case (exprToks, Some(a)) =>
+        stripTicks(a) -> (ChLexer.tokenize(
+          s"element_at(${ChLexer.render(exprToks)}, __aj_pos + 1)"))
+      case _ => throw new IllegalStateException("unreachable: all aliased")
+    }.toMap
+    def substitute(ts: Vector[Token], offset: Int): Vector[Token] = {
+      val out = Vector.newBuilder[Token]
+      ts.zipWithIndex.foreach { case (t, ix) =>
+        val pos = offset + ix
+        val hit = t.isIdent && !t.isString && blockIds(pos) == block &&
+          subs.contains(stripTicks(t.text))
+        if (hit) {
+          val alias = stripTicks(t.text)
+          out ++= subs(alias)
+          // a bare select-list item keeps its output name
+          val bare = inList(pos) && pos > 0 && pos + 1 < toks.length &&
+            (toks(pos - 1).text == "," || toks(pos - 1).is("SELECT") ||
+              toks(pos - 1).is("DISTINCT")) &&
+            (toks(pos + 1).text == "," || toks(pos + 1).is("FROM"))
+          if (bare) { out += Token("AS") += Token(alias); () }
+        } else out += t
+      }
+      out.result()
+    }
+    substitute(toks.take(start), 0) ++ lateral ++
+      substitute(toks.drop(listEnd), listEnd)
   }
 
   /** Lowers ClickHouse's bare `[LEFT] ARRAY JOIN col` (no AS — the

@@ -731,6 +731,28 @@ object ChSqlQueries {
           |WHERE ks % 2 = 0 ORDER BY rk, ks""".stripMargin)
     },
 
+    // ---- multi-item ARRAY JOIN (r13): ClickHouse ZIPS the arrays —
+    // positions align, no cartesian product (lecture_06's shoe-size
+    // demo). Arrays are pure functions of the key so the zip is
+    // deterministic against the oracle's lateral generate_series
+    Q("q125_chsql_array_join_zip",
+      """SELECT n.n_nationkey AS k, u.x AS x, u.x * 10 AS y
+        |FROM (SELECT n_nationkey,
+        |        range(1, n_nationkey % 3 + 2) AS xs FROM nation) n,
+        |     UNNEST(n.xs) AS u(x)
+        |ORDER BY k, x""") { (s, dir) =>
+      val ch = new ChSession(s)
+      withTable(ch, "narrz", "k Int64, xs Array(Int64), ys Array(Int64)",
+        Tables(s, dir).nation.select(
+          col("n_nationkey").as("k"),
+          expr("sequence(1L, n_nationkey % 3 + 1)").as("xs"),
+          expr("transform(sequence(1L, n_nationkey % 3 + 1), i -> i * 10)")
+            .as("ys")), "Memory")
+      ch.sql(
+        """SELECT k, x, y FROM narrz ARRAY JOIN xs AS x, ys AS y
+          |ORDER BY k, x""".stripMargin)
+    },
+
     // ---- LEFT SEMI JOIN reading RIGHT columns (r13): ClickHouse
     // returns the first match's values — lowered to ANY INNER (dedup
     // right per key + inner join). The right payload is a pure function

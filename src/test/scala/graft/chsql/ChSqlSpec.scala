@@ -2825,6 +2825,37 @@ class ChSqlSpec extends SparkSpec {
       nu(1).toString)
   }
 
+  test("multi-item ARRAY JOIN zips the arrays (lecture_06's corrected " +
+    "shoe-size example) — positions align, no cartesian blowup") {
+    val s = ch
+    // the lecture_06.md:30-41 demo, with the slide's typo corrected
+    // (missing comma, 'centimitres'):
+    val out = s.sql(
+      """SELECT size, centimetre FROM
+        |( SELECT array('37', '38', '39') AS sizes,
+        |         array('23', '24', '25') AS centimetres )
+        |ARRAY JOIN sizes AS size, centimetres AS centimetre
+        |ORDER BY size""".stripMargin).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    assert(out.toSeq == Seq(("37", "23"), ("38", "24"), ("39", "25")),
+      out.toSeq)
+    // three arrays, WHERE on a zipped alias, expression items
+    s.execute(
+      """CREATE TABLE zj (id UInt32, xs Array(UInt32), ys Array(String)) ENGINE = Memory;
+        |INSERT INTO zj VALUES (1, array(10, 20), array('a', 'b')), (2, array(30), array('c'));""".stripMargin)
+    val flt = s.sql(
+      """SELECT id, x, y FROM zj ARRAY JOIN xs AS x, ys AS y
+        |WHERE x > 15 ORDER BY id, x""".stripMargin).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(flt.toSeq == Seq((1L, 20L, "b"), (2L, 30L, "c")), flt.toSeq)
+    // the zipped alias survives in GROUP BY/aggregates
+    val agg = s.sql(
+      """SELECT y, count() AS n FROM zj ARRAY JOIN xs AS x, ys AS y
+        |GROUP BY y ORDER BY y""".stripMargin).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(agg.toSeq == Seq(("a", 1L), ("b", 1L), ("c", 1L)), agg.toSeq)
+  }
+
   test("bare ARRAY JOIN col (no AS) unnests in place under its own " +
     "name, and its column never enters the defaults ownership space " +
     "as a table (r12 advisor find on topFromComponents)") {
