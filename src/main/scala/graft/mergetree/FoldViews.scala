@@ -21,18 +21,24 @@ import org.apache.spark.sql.functions._
 object FoldViews {
 
   /** ReplacingMergeTree([version]) FINAL (lectures/lecture_07.md:551-677):
-    * keep only the highest-version row per key. Matches the reference's own
-    * manual-dedup idiom `row_number() over (partition by id order by ...
-    * desc) = 1` (lectures/lecture_07.md:581-609).
+    * keep only the highest-version row per key. Same answer as the
+    * reference's own manual-dedup idiom `row_number() over (partition by
+    * id order by ... desc) = 1` (lectures/lecture_07.md:581-609), but
+    * executed as a `max_by` HASH aggregate rather than a window: the
+    * window plan sort-shuffles every duplicate row, while the aggregate
+    * gets map-side partial combine — in a replacing workload duplicates
+    * are the norm, so at 100 TB the combine collapses them before the
+    * exchange and no per-partition sort is paid at all (r13).
     *
     * `version` must be a total order within a key for determinism (the
-    * reference has the same caveat: ties resolved by part order).
+    * reference has the same caveat: ties resolved by part order; callers
+    * pass struct(version, part_seq) which is unique).
     */
   def replacingFinal(df: DataFrame, keys: Seq[String], version: Column): DataFrame = {
-    val w = Window.partitionBy(keys.map(col): _*).orderBy(version.desc)
-    df.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .drop("__rn")
+    val payload = struct(df.columns.map(col).toSeq: _*)
+    df.groupBy(keys.map(col): _*)
+      .agg(max_by(payload, version).as("__win"))
+      .select(df.columns.map(c => col("__win").getField(c).as(c)).toSeq: _*)
   }
 
   /** SummingMergeTree(cols) FINAL (lectures/lecture_07.md:430-493): group

@@ -322,4 +322,23 @@ class PlanAuditSpec extends SparkSpec {
     // partitioning spec, which appears once per Exchange)
     assert(count(plan, "hashpartitioning(") == 1, plan)
   }
+
+  test("ReplacingMergeTree FINAL plans a max_by aggregate with MAP-SIDE " +
+    "partial combine, not a sort window (r13): cross-part duplicates " +
+    "collapse before the exchange whenever a task reads several parts — " +
+    "the window shuffled every duplicate row unconditionally") {
+    val s = new graft.chsql.ChSession(spark)
+    s.execute(
+      """CREATE TABLE rfp (k UInt32, v String) ENGINE = ReplacingMergeTree ORDER BY k;
+        |INSERT INTO rfp VALUES (1, 'a'), (2, 'b');
+        |INSERT INTO rfp VALUES (1, 'a2');""".stripMargin)
+    val df = s.sql("SELECT k, v FROM rfp FINAL")
+    val plan = formatted(df)
+    assert(plan.contains("partial_max_by"),
+      "no map-side partial aggregate:\n" + plan)
+    assert(!plan.contains("Window"),
+      "FINAL must not plan a window:\n" + plan)
+    val out = df.collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    assert(out.toSeq == Seq((1L, "a2"), (2L, "b")), out.toSeq)
+  }
 }
