@@ -279,6 +279,7 @@ object ChSqlRewrite {
     toks = rewriteAnyJoin(toks)
     toks = rewriteAsofJoin(toks, resolver)
     toks = rewritePrewhere(toks)
+    toks = rewriteWithTotals(toks)
     val (afterFill, fill) = extractWithFill(toks)
     toks = afterFill
     val (afterLimitBy, limitBy, finalLimit) = extractLimitBy(toks)
@@ -3028,6 +3029,90 @@ object ChSqlRewrite {
         } else {
           val merged = toks.updated(i, Token("WHERE"))
           return rewritePrewhere(merged)
+        }
+      }
+      i += 1
+    }
+    toks
+  }
+
+  /** `GROUP BY k1, k2 WITH TOTALS` → `GROUP BY GROUPING SETS ((k1, k2),
+    * ())` — the per-group rows plus ONE grand-total row (key columns
+    * NULL, ClickHouse's separate totals block flattened into the result),
+    * computed in a single Expand+aggregate pass exactly like the library
+    * form `ChAggregates.withTotals`. Runs at ANY depth (subquery blocks
+    * included). When the block also has HAVING, the condition is guarded
+    * with `grouping_id() <> 0 OR (cond)` so HAVING filters only the
+    * per-group rows and the totals row aggregates ALL rows — ClickHouse's
+    * `totals_mode = 'before_having'`. The default `after_having_exclusive`
+    * mode differs only in EXCLUDING rows of HAVING-failing groups from
+    * totals; that needs a second aggregation pass over the base rows and
+    * is not spelled here (documented divergence, COVERAGE.md).
+    * `GROUP BY ALL WITH TOTALS` and ROLLUP/CUBE+TOTALS combinations are
+    * left untouched (the analyzer reports them) rather than guessed at.
+    */
+  private def rewriteWithTotals(toks: Vector[Token]): Vector[Token] = {
+    var depth = 0
+    var i = 0
+    while (i < toks.length) {
+      val t = toks(i)
+      if (t.text == "(") depth += 1
+      else if (t.text == ")") depth -= 1
+      else if (t.is("GROUP") && i + 1 < toks.length && toks(i + 1).is("BY")) {
+        val d = depth
+        // scan the group list for a same-depth `WITH TOTALS`
+        var j = i + 2
+        var dd = d
+        var withAt = -1
+        var stop = false
+        while (j < toks.length && !stop) {
+          val tj = toks(j)
+          if (tj.text == "(") dd += 1
+          else if (tj.text == ")") { dd -= 1; if (dd < d) stop = true }
+          else if (dd == d && tj.is("WITH") && j + 1 < toks.length &&
+            toks(j + 1).is("TOTALS")) { withAt = j; stop = true }
+          else if (dd == d && clauseStarters(tj.upper)) stop = true
+          j += 1
+        }
+        val list = if (withAt > 0) toks.slice(i + 2, withAt) else Vector.empty
+        val plain = list.nonEmpty && !list.head.is("ALL") &&
+          !list.head.is("ROLLUP") && !list.head.is("CUBE") &&
+          !list.head.is("GROUPING")
+        if (withAt > 0 && plain) {
+          var out = toks.take(i) ++
+            ChLexer.tokenize("GROUP BY GROUPING SETS ((") ++ list ++
+            ChLexer.tokenize("), ())") ++ toks.drop(withAt + 2)
+          // guard this block's HAVING (if any) so totals survive it
+          var k = i
+          var dk = d
+          var havingAt = -1
+          var scan = true
+          while (k < out.length && scan) {
+            val tk = out(k)
+            if (tk.text == "(") dk += 1
+            else if (tk.text == ")") { dk -= 1; if (dk < d) scan = false }
+            else if (dk == d && tk.is("HAVING")) { havingAt = k; scan = false }
+            else if (dk == d && tk.is("UNION")) scan = false
+            k += 1
+          }
+          if (havingAt > 0) {
+            var e = havingAt + 1
+            dk = d
+            var hEnd = out.length
+            var go = true
+            while (e < out.length && go) {
+              val te = out(e)
+              if (te.text == "(") dk += 1
+              else if (te.text == ")") { dk -= 1; if (dk < d) { hEnd = e; go = false } }
+              else if (dk == d && clauseStarters(te.upper)) { hEnd = e; go = false }
+              e += 1
+            }
+            val cond = out.slice(havingAt + 1, hEnd)
+            out = out.take(havingAt) ++
+              ChLexer.tokenize("HAVING grouping_id() <> 0 OR (") ++ cond ++
+              ChLexer.tokenize(")") ++ out.drop(hEnd)
+          }
+          return rewriteWithTotals(out)
         }
       }
       i += 1

@@ -774,6 +774,31 @@ object ChSqlQueries {
           |  (SELECT o_custkey, o_custkey * 2 AS t FROM orders) o
           |ON c.c_custkey = o.o_custkey
           |ORDER BY cname""".stripMargin)
+    },
+
+    // ---- GROUP BY ... WITH TOTALS (r13): per-group rows + ONE grand-
+    // total row (NULL keys — CH's separate totals block flattened), one
+    // Expand+aggregate pass via GROUPING SETS ((k), ()); HAVING filters
+    // only per-group rows (totals_mode = before_having spelling)
+    Q("q126_chsql_with_totals",
+      """SELECT o_orderstatus AS st,
+        |  CAST(sum(cents) AS BIGINT) AS cents, count(*) AS n
+        |FROM (SELECT o_orderstatus,
+        |        CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |      FROM orders)
+        |GROUP BY GROUPING SETS ((o_orderstatus), ())
+        |HAVING GROUPING(o_orderstatus) = 1 OR count(*) > 100
+        |ORDER BY (st IS NULL) DESC, st""") { (s, dir) =>
+      val ch = new ChSession(s)
+      withTable(ch, "orders", "o_orderstatus String, cents Int64",
+        Tables(s, dir).orders.select(col("o_orderstatus"),
+          round(col("o_totalprice") * 100, 0).cast("long").as("cents")),
+        "Memory")
+      ch.sql(
+        """SELECT o_orderstatus AS st, sum(cents) AS cents, count() AS n
+          |FROM orders
+          |GROUP BY o_orderstatus WITH TOTALS HAVING count() > 100
+          |ORDER BY st IS NULL DESC, st""".stripMargin)
     }
   )
 }

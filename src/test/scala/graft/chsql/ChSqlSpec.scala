@@ -2943,4 +2943,48 @@ class ChSqlSpec extends SparkSpec {
       s"join_use_nulls = 0 ANTI map fill must be {}: ${d.toSeq}")
   }
 
+  test("GROUP BY ... WITH TOTALS: per-group rows plus one NULL-keyed " +
+    "grand-total row, single aggregation pass") {
+    val s = ch
+    s.execute(
+      """CREATE TABLE tot (k UInt32, v UInt32) ENGINE = Memory;
+        |INSERT INTO tot SELECT number % 3, number FROM numbers(9);""".stripMargin)
+    val r = s.sql(
+      """SELECT k, sum(v) AS sv, count() AS c FROM tot
+        |GROUP BY k WITH TOTALS ORDER BY k""".stripMargin).collect()
+    // 3 groups + the totals row; NULLS FIRST under Spark's ASC default
+    assert(r.length == 4, s"expected 3 groups + totals: ${r.toSeq}")
+    val totals = r.filter(_.isNullAt(0))
+    assert(totals.length == 1 &&
+      totals.head.getLong(1) == 36L && totals.head.getLong(2) == 9L,
+      s"totals row must aggregate ALL rows: ${r.toSeq}")
+    assert(r.filterNot(_.isNullAt(0)).map(_.getLong(1)).sorted.toSeq ==
+      Seq(9L, 12L, 15L))
+    // multi-key list + a subquery block: rewrite applies at depth
+    val sub = s.sql(
+      """SELECT count() AS n FROM
+        |  (SELECT k, v % 2 AS p, sum(v) AS sv FROM tot
+        |   GROUP BY k, v % 2 WITH TOTALS)""".stripMargin).collect()
+    assert(sub.head.getLong(0) == 7L, // 6 (k,p) groups + 1 totals
+      s"multi-key TOTALS in a subquery: ${sub.toSeq}")
+  }
+
+  test("WITH TOTALS + HAVING: the guard keeps the totals row and filters " +
+    "only per-group rows (totals_mode = before_having spelling)") {
+    val s = ch
+    s.execute(
+      """CREATE TABLE toth (k UInt32, v UInt32) ENGINE = Memory;
+        |INSERT INTO toth SELECT number % 3, number FROM numbers(9);""".stripMargin)
+    val r = s.sql(
+      """SELECT k, sum(v) AS sv FROM toth
+        |GROUP BY k WITH TOTALS HAVING sum(v) > 10 ORDER BY k""".stripMargin)
+      .collect()
+    // groups 1 (sv=12) and 2 (sv=15) pass; group 0 (sv=9) filtered;
+    // the totals row (36, over ALL rows) always survives
+    assert(r.length == 3, s"2 passing groups + totals: ${r.toSeq}")
+    assert(r.filter(_.isNullAt(0)).map(_.getLong(1)).toSeq == Seq(36L))
+    assert(r.filterNot(_.isNullAt(0)).map(_.getLong(1)).sorted.toSeq ==
+      Seq(12L, 15L))
+  }
+
 }
