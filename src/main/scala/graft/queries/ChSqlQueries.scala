@@ -799,6 +799,46 @@ object ChSqlQueries {
           |FROM orders
           |GROUP BY o_orderstatus WITH TOTALS HAVING count() > 100
           |ORDER BY st IS NULL DESC, st""".stripMargin)
+    },
+
+    // ---- Enum8 columns (r13, promoted from spec-only): numeric
+    // equality/IN comparisons map to the stored label while SELECT
+    // returns the label (lecture_20.md:620's query_log idiom) — the
+    // oracle spells the same predicate over the labels directly
+    Q("q127_chsql_enum8",
+      """SELECT o_orderstatus AS st, count(*) AS n FROM orders
+        |WHERE o_orderstatus IN ('F', 'P')
+        |GROUP BY st ORDER BY st""") { (s, dir) =>
+      val ch = new ChSession(s)
+      withTable(ch, "ost", "st Enum8('F' = 1, 'O' = 2, 'P' = 3)",
+        Tables(s, dir).orders.select(col("o_orderstatus").as("st")),
+        "Memory")
+      ch.sql(
+        """SELECT st, count() AS n FROM ost
+          |WHERE st IN (1, 3) GROUP BY st ORDER BY st""".stripMargin)
+    },
+
+    // ---- ENGINE=Join + joinGet point lookups (r13, promoted from
+    // spec-only): the Join-engine table is a broadcast-able lookup; a
+    // miss returns NULL (the oracle's LEFT JOIN)
+    Q("q129_chsql_joinget",
+      """SELECT c.c_custkey AS ck, n.n_name AS nname
+        |FROM customer c LEFT JOIN nation n
+        |  ON c.c_nationkey = n.n_nationkey AND n.n_nationkey < 20
+        |ORDER BY ck""") { (s, dir) =>
+      val ch = new ChSession(s)
+      ch.execute(
+        "CREATE TABLE njoin (k Int64, v String) ENGINE = Join(ANY, LEFT, k)")
+      ch.ingest("njoin", Tables(s, dir).nation
+        .filter(col("n_nationkey") < 20)
+        .select(col("n_nationkey").as("k"), col("n_name").as("v")))
+      withTable(ch, "cust", "ck Int64, nk Int64",
+        Tables(s, dir).customer
+          .select(col("c_custkey").as("ck"), col("c_nationkey").as("nk")),
+        "Memory")
+      ch.sql(
+        """SELECT ck, joinGet('njoin', 'v', nk) AS nname
+          |FROM cust ORDER BY ck""".stripMargin)
     }
   )
 }

@@ -244,6 +244,47 @@ object CoreQueries {
         .orderBy(col("event_id"))
     },
 
+    // ASOF INNER over a MULTI-equi-key prefix (r13, promoted from
+    // spec-only): ClickHouse's default ASOF strictness drops unmatched
+    // left rows; the second key (a value bucket) is NOT functionally
+    // dependent on the first, so a key-conflation bug cannot hide.
+    // DuckDB's ASOF JOIN takes the same extra equality conditions.
+    Q("q128_asof_inner_multikey",
+      """WITH r AS (
+        |  SELECT user_id, bucket, ts_s, value FROM (
+        |    SELECT user_id, CAST(floor(value) AS BIGINT) % 3 AS bucket,
+        |           epoch_ns(ts) // 1000000000 AS ts_s, value,
+        |           row_number() OVER (PARTITION BY user_id, CAST(floor(value) AS BIGINT) % 3, epoch_ns(ts) // 1000000000
+        |                              ORDER BY event_id DESC) AS rn
+        |    FROM events WHERE event_type = 'signup') WHERE rn = 1),
+        |l AS (
+        |  SELECT event_id, user_id, CAST(floor(value) AS BIGINT) % 3 AS bucket,
+        |         epoch_ns(ts) // 1000000000 AS ts_s
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT l.event_id, l.user_id, l.bucket, l.ts_s,
+        |       r.ts_s AS sig_ts_s, r.value AS sig_value
+        |FROM l ASOF JOIN r
+        |  ON l.user_id = r.user_id AND l.bucket = r.bucket AND l.ts_s >= r.ts_s
+        |ORDER BY l.event_id""") { (s, dir) =>
+      val ev = Tables(s, dir).events
+      val bucket = (floor(col("value")).cast("long") % 3).as("bucket")
+      val leftSide = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), bucket,
+          unix_timestamp(col("ts")).as("ts_s"))
+      val rw = Window.partitionBy(col("user_id"), col("bucket"), col("ts_s"))
+        .orderBy(col("event_id").desc)
+      val rightSide = ev.filter(col("event_type") === "signup")
+        .select(col("user_id"), bucket,
+          unix_timestamp(col("ts")).as("ts_s"), col("value"), col("event_id"))
+        .withColumn("rn", row_number().over(rw)).filter(col("rn") === 1)
+        .select(col("user_id"), col("bucket"), col("ts_s"), col("value"))
+      Joins.asofNativeMulti(leftSide, rightSide, Seq("user_id", "bucket"),
+          "ts_s", "ts_s", Seq("ts_s", "value"), "sig_", leftOuter = false)
+        .select(col("event_id"), col("user_id"), col("bucket"), col("ts_s"),
+          col("sig_ts_s"), col("sig_value"))
+        .orderBy(col("event_id"))
+    },
+
     // ---- 2.3 PASTE JOIN (lectures/lecture_10.md:15): positional zip of
     // two ranked lists.
     Q("q08_paste_join",

@@ -515,6 +515,29 @@ object MiscQueries {
         .orderBy(col("o_orderkey"))
     },
 
+    // ---- explicit skew-salting (r13, promoted from spec-only): the
+    // fallback for when AQE's runtime skew split can't apply (e.g. the
+    // skewed side feeds a co-partitioned downstream op). saltedJoin
+    // splits each hot key across `salts` shuffle partitions by salting
+    // the big side and replicating the small side; the oracle is the
+    // PLAIN join — salting must be invisible in the result.
+    Q("q130_salted_skew_join",
+      """SELECT s.s_name AS sname, count(*) AS n,
+        |  CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS rev
+        |FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |GROUP BY sname ORDER BY sname""") { (s, dir) =>
+      val t = Tables(s, dir)
+      val big = t.lineitem.select(col("l_suppkey").as("k"),
+        col("l_extendedprice"))
+      val small = t.supplier.select(col("s_suppkey").as("k"), col("s_name"))
+      graft.operators.Joins.saltedJoin(big, small, Seq("k"), salts = 8)
+        .groupBy(col("s_name").as("sname"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_extendedprice").cast(DecimalType(18, 2)))
+            .cast("double").as("rev"))
+        .orderBy(col("sname"))
+    },
+
     // ---- LIMIT n BY key (§2.6): group-wise truncation — the 3 priciest
     // orders per order priority, whole rows, no aggregation. CH:
     // `... ORDER BY o_totalprice DESC LIMIT 3 BY o_orderpriority`.
