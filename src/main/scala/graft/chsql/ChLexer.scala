@@ -329,7 +329,14 @@ object ChLexer {
         var done = false
         while (i < n && !done) {
           val ch = sql.charAt(i)
-          if (ch == closer) {
+          if (ch == '\\' && closer == '\'' && i + 1 < n &&
+            (sql.charAt(i + 1) == '\'' || sql.charAt(i + 1) == '\\')) {
+            // ClickHouse backslash escapes (hw14.md:46's \' inside the
+            // dashboard INSERT) — normalize \' to the doubled-quote
+            // spelling so the rendered literal means the same to Spark
+            sb ++= (if (sql.charAt(i + 1) == '\'') "''" else "\\\\")
+            i += 1 // the loop tail advances past the second char
+          } else if (ch == closer) {
             if (closer == '\'' && i + 1 < n && sql.charAt(i + 1) == '\'') {
               sb ++= "''"; i += 1
             } else { sb += '\''; done = true }

@@ -420,7 +420,12 @@ final class ChSession(val spark: SparkSession,
     val parenAt = toks.indexWhere(_.text == "(")
     val engineAt = indexOfTopLevel(toks, "ENGINE")
     val asAt = indexOfTopLevel(toks, "AS")
-    if (parenAt < 0 || (asAt > 0 && asAt < parenAt)) {
+    // the declared column list is the paren group BEFORE the ENGINE
+    // clause; a paren after it belongs to the engine/ORDER BY/PARTITION
+    // tail (`ENGINE = MergeTree ORDER BY (a, b) AS SELECT ...` is a
+    // CTAS, hw03.md:123 — pre-fix the tuple parsed as column defs)
+    if (parenAt < 0 || (asAt > 0 && asAt < parenAt) ||
+      (engineAt > 0 && engineAt < parenAt)) {
       if (asAt > 0 && toks(asAt + 1).is("SELECT")) {
         val res = runSelect(ChLexer.render(toks.drop(asAt + 1)), Map.empty)
         val cols = res.schema.fields.map(f =>
@@ -904,14 +909,32 @@ final class ChSession(val spark: SparkSession,
         if (op == "DROP") t.skipIndexes.remove(iname)
         journalCatalog()
         logMutation(ref, ChLexer.render(toks.drop(3)))
-      case "ADD" => // ALTER TABLE t ADD COLUMN name Type [DEFAULT e]
-        val cd = parseColumnDef(ChLexer.render(toks.drop(5))).get
+      case "ADD" =>
+        // ALTER TABLE t ADD COLUMN name Type [DEFAULT e] [AFTER c|FIRST]
+        // — the position modifiers order the declared schema
+        // (homeworks/hw03.md:41's `ADD COLUMN calories ... AFTER price`)
+        var defTail = toks.drop(5)
+        var insertAt = t.columns.length
+        if (defTail.length >= 2 && defTail(defTail.length - 2).is("AFTER")) {
+          val anchor = strip(defTail.last.text)
+          val idx = t.columns.indexWhere(_.name == anchor)
+          require(idx >= 0, s"ADD COLUMN AFTER $anchor: no such column")
+          insertAt = idx + 1
+          defTail = defTail.dropRight(2)
+        } else if (defTail.nonEmpty && defTail.last.is("FIRST")) {
+          insertAt = 0
+          defTail = defTail.dropRight(1)
+        }
+        val cd = parseColumnDef(ChLexer.render(defTail)).get
+        val newCols =
+          (t.columns.take(insertAt) :+ cd) ++ t.columns.drop(insertAt)
         val withCol = tableDf(t).withColumn(cd.name,
           cd.default.map(expr).getOrElse(typeZero(cd.dataType)).cast(cd.dataType))
+          .select(newCols.map(c => col(s"`${c.name}`")): _*)
         val withColMat =
           if (t.path.isDefined) withCol.localCheckpoint() else withCol
         val nt = carryTableState(t, mkTable(t.db, t.name,
-          t.columns :+ cd, t.engine, t.partitionBy))
+          newCols, t.engine, t.partitionBy))
         replaceContents(nt, withColMat)
         tables(ref) = nt
       case "DROP" => // ALTER TABLE t DROP COLUMN name
@@ -2176,13 +2199,14 @@ final class ChSession(val spark: SparkSession,
           s("initial_query_id"), l("read_rows"), l("read_bytes"),
           l("written_rows"), l("memory_usage"), s("exception"),
           StructField("exception_code", IntegerType), s("user"),
+          StructField("tables", ArrayType(StringType)),
           StructField("ProfileEvents", MapType(StringType, LongType)))),
           queryLog.toSeq.map { q =>
             val start = new java.sql.Timestamp(q.startMs)
             Row(q.eventType, new java.sql.Date(q.startMs), start, start,
               q.durationMs, q.query, q.id, q.id, 0L, 0L, 0L, 0L,
               q.exception.getOrElse(""),
-              if (q.exception.isDefined) 1 else 0, "default",
+              if (q.exception.isDefined) 1 else 0, "default", q.tables,
               Map("UserTimeMicroseconds" -> q.durationMs * 1000L,
                 "SystemTimeMicroseconds" -> 0L))
           }))
@@ -2531,7 +2555,23 @@ final class ChSession(val spark: SparkSession,
 
   private final case class LoggedQuery(id: String, query: String,
       eventType: String, startMs: Long, durationMs: Long,
-      exception: Option[String])
+      exception: Option[String], tables: Seq[String] = Nil)
+
+  /** Catalog tables a statement references, token-level, as ClickHouse
+    * logs them in query_log.tables (`db.name`; hw14.md:63's
+    * `uniqArray(tables)` monitoring query). An identifier counts when it
+    * names a table of the current database or spells `db.table`
+    * directly — cheap, bounded by the statement's token count.
+    */
+  private def referencedTables(stmt: String): Seq[String] = {
+    try {
+      ChLexer.tokenize(stmt.take(10000)).collect {
+        case t if t.isIdent && !t.text.endsWith(".*") =>
+          val ref = parseRef(t.text.replace("`", ""))
+          if (tables.contains(ref)) Some(s"${ref._1}.${ref._2}") else None
+      }.flatten.distinct
+    } catch { case _: Exception => Nil }
+  }
 
   // bounded: the monitoring demos need recent history, not an unbounded
   // driver-side buffer under sustained ingest
@@ -2556,7 +2596,7 @@ final class ChSession(val spark: SparkSession,
       // prefix (ClickHouse: log_queries_cut_to_length)
       queryLog += LoggedQuery(id, stmt.take(10000),
         if (err.isDefined) "ExceptionWhileProcessing" else "QueryFinish",
-        t0, System.currentTimeMillis() - t0, err)
+        t0, System.currentTimeMillis() - t0, err, referencedTables(stmt))
       if (queryLog.length > queryLogCap)
         queryLog.remove(0, queryLog.length - queryLogCap)
     }

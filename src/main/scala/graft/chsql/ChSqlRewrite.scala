@@ -247,6 +247,12 @@ object ChSqlRewrite {
     var toks = ChLexer.tokenize(sql)
     val (stripped, outfile, tailSettings) = stripTail(toks)
     toks = stripped
+    // ClickHouse tolerates a trailing comma in the select list
+    // (hw03.md:205's `... + number * 315360,\nFROM numbers(100)`)
+    toks = toks.zipWithIndex.collect {
+      case (t, i) if !(t.text == "," && i + 1 < toks.length &&
+        toks(i + 1).is("FROM")) => t
+    }
     toks = rewriteScalarWith(toks)
     toks = rewriteArrayLiterals(toks)
     toks = fixCountStar(toks)
@@ -254,6 +260,7 @@ object ChSqlRewrite {
     toks = dropGlobal(toks)
     toks = castStateFnArgs(toks)
     toks = rewriteCastTypes(toks)
+    toks = rewritePostfixCast(toks)
     toks = rewriteNumbers(toks)
     toks = rewriteIntervalArgs(toks)
     toks = rewriteNowArithmetic(toks)
@@ -673,6 +680,55 @@ object ChSqlRewrite {
               }
           }
         }
+      }
+      i += 1
+    }
+    t
+  }
+
+  /** ClickHouse postfix cast `expr::Type` (homeworks/hw14.md:38's
+    * `toStartOfInterval(...)::INT`): rewritten to `CAST(expr AS T)` with
+    * the CH type name lowered through [[ChTypes]] (unknown names pass
+    * through — `::INT` is already Spark-legal). The operand is the
+    * preceding primary: a parenthesized span (with its call name if one
+    * precedes), a subscript span plus its base identifier, or the single
+    * preceding token.
+    */
+  private def rewritePostfixCast(toks: Vector[Token]): Vector[Token] = {
+    var t = toks
+    var i = 1
+    while (i < t.length - 1) {
+      if (!t(i).isString && t(i).text == "::" && t(i + 1).isIdent) {
+        // type span: ident + optional parenthesized args (Decimal32(2))
+        var typeEnd = i + 2
+        if (typeEnd < t.length && t(typeEnd).text == "(") {
+          val c = matchParen(t, typeEnd)
+          if (c > 0) typeEnd = c + 1
+        }
+        val typeText = t.slice(i + 1, typeEnd).map(_.text).mkString
+        var start = i - 1
+        if (t(start).text == ")" || t(start).text == "]") {
+          var depth = 0; var j = i - 1; var found = -1
+          while (j >= 0 && found < 0) {
+            t(j).text match {
+              case ")" | "]" => depth += 1
+              case "(" | "[" => depth -= 1; if (depth == 0) found = j
+              case _ =>
+            }
+            j -= 1
+          }
+          if (found >= 0) {
+            start = found
+            // a call's name / a subscript's base belongs to the operand
+            if (start > 0 && t(start - 1).isIdent) start -= 1
+          }
+        }
+        val st = scala.util.Try(ChTypes.parse(typeText).dataType.sql)
+          .getOrElse(typeText)
+        t = t.take(start) ++ Vector(Token("CAST"), Token("(")) ++
+          t.slice(start, i) ++ Vector(Token("AS"), Token(st), Token(")")) ++
+          t.drop(typeEnd)
+        i = start // rescan from the wrap (chained `x::A::B`)
       }
       i += 1
     }
@@ -1268,28 +1324,67 @@ object ChSqlRewrite {
     t
   }
 
-  /** ClickHouse DateTime arithmetic: `now() ± N` adds/subtracts N
-    * SECONDS (the lecture_20/hw14 monitoring windows — `event_time >=
-    * now() - 86400`); Spark rejects timestamp ± integer, so the literal
-    * becomes an INTERVAL. Only the unambiguous `now()` form rewrites —
-    * column-typed arithmetic can't be resolved from tokens.
+  /** ClickHouse DateTime arithmetic: `now() ± N` / `toDateTime(x) ± N`
+    * adds/subtracts N SECONDS, N any integer expression (the
+    * lecture_20/hw14 monitoring windows `event_time >= now() - 86400`;
+    * hw03.md:205's `toDateTime('2023-10-01 00:00:00') + number *
+    * 315360`). Spark rejects timestamp ± integer, so the additive term
+    * becomes `TIMESTAMPADD(SECOND, ±(term), call)`. Only the
+    * unambiguous call forms rewrite — column-typed arithmetic can't be
+    * resolved from tokens — and a DateTime-typed right operand
+    * (`toDateTime(a) - toDateTime(b)` = the seconds difference) is left
+    * alone.
     */
   private def rewriteNowArithmetic(toks: Vector[Token]): Vector[Token] = {
-    val out = Vector.newBuilder[Token]
+    var t = toks
     var i = 0
-    while (i < toks.length) {
-      out += toks(i)
-      if (toks(i).is("now") && i + 4 < toks.length &&
-        toks(i + 1).text == "(" && toks(i + 2).text == ")" &&
-        (toks(i + 3).text == "-" || toks(i + 3).text == "+") &&
-        !toks(i + 4).isString && toks(i + 4).text.nonEmpty &&
-        toks(i + 4).text.forall(_.isDigit)) {
-        out += toks(i + 1); out += toks(i + 2); out += toks(i + 3)
-        out += Token("INTERVAL"); out += toks(i + 4); out += Token("SECOND")
-        i += 5
-      } else i += 1
+    while (i < t.length) {
+      val isNowCall = t(i).is("now") && i + 2 < t.length &&
+        t(i + 1).text == "(" && t(i + 2).text == ")"
+      val isToDt = t(i).is("toDateTime") && i + 1 < t.length &&
+        t(i + 1).text == "("
+      if (isNowCall || isToDt) {
+        val close = matchParen(t, i + 1)
+        if (close + 2 < t.length &&
+          (t(close + 1).text == "+" || t(close + 1).text == "-") &&
+          !t(close + 2).is("INTERVAL") && !t(close + 2).is("now") &&
+          !t(close + 2).is("toDateTime") && !t(close + 2).is("today")) {
+          // the additive term ends at the next same-depth boundary
+          // (multiplication binds tighter, so `number * 315360` rides
+          // whole)
+          var e = close + 2
+          var depth = 0
+          var stop = false
+          while (e < t.length && !stop) {
+            val x = t(e)
+            if (x.text == "(") depth += 1
+            else if (x.text == ")") {
+              if (depth == 0) stop = true else depth -= 1
+            } else if (depth == 0 && (x.text == "," || x.text == "+" ||
+              x.text == "-" ||
+              Set("=", "<", ">", "<=", ">=", "!=", "<>", "==").contains(x.text) ||
+              x.is("AND") || x.is("OR") || x.is("AS") ||
+              x.is("BETWEEN") || x.is("IN") || x.is("FROM") ||
+              clauseStarters(x.upper))) stop = true
+            if (!stop) e += 1
+          }
+          if (e > close + 2) {
+            val op = t(close + 1).text
+            val operand = t.slice(close + 2, e)
+            val dtCall = t.slice(i, close + 1)
+            val neg: Vector[Token] =
+              if (op == "-") Vector(Token("-")) else Vector.empty
+            t = t.take(i) ++
+              Vector(Token("TIMESTAMPADD"), Token("("), Token("SECOND"),
+                Token(",")) ++ neg ++ Vector(Token("(")) ++ operand ++
+              Vector(Token(")"), Token(",")) ++ dtCall ++
+              Vector(Token(")")) ++ t.drop(e)
+          }
+        }
+      }
+      i += 1
     }
-    out.result()
+    t
   }
 
   private def prevSuggestsTable(toks: Vector[Token], i: Int): Boolean =
@@ -3092,7 +3187,8 @@ object ChSqlRewrite {
             if (tk.text == "(") dk += 1
             else if (tk.text == ")") { dk -= 1; if (dk < d) scan = false }
             else if (dk == d && tk.is("HAVING")) { havingAt = k; scan = false }
-            else if (dk == d && tk.is("UNION")) scan = false
+            else if (dk == d && (tk.is("UNION") || tk.is("INTERSECT") ||
+              tk.is("EXCEPT") || tk.text == ";")) scan = false
             k += 1
           }
           if (havingAt > 0) {

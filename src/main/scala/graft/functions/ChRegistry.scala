@@ -109,6 +109,11 @@ object ChRegistry {
     f("argMinIf")(e => MinBy(e(0), If(e(2), e(1), Literal.create(null, NullType))))
     f("groupArray")(e => CollectList(e.head))
     f("groupUniqArray")(e => CollectSet(e.head))
+    // uniqArray(arr): unique elements ACROSS the group's arrays
+    // (homeworks/hw14.md:63's query_log monitoring)
+    f("uniqArray")(e =>
+      Size(ArrayDistinct(Flatten(CollectList(e.head)
+        .toAggregateExpression()))))
     f("countIf")(e => Count(Seq(new NullIf(Literal(1), If(e.head, Literal(1), Literal(2))))))
     // -If combinators (lectures/lecture_06.md): agg over rows where cond
     // holds — If(cond, x, NULL) and the aggregate's null-skipping does the

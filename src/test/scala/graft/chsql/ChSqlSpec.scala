@@ -2987,4 +2987,69 @@ class ChSqlSpec extends SparkSpec {
       Seq(12L, 15L))
   }
 
+  test("postfix cast ::Type: identifier, call and chained operands, CH " +
+    "type names lowered (hw14.md:38)") {
+    val s = ch
+    s.execute(
+      """CREATE TABLE pfx (v UInt32, s String) ENGINE = Memory;
+        |INSERT INTO pfx VALUES (7, '11'), (9, '13');""".stripMargin)
+    val r = s.sql(
+      """SELECT v::Float64 AS vf, s::UInt32 AS si,
+        |  (v + 1)::String AS vs, toString(v)::UInt64::Float64 AS chained
+        |FROM pfx ORDER BY v""".stripMargin).collect()
+    assert(r.head.getDouble(0) == 7.0)
+    assert(r.head.getLong(1) == 11L)
+    assert(r.head.getString(2) == "8")
+    assert(r.head.getDouble(3) == 7.0)
+    assert(r.map(_.getLong(1)).toSeq == Seq(11L, 13L))
+  }
+
+  test("ADD COLUMN FIRST / AFTER order the declared schema; DateTime " +
+    "arithmetic takes expression operands (hw03.md:41,205)") {
+    val s = ch
+    s.execute(
+      """CREATE TABLE posn (a UInt32, b UInt32) ENGINE = Memory;
+        |INSERT INTO posn VALUES (1, 2);
+        |ALTER TABLE posn ADD COLUMN z UInt32 DEFAULT 9 FIRST;
+        |ALTER TABLE posn ADD COLUMN m UInt32 DEFAULT 5 AFTER a;""".stripMargin)
+    val df = s.sql("SELECT * FROM posn")
+    assert(df.columns.toSeq == Seq("z", "a", "m", "b"))
+    assert(df.collect().head.toSeq == Seq(9L, 1L, 5L, 2L))
+    // toDateTime(..) ± expr: seconds arithmetic over a computed operand,
+    // and the subtraction spelling
+    val t = s.sql(
+      """SELECT toDateTime('2023-10-01 00:00:00') + number * 3600 AS up,
+        |       toDateTime('2023-10-01 12:00:00') - number * 1800 AS down
+        |FROM numbers(2) ORDER BY up""".stripMargin).collect()
+    assert(t(1).getTimestamp(0).toString.startsWith("2023-10-01 01:00:00"))
+    assert(t(1).getTimestamp(1).toString.startsWith("2023-10-01 11:30:00"))
+  }
+
+  test("WITH TOTALS in a set-op chain: a later block's HAVING is NOT " +
+    "guarded (the guard scan stops at INTERSECT/EXCEPT, not just UNION)") {
+    val s = ch
+    s.execute(
+      """CREATE TABLE tots (k UInt32, v UInt32) ENGINE = Memory;
+        |INSERT INTO tots SELECT number % 3, number FROM numbers(9);""".stripMargin)
+    // The first block has TOTALS but no HAVING; the second block's HAVING
+    // belongs to a plain GROUP BY — guarding it with grouping_id() would
+    // be an analysis error there (no grouping sets in that block).
+    val r = s.sql(
+      """SELECT k, sum(v) AS sv FROM tots GROUP BY k WITH TOTALS
+        |INTERSECT
+        |SELECT k, sum(v) AS sv FROM tots GROUP BY k HAVING sum(v) > 10""".stripMargin)
+      .collect()
+    // left: groups (9,12,15) + totals(36); right: (12,15) → intersect {12,15}
+    assert(r.map(_.getLong(1)).sorted.toSeq == Seq(12L, 15L),
+      s"INTERSECT chain: ${r.toSeq}")
+    val e = s.sql(
+      """SELECT k, sum(v) AS sv FROM tots GROUP BY k WITH TOTALS
+        |EXCEPT
+        |SELECT k, sum(v) AS sv FROM tots GROUP BY k HAVING sum(v) > 10""".stripMargin)
+      .collect()
+    // left minus right = group 0 (sv=9) + the NULL-keyed totals row (36)
+    assert(e.length == 2 && e.map(_.getLong(1)).sorted.toSeq == Seq(9L, 36L),
+      s"EXCEPT chain: ${e.toSeq}")
+  }
+
 }
