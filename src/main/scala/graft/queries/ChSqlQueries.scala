@@ -839,6 +839,64 @@ object ChSqlQueries {
       ch.sql(
         """SELECT ck, joinGet('njoin', 'v', nk) AS nname
           |FROM cust ORDER BY ck""".stripMargin)
+    },
+
+    // ---- chained CTEs (r13, the lecture_27.md:232-244 dbt shape): a
+    // later CTE's body joins an EARLIER CTE, the final select reads the
+    // last CTE with a bare star. Every real bug of r8-r12 lived one
+    // composition level above the prior tests — this pins the
+    // composition itself (CTE-in-CTE resolution through the defaults /
+    // ANTI / probe passes). DuckDB runs the identical chained WITH.
+    Q("q131_chsql_chained_cte",
+      """WITH cases AS (
+        |  SELECT o_orderkey AS rep, o_custkey AS ck FROM orders
+        |  WHERE o_orderkey % 32 = 0
+        |), countries AS (
+        |  SELECT c_custkey AS code, c_name AS country FROM customer
+        |), result AS (
+        |  SELECT cases.rep AS report_id, countries.country AS country
+        |  FROM cases JOIN countries ON cases.ck = countries.code
+        |)
+        |SELECT * FROM result ORDER BY report_id""") { (s, dir) =>
+      val ch = new ChSession(s)
+      withTable(ch, "orders", "o_orderkey Int64, o_custkey Int64",
+        Tables(s, dir).orders.select(col("o_orderkey"), col("o_custkey")),
+        "Memory")
+      withTable(ch, "customer", "c_custkey Int64, c_name String",
+        Tables(s, dir).customer.select(col("c_custkey"), col("c_name")),
+        "Memory")
+      ch.sql(
+        """WITH cases AS (
+          |  SELECT o_orderkey AS rep, o_custkey AS ck FROM orders
+          |  WHERE o_orderkey % 32 = 0
+          |), countries AS (
+          |  SELECT c_custkey AS code, c_name AS country FROM customer
+          |), result AS (
+          |  SELECT cases.rep AS report_id, countries.country AS country
+          |  FROM cases JOIN countries ON cases.ck = countries.code
+          |)
+          |SELECT * FROM result ORDER BY report_id""".stripMargin)
+    },
+
+    // ---- ENGINE=Set + `val IN SX` through text (r13, promoted from
+    // spec-only; lecture_09.md:426-480): the Set table prefilters the
+    // fact scan — the oracle spells the same membership as IN (subquery)
+    Q("q132_chsql_in_set_table",
+      """SELECT count(*) AS n, CAST(sum(o_custkey) AS BIGINT) AS sck
+        |FROM orders
+        |WHERE o_custkey IN (SELECT c_custkey FROM customer
+        |                    WHERE c_custkey % 5 = 0)""") { (s, dir) =>
+      val ch = new ChSession(s)
+      ch.execute("CREATE TABLE SX (k Int64) ENGINE = Set")
+      ch.ingest("SX", Tables(s, dir).customer
+        .filter(col("c_custkey") % 5 === 0)
+        .select(col("c_custkey").as("k")))
+      withTable(ch, "ordv", "o_orderkey Int64, o_custkey Int64",
+        Tables(s, dir).orders.select(col("o_orderkey"), col("o_custkey")),
+        "Memory")
+      ch.sql(
+        """SELECT count() AS n, sum(o_custkey) AS sck FROM ordv
+          |WHERE o_custkey IN SX""".stripMargin)
     }
   )
 }

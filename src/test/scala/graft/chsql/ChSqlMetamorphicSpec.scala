@@ -534,4 +534,58 @@ class ChSqlMetamorphicSpec extends SparkSpec {
           s"$p: WITH FILL output is not the contiguous covering range")
     }
   }
+
+  test("CTE self-wrap law (r13): prefixing `WITH t AS (SELECT <cols> " +
+    "FROM t)` for EVERY table leaves any query's result unchanged — " +
+    "each CTE shadows its own catalog table (its body reads the catalog, " +
+    "the non-recursive rule), so scope resolution, the defaults pass, " +
+    "the ANTI pass and the probe are pressure-tested on the whole corpus") {
+    // a chained prefix: three same-named wraps, each trivially renaming
+    val prefix = "WITH mt AS (SELECT id, grp, v, s FROM mt), " +
+      "dim AS (SELECT k, name FROM dim), " +
+      "dup AS (SELECT k, tag FROM dup) "
+    def rows(q: String): Seq[Vector[String]] =
+      s.sql(q).collect().toSeq.map(r => (0 until r.length).map(i =>
+        if (r.isNullAt(i)) "NULL" else r.get(i).toString).toVector)
+        .sortBy(_.mkString("|"))
+    val qs = scala.collection.mutable.ArrayBuffer.empty[String]
+    preds(997, 8).foreach { p =>
+      qs += s"SELECT count() AS c FROM mt WHERE $p"
+      qs += s"SELECT grp, count() AS c, sum(v) AS sv FROM mt WHERE $p GROUP BY grp"
+    }
+    qs += "SELECT m.id AS id, d.name AS nm FROM mt m INNER JOIN dim d ON m.id % 17 = d.k"
+    qs += "SELECT m.id AS id, d.name AS nm FROM mt m LEFT JOIN dim d ON m.id % 17 = d.k"
+    qs += "SELECT m.id AS id, d.tag AS tg FROM mt m ANY LEFT JOIN dup d ON m.id % 11 = d.k"
+    qs += "SELECT m.id AS id, d.name AS nm FROM mt m LEFT JOIN dim d " +
+      "ON m.id % 17 = d.k SETTINGS join_use_nulls = 1"
+    qs += "SELECT m.id AS id FROM mt m LEFT ANTI JOIN dim d ON m.id % 17 = d.k"
+    qs += "SELECT m.id AS id, d.name AS nm FROM mt m LEFT ANTI JOIN dim d " +
+      "ON m.id % 17 = d.k"
+    qs += "SELECT count() AS c FROM mt PREWHERE v > 0"
+    qs += "SELECT grp, sum(v) AS sv FROM mt GROUP BY grp WITH TOTALS"
+    qs += "SELECT id FROM mt WHERE id IN (SELECT k FROM dim)"
+    qs += "SELECT id, v, sum(v) OVER (PARTITION BY grp ORDER BY id) AS rs " +
+      "FROM mt ORDER BY id LIMIT 50"
+    qs += "SELECT grp, id, v FROM mt ORDER BY grp, v DESC, id LIMIT 3 BY grp"
+    qs += "SELECT k FROM dim INTERSECT SELECT k FROM dup"
+    qs += "SELECT uniqExact(s) AS u FROM mt"
+    qs += "SELECT m.id AS id, x.tag AS tg FROM mt m LEFT JOIN " +
+      "(SELECT k, tag FROM dup WHERE k < 5) x ON m.id % 11 = x.k"
+    val diffs = qs.flatMap { q =>
+      (try Right((rows(q), rows(prefix + q)))
+       catch { case e: Exception =>
+         Left(e.getMessage.linesIterator.next())
+       }) match {
+        case Left(err) => Some(s"$q\n  threw: $err")
+        case Right((plain, wrapped)) if plain != wrapped =>
+          Some(s"$q\n  plain ${plain.size} rows ${plain.take(3)}" +
+            s"\n  wrapped ${wrapped.size} rows ${wrapped.take(3)}")
+        case _ => None
+      }
+    }
+    assert(qs.size >= 30)
+    assert(diffs.isEmpty,
+      s"${diffs.size} queries changed under the CTE self-wrap:\n" +
+        diffs.take(6).mkString("\n"))
+  }
 }

@@ -751,4 +751,143 @@ class JoinFuzzerSpec extends SparkSpec {
       s"${failures.size} star-side draws diverged:\n" +
         failures.take(8).mkString("\n"))
   }
+
+  test("seeded join fuzzer, chained CTEs + computed projections (r13): a " +
+    "later CTE's body joins an EARLIER CTE (the lecture_27 dbt shape) " +
+    "under both join_use_nulls modes — including a chain member named " +
+    "like a catalog table — and computed select items (aggregates, " +
+    "concat, CASE) on subquery/CTE sides take RESULT-type defaults") {
+    val s = new ChSession(spark)
+    var ran = 0
+    val failures = scala.collection.mutable.ArrayBuffer.empty[String]
+
+    def check(sql: String, expected: Seq[Vector[String]]): Unit = {
+      (try Right(norm(s.sql(sql).collect()))
+       catch { case e: Exception =>
+         Left(e.getMessage.linesIterator.next())
+       }) match {
+        case Left(err) => failures += s"$sql\n  threw: $err"
+        case Right(got) if got != expected.sortBy(_.mkString("|")) =>
+          val e = expected.sortBy(_.mkString("|"))
+          failures += s"$sql\n  expected ${e.size} rows ${e.take(4)}" +
+            s"\n  got ${got.size} rows ${got.take(4)}"
+        case _ => ()
+      }
+      ran += 1
+    }
+
+    Seq(20260817, 27127).zipWithIndex.foreach { case (seed, ci) =>
+      val (lRows, rRows) = corpus(seed)
+      val (lt, rt, xt) = (s"fgl$ci", s"fgr$ci", s"fgx$ci")
+      s.execute(
+        s"""CREATE TABLE $lt (k UInt32, lv String, ln UInt32) ENGINE = Memory;
+           |CREATE TABLE $rt (k UInt32, rv String, rn UInt32) ENGINE = Memory;
+           |CREATE TABLE $xt (xid UInt32) ENGINE = Memory;
+           |INSERT INTO $lt VALUES ${lRows.map(r => s"(${r._1}, '${r._2}', ${r._3})").mkString(", ")};
+           |INSERT INTO $rt VALUES ${rRows.map(r => s"(${r._1}, '${r._2}', ${r._3})").mkString(", ")};
+           |INSERT INTO $xt VALUES (100), (200);""".stripMargin)
+      val rnd = new scala.util.Random(seed * 41 + 13)
+
+      // ---- part A: chained CTEs — c2's body joins c1; the final select
+      // reads c2 alone or joins c2 back to c1 (both CTEs referenced).
+      // Half the draws name c1 like the catalog table xt: the chain must
+      // read the CTE, not the catalog schema (xid would not resolve).
+      for {
+        kind1 <- Seq("INNER JOIN", "LEFT JOIN", "ANY LEFT JOIN", "FULL JOIN")
+        outer <- Seq("plain", "join-earlier")
+        useNulls <- Seq(false, true)
+      } {
+        val cut = rnd.nextInt(7).toLong + 1
+        val shadow = rnd.nextBoolean()
+        val c1n = if (shadow) xt else s"fc1$ci"
+        val c1 = rRows.filter(_._1 < cut)
+        val tail = if (useNulls) " SETTINGS join_use_nulls = 1" else ""
+        // c2 rows with the body's fill already applied; k kept typed for
+        // the outer join (a filled 0 re-matches k=0 — the lecture_10
+        // footgun — while a NULL never matches)
+        val c2 = pairs(canon(kind1), lRows, c1).map { p =>
+          (p._1.map(_._1).orElse(if (useNulls) None else Some(0L)),
+            cell(p._1.map(_._2), useNulls, ""),
+            cell(p._2.map(_._2), useNulls, ""),
+            cell(p._2.map(_._3), useNulls, "0"))
+        }
+        val withSql = s"WITH $c1n AS (SELECT k, rv, rn FROM $rt WHERE k < $cut), " +
+          s"c2 AS (SELECT l.k AS k, l.lv AS lv, r.rv AS rv, r.rn AS rn " +
+          s"FROM $lt l $kind1 $c1n r ON l.k = r.k) "
+        if (outer == "plain") {
+          val sql = s"${withSql}SELECT k, lv, rv, rn FROM c2$tail"
+          val expected = c2.map(t => Vector(
+            t._1.map(_.toString).getOrElse("NULL"), t._2, t._3, t._4))
+          check(sql, expected)
+        } else {
+          val sql = s"${withSql}SELECT a.lv AS lv, a.rv AS rv, b.rv AS brv " +
+            s"FROM c2 a INNER JOIN $c1n b ON a.k = b.k$tail"
+          val expected = for {
+            a <- c2
+            b <- c1 if a._1.contains(b._1)
+          } yield Vector(a._2, a._3, b._2)
+          check(sql, expected)
+        }
+      }
+
+      // ---- part B: computed select items on subquery/CTE join sides —
+      // aggregates, concat, CASE. A miss takes the computed column's
+      // RESULT-type default under =0 (q120's rule), NULL under =1; the
+      // ANTI kind substitutes those literals for every right read.
+      val aggRows = rRows.groupBy(_._1).toSeq.map { case (k, rs) =>
+        (k, rs.size.toLong, rs.map(_._3).max)
+      }
+      for {
+        form <- Seq("subquery", "cte")
+        comp <- Seq("agg", "scalar")
+        kind <- Seq("LEFT JOIN", "ANY LEFT JOIN", "LEFT ANTI JOIN")
+        useNulls <- Seq(false, true)
+      } {
+        val tail = if (useNulls) " SETTINGS join_use_nulls = 1" else ""
+        val (body, sel, rowsOf) =
+          if (comp == "agg")
+            (s"SELECT k, count() AS cnt, max(rn) AS mx FROM $rt GROUP BY k",
+              "r.cnt AS cnt, r.mx AS mx",
+              aggRows.map(a => (a._1, Vector(a._2.toString, a._3.toString))))
+          else
+            (s"SELECT k, concat(rv, '_', toString(rn)) AS tag, " +
+              s"CASE WHEN rn < 300 THEN 'lo' ELSE 'hi' END AS band FROM $rt",
+              "r.tag AS tag, r.band AS band",
+              rRows.map(r => (r._1,
+                Vector(s"${r._2}_${r._3}", if (r._3 < 300) "lo" else "hi"))))
+        val defaults = if (comp == "agg") Vector("0", "0") else Vector("", "")
+        val side = if (form == "subquery") s"($body)"
+          else "cx"
+        val withSql = if (form == "cte") s"WITH cx AS ($body) " else ""
+        val sql = s"${withSql}SELECT l.lv AS lv, $sel " +
+          s"FROM $lt l $kind $side r ON l.k = r.k$tail"
+        val sideKeyed = rowsOf
+        val expected = canon(kind) match {
+          case "LEFT ANTI JOIN" =>
+            lRows.filterNot(l => sideKeyed.exists(_._1 == l._1)).map(l =>
+              l._2 +: defaults.map(d => if (useNulls) "NULL" else d))
+          case "ANY LEFT JOIN" =>
+            lRows.map { l =>
+              sideKeyed.find(_._1 == l._1) match {
+                case Some((_, vs)) => l._2 +: vs
+                case None =>
+                  l._2 +: defaults.map(d => if (useNulls) "NULL" else d)
+              }
+            }
+          case _ => // LEFT JOIN
+            lRows.flatMap { l =>
+              val ms = sideKeyed.filter(_._1 == l._1)
+              if (ms.isEmpty)
+                Seq(l._2 +: defaults.map(d => if (useNulls) "NULL" else d))
+              else ms.map(m => l._2 +: m._2)
+            }
+        }
+        check(sql, expected.map(_.toVector))
+      }
+    }
+    assert(ran >= 70, s"drew $ran")
+    assert(failures.isEmpty,
+      s"${failures.size} chained-CTE/computed draws diverged:\n" +
+        failures.take(8).mkString("\n"))
+  }
 }
