@@ -115,6 +115,10 @@ object Bench {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
+      // match GraftSession: typed-Aggregator queries must not fall back to
+      // sort-based aggregation at 128 groups (see GraftSession.builder)
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+        sys.env.getOrElse("SPARK_GRAFT_OBJ_AGG_FALLBACK", "4096"))
       // static conf, must precede session creation: the default codegen
       // class cache (100 entries) cannot hold one board pass (~170
       // queries x several codegen stages), so every pass re-compiled

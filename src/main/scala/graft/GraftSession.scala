@@ -26,6 +26,16 @@ object GraftSession {
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
+      // ObjectHashAggregate (typed Aggregators: -State sketches, entropy,
+      // topK, histogram...) falls back to SORT-BASED aggregation after 128
+      // distinct group keys per task — a full sort of the task's input for
+      // aggregates whose whole point is small bounded state (measured 2x
+      // on the -State/-Merge rows: 0.87s -> 0.45s). 4096 entries bounds
+      // the in-memory object map at ~16 MB per task even for the largest
+      // sketch here (4 KB HLL registers); override per deployment via
+      // SPARK_GRAFT_OBJ_AGG_FALLBACK when group states are bigger.
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+        sys.env.getOrElse("SPARK_GRAFT_OBJ_AGG_FALLBACK", "4096"))
       // a multi-minute host stall (noisy VM, STW GC) must not KILL the
       // context: with the 120s default, HeartbeatReceiver removes the
       // in-process "driver" executor after one freeze and every suite
