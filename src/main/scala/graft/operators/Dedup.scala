@@ -188,9 +188,15 @@ object Dedup {
       struct(lit(j).as("band"),
         hash(slice(col("sig"), j * rows + 1, rows)).as("bh"))
     }
-    val buckets = sigs
+    // ONE materialization of the increment's bucket table: the in-batch
+    // claim window, the history probe, the bloom build and the store
+    // write all consume it. Unpinned, every consumer re-ran the
+    // signature kernel over the increment (the store-write branch alone
+    // was a second full text pass); pinned, the increment's text is read
+    // and minhashed exactly once per increment.
+    val buckets = pinned(sigs
       .select(col(idCol), explode(array(bandCols: _*)).as("b"))
-      .select(col(idCol), col("b.band").as("band"), col("b.bh").as("bh"))
+      .select(col(idCol), col("b.band").as("band"), col("b.bh").as("bh")))
     val hPath = new org.apache.hadoop.fs.Path(storePath)
     val storeExists = hPath
       .getFileSystem(spark.sessionState.newHadoopConf()).exists(hPath)
@@ -199,13 +205,15 @@ object Dedup {
       else Some(spark.read.parquet(storePath)
         .filter(col("increment").cast("string") =!= incrementId)
         .select(col("band"), col("bh")))
-    // in-batch: the smallest id in each bucket owns it
+    // in-batch: the smallest id in each bucket owns it. No distinct here —
+    // dupIds below deduplicates once over both dup sources (one exchange
+    // instead of three).
     val owned = buckets.withColumn("__own",
       min(col(idCol)).over(
         org.apache.spark.sql.expressions.Window
           .partitionBy(col("band"), col("bh"))))
     val inBatchDup = owned.filter(col(idCol) =!= col("__own"))
-      .select(col(idCol)).distinct()
+      .select(col(idCol))
     // BLOOM ROUTING, same contract as [[incrementalExactDedup]]: a blob
     // over the store's (band, bh) keys routes definitely-new buckets past
     // the history semi-join MAP-SIDE — the join input shrinks from "every
@@ -230,26 +238,29 @@ object Dedup {
     outputPath.foreach { out =>
       kept.write.mode("overwrite").parquet(s"$out/increment=$incrementId")
     }
-    val storeBuckets = pinned(buckets.select(col("band"), col("bh")).distinct())
     // bloom before store partition, like the exact sibling: a crash
     // between the two leaves the blob OVER-covering (extra rows routed
-    // through the exact join), never under-covering (missed duplicates)
+    // through the exact join), never under-covering (missed duplicates).
+    // The build reads the PINNED buckets directly — bloom insertion is
+    // idempotent, so it needs no distinct pass of its own; only the
+    // store write pays the dedup exchange.
     if (bloomExpectedItems > 0 || existingBloom.isDefined) {
       val (items, bits) = existingBloom
         .map(e => (e._2, e._3))
         .getOrElse((bloomExpectedItems,
           BloomPrune.optimalNumBits(bloomExpectedItems, 0.01)))
+      val newKeys = buckets.select(col("band"), col("bh"))
       // first build with a pre-existing store backfills history's keys
       val toIndex = existingBloom match {
-        case Some(_) => storeBuckets
-        case None => history.fold(storeBuckets)(h => storeBuckets.unionByName(h))
+        case Some(_) => newKeys
+        case None => history.fold(newKeys)(h => newKeys.unionByName(h))
       }
       Option(BloomPrune.build(toIndex, bucketKey, items, bits)).foreach { b =>
         val merged = existingBloom.map(e => BloomPrune.merge(e._1, b)).getOrElse(b)
         BloomPrune.write(spark, bloomPath, merged, items, bits)
       }
     }
-    storeBuckets.write.mode("overwrite")
+    buckets.select(col("band"), col("bh")).distinct().write.mode("overwrite")
       .parquet(s"$storePath/increment=$incrementId")
     kept
   }
@@ -257,7 +268,9 @@ object Dedup {
   /** [[incrementalNearDedup]]'s history probe, factored out so the plan
     * shape is auditable: with a blob the store semi-join's probe side is
     * gated MAP-SIDE by the bloom predicate — definitely-new (band, bh)
-    * pairs never enter the join.
+    * pairs never enter the join. Output ids are NOT deduplicated here:
+    * the caller's dupIds distinct covers both dup sources in one
+    * exchange.
     */
   private[operators] def nearDupHistProbe(buckets: DataFrame, history: DataFrame,
                                           blob: Option[Array[Byte]],
@@ -268,7 +281,7 @@ object Dedup {
       case None => buckets
     }
     probe.join(history, Seq("band", "bh"), "left_semi")
-      .select(col(idCol)).distinct()
+      .select(col(idCol))
   }
 
   /** Per-document MinHash signature as one `sig: array<long>` column,
@@ -333,11 +346,17 @@ object Dedup {
       .union(pairs.select(col("b").as(idCol))).distinct()
     // sorted xxhash64 gram fingerprints + linear-merge jaccard: identical
     // values to the string-set spelling (collision odds ~n²/2⁶⁴ per
-    // pair), without building two hash sets per candidate pair
-    val grams = docs.join(inPairs, Seq(idCol), "left_semi")
+    // pair), without building two hash sets per candidate pair.
+    // PINNED: the gram table feeds BOTH join sides below, and the two
+    // subtrees differ only in the output alias — which defeats exchange
+    // reuse, so unpinned the corpus semi-join and the shingle kernel ran
+    // twice per action (measured: two full `documents` scans in d04's
+    // plan). The cache is bounded by the candidate-pair id set — a
+    // vanishing fraction of the corpus at scale.
+    val grams = pinned(docs.join(inPairs, Seq(idCol), "left_semi")
       .select(col(idCol),
         NativeFunctions.shingleHashes(
-          NativeFunctions.normTokens(col(textCol)), nGram).as("g"))
+          NativeFunctions.normTokens(col(textCol)), nGram).as("g")))
     pairs
       .join(grams.select(col(idCol).as("a"), col("g").as("ga")), "a")
       .join(grams.select(col(idCol).as("b"), col("g").as("gb")), "b")
@@ -833,83 +852,108 @@ object Dedup {
   def connectedComponentsStars(pairs: DataFrame, maxIter: Int = 25,
                                reliableEvery: Int = 0,
                                localFinishThreshold: Long = 2000000L): DataFrame = {
+    val (edges0, stars) = starFixedPoint(pairs, maxIter, reliableEvery,
+      localFinishThreshold)
+    val vertices = edges0.select(col("u").as("id"))
+      .union(edges0.select(col("v").as("id"))).distinct()
+    val nonRoots = stars.groupBy(col("u").as("id")).agg(min(col("v")).as("label"))
+    vertices.join(nonRoots, Seq("id"), "left")
+      .select(col("id"), coalesce(col("label"), col("id")).as("label"))
+  }
+
+  /** The star-contraction fixed point behind [[connectedComponentsStars]]
+    * and [[clusterRepresentatives]]: returns (the pinned canonical edge
+    * frame, the fixed-point star edges — one (non-root, component-min)
+    * row per non-root id). Factored out so clusterRepresentatives can
+    * join the stars straight onto the corpus without materializing the
+    * vertex set (its COALESCE covers root and singleton ids anyway — the
+    * vertex distinct was a pure fixed-cost pass there).
+    */
+  private def starFixedPoint(pairs: DataFrame, maxIter: Int,
+                             reliableEvery: Int,
+                             localFinishThreshold: Long): (DataFrame, DataFrame) = {
     val durableMode = reliableEvery > 0
     // canonical (big, small) directed edges, self-loops dropped
     var edges = pinnedRound(pairs
       .select(greatest(col("a"), col("b")).as("u"), least(col("a"), col("b")).as("v"))
       .filter(col("u") =!= col("v"))
       .distinct(), durableMode)
-    val vertices = pinned(
-      edges.select(col("u").as("id")).union(edges.select(col("v").as("id"))).distinct())
-    var sig = edgeSig(edges)
+    val edges0 = edges
+    var done = false
+    // primitive-specialized LongMap union-find over a driver-collected
+    // edge list (the boxed-HashMap spelling costs seconds of pure boxing
+    // at millions of find() calls); replaces `edges` with the local star
+    // frame
+    def finishLocally(collected: Array[(Long, Long)]): Unit = {
+      val us = new Array[Long](collected.length)
+      val vs = new Array[Long](collected.length)
+      var ri = 0
+      while (ri < collected.length) {
+        us(ri) = collected(ri)._1; vs(ri) = collected(ri)._2; ri += 1
+      }
+      val parent = scala.collection.mutable.LongMap.empty[Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent(r)
+        var c = x // path compression
+        while (parent.getOrElse(c, c) != c) { val nxt = parent(c); parent(c) = r; c = nxt }
+        r
+      }
+      ri = 0
+      while (ri < us.length) {
+        val ra = find(us(ri)); val rb = find(vs(ri))
+        if (ra != rb) { // smaller root wins -> labels stay component minima
+          if (ra < rb) parent(rb) = ra else parent(ra) = rb
+        }
+        ri += 1
+      }
+      val seen = scala.collection.mutable.LongMap.empty[Unit]
+      val starBuf = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+      def emit(id: Long): Unit =
+        if (!seen.contains(id)) {
+          seen.update(id, ())
+          val r = find(id)
+          if (id != r) starBuf += ((id, r))
+        }
+      ri = 0
+      while (ri < us.length) { emit(us(ri)); emit(vs(ri)); ri += 1 }
+      edges = edges.sparkSession.createDataFrame(starBuf.toSeq).toDF("u", "v")
+      done = true
+    }
+    val tupleEnc = org.apache.spark.sql.Encoders.tuple(
+      org.apache.spark.sql.Encoders.scalaLong,
+      org.apache.spark.sql.Encoders.scalaLong)
+    // ADAPTIVE LOCAL FINISH before round 1: ONE bounded collect both
+    // DECIDES and FETCHES — `limit(threshold+1)` caps the driver transfer
+    // at the documented bound (~2×8 bytes of payload per edge, so even
+    // the 5M-edge override stays ~80 MB), and threshold+1 rows coming
+    // back means "too big, run distributed" with nothing wasted. The
+    // previous shape paid a separate count probe (edgeSig) plus a second
+    // full collect for the same decision.
+    if (localFinishThreshold > 0) {
+      val cap = math.min(localFinishThreshold + 1, Int.MaxValue.toLong).toInt
+      val fetched = edges.select(col("u"), col("v")).as(tupleEnc)
+        .limit(cap).collect()
+      if (fetched.length <= localFinishThreshold) finishLocally(fetched)
+    }
+    var sig = if (done) (0L, 0L) else edgeSig(edges)
     // failure-recovery anchor: (edge frame on durable storage, its
     // signature, its round). Rounds between anchors use the fast
     // executor-local pin; on a lost-block failure the loop resumes from
     // the anchor instead of the job dying — bounding replay to
     // `reliableEvery` rounds.
     var anchor: Option[(DataFrame, (Long, Long), Int)] =
-      if (durableMode) Some((edges, sig, 0)) else None
+      if (durableMode && !done) Some((edges, sig, 0)) else None
     var retriesLeft = 3
     var round = 0
-    var done = false
-    // ADAPTIVE LOCAL FINISH: contraction shrinks the edge list
-    // geometrically, so the tail rounds run 2 shuffles + a probe over a
-    // graph that is tiny relative to the cluster — per-round fixed cost
-    // dominates. Whenever the current edge list fits comfortably on the
-    // driver (count is free in the signature), finish with union-find
-    // and emit the star edges directly — including BEFORE round 1 when
-    // the input is already small. Same hybrid GraphX/GraphFrames use; at
-    // ANY corpus scale the threshold is an absolute bound on driver
-    // memory: the tuple encoder streams primitive pairs (~2×8 bytes of
-    // payload per edge in the arrays below, vs ~100+ bytes per collected
-    // Row), so even the 5M-edge override stays ~80 MB of array data —
-    // far from spark.driver.maxResultSize pressure.
+    // in-loop local finish: contraction shrinks the edge list
+    // geometrically, and the round count is free in the convergence
+    // signature — whenever the current edge list fits the driver bound,
+    // collect it and finish with union-find (hybrid GraphX/GraphFrames
+    // shape).
     def tryLocalFinish(): Unit =
-      if (!done && sig._1 > 0 && sig._1 <= localFinishThreshold) {
-        // primitive-specialized LongMap: the boxed-HashMap spelling costs
-        // seconds of pure boxing at millions of find() calls
-        val pairs: Array[(Long, Long)] = edges.select(col("u"), col("v"))
-          .as(org.apache.spark.sql.Encoders.tuple(
-            org.apache.spark.sql.Encoders.scalaLong,
-            org.apache.spark.sql.Encoders.scalaLong))
-          .collect()
-        val us = new Array[Long](pairs.length)
-        val vs = new Array[Long](pairs.length)
-        var ri = 0
-        while (ri < pairs.length) {
-          us(ri) = pairs(ri)._1; vs(ri) = pairs(ri)._2; ri += 1
-        }
-        val parent = scala.collection.mutable.LongMap.empty[Long]
-        def find(x: Long): Long = {
-          var r = x
-          while (parent.getOrElse(r, r) != r) r = parent(r)
-          var c = x // path compression
-          while (parent.getOrElse(c, c) != c) { val nxt = parent(c); parent(c) = r; c = nxt }
-          r
-        }
-        ri = 0
-        while (ri < us.length) {
-          val ra = find(us(ri)); val rb = find(vs(ri))
-          if (ra != rb) { // smaller root wins -> labels stay component minima
-            if (ra < rb) parent(rb) = ra else parent(ra) = rb
-          }
-          ri += 1
-        }
-        val seen = scala.collection.mutable.LongMap.empty[Unit]
-        val starBuf = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
-        def emit(id: Long): Unit =
-          if (!seen.contains(id)) {
-            seen.update(id, ())
-            val r = find(id)
-            if (id != r) starBuf += ((id, r))
-          }
-        ri = 0
-        while (ri < us.length) { emit(us(ri)); emit(vs(ri)); ri += 1 }
-        val stars = starBuf.toSeq
-        edges = edges.sparkSession.createDataFrame(stars).toDF("u", "v")
-        done = true
-      }
-    tryLocalFinish()
+      if (!done && sig._1 > 0 && sig._1 <= localFinishThreshold)
+        finishLocally(edges.select(col("u"), col("v")).as(tupleEnc).collect())
     while (!done && round < maxIter) {
       try {
         // large-star: connect every neighbor LARGER than u to the minimum
@@ -964,22 +1008,25 @@ object Dedup {
     }
     if (!done) warnNotConverged("connectedComponentsStars", maxIter)
     // fixed point: stars centered on component minima
-    val nonRoots = edges.groupBy(col("u").as("id")).agg(min(col("v")).as("label"))
-    vertices.join(nonRoots, Seq("id"), "left")
-      .select(col("id"), coalesce(col("label"), col("id")).as("label"))
+    (edges0, edges)
   }
 
   /** Cluster assignment for the WHOLE corpus: every document gets a
     * `cluster_id` — the smallest id of its near-dup component, or its own
-    * id when it matched nothing (singleton cluster).
+    * id when it matched nothing (singleton cluster). Joins the star edges
+    * straight onto the corpus: non-roots get their component minimum,
+    * roots and singletons fall out of the COALESCE — identical labels to
+    * going through [[connectedComponentsStars]]'s vertex frame, minus its
+    * union+distinct pass over the edge list.
     */
   def clusterRepresentatives(df: DataFrame, idCol: String,
                              pairs: DataFrame, maxIter: Int = 25,
                              reliableEvery: Int = 0,
                              localFinishThreshold: Long = 2000000L): DataFrame = {
-    val cc = connectedComponentsStars(pairs, maxIter, reliableEvery,
+    val (_, stars) = starFixedPoint(pairs, maxIter, reliableEvery,
       localFinishThreshold)
-    df.join(cc.withColumnRenamed("id", idCol), Seq(idCol), "left")
+    val nonRoots = stars.groupBy(col("u").as(idCol)).agg(min(col("v")).as("label"))
+    df.join(nonRoots, Seq(idCol), "left")
       .withColumn("cluster_id", coalesce(col("label"), col(idCol)))
       .drop("label")
   }

@@ -298,8 +298,17 @@ object SimilaritySearch {
     val centers = spark.read.parquet(path + "/centers")
       .orderBy("idx").collect()
       .map(_.getAs[scala.collection.Seq[Float]]("center").toArray)
-    val probes = probeCells(queries, qVecCol, centers, nProbe)
-    val cells = probes.select("cell").distinct().collect().map(_.getInt(0))
+    // ONE probe materialization: the probe table is broadcast-small by
+    // contract, so collect it once and derive both the partition-filter
+    // cell set AND the join input from the same rows — the previous
+    // shape paid a distinct+collect action for the cells and then
+    // re-evaluated the whole probe plan (queries scan + cell ranking)
+    // inside the broadcast build.
+    val probesDf = probeCells(queries, qVecCol, centers, nProbe)
+    val probeRows = probesDf.collect()
+    val cells = probeRows.map(_.getAs[Int]("cell")).distinct
+    val probes = spark.createDataFrame(
+      java.util.Arrays.asList(probeRows: _*), probesDf.schema)
     val bucketed = spark.read.parquet(path + "/data")
       .filter(col("cell").isin(cells.map(Integer.valueOf): _*))
     ivfScoreAndRank(bucketed, idCol, vecCol, probes, qIdCol, qVecCol, k)
