@@ -21,11 +21,22 @@ object CorpusStats {
     */
   def tfidf(docs: DataFrame, idCol: String, toksCol: Column): DataFrame = {
     val terms = docs.select(col(idCol), explode(toksCol).as("term"))
-    val tf = terms.groupBy(col(idCol), col("term"))
-      .agg(count(lit(1)).as("tf_count"))
-    val docLen = terms.groupBy(col(idCol)).agg(count(lit(1)).as("doc_len"))
+    // Everything downstream derives from the (doc, term) counts:
+    // doc_len = Σ tf_count per doc, df = rows per term, n_docs = rows of
+    // doc_len (a doc appears iff it had ≥ 1 term) — all identical to
+    // aggregating the raw term stream, but over the ALREADY-AGGREGATED
+    // tf table. The former shape re-ran the explode (a full corpus
+    // pass) once per aggregate — four corpus scans per action, since
+    // the identical subtrees only differ downstream and defeat reuse.
+    // tf is PINNED (materialized once): its three consumers otherwise
+    // re-run the scan+explode+aggregate chain — exchange reuse does not
+    // fire across these subtrees in practice.
+    val tf = org.apache.spark.sql.graftinternal.Rematerialize(
+      terms.groupBy(col(idCol), col("term"))
+        .agg(count(lit(1)).as("tf_count")))
+    val docLen = tf.groupBy(col(idCol)).agg(sum(col("tf_count")).as("doc_len"))
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val nDocs = terms.select(countDistinct(col(idCol)).as("n_docs"))
+    val nDocs = docLen.select(count(lit(1)).as("n_docs"))
     tf.join(docLen, Seq(idCol))
       .join(dfreq, Seq("term"))
       .crossJoin(broadcast(nDocs))

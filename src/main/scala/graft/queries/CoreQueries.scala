@@ -357,10 +357,16 @@ object CoreQueries {
         |FROM lineitem
         |GROUP BY ROLLUP(l_returnflag, l_linestatus)
         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""") { (s, dir) =>
+      // pre-aggregate before the ROLLUP Expand (3 copies per input row):
+      // SUM/COUNT distribute, so the expansion runs over the ~6-row
+      // (flag, status) table instead of the fact scan — identical values
+      // (exact decimal sums at both levels, double cast at the end)
       Tables(s, dir).lineitem
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(dec2(col("l_quantity"))).as("__s"), count(lit(1)).as("__n"))
         .rollup(col("l_returnflag"), col("l_linestatus"))
-        .agg(sum(dec2(col("l_quantity"))).cast(DoubleType).as("sum_qty"),
-          count(lit(1)).as("n"))
+        .agg(sum(col("__s")).cast(DoubleType).as("sum_qty"),
+          sum(col("__n")).as("n"))
         .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
     },
 

@@ -321,10 +321,20 @@ object MiscQueries {
         |FROM lineitem
         |GROUP BY CUBE(l_returnflag, l_linestatus)
         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""") { (s, dir) =>
+      // pre-aggregate by the grouping columns BEFORE the cube: CUBE plans
+      // through Expand (4 copies of every input row at the partial agg);
+      // SUM/COUNT distribute over the pre-aggregation, so expanding the
+      // ~6-row (flag, status) table instead of the fact table computes
+      // the identical result with one plain partial-agg pass over the
+      // scan (decimal sums are exact at every level — same values, same
+      // double cast at the end)
       Tables(s, dir).lineitem
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(col("l_quantity").cast(DecimalType(18, 2))).as("__s"),
+          count(lit(1)).as("__n"))
         .cube(col("l_returnflag"), col("l_linestatus"))
-        .agg(sum(col("l_quantity").cast(DecimalType(18, 2))).cast(DoubleType).as("sum_qty"),
-          count(lit(1)).as("n"))
+        .agg(sum(col("__s")).cast(DoubleType).as("sum_qty"),
+          sum(col("__n")).as("n"))
         .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
     },
 
@@ -336,13 +346,19 @@ object MiscQueries {
         |FROM lineitem
         |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
         |ORDER BY g_rf, g_ls, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""") { (s, dir) =>
-      Tables(s, dir).lineitem.createOrReplaceTempView("__q48_lineitem")
+      // pre-aggregated before the grouping-sets Expand, like q47/q12:
+      // COUNT(*) over any grouping set = SUM of the per-(flag, status)
+      // counts — the 3-way expansion then runs over ~6 rows
+      Tables(s, dir).lineitem
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("__n"))
+        .createOrReplaceTempView("__q48_pre")
       s.sql(
         """SELECT l_returnflag, l_linestatus,
           |  CAST(grouping(l_returnflag) AS BIGINT) AS g_rf,
           |  CAST(grouping(l_linestatus) AS BIGINT) AS g_ls,
-          |  COUNT(*) AS n
-          |FROM __q48_lineitem
+          |  SUM(__n) AS n
+          |FROM __q48_pre
           |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
           |ORDER BY g_rf, g_ls, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin)
     },
