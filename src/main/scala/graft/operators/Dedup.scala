@@ -233,11 +233,16 @@ object Dedup {
         buckets.select(col(idCol)).schema)) { h =>
       nearDupHistProbe(buckets, h, gateBloom.map(_._1), idCol)
     }
-    val dupIds = pinned(inBatchDup.unionByName(histDup).distinct())
-    val kept = newDocs.join(dupIds, Seq(idCol), "left_anti")
-    outputPath.foreach { out =>
-      kept.write.mode("overwrite").parquet(s"$out/increment=$incrementId")
-    }
+    // The dup-id materialization and the bloom+store persistence branch
+    // both depend only on the pinned buckets (the store keeps kept and
+    // dropped docs' buckets alike), so they run as CONCURRENT jobs —
+    // Spark schedules submitted jobs together, and the second branch
+    // back-fills the cores the first one's tail leaves idle (guide
+    // §2.6). The crash-ordering contract is untouched: bloom write
+    // before store write, both on this thread; the future only computes.
+    val dupIdsF = scala.concurrent.Future {
+      pinned(inBatchDup.unionByName(histDup).distinct())
+    }(scala.concurrent.ExecutionContext.global)
     // bloom before store partition, like the exact sibling: a crash
     // between the two leaves the blob OVER-covering (extra rows routed
     // through the exact join), never under-covering (missed duplicates).
@@ -262,6 +267,12 @@ object Dedup {
     }
     buckets.select(col("band"), col("bh")).distinct().write.mode("overwrite")
       .parquet(s"$storePath/increment=$incrementId")
+    val dupIds = scala.concurrent.Await.result(
+      dupIdsF, scala.concurrent.duration.Duration.Inf)
+    val kept = newDocs.join(dupIds, Seq(idCol), "left_anti")
+    outputPath.foreach { out =>
+      kept.write.mode("overwrite").parquet(s"$out/increment=$incrementId")
+    }
     kept
   }
 
