@@ -18,9 +18,23 @@ object CorpusStats {
   /** Per-(doc, term) counts + TF-IDF. `toksCol` is any array<string>
     * expression (e.g. `NativeFunctions.normTokens(col("text"))`).
     * Output: idCol, term, tf_count, doc_len, df, n_docs, tfidf.
+    *
+    * EAGER: the call runs one corpus pass up front (the (doc, term) count
+    * table is materialized via localCheckpoint so its three consumers —
+    * doc_len, df, n_docs — don't each re-run the scan+explode), and the
+    * pinned blocks live in executor storage until the returned frame (and
+    * everything derived from it) becomes unreachable, at which point the
+    * ContextCleaner drops them. Callers composing many tfidf results in
+    * one session should release their references between calls.
+    *
+    * Null ids are excluded up front: a null-id doc can contribute rows to
+    * no equi-join group, and countDistinct-style n_docs semantics ignore
+    * it — the filter keeps n_docs consistent with that contract (and is
+    * folded away by the optimizer when idCol is non-nullable).
     */
   def tfidf(docs: DataFrame, idCol: String, toksCol: Column): DataFrame = {
-    val terms = docs.select(col(idCol), explode(toksCol).as("term"))
+    val terms = docs.filter(col(idCol).isNotNull)
+      .select(col(idCol), explode(toksCol).as("term"))
     // Everything downstream derives from the (doc, term) counts:
     // doc_len = Σ tf_count per doc, df = rows per term, n_docs = rows of
     // doc_len (a doc appears iff it had ≥ 1 term) — all identical to

@@ -32,12 +32,21 @@ object Dedup {
           org.apache.spark.sql.expressions.Window.partitionBy(col("fingerprint"))))
   }
 
-  /** Exact-dedup: keep the smallest id per fingerprint group. */
+  /** Exact-dedup: keep the smallest id per fingerprint group. ONE corpus
+    * pass, ONE shuffle: the fingerprint window carries the row, and the
+    * caller's projection prunes unused columns below the exchange. The
+    * former groups + semi-join-back shape read and fingerprinted the
+    * corpus twice and paid a second corpus-sized join shuffle (measured
+    * in t16: every map-side kernel ran once per semi-join side).
+    */
   def exactDedup(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val groups = exactDupGroups(df, idCol, textCol)
-      .filter(col(idCol) === col("keep_id"))
-      .select(col(idCol))
-    df.join(groups, Seq(idCol), "left_semi")
+    val out = df.columns.toSeq
+    df.withColumn("__fp", TextFunctions.fingerprintMd5(col(textCol)))
+      .withColumn("__keep",
+        min(col(idCol)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("__fp"))))
+      .filter(col(idCol) === col("__keep"))
+      .select(out.map(col): _*)
   }
 
   /** Incremental exact dedup against a persisted fingerprint store — the
@@ -249,24 +258,32 @@ object Dedup {
     // The build reads the PINNED buckets directly — bloom insertion is
     // idempotent, so it needs no distinct pass of its own; only the
     // store write pays the dedup exchange.
-    if (bloomExpectedItems > 0 || existingBloom.isDefined) {
-      val (items, bits) = existingBloom
-        .map(e => (e._2, e._3))
-        .getOrElse((bloomExpectedItems,
-          BloomPrune.optimalNumBits(bloomExpectedItems, 0.01)))
-      val newKeys = buckets.select(col("band"), col("bh"))
-      // first build with a pre-existing store backfills history's keys
-      val toIndex = existingBloom match {
-        case Some(_) => newKeys
-        case None => history.fold(newKeys)(h => newKeys.unionByName(h))
+    // The persistence branch runs under try/finally that drains the
+    // dup-id Future: a bloom/store failure must not leave the Future's
+    // Spark jobs running orphaned (Await.ready waits without masking the
+    // persistence failure; the increment's layout is idempotent, so the
+    // re-run repairs whatever landed).
+    try {
+      if (bloomExpectedItems > 0 || existingBloom.isDefined) {
+        val (items, bits) = existingBloom
+          .map(e => (e._2, e._3))
+          .getOrElse((bloomExpectedItems,
+            BloomPrune.optimalNumBits(bloomExpectedItems, 0.01)))
+        val newKeys = buckets.select(col("band"), col("bh"))
+        // first build with a pre-existing store backfills history's keys
+        val toIndex = existingBloom match {
+          case Some(_) => newKeys
+          case None => history.fold(newKeys)(h => newKeys.unionByName(h))
+        }
+        Option(BloomPrune.build(toIndex, bucketKey, items, bits)).foreach { b =>
+          val merged = existingBloom.map(e => BloomPrune.merge(e._1, b)).getOrElse(b)
+          BloomPrune.write(spark, bloomPath, merged, items, bits)
+        }
       }
-      Option(BloomPrune.build(toIndex, bucketKey, items, bits)).foreach { b =>
-        val merged = existingBloom.map(e => BloomPrune.merge(e._1, b)).getOrElse(b)
-        BloomPrune.write(spark, bloomPath, merged, items, bits)
-      }
-    }
-    buckets.select(col("band"), col("bh")).distinct().write.mode("overwrite")
-      .parquet(s"$storePath/increment=$incrementId")
+      buckets.select(col("band"), col("bh")).distinct().write.mode("overwrite")
+        .parquet(s"$storePath/increment=$incrementId")
+    } finally scala.concurrent.Await.ready(
+      dupIdsF, scala.concurrent.duration.Duration.Inf)
     val dupIds = scala.concurrent.Await.result(
       dupIdsF, scala.concurrent.duration.Duration.Inf)
     val kept = newDocs.join(dupIds, Seq(idCol), "left_anti")
@@ -934,20 +951,16 @@ object Dedup {
     val tupleEnc = org.apache.spark.sql.Encoders.tuple(
       org.apache.spark.sql.Encoders.scalaLong,
       org.apache.spark.sql.Encoders.scalaLong)
-    // ADAPTIVE LOCAL FINISH before round 1: ONE bounded collect both
-    // DECIDES and FETCHES — `limit(threshold+1)` caps the driver transfer
-    // at the documented bound (~2×8 bytes of payload per edge, so even
-    // the 5M-edge override stays ~80 MB), and threshold+1 rows coming
-    // back means "too big, run distributed" with nothing wasted. The
-    // previous shape paid a separate count probe (edgeSig) plus a second
-    // full collect for the same decision.
-    if (localFinishThreshold > 0) {
-      val cap = math.min(localFinishThreshold + 1, Int.MaxValue.toLong).toInt
-      val fetched = edges.select(col("u"), col("v")).as(tupleEnc)
-        .limit(cap).collect()
-      if (fetched.length <= localFinishThreshold) finishLocally(fetched)
-    }
-    var sig = if (done) (0L, 0L) else edgeSig(edges)
+    // ADAPTIVE LOCAL FINISH before round 1, gated by the edge COUNT:
+    // edgeSig (count + xor, one agg scan of the pinned edges, no driver
+    // transfer) both seeds round 0's convergence signature and decides
+    // whether the graph fits the driver — the collect only runs when it
+    // will be used. The previous shape collected up to threshold+1 rows
+    // (~tens of MB) on every call just to decide, discarding them on the
+    // large-graph path.
+    var sig = edgeSig(edges)
+    if (localFinishThreshold > 0 && sig._1 <= localFinishThreshold)
+      finishLocally(edges.select(col("u"), col("v")).as(tupleEnc).collect())
     // failure-recovery anchor: (edge frame on durable storage, its
     // signature, its round). Rounds between anchors use the fast
     // executor-local pin; on a lost-block failure the loop resumes from

@@ -47,7 +47,14 @@ object Dsir {
       .groupBy(col("__tok"))
       .agg(count(lit(1)).as("__cr"),
         sum(when(col("__t"), 1L).otherwise(0L)).as("__ct"))
-    val vocab = counts.orderBy(col("__cr").desc, col("__tok")).limit(vocabSize)
+    // PINNED: vocab is <= vocabSize rows, but its plan holds the full
+    // corpus explode+aggregate — and it feeds BOTH the totals aggregate
+    // and the model projection, two subtrees whose re-evaluation each
+    // re-ran the corpus fit inside the one scoring action. Pinning costs
+    // one bounded job and leaves exactly two corpus passes per action
+    // (fit + score), the operator's floor.
+    val vocab = org.apache.spark.sql.graftinternal.Rematerialize(
+      counts.orderBy(col("__cr").desc, col("__tok")).limit(vocabSize))
     // totals over the SHARED vocab make both models proper distributions
     // on the same support; one broadcast row
     val totals = vocab.agg(

@@ -67,17 +67,26 @@ object InvertedIndex {
                queryTerms: Seq[String], k1: Double = 1.2,
                b: Double = 0.75): DataFrame = {
     require(queryTerms.nonEmpty, "bm25Rank needs at least one query term")
-    val base = docs.select(id.cast("long").as("doc_id"), terms.as("toks"))
-      .select(col("doc_id"), col("toks"),
-        size(col("toks")).cast("double").as("dl"))
+    val q = lit(queryTerms.toArray)
+    // ONE corpus pass: every doc projects to (doc_id, dl, hits), where
+    // hits keeps only query-term tokens (filtered INSIDE the array before
+    // any explode — corpus-sized rows never shuffle). PINNED, because
+    // three consumers otherwise each re-ran the corpus scan+tokenize: the
+    // scalar stats head(), the tf aggregation, and the df broadcast side
+    // (which re-derived tf from the raw corpus — two full corpus passes
+    // inside the one scoring action, plus the stats pass). The pinned
+    // rows are a lightweight proxy — two numbers plus the query-term
+    // hits — the guide-§8 "decide with small rows" shape.
+    val proj = org.apache.spark.sql.graftinternal.Rematerialize(
+      docs.select(id.cast("long").as("doc_id"), terms.as("toks"))
+        .select(col("doc_id"), size(col("toks")).cast("double").as("dl"),
+          filter(col("toks"), t => array_contains(q, t)).as("hits")))
     // one scalar row: corpus size + mean doc length (closure-shipped)
-    val stats = base.agg(count(lit(1)), avg(col("dl"))).head()
+    val stats = proj.agg(count(lit(1)), avg(col("dl"))).head()
     val n = stats.getLong(0).toDouble
     val avgdl = stats.getDouble(1)
-    val q = lit(queryTerms.toArray)
-    val tf = base
-      .select(col("doc_id"), col("dl"),
-        explode(filter(col("toks"), t => array_contains(q, t))).as("term"))
+    val tf = proj
+      .select(col("doc_id"), col("dl"), explode(col("hits")).as("term"))
       .groupBy(col("doc_id"), col("dl"), col("term"))
       .agg(count(lit(1)).cast("double").as("tf"))
     val df = tf.groupBy(col("term")).agg(count(lit(1)).cast("double").as("df"))

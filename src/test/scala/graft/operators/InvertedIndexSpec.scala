@@ -67,15 +67,20 @@ class InvertedIndexSpec extends SparkSpec {
     assert(satScores(2L) > 0) // 'ran' rare term still scores
   }
 
-  test("bm25Rank plan: corpus rows never shuffle — hits are filtered inside the array before explode") {
-    val plan = InvertedIndex.bm25Rank(docs, $"doc_id",
-      split($"text", " "), Seq("cat")).queryExecution.optimizedPlan.toString
-    // the generate (explode) input must already be the filtered array
-    assert(plan.contains("array_contains") || plan.contains("filter("),
-      s"query-term filter missing from plan:\n$plan")
+  test("bm25Rank plan: one pinned corpus proxy — scoring never re-reads the corpus, df joins by broadcast") {
+    val ranked = InvertedIndex.bm25Rank(docs, $"doc_id",
+      split($"text", " "), Seq("cat"))
+    val phys = ranked.queryExecution.executedPlan.toString
+    // the corpus was projected to (doc_id, dl, hits) and pinned ONCE at
+    // call time (hits filtered inside the array before any explode);
+    // both the tf side and the df broadcast side must read the pinned
+    // proxy, never the corpus source — the former shape re-derived tf
+    // from the raw corpus on the df side (two corpus passes per action)
+    assert(phys.contains("Scan ExistingRDD"),
+      s"pinned corpus proxy missing from scoring plan:\n$phys")
+    assert(!phys.contains("LocalTableScan"),
+      s"scoring plan re-scans the corpus source:\n$phys")
     // df joins back via broadcast, not a shuffled join
-    val phys = InvertedIndex.bm25Rank(docs, $"doc_id",
-      split($"text", " "), Seq("cat")).queryExecution.executedPlan.toString
     assert(phys.contains("BroadcastHashJoin") || phys.contains("BroadcastExchange"),
       s"df join is not broadcast:\n$phys")
   }
