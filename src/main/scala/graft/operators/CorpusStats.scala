@@ -48,10 +48,17 @@ object CorpusStats {
     val tf = org.apache.spark.sql.graftinternal.Rematerialize(
       terms.groupBy(col(idCol), col("term"))
         .agg(count(lit(1)).as("tf_count")))
-    val docLen = tf.groupBy(col(idCol)).agg(sum(col("tf_count")).as("doc_len"))
+    // doc_len rides a WINDOW over the doc key instead of a groupBy +
+    // join-back: one tf-table exchange instead of two (aggregate + join
+    // probe side), same long sums. Scale-safe: the per-doc partition
+    // fan-in is the doc's distinct-term count, bounded by doc length —
+    // unlike a per-TERM window, which would funnel stop words. df stays
+    // a groupBy + equi-join (partial-aggregatable, no hot reducer).
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val nDocs = docLen.select(count(lit(1)).as("n_docs"))
-    tf.join(docLen, Seq(idCol))
+    val nDocs = tf.select(col(idCol)).distinct().select(count(lit(1)).as("n_docs"))
+    tf.withColumn("doc_len",
+        sum(col("tf_count")).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col(idCol))))
       .join(dfreq, Seq("term"))
       .crossJoin(broadcast(nDocs))
       .withColumn("tfidf",
@@ -162,10 +169,22 @@ object CorpusStats {
     * stopword mining and rare-term filtering.
     */
   def vocabulary(docs: DataFrame, idCol: String, toksCol: Column): DataFrame = {
-    val terms = docs.select(col(idCol), explode(toksCol).as("term"))
-    val nDocs = terms.select(countDistinct(col(idCol)).as("n_docs"))
-    terms.groupBy(col("term"))
-      .agg(countDistinct(col(idCol)).as("df"), count(lit(1)).as("cf"))
+    // Same single-pass shape as [[tfidf]]: everything derives from the
+    // pinned (doc, term) count table — df = non-null-id rows per term
+    // (tf already holds one row per distinct (id, term)), cf = Σ counts,
+    // n_docs = distinct non-null ids — so the corpus explodes ONCE where
+    // the former shape ran the scan+explode twice per action (the n_docs
+    // subtree and the per-term aggregate defeat reuse). Null-id handling
+    // is bit-identical to the countDistinct original: null-id docs count
+    // toward cf but never df or n_docs.
+    val tf = org.apache.spark.sql.graftinternal.Rematerialize(
+      docs.select(col(idCol), explode(toksCol).as("term"))
+        .groupBy(col(idCol), col("term"))
+        .agg(count(lit(1)).as("__c")))
+    val nDocs = tf.where(col(idCol).isNotNull)
+      .select(countDistinct(col(idCol)).as("n_docs"))
+    tf.groupBy(col("term"))
+      .agg(count(col(idCol)).as("df"), sum(col("__c")).as("cf"))
       .crossJoin(broadcast(nDocs))
       .withColumn("idf", log(col("n_docs").cast(DoubleType) / col("df").cast(DoubleType)))
       .drop("n_docs")

@@ -19,6 +19,22 @@ class DedupSpec extends SparkSpec {
     val kept = Dedup.exactDedup(docs, "doc_id", "text").select("doc_id")
       .as[Long].collect().toSet
     assert(kept == Set(1L, 3L, 4L, 5L))
+    // output schema is exactly the input's columns (helpers dropped)
+    assert(Dedup.exactDedup(docs, "doc_id", "text").columns.toSeq ==
+      docs.columns.toSeq)
+  }
+
+  test("exactDedup plans ONE corpus pass: a fingerprint window, no self-join") {
+    // the former groups + semi-join-back shape read and fingerprinted the
+    // corpus once per join side; the window-carry shape must plan no join
+    // and exactly one source scan
+    val plan = Dedup.exactDedup(docs, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("Window"), s"fingerprint window missing:\n$plan")
+    Seq("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin").foreach(j =>
+      assert(!plan.contains(j), s"unexpected $j in exactDedup plan:\n$plan"))
+    assert(plan.sliding("LocalTableScan".length).count(_ == "LocalTableScan") == 1,
+      s"corpus must be scanned exactly once:\n$plan")
   }
 
   test("minhash LSH finds the planted near-dup pair") {
