@@ -659,27 +659,35 @@ object Dedup {
     val sepLit = java.util.regex.Pattern.quote(sep)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("__h")).orderBy(col(idCol), col("__pos"))
-    val kept = df
-      .select(col(idCol),
-        posexplode(split(col(textCol), sepLit)).as(Seq("__pos", "__seg")))
+    // ONE corpus scan, TWO shuffles: every segment row rides the
+    // keep-first window INTO the per-doc rebuild, where the keep decision
+    // becomes a conditional aggregate — dropped segments contribute only
+    // to n_segments (their text nulls out map-side in the partial
+    // aggregate, so the doc-keyed exchange carries kept text plus
+    // counters). The former shape filtered to kept rows, RE-SCANNED the
+    // corpus for n_segments and joined back on the doc key: a second
+    // corpus read and a third shuffle for columns the explode path
+    // already had. posexplode_outer keeps null-text docs in the output
+    // (n_segments null, the old left-join contract); such rows share the
+    // null-hash window partition, so pre-filter null texts upstream if a
+    // corpus has them in bulk.
+    df.select(col(idCol),
+        posexplode_outer(split(col(textCol), sepLit)).as(Seq("__pos", "__seg")))
       .withColumn("__h", md5(col("__seg")))
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-    val rebuilt = kept.groupBy(col(idCol))
+      .withColumn("__keep",
+        col("__seg").isNotNull && row_number().over(w) === 1)
+      .groupBy(col(idCol))
       .agg(
         array_join(
           transform(
-            array_sort(collect_list(struct(col("__pos"), col("__seg")))),
+            array_sort(collect_list(when(col("__keep"),
+              struct(col("__pos"), col("__seg"))))),
             x => x.getField("__seg")),
           sep).as("text_clean"),
-        count(lit(1)).as("n_kept"))
-    df.select(col(idCol),
-        size(split(col(textCol), sepLit)).cast(LongType).as("n_segments"))
-      .join(rebuilt, Seq(idCol), "left")
-      .select(col(idCol),
-        coalesce(col("text_clean"), lit("")).as("text_clean"),
-        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
-        col("n_segments"))
+        count(when(col("__keep"), lit(1))).as("n_kept"),
+        when(count(col("__seg")) === 0, lit(null).cast(LongType))
+          .otherwise(count(col("__seg"))).as("n_segments"))
+      .select(col(idCol), col("text_clean"), col("n_kept"), col("n_segments"))
   }
 
   /** Segmentation shim for corpora WITHOUT natural line structure:
