@@ -851,7 +851,7 @@ object MiscQueries {
         |  FROM lineitem GROUP BY l_returnflag)
         |SELECT l_returnflag, corr_qp, covp_qp, covs_qp, sdp_q, sds_q, vp_q, vs_q,
         |  round((m3 - 3*m1*m2 + 2*m1*m1*m1)
-        |        / pow(m2 - m1*m1, 1.5), 4)                  AS skew_q,
+        |        / pow(m2 - m1*m1, 1.5), 4) + 0.0            AS skew_q,
         |  round((m4 - 4*m1*m3 + 6*m1*m1*m2 - 3*m1*m1*m1*m1)
         |        / pow(m2 - m1*m1, 2.0), 4)                  AS kurt_q,
         |  ent_ls
@@ -878,7 +878,13 @@ object MiscQueries {
           round(stddev_samp(col("l_quantity")), 4).as("sds_q"),
           round(var_pop(col("l_quantity")), 4).as("vp_q"),
           round(var_samp(col("l_quantity")), 4).as("vs_q"),
-          round(graft.functions.StatAggregates.skewPop(col("l_quantity")), 4).as("skew_q"),
+          // + 0.0 canonicalizes the signed zero on BOTH engines (q93's
+          // bounding_ratio precedent): at a degenerate tiny sample the
+          // skew rounds to zero with an engine-dependent sign (-0.0 in
+          // the DuckDB oracle at sf0.001, +0.0 here); adding +0.0 is a
+          // bit-level no-op for every non-zero value
+          (round(graft.functions.StatAggregates.skewPop(col("l_quantity")), 4)
+            + lit(0.0)).as("skew_q"),
           round(graft.functions.StatAggregates.kurtPop(col("l_quantity")), 4).as("kurt_q"))
         .join(broadcast(ent), Seq("l_returnflag"))
         .orderBy(col("l_returnflag"))
